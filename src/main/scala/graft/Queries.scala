@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface — every scan / projection / filter / join /
+  * aggregate / sort / window / set-op semantic the reference executes
+  * (SURVEY.md §2.1-2.6), re-expressed over the driver test tables.
+  *
+  * Reference citations (relative to /root/reference/):
+  *  - left equi-joins on a single key: pb_etl/tasks.py:168-181,218-230,409-423
+  *  - per-column max aggregation:      pb_etl/tasks.py:198-203
+  *  - global count / mean:             pb_etl/tasks.py:438,443
+  *  - per-column distinct:             pb_etl/tasks.py:281
+  *  - column-subset projection:        pb_etl/tasks.py:200
+  *  - scalar normalization (x/max):    pb_etl/tasks.py:235-244
+  *
+  * Design rules for oracle parity (the driver hash-compares against
+  * DuckDB): deterministic ORDER BY on a unique key in every query,
+  * explicit rounding on any float that is the result of arithmetic
+  * (summation order differs between engines at the last ulp), aliases
+  * identical between the DataFrame code and the oracle SQL.
+  *
+  * Scale rules: dimension sides of joins are broadcast; aggregations are
+  * partial+final hash aggregates (Catalyst default); all filters and
+  * projections sit directly on the parquet scan so pushdown applies.
+  */
+object Queries {
+  import Tables._
+
+  /** TPC-H Q1 shape: scan-side filter + partial/final hash aggregate.
+    * Exercises A1/A2/A3-style global aggregation with grouping. */
+  def pricingSummary(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Projection + predicate — both must reach the parquet scan
+    * (PushedFilters / ReadSchema). Raw column values: exact match. */
+  def scanFilterProject(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .filter(col("l_quantity") > 45 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** J1/J2 analog: left outer equi-join fact→dim on a single key.
+    * Dimension side broadcast — no shuffle of the fact table. */
+  def joinOrdersCustomer(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .join(broadcast(customer(spark, d)),
+        col("o_custkey") === col("c_custkey"), "left_outer")
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("o_orderkey"))
+
+  /** J3 analog: join of two small dimensions — pure broadcast. */
+  def joinNationRegion(spark: SparkSession, d: String): DataFrame =
+    nation(spark, d)
+      .join(broadcast(region(spark, d)),
+        col("n_regionkey") === col("r_regionkey"), "left_outer")
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey"))
+
+  /** A1 analog: per-column global max (partial+final, collects to 1 row).
+    * Max of raw doubles is an exact data value — no rounding needed. */
+  def globalMax(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d).agg(
+      max(col("l_quantity")).as("max_qty"),
+      max(col("l_extendedprice")).as("max_price"),
+      max(col("l_discount")).as("max_disc"),
+      max(col("l_tax")).as("max_tax"),
+      max(col("l_orderkey")).as("max_orderkey"))
+
+  /** A2 analog: global per-column non-null counts. */
+  def globalCounts(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_custkey")).as("n_custkey"),
+      count(col("o_totalprice")).as("n_totalprice"),
+      countDistinct(col("o_custkey")).as("n_distinct_cust"))
+
+  /** A3 analog: global means (the reference's deletion-rate report). */
+  def globalMeans(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d).agg(
+      round(avg(col("l_quantity")), 6).as("avg_qty"),
+      round(avg(col("l_discount")), 6).as("avg_disc"),
+      round(avg(col("l_extendedprice")), 4).as("avg_price"))
+
+  /** A4 analog: distinct values of a categorical column (vocabulary). */
+  def distinctValues(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** P3 analog (`the_norm`): divide columns by their global max. The
+    * maxima are collected to the driver (provably 1 row) and re-enter
+    * the plan as literals — the same shape as the reference's broadcast
+    * of the 5-row max frame, and exactly how it scales: no second scan
+    * join, just scalar arithmetic in codegen. */
+  def normalizeByMax(spark: SparkSession, d: String): DataFrame = {
+    val li = lineitem(spark, d)
+    val r = li.agg(max(col("l_quantity")), max(col("l_extendedprice"))).head()
+    val (maxQty, maxPrice) = (r.getDouble(0), r.getDouble(1))
+    li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_quantity") / lit(maxQty), 6).as("qty_norm"),
+      round(col("l_extendedprice") / lit(maxPrice), 6).as("price_norm"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Global sort + limit (top-k). TakeOrderedAndProject at scale — no
+    * full sort materialization. */
+  def topOrders(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** Window function: top-2 orders per customer by price (row_number). */
+  def windowTopPerCustomer(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Left-semi join: customers having at least one large order. */
+  def semiJoinCustomers(spark: SparkSession, d: String): DataFrame =
+    customer(spark, d)
+      .join(orders(spark, d).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join: customers with no orders at all. */
+  def antiJoinCustomers(spark: SparkSession, d: String): DataFrame =
+    customer(spark, d)
+      .join(orders(spark, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Set op: distinct union of two key sets. */
+  def unionHighValue(spark: SparkSession, d: String): DataFrame = {
+    val a = orders(spark, d).filter(col("o_totalprice") > 450000.0)
+      .select(col("o_custkey").as("custkey"))
+    val b = customer(spark, d).filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey").as("custkey"))
+    a.union(b).distinct().orderBy(col("custkey"))
+  }
+
+  /** Grouped aggregate + HAVING. */
+  def groupHaving(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spent"))
+      .filter(col("n_orders") >= 3)
+      .orderBy(col("o_custkey"))
+
+  /** TPC-H Q3 shape: 3-way join + grouped revenue + top-k.
+    * customer is broadcast; orders⋈lineitem is the only shuffle. */
+  def shippingPriority(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .join(orders(spark, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, d).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5 shape: 5-way join through the dimension hierarchy with all
+    * dimensions broadcast — the fact table never shuffles for the joins,
+    * only for the final group-by. */
+  def localSupplierVolume(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .join(orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(spark, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(spark, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Event-time aggregation: per-type hourly counts and sums. `ts` is
+    * epoch-nanos (see Tables.eventsNs); the hour bucket is computed by
+    * integer division (`div`, not `/` — double division loses precision
+    * above 2^53 ns) and emitted as a formatted string so both engines
+    * hash identically. */
+  def eventsHourly(spark: SparkSession, d: String): DataFrame =
+    eventsNs(spark, d)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", timestamp_micros(expr("ts div 1000"))),
+          "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"), col("hour"))
+
+  /** Sessionization via window lag: a new session starts after a >30 min
+    * gap per user. Gap arithmetic on integer epoch-nanos — exact, and
+    * identical to the oracle's epoch_ns(). */
+  def eventsSessionize(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    eventsNs(spark, d)
+      .withColumn("prev_ns", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ns").isNull || col("ts") - col("prev_ns") > 1800000000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Monthly order rollup — date bucketing on the fact table. */
+  def ordersByMonth(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("month"), col("o_orderstatus"))
+}

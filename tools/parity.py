@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Dev-only parity checker mirroring the driver's DuckDB oracle compare.
+
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
+
+For each query result parquet written by graft.Verify, runs the matching
+oracle SQL in DuckDB over the same tables, sorts columns by name, sorts
+rows, and compares cell-by-cell (exact for ints/strings, tiny epsilon for
+floats to flag near-misses distinctly from hard mismatches).
+"""
+import sys, os, json, math
+import duckdb
+import pyarrow.parquet as pq
+
+def canon(rows, cols):
+    # rows: list of dicts -> list of tuples in sorted-column order
+    out = []
+    for r in rows:
+        out.append(tuple(r[c] for c in cols))
+    def key(t):
+        return tuple((x is None, str(type(x)), str(x)) for x in t)
+    return sorted(out, key=key)
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        return a == b
+    except Exception:
+        return str(a) == str(b)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        qdir = f"{out_dir}/{name}"
+        if not os.path.isdir(qdir):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            spark_tbl = pq.read_table(qdir)
+            spark_rows = spark_tbl.to_pylist()
+            duck = con.execute(oracle[name])
+            cols_d = [d[0] for d in duck.description]
+            duck_rows = [dict(zip(cols_d, r)) for r in duck.fetchall()]
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        cols_s = sorted(spark_tbl.column_names)
+        cols_d_sorted = sorted(cols_d)
+        if cols_s != cols_d_sorted:
+            print(f"FAIL {name}: schema {cols_s} vs {cols_d_sorted}"); n_fail += 1; continue
+        a, b = canon(spark_rows, cols_s), canon(duck_rows, cols_s)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
+        bad = None
+        for i, (ra, rb) in enumerate(zip(a, b)):
+            if not all(cell_eq(x, y) for x, y in zip(ra, rb)):
+                bad = (i, ra, rb); break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
