@@ -1,0 +1,127 @@
+package graft
+
+import graft.pipeline._
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end pipeline test on the reference's own 3-row fixtures
+  * (ported verbatim from /root/reference/test_pset.py:26-119 per
+  * FIXTURES.md §A), asserting VALUES at each stage — stronger than the
+  * reference's existence-only checks (SURVEY.md §5).
+  */
+class PbEtlPipelineSpec extends SparkSpec {
+
+  private def writeCsv(dir: java.nio.file.Path, sub: String, header: String,
+      rows: Seq[String]): Unit = {
+    val d = dir.resolve(sub)
+    Files.createDirectories(d)
+    Files.writeString(d.resolve(s"${sub.replace('/', '_')}_0.csv"),
+      (header +: rows).mkString("\n"))
+  }
+
+  /** fake_data() fixtures, test_pset.py:31-119. */
+  private def writeFixtures(root: java.nio.file.Path): Unit = {
+    val attrHeader = "TRANSACTION_ID,TLD,REN,REGISTRAR_NAME,GL_CODE_NAME,COUNTRY,DOMAIN_LENGTH,HISTORY,TRANSFERS,TERM_LENGTH,RES30,RESTORES,REREG,QTILE,HD,NS_V0,NS_V1,NS_V2"
+    writeCsv(root, "train/attr", attrHeader + ",TARGET", Seq(
+      "109785,TLD1,8,ACC 012,GL2,CNTR 04,11,/AR:1/AR:1/TR:1,2,TL01,0,0,Y,Q2,A,0.590681846,0.791507201,0.693827386,0",
+      "109784,TLD1,8,ACC 012,GL2,CNTR 04,17,/AR:1/AR:1/TR:1,2,TL01,0,0,Y,Q2,A,0.590681846,0.791507201,0.693827386,0",
+      "109783,TLD1,8,ACC 012,GL2,CNTR 04,14,/AR:1/AR:1/TR:1,2,TL01,0,0,Y,Q2,A,0.590681846,0.791507201,0.693827386,0"))
+    writeCsv(root, "train/tscore", "TRANSACTION_ID,TRAFFIC_SCORE", Seq(
+      "109785,0.0000417455279238821",
+      "109784,0.0000449483234402741",
+      "109783,0.0000718081312936524"))
+    writeCsv(root, "test/attr", attrHeader, Seq(
+      "275452,TLD1,0,ACC 012,GL2,CNTR 04,11,/AR:1/AR:1/TR:1,2,TL01,0,0,Y,Q2,A,0.590681846,0.791507201,0.693827386",
+      "275451,TLD1,2,ACC 012,GL2,CNTR 04,17,/AR:1/AR:1/TR:1,2,TL01,0,0,Y,Q2,A,0.590681846,0.791507201,0.693827386",
+      "275450,TLD1,0,ACC 012,GL2,CNTR 04,14,/AR:1/AR:1/TR:1,2,TL01,0,0,Y,Q2,A,0.590681846,0.791507201,0.693827386"))
+    writeCsv(root, "test/tscore", "TRANSACTION_ID,TRAFFIC_SCORE", Seq(
+      "275452,0.0000417455279238821",
+      "275451,0.0000449483234402741",
+      "275450,0.0000718081312936524"))
+    writeCsv(root, "results", "TRANSACTION_ID,TARGET", Seq(
+      "275452,0", "275451,0", "275450,0"))
+  }
+
+  private lazy val (ctx, executed) = {
+    val tmp = Files.createTempDirectory("pbetl")
+    writeFixtures(tmp)
+    val conf = PbConf(
+      dataRoot = tmp.toString,
+      workRoot = tmp.resolve("work").toString,
+      epochs = 5,
+      hidden = Seq(8, 4), // tiny widths for a 3-row fixture; prod default is the reference's 1024..32
+      seed = 42L)
+    val c = Ctx(spark, conf)
+    val ex = PbEtl.runAll(c)
+    (c, ex)
+  }
+
+  test("full DAG executes every stage once, in dependency order") {
+    assert(executed == Seq("LoadData", "NormDenominators", "FitModel",
+      "LoadTest", "Predict", "BackTest", "FinalResults"))
+  }
+
+  test("LoadData: 3 rows, 20 cols, traffic score joined with no nulls (tasks.py:181)") {
+    val df = PbEtl.LoadData.read(ctx)
+    assert(df.count() == 3)
+    assert(df.columns.length == 20)
+    assert(df.filter(df("TRAFFIC_SCORE").isNull).count() == 0)
+  }
+
+  test("NormDenominators matches the fixture maxima (FIXTURES.md §A)") {
+    val m = PbEtl.NormDenominators.maxMap(ctx)
+    assert(m == Map(
+      "REN" -> 8.0, "DOMAIN_LENGTH" -> 17.0, "TRANSFERS" -> 2.0,
+      "RESTORES" -> 0.0, "TRAFFIC_SCORE" -> 7.18081312936524e-05))
+  }
+
+  test("theNorm scales to [0,1] and keeps zero-max columns unscaled") {
+    import org.apache.spark.sql.functions._
+    val df = PbEtl.theNorm(PbEtl.LoadData.read(ctx), PbEtl.NormDenominators.maxMap(ctx))
+    val r = df.agg(max("REN"), max("DOMAIN_LENGTH"), max("RESTORES"), max("TRAFFIC_SCORE")).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 0.0) // max was 0: column passes through, not NaN
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("Predict: one probability per forecast row, in [0,1]") {
+    val df = PbEtl.Predict.read(ctx)
+    assert(df.columns.toSeq == Seq("TRANSACTION_ID", "Y_hat"))
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(275450L, 275451L, 275452L))
+  }
+
+  test("BackTest joins actuals to predictions (3 rows, no lost keys)") {
+    val df = PbEtl.BackTest.read(ctx)
+    assert(df.count() == 3)
+    assert(df.filter(df("Y_hat").isNull).count() == 0)
+  }
+
+  test("FinalResults: actual deletion rate 0.0, forecast in [0,1] (tasks.py:436-444)") {
+    val Some((n, actual, expected)) = PbEtl.FinalResults.last
+    assert(n == 3)
+    assert(actual == 0.0)
+    assert(expected >= 0.0 && expected <= 1.0)
+  }
+
+  test("memoized stages are skipped on re-run; FinalResults always re-runs (O2/O5)") {
+    val again = PbEtl.runAll(ctx)
+    assert(again == Seq("FinalResults"))
+  }
+
+  test("salt: deterministic, version-sensitive, lineage-sensitive (O3)") {
+    val conf = ctx.conf
+    val s1 = PbEtl.FitModel.salt(conf)
+    assert(s1 == PbEtl.FitModel.salt(conf))
+    assert(s1.matches("[0-9a-f]{6}"))
+    // changing a significant param relocates the output
+    assert(PbEtl.FitModel.salt(conf.copy(epochs = conf.epochs + 1)) != s1)
+    // downstream salt shifts with upstream param change (lineage)
+    val p1 = PbEtl.Predict.salt(conf)
+    assert(PbEtl.Predict.salt(conf.copy(epochs = conf.epochs + 1)) != p1)
+    // but a param that no stage declares significant does not
+    assert(PbEtl.Predict.salt(conf.copy(dataRoot = "/elsewhere")) == p1)
+  }
+}
