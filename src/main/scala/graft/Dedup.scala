@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` / `embeddings` test tables (TESTDATA.md).
+  *
+  * Reference scope: pb-etl has no dedup surface; these are the
+  * north-star extensions (SURVEY.md §2.9). Every variant is designed
+  * scale-first:
+  *
+  *  - exact: one hash-aggregate shuffle on the text key.
+  *  - n-gram Jaccard: the exact quadratic-verify baseline — shuffle on
+  *    shingle, pair counts via self-equi-join. Correct but O(pairs
+  *    sharing a shingle); at 100 TB you run `minhashNearDup` instead and
+  *    reserve this for verify-on-candidates.
+  *  - MinHash+LSH: per-row signature in whole-stage codegen (no
+  *    explode until the band join), candidates from band-bucket
+  *    equi-joins, exact Jaccard verify only on candidates — the linear
+  *    scale path.
+  *  - SimHash: per-row 32-bit signature in codegen; pairing here is
+  *    all-pairs (exact) because the corpus is small — the scale path
+  *    blocks on signature chunks (pigeonhole) before the Hamming check.
+  *  - Embedding cosine: exact all-pairs baseline at test scale; the ANN
+  *    path is Similarity.lshTopK.
+  */
+object Dedup {
+  import TextOps._
+
+  /** Exact dedup by normalized text: keep the smallest doc_id per
+    * distinct text, report group size. Single hash-agg shuffle;
+    * map-side partial aggregation applies. */
+  def exact(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy(lower(col("text")).as("key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Per-doc distinct 3-gram shingle-hash sets (shared by the Jaccard
+    * variants). Stays entirely in per-row codegen. */
+  private def shingleSets(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), shingleHashSet(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  /** Exact pairwise n-gram Jaccard ≥ 0.6 via shingle-inverted-index
+    * self-join. */
+  def ngramJaccard(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(spark, d)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val sz = shingleSets(spark, d).select(col("doc_id"), size(col("hs")).as("sz"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("cm"))
+    pairJaccard(common, sz, 0.6)
+  }
+
+  /** jaccard = |∩| / (|A| + |B| − |∩|), thresholded, deterministic
+    * pair order. Sizes are broadcast — they are one row per doc. */
+  private def pairJaccard(common: DataFrame, sz: DataFrame, thr: Double): DataFrame =
+    common
+      .join(broadcast(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa")), "doc_a")
+      .join(broadcast(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb")), "doc_b")
+      .withColumn("jacc", col("cm") / (col("sa") + col("sb") - col("cm")))
+      .filter(col("jacc") >= thr)
+      .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** MinHash (k=16) + LSH (4 bands × 4 rows) candidate generation, then
+    * exact Jaccard verify on candidates only, threshold 0.5.
+    *
+    * The signature pipeline (shingle set → 16 minhashes → 4 band keys)
+    * is one narrow projection per row; the only shuffles are the band
+    * equi-join and the verify join — this is the shape that scales
+    * linearly to 100 TB (vs `ngramJaccard`'s inverted-index join). */
+  def minhashNearDup(spark: SparkSession, d: String): DataFrame = {
+    val sets = shingleSets(spark, d)
+      .select(col("doc_id"), col("hs"), bandKeys(minhashes(col("hs"), 16), 4, 4).as("bands"))
+    sets.cache()
+    val bands = sets.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val h = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val common = cand
+      .join(h.as("p"), col("doc_a") === col("p.doc_id"))
+      .join(h.as("q"), col("doc_b") === col("q.doc_id") && col("p.h") === col("q.h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("cm"))
+    val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
+    pairJaccard(common, sz, 0.5)
+  }
+
+  /** 32-bit SimHash signature per doc + all-pairs Hamming ≤ 6.
+    *
+    * The signature is a per-row fold (32 bit-votes over token hashes) —
+    * zero shuffle. The pairing stage is exact all-pairs here; the 100 TB
+    * path blocks on 4 signature byte-chunks first (any pair within
+    * Hamming 3 shares a chunk by pigeonhole) and only then verifies. */
+  def simhash(spark: SparkSession, d: String): DataFrame = {
+    // bit i of h as ((h div 2^i) mod 2): h < P < 2^30, so the double
+    // divide-by-power-of-two is exact and the long cast is a true floor
+    // (the Scala shiftright/shiftleft builders take Int offsets only)
+    def bitAt(h: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (h.cast("double") / pow(lit(2.0), i)).cast("long") % 2L
+    val th = transform(toks(col("text")), t => polyHash(t))
+    val bits = transform(sequence(lit(0), lit(31)), i =>
+      when(aggregate(th, lit(0L),
+        (acc, h) => acc + bitAt(h, i) * 2L - 1L) > 0L,
+        pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+    val sig = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        aggregate(bits, lit(0L), (acc, b) => acc + b).as("simhash"))
+    sig.as("a")
+      .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("dist"))
+      .filter(col("dist") <= 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding near-dup: exact all-pairs cosine ≥ 0.4 over the
+    * `embeddings` table. Dot products are sequential left-to-right
+    * folds so the oracle's list_dot_product matches bit-for-bit.
+    * Quadratic baseline — the ANN path is Similarity.lshTopK. */
+  def embeddingNearDup(spark: SparkSession, d: String): DataFrame = {
+    val e = Similarity.withNorm(Tables.embeddings(spark, d))
+    val cos = Similarity.cosine(col("a.v"), col("b.v"), col("a.nn"), col("b.nn"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over the `embeddings`
+  * table (64-dim float vectors).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *    O(Q·N) dot products, all in whole-stage codegen via zip_with /
+  *    aggregate (no UDF). Right answer, quadratic cost.
+  *  - `lshTopK`: random-hyperplane LSH (4 tables × 4 planes) — the
+  *    100 TB path. Signatures are per-row folds; candidate generation is
+  *    a bucket equi-join (shuffle keyed on small int buckets), and the
+  *    exact ranking runs only on candidates.
+  *
+  * The hyperplanes are pseudo-random ±1 vectors derived from integer
+  * arithmetic (Knuth multiplicative hash, bit 16) so the DuckDB oracle
+  * reproduces the buckets exactly — a production deployment would swap
+  * in Gaussian planes seeded per run without touching the plan shape.
+  */
+object Similarity {
+
+  /** Cast to double once; precompute the squared norm (sequential fold,
+    * matching the oracle's list_dot_product evaluation order). */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nn", aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def cosine(av: Column, bv: Column, an: Column, bn: Column): Column =
+    dot(av, bv) / sqrt(an * bn)
+
+  /** Exact top-k neighbors (k=5) for each query vector (vec_id < 10). */
+  def bruteForceTopK(spark: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, d))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn"))
+    rankTopK(
+      broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+        .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nn"))),
+      k = 5)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ±1 hyperplane weight for (plane j, dim i): bit 16 of
+    * (j·64+i)·2654435761 — identical integer arithmetic in the oracle. */
+  private def planeW(j: Column, i: Column): Column =
+    when(((j * 64L + i) * lit(2654435761L)).bitwiseAND(lit(65536L)) =!= 0L, lit(1.0d))
+      .otherwise(lit(-1.0d))
+
+  /** 4 LSH bucket ids per vector: table t hashes planes 4t..4t+3; bucket
+    * bit r is the sign of the plane projection. All per-row codegen. */
+  def lshBuckets(v: Column): Column =
+    transform(sequence(lit(0), lit(3)), t =>
+      aggregate(sequence(lit(0), lit(3)), lit(0L), (acc, r) => {
+        val j = t * 4L + r
+        val proj = aggregate(sequence(lit(0), lit(63)), lit(0.0d),
+          (s, i) => s + planeW(j, i) * element_at(v, i + 1))
+        acc + when(proj > 0.0d, pow(lit(2.0), r).cast("long")).otherwise(0L)
+      }))
+
+  /** ANN top-k (k=5) for vec_id < 10: candidates = vectors sharing any
+    * of the 4 LSH buckets with the query, ranked by exact cosine. */
+  def lshTopK(spark: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, d))
+      .withColumn("buckets", lshBuckets(col("v")))
+    e.cache()
+    val b = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bucket")))
+    val cand = b.as("q").join(b.as("c"),
+        col("q.t") === col("c.t") && col("q.bucket") === col("c.bucket") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .filter(col("q.vec_id") < 10)
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("vec_id"))
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn")), "q_id")
+      .join(e.select(col("vec_id"), col("v"), col("nn")), "vec_id")
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nn")))
+    rankTopK(scored, k = 5)
+  }
+}

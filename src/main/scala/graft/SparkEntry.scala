@@ -37,7 +37,23 @@ object SparkEntry {
     "q18_events_hourly" -> (Queries.eventsHourly _),
     "q19_events_sessionize" -> (Queries.eventsSessionize _),
     "q20_orders_by_month" -> (Queries.ordersByMonth _),
+    "q21_dedup_exact" -> (Dedup.exact _),
+    "q22_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "q23_dedup_minhash_lsh" -> (Dedup.minhashNearDup _),
+    "q24_dedup_simhash" -> (Dedup.simhash _),
+    "q25_dedup_embedding_cosine" -> (Dedup.embeddingNearDup _),
+    "q26_knn_bruteforce" -> (Similarity.bruteForceTopK _),
+    "q27_knn_lsh" -> (Similarity.lshTopK _),
+    "q28_text_langid" -> (TextAnalysis.langId _),
+    "q29_text_quality" -> (TextAnalysis.qualityScore _),
+    "q30_text_token_stats" -> (TextAnalysis.tokenStats _),
+    "q31_text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q32_media_metadata" -> (Multimodal.mediaMetadata _),
   )
+
+  /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
+  private def H(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (acc, x) -> (acc * 131 + x) % 1000000007)"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -175,5 +191,136 @@ object SparkEntry {
         |FROM orders
         |GROUP BY strftime(o_orderdate, '%Y-%m'), o_orderstatus
         |ORDER BY month, o_orderstatus""".stripMargin,
+    "q21_dedup_exact" ->
+      """SELECT keep_id, n_copies FROM (
+        |  SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |  FROM documents GROUP BY lower(text))
+        |ORDER BY keep_id""".stripMargin,
+    "q22_dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+         |cm AS (SELECT a.doc_id da, b.doc_id db, count(*) cm
+         |       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b, round(cm / (x.sz + y.sz - cm), 6) AS jaccard
+         |FROM cm JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |WHERE cm / (x.sz + y.sz - cm) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q23_dedup_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |mh AS (SELECT doc_id, j, min(((2*j + 1) * h + 12345 + 7919*j) % 1000000007) m
+         |       FROM sh, generate_series(0, 15) g(j) GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, j // 4 AS b,
+         |          list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
+         |                      (acc, x) -> (acc * 131 + x) % 1000000007) AS key
+         |          FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x JOIN bands y
+         |         ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         |cm AS (SELECT da, db, count(*) cm FROM cand
+         |       JOIN sh p ON p.doc_id = da JOIN sh q ON q.doc_id = db AND q.h = p.h
+         |       GROUP BY da, db),
+         |sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id)
+         |SELECT da AS doc_a, db AS doc_b, round(cm / (x.sz + y.sz - cm), 6) AS jaccard
+         |FROM cm JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |WHERE cm / (x.sz + y.sz - cm) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q24_dedup_simhash" ->
+      s"""WITH th AS (SELECT doc_id, ${H("tok")} AS h FROM
+         |  (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) tok FROM documents)),
+         |bits AS (SELECT doc_id, i,
+         |         CASE WHEN sum(((h // (1::BIGINT << i)) % 2) * 2 - 1) > 0
+         |              THEN (1::BIGINT << i) ELSE 0 END v
+         |         FROM th, generate_series(0, 31) g(i) GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, sum(v)::BIGINT s FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id doc_a, b.doc_id doc_b, bit_count(xor(a.s, b.s))::BIGINT AS dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q25_dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+        |SELECT a.vec_id vec_a, b.vec_id vec_b,
+        |  round(list_dot_product(a.v, b.v)
+        |        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q26_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |s AS (SELECT q.vec_id q_id, n.vec_id neighbor_id,
+        |      list_dot_product(q.v, n.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
+        |      FROM e q, e n WHERE q.vec_id < 10 AND n.vec_id != q.vec_id),
+        |r AS (SELECT q_id, neighbor_id, c,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
+        |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q27_knn_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |sig AS (SELECT vec_id, t,
+        |  list_sum(list_transform(generate_series(0, 3), r ->
+        |    CASE WHEN list_sum(list_transform(generate_series(0, 63), i ->
+        |      (CASE WHEN ((((t*4 + r)*64 + i) * 2654435761) & 65536) != 0
+        |            THEN 1.0 ELSE -1.0 END) * v[i + 1])) > 0
+        |    THEN (1::BIGINT << r) ELSE 0 END))::BIGINT AS bucket
+        |  FROM e, generate_series(0, 3) g(t)),
+        |cand AS (SELECT DISTINCT q.vec_id q_id, c.vec_id vec_id
+        |         FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+        |              AND q.vec_id != c.vec_id
+        |         WHERE q.vec_id < 10),
+        |s AS (SELECT cand.q_id, cand.vec_id neighbor_id,
+        |      list_dot_product(q.v, n.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
+        |      FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e n ON n.vec_id = cand.vec_id),
+        |r AS (SELECT q_id, neighbor_id, c,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
+        |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q28_text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(text, ' ') tk FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in')))::BIGINT s_en,
+        |  len(list_filter(tk, x -> x IN ('der','die','das','und','ist','zu','ein')))::BIGINT s_de,
+        |  len(list_filter(tk, x -> x IN ('el','la','de','y','es','un','en')))::BIGINT s_es
+        |  FROM t)
+        |SELECT doc_id, lang, s_en, s_de, s_es,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q29_text_quality" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+        |s AS (SELECT doc_id, len(tk)::BIGINT n_tok, len(list_distinct(tk))::BIGINT n_uniq,
+        |      len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in')))::BIGINT n_stop
+        |      FROM t)
+        |SELECT doc_id, n_tok,
+        |  round(n_uniq / n_tok, 6) AS uniq_ratio,
+        |  round(n_stop / n_tok, 6) AS stop_ratio,
+        |  round((n_uniq / n_tok) * 0.5 + (n_stop / n_tok) * 0.2
+        |        + least(n_tok, 200) / 200.0 * 0.3, 6) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q30_text_token_stats" ->
+      """SELECT doc_id, len(tk)::BIGINT AS n_tok, len(list_distinct(tk))::BIGINT AS n_uniq,
+        |  length(text)::BIGINT AS n_chars_m,
+        |  list_aggregate(list_transform(tk, x -> length(x)), 'max')::BIGINT AS max_tok_len
+        |FROM (SELECT doc_id, text, regexp_split_to_array(text, ' ') tk FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q31_text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, ' ') tk FROM documents)
+         |SELECT doc_id, ${H("text")} AS fp,
+         |  list_aggregate(list_transform(generate_series(1, len(tk) - 7),
+         |    i -> ${H("array_to_string(tk[i:i+7], ' ')")}), 'min')::BIGINT AS fp_win
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q32_media_metadata" ->
+      s"""WITH t AS (SELECT doc_id, text, ${H("text")} AS h FROM documents)
+         |SELECT doc_id, octet_length(text::BLOB)::BIGINT AS byte_len,
+         |  (['jpeg', 'png', 'webp'])[(h % 3)::INT + 1] AS format,
+         |  320 + (h % 8) * 160 AS width,
+         |  240 + (h % 6) * 120 AS height,
+         |  1 + octet_length(text::BLOB) % 24 AS n_frames
+         |FROM t ORDER BY doc_id""".stripMargin,
   )
 }

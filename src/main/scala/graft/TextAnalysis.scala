@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language-ID, quality scoring, token statistics,
+  * document fingerprinting (north-star extensions, SURVEY.md §2.9).
+  *
+  * Every score is per-row column arithmetic (whole-stage codegen, no
+  * UDF, no shuffle except the final presentation sort), and every
+  * formula is integer/double arithmetic the DuckDB oracle replays
+  * exactly.
+  */
+object TextAnalysis {
+  import TextOps._
+
+  private val stopEn = Seq("the", "a", "of", "and", "is", "to", "in")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "zu", "ein")
+  private val stopEs = Seq("el", "la", "de", "y", "es", "un", "en")
+
+  private def countIn(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isInCollection(words)))
+
+  /** n-gram/stopword language-ID heuristic: count stopword hits per
+    * language profile, predict the argmax (ties break en < de < es —
+    * the CASE chain is mirrored verbatim in the oracle). The synthetic
+    * corpus is English-ish word salad, so `pred` ≠ `lang` is expected —
+    * the oracle checks the *operator*, not corpus truth. */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        countIn(t, stopEn).cast("long").as("s_en"),
+        countIn(t, stopDe).cast("long").as("s_de"),
+        countIn(t, stopEs).cast("long").as("s_es"))
+      .withColumn("pred",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_es"), "de")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: unique-token ratio, stopword ratio, length factor,
+    * mean token length — combined into one bounded score. */
+  def qualityScore(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(t).cast("long").as("n_tok"),
+        size(array_distinct(t)).cast("long").as("n_uniq"),
+        countIn(t, stopEn).cast("long").as("n_stop"))
+      .withColumn("uniq_ratio", col("n_uniq") / col("n_tok"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tok"))
+      .withColumn("len_factor", least(col("n_tok"), lit(200L)) / lit(200.0d))
+      .withColumn("quality",
+        round(col("uniq_ratio") * 0.5 + col("stop_ratio") * 0.2 + col("len_factor") * 0.3, 6))
+      .select(col("doc_id"), col("n_tok"), round(col("uniq_ratio"), 6).as("uniq_ratio"),
+        round(col("stop_ratio"), 6).as("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token statistics: counts, distinct counts, longest token —
+    * the BPE-ish pre-tokenization accounting pass. */
+  def tokenStats(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_tok"),
+        size(array_distinct(t)).cast("long").as("n_uniq"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        aggregate(t, lit(0L), (acc, x) => greatest(acc, length(x).cast("long"))).as("max_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: full-text rolling hash plus a winnowed
+    * min-hash over 8-token windows (the content-defined signature used
+    * for shard-local dedup at ingest). */
+  def fingerprint(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        polyHash(col("text")).as("fp"),
+        array_min(transform(shingles(toks(col("text")), 8), s => polyHash(s))).as("fp_win"))
+      .orderBy(col("doc_id"))
+}

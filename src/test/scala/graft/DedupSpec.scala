@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup / text-analysis / similarity operators on sf0.001 — value-level
+  * assertions beyond the DuckDB parity gate (which is the primary
+  * correctness oracle; see tools/parity.py). */
+class DedupSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("exact dedup keeps one row per distinct text") {
+    val out = Dedup.exact(spark, d).collect()
+    val docs = Tables.documents(spark, d).count()
+    assert(out.map(_.getLong(1)).sum == docs) // copies partition the corpus
+    assert(out.forall(_.getLong(1) >= 1))
+  }
+
+  test("ngram jaccard finds the planted near-dup pairs, symmetric-free, thresholded") {
+    val out = Dedup.ngramJaccard(spark, d).collect()
+    assert(out.nonEmpty) // corpus has planted near-dups (prefix-sharing docs)
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(r => r.getDouble(2) >= 0.6 && r.getDouble(2) <= 1.0))
+  }
+
+  test("minhash LSH candidates recover the high-jaccard pairs of the exact pass") {
+    val exact = Dedup.ngramJaccard(spark, d).filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDup(spark, d)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4 ≈ 0.96 at j=0.8 — the
+    // planted dups are far above that
+    assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
+  }
+
+  test("simhash distance is a [0,32] metric and near-dups score low") {
+    val out = Dedup.simhash(spark, d)
+    val dists = out.select("dist").collect().map(_.getLong(0))
+    assert(dists.forall(x => x >= 0 && x <= 6))
+    // every planted near-dup pair from the jaccard pass is within 6 bits
+    val nd = Dedup.ngramJaccard(spark, d).filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.subsetOf(sh))
+  }
+
+  test("embedding cosine pairs are within [-1,1] and thresholded") {
+    val out = Dedup.embeddingNearDup(spark, d).collect()
+    assert(out.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
+  }
+
+  test("brute-force knn returns exactly k ranked neighbors per query") {
+    val out = Similarity.bruteForceTopK(spark, d).collect()
+    assert(out.length == 50) // 10 queries × k=5
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.forall { case (_, rs) =>
+      rs.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L) &&
+        rs.sortBy(_.getLong(3)).map(_.getDouble(2)).sliding(2)
+          .forall(w => w.head >= w.last) // monotone by rank
+    })
+  }
+
+  test("LSH knn ranks candidates identically to brute force where they overlap") {
+    val bf = Similarity.bruteForceTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(spark, d).collect()
+    assert(lsh.nonEmpty)
+    // cosine must agree exactly on any (q, neighbor) both paths scored
+    lsh.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c == r.getDouble(2)))
+    }
+  }
+
+  test("token stats agree with the documents table's own n_chars") {
+    val bad = TextAnalysis.tokenStats(spark, d)
+      .join(Tables.documents(spark, d), "doc_id")
+      .filter(col("n_chars_m") =!= col("n_chars")).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprints are deterministic and (on this corpus) collision-free") {
+    val fp1 = TextAnalysis.fingerprint(spark, d).collect().map(_.getLong(1))
+    val fp2 = TextAnalysis.fingerprint(spark, d).collect().map(_.getLong(1))
+    assert(fp1.toSeq == fp2.toSeq)
+    assert(fp1.distinct.length == fp1.length)
+  }
+}

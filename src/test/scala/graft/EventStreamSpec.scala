@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, SessionUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming specs: MemoryStream-fed micro-batches, asserting
+  * stream results equal the batch run of the SAME transform, and that
+  * watermark-driven session state opens/closes correctly. */
+class EventStreamSpec extends SparkSpec {
+
+  // offset all event times well past epoch 0: the initial watermark is 0,
+  // and stateful ops drop rows at-or-before the watermark
+  private val Base = 1000L
+  private def ts(min: Long): Timestamp = new Timestamp((Base + min) * 60000L)
+
+  private val evs = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(10), 1, "click", 2.0),
+    Event(3, ts(70), 1, "view", 3.0), // >30min gap: 2nd session for user 1
+    Event(4, ts(5), 2, "view", 4.0),
+    Event(5, ts(65), 2, "view", 5.0), // 2nd session for user 2
+    Event(6, ts(75), 2, "click", 6.0), // same session (10 min gap)
+  )
+
+  test("watermarked hourly aggregation: stream equals batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.hourly(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val stream = spark.table("hourly_out")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = EventStream.hourly(evs.toDF())
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(stream == batch)
+      assert(batch.nonEmpty && batch.toSeq.map(_._3).sum == evs.size)
+    } finally q.stop()
+  }
+
+  test("sessionization: sessions close via watermark timeout with exact bounds") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // watermark far past every session end + gap: all sessions emit
+      mem.addData(Event(99, ts(10000), 3, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(20000), 3, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[SessionUpdate].collect()
+        .map(s => (s.user_id, s.session_start.getTime / 60000 - Base,
+          s.session_end.getTime / 60000 - Base, s.n_events)).toSet
+      assert(out.contains((1L, 0L, 10L, 2L)))  // user 1: [0,10] 2 events
+      assert(out.contains((1L, 70L, 70L, 1L))) // user 1: singleton at 70
+      assert(out.contains((2L, 5L, 5L, 1L)))   // user 2: singleton at 5
+      assert(out.contains((2L, 65L, 75L, 2L))) // user 2: [65,75] 2 events
+      assert(out.size == 5) // + user 3's first closed session
+    } finally q.stop()
+  }
+
+  test("sessionize on batch matches q19's window-lag session counts at sf0.001") {
+    import spark.implicits._
+    // rebuild Event rows from the batch events table (ts is epoch-nanos)
+    val batchEvents = Tables.eventsNs(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_id", "timestamp_micros(ts div 1000) as ts", "user_id",
+        "event_type", "value").as[Event]
+    // run the same per-user gap logic in batch via groupByKey (no
+    // watermark in batch mode: every session is final at EOF)
+    val sessions = batchEvents.groupByKey(_.user_id).flatMapGroups { (u, it) =>
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      var n = 0L
+      var count = 0L
+      var lastEnd = Long.MinValue
+      sorted.foreach { e =>
+        if (lastEnd == Long.MinValue || e.ts.getTime - lastEnd > EventStream.SessionGapMs) n += 1
+        lastEnd = e.ts.getTime; count += 1
+      }
+      Iterator.single((u, n))
+    }.toDF("user_id", "n_sessions")
+    val oracle = Queries.eventsSessionize(spark, "/root/testdata/sf0.001")
+      .select("user_id", "n_sessions")
+    assert(sessions.except(oracle).isEmpty && oracle.except(sessions).isEmpty)
+  }
+}
