@@ -39,22 +39,33 @@ object Dedup {
       .orderBy(col("keep_id"))
 
   /** Per-doc distinct 3-gram shingle-hash sets (shared by the Jaccard
-    * variants). Stays entirely in per-row codegen. */
+    * variants). Stays entirely in per-row codegen. The repartition
+    * spreads the hash work across cores — the test fixtures are single
+    * row-group parquet files, which scan as one task; a production
+    * corpus arrives in many splits and would not need it. */
   private def shingleSets(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingleHashSet(col("text"), 3).as("hs"))
       .filter(size(col("hs")) > 0)
 
-  /** Exact pairwise n-gram Jaccard ≥ 0.6 via shingle-inverted-index
-    * self-join. */
+  /** Exact pairwise n-gram Jaccard ≥ 0.6 via the shingle inverted
+    * index: explode sets, self-equi-join on shingle hash, count common
+    * per pair. Cost is Σ_shingle C(df,2) pair instances — optimal for a
+    * corpus with uniform shingle frequencies (this one: ~41-word vocab,
+    * df ≈ const, so PPJoin-style rarest-first prefix filtering prunes
+    * almost nothing while adding two joins; measured slower). At 100 TB
+    * with skewed df, the mitigations are (a) prefix filtering, which
+    * pays off exactly when df is skewed, and (b) MinHash banding
+    * (`minhashNearDup`) when approximate candidates are acceptable. */
   def ngramJaccard(spark: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(spark, d)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-    val sz = shingleSets(spark, d).select(col("doc_id"), size(col("hs")).as("sz"))
+    val sets = shingleSets(spark, d).persist()
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("cm"))
+    val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
     pairJaccard(common, sz, 0.6)
   }
 
@@ -103,19 +114,12 @@ object Dedup {
     * path blocks on 4 signature byte-chunks first (any pair within
     * Hamming 3 shares a chunk by pigeonhole) and only then verifies. */
   def simhash(spark: SparkSession, d: String): DataFrame = {
-    // bit i of h as ((h div 2^i) mod 2): h < P < 2^30, so the double
-    // divide-by-power-of-two is exact and the long cast is a true floor
-    // (the Scala shiftright/shiftleft builders take Int offsets only)
-    def bitAt(h: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
-      (h.cast("double") / pow(lit(2.0), i)).cast("long") % 2L
+    // single native pass over the token hashes (BitVote32Expr): each
+    // hash votes ±1 on all 32 bits; bit set iff votes positive
     val th = transform(toks(col("text")), t => polyHash(t))
-    val bits = transform(sequence(lit(0), lit(31)), i =>
-      when(aggregate(th, lit(0L),
-        (acc, h) => acc + bitAt(h, i) * 2L - 1L) > 0L,
-        pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
-    val sig = Tables.documents(spark, d)
+    val sig = Tables.documentsDist(spark, d)
       .select(col("doc_id"),
-        aggregate(bits, lit(0L), (acc, b) => acc + b).as("simhash"))
+        graft.functions.GraftFunctions.bitvote32(th).as("simhash"))
     sig.as("a")
       .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -64,7 +64,7 @@ object Multimodal {
   def mediaMetadata(spark: SparkSession, d: String): DataFrame = {
     val payload = col("text").cast("binary")
     val h = polyHash(col("text")) // ASCII corpus: byte hash == char hash
-    Tables.documents(spark, d)
+    Tables.documentsDist(spark, d)
       .select(col("doc_id"),
         length(payload).cast("long").as("byte_len"),
         element_at(lit(FakeCodec.formats), (h % 3L).cast("int") + 1).as("format"),

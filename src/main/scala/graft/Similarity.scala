@@ -26,9 +26,14 @@ object Similarity {
     * matching the oracle's list_dot_product evaluation order). */
   def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nn", aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
+      .withColumn("nn", dot(col("v"), col("v")))
 
-  def dot(a: Column, b: Column): Column =
+  /** Native sequential dot product (DotProductExpr) — the HOF twin
+    * below computes the identical value but interpreted (CodegenFallback),
+    * which is ~two orders slower inside a pairwise join. */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def cosine(av: Column, bv: Column, an: Column, bn: Column): Column =
@@ -56,22 +61,25 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** ±1 hyperplane weight for (plane j, dim i): bit 16 of
-    * (j·64+i)·2654435761 — identical integer arithmetic in the oracle. */
-  private def planeW(j: Column, i: Column): Column =
-    when(((j * 64L + i) * lit(2654435761L)).bitwiseAND(lit(65536L)) =!= 0L, lit(1.0d))
-      .otherwise(lit(-1.0d))
+  /** ±1 hyperplane weights, precomputed driver-side with the SAME
+    * integer arithmetic the oracle uses (bit 16 of (j·64+i)·2654435761,
+    * a Knuth multiplicative hash) and injected as array literals — a
+    * per-element CASE expression tree (16×4×64 terms) compiles into a
+    * codegen method too large to JIT well; plain literal arrays fold to
+    * a handful of zip_with loops. */
+  private val planes: IndexedSeq[Array[Double]] =
+    (0 until 16).map(j => Array.tabulate(64)(i =>
+      if ((((j * 64 + i).toLong * 2654435761L) & 65536L) != 0L) 1.0 else -1.0))
 
   /** 4 LSH bucket ids per vector: table t hashes planes 4t..4t+3; bucket
     * bit r is the sign of the plane projection. All per-row codegen. */
   def lshBuckets(v: Column): Column =
-    transform(sequence(lit(0), lit(3)), t =>
-      aggregate(sequence(lit(0), lit(3)), lit(0L), (acc, r) => {
-        val j = t * 4L + r
-        val proj = aggregate(sequence(lit(0), lit(63)), lit(0.0d),
-          (s, i) => s + planeW(j, i) * element_at(v, i + 1))
-        acc + when(proj > 0.0d, pow(lit(2.0), r).cast("long")).otherwise(0L)
-      }))
+    array((0 until 4).map { t =>
+      (0 until 4).map { r =>
+        val proj = dot(v, lit(planes(t * 4 + r)))
+        when(proj > 0.0d, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
 
   /** ANN top-k (k=5) for vec_id < 10: candidates = vectors sharing any
     * of the 4 LSH buckets with the query, ranked by exact cosine. */

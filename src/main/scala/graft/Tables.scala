@@ -33,6 +33,13 @@ object Tables {
     spark.read.parquet(s"$d/events.parquet")
   }
 
+  /** `documents` spread across cores: the fixtures are single row-group
+    * parquet files (one scan task); per-row text hashing then runs
+    * single-threaded without this. A production corpus arrives in many
+    * splits and scans parallel without the extra exchange. */
+  def documentsDist(spark: SparkSession, d: String): DataFrame =
+    load(spark, d, "documents").repartition(spark.sparkContext.defaultParallelism)
+
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")

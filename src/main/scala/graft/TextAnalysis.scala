@@ -29,7 +29,7 @@ object TextAnalysis {
     * the oracle checks the *operator*, not corpus truth. */
   def langId(spark: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
-    Tables.documents(spark, d)
+    Tables.documentsDist(spark, d)
       .select(col("doc_id"), col("lang"),
         countIn(t, stopEn).cast("long").as("s_en"),
         countIn(t, stopDe).cast("long").as("s_de"),
@@ -45,7 +45,7 @@ object TextAnalysis {
     * mean token length — combined into one bounded score. */
   def qualityScore(spark: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
-    Tables.documents(spark, d)
+    Tables.documentsDist(spark, d)
       .select(col("doc_id"), col("n_chars"),
         size(t).cast("long").as("n_tok"),
         size(array_distinct(t)).cast("long").as("n_uniq"),
@@ -64,7 +64,7 @@ object TextAnalysis {
     * the BPE-ish pre-tokenization accounting pass. */
   def tokenStats(spark: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
-    Tables.documents(spark, d)
+    Tables.documentsDist(spark, d)
       .select(col("doc_id"),
         size(t).cast("long").as("n_tok"),
         size(array_distinct(t)).cast("long").as("n_uniq"),
@@ -77,7 +77,7 @@ object TextAnalysis {
     * min-hash over 8-token windows (the content-defined signature used
     * for shard-local dedup at ingest). */
   def fingerprint(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    Tables.documentsDist(spark, d)
       .select(col("doc_id"),
         polyHash(col("text")).as("fp"),
         array_min(transform(shingles(toks(col("text")), 8), s => polyHash(s))).as("fp_win"))

@@ -24,8 +24,14 @@ object TextOps {
   /** Polynomial rolling hash over codepoints:
     * h = fold(chars, 0, (acc, c) => (acc*131 + ascii(c)) mod P).
     * Oracle twin: list_reduce(list_prepend(0, list_transform(
-    *   string_split(s,''), c -> ascii(c))), (acc,x) -> (acc*131+x) % P). */
-  def polyHash(s: Column): Column =
+    *   string_split(s,''), c -> ascii(c))), (acc,x) -> (acc*131+x) % P).
+    * Dispatches to the native codegen expression (PolyHashExpr) — same
+    * math, no per-char array materialization. */
+  def polyHash(s: Column): Column = graft.functions.GraftFunctions.polyhash(s)
+
+  /** Reference formulation via SQL higher-order functions — kept as the
+    * semantic spec for PolyHashExpr (equality asserted in FunctionsSpec). */
+  def polyHashHof(s: Column): Column =
     aggregate(chars(s), lit(0L), (acc, c) => (acc * 131L + ascii(c)) % P)
 
   /** Whitespace tokens (the corpus is single-space separated). */
@@ -39,9 +45,12 @@ object TextOps {
       .otherwise(array())
 
   /** Distinct shingle-hash set of a text — the unit of Jaccard
-    * similarity for the dedup family. */
+    * similarity for the dedup family. Native kernel; HOF twin below. */
   def shingleHashSet(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(toks(text), n), s => polyHash(s)))
+    graft.functions.GraftFunctions.shingleHashes(toks(text), n)
+
+  def shingleHashSetHof(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(toks(text), n), s => polyHashHof(s)))
 
   /** The i-th MinHash permutation of a hash value:
     * ((2i+1)·h + 12345 + 7919·i) mod P — a_i odd keeps the map
@@ -49,8 +58,11 @@ object TextOps {
   def minhashPerm(h: Column, i: Column): Column =
     ((lit(2L) * i + 1L) * h + lit(12345L) + lit(7919L) * i) % P
 
-  /** k MinHash values over a distinct-hash-set column. */
+  /** k MinHash values over a distinct-hash-set column (native kernel). */
   def minhashes(hset: Column, k: Int): Column =
+    graft.functions.GraftFunctions.minhashes(hset, k)
+
+  def minhashesHof(hset: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(hset, h => minhashPerm(h, i))))
 

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.{GraftFunctions, PolyHashExpr}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Native PolyHashExpr ≡ the higher-order-function spec, on real data,
+  * on generated strings, and through the SQL registration path. */
+class FunctionsSpec extends SparkSpec {
+
+  test("native polyhash equals the HOF formulation on the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val bad = Tables.documents(spark, d)
+      .select(TextOps.polyHash(col("text")).as("a"), TextOps.polyHashHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0)
+  }
+
+  test("property: native hash equals direct fold for arbitrary ASCII strings") {
+    val gen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    (0 until 200).foreach { i =>
+      val s = gen.apply(Gen.Parameters.default, Seed(i.toLong)).getOrElse("")
+      val expected = s.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % PolyHashExpr.P)
+      assert(PolyHashExpr.hash(UTF8String.fromString(s)) == expected, s"for '$s'")
+    }
+  }
+
+  test("non-ASCII falls back to code points") {
+    val s = "héllo 世界"
+    val cps = s.codePoints().toArray
+    val expected = cps.foldLeft(0L)((acc, c) => (acc * 131 + c) % PolyHashExpr.P)
+    assert(PolyHashExpr.hash(UTF8String.fromString(s)) == expected)
+  }
+
+  test("native vector/hash kernels equal their HOF twins on the corpus") {
+    val d = "/root/testdata/sf0.001"
+    import graft.functions.GraftFunctions._
+    // dot product on embeddings
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    assert(e.select(dot(col("v"), col("v")).as("a"), Similarity.dotHof(col("v"), col("v")).as("b"))
+      .filter(col("a") =!= col("b")).count() == 0)
+    // shingle hash sets + minhashes on documents
+    val t = TextOps.toks(col("text"))
+    val both = Tables.documents(spark, d).select(
+      TextOps.shingleHashSet(col("text"), 3).as("na"),
+      TextOps.shingleHashSetHof(col("text"), 3).as("ha"))
+    assert(both.filter(col("na") =!= col("ha")).count() == 0)
+    assert(both.select(TextOps.minhashes(col("na"), 16).as("nm"),
+        TextOps.minhashesHof(col("ha"), 16).as("hm"))
+      .filter(col("nm") =!= col("hm")).count() == 0)
+    // simhash bit-vote vs independent scala computation
+    val th = transform(t, x => TextOps.polyHash(x))
+    val sigs = Tables.documents(spark, d)
+      .select(col("text"), bitvote32(th).as("sig")).collect()
+    sigs.take(50).foreach { r =>
+      val hashes = r.getString(0).split(" ").map(s =>
+        s.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % PolyHashExpr.P))
+      val expected = (0 until 32).map { b =>
+        val v = hashes.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (v > 0) 1L << b else 0L
+      }.sum
+      assert(r.getLong(1) == expected)
+    }
+  }
+
+  test("SQL registration: graft_polyhash callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_polyhash('ab') h").head().getLong(0)
+    assert(r == 97L * 131 + 98) // matches DuckDB list_reduce oracle value
+  }
+
+  test("works inside higher-order lambdas (shingle hashing path)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT transform(array('ab','c'), s -> graft_polyhash(s)) h").head().getSeq[Long](0)
+    assert(r == Seq(97L * 131 + 98, 99L))
+  }
+}
