@@ -80,6 +80,8 @@ object TextAnalysis {
     Tables.documentsDist(spark, d)
       .select(col("doc_id"),
         polyHash(col("text")).as("fp"),
-        array_min(transform(shingles(toks(col("text")), 8), s => polyHash(s))).as("fp_win"))
+        // min over the distinct window hashes == min over all windows,
+        // so the native distinct-shingle kernel applies directly
+        array_min(graft.functions.GraftFunctions.shingleHashes(toks(col("text")), 8)).as("fp_win"))
       .orderBy(col("doc_id"))
 }

@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan shape assertions: the properties that make these
+  * queries scale are pinned here, so a refactor that silently loses
+  * pushdown / broadcast / top-k would fail the suite, not just slow the
+  * bench. */
+class PlanSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: predicates and projection reach the parquet scan") {
+    val p = planOf(Queries.scanFilterProject(spark, d))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_discount), GreaterThan(l_quantity,45.0)"))
+    // pruned read schema: only the projected+filter columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int"))
+    assert(!p.contains("l_comment")) // untouched columns never read
+  }
+
+  test("q03/q17: dimension joins are broadcast, not shuffled") {
+    assert(planOf(Queries.joinOrdersCustomer(spark, d)).contains("BroadcastHashJoin"))
+    val p = planOf(Queries.localSupplierVolume(spark, d))
+    // customer/supplier/nation/region all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+  }
+
+  test("q01: aggregation is partial before the shuffle (map-side combine)") {
+    val p = planOf(Queries.pricingSummary(spark, d))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("partial_"))
+  }
+
+  test("q10: global sort+limit plans as TakeOrderedAndProject (no full sort)") {
+    assert(planOf(Queries.topOrders(spark, d)).contains("TakeOrderedAndProject"))
+  }
+
+  test("q25/q31: native kernels appear in the plan (no CodegenFallback HOFs)") {
+    val p = planOf(Dedup.embeddingNearDup(spark, d))
+    assert(p.contains("graft_dot"))
+    assert(!p.contains("aggregate(zip_with"))
+    val f = planOf(TextAnalysis.fingerprint(spark, d))
+    assert(f.contains("graft_polyhash") && f.contains("graft_shinglehashes"))
+  }
+
+  test("whole-stage codegen wraps the scan-side pipeline (q01, final AQE plan)") {
+    val df = Queries.pricingSummary(spark, d)
+    df.collect() // AQE finalizes codegen stages only in the final plan
+    // "*(n)" is the compact WholeStageCodegen marker in plan strings
+    assert(planOf(df).contains("*(1)"))
+  }
+}
