@@ -49,6 +49,10 @@ object SparkEntry {
     "q30_text_token_stats" -> (TextAnalysis.tokenStats _),
     "q31_text_fingerprint" -> (TextAnalysis.fingerprint _),
     "q32_media_metadata" -> (Multimodal.mediaMetadata _),
+    // IVF ANN: learned KMeans centroids are not SQL-oracle-expressible;
+    // no oracleSql entry → the driver records a rows-only check, and
+    // DedupSpec asserts candidate ranking + recall against brute force.
+    "q33_knn_ivf" -> ((s: SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */

@@ -70,6 +70,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("IVF knn: exact cosine on candidates, decent recall vs brute force") {
+    val bf = Similarity.bruteForceTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(spark, d).collect()
+    assert(ivf.nonEmpty)
+    // cosine must agree exactly wherever both paths scored a pair
+    ivf.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c == r.getDouble(2)))
+    }
+    // recall of the true top-5 at nlist=16, nprobe=4
+    val hits = ivf.count(r => bf.contains((r.getLong(0), r.getLong(1))))
+    assert(hits >= bf.size * 6 / 10, s"recall ${hits.toDouble / bf.size}")
+  }
+
   test("token stats agree with the documents table's own n_chars") {
     val bad = TextAnalysis.tokenStats(spark, d)
       .join(Tables.documents(spark, d), "doc_id")
