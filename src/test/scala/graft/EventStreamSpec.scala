@@ -70,6 +70,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file source → hourly agg → sink (Trigger.AvailableNow) equals batch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    // ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long (see
+    // Tables.eventsNs), convert to a timestamp column for the watermark
+    val schema = Tables.eventsNs(spark, d).schema
+    def toTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // the file stream source wants a directory of arriving files
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"), dir.resolve("part-0.parquet"))
+    val src = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = EventStream.hourly(toTs(src))
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val stream = spark.table("file_hourly")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStream.hourly(toTs(Tables.eventsNs(spark, d)))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("sessionize on batch matches q19's window-lag session counts at sf0.001") {
     import spark.implicits._
     // rebuild Event rows from the batch events table (ts is epoch-nanos)
