@@ -233,6 +233,43 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Hierarchical aggregate: ROLLUP(month, status) with subtotal and
+    * grand-total rows disambiguated by grouping_id — one shuffle, all
+    * grouping sets computed in the same hash aggregate. */
+  def ordersRollup(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .rollup(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("gid"), col("month"), col("o_orderstatus"))
+
+  /** Scalar string-function suite over the documents table: substring /
+    * case / trim / replace / search — all codegen built-ins, exercised
+    * for oracle-exact cross-engine semantics (1-based positions). */
+  def textScalars(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"),
+        upper(substring(col("text"), 1, 20)).as("head20"),
+        length(trim(col("text"))).cast("long").as("n_trim"),
+        expr("replace(lang, 'e', 'E')").as("lang_x"),
+        concat(col("source"), lit(":"), col("lang")).as("src_lang"),
+        instr(col("text"), "the").cast("long").as("first_the"),
+        expr("right(text, 10)").as("tail10"))
+      .orderBy(col("doc_id"))
+
+  /** Full outer join + null-side accounting: every order and every
+    * customer represented, unmatched sides null-counted. */
+  def fullOuterAccounting(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .join(customer(spark, d), col("o_custkey") === col("c_custkey"), "full_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_orders"),
+        count(col("c_custkey")).as("n_cust_side"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_customers_no_orders"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total"))
+
   /** Monthly order rollup — date bucketing on the fact table. */
   def ordersByMonth(spark: SparkSession, d: String): DataFrame =
     orders(spark, d)

@@ -53,6 +53,9 @@ object SparkEntry {
     // no oracleSql entry → the driver records a rows-only check, and
     // DedupSpec asserts candidate ranking + recall against brute force.
     "q33_knn_ivf" -> ((s: SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
+    "q34_orders_rollup" -> (Queries.ordersRollup _),
+    "q35_text_scalars" -> (Queries.textScalars _),
+    "q36_full_outer" -> (Queries.fullOuterAccounting _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -326,5 +329,26 @@ object SparkEntry {
          |  240 + (h % 6) * 120 AS height,
          |  1 + octet_length(text::BLOB) % 24 AS n_frames
          |FROM t ORDER BY doc_id""".stripMargin,
+    "q34_orders_rollup" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+        |  grouping_id(strftime(o_orderdate, '%Y-%m'), o_orderstatus)::BIGINT AS gid,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(strftime(o_orderdate, '%Y-%m'), o_orderstatus)
+        |ORDER BY gid, month NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q35_text_scalars" ->
+      """SELECT doc_id, upper(substring(text, 1, 20)) AS head20,
+        |  length(trim(text))::BIGINT AS n_trim,
+        |  replace(lang, 'e', 'E') AS lang_x,
+        |  source || ':' || lang AS src_lang,
+        |  instr(text, 'the')::BIGINT AS first_the,
+        |  right(text, 10) AS tail10
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_full_outer" ->
+      """SELECT count(*) AS n_rows, count(o_orderkey) AS n_orders,
+        |  count(c_custkey) AS n_cust_side,
+        |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_customers_no_orders,
+        |  round(sum(coalesce(o_totalprice, 0.0)), 2) AS total
+        |FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey""".stripMargin,
   )
 }
