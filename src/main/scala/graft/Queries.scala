@@ -270,6 +270,22 @@ object Queries {
         sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_customers_no_orders"),
         round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total"))
 
+  /** Sketch aggregates per event type: HyperLogLog++ distinct users and
+    * a t-digest-style median (percentile_approx). Both are mergeable
+    * partial aggregates — constant memory per partition, one shuffle of
+    * sketch bytes, the only way distinct-count scales to 100 TB.
+    * Approximate values can't hash-match another engine's sketch, so
+    * the driver records a rows-only check; SketchSpec bounds the error
+    * against exact answers (HLL++ rsd default 5%). */
+  def eventSketches(spark: SparkSession, d: String): DataFrame =
+    eventsNs(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("median_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** Monthly order rollup — date bucketing on the fact table. */
   def ordersByMonth(spark: SparkSession, d: String): DataFrame =
     orders(spark, d)

@@ -54,6 +54,9 @@ object SparkEntry {
     // DedupSpec asserts candidate ranking + recall against brute force.
     "q33_knn_ivf" -> ((s: SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
     "q34_orders_rollup" -> (Queries.ordersRollup _),
+    // sketches (HLL++/percentile_approx) are engine-specific: rows-only
+    // driver check; SketchSpec bounds error vs exact answers.
+    "q37_event_sketches" -> (Queries.eventSketches _),
     "q35_text_scalars" -> (Queries.textScalars _),
     "q36_full_outer" -> (Queries.fullOuterAccounting _),
   )
