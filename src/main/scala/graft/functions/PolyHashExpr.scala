@@ -93,12 +93,15 @@ object GraftFunctions {
 }
 
 /** `SparkSessionExtensions` hook: makes `graft_polyhash` a first-class
-  * SQL function in any session created with
+  * SQL function and installs the HOF-dot-product rewrite in any session
+  * created with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
       (args: Seq[Expression]) => PolyHashExpr(args.head)))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+  }
 }
