@@ -50,6 +50,26 @@ object Similarity {
       k = 5)
   }
 
+  /** Exact top-k via the bounded-heap aggregate (TopKByScore) instead
+    * of a window sort: map-side partial top-k, k rows per group per
+    * partition shuffled — the aggregation shape that survives 100 TB of
+    * scored candidates. Output identical to `bruteForceTopK` (same
+    * (score desc, id asc) order), checked against the same oracle. */
+  def bruteForceTopKAgg(spark: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, d))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn"))
+    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nn")))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topk(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("neighbor_id"),
+        round(col("s.score"), 6).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))

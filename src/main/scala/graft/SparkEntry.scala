@@ -59,6 +59,9 @@ object SparkEntry {
     "q37_event_sketches" -> (Queries.eventSketches _),
     "q35_text_scalars" -> (Queries.textScalars _),
     "q36_full_outer" -> (Queries.fullOuterAccounting _),
+    // exact top-k via bounded-heap TypedImperativeAggregate — same
+    // result contract as q26, same oracle
+    "q38_knn_topk_agg" -> (Similarity.bruteForceTopKAgg _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -353,5 +356,17 @@ object SparkEntry {
         |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_customers_no_orders,
         |  round(sum(coalesce(o_totalprice, 0.0)), 2) AS total
         |FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // q38 computes the same contract as q26 through the bounded-heap
+    // aggregate — the oracle is identical
+    "q38_knn_topk_agg" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |s AS (SELECT q.vec_id q_id, n.vec_id neighbor_id,
+        |      list_dot_product(q.v, n.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
+        |      FROM e q, e n WHERE q.vec_id < 10 AND n.vec_id != q.vec_id),
+        |r AS (SELECT q_id, neighbor_id, c,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
+        |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
   )
 }

@@ -70,6 +70,14 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("top-k aggregate (bounded heap) returns exactly the window top-k") {
+    val win = Similarity.bruteForceTopK(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val agg = Similarity.bruteForceTopKAgg(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(agg == win)
+  }
+
   test("IVF knn: exact cosine on candidates, decent recall vs brute force") {
     val bf = Similarity.bruteForceTopK(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
