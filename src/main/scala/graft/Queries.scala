@@ -286,6 +286,55 @@ object Queries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** CUBE over (status, priority): all four grouping sets in one hash
+    * aggregate, grouping_id disambiguating. */
+  def ordersCube(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Window frames: per-customer running order total (rows unbounded
+    * preceding → current) and a 3-order moving average.
+    *
+    * Sliding-window float aggregation differs across engines at the
+    * last ulp (incremental vs recompute accumulation), so the money
+    * column is integerized to cents first: window sums are then exact
+    * integers and the single final double division is identical
+    * everywhere — the same discipline a production ledger would use. */
+  def runningTotals(spark: SparkSession, d: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = byDate.rowsBetween(Window.unboundedPreceding, 0)
+    val last3 = byDate.rowsBetween(-2, 0)
+    orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("running_total", sum(col("cents")).over(run) / 100.0)
+      .withColumn("s3", sum(col("cents")).over(last3))
+      .withColumn("c3", count(lit(1)).over(last3))
+      // half-up average-to-cents in exact integer arithmetic — engines
+      // disagree on rounding binary-representation halves like .235
+      .withColumn("avg3",
+        expr("CAST((2 * s3 + c3) div (2 * c3) AS DOUBLE) / CAST(100 AS DOUBLE)"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"), col("avg3"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Date-part extraction and arithmetic over order dates. */
+  def orderDateParts(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_date"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_1999"))
+      .orderBy(col("o_orderkey"))
+
   /** Monthly order rollup — date bucketing on the fact table. */
   def ordersByMonth(spark: SparkSession, d: String): DataFrame =
     orders(spark, d)

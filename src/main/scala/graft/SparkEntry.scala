@@ -62,6 +62,9 @@ object SparkEntry {
     // exact top-k via bounded-heap TypedImperativeAggregate — same
     // result contract as q26, same oracle
     "q38_knn_topk_agg" -> (Similarity.bruteForceTopKAgg _),
+    "q39_orders_cube" -> (Queries.ordersCube _),
+    "q40_running_totals" -> (Queries.runningTotals _),
+    "q41_date_parts" -> (Queries.orderDateParts _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -368,5 +371,41 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
         |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q39_orders_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping_id(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+        |  count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q40_running_totals" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |w AS (SELECT o_custkey, o_orderkey,
+        |  sum(cents) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srun,
+        |  sum(cents) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3,
+        |  count(*) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c3
+        |  FROM t)
+        |SELECT o_custkey, o_orderkey,
+        |  srun / 100.0 AS running_total,
+        |  ((2 * s3 + c3) // (2 * c3)) / 100.0 AS avg3
+        |FROM w
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q41_date_parts" ->
+      """SELECT o_orderkey,
+        |  extract(year FROM o_orderdate)::BIGINT AS yr,
+        |  extract(month FROM o_orderdate)::BIGINT AS mo,
+        |  extract(day FROM o_orderdate)::BIGINT AS dom,
+        |  extract(quarter FROM o_orderdate)::BIGINT AS qtr,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        |  datediff('day', o_orderdate, DATE '1999-01-01')::BIGINT AS days_to_1999
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }
