@@ -335,6 +335,20 @@ object Queries {
         datediff(lit("1999-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_1999"))
       .orderBy(col("o_orderkey"))
 
+  /** Conditional aggregation (manual pivot): one row per month, order
+    * counts and revenue split by status into columns — the reshaping
+    * pattern behind `DataFrame.pivot`, expressed portably. */
+  def ordersPivotByStatus(spark: SparkSession, d: String): DataFrame = {
+    def cnt(s: String) = count(when(col("o_orderstatus") === s, 1)).as(s"n_$s")
+    def rev(s: String) =
+      round(sum(when(col("o_orderstatus") === s, col("o_totalprice")).otherwise(0.0)), 2)
+        .as(s"rev_$s")
+    orders(spark, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(cnt("F"), cnt("O"), cnt("P"), rev("F"), rev("O"), rev("P"))
+      .orderBy(col("month"))
+  }
+
   /** Monthly order rollup — date bucketing on the fact table. */
   def ordersByMonth(spark: SparkSession, d: String): DataFrame =
     orders(spark, d)

@@ -65,6 +65,7 @@ object SparkEntry {
     "q39_orders_cube" -> (Queries.ordersCube _),
     "q40_running_totals" -> (Queries.runningTotals _),
     "q41_date_parts" -> (Queries.orderDateParts _),
+    "q42_pivot_by_status" -> (Queries.ordersPivotByStatus _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -407,5 +408,16 @@ object SparkEntry {
         |  datediff('day', o_orderdate, DATE '1999-01-01')::BIGINT AS days_to_1999
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    "q42_pivot_by_status" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_O,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_P,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS rev_F,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS rev_O,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 2) AS rev_P
+        |FROM orders
+        |GROUP BY strftime(o_orderdate, '%Y-%m')
+        |ORDER BY month""".stripMargin,
   )
 }
