@@ -28,9 +28,14 @@ object Bench {
         name -> dt
       }
     // two passes, per-query minimum: robust to transient host
-    // contention without hiding real costs
-    val results = (pass() ++ pass()).groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (name, ts) => name -> ts.map(_._2).min }
+    // contention without hiding real costs. Skip the second pass when
+    // the first already took long (big SF or sustained contention) so
+    // total bench time stays bounded.
+    val p1 = pass()
+    val results =
+      (if (p1.map(_._2).sum < 300.0) (p1 ++ pass()) else p1)
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (name, ts) => name -> ts.map(_._2).min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
