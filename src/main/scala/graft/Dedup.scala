@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   *    explode until the band join), candidates from band-bucket
   *    equi-joins, exact Jaccard verify only on candidates — the linear
   *    scale path.
-  *  - SimHash: per-row 32-bit signature in codegen; pairing here is
-  *    all-pairs (exact) because the corpus is small — the scale path
-  *    blocks on signature chunks (pigeonhole) before the Hamming check.
-  *  - Embedding cosine: exact all-pairs baseline at test scale; the ANN
-  *    path is Similarity.lshTopK.
+  *  - SimHash: per-row 32-bit signature in codegen; pairing is blocked
+  *    on 7 signature chunks (pigeonhole guarantees every Hamming ≤ 6
+  *    pair shares a chunk) — candidates from a chunk equi-join, exact
+  *    Hamming verify on candidates, result identical to all-pairs.
+  *  - Embedding cosine: hyperplane-LSH bucket candidates + exact cosine
+  *    verify on candidates (oracle reproduces the buckets); the exact
+  *    all-pairs twin survives only as DedupSpec's recall baseline.
   */
 object Dedup {
   import TextOps._
@@ -107,12 +109,24 @@ object Dedup {
     pairJaccard(common, sz, 0.5)
   }
 
-  /** 32-bit SimHash signature per doc + all-pairs Hamming ≤ 6.
+  /** 32-bit SimHash signature per doc + chunk-blocked Hamming ≤ 6
+    * pairing (Manku et al., WWW'07 style).
     *
     * The signature is a per-row fold (32 bit-votes over token hashes) —
-    * zero shuffle. The pairing stage is exact all-pairs here; the 100 TB
-    * path blocks on 4 signature byte-chunks first (any pair within
-    * Hamming 3 shares a chunk by pigeonhole) and only then verifies. */
+    * zero shuffle. Pairing is candidate-blocked by pigeonhole: the
+    * signature splits into 7 chunks, and any pair within Hamming 6 has
+    * ≤ 6 differing bits, so at least one of the 7 chunks is bit-equal.
+    * Candidates come from a chunk equi-join (hash join on small
+    * (chunk_idx, chunk_val) keys), Hamming is verified on candidates
+    * only, and the result is provably IDENTICAL to all-pairs — the same
+    * oracle hash-checks it. No BroadcastNestedLoopJoin anywhere
+    * (pinned in PlanSpec).
+    *
+    * Scale note: 32-bit signatures (forced here by the oracle's 30-bit
+    * token-hash entropy) give only 4-5-bit chunks, so blocking prunes
+    * ~7/32 of the pair space plus the full equal-signature mass. A
+    * production deployment widens to 64-bit fingerprints → 9-bit chunks
+    * → 512-way blocking per chunk, same plan shape. */
   def simhash(spark: SparkSession, d: String): DataFrame = {
     // single native pass over the token hashes (BitVote32Expr): each
     // hash votes ±1 on all 32 bits; bit set iff votes positive
@@ -120,19 +134,57 @@ object Dedup {
     val sig = Tables.documentsDist(spark, d)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.bitvote32(th).as("simhash"))
-    sig.as("a")
-      .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+    // 7 chunks: 4×5 bits + 3×4 bits (shift, mask)
+    val chunkDefs = Seq((0, 31L), (5, 31L), (10, 31L), (15, 31L),
+      (20, 15L), (24, 15L), (28, 15L))
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(chunkDefs.map { case (sh, m) =>
+        shiftright(col("simhash"), sh).bitwiseAND(lit(m))
+      }: _*)).as(Seq("c", "v")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("dist"))
       .filter(col("dist") <= 6)
+      // a qualifying pair collides in every equal chunk — dedup candidates
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Embedding near-dup: exact all-pairs cosine ≥ 0.4 over the
-    * `embeddings` table. Dot products are sequential left-to-right
-    * folds so the oracle's list_dot_product matches bit-for-bit.
-    * Quadratic baseline — the ANN path is Similarity.lshTopK. */
+  /** Embedding near-dup, LSH-blocked: candidate pairs share at least
+    * one of 4 random-hyperplane LSH buckets (Similarity.lshBuckets, the
+    * same deterministic planes as q27), then exact cosine ≥ 0.4 verify
+    * on candidates only — the candidates→verify shape of minhashNearDup,
+    * linear in corpus size instead of the all-pairs cartesian. The
+    * DuckDB oracle reproduces the identical buckets, so the result is
+    * hash-checked end-to-end; recall vs the exact all-pairs baseline
+    * (`embeddingNearDupExact`) is measured in DedupSpec. */
   def embeddingNearDup(spark: SparkSession, d: String): DataFrame = {
+    val e = Similarity.withNorm(Tables.embeddings(spark, d))
+      .withColumn("buckets", Similarity.lshBuckets(col("v")))
+    val b = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bucket")))
+    val cand = b.as("x")
+      .join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nn").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nn").as("nb")), "vec_b")
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Exact all-pairs cosine ≥ 0.4 — the quadratic ground-truth twin of
+    * `embeddingNearDup`, kept for DedupSpec's recall measurement (it is
+    * deliberately NOT a `queries` entry: its BroadcastNestedLoopJoin is
+    * the canonical 100×-scale killer). */
+  def embeddingNearDupExact(spark: SparkSession, d: String): DataFrame = {
     val e = Similarity.withNorm(Tables.embeddings(spark, d))
     val cos = Similarity.cosine(col("a.v"), col("b.v"), col("a.nn"), col("b.nn"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))

@@ -257,14 +257,27 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.s, b.s)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // candidates = pairs sharing ≥1 of the 4 deterministic LSH buckets
+    // (identical plane arithmetic to q27), verified by exact cosine —
+    // the oracle reproduces the blocking so the result hash-checks
     "q25_dedup_embedding_cosine" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
-        |SELECT a.vec_id vec_a, b.vec_id vec_b,
-        |  round(list_dot_product(a.v, b.v)
-        |        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cosine
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v)
-        |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |sig AS (SELECT vec_id, t,
+        |  list_sum(list_transform(generate_series(0, 3), r ->
+        |    CASE WHEN list_sum(list_transform(generate_series(0, 63), i ->
+        |      (CASE WHEN ((((t*4 + r)*64 + i) * 2654435761) & 65536) != 0
+        |            THEN 1.0 ELSE -1.0 END) * v[i + 1])) > 0
+        |    THEN (1::BIGINT << r) ELSE 0 END))::BIGINT AS bucket
+        |  FROM e, generate_series(0, 3) g(t)),
+        |cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
+        |         FROM sig a JOIN sig b
+        |         ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT va AS vec_a, vb AS vec_b,
+        |  round(list_dot_product(x.v, y.v)
+        |        / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v)), 6) AS cosine
+        |FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb
+        |WHERE list_dot_product(x.v, y.v)
+        |      / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v)) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
     "q26_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

@@ -27,11 +27,23 @@ object Tables {
     * type for. Read it as a LongType of epoch-nanoseconds
     * (`nanosAsLong`) — integer nanos keep event-time arithmetic exact
     * (no micro truncation ambiguity vs the oracle's TIMESTAMP_NS), and
-    * long comparisons stay inside whole-stage codegen. */
+    * long comparisons stay inside whole-stage codegen.
+    *
+    * The `nanosAsLong` flag must be set at session build (see
+    * `requireNanosAsLong` — Bench/Verify/SparkSpec all do); a loader
+    * that silently flipped session config would be action-at-a-distance
+    * for co-resident queries. */
   def eventsNs(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requireNanosAsLong(spark)
     spark.read.parquet(s"$d/events.parquet")
   }
+
+  /** Fail fast with a pointer at the session-builder fix rather than
+    * letting the parquet reader throw an opaque nanos error. */
+  def requireNanosAsLong(spark: SparkSession): Unit =
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true")
 
   /** `documents` spread across cores: the fixtures are single row-group
     * parquet files (one scan task); per-row text hashing then runs

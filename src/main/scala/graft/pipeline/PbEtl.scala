@@ -48,8 +48,9 @@ object PbEtl {
   object BacktestActuals extends CsvSource("results")
 
   /** J1: train attributes ⋈ traffic score, left outer on the key
-    * (pb_etl/tasks.py:152-183). The tscore side is tiny relative to attr
-    * at production scale — broadcast it so the fact side never shuffles. */
+    * (pb_etl/tasks.py:152-183). tscore is 1:1 with attr (same key set,
+    * pb_etl/tasks.py:43) — both sides are fact-sized, so the right plan
+    * is the sort-merge join Catalyst picks, not a broadcast. */
   object LoadData extends Stage {
     override def deps: Seq[Stage] = Seq(TrnAttr, TrnTscore)
     def run(ctx: Ctx): Unit = {

@@ -43,9 +43,42 @@ class DedupSpec extends SparkSpec {
     assert(nd.subsetOf(sh))
   }
 
-  test("embedding cosine pairs are within [-1,1] and thresholded") {
+  test("simhash chunk blocking is lossless: identical to all-pairs Hamming") {
+    // pigeonhole: Hamming ≤ 6 over 7 chunks ⇒ some chunk equal, so the
+    // blocked pairing must reproduce the exact all-pairs result
+    import TextOps._
+    val th = transform(toks(col("text")), t => polyHash(t))
+    val sig = Tables.documents(spark, d)
+      .select(col("doc_id"), graft.functions.GraftFunctions.bitvote32(th).as("simhash"))
+    val allPairs = sig.as("a")
+      .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("dist"))
+      .filter(col("dist") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = Dedup.simhash(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == allPairs)
+  }
+
+  test("embedding cosine pairs are within [-1,1], thresholded, and a high-recall subset of exact") {
     val out = Dedup.embeddingNearDup(spark, d).collect()
     assert(out.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
+    // LSH-blocked pairs ⊆ exact all-pairs, with identical cosines
+    val exact = Dedup.embeddingNearDupExact(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(k), s"false positive $k")
+      assert(exact(k) == r.getDouble(2))
+    }
+    // recall at the loose 0.4 threshold is bounded below; the planted
+    // true near-dups (cosine ≥ 0.9) must essentially all collide
+    val strong = exact.filter(_._2 >= 0.9).keySet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (strong.nonEmpty)
+      assert(strong.count(got.contains).toDouble / strong.size >= 0.9,
+        s"strong-pair recall ${strong.count(got.contains)}/${strong.size}")
   }
 
   test("brute-force knn returns exactly k ranked neighbors per query") {

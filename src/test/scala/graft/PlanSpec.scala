@@ -43,6 +43,15 @@ class PlanSpec extends SparkSpec {
     assert(f.contains("graft_polyhash") && f.contains("graft_shinglehashes"))
   }
 
+  test("q24/q25: candidate-blocked pairing — no nested-loop/cartesian join") {
+    val s = planOf(Dedup.simhash(spark, d))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
+    val e = planOf(Dedup.embeddingNearDup(spark, d))
+    assert(!e.contains("BroadcastNestedLoopJoin") && !e.contains("CartesianProduct"), e)
+    // the exact spec-side twin is the one allowed to nested-loop
+    assert(planOf(Dedup.embeddingNearDupExact(spark, d)).contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen wraps the scan-side pipeline (q01, final AQE plan)") {
     val df = Queries.pricingSummary(spark, d)
     df.collect() // AQE finalizes codegen stages only in the final plan
