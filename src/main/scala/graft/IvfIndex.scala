@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Persisted IVF (inverted-file) ANN index — the build side of
+  * Similarity.ivfTopK, factored into a salted build-once stage.
+  *
+  * At 100 TB the index build (a distributed KMeans fit + one shuffle to
+  * cell-partition the corpus) is a pipeline stage you pay once, not per
+  * query: queries only load centroids (tiny, broadcast) and probe the
+  * cell-partitioned corpus. This object gives q33 exactly that shape —
+  * the index directory is content-addressed by (corpus path, nlist,
+  * seed, version) via the same lineage-salt scheme the pb-etl stages use
+  * (pipeline.Salt), memoized by a `_SUCCESS` flag, so a second
+  * invocation in any session runs ZERO KMeans iterations (asserted in
+  * DedupSpec via `kmeansFits`).
+  */
+object IvfIndex {
+
+  /** Observability for specs: number of KMeans fits this JVM has run. */
+  @volatile var kmeansFits: Int = 0
+
+  private val Version = "0.0.1"
+
+  private def root: String =
+    sys.env.getOrElse("GRAFT_INDEX_ROOT",
+      s"${sys.props("java.io.tmpdir")}/graft-ivf")
+
+  /** Content-addressed index dir: any change to corpus path, nlist,
+    * seed, or the index version relocates (invalidates) the index. */
+  def dir(d: String, nlist: Int, seed: Long): String =
+    s"$root/ivf-${pipeline.Salt.of(Nil, "IvfIndex", Version,
+      Seq("corpus" -> d, "nlist" -> nlist.toString, "seed" -> seed.toString))}"
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def complete(spark: SparkSession, p: String): Boolean =
+    fs(spark, p).exists(new Path(p, "_SUCCESS"))
+
+  /** (centroids, cell-assigned corpus): built once, then loaded from the
+    * salted dir. The corpus is written partitioned by cell id — at scale
+    * a probe with a pushed `cell` filter reads nprobe/nlist of the data. */
+  def buildOrLoad(spark: SparkSession, d: String, nlist: Int, seed: Long)
+      : (Seq[(Int, Array[Double])], DataFrame) = {
+    val p = dir(d, nlist, seed)
+    if (!complete(spark, p)) build(spark, d, nlist, seed, p)
+    val centroids = spark.read.parquet(s"$p/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    (centroids, spark.read.parquet(s"$p/corpus"))
+  }
+
+  private def build(spark: SparkSession, d: String, nlist: Int, seed: Long,
+      p: String): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Similarity.withNorm(Tables.embeddings(spark, d))
+      .withColumn("fv", array_to_vector(col("v")))
+    e.cache()
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(e)
+    kmeansFits += 1
+    km.transform(e).select(col("vec_id"), col("v"), col("nn"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$p/corpus")
+    val cents = km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    spark.createDataFrame(cents.toSeq).toDF("cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/centroids")
+    e.unpersist()
+    fs(spark, p).create(new Path(p, "_SUCCESS"), true).close()
+  }
+}

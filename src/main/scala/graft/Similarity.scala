@@ -106,25 +106,18 @@ object Similarity {
     * `nlist` centroids; a query probes the `nprobe` nearest centroid
     * cells and ranks only those candidates by exact cosine.
     *
-    * This is the 100 TB similarity-search path: the corpus is
-    * partitioned by cell id (one shuffle at index build), a query
-    * touches nprobe/nlist of the data, and the quantizer itself is fit
-    * distributed (MLlib KMeans). Learned centroids are not expressible
-    * in the SQL oracle, so correctness is held by IvfSpec: exact-cosine
-    * ranking on candidates must agree with brute force, with measured
-    * recall ≥ 0.6 at nlist=16/nprobe=4 on the test corpus. */
+    * This is the 100 TB similarity-search path: the index build (KMeans
+    * fit + one shuffle to cell-partition the corpus) is a PERSISTED
+    * salted stage (IvfIndex) paid once — queries only load the tiny
+    * centroid table (broadcast) and probe the cell-partitioned corpus,
+    * touching ~nprobe/nlist of the data. Learned centroids are not
+    * expressible in the SQL oracle, so correctness is held by DedupSpec:
+    * exact-cosine ranking on candidates must agree with brute force,
+    * with measured recall ≥ 0.6 at nlist=16/nprobe=4 on the test
+    * corpus, and a second invocation runs zero KMeans iterations. */
   def ivfTopK(spark: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = withNorm(Tables.embeddings(spark, d))
-      .withColumn("fv", array_to_vector(col("v")))
-    val km = new KMeans().setK(nlist).setSeed(42L)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(e)
-    val indexed = km.transform(e).select(col("vec_id"), col("v"), col("nn"), col("cell"))
-    // nprobe nearest cells per query, by exact centroid distance
-    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val centDf = broadcast(e.sparkSession.createDataFrame(centroids.toSeq).toDF("cell", "cv"))
+    val (centroids, indexed) = IvfIndex.buildOrLoad(spark, d, nlist, seed = 42L)
+    val centDf = broadcast(spark.createDataFrame(centroids).toDF("cell", "cv"))
     val q = indexed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn"))
     import org.apache.spark.sql.expressions.Window

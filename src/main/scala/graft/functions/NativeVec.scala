@@ -20,13 +20,25 @@ import org.apache.spark.sql.types._
   */
 object NativeVec {
   /** Sequential left-to-right dot product — same fold order as
-    * `aggregate(zip_with(a,b,_*_),0.0,_+_)` and DuckDB list_dot_product. */
-  def dot(a: ArrayData, b: ArrayData): Double = {
+    * `aggregate(zip_with(a,b,_*_),0.0,_+_)` and DuckDB list_dot_product.
+    *
+    * Mirrors the HOF form's null semantics exactly (so the optimizer
+    * rewrite is value-preserving on ANY array<double> input): zip_with
+    * pads a length mismatch with nulls and a null element poisons the
+    * sum, both yielding NULL — here: a boxed null return. The boxed
+    * Double costs one allocation per call, noise next to the 64
+    * multiply-adds it guards. */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 
   /** 32-bit SimHash pack: each hash votes ±1 per bit; bit i of the
@@ -121,19 +133,31 @@ private[functions] trait ArrayOfType { self: Expression =>
     }
 }
 
-/** dot(array<double>, array<double>) → double. */
+/** dot(array<double>, array<double>) → double.
+  *
+  * NULL-exact twin of `aggregate(zip_with(a,b,(x,y)->x*y),0.0,(s,v)->s+v)`:
+  * a null input array, a length mismatch, or a null element all yield
+  * NULL — so RewriteHofDotProduct may substitute it for the HOF form on
+  * any array<double> operands, nullable or ragged included. */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ArrayOfType {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // ragged/null-element inputs → NULL
   override def prettyName: String = "graft_dot"
   override def checkInputDataTypes(): TypeCheckResult = {
     val l = requireArrayOf(left, DoubleType, prettyName)
     if (l == TypeCheckResult.TypeCheckSuccess) requireArrayOf(right, DoubleType, prettyName) else l
   }
   protected override def nullSafeEval(a: Any, b: Any): Any =
-    NativeVec.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    NativeVec.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeVec.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $r = graft.functions.NativeVec.dotOrNull($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
     copy(left = l, right = r)
 }

@@ -136,7 +136,8 @@ object PbEtl {
   private def withCatStrings(df: DataFrame): DataFrame =
     catCol.foldLeft(df)((d, c) => d.withColumn(s"${c}_str", col(c).cast("string")))
 
-  /** M1-M5: normalize, split 80/20, fit the MLP
+  /** M1-M5 + M7: normalize, split 80/20, fit the MLP, capture training
+    * history and a validation metric on the holdout
     * (pb_etl/tasks.py:247-345). MLlib's MLP has a 2-unit softmax head
     * (≡ 1-unit sigmoid for 2 classes) and no dropout — accepted
     * divergences (SURVEY.md §7.4.2); epochs → maxIter. */
@@ -153,27 +154,62 @@ object PbEtl {
       val data = withCatStrings(theNorm(LoadData.read(ctx), maxes))
         .withColumn("TARGET", col("TARGET").cast("double"))
         .na.fill(0.0, numCol)
-      val Array(train, _) = data.randomSplit(Array(0.8, 0.2), conf.seed)
+      val Array(train, valid) = data.randomSplit(Array(0.8, 0.2), conf.seed)
       // train is consumed by the feature fits and the classifier's
       // iterations — cache to avoid re-scanning the parquet per pass
       train.cache()
 
+      // feature stages fit EXACTLY ONCE; the classifier then trains on
+      // the already-transformed frame, and the final PipelineModel is
+      // stitched from the fitted stages (Pipeline.fit over transformers
+      // only copies them — zero extra passes over the data)
       val prep = new Pipeline().setStages(featureStages()).fit(train)
-      val d = prep.transform(train).select("features").head()
-        .getAs[Vector]("features").size
+      val trainF = prep.transform(train).select(col("features"), col("TARGET")).cache()
+      // layer-0 width from the assembled column's ML attribute metadata
+      // (VectorAssembler always records it) — no extra action
+      val d = org.apache.spark.ml.attribute.AttributeGroup
+        .fromStructField(trainF.schema("features")).size match {
+          case -1 => trainF.head().getAs[Vector]("features").size
+          case n => n
+        }
       val mlp = new MultilayerPerceptronClassifier()
         .setLabelCol("TARGET").setFeaturesCol("features")
         .setLayers((d +: conf.hidden :+ 2).toArray)
         .setMaxIter(conf.epochs).setSeed(conf.seed)
-      val model = new Pipeline().setStages(featureStages() :+ mlp).fit(train)
+      val mlpModel = mlp.fit(trainF)
+      // M7: per-iteration objective (the reference dumps Keras epoch
+      // loss, pb_etl/tasks.py:334-342) ...
+      val losses = scala.util.Try(mlpModel.summary.objectiveHistory.toSeq)
+        .getOrElse(Seq.empty)
+      // ... and a real validation metric on the 20% split the
+      // reference computes-then-discards: AUC is undefined on a
+      // single-class or empty holdout (the 3-row spec fixture), so null
+      // is recorded there rather than a fake number
+      val scoredVal = mlpModel.transform(prep.transform(valid))
+      val valAgg = scoredVal.agg(count(lit(1)), countDistinct(col("TARGET"))).head()
+      val (valN, valClasses) = (valAgg.getLong(0), valAgg.getLong(1))
+      val valAuc: Option[Double] =
+        if (valClasses == 2) scala.util.Try {
+          new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+            .setLabelCol("TARGET").setRawPredictionCol("rawPrediction")
+            .setMetricName("areaUnderROC")
+            .evaluate(scoredVal)
+        }.toOption else None
+      val model = new Pipeline()
+        .setStages((prep.stages :+ mlpModel).map(_.asInstanceOf[PipelineStage]))
+        .fit(train) // all stages are Transformers: copy-through, no refit
+      trainF.unpersist()
       train.unpersist()
 
       val dir = outputDir(ctx).get
       model.write.overwrite().save(s"$dir/model")
-      // K4: training-history JSON (reference dumps Keras history,
-      // pb_etl/tasks.py:334-342); salted dir makes re-runs clean
+      // K4: training-history JSON; salted dir makes re-runs clean
       // (the reference's makedirs crash, SURVEY.md §7.4.7, has no analog)
-      val hist = s"""{"layers":[${(d +: conf.hidden :+ 2).mkString(",")}],"maxIter":${conf.epochs},"seed":${conf.seed}}"""
+      val hist =
+        s"""{"layers":[${(d +: conf.hidden :+ 2).mkString(",")}],""" +
+          s""""maxIter":${conf.epochs},"seed":${conf.seed},""" +
+          s""""loss":[${losses.mkString(",")}],""" +
+          s""""val_n":$valN,"val_auc":${valAuc.map(_.toString).getOrElse("null")}}"""
       val fs = ctx.fs(dir)
       val out = fs.create(new org.apache.hadoop.fs.Path(dir, "history.json"), true)
       out.write(hist.getBytes("UTF-8")); out.close()

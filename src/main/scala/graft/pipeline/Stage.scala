@@ -63,10 +63,17 @@ trait Stage {
 
   def run(ctx: Ctx): Unit
 
-  /** Convenience: this stage's materialized output as a DataFrame. */
-  def read(ctx: Ctx): DataFrame =
-    ctx.spark.read.parquet(outputDir(ctx).getOrElse(
-      sys.error(s"stage $name has no output dir")))
+  /** Convenience: this stage's materialized output as a DataFrame.
+    *
+    * S4 read gate: refuses to read an incomplete target — a dir without
+    * its `_SUCCESS` flag is a partial/failed write (the reference's
+    * read_dask raises the same way, pb_etl/luigi/dask/target.py:139-148). */
+  def read(ctx: Ctx): DataFrame = {
+    val d = outputDir(ctx).getOrElse(sys.error(s"stage $name has no output dir"))
+    require(complete(ctx),
+      s"stage $name output at $d is incomplete (no _SUCCESS flag) — not reading a partial write")
+    ctx.spark.read.parquet(d)
+  }
 }
 
 /** An external raw-CSV input (reference ExternalTask, tasks.py:89-149):

@@ -17,9 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * spec, ~two orders slower in a pairwise join. Users who write the
   * idiomatic declarative form get the native kernel automatically; the
   * rewrite is value-preserving because DotProductExpr folds in the same
-  * sequential order over the same doubles. Registered via
-  * `GraftExtensions` (`injectOptimizerRule`) or
-  * `spark.experimental.extraOptimizations`.
+  * sequential order over the same doubles AND mirrors the HOF null
+  * semantics bit-for-bit (null array / ragged lengths via zip_with's
+  * null padding / null element all yield NULL — RewriteRuleSpec), so
+  * the match is safe for nullable-element and ragged arrays, not just
+  * clean ones. Registered via `GraftExtensions`
+  * (`injectOptimizerRule`) or `spark.experimental.extraOptimizations`.
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 

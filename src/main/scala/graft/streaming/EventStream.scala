@@ -61,25 +61,31 @@ object EventStream {
             state.remove()
             Iterator.single(SessionUpdate(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
           } else {
-            val closed = scala.collection.mutable.Buffer.empty[SessionUpdate]
-            var cur = state.getOption
-            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end <= SessionGapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) => // gap exceeded inside the batch: emit, start fresh
-                  closed += SessionUpdate(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
+            // gap-cluster the open session and this batch's events as
+            // sorted INTERVALS: a late event inside the watermark that
+            // predates the open session start can extend it backwards
+            // (min-start merge) or form its own earlier session —
+            // instead of being silently absorbed with wrong bounds
+            val intervals =
+              (state.getOption.map(s => (s.start, s.end, s.n)).toSeq ++
+                evs.map(e => (e.ts.getTime, e.ts.getTime, 1L)))
+                .sortBy(x => (x._1, x._2))
+            val merged = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+            intervals.foreach { case (s0, e0, n0) =>
+              merged.lastOption match {
+                case Some((ps, pe, pn)) if s0 - pe <= SessionGapMs =>
+                  merged(merged.length - 1) = (ps, math.max(pe, e0), pn + n0)
+                case _ => merged += ((s0, e0, n0))
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + SessionGapMs)
+            // all but the newest cluster are separated by > gap: closed
+            merged.lastOption.foreach { case (s0, e0, n0) =>
+              state.update(SessionState(s0, e0, n0))
+              state.setTimeoutTimestamp(e0 + SessionGapMs)
             }
-            closed.iterator
+            merged.dropRight(1).iterator.map { case (s0, e0, n0) =>
+              SessionUpdate(user, new Timestamp(s0), new Timestamp(e0), n0)
+            }
           }
       }
   }

@@ -125,6 +125,16 @@ class DedupSpec extends SparkSpec {
     assert(hits >= bf.size * 6 / 10, s"recall ${hits.toDouble / bf.size}")
   }
 
+  test("IVF index is a persisted salted stage: second invocation refits nothing") {
+    Similarity.ivfTopK(spark, d).count() // ensure built (may hit an existing index)
+    val fitsBefore = IvfIndex.kmeansFits
+    val again = Similarity.ivfTopK(spark, d).count()
+    assert(again > 0)
+    assert(IvfIndex.kmeansFits == fitsBefore, "KMeans re-fit on a warm index")
+    // salting: different nlist relocates the index
+    assert(IvfIndex.dir(d, 16, 42L) != IvfIndex.dir(d, 32, 42L))
+  }
+
   test("token stats agree with the documents table's own n_chars") {
     val bad = TextAnalysis.tokenStats(spark, d)
       .join(Tables.documents(spark, d), "doc_id")

@@ -70,6 +70,38 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization: late events within the watermark merge with exact bounds") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 opens user 7's session at [100,100]
+      mem.addData(Event(1, ts(100), 7, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: late events at 92/95 (inside the 10-min watermark) must
+      // extend session_start BACKWARDS to 92 — not be silently absorbed
+      // with the start stuck at 100. Same batch: user 9's two events sit
+      // >gap apart, so the earlier one closes immediately in-batch.
+      mem.addData(Event(2, ts(95), 7, "view", 1.0), Event(3, ts(92), 7, "view", 1.0),
+        Event(4, ts(91), 9, "view", 1.0), Event(5, ts(150), 9, "click", 1.0))
+      q.processAllAvailable()
+      // push the watermark far ahead so open sessions time out
+      mem.addData(Event(9, ts(10000), 8, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(20000), 8, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_late_out").as[SessionUpdate].collect()
+        .map(s => (s.user_id, s.session_start.getTime / 60000 - Base,
+          s.session_end.getTime / 60000 - Base, s.n_events)).toSet
+      assert(out.contains((7L, 92L, 100L, 3L)), out.toString) // backward-extended
+      assert(out.contains((9L, 91L, 91L, 1L)), out.toString)  // in-batch gap close
+      assert(out.contains((9L, 150L, 150L, 1L)), out.toString)
+    } finally q.stop()
+  }
+
   test("file source → hourly agg → sink (Trigger.AvailableNow) equals batch") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger

@@ -84,6 +84,19 @@ class PbEtlPipelineSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("FitModel history.json records per-iteration loss + validation stats (M7/K4)") {
+    val dir = PbEtl.FitModel.outputDir(ctx).get
+    val hist = Files.readString(java.nio.file.Paths.get(dir).resolve("history.json"))
+    // per-iteration objective history is present and numeric
+    val loss = hist.split("\"loss\":\\[")(1).split("]")(0)
+    assert(loss.nonEmpty, s"empty loss history in $hist")
+    assert(loss.split(",").forall(s => s.toDouble.isFinite))
+    // holdout accounting is recorded (AUC may be null on the tiny
+    // single-class fixture — asserted non-null only when 2 classes)
+    assert(hist.contains("\"val_n\":"))
+    assert(hist.contains("\"val_auc\":"))
+  }
+
   test("Predict: one probability per forecast row, in [0,1]") {
     val df = PbEtl.Predict.read(ctx)
     assert(df.columns.toSeq == Seq("TRANSACTION_ID", "Y_hat"))
@@ -109,6 +122,18 @@ class PbEtlPipelineSpec extends SparkSpec {
   test("memoized stages are skipped on re-run; FinalResults always re-runs (O2/O5)") {
     val again = PbEtl.runAll(ctx)
     assert(again == Seq("FinalResults"))
+  }
+
+  test("read refuses an incomplete target: deleted _SUCCESS blocks the read (S4)") {
+    val dir = PbEtl.LoadData.outputDir(ctx).get
+    val flag = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = ctx.fs(dir)
+    assert(fs.delete(flag, false))
+    try {
+      val e = intercept[IllegalArgumentException](PbEtl.LoadData.read(ctx))
+      assert(e.getMessage.contains("_SUCCESS"))
+    } finally fs.create(flag, true).close()
+    assert(PbEtl.LoadData.read(ctx).count() == 3) // restored flag reads again
   }
 
   test("salt: deterministic, version-sensitive, lineage-sensitive (O3)") {

@@ -22,6 +22,33 @@ class RewriteRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("rewrite preserves NULL semantics on ragged and null-element arrays") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteHofDotProduct
+    try {
+      import spark.implicits._
+      // (equal, ragged, null-element, null-array) cases
+      val df = Seq(
+        (Some(Seq[java.lang.Double](1.0, 2.0)), Some(Seq[java.lang.Double](3.0, 4.0))),
+        (Some(Seq[java.lang.Double](1.0, 2.0, 5.0)), Some(Seq[java.lang.Double](3.0, 4.0))),
+        (Some(Seq[java.lang.Double](1.0, null)), Some(Seq[java.lang.Double](3.0, 4.0))),
+        (None, Some(Seq[java.lang.Double](3.0, 4.0)))
+      ).toDF("a", "b")
+      def vals(c: org.apache.spark.sql.Column): Seq[Any] =
+        df.select(c.as("s")).collect().toSeq
+          .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+      val hof = vals(Similarity.dotHof(col("a"), col("b")))
+      val native = vals(Similarity.dot(col("a"), col("b")))
+      // the kernel mirrors zip_with/aggregate null semantics exactly,
+      // which is what makes the session-wide rewrite safe on any input
+      assert(native == hof)
+      assert(hof(0) == 11.0)
+      assert(hof(1) == null) // ragged → null, never a garbage read
+      assert(hof(2) == null) // null element poisons the sum
+      assert(hof(3) == null) // null array propagates
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("non-matching folds are left alone (sum of squares is not a dot product)") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ RewriteHofDotProduct
