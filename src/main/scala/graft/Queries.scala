@@ -286,6 +286,21 @@ object Queries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** The exact twin of `eventSketches`: same grouping, exact
+    * count/distinct/median — hash-checked against the oracle (the
+    * sketch columns of q37 can only be rows-only + error-bounded).
+    * Exact countDistinct and percentile shuffle all values per group —
+    * correct, and exactly the cost the q37 sketches exist to avoid at
+    * 100 TB; keeping both documents the trade. */
+  def eventExactStats(spark: SparkSession, d: String): DataFrame =
+    eventsNs(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(expr("percentile(value, 0.5)"), 6).as("median_value"))
+      .orderBy(col("event_type"))
+
   /** CUBE over (status, priority): all four grouping sets in one hash
     * aggregate, grouping_id disambiguating. */
   def ordersCube(spark: SparkSession, d: String): DataFrame =

@@ -66,6 +66,9 @@ object SparkEntry {
     "q40_running_totals" -> (Queries.runningTotals _),
     "q41_date_parts" -> (Queries.orderDateParts _),
     "q42_pivot_by_status" -> (Queries.ordersPivotByStatus _),
+    // exact twin of q37: count/distinct/median hash-checked; the sketch
+    // columns stay rows-only + SketchSpec-bounded
+    "q43_event_exact_stats" -> (Queries.eventExactStats _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -421,6 +424,13 @@ object SparkEntry {
         |  datediff('day', o_orderdate, DATE '1999-01-01')::BIGINT AS days_to_1999
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    "q43_event_exact_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(quantile_cont(value, 0.5), 6) AS median_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,

@@ -116,17 +116,20 @@ object PbEtl {
     * all 10 categoricals encoded (SURVEY.md §7.4.1). Unseen categories at
     * predict time map to the reserved "keep" bucket, matching TF's
     * all-zero indicator behavior closely enough for rate parity. */
-  def featureStages(): Array[PipelineStage] = {
-    val indexers = catCol.map { c =>
+  def featureStages(onlyHd: Boolean = false): Array[PipelineStage] = {
+    // strict-compat mode (M4): reproduce the reference's literal
+    // behavior — only `HD` one-hot encoded (pb_etl/tasks.py:285-286)
+    val cats = if (onlyHd) Seq("HD") else catCol
+    val indexers = cats.map { c =>
       new StringIndexer().setInputCol(s"${c}_str").setOutputCol(s"${c}_idx")
         .setHandleInvalid("keep").setStringOrderType("alphabetAsc")
     }
     val ohe = new OneHotEncoder()
-      .setInputCols(catCol.map(c => s"${c}_idx").toArray)
-      .setOutputCols(catCol.map(c => s"${c}_vec").toArray)
+      .setInputCols(cats.map(c => s"${c}_idx").toArray)
+      .setOutputCols(cats.map(c => s"${c}_vec").toArray)
       .setHandleInvalid("keep")
     val assembler = new VectorAssembler()
-      .setInputCols((numCol ++ catCol.map(c => s"${c}_vec")).toArray)
+      .setInputCols((numCol ++ cats.map(c => s"${c}_vec")).toArray)
       .setOutputCol("features")
     (indexers :+ ohe :+ assembler).toArray
   }
@@ -146,7 +149,8 @@ object PbEtl {
     override def params(conf: PbConf): Seq[(String, String)] = Seq(
       "epochs" -> conf.epochs.toString,
       "hidden" -> conf.hidden.mkString("-"),
-      "seed" -> conf.seed.toString)
+      "seed" -> conf.seed.toString,
+      "onlyHd" -> conf.onlyHd.toString)
 
     def run(ctx: Ctx): Unit = {
       val conf = ctx.conf
@@ -163,7 +167,7 @@ object PbEtl {
       // the already-transformed frame, and the final PipelineModel is
       // stitched from the fitted stages (Pipeline.fit over transformers
       // only copies them — zero extra passes over the data)
-      val prep = new Pipeline().setStages(featureStages()).fit(train)
+      val prep = new Pipeline().setStages(featureStages(conf.onlyHd)).fit(train)
       val trainF = prep.transform(train).select(col("features"), col("TARGET")).cache()
       // layer-0 width from the assembled column's ML attribute metadata
       // (VectorAssembler always records it) — no extra action
@@ -270,6 +274,16 @@ object PbEtl {
       val out = fs.create(p, true)
       out.write(s"""{"expected":$expected,"actual":$actual,"n":$n}""".getBytes("UTF-8"))
       out.close()
+      // K5 proper: optional RDBMS sink — the 1-row report appended via
+      // Spark's JDBC writer (the reference's ORM insert). coalesce(1):
+      // one connection, one insert, no point fanning out a single row.
+      ctx.conf.jdbcUrl.foreach { url =>
+        import ctx.spark.implicits._
+        Seq((n, actual, expected)).toDF("n", "actual", "expected")
+          .coalesce(1)
+          .write.mode(SaveMode.Append)
+          .jdbc(url, ctx.conf.jdbcTable, new java.util.Properties())
+      }
       println(f"[pb-etl] n=$n actual=$actual%.6f expected=$expected%.6f")
     }
   }

@@ -136,6 +136,40 @@ class PbEtlPipelineSpec extends SparkSpec {
     assert(PbEtl.LoadData.read(ctx).count() == 3) // restored flag reads again
   }
 
+  test("K5: optional JDBC sink appends the result row (embedded Derby)") {
+    val url = s"jdbc:derby:${ctx.conf.workRoot}/resultsdb;create=true"
+    // FinalResults always re-runs; everything upstream is memo-skipped
+    val again = PbEtl.runAll(Ctx(spark, ctx.conf.copy(jdbcUrl = Some(url))))
+    assert(again == Seq("FinalResults"))
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "final_results").load()
+    assert(back.columns.map(_.toLowerCase).sorted.toSeq == Seq("actual", "expected", "n"))
+    val row = back.collect()
+    assert(row.length == 1)
+  }
+
+  test("M4 strict-compat: onlyHd assembles numeric + single HD indicator only") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.attribute.AttributeGroup
+    val data = PbEtl.theNorm(PbEtl.LoadData.read(ctx), PbEtl.NormDenominators.maxMap(ctx))
+    val withStrings = Schemas.catCol.foldLeft(data)((d, c) =>
+      d.withColumn(s"${c}_str", d(c).cast("string"))).na.fill(0.0, Schemas.numCol)
+    def width(onlyHd: Boolean): Int = {
+      val out = new Pipeline().setStages(PbEtl.featureStages(onlyHd))
+        .fit(withStrings).transform(withStrings)
+      AttributeGroup.fromStructField(out.schema("features")).size
+    }
+    val (intended, strict) = (width(onlyHd = false), width(onlyHd = true))
+    // 8 numerics in both; strict mode carries ONLY the HD indicator
+    // (fixture HD has 1 distinct value; ±1 slot for the keep/dropLast
+    // bucket interplay)
+    assert(strict >= Schemas.numCol.length + 1 && strict <= Schemas.numCol.length + 2,
+      s"strict width $strict")
+    assert(intended > strict) // all 10 categoricals encoded
+    // and the fitted salt distinguishes the modes (different model dirs)
+    assert(PbEtl.FitModel.salt(ctx.conf) != PbEtl.FitModel.salt(ctx.conf.copy(onlyHd = true)))
+  }
+
   test("salt: deterministic, version-sensitive, lineage-sensitive (O3)") {
     val conf = ctx.conf
     val s1 = PbEtl.FitModel.salt(conf)

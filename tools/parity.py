@@ -5,8 +5,10 @@ Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
 
 For each query result parquet written by graft.Verify, runs the matching
 oracle SQL in DuckDB over the same tables, sorts columns by name, sorts
-rows, and compares cell-by-cell (exact for ints/strings, tiny epsilon for
-floats to flag near-misses distinctly from hard mismatches).
+rows, and compares cell-by-cell. The compare is EXACT for every type,
+floats included — that mirrors the driver's hash compare, and the query
+discipline (explicit round(), integer money arithmetic) exists precisely
+so exact float equality holds cross-engine.
 """
 import sys, os, json, math
 import duckdb
