@@ -69,6 +69,9 @@ object SparkEntry {
     // exact twin of q37: count/distinct/median hash-checked; the sketch
     // columns stay rows-only + SketchSpec-bounded
     "q43_event_exact_stats" -> (Queries.eventExactStats _),
+    // temporal joins composed scale-safe (union+window / bucket blocking)
+    "q44_asof_join" -> (operators.TemporalJoins.asofJoin _),
+    "q45_range_join_agg" -> (operators.TemporalJoins.rangeJoinAgg _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -431,6 +434,33 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // as-of: the oracle states the semantics directly (max prior view,
+    // ties by greatest view id) — same rows the union+window pass emits
+    "q44_asof_join" ->
+      """WITH c AS (SELECT event_id click_id, user_id, epoch_us(ts) cts
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id vid, user_id, epoch_us(ts) vts
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (SELECT c.click_id, c.user_id, c.cts, v.vid, v.vts,
+        |      row_number() OVER (PARTITION BY c.click_id
+        |                         ORDER BY v.vts DESC NULLS LAST, v.vid DESC) rn
+        |      FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.vts <= c.cts)
+        |SELECT click_id, user_id, cts AS click_ts, vid AS view_id,
+        |  vts AS view_ts, cts - vts AS gap_us
+        |FROM j WHERE rn = 1
+        |ORDER BY click_id""".stripMargin,
+    "q45_range_join_agg" ->
+      """WITH c AS (SELECT event_id click_id, user_id, epoch_us(ts) cts
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, epoch_us(ts) vts, value
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (SELECT c.click_id, c.user_id, v.vts, v.value, c.cts
+        |      FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |           AND v.vts <= c.cts AND c.cts - v.vts <= 600000000)
+        |SELECT click_id, user_id, count(vts) AS n_views,
+        |  min(cts - vts) AS min_gap_us, max(value) AS max_view_value
+        |FROM j GROUP BY click_id, user_id
+        |ORDER BY click_id""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,

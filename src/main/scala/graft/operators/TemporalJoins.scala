@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no built-in operator for — composed from
+  * existing relational ops (preference (a) of the custom-operator
+  * ladder: no custom strategy needed, Catalyst keeps optimizing).
+  *
+  * Both are expressed over the `events` table (`ts` = epoch-nanos long,
+  * see Tables.eventsNs; the join logic runs on `ts div 1000` epoch-MICROS
+  * because the DuckDB oracle's TIMESTAMP is µs — both engines must
+  * compare the same values or sub-µs tie-breaks diverge) and both are
+  * scale-safe by construction:
+  *
+  *  - `asofJoin`: the classic "latest right row at or before each left
+  *    row" join. The naive formulation is a non-equi range join (plans
+  *    as a nested loop); this one UNIONs both sides, tags them, and
+  *    carries the last right-side row forward with one window pass —
+  *    a single shuffle on the join key, zero pair explosion, any skew
+  *    bounded by per-user event counts.
+  *  - `rangeJoinAgg`: "right rows within [t−W, t] of each left row",
+  *    aggregated. Blocked on W-sized time buckets: a qualifying pair's
+  *    buckets differ by at most 1, so candidates come from an equi-join
+  *    on (user, bucket) with the left side exploded to its 2 candidate
+  *    buckets — then the exact range filter. Linear in matches, no
+  *    cartesian (pinned in PlanSpec). Aggregates are restricted to
+  *    order-independent ones (count / min / max) so the DuckDB oracle
+  *    hash-matches bit-for-bit.
+  */
+object TemporalJoins {
+
+  /** For each `click`, the most recent `view` of the same user at or
+    * before it (ties: greatest view event_id). Left-outer semantics:
+    * clicks with no prior view keep null view columns. */
+  def asofJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.eventsNs(spark, d)
+    // side 0 = view (right), side 1 = click (left): at equal ts the
+    // view sorts first, so an exactly-simultaneous view matches
+    val tagged = ev
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
+        when(col("event_type") === "view", 0).otherwise(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("view_ts",
+        last(when(col("side") === 0, col("tus")), ignoreNulls = true).over(w))
+      .withColumn("view_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("tus").as("click_ts"), col("view_id"), col("view_ts"),
+        (col("tus") - col("view_ts")).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
+  /** Per click: count / min-gap / max-value of the same user's views in
+    * the 10 minutes up to the click (inclusive window [cts−W, cts]). */
+  def rangeJoinAgg(spark: SparkSession, d: String): DataFrame = {
+    val W = 600000000L // 10 min in µs; also the blocking bucket width
+    val ev = graft.Tables.eventsNs(spark, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        expr("ts div 1000").as("cts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts div 1000").as("vts"), col("value"))
+      .withColumn("b", expr(s"vts div ${W}L"))
+    // cts−vts ∈ [0, W] ⇒ bucket(vts) ∈ {bucket(cts), bucket(cts)−1}:
+    // each qualifying pair meets in EXACTLY one bucket — no dedup pass
+    val cand = clicks
+      .withColumn("b", explode(array(expr(s"cts div ${W}L"), expr(s"cts div ${W}L - 1"))))
+      .join(views, Seq("user_id", "b"))
+      .filter(col("vts") <= col("cts") && col("cts") - col("vts") <= W)
+    val agg = cand.groupBy(col("click_id"))
+      .agg(count(lit(1)).as("nv"), min(col("cts") - col("vts")).as("mg"),
+        max(col("value")).as("mv"))
+    clicks.join(agg, Seq("click_id"), "left_outer")
+      .select(col("click_id"), col("user_id"),
+        coalesce(col("nv"), lit(0L)).as("n_views"),
+        col("mg").as("min_gap_us"), col("mv").as("max_view_value"))
+      .orderBy(col("click_id"))
+  }
+}

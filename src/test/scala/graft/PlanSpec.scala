@@ -52,6 +52,14 @@ class PlanSpec extends SparkSpec {
     assert(planOf(Dedup.embeddingNearDupExact(spark, d)).contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q44/q45: temporal joins plan with no nested-loop/cartesian join") {
+    val a = planOf(operators.TemporalJoins.asofJoin(spark, d))
+    assert(!a.contains("BroadcastNestedLoopJoin") && !a.contains("CartesianProduct"), a)
+    assert(a.contains("Window")) // the union+window formulation, not a range join
+    val r = planOf(operators.TemporalJoins.rangeJoinAgg(spark, d))
+    assert(!r.contains("BroadcastNestedLoopJoin") && !r.contains("CartesianProduct"), r)
+  }
+
   test("whole-stage codegen wraps the scan-side pipeline (q01, final AQE plan)") {
     val df = Queries.pricingSummary(spark, d)
     df.collect() // AQE finalizes codegen stages only in the final plan

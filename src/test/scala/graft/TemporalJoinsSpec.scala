@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.TemporalJoins
+
+/** Independent brute-force twins for the temporal joins (the DuckDB
+  * oracle is the primary gate; these pin the semantics against a plain
+  * Scala computation so a same-bug-both-sides oracle slip can't hide). */
+class TemporalJoinsSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+  private val W = 600000000L // 10 min in µs
+
+  private lazy val events: Seq[(Long, Long, Long, String, Double)] =
+    Tables.eventsNs(spark, d)
+      .selectExpr("event_id", "ts div 1000 as tus", "user_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+
+  private lazy val clicks = events.filter(_._4 == "click")
+  private lazy val views = events.filter(_._4 == "view")
+
+  test("asof join equals brute-force max-prior-view per click") {
+    val expected = clicks.map { case (cid, cts, u, _, _) =>
+      val best = views.filter(v => v._3 == u && v._2 <= cts)
+        .sortBy(v => (-v._2, -v._1)).headOption // max ts, then max id
+      (cid, u, cts, best.map(_._1), best.map(_._2))
+    }.sortBy(_._1)
+    val got = TemporalJoins.asofJoin(spark, d).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }.toSeq
+    assert(got == expected)
+    assert(got.exists(_._4.isDefined)) // corpus actually exercises matches
+  }
+
+  test("range join agg equals brute-force window scan per click") {
+    val expected = clicks.map { case (cid, cts, u, _, _) =>
+      val in = views.filter(v => v._3 == u && v._2 <= cts && cts - v._2 <= W)
+      (cid, u, in.size.toLong,
+        if (in.isEmpty) None else Some(in.map(v => cts - v._2).min),
+        if (in.isEmpty) None else Some(in.map(_._5).max))
+    }.sortBy(_._1)
+    val got = TemporalJoins.rangeJoinAgg(spark, d).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }.toSeq
+    assert(got == expected)
+    assert(got.exists(_._3 > 0)) // some clicks have views in-window
+  }
+}
