@@ -86,22 +86,47 @@ object GraftFunctions {
   def shingleHashes(c: Column, n: Int): Column =
     GraftShim.column(ShingleHashesExpr(GraftShim.expression(c), n))
 
+  /** Constant-int argument of a SQL builder (k of minhashes, n of
+    * shinglehashes) — the kernels specialize on it at plan time. */
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a constant INT argument, got $other")
+  }
+
+  /** SQL builders, shared by per-session registration and the
+    * extensions hook: every kernel is SQL-callable. */
+  val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_polyhash" -> (args => PolyHashExpr(args.head)),
+    "graft_dot" -> (args => DotProductExpr(args(0), args(1))),
+    "graft_bitvote32" -> (args => BitVote32Expr(args.head)),
+    "graft_minhashes" ->
+      (args => MinHashesExpr(args.head, intArg(args(1), "graft_minhashes"))),
+    "graft_shinglehashes" ->
+      (args => ShingleHashesExpr(args.head, intArg(args(1), "graft_shinglehashes"))),
+  )
+
   /** Register SQL-callable functions on an existing session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_polyhash", args => PolyHashExpr(args.head), "built-in")
+    sqlBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }
 
-/** `SparkSessionExtensions` hook: makes `graft_polyhash` a first-class
-  * SQL function and installs the HOF-dot-product rewrite in any session
-  * created with
+/** `SparkSessionExtensions` hook: makes every graft kernel a
+  * first-class SQL function and installs the HOF-dot-product rewrite in
+  * any session created with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_polyhash"),
-      new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
-      (args: Seq[Expression]) => PolyHashExpr(args.head)))
+    GraftFunctions.sqlBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[PolyHashExpr].getName, name),
+        builder))
+    }
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }
 }

@@ -72,6 +72,29 @@ class FunctionsSpec extends SparkSpec {
     assert(r == 97L * 131 + 98) // matches DuckDB list_reduce oracle value
   }
 
+  test("SQL registration: the whole kernel family is SQL-callable") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+             graft_bitvote32(array(3L)) AS bv,
+             graft_minhashes(array(10L, 3L), 2) AS mh,
+             graft_shinglehashes(array('ab', 'c', 'ab'), 2) AS sh
+    """).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 3L) // single hash: its set bits win the vote
+    // mh_j = min((2j+1)h + 12345 + 7919j) mod P over {10, 3}
+    assert(r.getSeq[Long](2) == Seq(
+      Seq(10L, 3L).map(h => (h + 12345L) % PolyHashExpr.P).min,
+      Seq(10L, 3L).map(h => (3 * h + 12345L + 7919L) % PolyHashExpr.P).min))
+    // 2-gram shingles of [ab, c, ab]: "ab c", "c ab" — distinct, in order
+    def ph(s: String) = s.foldLeft(0L)((a, c) => (a * 131 + c.toInt) % PolyHashExpr.P)
+    assert(r.getSeq[Long](3) == Seq(ph("ab c"), ph("c ab")))
+    // non-constant k is rejected, not silently mis-planned
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_minhashes(array(1L), CAST(rand() * 4 AS INT))").head())
+    assert(err.getMessage.toLowerCase.contains("constant"))
+  }
+
   test("works inside higher-order lambdas (shingle hashing path)") {
     GraftFunctions.register(spark)
     val r = spark.sql(
