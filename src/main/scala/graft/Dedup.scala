@@ -82,6 +82,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Prefix-filtered exact n-gram Jaccard (PPJoin-style, Xiao et al.
+    * WWW'08) — same semantics and oracle as `ngramJaccard`, different
+    * candidate generation: shingles are globally ordered by document
+    * frequency (rarest first), each doc contributes only its first
+    * |s| − ⌈t·|s|⌉ + 1 shingles to the inverted index, and a qualifying
+    * pair (J ≥ t) provably shares a prefix shingle. On a uniform-df
+    * corpus this prunes little and costs two extra joins (why q22 keeps
+    * the plain index); on the skewed df of a REAL corpus the stop-shingle
+    * postings — exactly the Σ C(df,2) blow-up — fall out of the index,
+    * which is the 100 TB exact-verify path. Equality with `ngramJaccard`
+    * is asserted in DedupSpec; the driver hash-checks it as q46. */
+  def ngramJaccardPrefix(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val thr = 0.6
+    val sets = shingleSets(spark, d).persist()
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "h")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .withColumn("s", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val prefix = ranked.filter(col("r") <= col("s") - ceil(lit(thr) * col("s")) + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val common = cand
+      .join(sh.as("p"), col("doc_a") === col("p.doc_id"))
+      .join(sh.as("q"), col("doc_b") === col("q.doc_id") && col("p.h") === col("q.h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("cm"))
+    val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
+    pairJaccard(common, sz, thr)
+  }
+
   /** MinHash (k=16) + LSH (4 bands × 4 rows) candidate generation, then
     * exact Jaccard verify on candidates only, threshold 0.5.
     *

@@ -72,6 +72,9 @@ object SparkEntry {
     // temporal joins composed scale-safe (union+window / bucket blocking)
     "q44_asof_join" -> (operators.TemporalJoins.asofJoin _),
     "q45_range_join_agg" -> (operators.TemporalJoins.rangeJoinAgg _),
+    // PPJoin-style prefix-filtered exact Jaccard — same contract as q22
+    // through a skew-robust candidate index; same oracle
+    "q46_dedup_jaccard_prefix" -> (Dedup.ngramJaccardPrefix _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -220,6 +223,18 @@ object SparkEntry {
         |  FROM documents GROUP BY lower(text))
         |ORDER BY keep_id""".stripMargin,
     "q22_dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+         |cm AS (SELECT a.doc_id da, b.doc_id db, count(*) cm
+         |       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b, round(cm / (x.sz + y.sz - cm), 6) AS jaccard
+         |FROM cm JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |WHERE cm / (x.sz + y.sz - cm) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q46_dedup_jaccard_prefix" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
          |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
          |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),

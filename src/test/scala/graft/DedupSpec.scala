@@ -22,6 +22,15 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(2) >= 0.6 && r.getDouble(2) <= 1.0))
   }
 
+  test("prefix-filtered jaccard (PPJoin) is exactly the plain inverted-index result") {
+    val plain = Dedup.ngramJaccard(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = Dedup.ngramJaccardPrefix(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("minhash LSH candidates recover the high-jaccard pairs of the exact pass") {
     val exact = Dedup.ngramJaccard(spark, d).filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
