@@ -75,6 +75,8 @@ object SparkEntry {
     // PPJoin-style prefix-filtered exact Jaccard — same contract as q22
     // through a skew-robust candidate index; same oracle
     "q46_dedup_jaccard_prefix" -> (Dedup.ngramJaccardPrefix _),
+    // BPE-ish regex pre-tokenization counts (letters/digits/punct runs)
+    "q47_text_subwords" -> (TextAnalysis.subwordStats _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -476,6 +478,14 @@ object SparkEntry {
         |  min(cts - vts) AS min_gap_us, max(value) AS max_view_value
         |FROM j GROUP BY click_id, user_id
         |ORDER BY click_id""".stripMargin,
+    "q47_text_subwords" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_alpha,
+        |  len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_digit,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::BIGINT AS n_punct,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_units
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,

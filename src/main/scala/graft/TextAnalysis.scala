@@ -73,6 +73,21 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-ish pre-tokenization: the GPT-2-style regex split into letter
+    * runs / digit runs / punctuation singletons (the pass a tokenizer
+    * runs before merges). Counts per class + the resulting subword-unit
+    * total; all per-row regex work, zero shuffle, and a regex grammar
+    * simple enough that Java and DuckDB's RE2 agree byte-for-byte. */
+  def subwordStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("long").as("n_alpha"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_digit"),
+        size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")).cast("long").as("n_punct"),
+        (size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")))
+          .cast("long").as("n_units"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprinting: full-text rolling hash plus a winnowed
     * min-hash over 8-token windows (the content-defined signature used
     * for shard-local dedup at ingest). */
