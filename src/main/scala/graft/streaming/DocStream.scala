@@ -29,4 +29,78 @@ object DocStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("key")
       .select(col("doc_id"), col("ts"), col("text"))
+
+  /** One exploded (band, key) posting of a document's LSH signature. */
+  final case class BandPosting(
+      b: Int, key: Long, doc_id: Long, ts: Timestamp, mh: Seq[Long])
+
+  /** An emitted near-dup candidate pair with its signature-estimated
+    * Jaccard (fraction of agreeing minhashes). */
+  final case class CandPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** Per-bucket open state: recent postings inside the horizon. */
+  final case class BucketState(docs: List[(Long, Long, Seq[Long])]) // (doc_id, tsMs, mh)
+
+  val HorizonMs: Long = 60L * 60 * 1000 // pairs must be within 1 hour
+
+  /** Streaming MinHash/LSH near-dup CANDIDATE generation — the
+    * incremental twin of q23's candidate stage (Dedup.minhashNearDup,
+    * same k=16 signatures, 4×4 bands): an arriving doc pairs with every
+    * stored doc sharing an LSH band bucket within the 1-hour horizon.
+    *
+    * Scale/state story: state lives per (band, key) bucket — the same
+    * partitioning the batch band equi-join shuffles on — and each
+    * bucket holds only postings newer than the horizon (pruned against
+    * the watermark on every visit; bucket evicted wholesale by
+    * event-time timeout). Emitted pairs carry the signature-estimated
+    * Jaccard; exact verification, where needed, is a downstream batch
+    * join exactly as in q23. A pair sharing multiple bands emits once
+    * per shared band (the batch `.distinct()` has no bounded-state
+    * streaming analog here) — consumers dedup on (doc_a, doc_b).
+    */
+  def nearDupCandidates(docs: Dataset[Doc]): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import graft.TextOps
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val postings = docs.toDF()
+      .withColumn("hs", TextOps.shingleHashSet(col("text"), 3))
+      .filter(size(col("hs")) > 0)
+      .withColumn("mh", TextOps.minhashes(col("hs"), 16))
+      .withColumn("bands", TextOps.bandKeys(col("mh"), 4, 4))
+      .select(posexplode(col("bands")).as(Seq("b", "key")),
+        col("doc_id"), col("ts"), col("mh"))
+      .as[BandPosting]
+      .withWatermark("ts", "1 hour")
+    postings
+      .groupByKey(p => (p.b, p.key))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), ps: Iterator[BandPosting], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            // stored postings older than watermark − horizon can never
+            // pair with a future (above-watermark) arrival: prune
+            var stored = state.getOption.map(_.docs).getOrElse(Nil)
+              .filter(_._2 > wm - HorizonMs)
+            val out = List.newBuilder[CandPair]
+            ps.toSeq.sortBy(p => (p.ts.getTime, p.doc_id)).foreach { p =>
+              val t = p.ts.getTime
+              stored.foreach { case (id, ts0, mh0) =>
+                if (id != p.doc_id && math.abs(t - ts0) <= HorizonMs) {
+                  val agree = mh0.iterator.zip(p.mh.iterator).count { case (a, b) => a == b }
+                  out += CandPair(math.min(id, p.doc_id), math.max(id, p.doc_id),
+                    agree.toDouble / p.mh.size)
+                }
+              }
+              stored = (p.doc_id, t, p.mh) :: stored
+            }
+            if (stored.nonEmpty) {
+              state.update(BucketState(stored))
+              state.setTimeoutTimestamp(stored.map(_._2).max + HorizonMs)
+            } else state.remove()
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -35,6 +35,47 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH candidates equal the batch band-collision pairs on the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    // all docs inside one horizon window → every batch candidate pair
+    // must also be a stream candidate pair, and vice versa
+    val docs = Tables.documents(spark, d)
+      .selectExpr("doc_id", "timestamp_micros(60000000000 + doc_id * 1000000) as ts", "text")
+      .as[DocStream.Doc].collect().toSeq
+    val mem = MemoryStream[DocStream.Doc]
+    val q = DocStream.nearDupCandidates(mem.toDS())
+      .writeStream.format("memory").queryName("cand_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, rest) = docs.splitAt(docs.size / 2)
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(rest: _*); q.processAllAvailable()
+      val stream = spark.table("cand_out")
+        .select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin: band-bucket collision pairs (q23's candidate stage)
+      val sets = Tables.documents(spark, d)
+        .select(col("doc_id"), TextOps.shingleHashSet(col("text"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), TextOps.bandKeys(TextOps.minhashes(col("hs"), 16), 4, 4).as("bands"))
+      val bands = sets.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
+      val batch = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stream == batch, s"stream ${stream.size} vs batch ${batch.size}")
+      assert(batch.nonEmpty)
+      // estimated jaccard of a perfect-duplicate pair is 1.0
+      val ests = spark.table("cand_out").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(ests.values.forall(e => e >= 0.0 && e <= 1.0))
+    } finally q.stop()
+  }
+
   test("stream dedup agrees with batch q21 on which texts are distinct") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
