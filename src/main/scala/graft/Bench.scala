@@ -18,43 +18,59 @@ object Bench {
     // warmup: JIT/codegen bootstrap + parquet footer caches, so the
     // first measured query doesn't absorb session startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val failures = scala.collection.mutable.Map.empty[String, String]
-    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Left(error) on crash — a crashing query must not masquerade as a
+    // fast one by recording its time-to-crash
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val r = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable =>
-          // a crashing query must not masquerade as a fast one: record
-          // the failure and report NaN, never the time-to-crash
-          failures(name) = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200)
+          Some(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries that persist intermediates (LSH signature sets etc.)
       // must not charge their memory to later queries
       spark.catalog.clearCache()
-      dt
+      r.toLeft(dt)
     }
     // two passes, per-query minimum: robust to transient host
     // contention without hiding real costs. The second pass is skipped
     // PER QUERY only when that query's first pass already exceeded the
     // bound (genuinely big at this SF) — a contended first pass can
-    // never lock itself in as the recorded number.
+    // never lock itself in as the recorded number. A query counts as
+    // failed only if NO pass succeeded: one flaky pass can't erase a
+    // real measurement.
     val secondPassBound = 60.0
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val p1 = sorted.map { case (name, fn) => name -> time(name, fn) }
+    val p1 = sorted.map { case (name, fn) => name -> time(fn) }
     val p2 = sorted.collect {
-      case (name, fn) if p1.toMap.apply(name) < secondPassBound && !failures.contains(name) =>
-        name -> time(name, fn)
+      case (name, fn) if p1.toMap.apply(name).forall(_ < secondPassBound) =>
+        name -> time(fn)
     }
-    val results = (p1 ++ p2)
+    val results: Seq[(String, Either[String, Double])] = (p1 ++ p2)
       .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (name, ts) => name -> ts.map(_._2).min }
+      .map { case (name, rs) =>
+        val oks = rs.map(_._2).collect { case Right(t) => t }
+        name -> (if (oks.nonEmpty) Right(oks.min)
+                 else Left(rs.map(_._2).collectFirst { case Left(m) => m }.get))
+      }
+    // JSON string escape incl. ALL control chars — exception messages
+    // routinely contain newlines and the output must stay one line
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + (if (failures.contains(k)) "null" else v.toString)
+      s"\"" + k + "\":" + v.fold(_ => "null", _.toString)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (k, v) if !failures.contains(k) => v }.sum
-    val fj = failures.toSeq.sortBy(_._1).map { case (k, m) =>
-      s"\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(t)) => t }.sum
+    val fj = results.collect { case (k, Left(m)) => s"\"" + k + "\":" + jstr(m) }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -48,7 +48,7 @@ object Dedup {
   private def shingleSets(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingleHashSet(col("text"), 3).as("hs"))
+      .select(col("doc_id"), shingleHashSet(col("text"), NearDupShingleN).as("hs"))
       .filter(size(col("hs")) > 0)
 
   /** Exact pairwise n-gram Jaccard ≥ 0.6 via the shingle inverted
@@ -127,7 +127,7 @@ object Dedup {
     * linearly to 100 TB (vs `ngramJaccard`'s inverted-index join). */
   def minhashNearDup(spark: SparkSession, d: String): DataFrame = {
     val sets = shingleSets(spark, d)
-      .select(col("doc_id"), col("hs"), bandKeys(minhashes(col("hs"), 16), 4, 4).as("bands"))
+      .select(col("doc_id"), col("hs"), nearDupBandKeys(col("hs")).as("bands"))
     sets.cache()
     val bands = sets.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
     val cand = bands.as("x")
@@ -200,6 +200,10 @@ object Dedup {
   def embeddingNearDup(spark: SparkSession, d: String): DataFrame = {
     val e = Similarity.withNorm(Tables.embeddings(spark, d))
       .withColumn("buckets", Similarity.lshBuckets(col("v")))
+    // referenced by the explode and both verify-join sides: cache so the
+    // norm + 16 plane projections compute once per row (Verify/Bench
+    // clear the cache between queries)
+    e.cache()
     val b = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bucket")))
     val cand = b.as("x")
       .join(b.as("y"),

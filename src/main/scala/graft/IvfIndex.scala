@@ -28,11 +28,28 @@ object IvfIndex {
     sys.env.getOrElse("GRAFT_INDEX_ROOT",
       s"${sys.props("java.io.tmpdir")}/graft-ivf")
 
-  /** Content-addressed index dir: any change to corpus path, nlist,
-    * seed, or the index version relocates (invalidates) the index. */
-  def dir(d: String, nlist: Int, seed: Long): String =
+  /** Content-addressed index dir: any change to the corpus FILES
+    * (paths + lengths + modification times of embeddings.parquet), the
+    * nlist/seed params, or the index version relocates (invalidates)
+    * the index — regenerated data at the same path cannot silently
+    * reuse a stale index. */
+  def dir(spark: SparkSession, d: String, nlist: Int, seed: Long): String = {
+    val src = s"$d/embeddings.parquet"
+    val stamp = try {
+      val f = fs(spark, src)
+      val st = f.getFileStatus(new Path(src))
+      val parts =
+        if (st.isDirectory)
+          f.listStatus(new Path(src)).toSeq
+            .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+            .sortBy(_._1)
+        else Seq((st.getPath.getName, st.getLen, st.getModificationTime))
+      parts.map { case (n, l, m) => s"$n:$l:$m" }.mkString(",")
+    } catch { case _: Throwable => "absent" }
     s"$root/ivf-${pipeline.Salt.of(Nil, "IvfIndex", Version,
-      Seq("corpus" -> d, "nlist" -> nlist.toString, "seed" -> seed.toString))}"
+      Seq("corpus" -> d, "stamp" -> stamp,
+        "nlist" -> nlist.toString, "seed" -> seed.toString))}"
+  }
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -45,7 +62,7 @@ object IvfIndex {
     * a probe with a pushed `cell` filter reads nprobe/nlist of the data. */
   def buildOrLoad(spark: SparkSession, d: String, nlist: Int, seed: Long)
       : (Seq[(Int, Array[Double])], DataFrame) = {
-    val p = dir(d, nlist, seed)
+    val p = dir(spark, d, nlist, seed)
     if (!complete(spark, p)) build(spark, d, nlist, seed, p)
     val centroids = spark.read.parquet(s"$p/centroids")
       .collect()

@@ -71,4 +71,18 @@ object TextOps {
     transform(sequence(lit(0), lit(bands - 1)),
       b => aggregate(slice(mh, b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
         lit(0L), (acc, x) => (acc * 131L + x) % P))
+
+  /** Canonical near-dup signature parameters — ONE definition shared by
+    * the batch operator (Dedup.minhashNearDup), the streaming candidate
+    * generator (DocStream.nearDupCandidates), their specs, and the q23
+    * oracle SQL. Parameter drift in any one site would silently
+    * desynchronize the stream ≡ batch ≡ oracle guarantees. */
+  val NearDupShingleN = 3
+  val NearDupMinhashK = 16
+  val NearDupBands = 4
+  val NearDupRows = 4
+
+  /** shingle set → k minhashes → band keys with the canonical params. */
+  def nearDupBandKeys(hs: Column): Column =
+    bandKeys(minhashes(hs, NearDupMinhashK), NearDupBands, NearDupRows)
 }

@@ -96,20 +96,24 @@ object GraftFunctions {
   }
 
   /** SQL builders, shared by per-session registration and the
-    * extensions hook: every kernel is SQL-callable. */
-  val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_polyhash" -> (args => PolyHashExpr(args.head)),
-    "graft_dot" -> (args => DotProductExpr(args(0), args(1))),
-    "graft_bitvote32" -> (args => BitVote32Expr(args.head)),
-    "graft_minhashes" ->
-      (args => MinHashesExpr(args.head, intArg(args(1), "graft_minhashes"))),
-    "graft_shinglehashes" ->
-      (args => ShingleHashesExpr(args.head, intArg(args(1), "graft_shinglehashes"))),
+    * extensions hook: every kernel is SQL-callable. Each entry carries
+    * its own implementing class for honest DESCRIBE FUNCTION metadata. */
+  val sqlBuilders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_polyhash", classOf[PolyHashExpr],
+      (args: Seq[Expression]) => PolyHashExpr(args.head)),
+    ("graft_dot", classOf[DotProductExpr],
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+    ("graft_bitvote32", classOf[BitVote32Expr],
+      (args: Seq[Expression]) => BitVote32Expr(args.head)),
+    ("graft_minhashes", classOf[MinHashesExpr],
+      (args: Seq[Expression]) => MinHashesExpr(args.head, intArg(args(1), "graft_minhashes"))),
+    ("graft_shinglehashes", classOf[ShingleHashesExpr],
+      (args: Seq[Expression]) => ShingleHashesExpr(args.head, intArg(args(1), "graft_shinglehashes"))),
   )
 
   /** Register SQL-callable functions on an existing session. */
   def register(spark: SparkSession): Unit =
-    sqlBuilders.foreach { case (name, builder) =>
+    sqlBuilders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
@@ -121,10 +125,10 @@ object GraftFunctions {
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    GraftFunctions.sqlBuilders.foreach { case (name, builder) =>
+    GraftFunctions.sqlBuilders.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[PolyHashExpr].getName, name),
+        new ExpressionInfo(cls.getName, name),
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)

@@ -189,7 +189,9 @@ object PbEtl {
       // reference computes-then-discards: AUC is undefined on a
       // single-class or empty holdout (the 3-row spec fixture), so null
       // is recorded there rather than a fake number
-      val scoredVal = mlpModel.transform(prep.transform(valid))
+      // scored holdout feeds two actions (count/classes agg + AUC):
+      // cache so feature transform + scoring run once, not twice
+      val scoredVal = mlpModel.transform(prep.transform(valid)).cache()
       val valAgg = scoredVal.agg(count(lit(1)), countDistinct(col("TARGET"))).head()
       val (valN, valClasses) = (valAgg.getLong(0), valAgg.getLong(1))
       val valAuc: Option[Double] =
@@ -202,6 +204,7 @@ object PbEtl {
       val model = new Pipeline()
         .setStages((prep.stages :+ mlpModel).map(_.asInstanceOf[PipelineStage]))
         .fit(train) // all stages are Transformers: copy-through, no refit
+      scoredVal.unpersist()
       trainF.unpersist()
       train.unpersist()
 

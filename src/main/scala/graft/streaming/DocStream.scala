@@ -63,10 +63,10 @@ object DocStream {
     import graft.TextOps
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val postings = docs.toDF()
-      .withColumn("hs", TextOps.shingleHashSet(col("text"), 3))
+      .withColumn("hs", TextOps.shingleHashSet(col("text"), TextOps.NearDupShingleN))
       .filter(size(col("hs")) > 0)
-      .withColumn("mh", TextOps.minhashes(col("hs"), 16))
-      .withColumn("bands", TextOps.bandKeys(col("mh"), 4, 4))
+      .withColumn("mh", TextOps.minhashes(col("hs"), TextOps.NearDupMinhashK))
+      .withColumn("bands", TextOps.bandKeys(col("mh"), TextOps.NearDupBands, TextOps.NearDupRows))
       .select(posexplode(col("bands")).as(Seq("b", "key")),
         col("doc_id"), col("ts"), col("mh"))
       .as[BandPosting]

@@ -31,6 +31,12 @@ object EventStream {
   /** Open-session accumulator (epoch millis to keep state compact). */
   final case class SessionState(start: Long, end: Long, n: Long)
 
+  /** All of a user's not-yet-final session clusters. More than one can
+    * be open at once: a cluster is final only when the watermark passes
+    * its end + gap — until then a late in-watermark event may still
+    * bridge into it, so emitting it early would fragment the session. */
+  final case class SessionsState(sessions: List[SessionState])
+
   val SessionGapMs: Long = 30L * 60 * 1000
 
   /** Per-type hourly counts/sums with a 2-hour watermark — the
@@ -52,40 +58,45 @@ object EventStream {
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionUpdate](
+      .flatMapGroupsWithState[SessionsState, SessionUpdate](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed end+gap: the open session is final
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionUpdate(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
-          } else {
-            // gap-cluster the open session and this batch's events as
-            // sorted INTERVALS: a late event inside the watermark that
-            // predates the open session start can extend it backwards
-            // (min-start merge) or form its own earlier session —
-            // instead of being silently absorbed with wrong bounds
-            val intervals =
-              (state.getOption.map(s => (s.start, s.end, s.n)).toSeq ++
-                evs.map(e => (e.ts.getTime, e.ts.getTime, 1L)))
-                .sortBy(x => (x._1, x._2))
-            val merged = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
-            intervals.foreach { case (s0, e0, n0) =>
-              merged.lastOption match {
-                case Some((ps, pe, pn)) if s0 - pe <= SessionGapMs =>
-                  merged(merged.length - 1) = (ps, math.max(pe, e0), pn + n0)
-                case _ => merged += ((s0, e0, n0))
-              }
+        (user: Long, evs: Iterator[Event], state: GroupState[SessionsState]) =>
+          // gap-cluster the open sessions and this batch's events as
+          // sorted INTERVALS: a late event inside the watermark can
+          // extend a session backwards (min-start merge), bridge two
+          // clusters, or form its own earlier session — never silently
+          // absorbed with wrong bounds. The same code handles the
+          // timeout case (evs is simply empty then).
+          val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+          val intervals =
+            (existing.map(s => (s.start, s.end, s.n)) ++
+              evs.map(e => (e.ts.getTime, e.ts.getTime, 1L)))
+              .sortBy(x => (x._1, x._2))
+          val merged = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+          intervals.foreach { case (s0, e0, n0) =>
+            merged.lastOption match {
+              case Some((ps, pe, pn)) if s0 - pe <= SessionGapMs =>
+                merged(merged.length - 1) = (ps, math.max(pe, e0), pn + n0)
+              case _ => merged += ((s0, e0, n0))
             }
-            // all but the newest cluster are separated by > gap: closed
-            merged.lastOption.foreach { case (s0, e0, n0) =>
-              state.update(SessionState(s0, e0, n0))
-              state.setTimeoutTimestamp(e0 + SessionGapMs)
-            }
-            merged.dropRight(1).iterator.map { case (s0, e0, n0) =>
-              SessionUpdate(user, new Timestamp(s0), new Timestamp(e0), n0)
-            }
+          }
+          // a cluster is FINAL only once the watermark passes its
+          // end + gap: no admissible event can bridge into it anymore.
+          // Everything else (even clusters separated by > gap inside
+          // this batch) stays open — emitting early would fragment a
+          // session a late in-watermark event later bridges.
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition { case (_, e0, _) =>
+            e0 + SessionGapMs <= wm
+          }
+          if (open.nonEmpty) {
+            state.update(SessionsState(
+              open.toList.map { case (s0, e0, n0) => SessionState(s0, e0, n0) }))
+            // wake when the OLDEST open cluster becomes final
+            state.setTimeoutTimestamp(open.map(_._2).min + SessionGapMs)
+          } else state.remove()
+          closed.iterator.map { case (s0, e0, n0) =>
+            SessionUpdate(user, new Timestamp(s0), new Timestamp(e0), n0)
           }
       }
   }

@@ -141,7 +141,7 @@ class DedupSpec extends SparkSpec {
     assert(again > 0)
     assert(IvfIndex.kmeansFits == fitsBefore, "KMeans re-fit on a warm index")
     // salting: different nlist relocates the index
-    assert(IvfIndex.dir(d, 16, 42L) != IvfIndex.dir(d, 32, 42L))
+    assert(IvfIndex.dir(spark, d, 16, 42L) != IvfIndex.dir(spark, d, 32, 42L))
   }
 
   test("token stats agree with the documents table's own n_chars") {

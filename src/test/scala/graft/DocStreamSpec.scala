@@ -58,9 +58,9 @@ class DocStreamSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       // batch twin: band-bucket collision pairs (q23's candidate stage)
       val sets = Tables.documents(spark, d)
-        .select(col("doc_id"), TextOps.shingleHashSet(col("text"), 3).as("hs"))
+        .select(col("doc_id"), TextOps.shingleHashSet(col("text"), TextOps.NearDupShingleN).as("hs"))
         .filter(size(col("hs")) > 0)
-        .select(col("doc_id"), TextOps.bandKeys(TextOps.minhashes(col("hs"), 16), 4, 4).as("bands"))
+        .select(col("doc_id"), TextOps.nearDupBandKeys(col("hs")).as("bands"))
       val bands = sets.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
       val batch = bands.as("x").join(bands.as("y"),
           col("x.b") === col("y.b") && col("x.key") === col("y.key") &&

@@ -54,10 +54,15 @@ class EventStreamSpec extends SparkSpec {
     try {
       mem.addData(evs: _*)
       q.processAllAvailable()
-      // watermark far past every session end + gap: all sessions emit
+      // watermark far past every session end + gap: all sessions emit.
+      // Each advancing batch raises the watermark computed from the
+      // PREVIOUS batch's max event time, so user 3's own first session
+      // needs one extra advance to become final.
       mem.addData(Event(99, ts(10000), 3, "click", 0.0))
       q.processAllAvailable()
       mem.addData(Event(100, ts(20000), 3, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(101, ts(30000), 3, "click", 0.0))
       q.processAllAvailable()
       val out = spark.table("sess_out").as[SessionUpdate].collect()
         .map(s => (s.user_id, s.session_start.getTime / 60000 - Base,
@@ -66,7 +71,9 @@ class EventStreamSpec extends SparkSpec {
       assert(out.contains((1L, 70L, 70L, 1L))) // user 1: singleton at 70
       assert(out.contains((2L, 5L, 5L, 1L)))   // user 2: singleton at 5
       assert(out.contains((2L, 65L, 75L, 2L))) // user 2: [65,75] 2 events
-      assert(out.size == 5) // + user 3's first closed session
+      // + user 3's first two advancing events, themselves finalized once
+      // the watermark passed them; only the newest (30000) stays open
+      assert(out.size == 6, out.toString)
     } finally q.stop()
   }
 
@@ -99,6 +106,34 @@ class EventStreamSpec extends SparkSpec {
       assert(out.contains((7L, 92L, 100L, 3L)), out.toString) // backward-extended
       assert(out.contains((9L, 91L, 91L, 1L)), out.toString)  // in-batch gap close
       assert(out.contains((9L, 150L, 150L, 1L)), out.toString)
+    } finally q.stop()
+  }
+
+  test("sessionization: a late bridge event unifies clusters that arrived > gap apart") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_bridge_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two events 35 min apart — two clusters, but neither is
+      // final (watermark hasn't passed end+gap), so NOTHING emits yet
+      mem.addData(Event(1, ts(200), 11, "click", 1.0), Event(2, ts(235), 11, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a late event at 227 (admissible: watermark is 225)
+      // bridges the clusters — batch q19 semantics say ONE session
+      mem.addData(Event(3, ts(227), 11, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(9, ts(10000), 12, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(20000), 12, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_bridge_out").as[SessionUpdate].collect()
+        .filter(_.user_id == 11L)
+        .map(s => (s.session_start.getTime / 60000 - Base,
+          s.session_end.getTime / 60000 - Base, s.n_events)).toSet
+      assert(out == Set((200L, 235L, 3L)), out.toString)
     } finally q.stop()
   }
 
