@@ -135,6 +135,44 @@ object Similarity {
     rankTopK(scored, k = 5)
   }
 
+  /** Quantized-scan ANN: per-vector symmetric int8 quantization
+    * (scale = 127/max|v_i|, sign-aware floor(+0.5) rounding — floor is
+    * bit-exact cross-engine where round() on binary halves is not),
+    * coarse top-20 by quantized cosine, exact re-rank to top-5.
+    *
+    * The 100 TB story is the scan: int8 vectors are 4× smaller than
+    * float32 (16× vs these float64 test columns), so the full-corpus
+    * coarse pass reads a quarter of the bytes and the exact vectors are
+    * fetched only for ~20 candidates per query. All quantized values
+    * are small integers carried in doubles, so every product and sum is
+    * EXACT — the coarse scores, the tie-breaks, and therefore the
+    * candidate sets match the DuckDB oracle bit-for-bit (q48). */
+  def int8TopK(spark: SparkSession, d: String, coarseK: Int = 20): DataFrame = {
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    val quant = transform(col("v"), x =>
+      when(x >= 0, floor(abs(x * col("sc")) + lit(0.5)))
+        .otherwise(-floor(abs(x * col("sc")) + lit(0.5))).cast("double"))
+    val e = withNorm(Tables.embeddings(spark, d))
+      .withColumn("ma", maxabs).filter(col("ma") > 0)
+      .withColumn("sc", lit(127.0) / col("ma"))
+      .withColumn("q", quant)
+      .withColumn("qn", dot(col("q"), col("q")))
+      .filter(col("qn") > 0)
+      .select(col("vec_id"), col("v"), col("nn"), col("q"), col("qn"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qvn"),
+        col("q").as("qq"), col("qn").as("qqn"))
+    import org.apache.spark.sql.expressions.Window
+    val wCoarse = Window.partitionBy(col("q_id")).orderBy(col("ac").desc, col("vec_id"))
+    val coarse = broadcast(qs).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("ac", dot(col("qq"), col("q")) / sqrt(col("qqn") * col("qn")))
+      .withColumn("rn", row_number().over(wCoarse))
+      .filter(col("rn") <= coarseK)
+    rankTopK(
+      coarse.withColumn("cos", cosine(col("qv"), col("v"), col("qvn"), col("nn"))),
+      k = 5)
+  }
+
   /** ANN top-k (k=5) for vec_id < 10: candidates = vectors sharing any
     * of the 4 LSH buckets with the query, ranked by exact cosine. */
   def lshTopK(spark: SparkSession, d: String): DataFrame = {

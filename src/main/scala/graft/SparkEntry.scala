@@ -77,6 +77,9 @@ object SparkEntry {
     "q46_dedup_jaccard_prefix" -> (Dedup.ngramJaccardPrefix _),
     // BPE-ish regex pre-tokenization counts (letters/digits/punct runs)
     "q47_text_subwords" -> (TextAnalysis.subwordStats _),
+    // int8-quantized coarse scan + exact re-rank (quantized scores are
+    // exact integer arithmetic — candidate sets hash-match the oracle)
+    "q48_knn_int8" -> ((s: SparkSession, dir: String) => Similarity.int8TopK(s, dir)),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -478,6 +481,29 @@ object SparkEntry {
         |  min(cts - vts) AS min_gap_us, max(value) AS max_view_value
         |FROM j GROUP BY click_id, user_id
         |ORDER BY click_id""".stripMargin,
+    "q48_knn_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |       127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
+        |       FROM e WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0),
+        |q8 AS (SELECT vec_id, v, list_transform(v, x ->
+        |         CASE WHEN x >= 0 THEN floor(abs(x * sc) + 0.5)
+        |              ELSE -floor(abs(x * sc) + 0.5) END) q FROM s),
+        |qq AS (SELECT vec_id, v, q, list_dot_product(q, q) qn FROM q8
+        |       WHERE list_dot_product(q, q) > 0),
+        |cand AS (SELECT a.vec_id q_id, b.vec_id vec_id,
+        |         list_dot_product(a.q, b.q) / sqrt(a.qn * b.qn) ac, a.v qv, b.v nv
+        |         FROM qq a JOIN qq b ON b.vec_id != a.vec_id
+        |         WHERE a.vec_id < 10),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                    ORDER BY ac DESC, vec_id) rn FROM cand),
+        |ex AS (SELECT q_id, vec_id, list_dot_product(qv, nv)
+        |       / sqrt(list_dot_product(qv, qv) * list_dot_product(nv, nv)) c
+        |       FROM r1 WHERE rn <= 20),
+        |r2 AS (SELECT q_id, vec_id neighbor_id, c,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) rnk FROM ex)
+        |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
+        |FROM r2 WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "q47_text_subwords" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_alpha,
