@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the steps between "deduped documents"
+  * and "training batches" in an LLM data pipeline (SURVEY.md §2.9
+  * extensions). Like Dedup/Similarity, these have no counterpart in
+  * the reference (pb-etl stops at tabular features); they are designed
+  * scale-first and oracle-checked cell-for-cell.
+  */
+object Curation {
+  import TextOps._
+
+  /** Per-language sampling rates (permille) for mixture rebalancing:
+    * downsample the dominant language, keep the tail. Strata without a
+    * configured rate are dropped (a production pipeline would supply a
+    * default row). */
+  private val MixturePermille =
+    Seq(("en", 250L), ("de", 800L), ("es", 800L), ("fr", 800L), ("zh", 800L))
+
+  /** Deterministic stratified sampling for mixture rebalancing.
+    *
+    * The sample key is a CONTENT hash (`polyhash(text) % 1000`), not a
+    * random draw: the same document always lands on the same side of
+    * the cut, so re-ingesting, re-sharding, or incrementally extending
+    * the corpus never flips membership — the property that makes the
+    * sample reproducible across 100 TB reruns and lets an incremental
+    * pipeline union new shards without resampling old ones. Rates are
+    * a tiny dimension broadcast-joined onto the scan; the whole
+    * operator is scan → per-row hash → filter, zero shuffles, and the
+    * filter prunes before any downstream exchange. */
+  def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val rates = MixturePermille.toDF("lang", "permille")
+    Tables.documentsDist(spark, d)
+      .withColumn("skey", polyHash(col("text")) % 1000L)
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("skey") < col("permille"))
+      .select(col("doc_id"), col("lang"), col("skey"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokens per context window for `packWindows`. */
+  val WindowBudget = 512L
+
+  /** Context-window sequence packing: concatenate each language's
+    * documents in deterministic doc_id order and chunk the token
+    * stream at a fixed budget — the "concat and split" packing used to
+    * build pretraining batches. A document is assigned to the window
+    * where it STARTS (window_id = floor(preceding_tokens / budget));
+    * `off_in_win` is its token offset inside that window.
+    *
+    * Shape: one running-sum window function per language partition —
+    * a single range-partitioned sort, no joins. At 100 TB a single
+    * partition per language would skew; the production variant
+    * partitions by (lang, shard) with per-shard token streams — same
+    * plan with a composite key, packing quality unchanged since
+    * windows never span shards by construction. */
+  def packWindows(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("prev_tok",
+        coalesce(sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("prev_tok") / lit(WindowBudget)).cast("long").as("window_id"),
+        (col("prev_tok") % lit(WindowBudget)).as("off_in_win"))
+      .orderBy(col("doc_id"))
+  }
+}

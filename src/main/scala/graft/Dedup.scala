@@ -220,6 +220,55 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Near-dup cluster assignment: connected components over the
+    * MinHash/LSH pair graph (q23), labels = min doc_id of the
+    * component; singletons are their own cluster. This is the step a
+    * real pipeline runs after pair generation — "keep one canonical doc
+    * per duplicate cluster" needs components, not pairs (A~B, B~C must
+    * collapse to one cluster even when A~C was never emitted).
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * vertex takes the min of its own and its neighbors' labels; a
+    * driver-side scalar count detects the fixpoint. One shuffle
+    * (edge⋈label hash join + partial-agg groupBy) per round, rounds ≤
+    * graph diameter. Near-dup graphs are short-diameter (clusters are
+    * quasi-cliques — band collisions link most member pairs directly),
+    * so this converges in a handful of rounds at any corpus size; a
+    * production deployment with adversarial long-chain components
+    * would swap in alternating large-star/small-star (Kiveris et al.,
+    * MapReduce CC) for O(log n) rounds — same per-round plan shape.
+    * Each round is materialized via persist+count (truncating
+    * recomputation); long jobs would periodically checkpoint to cut
+    * lineage. */
+  def nearDupClusters(spark: SparkSession, d: String): DataFrame = {
+    val pairs = minhashNearDup(spark, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    var labels = Tables.documents(spark, d)
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 100) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("nl"))
+      val merged = labels
+        .join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("nc"))
+        .persist()
+      converged = merged.filter(col("nc") < col("cluster_id")).isEmpty
+      labels.unpersist()
+      labels = merged.select(col("doc_id"), col("nc").as("cluster_id"))
+      rounds += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact all-pairs cosine ≥ 0.4 — the quadratic ground-truth twin of
     * `embeddingNearDup`, kept for DedupSpec's recall measurement (it is
     * deliberately NOT a `queries` entry: its BroadcastNestedLoopJoin is

@@ -80,6 +80,14 @@ object SparkEntry {
     // int8-quantized coarse scan + exact re-rank (quantized scores are
     // exact integer arithmetic — candidate sets hash-match the oracle)
     "q48_knn_int8" -> ((s: SparkSession, dir: String) => Similarity.int8TopK(s, dir)),
+    // connected components over the q23 near-dup pair graph → canonical
+    // doc per duplicate cluster (oracle: DuckDB recursive CTE closure)
+    "q49_dedup_clusters" -> (Dedup.nearDupClusters _),
+    // content-hash-keyed stratified sampling (mixture rebalance, zero
+    // shuffle, reproducible under re-ingestion)
+    "q50_sample_stratified" -> (Curation.stratifiedSample _),
+    // concat-and-chunk context-window packing (per-lang running sums)
+    "q51_pack_windows" -> (Curation.packWindows _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -271,6 +279,50 @@ object SparkEntry {
          |FROM cm JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
          |WHERE cm / (x.sz + y.sz - cm) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // q23's pair pipeline, then WITH RECURSIVE transitive closure from
+    // every doc; component label = min reachable doc_id (incl. self)
+    "q49_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |mh AS (SELECT doc_id, j, min(((2*j + 1) * h + 12345 + 7919*j) % 1000000007) m
+         |       FROM sh, generate_series(0, 15) g(j) GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, j // 4 AS b,
+         |          list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
+         |                      (acc, x) -> (acc * 131 + x) % 1000000007) AS key
+         |          FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x JOIN bands y
+         |         ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         |cm AS (SELECT da, db, count(*) cm FROM cand
+         |       JOIN sh p ON p.doc_id = da JOIN sh q ON q.doc_id = db AND q.h = p.h
+         |       GROUP BY da, db),
+         |sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT da, db FROM cm JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |          WHERE cm / (x.sz + y.sz - cm) >= 0.5),
+         |edges AS (SELECT da s, db t2 FROM pairs UNION ALL SELECT db, da FROM pairs),
+         |reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+         |          UNION
+         |          SELECT r.src, e.t2 FROM reach r JOIN edges e ON r.dst = e.s),
+         |lbl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |cn AS (SELECT cluster_id, count(*) AS cluster_n FROM lbl GROUP BY cluster_id)
+         |SELECT l.doc_id, l.cluster_id, cn.cluster_n
+         |FROM lbl l JOIN cn ON cn.cluster_id = l.cluster_id
+         |ORDER BY l.doc_id""".stripMargin,
+    "q50_sample_stratified" ->
+      s"""WITH r(lang, permille) AS (VALUES ('en', 250), ('de', 800), ('es', 800),
+         |                                 ('fr', 800), ('zh', 800)),
+         |dd AS (SELECT doc_id, lang, ${H("text")} % 1000 AS skey FROM documents)
+         |SELECT dd.doc_id, dd.lang, dd.skey FROM dd JOIN r ON r.lang = dd.lang
+         |WHERE dd.skey < r.permille ORDER BY dd.doc_id""".stripMargin,
+    "q51_pack_windows" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |           len(string_split(text, ' '))::BIGINT n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |      coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) prev_tok FROM t)
+        |SELECT doc_id, lang, n_tok, (prev_tok // 512)::BIGINT AS window_id,
+        |       (prev_tok % 512)::BIGINT AS off_in_win
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q24_dedup_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${H("tok")} AS h FROM
          |  (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) tok FROM documents)),

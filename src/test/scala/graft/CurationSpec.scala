@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Curation operators (stratified sampling, window packing) on sf0.001 —
+  * value-level properties beyond the DuckDB parity gate (q50/q51). */
+class CurationSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("stratified sample: keys in range, rates respected, deterministic") {
+    val out = Curation.stratifiedSample(spark, d).collect()
+    assert(out.nonEmpty)
+    val rates = Map("en" -> 250L, "de" -> 800L, "es" -> 800L, "fr" -> 800L, "zh" -> 800L)
+    out.foreach { r =>
+      val (lang, skey) = (r.getString(1), r.getLong(2))
+      assert(skey >= 0L && skey < 1000L)
+      assert(skey < rates(lang)) // membership is exactly the hash cut
+    }
+    // content-keyed ⇒ bit-identical on re-run
+    val again = Curation.stratifiedSample(spark, d).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // the en stratum is actually downsampled vs its 80% siblings:
+    // observed keep-rate must be closer to 25% than to 80%
+    val en = out.count(_.getString(1) == "en").toDouble
+    val enTotal = Tables.documents(spark, d).filter(col("lang") === "en").count().toDouble
+    assert(en / enTotal < 0.55, s"en keep-rate ${en / enTotal}")
+  }
+
+  test("window packing: offsets within budget, windows advance with the token stream") {
+    val rows = Curation.packWindows(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = Tables.documents(spark, d).count()
+    assert(rows.length == nDocs)
+    rows.foreach { case (_, _, _, _, off) => assert(off >= 0L && off < Curation.WindowBudget) }
+    // recompute the concat-and-chunk assignment locally per language
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, _, nTok, win, off) =>
+        assert(win == cum / Curation.WindowBudget, s"doc $id window")
+        assert(off == cum % Curation.WindowBudget, s"doc $id offset")
+        cum += nTok
+      }
+    }
+  }
+}

@@ -134,6 +134,36 @@ class DedupSpec extends SparkSpec {
     assert(hits >= bf.size * 6 / 10, s"recall ${hits.toDouble / bf.size}")
   }
 
+  test("int8 knn: exact re-rank cosines, high recall vs brute force") {
+    val bf = Similarity.bruteForceTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val q = Similarity.int8TopK(spark, d).collect()
+    assert(q.nonEmpty)
+    // re-rank is exact cosine → must agree exactly on shared pairs
+    q.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c == r.getDouble(2)))
+    }
+    // 20 coarse candidates at 7-bit precision recover nearly all of top-5
+    val hits = q.count(r => bf.contains((r.getLong(0), r.getLong(1))))
+    assert(hits >= bf.size * 8 / 10, s"recall ${hits.toDouble / bf.size}")
+  }
+
+  test("near-dup clusters: components cover the pair graph, labels are component minima") {
+    val pairs = Dedup.minhashNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Dedup.nearDupClusters(spark, d).collect()
+    val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = Tables.documents(spark, d).count()
+    assert(rows.length == nDocs) // every doc labeled, singletons included
+    // both endpoints of every near-dup pair share a cluster
+    pairs.foreach { case (a, b) => assert(label(a) == label(b), s"$a/$b split") }
+    // the label IS the min doc_id of its member set
+    label.groupBy(_._2).foreach { case (lbl, m) => assert(m.keys.min == lbl) }
+    // sizes are consistent with membership
+    val sizes = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    label.groupBy(_._2).foreach { case (lbl, m) => assert(sizes(lbl) == m.size.toLong) }
+  }
+
   test("IVF index is a persisted salted stage: second invocation refits nothing") {
     Similarity.ivfTopK(spark, d).count() // ensure built (may hit an existing index)
     val fitsBefore = IvfIndex.kmeansFits
