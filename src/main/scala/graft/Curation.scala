@@ -41,6 +41,36 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language mixture weights in permille (1000 = keep once,
+    * 2500 = 2.5 epochs, 700 = downsample to 0.7). */
+  private val UpweightPermille =
+    Seq(("en", 1000L), ("de", 2500L), ("es", 1300L), ("fr", 1300L), ("zh", 700L))
+
+  /** Deterministic mixture upweighting — the >1× counterpart of
+    * `stratifiedSample`. A weight w in permille expands each document
+    * to floor(w/1000) copies plus one more iff its content hash falls
+    * under w mod 1000 — so the EXPECTED copy count equals w/1000 while
+    * every decision stays content-keyed (reproducible across reruns
+    * and incremental shards; the same docs carry the fractional epoch
+    * every time, which is what makes mixture experiments comparable).
+    * Shape: scan → broadcast-join the weight dim → per-row
+    * `explode(sequence(...))`; row amplification is exactly the target
+    * epoch factor, no shuffle. */
+  def upsample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val weights = UpweightPermille.toDF("lang", "wpm")
+    Tables.documentsDist(spark, d)
+      .withColumn("skey", polyHash(col("text")) % 1000L)
+      .join(broadcast(weights), Seq("lang"))
+      .withColumn("n_copies",
+        expr("wpm div 1000") +
+          when(col("skey") < col("wpm") % 1000L, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+
   /** Tokens per context window for `packWindows`. */
   val WindowBudget = 512L
 

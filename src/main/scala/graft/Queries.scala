@@ -372,4 +372,30 @@ object Queries {
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("month"), col("o_orderstatus"))
+
+  /** Column profiler (ANALYZE-style data quality pass) over lineitem's
+    * numeric measures: one scan, `stack` unpivot, one hash-agg shuffle.
+    * Every statistic is order-independent and exact (counts, exact
+    * distinct, min/max) so the profile hash-matches any engine; the
+    * one-pass approximate twin for 100 TB interactive profiling is the
+    * sketch family (q37: HLL++ distinct, approx percentiles). The
+    * unpivot amplifies rows 4× before the partial agg — the wide
+    * alternative (one row of 4×5 aggregates, no amplification) trades
+    * schema-as-data for throughput; this shape keeps the output
+    * relational (a column catalog) which is what a profiler feeds. */
+  def profileColumns(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .selectExpr(
+        """stack(4,
+          |  'l_quantity', l_quantity,
+          |  'l_extendedprice', l_extendedprice,
+          |  'l_discount', l_discount,
+          |  'l_tax', l_tax) AS (col_name, v)""".stripMargin)
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("v"))).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        round(min(col("v")), 2).as("min_v"),
+        round(max(col("v")), 2).as("max_v"))
+      .orderBy(col("col_name"))
 }

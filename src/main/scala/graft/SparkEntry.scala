@@ -88,6 +88,12 @@ object SparkEntry {
     "q50_sample_stratified" -> (Curation.stratifiedSample _),
     // concat-and-chunk context-window packing (per-lang running sums)
     "q51_pack_windows" -> (Curation.packWindows _),
+    // ANALYZE-style column profiler: unpivot + one exact hash-agg pass
+    "q52_profile_columns" -> (Queries.profileColumns _),
+    // weighted-term search: zero-shuffle tf scoring + TakeOrdered top-k
+    "q53_term_search" -> (TextAnalysis.termSearch _),
+    // content-keyed mixture upweighting (fractional epochs, >=1x langs)
+    "q54_sample_upweight" -> (Curation.upsample _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -308,6 +314,37 @@ object SparkEntry {
          |SELECT l.doc_id, l.cluster_id, cn.cluster_n
          |FROM lbl l JOIN cn ON cn.cluster_id = l.cluster_id
          |ORDER BY l.doc_id""".stripMargin,
+    "q52_profile_columns" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT col_name, count(*) AS n, count(*) - count(v) AS n_null,
+        |       count(DISTINCT v) AS n_distinct,
+        |       round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+    "q53_term_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+        |s AS (SELECT doc_id,
+        |        len(list_filter(tk, x -> x = 'hash'))::BIGINT tf_hash,
+        |        len(list_filter(tk, x -> x = 'join'))::BIGINT tf_join,
+        |        len(list_filter(tk, x -> x = 'vector'))::BIGINT tf_vector
+        |      FROM t)
+        |SELECT doc_id, tf_hash, tf_join, tf_vector,
+        |       (tf_hash * 3 + tf_join * 2 + tf_vector)::BIGINT AS score
+        |FROM s WHERE tf_hash * 3 + tf_join * 2 + tf_vector > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q54_sample_upweight" ->
+      s"""WITH w(lang, wpm) AS (VALUES ('en', 1000), ('de', 2500), ('es', 1300),
+         |                            ('fr', 1300), ('zh', 700)),
+         |dd AS (SELECT doc_id, d.lang, ${H("text")} % 1000 AS skey, wpm
+         |       FROM documents d JOIN w ON w.lang = d.lang),
+         |c AS (SELECT doc_id, lang,
+         |      (wpm // 1000 + CASE WHEN skey < wpm % 1000 THEN 1 ELSE 0 END)::BIGINT n_copies
+         |      FROM dd)
+         |SELECT doc_id, lang, unnest(generate_series(1, n_copies))::BIGINT AS copy_id
+         |FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_id""".stripMargin,
     "q50_sample_stratified" ->
       s"""WITH r(lang, permille) AS (VALUES ('en', 250), ('de', 800), ('es', 800),
          |                                 ('fr', 800), ('zh', 800)),

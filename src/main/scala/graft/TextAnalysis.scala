@@ -88,6 +88,26 @@ object TextAnalysis {
           .cast("long").as("n_units"))
       .orderBy(col("doc_id"))
 
+  /** Weighted-term search: score = Σ weight(term) × tf(term), top-10
+    * by score (doc_id tie-break). The scan is per-row term counting —
+    * zero shuffle — and the global top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, no sort of the full
+    * corpus). Integer scoring keeps ranking portable across engines;
+    * a production relevance pass would add BM25's df/length terms from
+    * a broadcast vocabulary table — same plan shape. */
+  def termSearch(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    def tf(term: String) =
+      size(filter(t, x => x === term)).cast("long").as(s"tf_$term")
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"), tf("hash"), tf("join"), tf("vector"))
+      .withColumn("score",
+        col("tf_hash") * 3L + col("tf_join") * 2L + col("tf_vector"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Document fingerprinting: full-text rolling hash plus a winnowed
     * min-hash over 8-token windows (the content-defined signature used
     * for shard-local dedup at ingest). */

@@ -26,6 +26,30 @@ class CurationSpec extends SparkSpec {
     assert(en / enTotal < 0.55, s"en keep-rate ${en / enTotal}")
   }
 
+  test("upweighting: copy counts hit the integer/fractional split per language") {
+    val rows = Curation.upsample(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val copies = rows.groupBy(t => (t._1, t._2)).map { case ((id, lang), cs) =>
+      // copy_id is a dense 1..n sequence
+      assert(cs.map(_._3).sorted.toSeq == (1L to cs.size).toSeq, s"doc $id")
+      (lang, cs.size)
+    }.toSeq
+    // every doc of an integer-weight language appears exactly w times
+    copies.filter(_._1 == "en").foreach { case (_, n) => assert(n == 1) }
+    // fractional weights: count ∈ {floor, floor+1} and the mean lands
+    // between them (de: 2.5 ⇒ 2 or 3 copies)
+    val de = copies.filter(_._1 == "de").map(_._2)
+    assert(de.forall(n => n == 2 || n == 3))
+    val zh = copies.filter(_._1 == "zh").map(_._2)
+    assert(zh.forall(_ == 1)) // 0.7: kept docs appear once, rest dropped
+    val zhTotal = Tables.documents(spark, d).filter(col("lang") === "zh").count()
+    assert(zh.size < zhTotal) // some zh docs actually dropped
+    // deterministic on re-run
+    val again = Curation.upsample(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("window packing: offsets within budget, windows advance with the token stream") {
     val rows = Curation.packWindows(spark, d).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
