@@ -60,6 +60,29 @@ class PlanSpec extends SparkSpec {
     assert(!r.contains("BroadcastNestedLoopJoin") && !r.contains("CartesianProduct"), r)
   }
 
+  test("q50/q54: sampling is scan+broadcast-join+filter — no exchange except the output sort") {
+    for (p <- Seq(planOf(Curation.stratifiedSample(spark, d)),
+                  planOf(Curation.upsample(spark, d)))) {
+      assert(p.contains("BroadcastHashJoin"), p) // the rate/weight dim
+      // no key shuffle anywhere: the only exchanges are the final ORDER
+      // BY's rangepartitioning, the broadcast of the rate dim, and the
+      // fixture-only round-robin spread in Tables.documentsDist
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    }
+  }
+
+  test("q53: term search tops out via TakeOrderedAndProject, zero joins") {
+    val p = planOf(TextAnalysis.termSearch(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q48: int8 coarse pass broadcasts the queries; no nested-loop verify") {
+    val p = planOf(Similarity.int8TopK(spark, d))
+    assert(p.contains("graft_dot"), p) // quantized dots run in the native kernel
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen wraps the scan-side pipeline (q01, final AQE plan)") {
     val df = Queries.pricingSummary(spark, d)
     df.collect() // AQE finalizes codegen stages only in the final plan
