@@ -269,6 +269,78 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Eval-set decontamination: flag corpus documents sharing any
+    * 4-gram with the held-out benchmark set (doc_id ≡ 0 mod 97 stands
+    * in for the eval suite). This is the training-data hygiene pass
+    * run before every pretraining job — benchmark leakage is measured
+    * by verbatim n-gram overlap, not similarity.
+    *
+    * Shape: the eval side is tiny (benchmarks are thousands of docs vs
+    * a 100 TB corpus), so its distinct shingle hashes BROADCAST and
+    * the corpus side is a scan → per-row shingles → broadcast
+    * hash-semi-join → per-doc count. No corpus-side shuffle except the
+    * final aggregation on the (few) contaminated docs. */
+  def decontaminate(spark: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), explode(shingleHashSet(col("text"), 4)).as("h"))
+    val ev = sh.filter(col("doc_id") % 97 === 0).select(col("h")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(ev), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // per-doc shingles are distinct
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental ingest dedup: a new batch (source index ≥ 15) joins a
+    * standing corpus (source index < 15); new documents are dropped
+    * when they exactly match a corpus text OR near-match one at
+    * Jaccard ≥ 0.5 via the q23 MinHash/LSH band machinery — candidates
+    * only from cross-set band collisions, exact verify on candidates.
+    * Survivors are what the pipeline appends.
+    *
+    * This is the steady-state shape of corpus maintenance at 100 TB:
+    * the batch side is small relative to the corpus, both sides are
+    * blocked by band keys (the corpus never self-joins), and the
+    * exact-text pass catches sub-shingle-length docs the MinHash path
+    * can't see. */
+  def ingestDedup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documentsDist(spark, d)
+      .withColumn("is_new", substring(col("source"), 4, 10).cast("int") >= 15)
+    val fresh = docs.filter(col("is_new"))
+    // 1. exact text match against the corpus (hash anti-join)
+    val corpusKeys = docs.filter(!col("is_new"))
+      .select(lower(col("text")).as("k")).distinct()
+    val s1 = fresh.join(corpusKeys, lower(fresh("text")) === col("k"), "left_anti")
+    // 2. near-dup vs corpus: cross-set band candidates, exact verify
+    val sets = docs
+      .select(col("doc_id"), col("is_new"),
+        shingleHashSet(col("text"), NearDupShingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("bands", nearDupBandKeys(col("hs")))
+    sets.cache()
+    def bandsOf(newSide: Boolean) = sets
+      .filter(if (newSide) col("is_new") else !col("is_new"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
+    val cand = bandsOf(true).as("x")
+      .join(bandsOf(false).as("y"), Seq("b", "key"))
+      .select(col("x.doc_id").as("did"), col("y.doc_id").as("cid"))
+      .distinct()
+    val h = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val common = cand
+      .join(h.as("p"), col("did") === col("p.doc_id"))
+      .join(h.as("q"), col("cid") === col("q.doc_id") && col("p.h") === col("q.h"))
+      .groupBy(col("did"), col("cid")).agg(count(lit(1)).as("cm"))
+    val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
+    val nearDup = common
+      .join(broadcast(sz.select(col("doc_id").as("did"), col("sz").as("sa"))), "did")
+      .join(broadcast(sz.select(col("doc_id").as("cid"), col("sz").as("sb"))), "cid")
+      .filter(col("cm") / (col("sa") + col("sb") - col("cm")) >= 0.5)
+      .select(col("did").as("doc_id")).distinct()
+    s1.join(nearDup, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact all-pairs cosine ≥ 0.4 — the quadratic ground-truth twin of
     * `embeddingNearDup`, kept for DedupSpec's recall measurement (it is
     * deliberately NOT a `queries` entry: its BroadcastNestedLoopJoin is

@@ -94,6 +94,10 @@ object SparkEntry {
     "q53_term_search" -> (TextAnalysis.termSearch _),
     // content-keyed mixture upweighting (fractional epochs, >=1x langs)
     "q54_sample_upweight" -> (Curation.upsample _),
+    // benchmark-leakage scan: 4-gram overlap vs broadcast eval set
+    "q55_decontaminate" -> (Dedup.decontaminate _),
+    // new-batch-vs-corpus ingest dedup: exact + banded near-dup drops
+    "q56_ingest_dedup" -> (Dedup.ingestDedup _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -314,6 +318,43 @@ object SparkEntry {
          |SELECT l.doc_id, l.cluster_id, cn.cluster_n
          |FROM lbl l JOIN cn ON cn.cluster_id = l.cluster_id
          |ORDER BY l.doc_id""".stripMargin,
+    "q55_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+3], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) i FROM t)),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, count(*) AS n_shared
+         |FROM sh s JOIN ev ON ev.h = s.h WHERE s.doc_id % 97 != 0
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q56_ingest_dedup" ->
+      s"""WITH t AS (SELECT doc_id, lang, substr(source, 4)::INT >= 15 AS is_new,
+         |           regexp_split_to_array(text, ' ') tk, lower(text) lt FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |mh AS (SELECT doc_id, j, min(((2*j + 1) * h + 12345 + 7919*j) % 1000000007) m
+         |       FROM sh, generate_series(0, 15) g(j) GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, j // 4 AS b,
+         |          list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
+         |                      (acc, x) -> (acc * 131 + x) % 1000000007) AS key
+         |          FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT x.doc_id did, y.doc_id cid
+         |         FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+         |         JOIN t tx ON tx.doc_id = x.doc_id
+         |         JOIN t ty ON ty.doc_id = y.doc_id
+         |         WHERE tx.is_new AND NOT ty.is_new),
+         |cm AS (SELECT did, cid, count(*) cm FROM cand
+         |       JOIN sh p ON p.doc_id = did JOIN sh q ON q.doc_id = cid AND q.h = p.h
+         |       GROUP BY did, cid),
+         |sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+         |nd AS (SELECT DISTINCT did FROM cm JOIN sz x ON x.doc_id = did
+         |       JOIN sz y ON y.doc_id = cid
+         |       WHERE cm / (x.sz + y.sz - cm) >= 0.5),
+         |ex AS (SELECT DISTINCT a.doc_id FROM t a JOIN t b ON a.lt = b.lt
+         |       AND NOT b.is_new WHERE a.is_new)
+         |SELECT doc_id, lang FROM t WHERE is_new
+         |  AND doc_id NOT IN (SELECT did FROM nd)
+         |  AND doc_id NOT IN (SELECT doc_id FROM ex)
+         |ORDER BY doc_id""".stripMargin,
     "q52_profile_columns" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem UNION ALL

@@ -164,6 +164,33 @@ class DedupSpec extends SparkSpec {
     label.groupBy(_._2).foreach { case (lbl, m) => assert(sizes(lbl) == m.size.toLong) }
   }
 
+  test("decontamination flags exactly the docs sharing a 4-gram with the eval set") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq.sliding(4)
+        .filter(_.size == 4).map(_.mkString(" ")).toSet).toMap
+    val evalShingles = docs.filter(_._1 % 97 == 0).values.flatten.toSet
+    val expected = docs.filter { case (id, sh) =>
+      id % 97 != 0 && (sh & evalShingles).nonEmpty
+    }.map { case (id, sh) => id -> (sh & evalShingles).size.toLong }
+    val got = Dedup.decontaminate(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("ingest dedup: survivors are new docs and exact corpus twins always drop") {
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).drop(3).toInt >= 15,
+        r.getString(2).toLowerCase))
+    val corpusTexts = docs.collect { case (_, false, t) => t }.toSet
+    val newDocs = docs.filter(_._2)
+    val out = Dedup.ingestDedup(spark, d).collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty && out.subsetOf(newDocs.map(_._1).toSet))
+    newDocs.foreach { case (id, _, t) =>
+      if (corpusTexts(t)) assert(!out(id), s"exact twin $id survived")
+    }
+  }
+
   test("IVF index is a persisted salted stage: second invocation refits nothing") {
     Similarity.ivfTopK(spark, d).count() // ensure built (may hit an existing index)
     val fitsBefore = IvfIndex.kmeansFits
