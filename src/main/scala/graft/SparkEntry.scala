@@ -98,6 +98,8 @@ object SparkEntry {
     "q55_decontaminate" -> (Dedup.decontaminate _),
     // new-batch-vs-corpus ingest dedup: exact + banded near-dup drops
     "q56_ingest_dedup" -> (Dedup.ingestDedup _),
+    // C4-style quality gate: rule cascade with first-fail verdicts
+    "q57_corpus_filter" -> (TextAnalysis.corpusFilter _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -318,6 +320,15 @@ object SparkEntry {
          |SELECT l.doc_id, l.cluster_id, cn.cluster_n
          |FROM lbl l JOIN cn ON cn.cluster_id = l.cluster_id
          |ORDER BY l.doc_id""".stripMargin,
+    "q57_corpus_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+        |m AS (SELECT doc_id, len(tk)::BIGINT n_tok, len(list_distinct(tk)) n_uniq FROM t)
+        |SELECT doc_id, n_tok,
+        |  CASE WHEN n_tok < 20 THEN 'too_short'
+        |       WHEN n_tok > 90 THEN 'too_long'
+        |       WHEN n_uniq / n_tok < 0.45 THEN 'repetitive'
+        |       ELSE 'keep' END AS verdict
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q55_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
          |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+3], ' ')")} AS h

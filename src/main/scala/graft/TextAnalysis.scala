@@ -88,6 +88,28 @@ object TextAnalysis {
           .cast("long").as("n_units"))
       .orderBy(col("doc_id"))
 
+  /** C4-style quality gate: a rule cascade (length bounds, then
+    * repetition) with a first-fail verdict per document — the pass a
+    * pretraining pipeline runs between scoring and sampling. Pure
+    * per-row arithmetic, zero shuffle; the verdict column feeds a
+    * partitioned write so downstream stages scan only `keep`. All rule
+    * comparisons are int/int divisions both engines evaluate exactly,
+    * so the verdict hash-matches cell-for-cell. */
+  def corpusFilter(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_tok"),
+        size(array_distinct(t)).cast("long").as("n_uniq"))
+      .withColumn("verdict",
+        when(col("n_tok") < 20, "too_short")
+          .when(col("n_tok") > 90, "too_long")
+          .when(col("n_uniq") / col("n_tok") < 0.45, "repetitive")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("n_tok"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Weighted-term search: score = Σ weight(term) × tf(term), top-10
     * by score (doc_id tie-break). The scan is per-row term counting —
     * zero shuffle — and the global top-k plans as

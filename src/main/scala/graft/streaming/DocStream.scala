@@ -30,6 +30,23 @@ object DocStream {
       .dropDuplicatesWithinWatermark("key")
       .select(col("doc_id"), col("ts"), col("text"))
 
+  /** Streaming decontamination — the incremental twin of the batch
+    * q55 pass: arriving documents are flagged when any of their
+    * 4-grams appears in the (static, tiny) benchmark shingle set. The
+    * eval side broadcasts in a stream-static equi-join — the standard
+    * deployment compiles the benchmark suite offline and every
+    * ingest micro-batch probes it; no stream-side state beyond the
+    * watermark-bounded doc_id dedup (a doc sharing several eval
+    * shingles must still flag once). */
+  def decontaminate(docs: Dataset[Doc], evalHashes: DataFrame): DataFrame =
+    docs.toDF()
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        explode(graft.TextOps.shingleHashSet(col("text"), 4)).as("h"))
+      .join(broadcast(evalHashes), "h")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts"))
+
   /** One exploded (band, key) posting of a document's LSH signature. */
   final case class BandPosting(
       b: Int, key: Long, doc_id: Long, ts: Timestamp, mh: Seq[Long])

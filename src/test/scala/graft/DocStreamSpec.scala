@@ -76,6 +76,36 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags exactly the batch q55 doc set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    // static eval side: distinct 4-gram hashes of the benchmark docs
+    val ev = Tables.documents(spark, d)
+      .filter(col("doc_id") % 97 === 0)
+      .select(explode(TextOps.shingleHashSet(col("text"), 4)).as("h"))
+      .distinct()
+    // arriving corpus: the non-eval docs, split across two micro-batches
+    val docs = Tables.documents(spark, d)
+      .filter(col("doc_id") % 97 =!= 0)
+      .selectExpr("doc_id", "timestamp_micros((doc_id + 60000) * 1000000) as ts", "text")
+      .as[Doc].collect().toSeq
+    val mem = MemoryStream[Doc]
+    val q = DocStream.decontaminate(mem.toDS(), ev)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, rest) = docs.splitAt(docs.size / 2)
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(rest: _*); q.processAllAvailable()
+      val stream = spark.table("decon_out").collect().map(_.getLong(0)).toSet
+      val batch = Dedup.decontaminate(spark, d).collect().map(_.getLong(0)).toSet
+      assert(stream == batch, s"stream ${stream.size} vs batch ${batch.size}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream dedup agrees with batch q21 on which texts are distinct") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
