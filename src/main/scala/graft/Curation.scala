@@ -30,10 +30,13 @@ object Curation {
     * a tiny dimension broadcast-joined onto the scan; the whole
     * operator is scan → per-row hash → filter, zero shuffles, and the
     * filter prunes before any downstream exchange. */
-  def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
+  def stratifiedSample(spark: SparkSession, d: String): DataFrame =
+    stratifiedSampleDf(Tables.documentsDist(spark, d))
+
+  private[graft] def stratifiedSampleDf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val rates = MixturePermille.toDF("lang", "permille")
-    Tables.documentsDist(spark, d)
+    docs
       .withColumn("skey", polyHash(col("text")) % 1000L)
       .join(broadcast(rates), Seq("lang"))
       .filter(col("skey") < col("permille"))
@@ -56,10 +59,13 @@ object Curation {
     * Shape: scan → broadcast-join the weight dim → per-row
     * `explode(sequence(...))`; row amplification is exactly the target
     * epoch factor, no shuffle. */
-  def upsample(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
+  def upsample(spark: SparkSession, d: String): DataFrame =
+    upsampleDf(Tables.documentsDist(spark, d))
+
+  private[graft] def upsampleDf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val weights = UpweightPermille.toDF("lang", "wpm")
-    Tables.documentsDist(spark, d)
+    docs
       .withColumn("skey", polyHash(col("text")) % 1000L)
       .join(broadcast(weights), Seq("lang"))
       .withColumn("n_copies",
@@ -87,10 +93,13 @@ object Curation {
     * partitions by (lang, shard) with per-shard token streams — same
     * plan with a composite key, packing quality unchanged since
     * windows never span shards by construction. */
-  def packWindows(spark: SparkSession, d: String): DataFrame = {
+  def packWindows(spark: SparkSession, d: String): DataFrame =
+    packWindowsDf(Tables.documentsDist(spark, d))
+
+  private[graft] def packWindowsDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    Tables.documentsDist(spark, d)
+    docs
       .select(col("doc_id"), col("lang"),
         size(toks(col("text"))).cast("long").as("n_tok"))
       .withColumn("prev_tok",

@@ -46,9 +46,11 @@ object Dedup {
     * row-group parquet files, which scan as one task; a production
     * corpus arrives in many splits and would not need it. */
   private def shingleSets(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingleHashSet(col("text"), NearDupShingleN).as("hs"))
+    shingleSetsDf(Tables.documents(spark, d)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  private def shingleSetsDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleHashSet(col("text"), NearDupShingleN).as("hs"))
       .filter(size(col("hs")) > 0)
 
   /** Exact pairwise n-gram Jaccard ≥ 0.6 via the shingle inverted
@@ -125,8 +127,16 @@ object Dedup {
     * is one narrow projection per row; the only shuffles are the band
     * equi-join and the verify join — this is the shape that scales
     * linearly to 100 TB (vs `ngramJaccard`'s inverted-index join). */
-  def minhashNearDup(spark: SparkSession, d: String): DataFrame = {
-    val sets = shingleSets(spark, d)
+  def minhashNearDup(spark: SparkSession, d: String): DataFrame =
+    minhashNearDupFromSets(shingleSets(spark, d))
+
+  /** DataFrame-in variant over (doc_id, text) docs — the form pipeline
+    * stages compose (CurateDag). */
+  private[graft] def minhashNearDupDf(docs: DataFrame): DataFrame =
+    minhashNearDupFromSets(shingleSetsDf(docs))
+
+  private def minhashNearDupFromSets(shingled: DataFrame): DataFrame = {
+    val sets = shingled
       .select(col("doc_id"), col("hs"), nearDupBandKeys(col("hs")).as("bands"))
     sets.cache()
     val bands = sets.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
@@ -240,11 +250,18 @@ object Dedup {
     * Each round is materialized via persist+count (truncating
     * recomputation); long jobs would periodically checkpoint to cut
     * lineage. */
-  def nearDupClusters(spark: SparkSession, d: String): DataFrame = {
-    val pairs = minhashNearDup(spark, d).select(col("doc_a"), col("doc_b"))
+  def nearDupClusters(spark: SparkSession, d: String): DataFrame =
+    nearDupClustersDf(Tables.documents(spark, d),
+      minhashNearDup(spark, d))
+
+  /** DataFrame-in variant: components of an arbitrary (doc_a, doc_b)
+    * pair graph over an arbitrary doc set (CurateDag runs it on the
+    * post-filter survivor set). */
+  private[graft] def nearDupClustersDf(docs: DataFrame, pairDf: DataFrame): DataFrame = {
+    val pairs = pairDf.select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").persist()
-    var labels = Tables.documents(spark, d)
+    var labels = docs
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
     var converged = false
     var rounds = 0
@@ -281,10 +298,18 @@ object Dedup {
     * hash-semi-join → per-doc count. No corpus-side shuffle except the
     * final aggregation on the (few) contaminated docs. */
   def decontaminate(spark: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documentsDist(spark, d)
-      .select(col("doc_id"), explode(shingleHashSet(col("text"), 4)).as("h"))
-    val ev = sh.filter(col("doc_id") % 97 === 0).select(col("h")).distinct()
-    sh.filter(col("doc_id") % 97 =!= 0)
+    val docs = Tables.documentsDist(spark, d)
+    decontaminateDf(docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
+  }
+
+  /** DataFrame-in variant: flag `docs` sharing any 4-gram with
+    * `evalDocs` (both (doc_id, text)). */
+  private[graft] def decontaminateDf(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    def sh(df: DataFrame) =
+      df.select(col("doc_id"), explode(shingleHashSet(col("text"), 4)).as("h"))
+    val ev = sh(evalDocs).select(col("h")).distinct()
+    sh(docs)
       .join(broadcast(ev), "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared")) // per-doc shingles are distinct

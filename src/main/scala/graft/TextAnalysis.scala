@@ -95,9 +95,12 @@ object TextAnalysis {
     * partitioned write so downstream stages scan only `keep`. All rule
     * comparisons are int/int divisions both engines evaluate exactly,
     * so the verdict hash-matches cell-for-cell. */
-  def corpusFilter(spark: SparkSession, d: String): DataFrame = {
+  def corpusFilter(spark: SparkSession, d: String): DataFrame =
+    corpusFilterDf(Tables.documentsDist(spark, d))
+
+  private[graft] def corpusFilterDf(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
-    Tables.documentsDist(spark, d)
+    docs
       .select(col("doc_id"),
         size(t).cast("long").as("n_tok"),
         size(array_distinct(t)).cast("long").as("n_uniq"))
