@@ -33,7 +33,14 @@ object Curation {
   def stratifiedSample(spark: SparkSession, d: String): DataFrame =
     stratifiedSampleDf(Tables.documentsDist(spark, d))
 
-  private[graft] def stratifiedSampleDf(docs: DataFrame): DataFrame = {
+  private[graft] def stratifiedSampleDf(docs: DataFrame): DataFrame =
+    sampleCut(docs).orderBy(col("doc_id"))
+
+  /** The sampling decision alone (no output sort): stateless —
+    * scan → hash → broadcast-probe → filter — so the SAME code path
+    * runs on a streaming DataFrame (asserted in CurationSpec); batch
+    * q50 is this plus a deterministic output order. */
+  private[graft] def sampleCut(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val rates = MixturePermille.toDF("lang", "permille")
     docs
@@ -41,7 +48,6 @@ object Curation {
       .join(broadcast(rates), Seq("lang"))
       .filter(col("skey") < col("permille"))
       .select(col("doc_id"), col("lang"), col("skey"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-language mixture weights in permille (1000 = keep once,
@@ -75,6 +81,50 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
       .orderBy(col("doc_id"), col("copy_id"))
+  }
+
+  /** Per-source corpus statistics — the domain/feed-level view a
+    * curation pipeline uses for reputation filtering (drop feeds whose
+    * documents are consistently thin). One hash-agg shuffle on the
+    * source key; the density is kept in integer milli-tokens-per-doc
+    * (`sum*1000 div n`) so the stat is exact and portable — no
+    * floating-point average to drift cross-engine. */
+  def sourceStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast("long")).as("sum_tok"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("avg_tok_milli", expr("sum_tok * 1000 div n_docs"))
+      .select(col("source"), col("n_docs"), col("sum_tok"),
+        col("avg_tok_milli"), col("n_langs"), col("min_chars"), col("max_chars"))
+      .orderBy(col("source"))
+
+  /** Deterministic curriculum ordering: per-language training rank by
+    * (difficulty band, seeded content-hash shuffle). The "shuffle" is
+    * `polyhash("shuffle42:" + text)` — a reproducible permutation with
+    * no RNG state, so a re-run, a resumed job, and an incremental
+    * extension all agree on the order (the property RNG-based shuffles
+    * lose the moment partitioning changes). Ranks are per-language
+    * window functions — range-partitioned sorts, no global
+    * single-partition bottleneck — matching `packWindows`' per-language
+    * stream model. */
+  def curriculum(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("band"), col("shuffle_key"), col("doc_id"))
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).cast("long").as("n_tok"),
+        (polyHash(concat(lit("shuffle42:"), col("text"))) % 1000000L).as("shuffle_key"))
+      .withColumn("band",
+        when(col("n_tok") < 40, 0L).when(col("n_tok") < 70, 1L).otherwise(2L))
+      .withColumn("train_rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("band"),
+        col("shuffle_key"), col("train_rank"))
+      .orderBy(col("doc_id"))
   }
 
   /** Tokens per context window for `packWindows`. */

@@ -100,6 +100,10 @@ object SparkEntry {
     "q56_ingest_dedup" -> (Dedup.ingestDedup _),
     // C4-style quality gate: rule cascade with first-fail verdicts
     "q57_corpus_filter" -> (TextAnalysis.corpusFilter _),
+    // per-source reputation stats (integer milli-token density)
+    "q58_source_stats" -> (Curation.sourceStats _),
+    // deterministic curriculum: band + seeded content-hash shuffle rank
+    "q59_curriculum" -> (Curation.curriculum _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -320,6 +324,24 @@ object SparkEntry {
          |SELECT l.doc_id, l.cluster_id, cn.cluster_n
          |FROM lbl l JOIN cn ON cn.cluster_id = l.cluster_id
          |ORDER BY l.doc_id""".stripMargin,
+    "q58_source_stats" ->
+      """WITH t AS (SELECT source, lang, n_chars,
+        |           len(string_split(text, ' '))::BIGINT n_tok FROM documents)
+        |SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS sum_tok,
+        |       (sum(n_tok) * 1000 // count(*))::BIGINT AS avg_tok_milli,
+        |       count(DISTINCT lang) AS n_langs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q59_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT n_tok,
+         |           ${H("'shuffle42:' || text")} % 1000000 AS shuffle_key FROM documents),
+         |b AS (SELECT doc_id, lang, shuffle_key,
+         |      (CASE WHEN n_tok < 40 THEN 0 WHEN n_tok < 70 THEN 1 ELSE 2 END)::BIGINT AS band
+         |      FROM t)
+         |SELECT doc_id, lang, band, shuffle_key,
+         |       row_number() OVER (PARTITION BY lang
+         |         ORDER BY band, shuffle_key, doc_id)::BIGINT AS train_rank
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q57_corpus_filter" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
         |m AS (SELECT doc_id, len(tk)::BIGINT n_tok, len(list_distinct(tk)) n_uniq FROM t)

@@ -4,6 +4,8 @@ import org.apache.spark.sql.functions._
 
 /** Curation operators (stratified sampling, window packing) on sf0.001 —
   * value-level properties beyond the DuckDB parity gate (q50/q51). */
+case class LDoc(doc_id: Long, lang: String, text: String)
+
 class CurationSpec extends SparkSpec {
   private val d = "/root/testdata/sf0.001"
 
@@ -24,6 +26,29 @@ class CurationSpec extends SparkSpec {
     val en = out.count(_.getString(1) == "en").toDouble
     val enTotal = Tables.documents(spark, d).filter(col("lang") === "en").count().toDouble
     assert(en / enTotal < 0.55, s"en keep-rate ${en / enTotal}")
+  }
+
+  test("sampling cut runs unchanged on a stream and matches the batch set") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "lang", "text").as[LDoc].collect().toSeq
+    val mem = MemoryStream[LDoc]
+    val q = Curation.sampleCut(mem.toDF())
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val stream = spark.table("sample_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = Curation.stratifiedSample(spark, d).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(stream == batch && batch.nonEmpty)
+    } finally q.stop()
   }
 
   test("upweighting: copy counts hit the integer/fractional split per language") {
