@@ -263,6 +263,7 @@ object Dedup {
       .toDF("src", "dst").persist()
     var labels = docs
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var cached = labels // the persisted DF backing the current labels
     var converged = false
     var rounds = 0
     while (!converged && rounds < 100) {
@@ -274,12 +275,16 @@ object Dedup {
         .select(col("doc_id"), col("cluster_id"),
           least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("nc"))
         .persist()
-      converged = merged.filter(col("nc") < col("cluster_id")).isEmpty
-      labels.unpersist()
+      converged = merged.filter(col("nc") < col("cluster_id")).isEmpty // materializes
+      cached.unpersist() // previous round's backing cache, now superseded
+      cached = merged
       labels = merged.select(col("doc_id"), col("nc").as("cluster_id"))
       rounds += 1
     }
     edges.unpersist()
+    // `cached` (the final labels) stays persisted for the two reads
+    // below; the session's per-query clearCache releases it after the
+    // result is materialized
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
