@@ -347,6 +347,8 @@ object Dedup {
         shingleHashSet(col("text"), NearDupShingleN).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("bands", nearDupBandKeys(col("hs")))
+    // read by the two band sides and both verify joins; released by the
+    // session's per-query clearCache (Verify/Bench)
     sets.cache()
     def bandsOf(newSide: Boolean) = sets
       .filter(if (newSide) col("is_new") else !col("is_new"))

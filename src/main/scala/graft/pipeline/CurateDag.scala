@@ -99,6 +99,8 @@ object CurateDag {
       // re-attach text to the (doc_id, lang, copy_id) mixture manifest;
       // copies pack as distinct stream entries (doc_id, copy_id order)
       val docs = DedupCanonical.read(ctx).select(col("doc_id"), col("text"))
+      // stream_id is collision-free while copy_id < 100, i.e. mixture
+      // weights below 100 epochs — far above any sane configuration
       val mix = Mixture.read(ctx)
         .join(docs, "doc_id")
         .withColumn("stream_id", col("doc_id") * 100 + col("copy_id"))

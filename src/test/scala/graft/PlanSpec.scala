@@ -83,6 +83,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q55/q56: eval probe broadcasts; ingest pairing has no nested-loop join") {
+    val p = planOf(Dedup.decontaminate(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p) // the tiny eval shingle set
+    val q = planOf(Dedup.ingestDedup(spark, d))
+    assert(!q.contains("BroadcastNestedLoopJoin") && !q.contains("CartesianProduct"), q)
+  }
+
   test("whole-stage codegen wraps the scan-side pipeline (q01, final AQE plan)") {
     val df = Queries.pricingSummary(spark, d)
     df.collect() // AQE finalizes codegen stages only in the final plan
