@@ -68,11 +68,23 @@ object Curation {
   def upsample(spark: SparkSession, d: String): DataFrame =
     upsampleDf(Tables.documentsDist(spark, d))
 
-  private[graft] def upsampleDf(docs: DataFrame): DataFrame = {
+  private[graft] def upsampleDf(docs: DataFrame): DataFrame =
+    upsampleCopies(docs).orderBy(col("doc_id"), col("copy_id"))
+
+  /** The copy-expansion decision alone (no output sort) — the form
+    * pipeline stages compose. The hash key is SALTED with an
+    * operator-specific prefix so it is independent of
+    * `stratifiedSample`'s cut: composing sample→upweight on the same
+    * corpus must not evaluate the fractional-copy test on a truncated
+    * skey distribution (unsalted, a stratum with sample permille ≤
+    * wpm mod 1000 would give EVERY survivor the extra copy and could
+    * silently drop survivors whose weight is < 1). */
+  private[graft] def upsampleCopies(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val weights = UpweightPermille.toDF("lang", "wpm")
     docs
-      .withColumn("skey", polyHash(col("text")) % 1000L)
+      .withColumn("skey",
+        polyHash(concat(lit("upsample:"), col("text"))) % 1000L)
       .join(broadcast(weights), Seq("lang"))
       .withColumn("n_copies",
         expr("wpm div 1000") +
@@ -80,7 +92,6 @@ object Curation {
       .filter(col("n_copies") > 0)
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
-      .orderBy(col("doc_id"), col("copy_id"))
   }
 
   /** Per-source corpus statistics — the domain/feed-level view a
@@ -146,7 +157,14 @@ object Curation {
   def packWindows(spark: SparkSession, d: String): DataFrame =
     packWindowsDf(Tables.documentsDist(spark, d))
 
-  private[graft] def packWindowsDf(docs: DataFrame): DataFrame = {
+  private[graft] def packWindowsDf(docs: DataFrame): DataFrame =
+    packAssign(docs).orderBy(col("doc_id"))
+
+  /** The window assignment alone (no output sort): the per-lang
+    * running-sum window is the only exchange — pipeline stages write
+    * this directly (parquet gives no order guarantee, so the batch
+    * query's ORDER BY would be a wasted corpus-wide sort there). */
+  private[graft] def packAssign(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     docs
@@ -157,6 +175,5 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tok"),
         (col("prev_tok") / lit(WindowBudget)).cast("long").as("window_id"),
         (col("prev_tok") % lit(WindowBudget)).as("off_in_win"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -275,12 +275,19 @@ object Dedup {
         .select(col("doc_id"), col("cluster_id"),
           least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("nc"))
         .persist()
-      converged = merged.filter(col("nc") < col("cluster_id")).isEmpty // materializes
+      // count() computes EVERY partition, fully populating merged's
+      // cache before the predecessor cache is dropped (isEmpty would
+      // early-exit on the first changed row, leaving most partitions
+      // uncached and forcing exponential lineage recomputation)
+      converged = merged.filter(col("nc") < col("cluster_id")).count() == 0L
       cached.unpersist() // previous round's backing cache, now superseded
       cached = merged
       labels = merged.select(col("doc_id"), col("nc").as("cluster_id"))
       rounds += 1
     }
+    require(converged,
+      s"component labels not converged after $rounds rounds — graph diameter " +
+        "exceeds the propagation cap; raise the cap or switch to large-star/small-star")
     edges.unpersist()
     // `cached` (the final labels) stays persisted for the two reads
     // below; the session's per-query clearCache releases it after the
@@ -361,13 +368,11 @@ object Dedup {
     val common = cand
       .join(h.as("p"), col("did") === col("p.doc_id"))
       .join(h.as("q"), col("cid") === col("q.doc_id") && col("p.h") === col("q.h"))
-      .groupBy(col("did"), col("cid")).agg(count(lit(1)).as("cm"))
+      .groupBy(col("did").as("doc_a"), col("cid").as("doc_b"))
+      .agg(count(lit(1)).as("cm"))
     val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
-    val nearDup = common
-      .join(broadcast(sz.select(col("doc_id").as("did"), col("sz").as("sa"))), "did")
-      .join(broadcast(sz.select(col("doc_id").as("cid"), col("sz").as("sb"))), "cid")
-      .filter(col("cm") / (col("sa") + col("sb") - col("cm")) >= 0.5)
-      .select(col("did").as("doc_id")).distinct()
+    val nearDup = pairJaccard(common, sz, 0.5)
+      .select(col("doc_a").as("doc_id")).distinct()
     s1.join(nearDup, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))

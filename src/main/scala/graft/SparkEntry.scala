@@ -412,7 +412,7 @@ object SparkEntry {
     "q54_sample_upweight" ->
       s"""WITH w(lang, wpm) AS (VALUES ('en', 1000), ('de', 2500), ('es', 1300),
          |                            ('fr', 1300), ('zh', 700)),
-         |dd AS (SELECT doc_id, d.lang, ${H("text")} % 1000 AS skey, wpm
+         |dd AS (SELECT doc_id, d.lang, ${H("'upsample:' || text")} % 1000 AS skey, wpm
          |       FROM documents d JOIN w ON w.lang = d.lang),
          |c AS (SELECT doc_id, lang,
          |      (wpm // 1000 + CASE WHEN skey < wpm % 1000 THEN 1 ELSE 0 END)::BIGINT n_copies

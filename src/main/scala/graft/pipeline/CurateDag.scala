@@ -74,6 +74,10 @@ object CurateDag {
       val clusters = Dedup.nearDupClustersDf(docs, Dedup.minhashNearDupDf(docs))
       val canonical = clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
       writeGz(ctx, docs.join(canonical, "doc_id"), outputDir(ctx).get)
+      // the composed operators cache corpus-sized intermediates (shingle
+      // sets, final labels) sized for a per-query session; release them
+      // so Mixture/Pack don't compete with pinned memory
+      ctx.spark.catalog.clearCache()
     }
   }
 
@@ -84,8 +88,8 @@ object CurateDag {
     override def deps: Seq[Stage] = Seq(DedupCanonical)
     override def run(ctx: Ctx): Unit = {
       val docs = DedupCanonical.read(ctx)
-      val kept = Curation.stratifiedSampleDf(docs).select("doc_id")
-      val copies = Curation.upsampleDf(docs.join(kept, "doc_id"))
+      val kept = Curation.sampleCut(docs).select("doc_id")
+      val copies = Curation.upsampleCopies(docs.join(kept, "doc_id"))
       writeGz(ctx, copies, outputDir(ctx).get)
     }
   }
@@ -105,7 +109,7 @@ object CurateDag {
         .join(docs, "doc_id")
         .withColumn("stream_id", col("doc_id") * 100 + col("copy_id"))
         .select(col("stream_id").as("doc_id"), col("lang"), col("text"))
-      writeGz(ctx, Curation.packWindowsDf(mix), outputDir(ctx).get)
+      writeGz(ctx, Curation.packAssign(mix), outputDir(ctx).get)
     }
   }
 
