@@ -104,6 +104,9 @@ object SparkEntry {
     "q58_source_stats" -> (Curation.sourceStats _),
     // deterministic curriculum: band + seeded content-hash shuffle rank
     "q59_curriculum" -> (Curation.curriculum _),
+    // Z-order (Morton) clustering key: codegen bit-interleave on
+    // (custkey, order day) for 2-D parquet data skipping
+    "q60_zorder_keys" -> (operators.ZOrder.zorderKeys _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -388,6 +391,18 @@ object SparkEntry {
          |  AND doc_id NOT IN (SELECT did FROM nd)
          |  AND doc_id NOT IN (SELECT doc_id FROM ex)
          |ORDER BY doc_id""".stripMargin,
+    "q60_zorder_keys" -> {
+      // same 32-term masked-shift sum as ZOrder.morton16 — pure integer
+      // arithmetic, so the hashes match bit-for-bit
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((cust_bits >> $i) & 1) << ${2 * i})",
+        s"(((day_bits >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH t AS (SELECT o_orderkey, (o_custkey % 65536)::BIGINT AS cust_bits,
+         |  (datediff('day', DATE '1992-01-01', o_orderdate::DATE) % 65536)::BIGINT AS day_bits
+         |  FROM orders)
+         |SELECT o_orderkey, cust_bits, day_bits, ($terms)::BIGINT AS zkey
+         |FROM t ORDER BY o_orderkey""".stripMargin
+    },
     "q52_profile_columns" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem UNION ALL
