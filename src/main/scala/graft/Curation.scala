@@ -176,4 +176,35 @@ object Curation {
         (col("prev_tok") / lit(WindowBudget)).cast("long").as("window_id"),
         (col("prev_tok") % lit(WindowBudget)).as("off_in_win"))
   }
+
+  /** Source-pair vocabulary overlap — the corpus-level contamination /
+    * redundancy matrix (exact Jaccard of each source pair's distinct
+    * token vocabularies). A curation pipeline reads this to decide
+    * which sources to dedup against each other and which mixtures are
+    * near-redundant.
+    *
+    * Shape: the corpus collapses to (source, word) DISTINCT pairs —
+    * one hash-agg shuffle, output bounded by |vocab|·|sources|, tiny
+    * relative to the corpus. The pair matrix is a word-keyed self-join
+    * of that collapsed relation: per-word fan-out is at most
+    * C(|sources|,2), so the join is linear in vocabulary size — this
+    * is the aggregate-then-join ordering that makes a corpus-level
+    * all-pairs statistic feasible at 100 TB (the doc-level analog is
+    * exactly what the q22-vs-q23 dedup family avoids). Jaccard is
+    * integer permille over exact set sizes. */
+  def sourceOverlap(spark: SparkSession, d: String): DataFrame = {
+    val sv = Tables.documentsDist(spark, d)
+      .select(col("source"), explode(toks(col("text"))).as("word"))
+      .distinct()
+    val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    sv.as("a").join(sv.as("b"), Seq("word"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("nv").as("nv_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("nv").as("nv_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"), col("nv_a"), col("nv_b"),
+        expr("(1000 * inter) div (nv_a + nv_b - inter)").as("jaccard_permille"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

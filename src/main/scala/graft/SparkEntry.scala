@@ -107,6 +107,12 @@ object SparkEntry {
     // Z-order (Morton) clustering key: codegen bit-interleave on
     // (custkey, order day) for 2-D parquet data skipping
     "q60_zorder_keys" -> (operators.ZOrder.zorderKeys _),
+    // Gopher-style repetition filters: dup-token / dup-5-gram permille
+    "q61_repetition" -> (TextAnalysis.repetitionStats _),
+    // top-3 TF-IDF terms per doc (integer milli-IDF, broadcast df)
+    "q62_tfidf_terms" -> (TextAnalysis.tfidfTerms _),
+    // source-pair vocabulary Jaccard (corpus contamination matrix)
+    "q63_source_overlap" -> (Curation.sourceOverlap _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -403,6 +409,51 @@ object SparkEntry {
          |SELECT o_orderkey, cust_bits, day_bits, ($terms)::BIGINT AS zkey
          |FROM t ORDER BY o_orderkey""".stripMargin
     },
+    "q61_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+        |f AS (SELECT doc_id, tk,
+        |      CASE WHEN len(tk) >= 5 THEN
+        |        list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' '))
+        |      ELSE []::VARCHAR[] END g FROM t),
+        |w AS (SELECT doc_id, len(g)::BIGINT n_5grams,
+        |      len(list_distinct(g))::BIGINT n_uniq_5grams, unnest(tk) word FROM f),
+        |wc AS (SELECT doc_id, n_5grams, n_uniq_5grams, word, count(*)::BIGINT c
+        |       FROM w GROUP BY 1, 2, 3, 4),
+        |ds AS (SELECT doc_id, n_5grams, n_uniq_5grams, sum(c)::BIGINT n_words,
+        |       count(*)::BIGINT n_uniq_words FROM wc GROUP BY 1, 2, 3),
+        |top AS (SELECT doc_id, word, c,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, word) rn FROM wc)
+        |SELECT ds.doc_id, n_words, n_uniq_words,
+        |       ((n_words - n_uniq_words) * 1000 // n_words)::BIGINT AS dup_word_permille,
+        |       top.word AS top_word, top.c AS top_count, n_5grams, n_uniq_5grams,
+        |       CASE WHEN n_5grams > 0
+        |            THEN (n_5grams - n_uniq_5grams) * 1000 // n_5grams
+        |            ELSE 0 END::BIGINT AS dup_5gram_permille
+        |FROM ds JOIN top ON top.doc_id = ds.doc_id AND top.rn = 1
+        |ORDER BY ds.doc_id""".stripMargin,
+    "q62_tfidf_terms" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*)::BIGINT tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, count(*)::BIGINT df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |      tf.tf * ((1000 * n.n_docs) // df.df) AS score
+        |      FROM tf JOIN df USING (word) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, word) rank FROM s)
+        |SELECT doc_id, rank::BIGINT AS rank, word, tf, df, score::BIGINT AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q63_source_overlap" ->
+      """WITH w AS (SELECT DISTINCT source, word FROM
+        |  (SELECT source, unnest(regexp_split_to_array(text, ' ')) word FROM documents)),
+        |s AS (SELECT source, count(*)::BIGINT nv FROM w GROUP BY 1),
+        |p AS (SELECT a.source src_a, b.source src_b, count(*)::BIGINT inter
+        |      FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter, sa.nv AS nv_a, sb.nv AS nv_b,
+        |       ((1000 * inter) // (sa.nv + sb.nv - inter))::BIGINT AS jaccard_permille
+        |FROM p JOIN s sa ON sa.source = p.src_a JOIN s sb ON sb.source = p.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "q52_profile_columns" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem UNION ALL

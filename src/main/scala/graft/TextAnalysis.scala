@@ -133,6 +133,82 @@ object TextAnalysis {
       .limit(10)
   }
 
+  /** Gopher-style repetition statistics: per-document duplicate-token
+    * and duplicate-5-gram fractions plus the dominant token — the
+    * "fraction of characters in duplicate lines / most common n-gram"
+    * family of pretraining quality filters, adapted to the corpus's
+    * single-line texts.
+    *
+    * Shape: one scan computes the per-row 5-gram stats (native-ish
+    * array ops, carried through the explode), then token counts are a
+    * two-level hash aggregation — (doc_id, word) then doc_id — both
+    * with map-side partial aggregation, so the operator is linear and
+    * skew-free at 100 TB (keys are per-document). The dominant token
+    * with a deterministic tie-break (max count, then lexicographic
+    * min) is one `min(struct(-count, word))` — an aggregate, not a
+    * per-doc sort. Fractions are integer permille (`div`), bit-exact
+    * in both engines. */
+  def repetitionStats(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val g = shingles(t, 5)
+    val words = Tables.documentsDist(spark, d)
+      .select(col("doc_id"),
+        size(g).cast("long").as("n_5grams"),
+        size(array_distinct(g)).cast("long").as("n_uniq_5grams"),
+        explode(t).as("word"))
+    words
+      // n_5grams / n_uniq_5grams are functionally dependent on doc_id;
+      // keeping them in the key avoids a rejoin after the explode
+      .groupBy(col("doc_id"), col("n_5grams"), col("n_uniq_5grams"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_5grams"), col("n_uniq_5grams"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_uniq_words"),
+        min(struct((-col("c")).as("nc"), col("word").as("w"))).as("tw"))
+      .select(col("doc_id"), col("n_words"), col("n_uniq_words"),
+        expr("(n_words - n_uniq_words) * 1000 div n_words").as("dup_word_permille"),
+        col("tw.w").as("top_word"), (-col("tw.nc")).as("top_count"),
+        col("n_5grams"), col("n_uniq_5grams"),
+        when(col("n_5grams") > 0,
+          expr("(n_5grams - n_uniq_5grams) * 1000 div n_5grams"))
+          .otherwise(0L).as("dup_5gram_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-3 TF-IDF terms per document — the relevance/keyword-extraction
+    * pass of a retrieval or data-inspection pipeline. IDF uses exact
+    * integer milli-units (`1000·N div df`) so scores are portable.
+    *
+    * Shape: token explode → (doc_id, word) hash-agg for tf; document
+    * frequency is a word-keyed re-aggregation of that SAME tf relation
+    * (no second scan of the corpus); df (vocabulary-sized) and the
+    * 1-row corpus count are broadcast back onto tf, so the only wide
+    * exchanges are the two hash-aggs. Per-doc top-3 is a window
+    * row_number over doc_id partitions — at 100 TB each partition is
+    * one document's vocabulary, thousands of rows at most. */
+  def tfidfTerms(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsDist(spark, d)
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(df_), Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("milli_idf", expr("(1000 * n_docs) div df"))
+      .withColumn("score", col("tf") * col("milli_idf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Document fingerprinting: full-text rolling hash plus a winnowed
     * min-hash over 8-token windows (the content-defined signature used
     * for shard-local dedup at ingest). */

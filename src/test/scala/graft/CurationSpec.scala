@@ -91,4 +91,19 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("source overlap matches an exact local vocabulary-Jaccard recompute") {
+    val vocab = Tables.documents(spark, d).select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap(_.getString(1).split(" ", -1)).toSet).toMap
+    val expect = (for {
+      a <- vocab.keys; b <- vocab.keys if a < b
+      inter = (vocab(a) & vocab(b)).size.toLong if inter > 0
+    } yield (a, b, inter, vocab(a).size.toLong, vocab(b).size.toLong,
+        1000L * inter / (vocab(a).size + vocab(b).size - inter))).toSet
+    val got = Curation.sourceOverlap(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
 }

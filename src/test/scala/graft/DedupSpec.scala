@@ -214,4 +214,39 @@ class DedupSpec extends SparkSpec {
     assert(fp1.toSeq == fp2.toSeq)
     assert(fp1.distinct.length == fp1.length)
   }
+
+  test("repetition stats match a local recompute on every document") {
+    val texts = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.repetitionStats(spark, d).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val ws = texts(r.getLong(0)).split(" ", -1).toSeq
+      val counts = ws.groupBy(identity).view.mapValues(_.size).toMap
+      val grams = ws.sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSeq
+      val topC = counts.values.max
+      val top = counts.filter(_._2 == topC).keys.min
+      assert(r.getLong(1) == ws.size && r.getLong(2) == counts.size)
+      assert(r.getLong(3) == (ws.size - counts.size) * 1000L / ws.size)
+      assert(r.getString(4) == top && r.getLong(5) == topC)
+      assert(r.getLong(6) == grams.size && r.getLong(7) == grams.distinct.size)
+    }
+  }
+
+  test("tfidf terms match a local recompute (top-3, score/word tie-break)") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val n = docs.size.toLong
+    val dfLocal = docs.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val expect = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).toSeq
+        .map { case (w, occ) => (w, occ.size.toLong * (1000L * n / dfLocal(w))) }
+        .sortBy { case (w, s) => (-s, w) }.take(3).zipWithIndex
+        .map { case ((w, s), i) => (id, i + 1L, w, s) }
+    }.toSet
+    val got = TextAnalysis.tfidfTerms(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5))).toSet
+    assert(got == expect)
+  }
 }
