@@ -192,4 +192,31 @@ object Similarity {
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nn")))
     rankTopK(scored, k = 5)
   }
+
+  /** Per-label embedding centroids — the class-prototype / cluster-
+    * summary pass (seed vectors for IVF-style indexes, label drift
+    * monitoring, nearest-prototype classification).
+    *
+    * Float parity across engines: each component is floor-scaled to
+    * integer MICRO-units before aggregation (float→double widening and
+    * ×1e6 are both exact, floor is deterministic), so the sums are
+    * exact integers — no accumulation-order drift. The final mean uses
+    * floor(sum/n) in double: exact for all |sum| < 2^53 since a
+    * correctly-rounded quotient can only cross an integer boundary
+    * when n·m approaches 1/ulp ≈ 1e16, far beyond any corpus here.
+    *
+    * Shape: posexplode fans each vector into (label, pos) components;
+    * the aggregation is one partial-then-final hash-agg keyed by
+    * (label, dim) — output is |labels|·dim rows regardless of corpus
+    * size, the canonical linear map-combine reduction at 100 TB. */
+  def labelCentroids(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        floor(col("col") * lit(1000000.0d)).as("vm"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sum_micro"))
+      .withColumn("centroid_micro",
+        floor(col("sum_micro") / col("n")).cast("long"))
+      .orderBy(col("label"), col("pos"))
 }

@@ -113,6 +113,8 @@ object SparkEntry {
     "q62_tfidf_terms" -> (TextAnalysis.tfidfTerms _),
     // source-pair vocabulary Jaccard (corpus contamination matrix)
     "q63_source_overlap" -> (Curation.sourceOverlap _),
+    // per-label embedding centroids (exact micro-unit reduction)
+    "q64_label_centroids" -> (Similarity.labelCentroids _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -443,6 +445,14 @@ object SparkEntry {
         |        ORDER BY score DESC, word) rank FROM s)
         |SELECT doc_id, rank::BIGINT AS rank, word, tf, df, score::BIGINT AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q64_label_centroids" ->
+      """WITH e AS (SELECT label, embedding,
+        |           unnest(generate_series(1, len(embedding))) i FROM embeddings),
+        |c AS (SELECT label, i::BIGINT - 1 AS pos,
+        |      floor(embedding[i]::DOUBLE * 1000000)::BIGINT vm FROM e)
+        |SELECT label, pos, count(*)::BIGINT n, sum(vm)::BIGINT sum_micro,
+        |       floor(sum(vm) / count(*))::BIGINT centroid_micro
+        |FROM c GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
     "q63_source_overlap" ->
       """WITH w AS (SELECT DISTINCT source, word FROM
         |  (SELECT source, unnest(regexp_split_to_array(text, ' ')) word FROM documents)),

@@ -233,6 +233,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("label centroids match an exact local micro-unit recompute") {
+    val vecs = Tables.embeddings(spark, d).select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val expect = vecs.groupBy(_._1).flatMap { case (label, rows) =>
+      val dim = rows.head._2.length
+      (0 until dim).map { p =>
+        val micros = rows.map(r => math.floor(r._2(p).toDouble * 1e6).toLong)
+        val s = micros.sum
+        (label, p.toLong, rows.length.toLong, s,
+          math.floor(s.toDouble / rows.length).toLong)
+      }
+    }.toSet
+    val got = Similarity.labelCentroids(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("tfidf terms match a local recompute (top-3, score/word tie-break)") {
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap

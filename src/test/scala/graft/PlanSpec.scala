@@ -96,4 +96,22 @@ class PlanSpec extends SparkSpec {
     // "*(n)" is the compact WholeStageCodegen marker in plan strings
     assert(planOf(df).contains("*(1)"))
   }
+
+  test("q61: both aggregation levels combine map-side (partial before each shuffle)") {
+    val p = planOf(TextAnalysis.repetitionStats(spark, d))
+    assert("partial_count|partial_sum|partial_min".r.findAllIn(p).nonEmpty)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q62/q63: vocabulary-side joins broadcast; no pairwise nested-loop") {
+    val p62 = planOf(TextAnalysis.tfidfTerms(spark, d))
+    assert(p62.contains("BroadcastHashJoin"))
+    // the only nested-loop allowed is the 1-row corpus-count scalar
+    // broadcast (crossJoin(nDocs)); a pairwise NLJ would be a second one
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p62).size <= 1)
+    assert(!p62.contains("CartesianProduct"))
+    val p63 = planOf(Curation.sourceOverlap(spark, d))
+    assert(p63.contains("BroadcastHashJoin"))
+    assert(!p63.contains("CartesianProduct") && !p63.contains("BroadcastNestedLoopJoin"))
+  }
 }
