@@ -115,6 +115,8 @@ object SparkEntry {
     "q63_source_overlap" -> (Curation.sourceOverlap _),
     // per-label embedding centroids (exact micro-unit reduction)
     "q64_label_centroids" -> (Similarity.labelCentroids _),
+    // incremental view maintenance: merge-of-partials ≡ direct agg
+    "q65_incremental_hourly" -> (operators.IncrementalAgg.incrementalHourly _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -445,6 +447,15 @@ object SparkEntry {
         |        ORDER BY score DESC, word) rank FROM s)
         |SELECT doc_id, rank::BIGINT AS rank, word, tf, df, score::BIGINT AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q65_incremental_hourly" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  count(*) AS n,
+        |  sum(floor(value * 1000000)::BIGINT)::BIGINT AS sum_micro,
+        |  floor(sum(floor(value * 1000000)::BIGINT) / count(*))::BIGINT AS avg_micro
+        |FROM events
+        |GROUP BY event_type, date_trunc('hour', ts)
+        |ORDER BY event_type, hour""".stripMargin,
     "q64_label_centroids" ->
       """WITH e AS (SELECT label, embedding,
         |           unnest(generate_series(1, len(embedding))) i FROM embeddings),
