@@ -286,6 +286,34 @@ object Queries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Canonical Count-Min parameters for q66 (width ⌈e/ε⌉ ≈ ε 0.27%,
+    * depth 4 ⇒ δ = e⁻⁴ ≈ 1.8%) — shared with SketchSpec. */
+  val CmsWidth = 1024
+  val CmsDepth = 4
+
+  /** Heavy-hitter users via a Count-Min sketch (graft_cms, q66): one
+    * fixed-size counter matrix aggregated map-side and merged by
+    * vector addition, then each candidate user probed against the
+    * broadcast one-row sketch — the frequency analog of q37's HLL++.
+    * At 100 TB the sketch build reads the stream once in constant
+    * memory; candidates come from any cheap distinct pass (here the
+    * same table; in production, yesterday's candidate list). Estimates
+    * are one-sided (never undercount), so the threshold filter has no
+    * false negatives — SketchSpec pins that plus the εN overcount
+    * bound; approximate counts can't hash-match an exact oracle, so
+    * the driver records a rows-only check (like q37). */
+  def heavyUsers(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.CountMinAgg.{cms, cmsEstimate}
+    val e = eventsNs(spark, d)
+    val sk = e.agg(cms(col("user_id"), CmsWidth, CmsDepth).as("sk"))
+    e.select(col("user_id")).distinct()
+      .crossJoin(broadcast(sk))
+      .select(col("user_id"),
+        cmsEstimate(col("sk"), col("user_id"), CmsWidth, CmsDepth).as("est_n"))
+      .filter(col("est_n") >= 75L)
+      .orderBy(col("user_id"))
+  }
+
   /** The exact twin of `eventSketches`: same grouping, exact
     * count/distinct/median — hash-checked against the oracle (the
     * sketch columns of q37 can only be rows-only + error-bounded).

@@ -117,6 +117,8 @@ object SparkEntry {
     "q64_label_centroids" -> (Similarity.labelCentroids _),
     // incremental view maintenance: merge-of-partials ≡ direct agg
     "q65_incremental_hourly" -> (operators.IncrementalAgg.incrementalHourly _),
+    // Count-Min heavy hitters (rows-only like q37; SketchSpec bounds)
+    "q66_heavy_users" -> (Queries.heavyUsers _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */

@@ -152,10 +152,19 @@ object TextAnalysis {
     val t = toks(col("text"))
     val g = shingles(t, 5)
     val words = Tables.documentsDist(spark, d)
+      // The 5-gram stats MUST materialize in a Project BELOW the
+      // Generate: selected alongside explode() they land in the
+      // projection above it and re-evaluate once per exploded word —
+      // ~60× the work, interpreted (HOFs are CodegenFallback). The
+      // two-step select pins them to one evaluation per document
+      // (157 s → ~2 s at sf0.1). n_5grams needs no array at all:
+      // it's max(n_tok−4, 0) arithmetically.
       .select(col("doc_id"),
-        size(g).cast("long").as("n_5grams"),
+        greatest(size(t) - 4, lit(0)).cast("long").as("n_5grams"),
         size(array_distinct(g)).cast("long").as("n_uniq_5grams"),
-        explode(t).as("word"))
+        t.as("t"))
+      .select(col("doc_id"), col("n_5grams"), col("n_uniq_5grams"),
+        explode(col("t")).as("word"))
     words
       // n_5grams / n_uniq_5grams are functionally dependent on doc_id;
       // keeping them in the key avoids a rejoin after the explode

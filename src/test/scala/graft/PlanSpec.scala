@@ -101,6 +101,11 @@ class PlanSpec extends SparkSpec {
     val p = planOf(TextAnalysis.repetitionStats(spark, d))
     assert("partial_count|partial_sum|partial_min".r.findAllIn(p).nonEmpty)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the interpreted 5-gram distinct must evaluate once per DOCUMENT,
+    // i.e. in the Project BELOW the Generate (children print after
+    // parents in the tree dump) — above it, it re-runs per word (~60×)
+    assert(p.indexOf("array_distinct") > p.indexOf("Generate"),
+      "5-gram stats evaluated above the explode")
   }
 
   test("q62/q63: vocabulary-side joins broadcast; no pairwise nested-loop") {

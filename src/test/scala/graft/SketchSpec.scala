@@ -23,4 +23,49 @@ class SketchSpec extends SparkSpec {
       assert(n > 0)
     }
   }
+
+  test("count-min estimates: one-sided, within eps*N, threshold has no false negatives") {
+    import graft.functions.CountMinAgg.{cms, cmsEstimate}
+    val e = Tables.eventsNs(spark, d)
+    val exact = e.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val sk = e.agg(cms(col("user_id"), Queries.CmsWidth, Queries.CmsDepth).as("sk"))
+    val est = e.select(col("user_id")).distinct().crossJoin(broadcast(sk))
+      .select(col("user_id"),
+        cmsEstimate(col("sk"), col("user_id"), Queries.CmsWidth, Queries.CmsDepth).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    val epsN = math.max(1.0, math.E / Queries.CmsWidth * n)
+    exact.foreach { case (u, c) =>
+      assert(est(u) >= c, s"user $u: CMS undercounted ${est(u)} < $c")
+      assert(est(u) - c <= epsN, s"user $u: overcount ${est(u) - c} > eps*N $epsN")
+    }
+    // one-sidedness ⇒ every truly-heavy user appears in q66
+    val heavy = Queries.heavyUsers(spark, d).collect().map(_.getLong(0)).toSet
+    exact.filter(_._2 >= 75L).keySet.foreach(u => assert(heavy.contains(u)))
+  }
+
+  test("count-min sketches merge by vector addition: shard-merged == whole-stream") {
+    import graft.functions.CountMinAgg.cms
+    val e = Tables.eventsNs(spark, d)
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.agg(cms(col("user_id"), 64, 4).as("sk"))
+        .collect()(0).getSeq[Long](0).toArray
+    val whole = sketchOf(e)
+    val a = sketchOf(e.filter(col("event_id") % 2 === 0))
+    val b = sketchOf(e.filter(col("event_id") % 2 === 1))
+    assert(whole.toSeq == a.zip(b).map { case (x, y) => x + y }.toSeq)
+    // a deliberately tiny sketch saturates with collisions but must
+    // still never undercount (the guarantee heavy-hitter cuts rely on)
+    val tiny = e.agg(cms(col("user_id"), 4, 2).as("sk"))
+      .collect()(0).getSeq[Long](0).toArray
+    val exact = e.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    exact.foreach { case (u, c) =>
+      val estT = (0 until 2).map(r =>
+        tiny(r * 4 + graft.functions.CountMinAgg.bucket(u, r, 4))).min
+      assert(estT >= c)
+    }
+  }
 }
