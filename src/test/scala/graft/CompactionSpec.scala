@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Compaction, ZOrder}
+
+/** Small-file compaction: content preservation, file-count reduction,
+  * and layout restoration (clustered rewrite keeps min/max ranges
+  * disjoint for data skipping). */
+class CompactionSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def fragmented(tmp: String): String = {
+    val in = s"$tmp/frag"
+    Tables.documents(spark, d).repartition(64).write.parquet(in)
+    in
+  }
+
+  test("compaction reduces file count without changing a single row") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    val in = fragmented(tmp)
+    val rep = Compaction.compact(spark, in, s"$tmp/out", targetBytes = 8L << 20)
+    assert(rep.filesBefore == 64)
+    assert(rep.filesAfter == rep.targetFiles && rep.filesAfter < 64)
+    val before = spark.read.parquet(in).collect().map(_.toString).sorted.toSeq
+    val after = spark.read.parquet(s"$tmp/out").collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+  }
+
+  test("clustered compaction restores disjoint per-file key ranges (data skipping)") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact_z").toString
+    val in = s"$tmp/frag"
+    // fragmented AND interleaved: every file spans the whole key range
+    Tables.orders(spark, d).repartition(16).write.parquet(in)
+    Compaction.compact(spark, in, s"$tmp/out", targetBytes = 64L << 10,
+      sortCols = Seq(col("o_orderkey")))
+    val ranges = spark.read.parquet(s"$tmp/out")
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple output files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "overlapping file ranges")
+      case _ =>
+    }
+    // content unchanged here too
+    assert(spark.read.parquet(s"$tmp/out").count() == Tables.orders(spark, d).count())
+  }
+
+  test("no-sort compaction is shuffle-free (coalesce, no Exchange in the plan)") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact_p").toString
+    val in = fragmented(tmp)
+    val df = spark.read.parquet(in).coalesce(4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"coalesce path must not shuffle:\n$plan")
+  }
+}
