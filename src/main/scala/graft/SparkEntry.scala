@@ -119,6 +119,9 @@ object SparkEntry {
     "q65_incremental_hourly" -> (operators.IncrementalAgg.incrementalHourly _),
     // Count-Min heavy hitters (rows-only like q37; SketchSpec bounds)
     "q66_heavy_users" -> (Queries.heavyUsers _),
+    // as-of join via the custom physical operator (AsOfJoinExec):
+    // same semantics and oracle as q44, merge-pass execution
+    "q67_asof_exec" -> (operators.TemporalJoins.asofJoinExec _),
   )
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
@@ -709,6 +712,20 @@ object SparkEntry {
     // as-of: the oracle states the semantics directly (max prior view,
     // ties by greatest view id) — same rows the union+window pass emits
     "q44_asof_join" ->
+      """WITH c AS (SELECT event_id click_id, user_id, epoch_us(ts) cts
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id vid, user_id, epoch_us(ts) vts
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (SELECT c.click_id, c.user_id, c.cts, v.vid, v.vts,
+        |      row_number() OVER (PARTITION BY c.click_id
+        |                         ORDER BY v.vts DESC NULLS LAST, v.vid DESC) rn
+        |      FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.vts <= c.cts)
+        |SELECT click_id, user_id, cts AS click_ts, vid AS view_id,
+        |  vts AS view_ts, cts - vts AS gap_us
+        |FROM j WHERE rn = 1
+        |ORDER BY click_id""".stripMargin,
+    // identical semantics through the custom physical operator
+    "q67_asof_exec" ->
       """WITH c AS (SELECT event_id click_id, user_id, epoch_us(ts) cts
         |           FROM events WHERE event_type = 'click'),
         |v AS (SELECT event_id vid, user_id, epoch_us(ts) vts

@@ -57,6 +57,29 @@ object TemporalJoins {
       .orderBy(col("click_id"))
   }
 
+  /** q67: the SAME as-of semantics as `asofJoin`, executed by the
+    * custom physical operator (`plans.AsOfJoinExec`): co-clustered
+    * children, per-side (key, time) sorts, one constant-memory merge
+    * pass per partition — no unioned sort, no window state. Shares
+    * q44's oracle, so the parity gate proves exec ≡ composition ≡
+    * DuckDB cell-for-cell. */
+  def asofJoinExec(spark: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.eventsNs(spark, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        expr("ts div 1000").as("click_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), expr("ts div 1000").as("view_ts"),
+        col("event_id").as("view_id"))
+    graft.plans.AsOfJoin.asof(clicks, views,
+        clicks.col("user_id"), clicks.col("click_ts"),
+        views.col("v_user"), views.col("view_ts"), views.col("view_id"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"),
+        (col("click_ts") - col("view_ts")).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
   /** Per click: count / min-gap / max-value of the same user's views in
     * the 10 minutes up to the click (inclusive window [cts−W, cts]). */
   def rangeJoinAgg(spark: SparkSession, d: String): DataFrame = {

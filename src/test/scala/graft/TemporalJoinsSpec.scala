@@ -49,4 +49,41 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.exists(_._3 > 0)) // some clicks have views in-window
   }
+
+  test("custom AsOfJoinExec: identical rows to the union+window composition") {
+    val viaExec = TemporalJoins.asofJoinExec(spark, d).collect().map(_.toString).toSeq
+    val viaWindow = TemporalJoins.asofJoin(spark, d).collect().map(_.toString).toSeq
+    assert(viaExec == viaWindow && viaExec.nonEmpty)
+  }
+
+  test("custom AsOfJoinExec: planned physical operator, co-clustered merge") {
+    val df = TemporalJoins.asofJoinExec(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(p.contains("AsOfJoin "), s"custom exec not planned:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // EnsureRequirements supplies exactly one hash exchange + sort per side
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, "side exchanges")
+  }
+
+  test("AsOfJoinExec edges: stale match cleared across keys, ties, missing keys") {
+    import spark.implicits._
+    // key 1: match before, none after late right rows; key 2: no rights;
+    // key 3: tie on time resolved to greatest tie-break id
+    val l = Seq((1L, 10L, 100L), (1L, 5L, 101L), (2L, 7L, 102L), (3L, 9L, 103L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 4L, 200L), (1L, 20L, 201L), (3L, 9L, 300L), (3L, 9L, 301L))
+      .toDF("rk", "rt", "rid")
+    val out = graft.plans.AsOfJoin.asof(l, r,
+        l.col("k"), l.col("t"), r.col("rk"), r.col("rt"), r.col("rid"))
+      .collect()
+      .map(x => (x.getLong(2), if (x.isNullAt(5)) -1L else x.getLong(5)))
+      .toMap
+    assert(out == Map(
+      100L -> 200L, // latest rt<=10 for k=1 is rt=4
+      101L -> 200L, // rt=4 <= 5
+      102L -> -1L,  // k=2 has no right rows: the k=1 match must not leak
+      103L -> 301L  // rt tie at 9: greatest rid wins
+    ))
+  }
 }
