@@ -38,4 +38,41 @@ class PartitioningSpec extends SparkSpec {
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     assert(q.exceptAll(expect).isEmpty && expect.exceptAll(q).isEmpty)
   }
+
+  test("dynamic partition overwrite reprocesses one day, leaves the rest untouched") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    val ev = Tables.eventsNs(spark, d)
+      .withColumn("day", expr("ts div 86400000000000"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val days = spark.read.parquet(tmp).select(col("day").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val (target, untouched) = (days.head, days.last)
+    val beforeOther = spark.read.parquet(tmp)
+      .filter(col("day") === untouched).count()
+
+    // the incremental-reprocess pattern: recompute ONE day (here:
+    // corrected values) and overwrite ONLY its directory — with
+    // static overwrite this write would delete every other partition
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      ev.filter(col("day") === target)
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+
+    val after = spark.read.parquet(tmp)
+    assert(after.filter(col("day") === untouched).count() == beforeOther,
+      "untouched partition was clobbered")
+    // the reprocessed day carries the corrected values
+    val sumTarget = after.filter(col("day") === target)
+      .agg(sum("value")).collect()(0).getDouble(0)
+    val sumOrig = ev.filter(col("day") === target)
+      .agg(sum("value")).collect()(0).getDouble(0)
+    assert(math.abs(sumTarget - 2 * sumOrig) < 1e-6)
+    assert(after.count() == ev.count())
+  }
 }
