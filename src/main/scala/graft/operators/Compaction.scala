@@ -29,8 +29,14 @@ object Compaction {
   private def parquetFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val (dirs, files) = fs.listStatus(p).toSeq.partition(_.isDirectory)
+    // a partitioned layout (key=value subdirs) must be compacted one
+    // partition directory at a time — a flat rewrite here would
+    // silently discard the partitioning
+    require(dirs.forall(_.getPath.getName.startsWith("_")),
+      s"$dir contains sub-directories — compact each partition directory instead")
+    files
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
       .map(s => (s.getPath.toString, s.getLen))
   }
 
@@ -48,6 +54,10 @@ object Compaction {
     val out =
       if (sortCols.nonEmpty)
         df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+      else if (n > df.rdd.getNumPartitions)
+        // splitting over-large files needs a real repartition —
+        // coalesce can only merge
+        df.repartition(n)
       else df.coalesce(n)
     out.write.mode("overwrite").parquet(outDir)
     Report(files.size, parquetFiles(spark, outDir).size, bytes, n)

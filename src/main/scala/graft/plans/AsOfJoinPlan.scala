@@ -86,21 +86,31 @@ case class AsOfJoinExec(
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val rWidth = right.output.length
+    // hoisted so the zipPartitions closure captures plain locals, not
+    // `this` (the whole exec subtree) via the `output` method
+    val outTypes = output.map(_.dataType).toArray
 
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rWidth)
       // downstream operators (exchanges, AQE readers) require UnsafeRow
       val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-        .create(output.map(_.dataType).toArray)
+        .create(outTypes)
       new Iterator[InternalRow] {
         // lookahead right row; rows are buffered across calls so they
         // must be copied out of the scan's reused UnsafeRow
         private var rNext: InternalRow = advanceRight()
         private var lastMatch: InternalRow = _
 
-        private def advanceRight(): InternalRow =
-          if (ri.hasNext) ri.next().copy() else null
+        // SQL equality/<= never match on NULL, so null-keyed or
+        // null-timed right rows (sorted first, NullsFirst) are skipped
+        private def advanceRight(): InternalRow = {
+          while (ri.hasNext) {
+            val r = ri.next()
+            if (rk.eval(r) != null && rt.eval(r) != null) return r.copy()
+          }
+          null
+        }
 
         override def hasNext: Boolean = li.hasNext
 
@@ -108,6 +118,9 @@ case class AsOfJoinExec(
           val l = li.next()
           val k = lk.eval(l)
           val t = lt.eval(l)
+          // a null left key or time matches nothing (mirrors the
+          // union+window form and the oracle's equi-join-on-key)
+          if (k == null || t == null) return toUnsafe(joined(l, nullRight))
           var continue = true
           while (continue && rNext != null) {
             val kc = keyOrd.compare(rk.eval(rNext).asInstanceOf[AnyRef],
@@ -146,9 +159,15 @@ object AsOfJoin {
       leftKey: Column, leftTime: Column,
       rightKey: Column, rightTime: Column, rightTieBreak: Column): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        AsOfJoinStrategy +: spark.experimental.extraStrategies
+    // planner.strategies covers both extension-injected strategies and
+    // experimental ones, so a GraftExtensions session is not
+    // double-registered; synchronize the check-then-act (the
+    // experimental list is a shared session var)
+    spark.synchronized {
+      if (!spark.sessionState.planner.strategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          AsOfJoinStrategy +: spark.experimental.extraStrategies
+    }
     GraftShim.ofRows(spark,
       AsOfJoinPlan(
         left.queryExecution.analyzed, right.queryExecution.analyzed,

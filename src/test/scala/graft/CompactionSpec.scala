@@ -46,6 +46,20 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() == Tables.orders(spark, d).count())
   }
 
+  test("partitioned layouts are refused (compact per partition dir instead)") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact_refuse").toString
+    Tables.documents(spark, d).withColumn("l", col("lang"))
+      .write.partitionBy("l").parquet(s"$tmp/part")
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, s"$tmp/part", s"$tmp/out", targetBytes = 1L << 20)
+    }
+    // ...but one partition directory compacts fine
+    val one = new java.io.File(s"$tmp/part").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("l=")).head
+    val rep = Compaction.compact(spark, one.getPath, s"$tmp/out1", targetBytes = 1L << 20)
+    assert(rep.filesAfter >= 1)
+  }
+
   test("no-sort compaction is shuffle-free (coalesce, no Exchange in the plan)") {
     val tmp = java.nio.file.Files.createTempDirectory("compact_p").toString
     val in = fragmented(tmp)

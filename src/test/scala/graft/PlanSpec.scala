@@ -99,7 +99,11 @@ class PlanSpec extends SparkSpec {
 
   test("q61: both aggregation levels combine map-side (partial before each shuffle)") {
     val p = planOf(TextAnalysis.repetitionStats(spark, d))
-    assert("partial_count|partial_sum|partial_min".r.findAllIn(p).nonEmpty)
+    // one partial aggregate node per level — a single match would let
+    // one level regress to final-only aggregation. Level 2 plans as
+    // SortAggregate (struct-buffer min has no mutable hash buffer) but
+    // still combines map-side, which is the property that matters.
+    assert("(Hash|Sort)Aggregate[^\\n]*partial_".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     // the interpreted 5-gram distinct must evaluate once per DOCUMENT,
     // i.e. in the Project BELOW the Generate (children print after

@@ -86,4 +86,22 @@ class TemporalJoinsSpec extends SparkSpec {
       103L -> 301L  // rt tie at 9: greatest rid wins
     ))
   }
+
+  test("AsOfJoinExec: null keys/times never match and never crash (SQL semantics)") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(10L), 100L), (None, Some(10L), 101L),
+      (Some(1L), None, 102L)).toDF("k", "t", "lid")
+    val r = Seq((Some(1L), Some(4L), 200L), (None, Some(1L), 201L),
+      (Some(1L), None, 202L)).toDF("rk", "rt", "rid")
+    val out = graft.plans.AsOfJoin.asof(l, r,
+        l.col("k"), l.col("t"), r.col("rk"), r.col("rt"), r.col("rid"))
+      .collect()
+      .map(x => (x.getLong(2), if (x.isNullAt(5)) -1L else x.getLong(5)))
+      .toMap
+    assert(out == Map(
+      100L -> 200L, // the only fully-non-null right row matches
+      101L -> -1L,  // null left key: no match
+      102L -> -1L   // null left time: no match
+    ))
+  }
 }
