@@ -1,0 +1,39 @@
+package graft
+
+/** Global plan sweep over the ENTIRE query surface: no query may plan
+  * a nested-loop or cartesian join except the documented small-side
+  * broadcasts below. The per-query PlanSpec pins guard named plans;
+  * this sweep guards every FUTURE query too — adding a quadratic
+  * pairing to SparkEntry.queries fails the suite by default.
+  */
+class PlanSweepSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  /** Queries whose nested-loop joins are by-design bounded broadcasts,
+    * with the invariant that keeps each linear in the corpus:
+    *  - q26/q38: exact brute-force baselines — 10 broadcast queries ×
+    *    corpus (the verify oracle for the blocked ANN paths)
+    *  - q33: vector × nlist(=16) broadcast centroids, the standard
+    *    O(N·nlist) IVF assignment/probe cost
+    *  - q48: 10 broadcast queries × corpus COARSE scan — the operator's
+    *    point is that this pass reads 4× fewer bytes
+    *  - q62/q66: one-row scalar broadcasts (corpus count / CM sketch)
+    */
+  private val allowed = Map(
+    "q26_knn_bruteforce" -> 1, "q33_knn_ivf" -> 2, "q38_knn_topk_agg" -> 1,
+    "q48_knn_int8" -> 1, "q62_tfidf_terms" -> 1, "q66_heavy_users" -> 1)
+
+  test("no undocumented nested-loop/cartesian join in any of the 67 query plans") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, d).queryExecution.executedPlan.toString
+      val n = "BroadcastNestedLoopJoin".r.findAllIn(p).size +
+        "CartesianProduct".r.findAllIn(p).size
+      if (n > allowed.getOrElse(name, 0)) Some(s"$name: $n nested-loop joins") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+    // the allowlist must not rot: entries that stop planning a NLJ
+    // should be removed so the guard stays tight
+    val stale = allowed.keys.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"allowlist names unknown queries: $stale")
+  }
+}
