@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measured-traffic assertions: the scale claims the scaladocs make,
+  * verified as numbers from the executed plans' SQL metrics. */
+class InstrumentSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("q50 sampling: the output sort is the ONLY shuffle, and it moves only kept rows") {
+    // plain loader: documentsDist's round-robin spread is a test-scale
+    // fixture artifact (single-row-group files), not part of the operator
+    val (rows, s) = Instrument.collectWithPlan(
+      Curation.stratifiedSampleDf(Tables.documents(spark, d)))
+    assert(s.shuffles == 1, s"expected only the output range sort: $s")
+    assert(s.broadcasts == 1) // the rates dimension
+    // the filter ran BEFORE the exchange: shuffled records == kept rows
+    assert(s.recordsWritten == rows.length, s)
+    assert(rows.nonEmpty)
+  }
+
+  test("q03 shape: forcing the broadcast join to shuffle moves strictly more traffic") {
+    def q(c: org.apache.spark.sql.DataFrame) =
+      Tables.orders(spark, d)
+        .join(c, col("o_custkey") === col("c_custkey"), "left_outer")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    val (_, sb) = Instrument.collectWithPlan(q(broadcast(Tables.customer(spark, d))))
+    val (_, ss) = Instrument.collectWithPlan(q(Tables.customer(spark, d).hint("shuffle_merge")))
+    assert(sb.broadcasts >= 1 && sb.shuffles == 1, s"broadcast variant: $sb") // output sort only
+    assert(ss.shuffles == 3, s"shuffle variant: both join inputs + sort: $ss")
+    assert(ss.recordsWritten > sb.recordsWritten, s"bcast=$sb shuffle=$ss")
+  }
+
+  test("q21 exact dedup: map-side partials bound the wire to inputs, not input×dups") {
+    val (rows, s) = Instrument.collectWithPlan(Dedup.exact(spark, d))
+    assert(s.shuffles >= 1 && rows.nonEmpty)
+    val nIn = Tables.documents(spark, d).count()
+    // per exchange the partial agg caps records at one per (key,
+    // partition): fixture spread ≤ nIn, agg exchange ≤ nIn, output
+    // sort = survivors
+    assert(s.recordsWritten <= 2 * nIn + rows.length, s)
+    assert(rows.length <= nIn) // (sf0.001 happens to have no exact dups)
+  }
+}
