@@ -191,11 +191,15 @@ object TextAnalysis {
     *
     * Shape: token explode → (doc_id, word) hash-agg for tf; document
     * frequency is a word-keyed re-aggregation of that SAME tf relation
-    * (no second scan of the corpus); df (vocabulary-sized) and the
-    * 1-row corpus count are broadcast back onto tf, so the only wide
-    * exchanges are the two hash-aggs. Per-doc top-3 is a window
-    * row_number over doc_id partitions — at 100 TB each partition is
-    * one document's vocabulary, thousands of rows at most. */
+    * (no second scan of the corpus); the 1-row corpus count is a
+    * scalar broadcast. The df join is left to the planner ON PURPOSE:
+    * a vocabulary is usually broadcast-sized (AQE broadcasts it here),
+    * but a web-scale corpus's token set — typo-laden, hundreds of
+    * millions of entries — can exceed the driver, and a forced
+    * broadcast() hint would OOM where a word-keyed shuffle join (the
+    * same key the tf relation already carries) degrades gracefully.
+    * Per-doc top-3 is a window row_number over doc_id partitions — at
+    * 100 TB each partition is one document's vocabulary. */
   def tfidfTerms(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documentsDist(spark, d)
@@ -207,7 +211,7 @@ object TextAnalysis {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word"))
-    tf.join(broadcast(df_), Seq("word"))
+    tf.join(df_, Seq("word"))
       .crossJoin(broadcast(nDocs))
       .withColumn("milli_idf", expr("(1000 * n_docs) div df"))
       .withColumn("score", col("tf") * col("milli_idf"))
