@@ -30,14 +30,17 @@ object Instrument {
     * every exchange — descend into stages (and nested AQE plans)
     * explicitly. */
   private def nodes(plan: SparkPlan): Seq[SparkPlan] =
-    plan.collect { case p => p }.flatMap {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        q +: nodes(q.plan)
-      case p => Seq(p)
+    plan.collect { case p => p }.flatMap { p =>
+      // scalar/IN/DPP subqueries run their own plans (and shuffles)
+      // outside the main tree — without this they'd be invisible here
+      val subs = p.subqueries.flatMap(nodes)
+      (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: nodes(q.plan)
+        case other => Seq(other)
+      }) ++ subs
     }.distinct
-
-  private def nodes(df: DataFrame): Seq[SparkPlan] = nodes(finalPlan(df))
 
   final case class ShuffleStats(
       shuffles: Int, bytesWritten: Long, recordsWritten: Long,
@@ -45,8 +48,9 @@ object Instrument {
 
   /** Exchange accounting for an already-executed DataFrame. */
   def shuffleStats(df: DataFrame): ShuffleStats = {
-    val ex = nodes(df).collect { case s: ShuffleExchangeLike => s }
-    val bc = nodes(df).collect { case b: BroadcastExchangeLike => b }
+    val ns = nodes(finalPlan(df))
+    val ex = ns.collect { case s: ShuffleExchangeLike => s }
+    val bc = ns.collect { case b: BroadcastExchangeLike => b }
     def m(p: SparkPlan, key: String): Long =
       p.metrics.get(key).map(_.value).filter(_ > 0).getOrElse(0L)
     ShuffleStats(

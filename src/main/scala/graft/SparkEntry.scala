@@ -109,7 +109,7 @@ object SparkEntry {
     "q60_zorder_keys" -> (operators.ZOrder.zorderKeys _),
     // Gopher-style repetition filters: dup-token / dup-5-gram permille
     "q61_repetition" -> (TextAnalysis.repetitionStats _),
-    // top-3 TF-IDF terms per doc (integer milli-IDF, broadcast df)
+    // top-3 TF-IDF terms per doc (integer milli-IDF, planner-chosen df join)
     "q62_tfidf_terms" -> (TextAnalysis.tfidfTerms _),
     // source-pair vocabulary Jaccard (corpus contamination matrix)
     "q63_source_overlap" -> (Curation.sourceOverlap _),
@@ -123,6 +123,23 @@ object SparkEntry {
     // same semantics and oracle as q44, merge-pass execution
     "q67_asof_exec" -> (operators.TemporalJoins.asofJoinExec _),
   )
+
+  /** ONE as-of oracle, shared by q44 (union+window composition) and
+    * q67 (custom physical operator): the two entries must stay
+    * byte-identical or "q67 shares q44's oracle" silently rots. */
+  private val AsofOracleSql: String =
+    """WITH c AS (SELECT event_id click_id, user_id, epoch_us(ts) cts
+      |           FROM events WHERE event_type = 'click'),
+      |v AS (SELECT event_id vid, user_id, epoch_us(ts) vts
+      |      FROM events WHERE event_type = 'view'),
+      |j AS (SELECT c.click_id, c.user_id, c.cts, v.vid, v.vts,
+      |      row_number() OVER (PARTITION BY c.click_id
+      |                         ORDER BY v.vts DESC NULLS LAST, v.vid DESC) rn
+      |      FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.vts <= c.cts)
+      |SELECT click_id, user_id, cts AS click_ts, vid AS view_id,
+      |  vts AS view_ts, cts - vts AS gap_us
+      |FROM j WHERE rn = 1
+      |ORDER BY click_id""".stripMargin
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
   private def H(e: String): String =
@@ -711,33 +728,9 @@ object SparkEntry {
         |ORDER BY event_type""".stripMargin,
     // as-of: the oracle states the semantics directly (max prior view,
     // ties by greatest view id) — same rows the union+window pass emits
-    "q44_asof_join" ->
-      """WITH c AS (SELECT event_id click_id, user_id, epoch_us(ts) cts
-        |           FROM events WHERE event_type = 'click'),
-        |v AS (SELECT event_id vid, user_id, epoch_us(ts) vts
-        |      FROM events WHERE event_type = 'view'),
-        |j AS (SELECT c.click_id, c.user_id, c.cts, v.vid, v.vts,
-        |      row_number() OVER (PARTITION BY c.click_id
-        |                         ORDER BY v.vts DESC NULLS LAST, v.vid DESC) rn
-        |      FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.vts <= c.cts)
-        |SELECT click_id, user_id, cts AS click_ts, vid AS view_id,
-        |  vts AS view_ts, cts - vts AS gap_us
-        |FROM j WHERE rn = 1
-        |ORDER BY click_id""".stripMargin,
+    "q44_asof_join" -> AsofOracleSql,
     // identical semantics through the custom physical operator
-    "q67_asof_exec" ->
-      """WITH c AS (SELECT event_id click_id, user_id, epoch_us(ts) cts
-        |           FROM events WHERE event_type = 'click'),
-        |v AS (SELECT event_id vid, user_id, epoch_us(ts) vts
-        |      FROM events WHERE event_type = 'view'),
-        |j AS (SELECT c.click_id, c.user_id, c.cts, v.vid, v.vts,
-        |      row_number() OVER (PARTITION BY c.click_id
-        |                         ORDER BY v.vts DESC NULLS LAST, v.vid DESC) rn
-        |      FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.vts <= c.cts)
-        |SELECT click_id, user_id, cts AS click_ts, vid AS view_id,
-        |  vts AS view_ts, cts - vts AS gap_us
-        |FROM j WHERE rn = 1
-        |ORDER BY click_id""".stripMargin,
+    "q67_asof_exec" -> AsofOracleSql,
     "q45_range_join_agg" ->
       """WITH c AS (SELECT event_id click_id, user_id, epoch_us(ts) cts
         |           FROM events WHERE event_type = 'click'),

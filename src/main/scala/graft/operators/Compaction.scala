@@ -44,22 +44,29 @@ object Compaction {
     * Returns the before/after accounting the maintenance scheduler
     * logs (a production run compares `filesBefore/filesAfter` to
     * decide whether the rewrite was worth the IO). */
+  /** The file-count reshaping alone (factored out so its plan is
+    * testable): range-cluster when sorting, repartition when the
+    * target needs MORE partitions than the scan produced (coalesce
+    * can only merge), shuffle-free coalesce otherwise. */
+  private[graft] def layout(df: org.apache.spark.sql.DataFrame,
+      n: Int, sortCols: Seq[Column]): org.apache.spark.sql.DataFrame =
+    if (sortCols.nonEmpty)
+      df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    else if (n > df.rdd.getNumPartitions) df.repartition(n)
+    else df.coalesce(n)
+
   def compact(
       spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long, sortCols: Seq[Column] = Nil): Report = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val files = parquetFiles(spark, inDir)
     val bytes = files.map(_._2).sum
+    // retention may have emptied the directory (only _SUCCESS left):
+    // compaction of nothing is a no-op, not a crash
+    if (files.isEmpty) return Report(0, 0, 0L, 0)
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(inDir)
-    val out =
-      if (sortCols.nonEmpty)
-        df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
-      else if (n > df.rdd.getNumPartitions)
-        // splitting over-large files needs a real repartition —
-        // coalesce can only merge
-        df.repartition(n)
-      else df.coalesce(n)
-    out.write.mode("overwrite").parquet(outDir)
+    layout(spark.read.parquet(inDir), n, sortCols)
+      .write.mode("overwrite").parquet(outDir)
     Report(files.size, parquetFiles(spark, outDir).size, bytes, n)
   }
 }

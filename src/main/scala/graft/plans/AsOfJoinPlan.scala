@@ -41,6 +41,15 @@ case class AsOfJoinPlan(
     rightTieBreak: Expression) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+  override def maxRows: Option[Long] = left.maxRows
+  /** Left-outer as-of cardinality is exactly |L|. Without this the
+    * default visitor estimates an unknown binary node as the PRODUCT
+    * of its children's sizes, which would bar the output from ever
+    * being broadcast downstream. */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes,
+      rowCount = left.stats.rowCount)
   override protected def withNewChildrenInternal(
       l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan = copy(left = l, right = r)
 }
@@ -159,6 +168,17 @@ object AsOfJoin {
       leftKey: Column, leftTime: Column,
       rightKey: Column, rightTime: Column, rightTieBreak: Column): DataFrame = {
     val spark = left.sparkSession
+    // the merge orderings and the hash co-partitioning are both built
+    // from the expression types: a Long/Int key pair would hash equal
+    // values to DIFFERENT partitions and then ClassCastException in the
+    // ordering — fail fast instead
+    val (lkE, ltE) = (GraftShim.expression(leftKey), GraftShim.expression(leftTime))
+    val (rkE, rtE) = (GraftShim.expression(rightKey), GraftShim.expression(rightTime))
+    val (lp, rp) = (left.queryExecution.analyzed, right.queryExecution.analyzed)
+    require(lkE.dataType == rkE.dataType,
+      s"as-of key types differ: ${lkE.dataType} vs ${rkE.dataType}")
+    require(ltE.dataType == rtE.dataType,
+      s"as-of time types differ: ${ltE.dataType} vs ${rtE.dataType}")
     // planner.strategies covers both extension-injected strategies and
     // experimental ones, so a GraftExtensions session is not
     // double-registered; synchronize the check-then-act (the
@@ -169,10 +189,7 @@ object AsOfJoin {
           AsOfJoinStrategy +: spark.experimental.extraStrategies
     }
     GraftShim.ofRows(spark,
-      AsOfJoinPlan(
-        left.queryExecution.analyzed, right.queryExecution.analyzed,
-        GraftShim.expression(leftKey), GraftShim.expression(leftTime),
-        GraftShim.expression(rightKey), GraftShim.expression(rightTime),
+      AsOfJoinPlan(lp, rp, lkE, ltE, rkE, rtE,
         GraftShim.expression(rightTieBreak)))
   }
 }

@@ -60,11 +60,31 @@ class CompactionSpec extends SparkSpec {
     assert(rep.filesAfter >= 1)
   }
 
-  test("no-sort compaction is shuffle-free (coalesce, no Exchange in the plan)") {
+  test("no-sort compaction is shuffle-free when merging, shuffles only to split") {
     val tmp = java.nio.file.Files.createTempDirectory("compact_p").toString
     val in = fragmented(tmp)
-    val df = spark.read.parquet(in).coalesce(4)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"coalesce path must not shuffle:\n$plan")
+    val df = spark.read.parquet(in)
+    // merging (n below scan partitions) must not shuffle — through the
+    // operator's real branch, not a hand-built coalesce
+    val merge = Compaction.layout(df, 4, Nil)
+    assert(!merge.queryExecution.executedPlan.toString.contains("Exchange"),
+      "merge path must not shuffle")
+    // splitting to MORE partitions than the scan produced requires one
+    val grow = Compaction.layout(df, df.rdd.getNumPartitions + 8, Nil)
+    assert(grow.queryExecution.executedPlan.toString.contains("Exchange"),
+      "split path must repartition (coalesce cannot grow)")
+    assert(grow.rdd.getNumPartitions == df.rdd.getNumPartitions + 8)
+  }
+
+  test("empty directory and bad targetBytes are guarded") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact_e").toString
+    new java.io.File(s"$tmp/empty").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "empty", "_SUCCESS"),
+      Array.emptyByteArray)
+    val rep = Compaction.compact(spark, s"$tmp/empty", s"$tmp/out", targetBytes = 1L << 20)
+    assert(rep == Compaction.Report(0, 0, 0L, 0))
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, s"$tmp/empty", s"$tmp/out2", targetBytes = 0)
+    }
   }
 }

@@ -46,6 +46,7 @@ class PartitioningSpec extends SparkSpec {
     ev.write.mode("overwrite").partitionBy("day").parquet(tmp)
     val days = spark.read.parquet(tmp).select(col("day").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
+    assert(days.length >= 2, "isolation needs a sibling partition to protect")
     val (target, untouched) = (days.head, days.last)
     val beforeOther = spark.read.parquet(tmp)
       .filter(col("day") === untouched).count()

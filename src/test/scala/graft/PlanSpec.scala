@@ -114,7 +114,11 @@ class PlanSpec extends SparkSpec {
 
   test("q62/q63: vocabulary-side joins broadcast; no pairwise nested-loop") {
     val p62 = planOf(TextAnalysis.tfidfTerms(spark, d))
-    assert(p62.contains("BroadcastHashJoin"))
+    // the df join is deliberately unhinted (a web-scale vocabulary must
+    // be able to degrade to a shuffle join) — pin only that it plans as
+    // an EQUI-join of either strategy
+    assert(p62.contains("BroadcastHashJoin") || p62.contains("SortMergeJoin") ||
+      p62.contains("ShuffledHashJoin"), p62)
     // the only nested-loop allowed is the 1-row corpus-count scalar
     // broadcast (crossJoin(nDocs)); a pairwise NLJ would be a second one
     assert("BroadcastNestedLoopJoin".r.findAllIn(p62).size <= 1)

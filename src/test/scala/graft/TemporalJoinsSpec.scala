@@ -104,4 +104,15 @@ class TemporalJoinsSpec extends SparkSpec {
       102L -> -1L   // null left time: no match
     ))
   }
+
+  test("AsOfJoinExec: mismatched key/time types fail fast at the API") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val r = Seq((1, 4L, 200L)).toDF("rk", "rt", "rid") // Int key vs Long
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin.asof(l, r,
+        l.col("k"), l.col("t"), r.col("rk"), r.col("rt"), r.col("rid"))
+    }
+    assert(e.getMessage.contains("key types differ"))
+  }
 }
