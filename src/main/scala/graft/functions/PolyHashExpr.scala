@@ -109,6 +109,16 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinHashesExpr(args.head, intArg(args(1), "graft_minhashes"))),
     ("graft_shinglehashes", classOf[ShingleHashesExpr],
       (args: Seq[Expression]) => ShingleHashesExpr(args.head, intArg(args(1), "graft_shinglehashes"))),
+    // aggregates register the same way: the analyzer wraps a bare
+    // AggregateFunction into its AggregateExpression
+    ("graft_topk", classOf[TopKByScore],
+      (args: Seq[Expression]) => TopKByScore(args(0), args(1), intArg(args(2), "graft_topk"))),
+    ("graft_cms", classOf[CountMinAgg],
+      (args: Seq[Expression]) => CountMinAgg(args(0),
+        intArg(args(1), "graft_cms"), intArg(args(2), "graft_cms"))),
+    ("graft_cms_estimate", classOf[CmsEstimateExpr],
+      (args: Seq[Expression]) => CmsEstimateExpr(args(0), args(1),
+        intArg(args(2), "graft_cms_estimate"), intArg(args(3), "graft_cms_estimate"))),
   )
 
   /** Register SQL-callable functions on an existing session. */

@@ -95,6 +95,25 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("constant"))
   }
 
+  test("SQL registration: the custom AGGREGATES are SQL-callable too") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, 5.0, 10L), (1L, 9.0, 11L), (1L, 9.0, 7L), (2L, 1.0, 20L))
+      .toDF("g", "score", "id").createOrReplaceTempView("agg_in")
+    // graft_topk: top-2 by score desc, id asc on ties
+    val tk = spark.sql(
+      "SELECT g, graft_topk(score, id, 2) t FROM agg_in GROUP BY g ORDER BY g")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+    assert(tk.toSeq == Seq(1L -> Seq((9.0, 7L), (9.0, 11L)), 2L -> Seq((1.0, 20L))))
+    // graft_cms + graft_cms_estimate round-trip: exact at this scale
+    val est = spark.sql("""
+      WITH sk AS (SELECT graft_cms(g, 64, 4) s FROM agg_in)
+      SELECT graft_cms_estimate(s, 1L, 64, 4) e1,
+             graft_cms_estimate(s, 2L, 64, 4) e2 FROM sk""").head()
+    assert(est.getLong(0) == 3L && est.getLong(1) == 1L)
+  }
+
   test("works inside higher-order lambdas (shingle hashing path)") {
     GraftFunctions.register(spark)
     val r = spark.sql(
