@@ -46,6 +46,30 @@ class SketchSpec extends SparkSpec {
     exact.filter(_._2 >= 75L).keySet.foreach(u => assert(heavy.contains(u)))
   }
 
+  test("count-min aggregate runs unchanged in a streaming aggregation (mergeable state)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.functions.CountMinAgg.cms
+    implicit val sc = spark.sqlContext
+    val users = Tables.eventsNs(spark, d).select("user_id").as[Long].collect().toSeq
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("user_id")
+      .agg(cms(col("user_id"), 64, 4).as("sk"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (a, b) = users.splitAt(users.size / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val stream = spark.table("cms_stream").head().getSeq[Long](0)
+      val batch = Tables.eventsNs(spark, d)
+        .agg(cms(col("user_id"), 64, 4).as("sk")).head().getSeq[Long](0)
+      // cross-batch state merge produced the identical counter matrix
+      assert(stream == batch && stream.sum > 0)
+    } finally q.stop()
+  }
+
   test("count-min sketches merge by vector addition: shard-merged == whole-stream") {
     import graft.functions.CountMinAgg.cms
     val e = Tables.eventsNs(spark, d)
