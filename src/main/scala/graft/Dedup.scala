@@ -99,12 +99,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val thr = 0.6
     val sets = shingleSets(spark, d).persist()
+    val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
     val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // set size via the (tiny, broadcast) sz relation — a count window
+    // over the same partitions would add a second pass over the
+    // exploded postings for a value the persisted sets already know
     val ranked = sh.join(dfreq, "h")
       .withColumn("r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .withColumn("s", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .join(broadcast(sz.withColumnRenamed("sz", "s")), "doc_id")
     val prefix = ranked.filter(col("r") <= col("s") - ceil(lit(thr) * col("s")) + 1)
       .select(col("doc_id"), col("h"))
     val cand = prefix.as("a")
@@ -112,11 +116,14 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // verify on candidates from the persisted ARRAYS (one codegen
+    // array_intersect per pair) instead of re-joining the full posting
+    // lists — the postings were only ever needed to find candidates
     val common = cand
-      .join(sh.as("p"), col("doc_a") === col("p.doc_id"))
-      .join(sh.as("q"), col("doc_b") === col("q.doc_id") && col("p.h") === col("q.h"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("cm"))
-    val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("cm"))
     pairJaccard(common, sz, thr)
   }
 
