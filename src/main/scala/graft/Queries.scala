@@ -401,6 +401,94 @@ object Queries {
         round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("month"), col("o_orderstatus"))
 
+  /** q69: sessionization via Spark's NATIVE session-window operator
+    * (`session_window` — the one the streaming engine merges
+    * incrementally), emitting per-session bounds rather than q19's
+    * per-user counts. Session semantics: a new session starts when the
+    * gap is >= 30 min (interval-overlap semantics: [t, t+gap) windows
+    * merge only while they overlap); session end = last event + gap.
+    * Bounds emitted as exact epoch-micros longs so the gaps-and-islands
+    * oracle hash-matches. One shuffle on user_id; the same expression
+    * runs under `writeStream` with a watermark for streaming session
+    * analytics. */
+  def sessionWindows(spark: SparkSession, d: String): DataFrame =
+    eventsNs(spark, d)
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("mts"))
+      .groupBy(col("user_id"), session_window(col("mts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  /** q70: explicit GROUPING SETS — (month), (status), and grand total,
+    * a set NOT expressible as one rollup or cube (no (month, status)
+    * row). All three sets compute in a single expand + hash aggregate:
+    * one shuffle regardless of how many sets. */
+  def ordersGroupingSets(spark: SparkSession, d: String): DataFrame = {
+    val m = col("month")
+    val s = col("o_orderstatus")
+    orders(spark, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .groupingSets(Seq(Seq(m), Seq(s), Seq()), m, s)
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("gid"), col("month"), col("o_orderstatus"))
+  }
+
+  /** q71: correlated scalar subqueries — orders priced above 1.5× their
+    * customer's average. Written as SQL so Catalyst's decorrelation is
+    * what executes it (RewriteCorrelatedScalarSubquery turns both
+    * subqueries into ONE aggregate + join — no per-row re-execution,
+    * no nested loop; pinned in PlanSpec). The comparison runs in exact
+    * integer cents so the boundary can't flip on last-ulp float
+    * disagreement between engines. */
+  def ordersAboveCustAvg(spark: SparkSession, d: String): DataFrame = {
+    orders(spark, d).createOrReplaceTempView("q71_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice, n_cust_orders,
+        |  (sum_cents div n_cust_orders) AS avg_cents
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    (SELECT count(*) FROM q71_orders i
+        |     WHERE i.o_custkey = o.o_custkey) AS n_cust_orders,
+        |    (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+        |     FROM q71_orders i
+        |     WHERE i.o_custkey = o.o_custkey) AS sum_cents
+        |  FROM q71_orders o) t
+        |WHERE 2 * cents * n_cust_orders > 3 * sum_cents
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q73: ranking-function suite over per-customer spend — ntile
+    * deciles, percent_rank, and lead/lag neighbors on one ordered
+    * window. Spend is summed in exact cents; the only float outputs are
+    * single integer→double divisions, identical IEEE ops cross-engine.
+    * Two shuffles total: the spend aggregation, then ONE global-order
+    * window partition (fine for ranking over per-customer aggregates —
+    * cardinality is |customers|, already reduced). */
+  def customerDeciles(spark: SparkSession, d: String): DataFrame = {
+    val spend = orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+    spend
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("next_cents", lead(col("cents"), 1).over(w))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .select(col("o_custkey"), (col("cents") / 100.0).as("total_spent"),
+        col("n_orders"), col("decile"), col("pct_rank"),
+        (col("next_cents") / 100.0).as("next_spent"),
+        (col("prev_cents") / 100.0).as("prev_spent"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Column profiler (ANALYZE-style data quality pass) over lineitem's
     * numeric measures: one scan, `stack` unpivot, one hash-agg shuffle.
     * Every statistic is order-independent and exact (counts, exact

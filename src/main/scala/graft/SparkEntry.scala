@@ -122,6 +122,19 @@ object SparkEntry {
     // as-of join via the custom physical operator (AsOfJoinExec):
     // same semantics and oracle as q44, merge-pass execution
     "q67_asof_exec" -> (operators.TemporalJoins.asofJoinExec _),
+    // keyed MERGE/upsert: change batch applied via one full-outer join
+    "q68_merge_upsert" -> (operators.MergeUpsert.mergeOrders _),
+    // native session_window operator (per-session bounds; streaming-capable)
+    "q69_session_windows" -> (Queries.sessionWindows _),
+    // explicit GROUPING SETS (not a rollup/cube): one expand+hash-agg
+    "q70_grouping_sets" -> (Queries.ordersGroupingSets _),
+    // correlated scalar subqueries, executed via Catalyst decorrelation
+    "q71_above_cust_avg" -> (Queries.ordersAboveCustAvg _),
+    // row-level interval join (bucket-blocked); batch twin of the
+    // stream-stream attribution join (EventStreamSpec: stream ≡ batch)
+    "q72_interval_pairs" -> (operators.TemporalJoins.intervalPairs _),
+    // ranking suite: ntile deciles + percent_rank + lead/lag
+    "q73_customer_deciles" -> (Queries.customerDeciles _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -774,6 +787,86 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_units
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q68_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |              FROM orders),
+        |u AS (SELECT o_orderkey,
+        |        (round(o_totalprice * 100)::BIGINT * 11 // 10)::DOUBLE / 100.0
+        |          AS o_totalprice,
+        |        'U' AS o_orderstatus
+        |      FROM base WHERE o_orderkey % 7 = 0),
+        |i AS (SELECT o_orderkey + 20000000 AS o_orderkey,
+        |        1000.0 AS o_totalprice, 'N' AS o_orderstatus
+        |      FROM base WHERE o_orderkey % 97 = 0),
+        |ch AS (SELECT * FROM u UNION ALL SELECT * FROM i)
+        |SELECT coalesce(ch.o_orderkey, base.o_orderkey) AS o_orderkey,
+        |  base.o_custkey AS o_custkey,
+        |  coalesce(ch.o_totalprice, base.o_totalprice) AS o_totalprice,
+        |  coalesce(ch.o_orderstatus, base.o_orderstatus) AS o_orderstatus
+        |FROM base FULL OUTER JOIN ch ON base.o_orderkey = ch.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // gaps-and-islands twin of the native session_window operator: new
+    // session at gap >= 30 min (interval-overlap semantics), session
+    // end = last event + gap
+    "q69_session_windows" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) tus FROM events),
+        |s AS (SELECT user_id, tus,
+        |      lag(tus) OVER (PARTITION BY user_id ORDER BY tus) prev_us FROM t),
+        |f AS (SELECT user_id, tus,
+        |      CASE WHEN prev_us IS NULL OR tus - prev_us >= 1800000000
+        |           THEN 1 ELSE 0 END new_sess FROM s),
+        |g AS (SELECT user_id, tus,
+        |      sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess_id FROM f)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |  max(tus) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    "q70_grouping_sets" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+        |  grouping_id(strftime(o_orderdate, '%Y-%m'), o_orderstatus)::BIGINT AS gid,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((strftime(o_orderdate, '%Y-%m')), (o_orderstatus), ())
+        |ORDER BY gid, month NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q71_above_cust_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, n_cust_orders,
+        |  (sum_cents // n_cust_orders)::BIGINT AS avg_cents
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    (SELECT count(*) FROM orders i
+        |     WHERE i.o_custkey = o.o_custkey) AS n_cust_orders,
+        |    (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+        |     FROM orders i
+        |     WHERE i.o_custkey = o.o_custkey) AS sum_cents
+        |  FROM orders o) t
+        |WHERE 2 * cents * n_cust_orders > 3 * sum_cents
+        |ORDER BY o_orderkey""".stripMargin,
+    "q72_interval_pairs" ->
+      """WITH c AS (SELECT event_id click_id, user_id, epoch_us(ts) cts
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id view_id, user_id, epoch_us(ts) vts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, c.user_id, v.view_id, c.cts - v.vts AS gap_us
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |     AND v.vts <= c.cts AND c.cts - v.vts <= 600000000
+        |ORDER BY click_id, view_id""".stripMargin,
+    "q73_customer_deciles" ->
+      """WITH s AS (SELECT o_custkey,
+        |           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+        |           count(*) AS n_orders FROM orders GROUP BY o_custkey),
+        |w AS (SELECT o_custkey, cents, n_orders,
+        |      ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile,
+        |      round(percent_rank() OVER (ORDER BY cents DESC, o_custkey), 6) AS pct_rank,
+        |      lead(cents) OVER (ORDER BY cents DESC, o_custkey) AS next_cents,
+        |      lag(cents) OVER (ORDER BY cents DESC, o_custkey) AS prev_cents
+        |      FROM s)
+        |SELECT o_custkey, cents / 100.0 AS total_spent, n_orders,
+        |  decile::BIGINT AS decile, pct_rank,
+        |  next_cents / 100.0 AS next_spent, prev_cents / 100.0 AS prev_spent
+        |FROM w ORDER BY o_custkey""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,

@@ -80,6 +80,32 @@ object TemporalJoins {
       .orderBy(col("click_id"))
   }
 
+  /** q72: the row-level interval join — every (click, view) pair of the
+    * same user with the view in the 10 minutes up to the click. Same
+    * bucket blocking as `rangeJoinAgg` (each qualifying pair meets in
+    * exactly one bucket — no dedup pass, no nested loop); inner join,
+    * so it is also the batch twin of the STREAMING stream-stream
+    * interval join (`streaming.EventStream.attribution`), asserted
+    * stream ≡ batch in EventStreamSpec. */
+  def intervalPairs(spark: SparkSession, d: String): DataFrame = {
+    val W = 600000000L // 10 min in µs
+    val ev = graft.Tables.eventsNs(spark, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        expr("ts div 1000").as("cts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts div 1000").as("vts"),
+        col("event_id").as("view_id"))
+      .withColumn("b", expr(s"vts div ${W}L"))
+    clicks
+      .withColumn("b", explode(array(expr(s"cts div ${W}L"), expr(s"cts div ${W}L - 1"))))
+      .join(views, Seq("user_id", "b"))
+      .filter(col("vts") <= col("cts") && col("cts") - col("vts") <= W)
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        (col("cts") - col("vts")).as("gap_us"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
   /** Per click: count / min-gap / max-value of the same user's views in
     * the 10 minutes up to the click (inclusive window [cts−W, cts]). */
   def rangeJoinAgg(spark: SparkSession, d: String): DataFrame = {

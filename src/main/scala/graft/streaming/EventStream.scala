@@ -49,6 +49,39 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream interval join: every (click, view) pair of the same
+    * user with the view in the 10 minutes up to the click — the
+    * streaming twin of `operators.TemporalJoins.intervalPairs` (q72),
+    * asserted stream ≡ batch in EventStreamSpec.
+    *
+    * Both inputs carry watermarks, and the join condition bounds
+    * view_ts relative to click_ts from BOTH sides — that pair is what
+    * lets the streaming engine evict state: a buffered view can be
+    * dropped once the click watermark passes view_ts + 10 min, a
+    * buffered click once the view watermark passes click_ts. Without
+    * the range bound the state store grows forever. State is keyed by
+    * user_id — partitioned across executors by the join shuffle.
+    *
+    * The same code runs in batch (watermarks are a no-op there);
+    * `clicks`/`views` are pre-filtered event frames with columns
+    * (event_id, ts: timestamp, user_id). */
+  def attribution(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "20 minutes")
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "20 minutes")
+    c.join(v,
+        col("user_id") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
+
   /** 30-minute-gap sessionization — the streaming twin of
     * Queries.eventsSessionize (q19), with true incremental state:
     * a session closes (and is emitted) when the event-time watermark

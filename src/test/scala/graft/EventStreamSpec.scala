@@ -137,6 +137,48 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join (attribution): stream equals batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventStream.attribution(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val cs = Seq(Event(10, ts(20), 1, "click", 1.0),
+        Event(11, ts(40), 1, "click", 1.0), Event(12, ts(25), 2, "click", 1.0))
+      val vs = Seq(Event(1, ts(15), 1, "view", 1.0), Event(2, ts(19), 1, "view", 1.0),
+        Event(3, ts(35), 1, "view", 1.0), Event(4, ts(24), 3, "view", 1.0))
+      clicks.addData(cs: _*)
+      views.addData(vs: _*)
+      q.processAllAvailable()
+      val stream = spark.table("attr_out")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = EventStream.attribution(cs.toDF(), vs.toDF())
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(stream == batch)
+      // click@20 matches views@15,19 (≤10 min back); click@40 matches
+      // view@35; user 2's click and user 3's view stay unmatched
+      assert(stream.map(t => (t._1, t._3)) == Set((10L, 1L), (10L, 2L), (11L, 3L)))
+    } finally q.stop()
+  }
+
+  test("attribution batch twin equals q72's bucket-blocked interval pairs") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.eventsNs(spark, d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = EventStream.attribution(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .select("click_id", "user_id", "view_id", "gap_us")
+    val q72 = operators.TemporalJoins.intervalPairs(spark, d)
+      .select("click_id", "user_id", "view_id", "gap_us")
+    assert(batch.except(q72).isEmpty && q72.except(batch).isEmpty)
+    assert(q72.count() > 0)
+  }
+
   test("file source → hourly agg → sink (Trigger.AvailableNow) equals batch") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger

@@ -23,7 +23,7 @@ class PlanSweepSpec extends SparkSpec {
     "q26_knn_bruteforce" -> 1, "q33_knn_ivf" -> 2, "q38_knn_topk_agg" -> 1,
     "q48_knn_int8" -> 1, "q62_tfidf_terms" -> 1, "q66_heavy_users" -> 1)
 
-  test("no undocumented nested-loop/cartesian join in any of the 67 query plans") {
+  test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, d).queryExecution.executedPlan.toString
       val n = "BroadcastNestedLoopJoin".r.findAllIn(p).size +
