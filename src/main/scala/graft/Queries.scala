@@ -489,6 +489,108 @@ object Queries {
       .orderBy(col("o_custkey"))
   }
 
+  /** q74: distinct-user reach from MERGEABLE persisted sketch partials —
+    * the approximate sibling of q65's incremental view. Per (type, day)
+    * HLL sketches (DataSketches `hll_sketch_agg`) are the persisted
+    * partial state; refresh unions |state| sketch bytes per type
+    * (`hll_union_agg`) without ever rescanning history — the only
+    * distinct-count refresh that works at 100 TB (exact distinct
+    * partials don't merge: distinct-of-day ≠ distinct-of-month).
+    * `est_direct` recomputes the sketch in one pass; SketchSpec pins
+    * merged ≡ direct exactly (register-wise max is associative) and
+    * both within HLL error of exact. Approximate values can't
+    * hash-match an exact oracle → rows-only, like q37/q66. */
+  def userReachSketch(spark: SparkSession, d: String): DataFrame = {
+    val e = eventsNs(spark, d)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("user_id"))
+    val partials = e.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = partials.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val direct = e.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"))
+    merged.join(direct, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("est_merged"), col("est_direct"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q75: SCD2 (slowly-changing-dimension) interval build — each
+    * customer's orders become consecutive versions with
+    * [valid_from, valid_to) bounds; the current version's valid_to is
+    * null. One window pass (row_number + lead) on the natural key, one
+    * shuffle — the standard warehouse pattern whose read-side partner
+    * is the as-of join (q44/q67). */
+  def scd2Customers(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .withColumn("valid_to",
+        date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd"))
+      .select(col("o_custkey"), col("o_orderkey"), col("version"),
+        col("valid_from"), col("valid_to"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  /** q76: TPC-H Q11 shape — per-part value filtered by a share-of-total
+    * threshold computed in an UNCORRELATED scalar subquery (one extra
+    * 1-row aggregate, broadcast into the predicate; no per-row
+    * re-execution). Share boundary in exact integer cents so the
+    * cut can't flip on float summation order. */
+  def importantParts(spark: SparkSession, d: String): DataFrame = {
+    lineitem(spark, d).createOrReplaceTempView("q76_lineitem")
+    spark.sql(
+      """SELECT l_partkey, n_items,
+        |  CAST(part_cents AS DOUBLE) / 100.0 AS value
+        |FROM (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS part_cents,
+        |    count(*) AS n_items
+        |  FROM q76_lineitem GROUP BY l_partkey) p
+        |WHERE part_cents * 2000 >
+        |  (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   FROM q76_lineitem)
+        |ORDER BY l_partkey""".stripMargin)
+  }
+
+  /** q77: semi-structured round trip — struct → JSON string
+    * (`to_json`) → path extraction (`get_json_object`) and schema'd
+    * parse (`from_json`). The oracle states the identity the round
+    * trip must preserve (extracted values ≡ source columns) — the
+    * cross-engine-portable way to pin JSON semantics without
+    * comparing engine-specific serialization. All per-row codegen,
+    * no shuffle. */
+  def jsonRoundTrip(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .withColumn("meta",
+        to_json(struct(col("doc_id"), col("lang"), col("source"), col("n_chars"))))
+      .select(col("doc_id"),
+        get_json_object(col("meta"), "$.lang").as("j_lang"),
+        get_json_object(col("meta"), "$.n_chars").cast("long").as("j_chars"),
+        from_json(col("meta"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType))))
+          .getField("source").as("j_source"))
+      .orderBy(col("doc_id"))
+
+  /** q78: generator surface — posexplode (UDTF-style lateral view)
+    * unnesting tokens WITH their position. Row amplification happens
+    * after the filter is pushed to the scan; the generator runs inside
+    * whole-stage codegen. */
+  def tokenPositions(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** Column profiler (ANALYZE-style data quality pass) over lineitem's
     * numeric measures: one scan, `stack` unpivot, one hash-agg shuffle.
     * Every statistic is order-independent and exact (counts, exact

@@ -135,6 +135,17 @@ object SparkEntry {
     "q72_interval_pairs" -> (operators.TemporalJoins.intervalPairs _),
     // ranking suite: ntile deciles + percent_rank + lead/lag
     "q73_customer_deciles" -> (Queries.customerDeciles _),
+    // mergeable HLL sketch partials (rows-only like q37; SketchSpec
+    // pins merged ≡ direct and error vs exact)
+    "q74_user_reach_sketch" -> (Queries.userReachSketch _),
+    // SCD2 validity-interval build (window lead; as-of join read side)
+    "q75_scd2_customers" -> (Queries.scd2Customers _),
+    // share-of-total threshold via uncorrelated scalar subquery
+    "q76_important_parts" -> (Queries.importantParts _),
+    // to_json → get_json_object/from_json round trip (identity oracle)
+    "q77_json_roundtrip" -> (Queries.jsonRoundTrip _),
+    // posexplode generator (lateral-view unnest with ordinality)
+    "q78_token_positions" -> (Queries.tokenPositions _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -867,6 +878,38 @@ object SparkEntry {
         |  decile::BIGINT AS decile, pct_rank,
         |  next_cents / 100.0 AS next_spent, prev_cents / 100.0 AS prev_spent
         |FROM w ORDER BY o_custkey""".stripMargin,
+    "q75_scd2_customers" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w::BIGINT AS version,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+        |  o_orderstatus, o_totalprice
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
+    "q76_important_parts" ->
+      """SELECT l_partkey, n_items,
+        |  CAST(part_cents AS DOUBLE) / 100.0 AS value
+        |FROM (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS part_cents,
+        |    count(*) AS n_items
+        |  FROM lineitem GROUP BY l_partkey) p
+        |WHERE part_cents * 2000 >
+        |  (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   FROM lineitem)
+        |ORDER BY l_partkey""".stripMargin,
+    // identity oracle: the JSON round trip must hand back exactly the
+    // source columns (see Queries.jsonRoundTrip)
+    "q77_json_roundtrip" ->
+      """SELECT doc_id, lang AS j_lang, n_chars AS j_chars, source AS j_source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q78_token_positions" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+        |           FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS token
+        |FROM t, unnest(generate_series(1, len(tk))) g(i)
+        |ORDER BY doc_id, pos""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,

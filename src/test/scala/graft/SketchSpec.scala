@@ -24,6 +24,37 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q74: HLL partials persisted to parquet merge to the direct sketch exactly") {
+    val out = Queries.userReachSketch(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = Tables.eventsNs(spark, d)
+      .groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == exact.keySet && out.nonEmpty)
+    out.foreach { case (k, (nDays, merged, direct)) =>
+      // register-wise max is associative: union-of-partials must equal
+      // the one-pass sketch EXACTLY, not just approximately
+      assert(merged == direct, s"$k: merged $merged != direct $direct")
+      assert(nDays > 0)
+      val u = exact(k)
+      assert(math.abs(merged - u) <= math.max(2.0, 0.1 * u), s"$k: $merged vs exact $u")
+    }
+    // the IVM-critical property: sketch partials survive a parquet
+    // round trip (binary column) and still merge to the same estimate
+    val e = Tables.eventsNs(spark, d)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("user_id"))
+    val partials = e.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("hll_partials").toString
+    partials.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (k, (_, merged, _)) => assert(reloaded(k) == merged) }
+  }
+
   test("count-min estimates: one-sided, within eps*N, threshold has no false negatives") {
     import graft.functions.CountMinAgg.{cms, cmsEstimate}
     val e = Tables.eventsNs(spark, d)
