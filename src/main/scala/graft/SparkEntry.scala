@@ -146,6 +146,15 @@ object SparkEntry {
     "q77_json_roundtrip" -> (Queries.jsonRoundTrip _),
     // posexplode generator (lateral-view unnest with ordinality)
     "q78_token_positions" -> (Queries.tokenPositions _),
+    // CDC apply: latest-wins collapse + upsert + delete anti-join;
+    // the batch twin of the streaming upsertSink (MergeUpsertSpec)
+    "q79_cdc_apply" -> (operators.MergeUpsert.cdcOrders _),
+    // blocked fuzzy pairing with exact levenshtein verify
+    "q80_fuzzy_pairs" -> (TextAnalysis.fuzzyPairs _),
+    // array algebra: sort/distinct/slice/intersect/union/overlap
+    "q81_array_ops" -> (TextAnalysis.arrayOps _),
+    // MapType in flight, exploded back to relational rows
+    "q82_word_map" -> (TextAnalysis.wordMap _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -910,6 +919,69 @@ object SparkEntry {
         |SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS token
         |FROM t, unnest(generate_series(1, len(tk))) g(i)
         |ORDER BY doc_id, pos""".stripMargin,
+    "q79_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |              FROM orders),
+        |u1 AS (SELECT o_orderkey,
+        |       (round(o_totalprice * 100)::BIGINT + 100000)::DOUBLE / 100.0
+        |         AS o_totalprice,
+        |       'U1' AS o_orderstatus, 'U' AS op, 1::BIGINT AS seq
+        |       FROM base WHERE o_orderkey % 5 = 0),
+        |d2 AS (SELECT o_orderkey, NULL::DOUBLE, NULL::VARCHAR, 'D', 2::BIGINT
+        |       FROM base WHERE o_orderkey % 15 = 0),
+        |u3 AS (SELECT o_orderkey,
+        |       (round(o_totalprice * 100)::BIGINT * 2)::DOUBLE / 100.0,
+        |       'U3', 'U', 3::BIGINT
+        |       FROM base WHERE o_orderkey % 25 = 0),
+        |ch AS (SELECT * FROM u1 UNION ALL SELECT * FROM d2
+        |       UNION ALL SELECT * FROM u3),
+        |latest AS (SELECT * FROM (
+        |  SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey
+        |                                  ORDER BY seq DESC) rn FROM ch)
+        |  WHERE rn = 1),
+        |ups AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |        FROM latest WHERE op = 'U'),
+        |dels AS (SELECT o_orderkey FROM latest WHERE op = 'D'),
+        |merged AS (
+        |  SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    b.o_custkey AS o_custkey,
+        |    coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |    coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+        |  FROM base b FULL OUTER JOIN ups u ON b.o_orderkey = u.o_orderkey)
+        |SELECT m.* FROM merged m
+        |WHERE m.o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q80_fuzzy_pairs" ->
+      """WITH t AS (SELECT doc_id, lang, substring(text, 1, 30) head30,
+        |           regexp_split_to_array(text, ' ')[1] tok0,
+        |           (len(regexp_split_to_array(text, ' ')) // 10)::BIGINT len_band
+        |           FROM documents)
+        |SELECT a.doc_id doc_a, b.doc_id doc_b,
+        |  levenshtein(a.head30, b.head30)::BIGINT AS edit_dist
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.tok0 = b.tok0
+        |     AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head30, b.head30) <= 20
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q81_array_ops" ->
+      """WITH t AS (SELECT doc_id,
+        |           list_distinct(regexp_split_to_array(text, ' ')) tk
+        |           FROM documents)
+        |SELECT doc_id, len(tk)::BIGINT AS n_uniq,
+        |  array_to_string(list_sort(tk)[1:3], '|') AS head3_sorted,
+        |  len(list_intersect(tk, ['the','a','of','and','is','to','in']))::BIGINT
+        |    AS n_stop_uniq,
+        |  len(list_distinct(list_concat(tk,
+        |    ['the','a','of','and','is','to','in'])))::BIGINT AS n_union_stop,
+        |  len(list_intersect(tk, ['the','a','of','and','is','to','in'])) > 0
+        |    AS has_stop,
+        |  list_sort(tk)[-1] AS max_token
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q82_word_map" ->
+      """SELECT doc_id, word, count(*) AS n
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) word
+        |      FROM documents WHERE doc_id < 50)
+        |GROUP BY doc_id, word
+        |ORDER BY doc_id, word""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,

@@ -222,6 +222,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** q80: edit-distance fuzzy pairing — candidate pairs from cheap
+    * equi-join blocking (same lang, same first token, same length
+    * band), then exact `levenshtein` on the 30-char heads of the
+    * candidates ONLY. The same candidates→verify discipline as the
+    * dedup family: the quadratic metric runs on blocked pairs, never
+    * all-pairs (PlanSweep keeps it honest). Levenshtein is the
+    * classic DP edit distance in both engines — identical integers. */
+  def fuzzyPairs(spark: SparkSession, d: String): DataFrame = {
+    val t = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 30).as("head30"),
+        element_at(toks(col("text")), 1).as("tok0"),
+        (size(toks(col("text"))) / 10).cast("long").as("len_band"))
+    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("tok0"),
+      col("len_band"), col("head30").as("head_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("tok0"),
+      col("len_band"), col("head30").as("head_b"))
+    a.join(b, Seq("lang", "tok0", "len_band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("head_a"), col("head_b")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 20)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q81: array-algebra suite — sort/distinct/slice/intersect/union
+    * over token arrays, all codegen built-ins, emitted as scalars or
+    * joined strings so the result stays oracle-relational. */
+  def arrayOps(spark: SparkSession, d: String): DataFrame = {
+    val t = array_distinct(toks(col("text")))
+    val stop = array(stopEn.map(lit): _*)
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_uniq"),
+        array_join(slice(array_sort(t), 1, 3), "|").as("head3_sorted"),
+        size(array_intersect(t, stop)).cast("long").as("n_stop_uniq"),
+        size(array_union(t, stop)).cast("long").as("n_union_stop"),
+        arrays_overlap(t, stop).as("has_stop"),
+        element_at(array_sort(t), -1).as("max_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q82: MapType in flight — per-document token frequencies collected
+    * into a map column (`map_from_entries`), then exploded back to
+    * relational rows. Map entry order is collect order (partition-
+    * nondeterministic), which is exactly why the contract emits
+    * exploded rows: the SET of entries is deterministic, the map's
+    * internal order never leaks. */
+  def wordMap(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("c")))).as("freq"))
+      .select(col("doc_id"), explode(col("freq")))
+      .select(col("doc_id"), col("key").as("word"), col("value").as("n"))
+      .orderBy(col("doc_id"), col("word"))
+
   /** Document fingerprinting: full-text rolling hash plus a winnowed
     * min-hash over 8-token windows (the content-defined signature used
     * for shard-local dedup at ingest). */

@@ -47,6 +47,86 @@ object MergeUpsert {
   def applyDeletes(base: DataFrame, deletes: DataFrame, keys: Seq[String]): DataFrame =
     base.join(deletes.select(keys.map(col): _*), keys, "left_anti")
 
+  /** Apply a CDC change log: rows `(keys…, data…, opCol ∈ {U,D},
+    * seqCol)` collapse to the latest op per key (one window pass on the
+    * key — same shuffle the merge join needs anyway), then upserts
+    * apply and deletes anti-join. The whole log need not be replayed:
+    * at scale `changes` is one ingestion batch and `base` the previous
+    * snapshot, which is exactly how `upsertSink` maintains a streaming
+    * materialized table. */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val ups = latest.filter(col(opCol) === "U").drop(opCol, seqCol)
+    val dels = latest.filter(col(opCol) === "D").select(keys.map(col): _*)
+    applyDeletes(upsert(base, ups, keys), dels, keys)
+  }
+
+  /** foreachBatch sink: maintain a keyed table from a CDC stream with
+    * exactly-once semantics via GENERATION directories — batch N reads
+    * the newest generation `< N`, applies its changes, and writes
+    * `gen=N`. A replayed batch (failure before the checkpoint commit)
+    * re-reads the same parent and OVERWRITES its own generation —
+    * byte-identical state, no double-apply. Readers take `currentState`
+    * (max gen). Old generations are retention-pruned like any
+    * snapshot store (not done here).
+    *
+    * Usage: `stream.writeStream.foreachBatch(upsertSink(path, keys,
+    * "seq", "op") _)`. */
+  def upsertSink(statePath: String, keys: Seq[String], seqCol: String,
+      opCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val base = latestGen(spark, statePath, before = Some(batchId))
+      .getOrElse(batch.drop(opCol, seqCol).filter(lit(false)))
+    applyCdc(base, batch, keys, seqCol, opCol)
+      .write.mode("overwrite").parquet(s"$statePath/gen=$batchId")
+  }
+
+  /** Newest generation table (optionally among gens strictly below
+    * `before`); None when no generation exists yet. */
+  def latestGen(spark: SparkSession, statePath: String,
+      before: Option[Long] = None): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") => n.stripPrefix("gen=").toLong }
+      .filter(g => before.forall(g < _))
+      .maxOption
+      .map(g => spark.read.parquet(s"$statePath/gen=$g"))
+  }
+
+  /** q79: CDC apply over a deterministic derived change log — three
+    * waves of ops (update, delete, update) with latest-wins collapse;
+    * all money arithmetic in exact integer cents. The oracle replays
+    * the identical log in SQL. */
+  def cdcOrders(spark: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    def cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val u1 = base.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) + 100000 AS DOUBLE) / 100.0")
+          .as("o_totalprice"),
+        lit("U1").as("o_orderstatus"), lit("U").as("op"), lit(1L).as("seq"))
+    val d2 = base.filter(col("o_orderkey") % 15 === 0)
+      .select(col("o_orderkey"), lit(null).cast("double").as("o_totalprice"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit("D").as("op"), lit(2L).as("seq"))
+    val u3 = base.filter(col("o_orderkey") % 25 === 0)
+      .select(col("o_orderkey"),
+        (cents * 2).cast("double") / 100.0 as "o_totalprice",
+        lit("U3").as("o_orderstatus"), lit("U").as("op"), lit(3L).as("seq"))
+    applyCdc(base, u1.union(d2).union(u3), Seq("o_orderkey"), "seq", "op")
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q68: upsert a deterministic change batch into `orders` and return
     * the merged current state. The change batch is derived from the
     * base so the DuckDB oracle replays it exactly: every 7th order gets
