@@ -173,6 +173,50 @@ object Similarity {
       k = 5)
   }
 
+  /** q83: product-quantization ANN — asymmetric-distance (ADC) coarse
+    * scan over 8-code vectors, exact re-rank of the survivors.
+    *
+    * Per query the 8×16 lookup table T[s][c] = q_s · centroid_{s,c} is
+    * a tiny broadcast relation (queries × codebooks); the corpus pass
+    * touches only the CODES: posexplode to (vec_id, s, code), broadcast-
+    * join T, and one (q_id, vec_id) hash-agg sums the 8 table hits into
+    * the approximate inner product. Linear in the corpus with constant
+    * 8, and the scanned bytes are codes — 32× smaller than raw float64
+    * vectors (the q48 idea taken to its limit). Exact cosine runs on
+    * the top-`coarseK` candidates only.
+    *
+    * Learned codebooks are not SQL-oracle-expressible (like q33):
+    * rows-only check + DedupSpec (re-rank agreement with brute force,
+    * measured recall, zero KMeans fits on the second invocation). */
+  def pqTopK(spark: SparkSession, d: String, coarseK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (books, codes) = PqIndex.buildOrLoad(spark, d, seed = 42L)
+    val bookDf = broadcast(spark.createDataFrame(books).toDF("s", "c", "cv"))
+    val q = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn"))
+    // ADC tables: Q × (M·KSub) rows — subvector slice by the s column
+    val t = broadcast(q.join(bookDf)
+      .select(col("q_id"),
+        col("s"), col("c"),
+        dot(slice(col("qv"), col("s") * PqIndex.DSub + 1, lit(PqIndex.DSub)),
+          col("cv")).as("t")))
+    val adc = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
+      .join(t, Seq("s", "c"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("t")).as("adc"))
+    val wCoarse = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = adc.withColumn("rn", row_number().over(wCoarse))
+      .filter(col("rn") <= coarseK)
+      .select(col("q_id"), col("vec_id"))
+    val scored = cand
+      .join(q, "q_id")
+      .join(codes.select(col("vec_id"), col("v"), col("nn")), "vec_id")
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nn")))
+    rankTopK(scored, k = 5)
+  }
+
   /** ANN top-k (k=5) for vec_id < 10: candidates = vectors sharing any
     * of the 4 LSH buckets with the query, ranked by exact cosine. */
   def lshTopK(spark: SparkSession, d: String): DataFrame = {

@@ -155,6 +155,10 @@ object SparkEntry {
     "q81_array_ops" -> (TextAnalysis.arrayOps _),
     // MapType in flight, exploded back to relational rows
     "q82_word_map" -> (TextAnalysis.wordMap _),
+    // product-quantization ANN: ADC scan over 8-byte codes + exact
+    // re-rank. Learned codebooks ⇒ rows-only (like q33); DedupSpec
+    // holds re-rank agreement, recall, and zero-refit.
+    "q83_knn_pq" -> ((s: SparkSession, dir: String) => Similarity.pqTopK(s, dir)),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and

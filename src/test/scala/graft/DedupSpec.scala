@@ -191,6 +191,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("PQ knn: exact re-rank cosines, decent recall, zero refits when warm") {
+    val bf = Similarity.bruteForceTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Similarity.pqTopK(spark, d).collect()
+    assert(pq.nonEmpty)
+    // the re-rank is exact cosine — values must agree wherever both
+    // paths scored a pair
+    pq.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c == r.getDouble(2)))
+    }
+    // 8 subspaces × 16 centroids on random 64-dim data is a coarse
+    // quantizer; the 50-candidate re-rank pool must still recover half
+    // the true top-5
+    val hits = pq.count(r => bf.contains((r.getLong(0), r.getLong(1))))
+    assert(hits >= bf.size / 2, s"recall ${hits.toDouble / bf.size}")
+    // warm-index invariant: a second invocation runs zero KMeans fits
+    val fitsBefore = PqIndex.kmeansFits
+    assert(Similarity.pqTopK(spark, d).count() > 0)
+    assert(PqIndex.kmeansFits == fitsBefore, "KMeans re-fit on a warm index")
+    // salting: a different seed relocates the index
+    assert(PqIndex.dir(spark, d, 42L) != PqIndex.dir(spark, d, 43L))
+  }
+
   test("IVF index is a persisted salted stage: second invocation refits nothing") {
     Similarity.ivfTopK(spark, d).count() // ensure built (may hit an existing index)
     val fitsBefore = IvfIndex.kmeansFits

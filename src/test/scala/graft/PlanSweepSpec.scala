@@ -18,10 +18,13 @@ class PlanSweepSpec extends SparkSpec {
     *  - q48: 10 broadcast queries × corpus COARSE scan — the operator's
     *    point is that this pass reads 4× fewer bytes
     *  - q62/q66: one-row scalar broadcasts (corpus count / CM sketch)
+    *  - q83: ADC table build = 10 queries × 128 codebook rows broadcast;
+    *    the corpus-side pass is a broadcast HASH join on (s, c)
     */
   private val allowed = Map(
     "q26_knn_bruteforce" -> 1, "q33_knn_ivf" -> 2, "q38_knn_topk_agg" -> 1,
-    "q48_knn_int8" -> 1, "q62_tfidf_terms" -> 1, "q66_heavy_users" -> 1)
+    "q48_knn_int8" -> 1, "q62_tfidf_terms" -> 1, "q66_heavy_users" -> 1,
+    "q83_knn_pq" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
