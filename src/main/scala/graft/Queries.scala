@@ -591,6 +591,51 @@ object Queries {
         col("col").as("token"))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** q84: explicit set operators — INTERSECT and EXCEPT (both distinct
+    * semantics; compiled to semi/anti joins over distinct inputs), the
+    * two §2.6 set ops q12-q14 didn't surface directly. One output
+    * relation, side-tagged. */
+  def setOps(spark: SparkSession, d: String): DataFrame = {
+    val highOrders = orders(spark, d).filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey").as("custkey"))
+    val bigBal = customer(spark, d).filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey").as("custkey"))
+    highOrders.intersect(bigBal).select(col("custkey"), lit("both").as("side"))
+      .union(bigBal.except(highOrders)
+        .select(col("custkey"), lit("balance_only").as("side")))
+      .orderBy(col("side"), col("custkey"))
+  }
+
+  /** q85: string-transform suite — global regexp_replace, reverse,
+    * lpad, split_part, and md5 content hashing (the content-address
+    * every dedup/caching layer leans on). All per-row codegen; md5
+    * bytes are identical across engines by definition. */
+  def stringTransforms(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"),
+        substring(regexp_replace(col("text"), "[0-9]+", "#"), 1, 40).as("masked40"),
+        reverse(substring(col("text"), 1, 10)).as("rev10"),
+        lpad(col("n_chars").cast("string"), 8, "0").as("padded"),
+        substring_index(col("text"), " ", 1).as("first_word"),
+        md5(col("text")).as("content_md5"))
+      .orderBy(col("doc_id"))
+
+  /** q86: value-window functions — first/last/nth over the full
+    * partition frame plus cume_dist, per customer order history. Raw
+    * data values only (no arithmetic) → exact cross-engine. */
+  def windowValues(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(full).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Column profiler (ANALYZE-style data quality pass) over lineitem's
     * numeric measures: one scan, `stack` unpivot, one hash-agg shuffle.
     * Every statistic is order-independent and exact (counts, exact

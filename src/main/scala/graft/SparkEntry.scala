@@ -159,6 +159,12 @@ object SparkEntry {
     // re-rank. Learned codebooks ⇒ rows-only (like q33); DedupSpec
     // holds re-rank agreement, recall, and zero-refit.
     "q83_knn_pq" -> ((s: SparkSession, dir: String) => Similarity.pqTopK(s, dir)),
+    // explicit INTERSECT / EXCEPT (distinct set semantics)
+    "q84_set_ops" -> (Queries.setOps _),
+    // string transforms + md5 content hashing
+    "q85_string_transforms" -> (Queries.stringTransforms _),
+    // first/last/nth value windows + cume_dist
+    "q86_window_values" -> (Queries.windowValues _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -986,6 +992,36 @@ object SparkEntry {
         |      FROM documents WHERE doc_id < 50)
         |GROUP BY doc_id, word
         |ORDER BY doc_id, word""".stripMargin,
+    "q84_set_ops" ->
+      """WITH ho AS (SELECT o_custkey AS custkey FROM orders
+        |            WHERE o_totalprice > 300000.0),
+        |bb AS (SELECT c_custkey AS custkey FROM customer
+        |       WHERE c_acctbal > 5000.0)
+        |SELECT custkey, 'both' AS side FROM (SELECT custkey FROM ho
+        |  INTERSECT SELECT custkey FROM bb)
+        |UNION ALL
+        |SELECT custkey, 'balance_only' AS side FROM (SELECT custkey FROM bb
+        |  EXCEPT SELECT custkey FROM ho)
+        |ORDER BY side, custkey""".stripMargin,
+    "q85_string_transforms" ->
+      """SELECT doc_id,
+        |  substring(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 40) AS masked40,
+        |  reverse(substring(text, 1, 10)) AS rev10,
+        |  lpad(n_chars::VARCHAR, 8, '0') AS padded,
+        |  split_part(text, ' ', 1) AS first_word,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q86_window_values" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_key,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
