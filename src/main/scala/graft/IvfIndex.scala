@@ -24,38 +24,14 @@ object IvfIndex {
 
   private val Version = "0.0.1"
 
-  private def root: String =
-    sys.env.getOrElse("GRAFT_INDEX_ROOT",
-      s"${sys.props("java.io.tmpdir")}/graft-ivf")
-
-  /** Content-addressed index dir: any change to the corpus FILES
-    * (paths + lengths + modification times of embeddings.parquet), the
-    * nlist/seed params, or the index version relocates (invalidates)
-    * the index — regenerated data at the same path cannot silently
-    * reuse a stale index. */
-  def dir(spark: SparkSession, d: String, nlist: Int, seed: Long): String = {
-    val src = s"$d/embeddings.parquet"
-    val stamp = try {
-      val f = fs(spark, src)
-      val st = f.getFileStatus(new Path(src))
-      val parts =
-        if (st.isDirectory)
-          f.listStatus(new Path(src)).toSeq
-            .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
-            .sortBy(_._1)
-        else Seq((st.getPath.getName, st.getLen, st.getModificationTime))
-      parts.map { case (n, l, m) => s"$n:$l:$m" }.mkString(",")
-    } catch { case _: Throwable => "absent" }
-    s"$root/ivf-${pipeline.Salt.of(Nil, "IvfIndex", Version,
-      Seq("corpus" -> d, "stamp" -> stamp,
-        "nlist" -> nlist.toString, "seed" -> seed.toString))}"
-  }
-
-  private def fs(spark: SparkSession, p: String) =
-    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Content-addressed index dir (SaltedIndex): corpus file stamps +
+    * (nlist, seed) + version — any change relocates the index. */
+  def dir(spark: SparkSession, d: String, nlist: Int, seed: Long): String =
+    SaltedIndex.dir(spark, "ivf", Version, s"$d/embeddings.parquet",
+      Seq("corpus" -> d, "nlist" -> nlist.toString, "seed" -> seed.toString))
 
   def complete(spark: SparkSession, p: String): Boolean =
-    fs(spark, p).exists(new Path(p, "_SUCCESS"))
+    SaltedIndex.complete(spark, p)
 
   /** (centroids, cell-assigned corpus): built once, then loaded from the
     * salted dir. The corpus is written partitioned by cell id — at scale
@@ -88,6 +64,6 @@ object IvfIndex {
     spark.createDataFrame(cents.toSeq).toDF("cell", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/centroids")
     e.unpersist()
-    fs(spark, p).create(new Path(p, "_SUCCESS"), true).close()
+    SaltedIndex.markSuccess(spark, p)
   }
 }

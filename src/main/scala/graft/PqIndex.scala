@@ -37,33 +37,15 @@ object PqIndex {
   val DSub = 8  // dims per subspace (M * DSub = 64)
   val KSub = 16 // centroids per subspace
 
-  private def root: String =
-    sys.env.getOrElse("GRAFT_INDEX_ROOT",
-      s"${sys.props("java.io.tmpdir")}/graft-ivf")
-
-  def dir(spark: SparkSession, d: String, seed: Long): String = {
-    val src = s"$d/embeddings.parquet"
-    val stamp = try {
-      val f = fs(spark, src)
-      val st = f.getFileStatus(new Path(src))
-      val parts =
-        if (st.isDirectory)
-          f.listStatus(new Path(src)).toSeq
-            .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
-            .sortBy(_._1)
-        else Seq((st.getPath.getName, st.getLen, st.getModificationTime))
-      parts.map { case (n, l, m) => s"$n:$l:$m" }.mkString(",")
-    } catch { case _: Throwable => "absent" }
-    s"$root/pq-${pipeline.Salt.of(Nil, "PqIndex", Version,
-      Seq("corpus" -> d, "stamp" -> stamp, "m" -> M.toString,
-        "ksub" -> KSub.toString, "seed" -> seed.toString))}"
-  }
-
-  private def fs(spark: SparkSession, p: String) =
-    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Content-addressed index dir (SaltedIndex): corpus file stamps +
+    * (m, ksub, seed) + version — any change relocates the index. */
+  def dir(spark: SparkSession, d: String, seed: Long): String =
+    SaltedIndex.dir(spark, "pq", Version, s"$d/embeddings.parquet",
+      Seq("corpus" -> d, "m" -> M.toString,
+        "ksub" -> KSub.toString, "seed" -> seed.toString))
 
   def complete(spark: SparkSession, p: String): Boolean =
-    fs(spark, p).exists(new Path(p, "_SUCCESS"))
+    SaltedIndex.complete(spark, p)
 
   /** (codebooks as (subspace, code, centroid), encoded corpus).
     * Codebooks are tiny (M·KSub rows) — always broadcast. */
@@ -105,6 +87,6 @@ object PqIndex {
     spark.createDataFrame(books.toSeq).toDF("s", "c", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/codebooks")
     e.unpersist()
-    fs(spark, p).create(new Path(p, "_SUCCESS"), true).close()
+    SaltedIndex.markSuccess(spark, p)
   }
 }

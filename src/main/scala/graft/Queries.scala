@@ -446,22 +446,37 @@ object Queries {
     * no nested loop; pinned in PlanSpec). The comparison runs in exact
     * integer cents so the boundary can't flip on last-ulp float
     * disagreement between engines. */
-  def ordersAboveCustAvg(spark: SparkSession, d: String): DataFrame = {
-    orders(spark, d).createOrReplaceTempView("q71_orders")
-    spark.sql(
+  def ordersAboveCustAvg(spark: SparkSession, d: String): DataFrame =
+    sqlOn(orders(spark, d),
       """SELECT o_orderkey, o_custkey, o_totalprice, n_cust_orders,
         |  (sum_cents div n_cust_orders) AS avg_cents
         |FROM (
         |  SELECT o_orderkey, o_custkey, o_totalprice,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-        |    (SELECT count(*) FROM q71_orders i
+        |    (SELECT count(*) FROM __rel i
         |     WHERE i.o_custkey = o.o_custkey) AS n_cust_orders,
         |    (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
-        |     FROM q71_orders i
+        |     FROM __rel i
         |     WHERE i.o_custkey = o.o_custkey) AS sum_cents
-        |  FROM q71_orders o) t
+        |  FROM __rel o) t
         |WHERE 2 * cents * n_cust_orders > 3 * sum_cents
         |ORDER BY o_orderkey""".stripMargin)
+
+  /** Run SQL over ONE input relation without leaking session state:
+    * the input registers under a unique per-call temp-view name,
+    * `__rel` in the text is rewritten to it, and the view is dropped
+    * immediately after analysis (spark.sql analyzes eagerly, so the
+    * returned DataFrame's plan no longer needs the catalog entry).
+    * Keeps query functions pure from the caller's perspective —
+    * concurrent invocations over different data dirs can't race on a
+    * shared view name. */
+  private val sqlOnSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def sqlOn(rel: DataFrame, sqlText: String): DataFrame = {
+    val spark = rel.sparkSession
+    val name = s"graft_rel_${sqlOnSeq.incrementAndGet()}"
+    rel.createOrReplaceTempView(name)
+    try spark.sql(sqlText.replace("__rel", name))
+    finally { spark.catalog.dropTempView(name); () }
   }
 
   /** q73: ranking-function suite over per-customer spend — ntile
@@ -543,21 +558,19 @@ object Queries {
     * 1-row aggregate, broadcast into the predicate; no per-row
     * re-execution). Share boundary in exact integer cents so the
     * cut can't flip on float summation order. */
-  def importantParts(spark: SparkSession, d: String): DataFrame = {
-    lineitem(spark, d).createOrReplaceTempView("q76_lineitem")
-    spark.sql(
+  def importantParts(spark: SparkSession, d: String): DataFrame =
+    sqlOn(lineitem(spark, d),
       """SELECT l_partkey, n_items,
         |  CAST(part_cents AS DOUBLE) / 100.0 AS value
         |FROM (
         |  SELECT l_partkey,
         |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS part_cents,
         |    count(*) AS n_items
-        |  FROM q76_lineitem GROUP BY l_partkey) p
+        |  FROM __rel GROUP BY l_partkey) p
         |WHERE part_cents * 2000 >
         |  (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |   FROM q76_lineitem)
+        |   FROM __rel)
         |ORDER BY l_partkey""".stripMargin)
-  }
 
   /** q77: semi-structured round trip — struct → JSON string
     * (`to_json`) → path extraction (`get_json_object`) and schema'd
