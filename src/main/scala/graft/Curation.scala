@@ -12,6 +12,32 @@ import org.apache.spark.sql.functions._
 object Curation {
   import TextOps._
 
+  /** q89: RAG/pretraining token chunking — sliding windows of 50
+    * tokens at stride 40 (10-token overlap) per document, exploded to
+    * one row per chunk with the chunk text and its content hash.
+    * Unlike q51 (which packs documents INTO windows), this splits each
+    * document into overlapping windows — the retrieval-index unit.
+    * `sequence` + `slice` + `explode` only: row amplification is
+    * bounded by ~n_tok/stride per doc, all per-row codegen, no
+    * shuffle before the presentation sort. */
+  def chunkTokens(spark: SparkSession, d: String): DataFrame = {
+    val win = 50
+    val stride = 40
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0L)).cast("int"),
+          lit(stride))))
+      .select(col("doc_id"),
+        expr(s"CAST(start div $stride AS BIGINT)").as("chunk_id"),
+        col("start").cast("long").as("tok_start"),
+        least(lit(win.toLong), col("n_tok") - col("start")).as("n_in_chunk"),
+        polyHash(array_join(slice(col("tk"), col("start") + 1, lit(win)), " "))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Per-language sampling rates (permille) for mixture rebalancing:
     * downsample the dominant language, keep the tail. Strata without a
     * configured rate are dropped (a production pipeline would supply a

@@ -592,6 +592,26 @@ object Queries {
           .getField("source").as("j_source"))
       .orderBy(col("doc_id"))
 
+  /** q87: the VARIANT semi-structured type (Spark 4) — parse_json into
+    * an open-schema variant value, then typed path extraction with
+    * `variant_get` (nested paths, absent path → null). Same identity-
+    * oracle discipline as q77: extracted values must hand back the
+    * source columns; the variant binary itself never leaves the plan.
+    * Variant decode is columnar-friendly codegen — the modern scan
+    * path for schema-drifting ingest (vs. re-parsing JSON strings per
+    * field access). */
+  def variantExtract(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .withColumn("meta", to_json(struct(col("doc_id"), col("lang"),
+        struct(col("source"), col("n_chars")).as("src"))))
+      .withColumn("vr", parse_json(col("meta")))
+      .select(col("doc_id"),
+        expr("variant_get(vr, '$.lang', 'string')").as("v_lang"),
+        expr("variant_get(vr, '$.src.n_chars', 'long')").as("v_chars"),
+        expr("variant_get(vr, '$.src.source', 'string')").as("v_source"),
+        expr("variant_get(vr, '$.missing', 'string')").as("v_missing"))
+      .orderBy(col("doc_id"))
+
   /** q78: generator surface — posexplode (UDTF-style lateral view)
     * unnesting tokens WITH their position. Row amplification happens
     * after the filter is pushed to the scan; the generator runs inside

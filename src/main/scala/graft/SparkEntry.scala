@@ -165,6 +165,12 @@ object SparkEntry {
     "q85_string_transforms" -> (Queries.stringTransforms _),
     // first/last/nth value windows + cume_dist
     "q86_window_values" -> (Queries.windowValues _),
+    // VARIANT semi-structured type: parse_json + typed variant_get
+    "q87_variant_extract" -> (Queries.variantExtract _),
+    // PII redaction: global regex masking + match counts
+    "q88_pii_redact" -> (TextAnalysis.piiRedact _),
+    // RAG token chunking: 50-token windows at stride 40, content-hashed
+    "q89_chunk_tokens" -> (Curation.chunkTokens _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -1022,6 +1028,36 @@ object SparkEntry {
         |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // identity oracle like q77: variant extraction must hand back the
+    // source columns; absent path → null
+    "q87_variant_extract" ->
+      """SELECT doc_id, lang AS v_lang, n_chars::BIGINT AS v_chars,
+        |  source AS v_source, NULL::VARCHAR AS v_missing
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q88_pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact: user' || doc_id || '@example.com or 555-' ||
+        |  lpad((doc_id % 10000)::VARCHAR, 4, '0') AS raw FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(raw, '555-[0-9]{4}'))::BIGINT AS n_phones,
+        |  right(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g'), 40) AS tail40
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q89_chunk_tokens" -> {
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+         |           FROM documents),
+         |s AS (SELECT doc_id, tk, len(tk)::BIGINT n_tok,
+         |      unnest(generate_series(0, GREATEST(len(tk) - 1, 0), 40)) tok_start
+         |      FROM t)
+         |SELECT doc_id, (tok_start // 40)::BIGINT AS chunk_id,
+         |  tok_start::BIGINT AS tok_start,
+         |  LEAST(50, n_tok - tok_start)::BIGINT AS n_in_chunk,
+         |  ${H("array_to_string(tk[tok_start + 1 : tok_start + 50], ' ')")} AS chunk_hash
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+    },
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,

@@ -49,6 +49,79 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** q19 sessionization on Spark 4's `transformWithState` — the
+    * arbitrary-stateful-processing API that replaces
+    * flatMapGroupsWithState (explicit typed state handles, event-time
+    * timers, RocksDB-backed state). Same interval-merge semantics as
+    * `sessionize`; EventStreamSpec asserts the two APIs emit identical
+    * sessions. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def sessionizeTws(events: Dataset[Event]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The transformWithState twin of sessionize's merge logic: state is
+    * a ValueState of open session clusters; a cluster emits when the
+    * event-time watermark passes its end + gap, driven by input rows
+    * or by an event-time timer on the oldest open cluster. */
+  class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionUpdate] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var sessions: ValueState[SessionsState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sessions = getHandle.getValueState[SessionsState]("sessions",
+        Encoders.product[SessionsState], TTLConfig.NONE)
+
+    /** Merge open clusters with new points, emit final clusters, keep
+      * the rest; shared by the input and timer paths. */
+    private def advance(user: Long, points: Seq[(Long, Long, Long)],
+        wm: Long): Iterator[SessionUpdate] = {
+      val existing = if (sessions.exists()) sessions.get().sessions else Nil
+      val intervals =
+        (existing.map(s => (s.start, s.end, s.n)) ++ points).sortBy(x => (x._1, x._2))
+      val merged = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+      intervals.foreach { case (s0, e0, n0) =>
+        merged.lastOption match {
+          case Some((ps, pe, pn)) if s0 - pe <= SessionGapMs =>
+            merged(merged.length - 1) = (ps, math.max(pe, e0), pn + n0)
+          case _ => merged += ((s0, e0, n0))
+        }
+      }
+      val (closed, open) = merged.partition { case (_, e0, _) =>
+        e0 + SessionGapMs <= wm
+      }
+      if (open.nonEmpty) {
+        sessions.update(SessionsState(
+          open.toList.map { case (s0, e0, n0) => SessionState(s0, e0, n0) }))
+        getHandle.registerTimer(open.map(_._2).min + SessionGapMs)
+      } else sessions.clear()
+      closed.iterator.map { case (s0, e0, n0) =>
+        SessionUpdate(user, new Timestamp(s0), new Timestamp(e0), n0)
+      }
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionUpdate] =
+      advance(user,
+        rows.map(e => (e.ts.getTime, e.ts.getTime, 1L)).toSeq,
+        timerValues.getCurrentWatermarkInMs())
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionUpdate] =
+      // a stale timer (cluster already merged/emitted) finds no
+      // finalizable cluster and re-arms for the current oldest
+      advance(user, Nil, timerValues.getCurrentWatermarkInMs())
+  }
+
   /** Stream-stream interval join: every (click, view) pair of the same
     * user with the view in the 10 minutes up to the click — the
     * streaming twin of `operators.TemporalJoins.intervalPairs` (q72),

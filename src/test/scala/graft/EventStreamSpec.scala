@@ -137,6 +137,43 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization emits the same sessions as flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = EventStream.sessionizeTws(mem.toDS())
+        .writeStream.format("memory").queryName("sess_tws")
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(evs: _*)
+        q.processAllAvailable()
+        mem.addData(Event(99, ts(10000), 3, "click", 0.0))
+        q.processAllAvailable()
+        mem.addData(Event(100, ts(20000), 3, "click", 0.0))
+        q.processAllAvailable()
+        mem.addData(Event(101, ts(30000), 3, "click", 0.0))
+        q.processAllAvailable()
+        val out = spark.table("sess_tws").as[SessionUpdate].collect()
+          .map(s => (s.user_id, s.session_start.getTime / 60000 - Base,
+            s.session_end.getTime / 60000 - Base, s.n_events)).toSet
+        // identical expectations to the flatMapGroupsWithState test
+        assert(out.contains((1L, 0L, 10L, 2L)))
+        assert(out.contains((1L, 70L, 70L, 1L)))
+        assert(out.contains((2L, 5L, 5L, 1L)))
+        assert(out.contains((2L, 65L, 75L, 2L)))
+        assert(out.size == 6, out.toString)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join (attribution): stream equals batch") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
