@@ -335,6 +335,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q90: bloom-filter decontamination — the 100 TB shape of q55 when
+    * the benchmark shingle set outgrows an exact broadcast. The eval
+    * set's 4-gram hashes build ONE mergeable bloom filter (Spark's own
+    * BloomFilterAggregate — map-side partials OR-merge); the corpus
+    * pass probes it with the codegen might_contain kernel, reading no
+    * eval-side data at all. The probe is one-sided: never a false
+    * negative, so every truly-contaminated doc is flagged; false
+    * positives (~0.6% at 8 bits/item) only add review work. Flag
+    * counts are therefore an UPPER bound on q55's exact counts —
+    * approximate ⇒ rows-only check; DedupSpec pins no-false-negative
+    * vs q55 and bounds the FP overhead. */
+  def deconBloom(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Bloom._
+    val docs = Tables.documentsDist(spark, d)
+    def sh(df: DataFrame) =
+      df.select(col("doc_id"), explode(shingleHashSet(col("text"), 4)).as("h"))
+    val ev = sh(docs.filter(col("doc_id") % 97 === 0)).select(col("h")).distinct()
+    // one-row filter collected to the driver and re-entering the plan
+    // as a constant — the same lifecycle as a broadcast variable, and
+    // what might_contain's constant-input rule requires
+    val bf = ev.agg(bloomAgg(col("h"), 100000L, 800000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    sh(docs.filter(col("doc_id") % 97 =!= 0))
+      .filter(mightContain(lit(bf), col("h")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental ingest dedup: a new batch (source index ≥ 15) joins a
     * standing corpus (source index < 15); new documents are dropped
     * when they exactly match a corpus text OR near-match one at

@@ -171,6 +171,9 @@ object SparkEntry {
     "q88_pii_redact" -> (TextAnalysis.piiRedact _),
     // RAG token chunking: 50-token windows at stride 40, content-hashed
     "q89_chunk_tokens" -> (Curation.chunkTokens _),
+    // bloom-filter decontamination (approximate, one-sided ⇒ rows-only;
+    // DedupSpec pins no-false-negative vs exact q55 + FP bound)
+    "q90_decon_bloom" -> (Dedup.deconBloom _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and

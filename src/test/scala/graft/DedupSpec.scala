@@ -191,6 +191,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q90 bloom decontamination: no false negatives vs exact q55, bounded FP overhead") {
+    val exact = Dedup.decontaminate(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.deconBloom(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-sided: every exactly-contaminated doc is bloom-flagged, with
+    // at least the exact shingle count
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id), s"doc $id lost by the bloom pass")
+      assert(bloom(id) >= n, s"doc $id: bloom ${bloom(id)} < exact $n")
+    }
+    // false positives only ADD flags; at 8 bits/item the overhead must
+    // stay small (generous bound: 10% extra docs + a few absolute)
+    assert(bloom.size <= exact.size + math.max(5, exact.size / 10),
+      s"bloom flagged ${bloom.size} docs vs exact ${exact.size}")
+  }
+
   test("PQ knn: exact re-rank cosines, decent recall, zero refits when warm") {
     val bf = Similarity.bruteForceTopK(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
