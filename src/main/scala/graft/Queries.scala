@@ -669,6 +669,48 @@ object Queries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** q91: second-moment statistics made EXACT cross-engine. Built-in
+    * stddev/corr accumulate floats in engine-specific merge orders
+    * (Welford partials) — last-ulp drift that can never hash-match. The
+    * portable discipline: integerize to milli-units, compute the
+    * moment NUMERATORS as exact integer sums (n·Σx² − (Σx)² etc. in
+    * DECIMAL(38,0) ≡ DuckDB HUGEINT), and convert to double ONCE at the
+    * end — both engines round the same exact integer to the same
+    * double. Population variance and Pearson correlation of event
+    * value vs user id, per type. One partial+final hash-agg. */
+  def exactMoments(spark: SparkSession, d: String): DataFrame =
+    eventsNs(spark, d)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("x"),
+        col("user_id").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("sxy"))
+      .select(col("event_type"), col("n"), col("sx"),
+        round(expr("""CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000.0"""), 6)
+          .as("var_pop"),
+        round(expr("""CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+                      / sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+                           * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS DOUBLE))"""), 6)
+          .as("corr_xy"))
+      .orderBy(col("event_type"))
+
+  /** q92: LIMIT/OFFSET pagination — page 3 of the spend ranking
+    * (rows 21-30). Offset composes with TakeOrderedAndProject: the
+    * engine keeps offset+limit rows per partition, never a full sort
+    * spill. */
+  def pagedOrders(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(20)
+      .limit(10)
+
   /** Column profiler (ANALYZE-style data quality pass) over lineitem's
     * numeric measures: one scan, `stack` unpivot, one hash-agg shuffle.
     * Every statistic is order-independent and exact (counts, exact

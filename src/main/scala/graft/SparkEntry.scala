@@ -174,6 +174,10 @@ object SparkEntry {
     // bloom-filter decontamination (approximate, one-sided ⇒ rows-only;
     // DedupSpec pins no-false-negative vs exact q55 + FP bound)
     "q90_decon_bloom" -> (Dedup.deconBloom _),
+    // exact-integer second moments: hash-exact variance + correlation
+    "q91_exact_moments" -> (Queries.exactMoments _),
+    // LIMIT/OFFSET pagination (rows 21-30 of the spend ranking)
+    "q92_paged_orders" -> (Queries.pagedOrders _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -1061,6 +1065,27 @@ object SparkEntry {
          |  ${H("array_to_string(tk[tok_start + 1 : tok_start + 50], ' ')")} AS chunk_hash
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin
     },
+    "q91_exact_moments" ->
+      """WITH t AS (SELECT event_type, floor(value * 1000)::BIGINT AS x,
+        |           user_id AS y FROM events),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |      sum(y)::BIGINT AS sy,
+        |      sum(x::HUGEINT * x::HUGEINT) AS sxx,
+        |      sum(y::HUGEINT * y::HUGEINT) AS syy,
+        |      sum(x::HUGEINT * y::HUGEINT) AS sxy
+        |      FROM t GROUP BY event_type)
+        |SELECT event_type, n, sx,
+        |  round(((n * sxx - sx::HUGEINT * sx::HUGEINT)::DOUBLE)
+        |        / (n::DOUBLE * n::DOUBLE) / 1000000.0, 6) AS var_pop,
+        |  round(((n * sxy - sx::HUGEINT * sy::HUGEINT)::DOUBLE)
+        |        / sqrt((n * sxx - sx::HUGEINT * sx::HUGEINT)::DOUBLE
+        |             * (n * syy - sy::HUGEINT * sy::HUGEINT)::DOUBLE), 6) AS corr_xy
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q92_paged_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 20""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
