@@ -20,10 +20,14 @@ object Curation {
     * `sequence` + `slice` + `explode` only: row amplification is
     * bounded by ~n_tok/stride per doc, all per-row codegen, no
     * shuffle before the presentation sort. */
-  def chunkTokens(spark: SparkSession, d: String): DataFrame = {
+  def chunkTokens(spark: SparkSession, d: String): DataFrame =
+    chunkTokensDf(Tables.documentsDist(spark, d))
+
+  /** DataFrame-in variant (curation DAG's ChunkManifest stage). */
+  private[graft] def chunkTokensDf(docs: DataFrame): DataFrame = {
     val win = 50
     val stride = 40
-    Tables.documentsDist(spark, d)
+    docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .withColumn("n_tok", size(col("tk")).cast("long"))
       .withColumn("start",

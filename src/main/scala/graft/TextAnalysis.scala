@@ -289,19 +289,27 @@ object TextAnalysis {
     * and counted. Patterns stay in the character-class subset that
     * Java regex and RE2 interpret identically. Per-row codegen. */
   def piiRedact(spark: SparkSession, d: String): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
-    val phone = "555-[0-9]{4}"
     Tables.documentsDist(spark, d)
       .withColumn("raw", concat(col("text"), lit(" contact: user"),
         col("doc_id"), lit("@example.com or 555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
       .select(col("doc_id"),
-        size(expr(s"regexp_extract_all(raw, '$email', 0)")).cast("long").as("n_emails"),
-        size(expr(s"regexp_extract_all(raw, '$phone', 0)")).cast("long").as("n_phones"),
-        expr(s"right(regexp_replace(regexp_replace(raw, '$email', '<EMAIL>'), " +
-          s"'$phone', '<PHONE>'), 40)").as("tail40"))
+        size(expr(s"regexp_extract_all(raw, '$EmailRe', 0)")).cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(raw, '$PhoneRe', 0)")).cast("long").as("n_phones"),
+        expr(s"right(regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>'), " +
+          s"'$PhoneRe', '<PHONE>'), 40)").as("tail40"))
       .orderBy(col("doc_id"))
   }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** DataFrame-in redaction for the curation DAG: masks PII patterns
+    * in place (schema preserved, no rows dropped). */
+  private[graft] def redactDf(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      expr(s"regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>'), " +
+        s"'$PhoneRe', '<PHONE>')"))
 
   /** Document fingerprinting: full-text rolling hash plus a winnowed
     * min-hash over 8-token windows (the content-defined signature used

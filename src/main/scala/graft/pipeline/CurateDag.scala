@@ -10,9 +10,9 @@ import graft.{Curation, Dedup, TextAnalysis}
   * salts relocating downstream outputs on any upstream change), applied
   * to the LLM-corpus surface:
   *
-  *   RawDocs → QualityGate → Decontaminate → DedupCanonical → Mixture → Pack
-  *                                                                       ↓
-  *                                                          CurationReport (always-rerun)
+  *   RawDocs → QualityGate → Decontaminate → DedupCanonical → Redact → Mixture → Pack
+  *                                                                 ↓              ↓
+  *                                                          ChunkManifest → CurationReport (always-rerun)
   *
   * Each stage writes parquet once and every consumer reads the
   * materialized output — at 100 TB the intermediate IS the product
@@ -81,13 +81,24 @@ object CurateDag {
     }
   }
 
+  /** Mask PII (q88's rewrite, minus the synthetic injection) before
+    * anything leaves the curated set — schema preserved, no rows
+    * dropped, so downstream counts are unchanged; only the text (and
+    * therefore any content hash computed after this point) can move. */
+  object Redact extends Stage {
+    override def version = "1.0.0"
+    override def deps: Seq[Stage] = Seq(DedupCanonical)
+    override def run(ctx: Ctx): Unit =
+      writeGz(ctx, TextAnalysis.redactDf(DedupCanonical.read(ctx)), outputDir(ctx).get)
+  }
+
   /** Rebalance the language mixture: content-keyed downsample (q50)
     * then fractional-epoch upweighting (q54) of the survivors. */
   object Mixture extends Stage {
     override def version = "1.0.0"
-    override def deps: Seq[Stage] = Seq(DedupCanonical)
+    override def deps: Seq[Stage] = Seq(Redact)
     override def run(ctx: Ctx): Unit = {
-      val docs = DedupCanonical.read(ctx)
+      val docs = Redact.read(ctx)
       val kept = Curation.sampleCut(docs).select("doc_id")
       val copies = Curation.upsampleCopies(docs.join(kept, "doc_id"))
       writeGz(ctx, copies, outputDir(ctx).get)
@@ -98,11 +109,11 @@ object CurateDag {
     * the training-batch manifest. */
   object Pack extends Stage {
     override def version = "1.0.0"
-    override def deps: Seq[Stage] = Seq(Mixture, DedupCanonical)
+    override def deps: Seq[Stage] = Seq(Mixture, Redact)
     override def run(ctx: Ctx): Unit = {
       // re-attach text to the (doc_id, lang, copy_id) mixture manifest;
       // copies pack as distinct stream entries (doc_id, copy_id order)
-      val docs = DedupCanonical.read(ctx).select(col("doc_id"), col("text"))
+      val docs = Redact.read(ctx).select(col("doc_id"), col("text"))
       // stream_id is collision-free while copy_id < 100, i.e. mixture
       // weights below 100 epochs — far above any sane configuration
       val mix = Mixture.read(ctx)
@@ -113,10 +124,21 @@ object CurateDag {
     }
   }
 
+  /** Retrieval-side output: the RAG chunk manifest (q89) over the
+    * redacted canonical corpus — a SIBLING of the training path
+    * (Mixture/Pack), showing one curated input fanning into both
+    * products without recomputing upstream stages. */
+  object ChunkManifest extends Stage {
+    override def version = "1.0.0"
+    override def deps: Seq[Stage] = Seq(Redact)
+    override def run(ctx: Ctx): Unit =
+      writeGz(ctx, graft.Curation.chunkTokensDf(Redact.read(ctx)), outputDir(ctx).get)
+  }
+
   /** Always-rerun report: per-stage document counts — the curation
     * funnel a pipeline owner watches. */
   object CurationReport extends Stage {
-    override def deps: Seq[Stage] = Seq(Pack)
+    override def deps: Seq[Stage] = Seq(Pack, ChunkManifest)
     override def outputDir(ctx: Ctx): Option[String] = None
     override def complete(ctx: Ctx): Boolean = false
     override def run(ctx: Ctx): Unit = {
@@ -125,8 +147,10 @@ object CurateDag {
         "quality" -> QualityGate.read(ctx).count(),
         "decontaminated" -> Decontaminate.read(ctx).count(),
         "canonical" -> DedupCanonical.read(ctx).count(),
+        "redacted" -> Redact.read(ctx).count(),
         "mixture_rows" -> Mixture.read(ctx).count(),
-        "packed_rows" -> Pack.read(ctx).count())
+        "packed_rows" -> Pack.read(ctx).count(),
+        "rag_chunks" -> ChunkManifest.read(ctx).count())
       println(funnel.map { case (k, v) => s"$k=$v" }.mkString("curation funnel: ", ", ", ""))
     }
   }

@@ -16,7 +16,7 @@ class CurateDagSpec extends SparkSpec {
 
     val first = CurateDag.run(ctx)
     assert(first == Seq("QualityGate", "Decontaminate", "DedupCanonical",
-      "Mixture", "Pack", "CurationReport"), first.toString)
+      "Redact", "Mixture", "Pack", "ChunkManifest", "CurationReport"), first.toString)
     // memoization: everything but the always-rerun report skips
     assert(CurateDag.run(ctx) == Seq("CurationReport"))
 
@@ -45,5 +45,18 @@ class CurateDagSpec extends SparkSpec {
     // the packed manifest covers exactly the mixture rows, offsets in budget
     assert(pack.count() == mix.count())
     assert(pack.filter(col("off_in_win") >= Curation.WindowBudget).count() == 0)
+
+    // redaction preserves rows and schema (word-salad corpus: no PII
+    // patterns, so text is unchanged too — masking is a no-op here)
+    val redact = CurateDag.Redact.read(ctx)
+    assert(redact.count() == canon.count())
+    assert(redact.columns.toSeq == canon.columns.toSeq)
+
+    // the RAG chunk manifest matches the operator recompute over the
+    // same redacted input, and covers every canonical document
+    val chunks = CurateDag.ChunkManifest.read(ctx)
+    val expected = Curation.chunkTokensDf(redact)
+    assert(chunks.except(expected).isEmpty && expected.except(chunks).isEmpty)
+    assert(chunks.select("doc_id").distinct().count() == canon.count())
   }
 }
