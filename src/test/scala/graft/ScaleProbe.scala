@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe (`sbt "Test/runMain graft.ScaleProbe"`): materialize a
+  * 10× copy of the sf0.1 `documents` table (id-shifted, texts salted
+  * per replica so replicas don't trivially near-dup each other) and
+  * time the heaviest dedup-family queries at 1× and 10× — empirical
+  * backing for the near-linear scale claims in SURVEY §8. Writes under
+  * java.io.tmpdir only; not part of the test suite. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.session
+    val d1 = "/root/testdata/sf0.1"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-scale-10x"
+    val d10 = s"$dir"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet/_SUCCESS"))) {
+      val base = spark.read.parquet(s"$d1/documents.parquet")
+      val n = base.count()
+      val reps = (0 until 10).map { r =>
+        // perturb each replica's text with a replica-specific token so
+        // cross-replica pairs don't all share every shingle; replica 0
+        // keeps the original corpus byte-for-byte
+        val salted = if (r == 0) base else base
+          .withColumn("text", concat(col("text"), lit(s" replica$r marker$r")))
+        salted.withColumn("doc_id", col("doc_id") + lit(r * n))
+      }
+      reps.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      println(s"[probe] built 10x corpus at $dir")
+    }
+    def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        d: String): Double = {
+      val t0 = System.nanoTime()
+      val n = fn(spark, d).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[probe] $name%-28s $d%-40s rows=$n%-8d ${dt}%7.2f s")
+      dt
+    }
+    val qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("q21_dedup_exact" -> (Dedup.exact _),
+        "q23_dedup_minhash_lsh" -> (Dedup.minhashNearDup _),
+        "q24_dedup_simhash" -> (Dedup.simhash _),
+        "q46_dedup_jaccard_prefix" -> (Dedup.ngramJaccardPrefix _),
+        "q49_dedup_clusters" -> (Dedup.nearDupClusters _))
+    val ratios = qs.map { case (name, fn) =>
+      val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
+      val t10 = time(name, fn, d10)
+      println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+      name -> (t10 / t1)
+    }
+    println(ratios.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] ratios: ", ", ", ""))
+    spark.stop()
+  }
+}
