@@ -228,7 +228,15 @@ object TextAnalysis {
     * candidates ONLY. The same candidates→verify discipline as the
     * dedup family: the quadratic metric runs on blocked pairs, never
     * all-pairs (PlanSweep keeps it honest). Levenshtein is the
-    * classic DP edit distance in both engines — identical integers. */
+    * classic DP edit distance in both engines — identical integers.
+    *
+    * Scale honesty: the blocking KEY CARDINALITY here is bounded by
+    * vocabulary × bands, so at web scale individual blocks grow with
+    * the corpus and in-block pairing re-approaches quadratic. This
+    * operator demonstrates the exact-verify step; a 100 TB deployment
+    * blocks on content signatures instead (the q23 band keys or q24
+    * signature chunks, whose per-key populations stay collision-sized)
+    * and keeps this verify stage unchanged. */
   def fuzzyPairs(spark: SparkSession, d: String): DataFrame = {
     val t = Tables.documentsDist(spark, d)
       .select(col("doc_id"), col("lang"),
