@@ -700,6 +700,50 @@ object Queries {
           .as("corr_xy"))
       .orderBy(col("event_type"))
 
+  /** q93: RECURSIVE CTE (Spark 4) — hierarchy rollup. Customers form a
+    * synthetic decimal hierarchy (parent = key div 10, root 0); the
+    * recursion walks each customer's ancestor chain (strictly
+    * decreasing ⇒ terminates well under the recursion limit; Spark
+    * requires UNION ALL recursion, which is exactly right for an
+    * acyclic walk), then per-ancestor spend aggregates over the
+    * closure — the org-tree rollup every warehouse needs and plain
+    * SQL cannot express without recursion. Spend is summed in exact
+    * cents before the single float division. */
+  def hierarchyRollup(spark: SparkSession, d: String): DataFrame =
+    sqlOn(orders(spark, d),
+      """WITH RECURSIVE spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM __rel GROUP BY o_custkey),
+        |anc AS (
+        |  SELECT o_custkey AS custkey, o_custkey AS anc_key FROM spend
+        |  UNION ALL
+        |  SELECT custkey, anc_key div 10 AS anc_key FROM anc WHERE anc_key > 0)
+        |SELECT anc_key AS group_key, count(*) AS n_desc,
+        |  CAST(sum(s.cents) AS DOUBLE) / 100.0 AS total_spent
+        |FROM anc a JOIN spend s ON s.o_custkey = a.custkey
+        |GROUP BY anc_key
+        |ORDER BY group_key""".stripMargin)
+
+  /** q94: collation-aware grouping (Spark 4 collations) — a synthetic
+    * mixed-case column grouped under UTF8_LCASE collation, so 'EN',
+    * 'En', 'en' land in one group while countDistinct still sees the
+    * raw variants. The emitted key is normalized via lower() because
+    * WHICH case variant represents a collated group is unspecified —
+    * the deterministic contract is the group MEMBERSHIP, and that is
+    * what the lower()-grouped oracle replays. */
+  def collationGroups(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .withColumn("mixed",
+        when(col("doc_id") % 3 === 0, upper(col("lang")))
+          .when(col("doc_id") % 3 === 1, initcap(col("lang")))
+          .otherwise(col("lang")))
+      .groupBy(expr("collate(mixed, 'UTF8_LCASE')").as("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("mixed")).as("n_case_variants"))
+      .select(lower(col("k")).as("lang_ci"), col("n_docs"), col("n_case_variants"))
+      .orderBy(col("lang_ci"))
+
   /** q92: LIMIT/OFFSET pagination — page 3 of the spend ranking
     * (rows 21-30). Offset composes with TakeOrderedAndProject: the
     * engine keeps offset+limit rows per partition, never a full sort

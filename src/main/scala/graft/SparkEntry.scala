@@ -178,6 +178,10 @@ object SparkEntry {
     "q91_exact_moments" -> (Queries.exactMoments _),
     // LIMIT/OFFSET pagination (rows 21-30 of the spend ranking)
     "q92_paged_orders" -> (Queries.pagedOrders _),
+    // RECURSIVE CTE hierarchy rollup (Spark 4 WITH RECURSIVE)
+    "q93_hierarchy_rollup" -> (Queries.hierarchyRollup _),
+    // collation-aware grouping (Spark 4 UTF8_LCASE)
+    "q94_collation_groups" -> (Queries.collationGroups _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -1086,6 +1090,29 @@ object SparkEntry {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10 OFFSET 20""".stripMargin,
+    "q93_hierarchy_rollup" ->
+      """WITH RECURSIVE spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |anc AS (
+        |  SELECT o_custkey AS custkey, o_custkey AS anc_key FROM spend
+        |  UNION ALL
+        |  SELECT custkey, anc_key // 10 AS anc_key FROM anc WHERE anc_key > 0)
+        |SELECT anc_key AS group_key, count(*) AS n_desc,
+        |  CAST(sum(s.cents) AS DOUBLE) / 100.0 AS total_spent
+        |FROM anc a JOIN spend s ON s.o_custkey = a.custkey
+        |GROUP BY anc_key
+        |ORDER BY group_key""".stripMargin,
+    "q94_collation_groups" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CASE doc_id % 3 WHEN 0 THEN upper(lang)
+        |       WHEN 1 THEN upper(substring(lang, 1, 1)) || lower(substring(lang, 2))
+        |       ELSE lang END AS mixed
+        |  FROM documents)
+        |SELECT lower(mixed) AS lang_ci, count(*) AS n_docs,
+        |  count(DISTINCT mixed) AS n_case_variants
+        |FROM t GROUP BY lower(mixed) ORDER BY lang_ci""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
