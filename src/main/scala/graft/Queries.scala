@@ -744,6 +744,27 @@ object Queries {
       .select(lower(col("k")).as("lang_ci"), col("n_docs"), col("n_case_variants"))
       .orderBy(col("lang_ci"))
 
+  /** q95: RANGE window frame — trailing-30-day spend per customer,
+    * framed by VALUE distance (epoch-day ordering, RANGE 30 PRECEDING)
+    * rather than row count: orders on the same day share a frame, and
+    * gaps in the calendar shrink it — semantics ROWS frames (q40)
+    * cannot express. Day arithmetic and cents sums are exact integers;
+    * one float division at the end. */
+  def rangeFrameSpend(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("spend_30d", sum(col("cents")).over(w))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        (col("spend_30d") / 100.0).as("spend_30d"), col("n_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** q92: LIMIT/OFFSET pagination — page 3 of the spend ranking
     * (rows 21-30). Offset composes with TakeOrderedAndProject: the
     * engine keeps offset+limit rows per partition, never a full sort

@@ -182,6 +182,8 @@ object SparkEntry {
     "q93_hierarchy_rollup" -> (Queries.hierarchyRollup _),
     // collation-aware grouping (Spark 4 UTF8_LCASE)
     "q94_collation_groups" -> (Queries.collationGroups _),
+    // RANGE window frame (value-distance framing, trailing 30 days)
+    "q95_range_frame" -> (Queries.rangeFrameSpend _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -1113,6 +1115,17 @@ object SparkEntry {
         |SELECT lower(mixed) AS lang_ci, count(*) AS n_docs,
         |  count(DISTINCT mixed) AS n_case_variants
         |FROM t GROUP BY lower(mixed) ORDER BY lang_ci""".stripMargin,
+    "q95_range_frame" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey,
+        |  datediff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT AS day,
+        |  round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey, day,
+        |  sum(cents) OVER w / 100.0 AS spend_30d,
+        |  count(*) OVER w AS n_30d
+        |FROM t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
