@@ -33,6 +33,12 @@ object Curation {
       .withColumn("start",
         explode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0L)).cast("int"),
           lit(stride))))
+      // a window whose PREDECESSOR already reached end-of-document is a
+      // strict sub-span carrying zero new tokens — emitting it would
+      // bloat the index with no-information chunks (and, having a
+      // distinct hash, they'd survive dedup). Surviving starts stay a
+      // prefix of the stride sequence, so chunk ids remain contiguous.
+      .filter(col("start") === 0 || col("start") - stride + win < col("n_tok"))
       .select(col("doc_id"),
         expr(s"CAST(start div $stride AS BIGINT)").as("chunk_id"),
         col("start").cast("long").as("tok_start"),

@@ -316,19 +316,31 @@ object Dedup {
     * the corpus side is a scan → per-row shingles → broadcast
     * hash-semi-join → per-doc count. No corpus-side shuffle except the
     * final aggregation on the (few) contaminated docs. */
-  def decontaminate(spark: SparkSession, d: String): DataFrame = {
+  /** The held-out-eval split rule (doc_id ≡ 0 mod EvalMod) and the
+    * decontamination shingle shape — ONE definition each, shared by
+    * q55, q90, and the curation DAG so the exact and bloom paths can
+    * never silently diverge. */
+  val EvalMod = 97
+
+  private def deconShingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(shingleHashSet(col("text"), 4)).as("h"))
+
+  private def evalSplit(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documentsDist(spark, d)
-    decontaminateDf(docs.filter(col("doc_id") % 97 =!= 0),
-      docs.filter(col("doc_id") % 97 === 0))
+    (docs.filter(col("doc_id") % EvalMod =!= 0),
+      docs.filter(col("doc_id") % EvalMod === 0))
+  }
+
+  def decontaminate(spark: SparkSession, d: String): DataFrame = {
+    val (corpus, eval_) = evalSplit(spark, d)
+    decontaminateDf(corpus, eval_)
   }
 
   /** DataFrame-in variant: flag `docs` sharing any 4-gram with
     * `evalDocs` (both (doc_id, text)). */
   private[graft] def decontaminateDf(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
-    def sh(df: DataFrame) =
-      df.select(col("doc_id"), explode(shingleHashSet(col("text"), 4)).as("h"))
-    val ev = sh(evalDocs).select(col("h")).distinct()
-    sh(docs)
+    val ev = deconShingles(evalDocs).select(col("h")).distinct()
+    deconShingles(docs)
       .join(broadcast(ev), "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared")) // per-doc shingles are distinct
@@ -342,22 +354,21 @@ object Dedup {
     * pass probes it with the codegen might_contain kernel, reading no
     * eval-side data at all. The probe is one-sided: never a false
     * negative, so every truly-contaminated doc is flagged; false
-    * positives (~0.6% at 8 bits/item) only add review work. Flag
-    * counts are therefore an UPPER bound on q55's exact counts —
+    * positives (~2.2% per probe at the 8 bits/item sizing below —
+    * (1−e^{−6/8})^6 with the optimal 6 hashes) only add review work.
+    * Flag counts are therefore an UPPER bound on q55's exact counts —
     * approximate ⇒ rows-only check; DedupSpec pins no-false-negative
     * vs q55 and bounds the FP overhead. */
   def deconBloom(spark: SparkSession, d: String): DataFrame = {
     import graft.functions.Bloom._
-    val docs = Tables.documentsDist(spark, d)
-    def sh(df: DataFrame) =
-      df.select(col("doc_id"), explode(shingleHashSet(col("text"), 4)).as("h"))
-    val ev = sh(docs.filter(col("doc_id") % 97 === 0)).select(col("h")).distinct()
+    val (corpus, eval_) = evalSplit(spark, d)
+    val ev = deconShingles(eval_).select(col("h")).distinct()
     // one-row filter collected to the driver and re-entering the plan
     // as a constant — the same lifecycle as a broadcast variable, and
     // what might_contain's constant-input rule requires
     val bf = ev.agg(bloomAgg(col("h"), 100000L, 800000L).as("bf"))
       .head().getAs[Array[Byte]](0)
-    sh(docs.filter(col("doc_id") % 97 =!= 0))
+    deconShingles(corpus)
       .filter(mightContain(lit(bf), col("h")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_flagged"))

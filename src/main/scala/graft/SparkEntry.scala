@@ -1064,12 +1064,13 @@ object SparkEntry {
          |           FROM documents),
          |s AS (SELECT doc_id, tk, len(tk)::BIGINT n_tok,
          |      unnest(generate_series(0, GREATEST(len(tk) - 1, 0), 40)) tok_start
-         |      FROM t)
+         |      FROM t),
+         |f AS (SELECT * FROM s WHERE tok_start = 0 OR tok_start - 40 + 50 < n_tok)
          |SELECT doc_id, (tok_start // 40)::BIGINT AS chunk_id,
          |  tok_start::BIGINT AS tok_start,
          |  LEAST(50, n_tok - tok_start)::BIGINT AS n_in_chunk,
          |  ${H("array_to_string(tk[tok_start + 1 : tok_start + 50], ' ')")} AS chunk_hash
-         |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+         |FROM f ORDER BY doc_id, chunk_id""".stripMargin
     },
     "q91_exact_moments" ->
       """WITH t AS (SELECT event_type, floor(value * 1000)::BIGINT AS x,

@@ -301,23 +301,27 @@ object TextAnalysis {
       .withColumn("raw", concat(col("text"), lit(" contact: user"),
         col("doc_id"), lit("@example.com or 555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .withColumn("masked", maskPii(col("raw")))
       .select(col("doc_id"),
         size(expr(s"regexp_extract_all(raw, '$EmailRe', 0)")).cast("long").as("n_emails"),
         size(expr(s"regexp_extract_all(raw, '$PhoneRe', 0)")).cast("long").as("n_phones"),
-        expr(s"right(regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>'), " +
-          s"'$PhoneRe', '<PHONE>'), 40)").as("tail40"))
+        expr("right(masked, 40)").as("tail40"))
       .orderBy(col("doc_id"))
   }
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
   private val PhoneRe = "555-[0-9]{4}"
 
+  /** The one masking chain (email then phone) q88 and the DAG's Redact
+    * stage both apply — a new PII pattern is added HERE and the q88
+    * oracle, nowhere else. */
+  private def maskPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** DataFrame-in redaction for the curation DAG: masks PII patterns
     * in place (schema preserved, no rows dropped). */
   private[graft] def redactDf(docs: DataFrame): DataFrame =
-    docs.withColumn("text",
-      expr(s"regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>'), " +
-        s"'$PhoneRe', '<PHONE>')"))
+    docs.withColumn("text", maskPii(col("text")))
 
   /** Document fingerprinting: full-text rolling hash plus a winnowed
     * min-hash over 8-token windows (the content-defined signature used

@@ -18,7 +18,8 @@ object Bloom {
 
   /** Mergeable bloom-filter build over a LongType column: map-side
     * partial filters OR-merge at |filter| cost. `numBits` sizes the
-    * false-positive rate (~0.6% at 8 bits/item). */
+    * false-positive rate: at 8 bits/item with the optimal ~6 hashes,
+    * FPP = (1−e^{−6/8})^6 ≈ 2.2%; budget ~10 bits/item for ~1%. */
   def bloomAgg(c: Column, expectedItems: Long, numBits: Long): Column =
     GraftShim.column(new BloomFilterAggregate(GraftShim.expression(c),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())

@@ -57,8 +57,9 @@ object CurateDag {
     override def deps: Seq[Stage] = Seq(QualityGate)
     override def run(ctx: Ctx): Unit = {
       val docs = QualityGate.read(ctx)
-      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-      val flagged = Dedup.decontaminateDf(corpus, docs.filter(col("doc_id") % 97 === 0))
+      val corpus = docs.filter(col("doc_id") % Dedup.EvalMod =!= 0)
+      val flagged = Dedup.decontaminateDf(corpus,
+          docs.filter(col("doc_id") % Dedup.EvalMod === 0))
         .select("doc_id")
       writeGz(ctx, corpus.join(flagged, Seq("doc_id"), "left_anti"), outputDir(ctx).get)
     }

@@ -18,7 +18,9 @@ object ScaleProbe {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet/_SUCCESS"))) {
       val base = spark.read.parquet(s"$d1/documents.parquet")
-      val n = base.count()
+      // shift by max+1, not count: collision-free even if doc_ids are
+      // ever sparse or non-zero-based
+      val n = base.agg(max(col("doc_id"))).head().getLong(0) + 1
       val reps = (0 until 10).map { r =>
         // perturb each replica's text with a replica-specific token so
         // cross-replica pairs don't all share every shingle; replica 0
