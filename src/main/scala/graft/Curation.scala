@@ -48,6 +48,40 @@ object Curation {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** q96: classifier-based quality filtering — the GPT-3/CCNet-style
+    * pattern: weak labels from a cheap heuristic (here the q57 rule
+    * cascade: keep vs any-fail), a HashingTF bag-of-words over a
+    * fixed 2^12 feature space (no vocabulary fit — the only text
+    * featurizer that needs zero extra passes at 100 TB), and a seeded
+    * logistic regression whose scores then rank EVERY document,
+    * including ones the heuristic can't decide. Scoring is one
+    * broadcast of the coefficient vector — linear scan, no shuffle.
+    * Learned weights aren't SQL-oracle-expressible (like q33/q83):
+    * rows-only check; CurationSpec pins train-set separation (the
+    * model must at least recover its own weak labels) and score
+    * determinism across invocations. */
+  def qualityClassifier(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, Tokenizer}
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.Pipeline
+    val docs = Tables.documentsDist(spark, d)
+    val labeled = TextAnalysis.corpusFilterDf(docs)
+      .select(col("doc_id"), when(col("verdict") === "keep", 1.0).otherwise(0.0).as("label"))
+    val train = docs.join(labeled, "doc_id")
+    val pipe = new Pipeline().setStages(Array(
+      new Tokenizer().setInputCol("text").setOutputCol("words"),
+      new HashingTF().setInputCol("words").setOutputCol("features")
+        .setNumFeatures(1 << 12),
+      new LogisticRegression().setMaxIter(25).setRegParam(0.01)
+        .setLabelCol("label").setFeaturesCol("features")))
+    val model = pipe.fit(train)
+    model.transform(train)
+      .select(col("doc_id"), col("label").cast("long").as("weak_label"),
+        round(org.apache.spark.ml.functions.vector_to_array(col("probability"))(1), 6)
+          .as("p_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language sampling rates (permille) for mixture rebalancing:
     * downsample the dominant language, keep the tail. Strata without a
     * configured rate are dropped (a production pipeline would supply a

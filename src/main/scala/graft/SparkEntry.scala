@@ -184,6 +184,10 @@ object SparkEntry {
     "q94_collation_groups" -> (Queries.collationGroups _),
     // RANGE window frame (value-distance framing, trailing 30 days)
     "q95_range_frame" -> (Queries.rangeFrameSpend _),
+    // classifier-based quality filter (HashingTF + seeded LR over weak
+    // labels): learned weights ⇒ rows-only; CurationSpec pins
+    // determinism + separation
+    "q96_quality_classifier" -> (Curation.qualityClassifier _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and

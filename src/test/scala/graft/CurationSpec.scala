@@ -92,6 +92,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q96 quality classifier: deterministic scores that separate the weak labels") {
+    val a = Curation.qualityClassifier(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = Curation.qualityClassifier(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // seeded fit on identical data: byte-identical scores on a re-run
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+    // full corpus scored, probabilities well-formed
+    assert(a.length == Tables.documents(spark, d).count())
+    assert(a.forall(t => t._3 >= 0.0 && t._3 <= 1.0))
+    // the model must at least recover its own training signal: mean
+    // score of heuristic-keep docs clearly above heuristic-fail docs
+    val keep = a.filter(_._2 == 1L).map(_._3)
+    val fail = a.filter(_._2 == 0L).map(_._3)
+    assert(keep.nonEmpty && fail.nonEmpty)
+    val gap = keep.sum / keep.length - fail.sum / fail.length
+    assert(gap > 0.2, s"separation gap $gap")
+  }
+
   test("source overlap matches an exact local vocabulary-Jaccard recompute") {
     val vocab = Tables.documents(spark, d).select("source", "text").collect()
       .groupBy(_.getString(0))
