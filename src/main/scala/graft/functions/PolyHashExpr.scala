@@ -119,6 +119,18 @@ object GraftFunctions {
     ("graft_cms_estimate", classOf[CmsEstimateExpr],
       (args: Seq[Expression]) => CmsEstimateExpr(args(0), args(1),
         intArg(args(2), "graft_cms_estimate"), intArg(args(3), "graft_cms_estimate"))),
+    // Spark's own bloom machinery surfaced as SQL (it has no public SQL
+    // name upstream); the probe takes the filter via scalar subquery
+    ("graft_bloom",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))),
+    ("graft_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))),
   )
 
   /** Register SQL-callable functions on an existing session. */

@@ -114,6 +114,23 @@ class FunctionsSpec extends SparkSpec {
     assert(est.getLong(0) == 3L && est.getLong(1) == 1L)
   }
 
+  test("SQL graft_bloom/graft_might_contain: scalar-subquery probe is membership-correct") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("h").createOrReplaceTempView("bloom_in")
+    Seq(1L, 2L, 4L, 9L).toDF("x").createOrReplaceTempView("bloom_probe")
+    val out = spark.sql("""
+      SELECT x, graft_might_contain(
+        (SELECT graft_bloom(h, 100L, 8000L) FROM bloom_in), x) AS m
+      FROM bloom_probe ORDER BY x""")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // members always hit (no false negatives)
+    assert(out(1L) && out(2L))
+    // at 8000 bits over 3 items the FP probability is ~1e-10: assert
+    // the non-members miss
+    assert(!out(4L) && !out(9L))
+  }
+
   test("works inside higher-order lambdas (shingle hashing path)") {
     GraftFunctions.register(spark)
     val r = spark.sql(
