@@ -765,6 +765,37 @@ object Queries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** q97: error-safe expressions under ANSI semantics — `try_divide` /
+    * `try_cast` / `try_element_at` return null where strict ANSI
+    * evaluation would abort the job (division by zero, bad cast,
+    * out-of-bounds). The null-on-error contract is what lets a 100 TB
+    * scan survive the one malformed row in shard 9,731; the oracle
+    * states the same semantics with guards. */
+  def safeArithmetic(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"),
+        expr("try_divide(n_chars, doc_id % 5)").as("div_maybe"),
+        expr("try_cast(substring(text, 1, 3) AS BIGINT)").as("cast_maybe"),
+        expr("try_element_at(split(text, ' '), 1000)").as("elem_maybe"),
+        expr("try_cast(lang AS BIGINT)").as("lang_num"))
+      .orderBy(col("doc_id"))
+
+  /** q98: URL parsing — host/path/query extraction with `parse_url`
+    * over a deterministically synthesized URL column (the source-domain
+    * extraction every crawl-reputation pass runs). The oracle rebuilds
+    * the same parts from the construction, pinning Spark's parser to
+    * the construction's semantics. */
+  def urlParts(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("lang"), lit("?id="), col("doc_id")))
+      .select(col("doc_id"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'PROTOCOL')").as("protocol"))
+      .orderBy(col("doc_id"))
+
   /** q92: LIMIT/OFFSET pagination — page 3 of the spend ranking
     * (rows 21-30). Offset composes with TakeOrderedAndProject: the
     * engine keeps offset+limit rows per partition, never a full sort

@@ -188,6 +188,10 @@ object SparkEntry {
     // labels): learned weights ⇒ rows-only; CurationSpec pins
     // determinism + separation
     "q96_quality_classifier" -> (Curation.qualityClassifier _),
+    // error-safe try_divide/try_cast/try_element_at (null, not abort)
+    "q97_safe_arith" -> (Queries.safeArithmetic _),
+    // parse_url host/path/query extraction (crawl-domain reputation)
+    "q98_url_parts" -> (Queries.urlParts _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -1131,6 +1135,21 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q97_safe_arith" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       ELSE n_chars / (doc_id % 5) END AS div_maybe,
+        |  TRY_CAST(substring(text, 1, 3) AS BIGINT) AS cast_maybe,
+        |  regexp_split_to_array(text, ' ')[1000] AS elem_maybe,
+        |  TRY_CAST(lang AS BIGINT) AS lang_num
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q98_url_parts" ->
+      """SELECT doc_id,
+        |  source || '.example.com' AS host,
+        |  '/docs/' || lang AS path,
+        |  'id=' || doc_id AS query,
+        |  'https' AS protocol
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
