@@ -796,6 +796,30 @@ object Queries {
         expr("parse_url(url, 'PROTOCOL')").as("protocol"))
       .orderBy(col("doc_id"))
 
+  /** q100: calendar-spine gap fill — every (customer, month) between a
+    * customer's first and last order, INCLUDING zero-order months: a
+    * month spine from `sequence(first, last, interval 1 month)` +
+    * explode, left-joined to actual monthly totals. The dense spine is
+    * what makes month-over-month windows correct (a missing month must
+    * read as 0, not silently skip); spine cardinality is bounded by
+    * customers × active-month span, never by the fact table. */
+  def monthlySpine(spark: SparkSession, d: String): DataFrame = {
+    val o = orders(spark, d)
+      .select(col("o_custkey"), trunc(col("o_orderdate"), "month").as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val actual = o.groupBy(col("o_custkey"), col("m"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    val spine = o.groupBy(col("o_custkey"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("o_custkey"),
+        explode(sequence(col("m0"), col("m1"), expr("interval 1 month"))).as("m"))
+    spine.join(actual, Seq("o_custkey", "m"), "left_outer")
+      .select(col("o_custkey"), date_format(col("m"), "yyyy-MM").as("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        (coalesce(col("cents"), lit(0L)) / 100.0).as("total"))
+      .orderBy(col("o_custkey"), col("month"))
+  }
+
   /** q92: LIMIT/OFFSET pagination — page 3 of the spend ranking
     * (rows 21-30). Offset composes with TakeOrderedAndProject: the
     * engine keeps offset+limit rows per partition, never a full sort

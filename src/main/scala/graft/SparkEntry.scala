@@ -192,6 +192,10 @@ object SparkEntry {
     "q97_safe_arith" -> (Queries.safeArithmetic _),
     // parse_url host/path/query extraction (crawl-domain reputation)
     "q98_url_parts" -> (Queries.urlParts _),
+    // map HOFs: map_filter + transform_values over per-doc freq maps
+    "q99_repeated_tokens" -> (TextAnalysis.repeatedTokenShares _),
+    // calendar-spine gap fill (dense months incl. zero-order months)
+    "q100_monthly_spine" -> (Queries.monthlySpine _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -1150,6 +1154,28 @@ object SparkEntry {
         |  'id=' || doc_id AS query,
         |  'https' AS protocol
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q99_repeated_tokens" ->
+      """WITH w AS (SELECT doc_id, len(regexp_split_to_array(text, ' '))::BIGINT n_tok,
+        |           unnest(regexp_split_to_array(text, ' ')) word
+        |           FROM documents WHERE doc_id < 100),
+        |c AS (SELECT doc_id, n_tok, word, count(*)::BIGINT c
+        |      FROM w GROUP BY doc_id, n_tok, word HAVING count(*) >= 2)
+        |SELECT doc_id, word, c AS n, (c * 1000 // n_tok)::BIGINT AS permille
+        |FROM c ORDER BY doc_id, word""".stripMargin,
+    "q100_monthly_spine" ->
+      """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+        |           round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |actual AS (SELECT o_custkey, m, count(*)::BIGINT n_orders,
+        |           sum(cents)::BIGINT cents FROM o GROUP BY o_custkey, m),
+        |bounds AS (SELECT o_custkey, min(m) m0, max(m) m1 FROM o GROUP BY o_custkey),
+        |spine AS (SELECT o_custkey,
+        |          unnest(generate_series(m0, m1, INTERVAL 1 MONTH)) AS m
+        |          FROM bounds)
+        |SELECT s.o_custkey, strftime(s.m, '%Y-%m') AS month,
+        |  coalesce(a.n_orders, 0) AS n_orders,
+        |  coalesce(a.cents, 0) / 100.0 AS total
+        |FROM spine s LEFT JOIN actual a ON a.o_custkey = s.o_custkey AND a.m = s.m
+        |ORDER BY s.o_custkey, month""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,

@@ -323,6 +323,33 @@ object TextAnalysis {
   private[graft] def redactDf(docs: DataFrame): DataFrame =
     docs.withColumn("text", maskPii(col("text")))
 
+  /** q99: map higher-order functions — the per-doc token-frequency map
+    * filtered to repeated tokens (`map_filter`) and rescaled to
+    * permille-of-doc (`transform_values`), then exploded back to rows.
+    * Map HOFs keep the per-document state in ONE cell through the
+    * transformation chain — no re-shuffle between steps — and the
+    * relational explode at the end makes the result oracle-checkable
+    * (the oracle recomputes the same rows with GROUP BY ... HAVING). */
+  def repeatedTokenShares(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documentsDist(spark, d).filter(col("doc_id") < 100)
+    val freq = docs
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"),
+        explode(toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("n_tok"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("c")))).as("freq"))
+    freq
+      .select(col("doc_id"), col("n_tok"),
+        explode(transform_values(
+          map_filter(col("freq"), (_, v) => v >= 2L),
+          (_, v) => v * 1000L)).as(Seq("word", "milli")))
+      .select(col("doc_id"), col("word"),
+        expr("milli div 1000").as("n"),
+        expr("milli div n_tok").as("permille"))
+      .orderBy(col("doc_id"), col("word"))
+  }
+
   /** Document fingerprinting: full-text rolling hash plus a winnowed
     * min-hash over 8-token windows (the content-defined signature used
     * for shard-local dedup at ingest). */
