@@ -32,6 +32,26 @@ class InstrumentSpec extends SparkSpec {
     assert(ss.recordsWritten > sb.recordsWritten, s"bcast=$sb shuffle=$ss")
   }
 
+  test("Dataset.observe: ingest-stats metrics ride the scan, no second pass") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("ingest_stats")
+    val base = Tables.orders(spark, d)
+      .observe(obs,
+        count(lit(1)).as("rows_scanned"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_scanned"),
+        count(when(col("o_totalprice") <= 0, 1)).as("rows_suspect"))
+    // the downstream query filters aggressively — the observation still
+    // sees every scanned row because it is attached BELOW the filter
+    val kept = base.filter(col("o_totalprice") > 400000.0).count()
+    val m = obs.get
+    val full = Tables.orders(spark, d)
+    assert(m("rows_scanned") == full.count())
+    assert(m("cents_scanned") ==
+      full.select(sum(round(col("o_totalprice") * 100).cast("long"))).head().getLong(0))
+    assert(m("rows_suspect") == 0L)
+    assert(kept > 0 && kept < m("rows_scanned").asInstanceOf[Long])
+  }
+
   test("q21 exact dedup: map-side partials bound the wire to inputs, not input×dups") {
     val (rows, s) = Instrument.collectWithPlan(Dedup.exact(spark, d))
     assert(s.shuffles >= 1 && rows.nonEmpty)
