@@ -52,14 +52,18 @@ object Curation {
     * pattern: weak labels from a cheap heuristic (here the q57 rule
     * cascade: keep vs any-fail), a HashingTF bag-of-words over a
     * fixed 2^12 feature space (no vocabulary fit — the only text
-    * featurizer that needs zero extra passes at 100 TB), and a seeded
+    * featurizer that needs zero extra passes at 100 TB), and a
     * logistic regression whose scores then rank EVERY document,
     * including ones the heuristic can't decide. Scoring is one
     * broadcast of the coefficient vector — linear scan, no shuffle.
-    * Learned weights aren't SQL-oracle-expressible (like q33/q83):
-    * rows-only check; CurationSpec pins train-set separation (the
-    * model must at least recover its own weak labels) and score
-    * determinism across invocations. */
+    * Reproducibility note: LBFGS itself is deterministic, but its
+    * gradient aggregation merges float partials in task-completion
+    * order, so coefficients are stable only to float-merge tolerance
+    * across runs/environments — CurationSpec pins scores equal within
+    * that tolerance, not byte-identical. Learned weights aren't
+    * SQL-oracle-expressible (like q33/q83): rows-only check;
+    * CurationSpec also pins train-set separation (the model must at
+    * least recover its own weak labels). */
   def qualityClassifier(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, Tokenizer}
     import org.apache.spark.ml.classification.LogisticRegression
@@ -75,10 +79,23 @@ object Curation {
       new LogisticRegression().setMaxIter(25).setRegParam(0.01)
         .setLabelCol("label").setFeaturesCol("features")))
     val model = pipe.fit(train)
-    model.transform(train)
+    // Score with codegen arithmetic from the EXTRACTED coefficients
+    // instead of model.transform: (a) the fitted model's UDF closure
+    // drags its training summary — and through it the SparkSession,
+    // whose ObservationManager is not java-serializable (Spark 4.1) —
+    // into every task; (b) a broadcast coefficient vector + native dot
+    // + sigmoid is the columnar LR-serving shape anyway: the 100 TB
+    // scoring pass is pure whole-stage codegen, no model object at all.
+    val lrm = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val w = lrm.coefficients.toArray
+    val featured = model.stages.init.foldLeft(train.toDF())((df, st) => st.transform(df))
+    import org.apache.spark.ml.functions.vector_to_array
+    val margin = graft.functions.GraftFunctions.dot(
+      vector_to_array(col("features")).cast("array<double>"), lit(w)) + lit(lrm.intercept)
+    featured
       .select(col("doc_id"), col("label").cast("long").as("weak_label"),
-        round(org.apache.spark.ml.functions.vector_to_array(col("probability"))(1), 6)
-          .as("p_keep"))
+        round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("p_keep"))
       .orderBy(col("doc_id"))
   }
 

@@ -775,8 +775,15 @@ object Queries {
     documents(spark, d)
       .select(col("doc_id"),
         expr("try_divide(n_chars, doc_id % 5)").as("div_maybe"),
-        expr("try_cast(substring(text, 1, 3) AS BIGINT)").as("cast_maybe"),
-        expr("try_element_at(split(text, ' '), 1000)").as("elem_maybe"),
+        // every third row carries a parseable integer string so the
+        // SUCCESS path of try_cast is exercised, not just the null
+        // path (integer strings parse identically cross-engine; fixture
+        // text never starts with a digit, so the other rows pin null)
+        expr("""try_cast(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS STRING)
+                ELSE substring(text, 1, 3) END AS BIGINT)""").as("cast_maybe"),
+        // index 50 is in bounds for longer docs, out of bounds for
+        // short ones — both halves of try_element_at pinned
+        expr("try_element_at(split(text, ' '), 50)").as("elem_maybe"),
         expr("try_cast(lang AS BIGINT)").as("lang_num"))
       .orderBy(col("doc_id"))
 

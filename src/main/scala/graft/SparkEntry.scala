@@ -184,9 +184,9 @@ object SparkEntry {
     "q94_collation_groups" -> (Queries.collationGroups _),
     // RANGE window frame (value-distance framing, trailing 30 days)
     "q95_range_frame" -> (Queries.rangeFrameSpend _),
-    // classifier-based quality filter (HashingTF + seeded LR over weak
-    // labels): learned weights ⇒ rows-only; CurationSpec pins
-    // determinism + separation
+    // classifier-based quality filter (HashingTF + LR over weak
+    // labels): learned weights ⇒ rows-only; CurationSpec pins tolerance-
+    // reproducibility + separation
     "q96_quality_classifier" -> (Curation.qualityClassifier _),
     // error-safe try_divide/try_cast/try_element_at (null, not abort)
     "q97_safe_arith" -> (Queries.safeArithmetic _),
@@ -1143,8 +1143,9 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 0 THEN NULL
         |       ELSE n_chars / (doc_id % 5) END AS div_maybe,
-        |  TRY_CAST(substring(text, 1, 3) AS BIGINT) AS cast_maybe,
-        |  regexp_split_to_array(text, ' ')[1000] AS elem_maybe,
+        |  TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars::VARCHAR
+        |           ELSE substring(text, 1, 3) END AS BIGINT) AS cast_maybe,
+        |  regexp_split_to_array(text, ' ')[50] AS elem_maybe,
         |  TRY_CAST(lang AS BIGINT) AS lang_num
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q98_url_parts" ->

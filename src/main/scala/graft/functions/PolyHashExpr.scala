@@ -123,15 +123,27 @@ object GraftFunctions {
     // name upstream); the probe takes the filter via scalar subquery
     ("graft_bloom",
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
-      (args: Seq[Expression]) =>
+      (args: Seq[Expression]) => {
+        arity(args, 3, "graft_bloom(col, expectedItems, numBits)")
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          args(0), args(1), args(2))),
+          args(0), args(1), args(2))
+      }),
     ("graft_might_contain",
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
-      (args: Seq[Expression]) =>
+      (args: Seq[Expression]) => {
+        arity(args, 2, "graft_might_contain(filter, value)")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          args(0), args(1))),
+          args(0), args(1))
+      }),
   )
+
+  /** Named arity error instead of a bare IndexOutOfBoundsException —
+    * these SQL names exist only in this library, so the message is the
+    * user's only documentation of the expected form. */
+  private def arity(args: Seq[Expression], n: Int, usage: String): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$usage expects $n arguments, got ${args.length}")
 
   /** Register SQL-callable functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -97,8 +97,14 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val b = Curation.qualityClassifier(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    // seeded fit on identical data: byte-identical scores on a re-run
-    assert(a.toSeq == b.toSeq && a.nonEmpty)
+    // LBFGS is deterministic but gradient partials merge in task-
+    // completion order: scores are reproducible to float-merge
+    // tolerance (post-round ±2e-6), not byte-identical under load
+    assert(a.nonEmpty && a.length == b.length)
+    assert(a.map(t => (t._1, t._2)).toSeq == b.map(t => (t._1, t._2)).toSeq)
+    a.zip(b).foreach { case ((id, _, pa), (_, _, pb)) =>
+      assert(math.abs(pa - pb) <= 2e-6, s"doc $id: $pa vs $pb")
+    }
     // full corpus scored, probabilities well-formed
     assert(a.length == Tables.documents(spark, d).count())
     assert(a.forall(t => t._3 >= 0.0 && t._3 <= 1.0))
