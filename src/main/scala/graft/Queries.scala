@@ -827,6 +827,31 @@ object Queries {
       .orderBy(col("o_custkey"), col("month"))
   }
 
+  /** q101: EXACT mergeable distinct-count via bitmap partials — the
+    * exact sibling of q74's HLL sketches. User ids map to (bucket, bit)
+    * positions; per (type, day, bucket) bitmaps OR-merge across days
+    * (`bitmap_or_agg` is associative ⇒ persistable partial state, same IVM
+    * shape as q65/q74), and `bitmap_count` + sum recovers the exact
+    * distinct count. Unlike HLL this is error-free — the trade is
+    * state size: bitmaps scale with the id UNIVERSE per bucket, the
+    * reason both paths exist. The count is exact, so the oracle is a
+    * plain COUNT(DISTINCT) — hash-green, unlike any sketch. */
+  def bitmapDistinct(spark: SparkSession, d: String): DataFrame = {
+    val e = eventsNs(spark, d)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("user_id"))
+    val dayPartials = e
+      .groupBy(col("event_type"), col("day"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+    dayPartials
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** q92: LIMIT/OFFSET pagination — page 3 of the spend ranking
     * (rows 21-30). Offset composes with TakeOrderedAndProject: the
     * engine keeps offset+limit rows per partition, never a full sort

@@ -196,6 +196,9 @@ object SparkEntry {
     "q99_repeated_tokens" -> (TextAnalysis.repeatedTokenShares _),
     // calendar-spine gap fill (dense months incl. zero-order months)
     "q100_monthly_spine" -> (Queries.monthlySpine _),
+    // exact mergeable distinct via bitmap partials (bit_or merge) —
+    // exact ⇒ plain COUNT(DISTINCT) oracle, unlike the q74 sketches
+    "q101_bitmap_distinct" -> (Queries.bitmapDistinct _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -1177,6 +1180,11 @@ object SparkEntry {
         |  coalesce(a.cents, 0) / 100.0 AS total
         |FROM spine s LEFT JOIN actual a ON a.o_custkey = s.o_custkey AND a.m = s.m
         |ORDER BY s.o_custkey, month""".stripMargin,
+    // the bitmap pipeline is exact, so the oracle is the plain
+    // distinct count it must equal
+    "q101_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
