@@ -852,6 +852,33 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** q102: XML parsing (built-in since Spark 4) — completes the
+    * semi-structured trio (JSON q77, VARIANT q87): a deterministic XML
+    * payload parsed back through `from_xml` with a declared schema,
+    * identity oracle as with its siblings. */
+  def xmlRoundTrip(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .withColumn("x", concat(lit("<doc><id>"), col("doc_id"),
+        lit("</id><lang>"), col("lang"),
+        lit("</lang><chars>"), col("n_chars"), lit("</chars></doc>")))
+      .selectExpr("doc_id",
+        "from_xml(x, 'id BIGINT, lang STRING, chars BIGINT') AS p")
+      .select(col("doc_id"), col("p.id").as("x_id"),
+        col("p.lang").as("x_lang"), col("p.chars").as("x_chars"))
+      .orderBy(col("doc_id"))
+
+  /** q103: equi-width histogram via `width_bucket` — the value
+    * distribution pass behind any data-profiling dashboard: one
+    * bucket-assignment expression (codegen) + one hash-agg; bucket
+    * boundaries are pure arithmetic, identical cross-engine. */
+  def valueHistogram(spark: SparkSession, d: String): DataFrame =
+    eventsNs(spark, d)
+      .select(col("event_type"),
+        expr("width_bucket(value, 0.0, 100.0, 20)").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+
   /** q92: LIMIT/OFFSET pagination — page 3 of the spend ranking
     * (rows 21-30). Offset composes with TakeOrderedAndProject: the
     * engine keeps offset+limit rows per partition, never a full sort

@@ -199,6 +199,10 @@ object SparkEntry {
     // exact mergeable distinct via bitmap partials (bit_or merge) —
     // exact ⇒ plain COUNT(DISTINCT) oracle, unlike the q74 sketches
     "q101_bitmap_distinct" -> (Queries.bitmapDistinct _),
+    // from_xml declared-schema parse (semi-structured trio w/ q77, q87)
+    "q102_xml_roundtrip" -> (Queries.xmlRoundTrip _),
+    // equi-width histogram via width_bucket
+    "q103_value_histogram" -> (Queries.valueHistogram _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -1185,6 +1189,21 @@ object SparkEntry {
     "q101_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q102_xml_roundtrip" ->
+      """SELECT doc_id, doc_id AS x_id, lang AS x_lang,
+        |  n_chars::BIGINT AS x_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB has no width_bucket: the oracle states the same bucketing
+    // arithmetic directly ((100-0)/20 = 5.0 exactly, so floor(v/5)+1
+    // is bit-identical to Spark's (v-min)/width computation)
+    "q103_value_histogram" ->
+      """SELECT event_type,
+        |  (CASE WHEN value < 0.0 THEN 0
+        |        WHEN value >= 100.0 THEN 21
+        |        ELSE floor(value / 5.0) + 1 END)::BIGINT AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
