@@ -174,6 +174,36 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("Update output mode: only changed groups emit; last-emit state equals batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.hourly(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_upd")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "view", 2.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("hourly_upd").count()
+      // batch 2 touches ONLY the click group: exactly one update row
+      // emits, not a re-emission of every group (that's Complete mode)
+      mem.addData(Event(3, ts(10), 2, "click", 3.0))
+      q.processAllAvailable()
+      val emitted = spark.table("hourly_upd")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      assert(emitted.length == afterB1 + 1, emitted.mkString(";"))
+      // last emission per group == the batch answer over all events
+      val lastPerGroup = emitted.zipWithIndex
+        .groupBy(t => (t._1._1, t._1._2))
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSet
+      val batch = EventStream.hourly(Seq(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "view", 2.0),
+        Event(3, ts(10), 2, "click", 3.0)).toDF())
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(lastPerGroup == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join (attribution): stream equals batch") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
