@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSource V2 connector: a deterministic synthetic `documents`
+  * corpus generated in the executors — no files, no driver data. The
+  * "custom connector" rung of the extension ladder (TableProvider →
+  * Table → ScanBuilder → Batch → PartitionReader), with two production
+  * behaviors implemented for real:
+  *
+  *  - COLUMN PRUNING pushdown (`SupportsPushDownRequiredColumns`): a
+  *    projection reaches the reader, which then generates only the
+  *    requested columns — observable in the BatchScan's ReadSchema and
+  *    via `SynthDocs.lastReadSchema` (spec hook).
+  *  - PARTITION PLANNING: `numPartitions` input splits, each an
+  *    independent id range read in parallel — the connector contract
+  *    that makes a source scale to a 1000-executor cluster.
+  *
+  * Rows are a seeded-LCG word salad keyed ONLY by (doc_id, seed), so
+  * any split layout generates identical content — re-partitioning the
+  * source never changes the corpus (the same content-determinism the
+  * curation operators rely on). Usage:
+  *
+  * {{{
+  * spark.read.format("graft.sources.SynthDocs")
+  *   .option("n", "100000").option("seed", "7")
+  *   .option("numPartitions", "32").load()
+  * }}}
+  */
+class SynthDocs extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthDocs.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SynthDocsTable(new CaseInsensitiveStringMap(properties))
+}
+
+object SynthDocs {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  /** Observability for specs: the read schema the LAST scan planned
+    * (proves projections reach the reader). */
+  @volatile var lastReadSchema: StructType = Schema
+
+  private val Langs = Array("en", "de", "es", "fr", "zh")
+  private val Words = Array("the", "data", "join", "hash", "vector", "spark",
+    "query", "plan", "scan", "merge", "of", "and", "a", "stream", "batch",
+    "state", "index", "shuffle", "column", "row")
+
+  /** Deterministic row content from (docId, seed) only. */
+  def genRow(docId: Long, seed: Long, cols: Seq[String]): Seq[Any] = {
+    var x = docId * 6364136223846793005L + seed * 1442695040888963407L + 1L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    def pick(n: Int): Int = (math.floorMod(next(), n.toLong)).toInt
+    val lang = Langs(pick(Langs.length))
+    val source = s"src${pick(20)}"
+    val nTok = 20 + pick(80)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < nTok) {
+      if (i > 0) sb.append(' ')
+      sb.append(Words(pick(Words.length)))
+      i += 1
+    }
+    val text = sb.toString
+    cols.map {
+      case "doc_id" => docId
+      case "lang" => UTF8String.fromString(lang)
+      case "source" => UTF8String.fromString(source)
+      case "text" => UTF8String.fromString(text)
+      case "n_chars" => text.length.toLong
+    }
+  }
+}
+
+private class SynthDocsTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft_synth_docs"
+  override def schema(): StructType = SynthDocs.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(
+      o.getLong("n", 1000L), o.getLong("seed", 42L),
+      o.getInt("numPartitions", 4))
+}
+
+private class SynthScanBuilder(n: Long, seed: Long, numParts: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SynthDocs.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = {
+    SynthDocs.lastReadSchema = required
+    new SynthScan(n, seed, numParts, required)
+  }
+}
+
+private case class SynthRange(start: Long, end: Long) extends InputPartition
+
+private class SynthScan(n: Long, seed: Long, numParts: Int, schema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (n + numParts - 1) / numParts)
+    (0L until n by per).map(s => SynthRange(s, math.min(n, s + per)): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cols = schema.fieldNames.toSeq
+    val s = seed
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val r = p.asInstanceOf[SynthRange]
+        new PartitionReader[InternalRow] {
+          private var id = r.start - 1
+          override def next(): Boolean = { id += 1; id < r.end }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(SynthDocs.genRow(id, s, cols))
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
