@@ -1193,14 +1193,18 @@ object SparkEntry {
       """SELECT doc_id, doc_id AS x_id, lang AS x_lang,
         |  n_chars::BIGINT AS x_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // DuckDB has no width_bucket: the oracle states the same bucketing
-    // arithmetic directly ((100-0)/20 = 5.0 exactly, so floor(v/5)+1
-    // is bit-identical to Spark's (v-min)/width computation)
+    // DuckDB has no width_bucket: the oracle replays Spark's exact
+    // formula floor((v-min)*numBucket/(max-min))+1 IN THE SAME
+    // OPERATION ORDER (multiply then divide — a different order can
+    // floor differently half-an-ulp from a boundary), and mirrors
+    // Spark's NULL-on-NaN explicitly (DuckDB sorts NaN above all
+    // values, so a bare >= guard would send NaN to the top bucket)
     "q103_value_histogram" ->
       """SELECT event_type,
-        |  (CASE WHEN value < 0.0 THEN 0
+        |  (CASE WHEN isnan(value) THEN NULL
+        |        WHEN value < 0.0 THEN 0
         |        WHEN value >= 100.0 THEN 21
-        |        ELSE floor(value / 5.0) + 1 END)::BIGINT AS bucket,
+        |        ELSE floor(value * 20 / 100.0) + 1 END)::BIGINT AS bucket,
         |  count(*) AS n
         |FROM events GROUP BY event_type, bucket
         |ORDER BY event_type, bucket""".stripMargin,

@@ -39,7 +39,7 @@ class SynthDocs extends TableProvider {
     SynthDocs.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new SynthDocsTable(new CaseInsensitiveStringMap(properties))
+    new SynthDocsTable
 }
 
 object SynthDocs {
@@ -59,7 +59,12 @@ object SynthDocs {
     "query", "plan", "scan", "merge", "of", "and", "a", "stream", "batch",
     "state", "index", "shuffle", "column", "row")
 
-  /** Deterministic row content from (docId, seed) only. */
+  /** Deterministic row content from (docId, seed) only. Pruning is
+    * honored in the GENERATION too, not just the projection: the text
+    * loop (the expensive part) runs only when `text`/`n_chars` is
+    * requested. Safe because the words are the LAST consumers of the
+    * LCG stream — skipping them cannot shift any earlier column's
+    * draw, so a pruned read stays bit-consistent with a full one. */
   def genRow(docId: Long, seed: Long, cols: Seq[String]): Seq[Any] = {
     var x = docId * 6364136223846793005L + seed * 1442695040888963407L + 1L
     def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
@@ -67,14 +72,16 @@ object SynthDocs {
     val lang = Langs(pick(Langs.length))
     val source = s"src${pick(20)}"
     val nTok = 20 + pick(80)
-    val sb = new StringBuilder
-    var i = 0
-    while (i < nTok) {
-      if (i > 0) sb.append(' ')
-      sb.append(Words(pick(Words.length)))
-      i += 1
-    }
-    val text = sb.toString
+    val text = if (cols.contains("text") || cols.contains("n_chars")) {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < nTok) {
+        if (i > 0) sb.append(' ')
+        sb.append(Words(pick(Words.length)))
+        i += 1
+      }
+      sb.toString
+    } else null
     cols.map {
       case "doc_id" => docId
       case "lang" => UTF8String.fromString(lang)
@@ -85,16 +92,18 @@ object SynthDocs {
   }
 }
 
-private class SynthDocsTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+// read options arrive at newScanBuilder, not the table — the table
+// itself carries no state
+private class SynthDocsTable extends Table with SupportsRead {
   override def name(): String = "graft_synth_docs"
   override def schema(): StructType = SynthDocs.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(
-      o.getLong("n", 1000L), o.getLong("seed", 42L),
-      o.getInt("numPartitions", 4))
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val parts = o.getInt("numPartitions", 4)
+    require(parts > 0, s"numPartitions must be positive, got $parts")
+    new SynthScanBuilder(o.getLong("n", 1000L), o.getLong("seed", 42L), parts)
+  }
 }
 
 private class SynthScanBuilder(n: Long, seed: Long, numParts: Int)
