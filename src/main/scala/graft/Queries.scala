@@ -879,6 +879,43 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** q104: the dedicated `Dataset.unpivot` (melt) operator — q52's
+    * wide→long reshaping through the first-class API instead of a
+    * `stack` expression; same one-scan row amplification, same
+    * profiler aggregation on top. */
+  def unpivotMeasures(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "col_name", valueColumnName = "v")
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("v")), 2).as("sum_v"),
+        round(min(col("v")), 2).as("min_v"),
+        round(max(col("v")), 2).as("max_v"))
+      .orderBy(col("col_name"))
+
+  /** q105: ordered string aggregation — `listagg` (Spark 4) WITHIN
+    * GROUP, the reporting-layer "join the group's values into one
+    * cell" op. Deterministic because the ordering is part of the
+    * aggregate; DuckDB's string_agg(… ORDER BY) states the same
+    * contract. */
+  def langRollup(spark: SparkSession, d: String): DataFrame =
+    // DISTINCT happens in a subquery: listagg(DISTINCT …) WITHIN GROUP
+    // trips an analyzer cast bug in Spark 4.1, and the pre-collapse is
+    // the better plan anyway (the aggregate concatenates |langs| rows,
+    // not |docs|)
+    sqlOn(documents(spark, d),
+      """SELECT source,
+        |  listagg(lang, ',') WITHIN GROUP (ORDER BY lang) AS langs,
+        |  count(*) AS n_langs
+        |FROM (SELECT DISTINCT source, lang FROM __rel)
+        |GROUP BY source ORDER BY source""".stripMargin)
+
   /** q92: LIMIT/OFFSET pagination — page 3 of the spend ranking
     * (rows 21-30). Offset composes with TakeOrderedAndProject: the
     * engine keeps offset+limit rows per partition, never a full sort

@@ -203,6 +203,10 @@ object SparkEntry {
     "q102_xml_roundtrip" -> (Queries.xmlRoundTrip _),
     // equi-width histogram via width_bucket
     "q103_value_histogram" -> (Queries.valueHistogram _),
+    // Dataset.unpivot (melt) reshaping + profiler agg
+    "q104_unpivot_measures" -> (Queries.unpivotMeasures _),
+    // ordered listagg string aggregation (Spark 4 WITHIN GROUP)
+    "q105_lang_rollup" -> (Queries.langRollup _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -1208,6 +1212,24 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events GROUP BY event_type, bucket
         |ORDER BY event_type, bucket""".stripMargin,
+    "q104_unpivot_measures" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS col_name,
+        |         l_quantity AS v FROM lineitem UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |SELECT col_name, count(*) AS n, round(sum(v), 2) AS sum_v,
+        |  round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+    "q105_lang_rollup" ->
+      """SELECT source,
+        |  string_agg(lang, ',' ORDER BY lang) AS langs,
+        |  count(*) AS n_langs
+        |FROM (SELECT DISTINCT source, lang FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q42_pivot_by_status" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
