@@ -893,8 +893,12 @@ object Queries {
           col("l_discount"), col("l_tax")),
         variableColumnName = "col_name", valueColumnName = "v")
       .groupBy(col("col_name"))
+      // sum in exact integer cents (all four measures carry ≤2
+      // decimals): float summation is addition-order dependent and a
+      // parallel partial-agg order can drift across a rounding
+      // boundary at scale — the q71/q91 discipline applies here too
       .agg(count(lit(1)).as("n"),
-        round(sum(col("v")), 2).as("sum_v"),
+        (sum(round(col("v") * 100).cast("long")) / 100.0).as("sum_v"),
         round(min(col("v")), 2).as("min_v"),
         round(max(col("v")), 2).as("max_v"))
       .orderBy(col("col_name"))

@@ -1221,7 +1221,8 @@ object SparkEntry {
         |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
         |  FROM lineitem UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
-        |SELECT col_name, count(*) AS n, round(sum(v), 2) AS sum_v,
+        |SELECT col_name, count(*) AS n,
+        |  sum(round(v * 100)::BIGINT)::BIGINT / 100.0 AS sum_v,
         |  round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
         |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
     "q105_lang_rollup" ->
