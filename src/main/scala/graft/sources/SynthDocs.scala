@@ -4,6 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -98,39 +99,30 @@ private class SynthDocsTable extends Table with SupportsRead {
   override def name(): String = "graft_synth_docs"
   override def schema(): StructType = SynthDocs.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val parts = o.getInt("numPartitions", 4)
     require(parts > 0, s"numPartitions must be positive, got $parts")
-    new SynthScanBuilder(o.getLong("n", 1000L), o.getLong("seed", 42L), parts)
+    new SynthScanBuilder(o.getLong("n", 1000L), o.getLong("seed", 42L), parts,
+      o.getLong("rowsPerBatch", 100L))
   }
 }
 
-private class SynthScanBuilder(n: Long, seed: Long, numParts: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+private class SynthScanBuilder(n: Long, seed: Long, numParts: Int,
+    rowsPerBatch: Long) extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = SynthDocs.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = {
     SynthDocs.lastReadSchema = required
-    new SynthScan(n, seed, numParts, required)
+    new SynthScan(n, seed, numParts, rowsPerBatch, required)
   }
 }
 
 private case class SynthRange(start: Long, end: Long) extends InputPartition
 
-private class SynthScan(n: Long, seed: Long, numParts: Int, schema: StructType)
-    extends Scan with Batch {
-  override def readSchema(): StructType = schema
-  override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (n + numParts - 1) / numParts)
-    (0L until n by per).map(s => SynthRange(s, math.min(n, s + per)): InputPartition)
-      .toArray
-  }
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val cols = schema.fieldNames.toSeq
-    val s = seed
+private object SynthReaders {
+  def factory(seed: Long, cols: Seq[String]): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val r = p.asInstanceOf[SynthRange]
@@ -138,10 +130,67 @@ private class SynthScan(n: Long, seed: Long, numParts: Int, schema: StructType)
           private var id = r.start - 1
           override def next(): Boolean = { id += 1; id < r.end }
           override def get(): InternalRow =
-            InternalRow.fromSeq(SynthDocs.genRow(id, s, cols))
+            InternalRow.fromSeq(SynthDocs.genRow(id, seed, cols))
           override def close(): Unit = ()
         }
       }
     }
+
+  def split(start: Long, end: Long, numParts: Int): Array[InputPartition] = {
+    val n = end - start
+    val per = math.max(1L, (n + numParts - 1) / numParts)
+    (start until end by per)
+      .map(s => SynthRange(s, math.min(end, s + per)): InputPartition).toArray
   }
+}
+
+/** Micro-batch offsets are plain row counts: the corpus is an append-
+  * only id range, so "offset" = next doc_id to emit. */
+private case class SynthOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+private class SynthScan(n: Long, seed: Long, numParts: Int, rowsPerBatch: Long,
+    schema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    SynthReaders.split(0L, n, numParts)
+  override def createReaderFactory(): PartitionReaderFactory =
+    SynthReaders.factory(seed, schema.fieldNames.toSeq)
+
+  /** Streaming read: the same deterministic corpus arriving
+    * `rowsPerBatch` ids per trigger — offsets are id watermarks,
+    * restart-safe by construction (content is a pure function of
+    * (doc_id, seed), so re-planning a committed range regenerates
+    * byte-identical rows — the connector-side half of exactly-once). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream
+        with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      private var known = 0L
+      private var drainAll = false
+      override def prepareForTriggerAvailableNow(): Unit = drainAll = true
+      override def initialOffset(): Offset = SynthOffset(0L)
+      // SupportsAdmissionControl routes through the two-arg form; the
+      // legacy no-arg variant must not be reachable
+      override def latestOffset(): Offset =
+        throw new UnsupportedOperationException("latestOffset(start, limit)")
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        // Trigger.AvailableNow drains the whole corpus; a normal
+        // trigger releases rowsPerBatch ids per micro-batch
+        known = if (drainAll) n else math.min(n, known + rowsPerBatch)
+        SynthOffset(known)
+      }
+      override def reportLatestOffset(): Offset = SynthOffset(known)
+      override def deserializeOffset(json: String): Offset =
+        SynthOffset(json.toLong)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        SynthReaders.split(start.asInstanceOf[SynthOffset].v,
+          end.asInstanceOf[SynthOffset].v, numParts)
+      override def createReaderFactory(): PartitionReaderFactory =
+        SynthReaders.factory(seed, schema.fieldNames.toSeq)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
 }

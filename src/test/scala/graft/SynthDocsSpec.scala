@@ -49,6 +49,28 @@ class SynthDocsSpec extends SparkSpec {
     assert(graft.sources.SynthDocs.lastReadSchema.fieldNames.length == 5)
   }
 
+  test("micro-batch stream: incremental offsets, stream content equals batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    def src = spark.readStream.format("graft.sources.SynthDocs")
+      .option("n", "250").option("seed", "7")
+      .option("numPartitions", "3").option("rowsPerBatch", "100")
+      .load()
+    // default trigger: the corpus arrives 100 ids per micro-batch
+    // (3 batches); processAllAvailable drains to the id watermark n
+    val q = src.writeStream.format("memory").queryName("synth_stream").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val stream = spark.table("synth_stream").orderBy("doc_id").collect().toSeq
+    val batch = read(250).orderBy("doc_id").collect().toSeq
+    assert(stream.length == 250 && stream == batch)
+    // Trigger.AvailableNow (SupportsTriggerAvailableNow): one drain of
+    // everything available, then terminate — same content
+    val q2 = src.writeStream.format("memory").queryName("synth_stream_an")
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination(120000) finally q2.stop()
+    val an = spark.table("synth_stream_an").orderBy("doc_id").collect().toSeq
+    assert(an == batch)
+  }
+
   test("the synthetic corpus drives the real operators (dedup family smoke)") {
     val docs = read(2000, parts = 8)
     // exact-dedup over the generated corpus: group sizes sum to corpus
