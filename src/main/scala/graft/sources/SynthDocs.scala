@@ -177,6 +177,10 @@ private class SynthScan(n: Long, seed: Long, numParts: Int, rowsPerBatch: Long,
       override def latestOffset(): Offset =
         throw new UnsupportedOperationException("latestOffset(start, limit)")
       override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        // advance from the CHECKPOINTED start, not this instance's
+        // counter — on restart a fresh stream object sees start > 0
+        // and must never report an end below it
+        known = math.max(known, start.asInstanceOf[SynthOffset].v)
         // Trigger.AvailableNow drains the whole corpus; a normal
         // trigger releases rowsPerBatch ids per micro-batch
         known = if (drainAll) n else math.min(n, known + rowsPerBatch)
