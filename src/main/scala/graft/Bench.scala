@@ -68,10 +68,17 @@ object Bench {
     val qs = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.fold(_ => "null", _.toString)
     }.mkString("{", ",", "}")
+    // every pass time, in run order (crashed pass = null): min-of-2 hides
+    // a contended pass; the raw pair makes a contention artifact
+    // self-diagnosing in the recorded JSON (pass1 >> pass2 or vice versa)
+    val passJson = (p1 ++ p2).groupBy(_._1).toSeq.sortBy(_._1).map { case (k, rs) =>
+      s"\"" + k + "\":" + rs.map(_._2.fold(_ => "null", _.toString))
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
     val fj = results.collect { case (k, Left(m)) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"failures":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

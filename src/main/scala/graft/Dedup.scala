@@ -362,12 +362,22 @@ object Dedup {
   def deconBloom(spark: SparkSession, d: String): DataFrame = {
     import graft.functions.Bloom._
     val (corpus, eval_) = evalSplit(spark, d)
-    val ev = deconShingles(eval_).select(col("h")).distinct()
+    val ev = deconShingles(eval_).select(col("h")).distinct().persist()
+    // capacity = max(observed distinct shingles, 100k floor) at 8
+    // bits/item: the floor keeps per-probe FPP effectively zero on
+    // small eval sets (a corpus doc probes hundreds of shingles, so
+    // even 2% per-probe FPP would flag nearly every doc), and growing
+    // with the OBSERVED count means an eval set outgrowing the floor
+    // can never silently saturate the filter past the ~2.2% ceiling
+    // ((1−e^{−6/8})^6 with the optimal 6 hashes). The count is an
+    // extra action over the (tiny, persisted) eval side only.
+    val nItems = math.max(ev.count(), 100000L)
     // one-row filter collected to the driver and re-entering the plan
     // as a constant — the same lifecycle as a broadcast variable, and
     // what might_contain's constant-input rule requires
-    val bf = ev.agg(bloomAgg(col("h"), 100000L, 800000L).as("bf"))
+    val bf = ev.agg(bloomAgg(col("h"), nItems, 8L * nItems).as("bf"))
       .head().getAs[Array[Byte]](0)
+    ev.unpersist()
     deconShingles(corpus)
       .filter(mightContain(lit(bf), col("h")))
       .groupBy(col("doc_id"))

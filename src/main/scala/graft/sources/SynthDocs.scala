@@ -103,8 +103,14 @@ private class SynthDocsTable extends Table with SupportsRead {
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val parts = o.getInt("numPartitions", 4)
     require(parts > 0, s"numPartitions must be positive, got $parts")
-    new SynthScanBuilder(o.getLong("n", 1000L), o.getLong("seed", 42L), parts,
-      o.getLong("rowsPerBatch", 100L))
+    val n = o.getLong("n", 1000L)
+    require(n >= 0, s"n must be non-negative, got $n")
+    // rowsPerBatch <= 0 would make the micro-batch stream's
+    // latestOffset never advance — an infinite no-progress hang
+    // instead of an error
+    val rpb = o.getLong("rowsPerBatch", 100L)
+    require(rpb > 0, s"rowsPerBatch must be positive, got $rpb")
+    new SynthScanBuilder(n, o.getLong("seed", 42L), parts, rpb)
   }
 }
 

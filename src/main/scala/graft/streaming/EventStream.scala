@@ -75,11 +75,19 @@ object EventStream {
     import org.apache.spark.sql.Encoders
 
     @transient private var sessions: ValueState[SessionsState] = _
+    // the expiry of the one timer currently armed for this key — lets
+    // advance() delete a superseded timer instead of accumulating one
+    // pending timer per input batch (each would later fire a spurious
+    // advance(Nil) and cost state-store reads)
+    @transient private var armed: ValueState[Long] = _
 
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       sessions = getHandle.getValueState[SessionsState]("sessions",
         Encoders.product[SessionsState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     /** Merge open clusters with new points, emit final clusters, keep
       * the rest; shared by the input and timer paths. */
@@ -99,11 +107,24 @@ object EventStream {
       val (closed, open) = merged.partition { case (_, e0, _) =>
         e0 + SessionGapMs <= wm
       }
+      val prev = if (armed.exists()) Some(armed.get()) else None
       if (open.nonEmpty) {
         sessions.update(SessionsState(
           open.toList.map { case (s0, e0, n0) => SessionState(s0, e0, n0) }))
-        getHandle.registerTimer(open.map(_._2).min + SessionGapMs)
-      } else sessions.clear()
+        val expiry = open.map(_._2).min + SessionGapMs
+        // re-arm only when the expiry moved, deleting the superseded
+        // timer — at most ONE pending timer per key (a fired timer is
+        // already removed by the engine; deleting it again is a no-op)
+        if (!prev.contains(expiry)) {
+          prev.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(expiry)
+          armed.update(expiry)
+        }
+      } else {
+        prev.foreach(getHandle.deleteTimer)
+        armed.clear()
+        sessions.clear()
+      }
       closed.iterator.map { case (s0, e0, n0) =>
         SessionUpdate(user, new Timestamp(s0), new Timestamp(e0), n0)
       }
