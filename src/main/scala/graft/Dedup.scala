@@ -63,7 +63,7 @@ object Dedup {
     * pays off exactly when df is skewed, and (b) MinHash banding
     * (`minhashNearDup`) when approximate candidates are acceptable. */
   def ngramJaccard(spark: SparkSession, d: String): DataFrame = {
-    val sets = shingleSets(spark, d).persist()
+    val sets = CacheScope.cached(shingleSets(spark, d))
     val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -98,7 +98,7 @@ object Dedup {
   def ngramJaccardPrefix(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val thr = 0.6
-    val sets = shingleSets(spark, d).persist()
+    val sets = CacheScope.cached(shingleSets(spark, d))
     val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
     val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -143,9 +143,8 @@ object Dedup {
     minhashNearDupFromSets(shingleSetsDf(docs))
 
   private def minhashNearDupFromSets(shingled: DataFrame): DataFrame = {
-    val sets = shingled
-      .select(col("doc_id"), col("hs"), nearDupBandKeys(col("hs")).as("bands"))
-    sets.cache()
+    val sets = CacheScope.cached(shingled
+      .select(col("doc_id"), col("hs"), nearDupBandKeys(col("hs")).as("bands")))
     val bands = sets.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -215,12 +214,11 @@ object Dedup {
     * hash-checked end-to-end; recall vs the exact all-pairs baseline
     * (`embeddingNearDupExact`) is measured in DedupSpec. */
   def embeddingNearDup(spark: SparkSession, d: String): DataFrame = {
-    val e = Similarity.withNorm(Tables.embeddings(spark, d))
-      .withColumn("buckets", Similarity.lshBuckets(col("v")))
-    // referenced by the explode and both verify-join sides: cache so the
-    // norm + 16 plane projections compute once per row (Verify/Bench
-    // clear the cache between queries)
-    e.cache()
+    // referenced by the explode and both verify-join sides: cached so the
+    // norm + 16 plane projections compute once per row; released by the
+    // CacheScope listener after the caller's terminal action
+    val e = CacheScope.cached(Similarity.withNorm(Tables.embeddings(spark, d))
+      .withColumn("buckets", Similarity.lshBuckets(col("v"))))
     val b = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bucket")))
     val cand = b.as("x")
       .join(b.as("y"),
@@ -297,8 +295,9 @@ object Dedup {
         "exceeds the propagation cap; raise the cap or switch to large-star/small-star")
     edges.unpersist()
     // `cached` (the final labels) stays persisted for the two reads
-    // below; the session's per-query clearCache releases it after the
-    // result is materialized
+    // below; the CacheScope listener releases it after the caller's
+    // terminal action (no reliance on a session-level clearCache)
+    CacheScope.adopt(cached)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
@@ -406,14 +405,13 @@ object Dedup {
       .select(lower(col("text")).as("k")).distinct()
     val s1 = fresh.join(corpusKeys, lower(fresh("text")) === col("k"), "left_anti")
     // 2. near-dup vs corpus: cross-set band candidates, exact verify
-    val sets = docs
+    // read by the two band sides and both verify joins; released by the
+    // CacheScope listener after the caller's terminal action
+    val sets = CacheScope.cached(docs
       .select(col("doc_id"), col("is_new"),
         shingleHashSet(col("text"), NearDupShingleN).as("hs"))
       .filter(size(col("hs")) > 0)
-      .withColumn("bands", nearDupBandKeys(col("hs")))
-    // read by the two band sides and both verify joins; released by the
-    // session's per-query clearCache (Verify/Bench)
-    sets.cache()
+      .withColumn("bands", nearDupBandKeys(col("hs"))))
     def bandsOf(newSide: Boolean) = sets
       .filter(if (newSide) col("is_new") else !col("is_new"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))

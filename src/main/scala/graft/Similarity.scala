@@ -220,9 +220,9 @@ object Similarity {
   /** ANN top-k (k=5) for vec_id < 10: candidates = vectors sharing any
     * of the 4 LSH buckets with the query, ranked by exact cosine. */
   def lshTopK(spark: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, d))
-      .withColumn("buckets", lshBuckets(col("v")))
-    e.cache()
+    // released by the CacheScope listener after the caller's action
+    val e = CacheScope.cached(withNorm(Tables.embeddings(spark, d))
+      .withColumn("buckets", lshBuckets(col("v"))))
     val b = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bucket")))
     val cand = b.as("q").join(b.as("c"),
         col("q.t") === col("c.t") && col("q.bucket") === col("c.bucket") &&

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.concurrent.Eventually
+import org.scalatest.time.{Seconds, Span}
+
+/** The scoped-persist contract (CacheScope): every operator-internal
+  * cache is released shortly after the caller's terminal action, in a
+  * session that NEVER calls clearCache — a long-lived session composing
+  * dedup/similarity operators must not pin executor storage memory.
+  *
+  * The capture hook records exactly the caches THIS thread's operator
+  * registered, so the assertions stay precise even though the session
+  * is shared with concurrently-running suites. */
+class CacheLifecycleSpec extends SparkSpec with Eventually {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def releasedAfterAction(name: String, build: () => DataFrame): Unit =
+    test(s"$name releases its internal caches after one action, no clearCache") {
+      val mine = new java.util.ArrayList[DataFrame]()
+      CacheScope.capture.set(mine)
+      val df = try build() finally CacheScope.capture.remove()
+      df.count() // the caller's terminal action
+      assert(mine.size > 0, "operator registered no scoped caches")
+      // the release rides the async listener bus — poll briefly
+      eventually(timeout(Span(30, Seconds))) {
+        import scala.jdk.CollectionConverters._
+        mine.asScala.foreach(d =>
+          assert(d.storageLevel == StorageLevel.NONE,
+            s"$name left an internal cache persisted"))
+      }
+    }
+
+  releasedAfterAction("ngramJaccard", () => Dedup.ngramJaccard(spark, dir))
+  releasedAfterAction("ngramJaccardPrefix", () => Dedup.ngramJaccardPrefix(spark, dir))
+  releasedAfterAction("minhashNearDup", () => Dedup.minhashNearDup(spark, dir))
+  releasedAfterAction("embeddingNearDup", () => Dedup.embeddingNearDup(spark, dir))
+  releasedAfterAction("ingestDedup", () => Dedup.ingestDedup(spark, dir))
+  releasedAfterAction("nearDupClusters", () => Dedup.nearDupClusters(spark, dir))
+  releasedAfterAction("lshTopK", () => Similarity.lshTopK(spark, dir))
+}
