@@ -242,62 +242,113 @@ object Dedup {
     * per duplicate cluster" needs components, not pairs (A~B, B~C must
     * collapse to one cluster even when A~C was never emitted).
     *
-    * Algorithm: iterative min-label propagation — each round every
-    * vertex takes the min of its own and its neighbors' labels; a
-    * driver-side scalar count detects the fixpoint. One shuffle
-    * (edge⋈label hash join + partial-agg groupBy) per round, rounds ≤
-    * graph diameter. Near-dup graphs are short-diameter (clusters are
-    * quasi-cliques — band collisions link most member pairs directly),
-    * so this converges in a handful of rounds at any corpus size; a
-    * production deployment with adversarial long-chain components
-    * would swap in alternating large-star/small-star (Kiveris et al.,
-    * MapReduce CC) for O(log n) rounds — same per-round plan shape.
-    * Each round is materialized via persist+count (truncating
-    * recomputation); long jobs would periodically checkpoint to cut
-    * lineage. */
+    * Algorithm: alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the edge set
+    * itself contracts toward a star forest rooted at each component's
+    * minimum:
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ u) — emit (v, m);
+    *  - small-star(u): every neighbor v ≤ u, and u itself, attach to m.
+    *
+    * Each phase is one partial-agg groupBy (per-node min) + one hash
+    * join + distinct; rounds are O(log n) REGARDLESS of graph diameter
+    * (vs diameter rounds for plain min-label propagation — an
+    * adversarial long-chain component is pinned in DedupSpec at ≤ 15
+    * rounds on a diameter-400 chain). Fewer driver-synchronized rounds
+    * also de-amplifies bench sensitivity to transient host contention.
+    * Convergence = the edge set is unchanged by a full LS+SS iteration;
+    * the fixpoint is exactly the star forest, so labels read off the
+    * final edges directly. Each phase is materialized via persist +
+    * full count (truncating recomputation); long jobs would
+    * periodically checkpoint to cut lineage. */
   def nearDupClusters(spark: SparkSession, d: String): DataFrame =
     nearDupClustersDf(Tables.documents(spark, d),
       minhashNearDup(spark, d))
+
+  /** Observability for specs: rounds (full LS+SS iterations) the last
+    * nearDupClustersDf call took to converge. */
+  @volatile var lastClusterRounds: Int = 0
 
   /** DataFrame-in variant: components of an arbitrary (doc_a, doc_b)
     * pair graph over an arbitrary doc set (CurateDag runs it on the
     * post-filter survivor set). */
   private[graft] def nearDupClustersDf(docs: DataFrame, pairDf: DataFrame): DataFrame = {
-    val pairs = pairDf.select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").persist()
-    var labels = docs
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
-    var cached = labels // the persisted DF backing the current labels
-    var converged = false
+    val spark = docs.sparkSession
+    // Lineage truncation: phase() references its input ~4× (symmetrized
+    // union + per-node min + re-attach join), so building round N+1
+    // directly on round N's DataFrame grows the LOGICAL plan ~16× per
+    // round — exponential, and the driver OOMs on plan analysis long
+    // before the data is big. Rebuilding from the persisted RDD makes
+    // each round's plan start at a leaf (the round is already
+    // materialized by the count below, so the RDD reads the cache).
+    def truncate(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    // canonical undirected edges (x, y) with y < x, deduped
+    var eP = pairDf
+      .select(greatest(col("doc_a"), col("doc_b")).as("x"),
+        least(col("doc_a"), col("doc_b")).as("y"))
+      .filter(col("x") =!= col("y")).distinct().persist()
+    // count() computes EVERY partition, fully populating the cache
+    // before a predecessor is dropped (isEmpty would early-exit,
+    // leaving most partitions uncached and recomputing lineage)
+    var eCount = eP.count()
+    var e = truncate(eP)
+    var converged = eCount == 0L
     var rounds = 0
-    while (!converged && rounds < 100) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), "dst")
-        .groupBy(col("src")).agg(min(col("nl")).as("nl"))
-      val merged = labels
-        .join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster_id"),
-          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("nc"))
-        .persist()
-      // count() computes EVERY partition, fully populating merged's
-      // cache before the predecessor cache is dropped (isEmpty would
-      // early-exit on the first changed row, leaving most partitions
-      // uncached and forcing exponential lineage recomputation)
-      converged = merged.filter(col("nc") < col("cluster_id")).count() == 0L
-      cached.unpersist() // previous round's backing cache, now superseded
-      cached = merged
-      labels = merged.select(col("doc_id"), col("nc").as("cluster_id"))
+
+    /** One star phase: per-node min over neighbors, re-attach the
+      * selected side. `large` keeps v > u (re-root big neighbors),
+      * small keeps v < u plus u itself. Output stays (x, y), y < x. */
+    def phase(edges: DataFrame, large: Boolean): DataFrame = {
+      val n = edges.select(col("x").as("u"), col("y").as("v"))
+        .union(edges.select(col("y").as("u"), col("x").as("v")))
+      val mins = n.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val reattached =
+        if (large)
+          n.join(mins, "u").filter(col("v") > col("u"))
+            .select(col("v").as("x"), col("m").as("y")) // m <= u < v
+        else
+          n.join(mins, "u").filter(col("v") < col("u"))
+            .select(col("v").as("x"), col("m").as("y"))
+            .filter(col("x") =!= col("y")) // v could BE the min
+            .union(mins.filter(col("m") < col("u"))
+              .select(col("u").as("x"), col("m").as("y")))
+      reattached.distinct()
+    }
+
+    while (!converged && rounds < 60) {
+      val lsP = phase(e, large = true).persist()
+      lsP.count()
+      val ls = truncate(lsP)
+      val ssP = phase(ls, large = false).persist()
+      val ssCount = ssP.count()
+      val ss = truncate(ssP)
+      // unchanged-by-iteration ⟺ star forest reached: both sets are
+      // distinct, so equal counts + empty anti-join ⟹ set equality
+      converged = ssCount == eCount &&
+        ss.join(e, Seq("x", "y"), "left_anti").isEmpty
+      lsP.unpersist()
+      eP.unpersist()
+      eP = ssP
+      e = ss
+      eCount = ssCount
       rounds += 1
     }
     require(converged,
-      s"component labels not converged after $rounds rounds — graph diameter " +
-        "exceeds the propagation cap; raise the cap or switch to large-star/small-star")
-    edges.unpersist()
-    // `cached` (the final labels) stays persisted for the two reads
-    // below; the CacheScope listener releases it after the caller's
-    // terminal action (no reliance on a session-level clearCache)
-    CacheScope.adopt(cached)
+      s"components not converged after $rounds star rounds — raise the cap " +
+        "(expected O(log n): this indicates a defect, not a deep graph)")
+    lastClusterRounds = rounds
+    // the final star forest backs the two result reads below; the
+    // CacheScope listener releases it after the caller's terminal
+    // action (no reliance on a session-level clearCache)
+    CacheScope.adopt(eP)
+    // star forest: every non-root x has exactly one edge (x, root)
+    val lab = e.select(col("x").as("doc_id"), col("y").as("cid"))
+    val labels = docs.select(col("doc_id"))
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_n"))

@@ -164,6 +164,24 @@ class DedupSpec extends SparkSpec {
     label.groupBy(_._2).foreach { case (lbl, m) => assert(sizes(lbl) == m.size.toLong) }
   }
 
+  test("adversarial long-chain component converges in O(log n) star rounds, not diameter") {
+    import spark.implicits._
+    // a single path 0-1-2-…-400: diameter 400 — min-label propagation
+    // would need 400 rounds; alternating large-star/small-star is
+    // logarithmic in component size
+    val n = 400L
+    val docs = (0L to n).toDF("doc_id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val rows = Dedup.nearDupClustersDf(docs, pairs).collect()
+    assert(rows.length == n + 1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L, s"doc ${r.getLong(0)} not labeled 0")
+      assert(r.getLong(2) == n + 1)
+    }
+    assert(Dedup.lastClusterRounds <= 15,
+      s"${Dedup.lastClusterRounds} rounds on a diameter-$n chain — not logarithmic")
+  }
+
   test("decontamination flags exactly the docs sharing a 4-gram with the eval set") {
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq.sliding(4)
