@@ -443,41 +443,49 @@ object Dedup {
     * Survivors are what the pipeline appends.
     *
     * This is the steady-state shape of corpus maintenance at 100 TB:
-    * the batch side is small relative to the corpus, both sides are
-    * blocked by band keys (the corpus never self-joins), and the
-    * exact-text pass catches sub-shingle-length docs the MinHash path
-    * can't see. */
+    * the CORPUS side (exact keys, shingle sets, band keys) comes from
+    * the persisted salted DedupIndex stage, paid once per corpus
+    * version — an ingest invocation scans only the batch, computes only
+    * the batch's signatures, and probes (zero corpus-side shingle work
+    * when the index is warm; asserted via `DedupIndex.builds` in
+    * DedupSpec). Both sides are blocked by band keys (the corpus never
+    * self-joins), and the exact-text pass catches sub-shingle-length
+    * docs the MinHash path can't see. */
   def ingestDedup(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documentsDist(spark, d)
-      .withColumn("is_new", substring(col("source"), 4, 10).cast("int") >= 15)
-    val fresh = docs.filter(col("is_new"))
-    // 1. exact text match against the corpus (hash anti-join)
-    val corpusKeys = docs.filter(!col("is_new"))
-      .select(lower(col("text")).as("k")).distinct()
+    val (corpusKeys, corpusSets, corpusBands) = DedupIndex.buildOrLoad(spark, d)
+    val fresh = Tables.documentsDist(spark, d).filter(!DedupIndex.isCorpus)
+    // 1. exact text match against the persisted corpus keys (anti-join)
     val s1 = fresh.join(corpusKeys, lower(fresh("text")) === col("k"), "left_anti")
-    // 2. near-dup vs corpus: cross-set band candidates, exact verify
-    // read by the two band sides and both verify joins; released by the
-    // CacheScope listener after the caller's terminal action
-    val sets = CacheScope.cached(docs
-      .select(col("doc_id"), col("is_new"),
-        shingleHashSet(col("text"), NearDupShingleN).as("hs"))
+    // 2. near-dup vs corpus: batch-side signatures only; read by the
+    // band probe and the verify join; released by the CacheScope
+    // listener after the caller's terminal action
+    val newSets = CacheScope.cached(fresh
+      .select(col("doc_id"), shingleHashSet(col("text"), NearDupShingleN).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("bands", nearDupBandKeys(col("hs"))))
-    def bandsOf(newSide: Boolean) = sets
-      .filter(if (newSide) col("is_new") else !col("is_new"))
+    val newBands = newSets
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
-    val cand = bandsOf(true).as("x")
-      .join(bandsOf(false).as("y"), Seq("b", "key"))
+    val cand = newBands.as("x")
+      .join(corpusBands.as("y"), Seq("b", "key"))
       .select(col("x.doc_id").as("did"), col("y.doc_id").as("cid"))
       .distinct()
-    val h = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val hNew = newSets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val hCorp = corpusSets.select(col("doc_id"), explode(col("hs")).as("h"))
     val common = cand
-      .join(h.as("p"), col("did") === col("p.doc_id"))
-      .join(h.as("q"), col("cid") === col("q.doc_id") && col("p.h") === col("q.h"))
+      .join(hNew.as("p"), col("did") === col("p.doc_id"))
+      .join(hCorp.as("q"), col("cid") === col("q.doc_id") && col("p.h") === col("q.h"))
       .groupBy(col("did").as("doc_a"), col("cid").as("doc_b"))
       .agg(count(lit(1)).as("cm"))
-    val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
-    val nearDup = pairJaccard(common, sz, 0.5)
+    // batch-side sizes broadcast (the batch is small by definition);
+    // corpus-side sizes join stays a plain hash join — broadcasting a
+    // 100 TB corpus's per-doc sizes would be the wrong direction
+    val szNew = newSets.select(col("doc_id").as("doc_a"), size(col("hs")).as("sa"))
+    val szCorp = corpusSets.select(col("doc_id").as("doc_b"), size(col("hs")).as("sb"))
+    val nearDup = common
+      .join(broadcast(szNew), "doc_a")
+      .join(szCorp, "doc_b")
+      .withColumn("jacc", col("cm") / (col("sa") + col("sb") - col("cm")))
+      .filter(col("jacc") >= 0.5)
       .select(col("doc_a").as("doc_id")).distinct()
     s1.join(nearDup, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"))

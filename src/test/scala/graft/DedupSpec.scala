@@ -209,6 +209,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ingest dedup probes a persisted corpus index: warm invocations recompute nothing corpus-side") {
+    val r1 = Dedup.ingestDedup(spark, d).collect().toSeq
+    val warm = DedupIndex.builds // at least one build has happened by now
+    assert(warm >= 1)
+    val r2 = Dedup.ingestDedup(spark, d).collect().toSeq
+    // zero corpus-side shingle/band/key computation on the warm path —
+    // the batch scans itself and probes the persisted index
+    assert(DedupIndex.builds == warm, "warm ingest rebuilt the corpus index")
+    assert(r1 == r2)
+  }
+
   test("q90 bloom decontamination: no false negatives vs exact q55, bounded FP overhead") {
     val exact = Dedup.decontaminate(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
