@@ -205,6 +205,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** 64-bit SimHash near-dup — the production-width variant of q24.
+    *
+    * The 32-bit mode exists because the DuckDB oracle's token hashes
+    * carry only ~30 bits of entropy; this variant splitmix64-mixes each
+    * token hash inside the native BitVote64Expr kernel and blocks on 7
+    * signature chunks of 10+9×6 bits. Pigeonhole is identical: any pair
+    * within Hamming 6 differs in ≤ 6 bits, so at least one of the 7
+    * chunks is bit-equal — candidates from a chunk equi-join, exact
+    * Hamming verify, result provably IDENTICAL to all-pairs (pinned in
+    * DedupSpec against a driver-side all-pairs recompute). The wider
+    * chunks (9-10 bits vs 4-5) give 512-1024-way blocking per chunk —
+    * the pruning that makes the chunk join linear-ish on a real corpus.
+    * splitmix64 is not expressible in the oracle's strict signed-BIGINT
+    * arithmetic → rows-only driver check; equivalence lives in the spec. */
+  def simhash64(spark: SparkSession, d: String): DataFrame =
+    simhash64Df(Tables.documentsDist(spark, d))
+
+  private[graft] def simhash64Df(docs: DataFrame): DataFrame = {
+    val th = transform(toks(col("text")), t => polyHash(t))
+    val sig = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.bitvote64(th).as("simhash"))
+    // 7 chunks: 1×10 bits + 6×9 bits (shift, mask) = 64
+    val chunkDefs = Seq((0, 1023L), (10, 511L), (19, 511L), (28, 511L),
+      (37, 511L), (46, 511L), (55, 511L))
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(chunkDefs.map { case (sh, m) =>
+        shiftright(col("simhash"), sh).bitwiseAND(lit(m))
+      }: _*)).as(Seq("c", "v")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("dist"))
+      .filter(col("dist") <= 6)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Embedding near-dup, LSH-blocked: candidate pairs share at least
     * one of 4 random-hyperplane LSH buckets (Similarity.lshBuckets, the
     * same deterministic planes as q27), then exact cosine ≥ 0.4 verify

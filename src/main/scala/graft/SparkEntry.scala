@@ -207,6 +207,10 @@ object SparkEntry {
     "q104_unpivot_measures" -> (Queries.unpivotMeasures _),
     // ordered listagg string aggregation (Spark 4 WITHIN GROUP)
     "q105_lang_rollup" -> (Queries.langRollup _),
+    // 64-bit SimHash production mode: splitmix64 token mixing is not
+    // expressible in the oracle's strict signed-BIGINT arithmetic →
+    // rows-only driver check; DedupSpec pins chunk blocking ≡ all-pairs.
+    "q106_dedup_simhash64" -> (Dedup.simhash64 _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and

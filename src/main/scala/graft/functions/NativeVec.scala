@@ -62,6 +62,38 @@ object NativeVec {
     sig
   }
 
+  /** splitmix64 finalizer: spreads the ~30 bits of entropy of a mod-P
+    * token hash across all 64 output bits (public-domain constant mix,
+    * Steele et al., "Fast Splittable Pseudorandom Number Generators"). */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit SimHash pack — the production-width variant of bitVote32:
+    * each token hash is splitmix64-mixed (the raw hashes carry only
+    * ~30 bits of entropy), then votes ±1 per output bit. */
+  def bitVote64(hs: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = mix64(hs.getLong(i))
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** k MinHash values over a hash set: mh_j = min_h ((2j+1)·h + 12345 +
     * 7919·j) mod P — identical permutation family to the oracle SQL. */
   def minhashes(hs: ArrayData, k: Int): ArrayData = {
@@ -174,6 +206,20 @@ case class BitVote32Expr(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.NativeVec.bitVote32($a)")
   override protected def withNewChildInternal(c: Expression): BitVote32Expr = copy(child = c)
+}
+
+/** bitvote64(array<bigint>) → bigint (64-bit SimHash signature). */
+case class BitVote64Expr(child: Expression)
+    extends UnaryExpression with ArrayOfType {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitvote64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireArrayOf(child, LongType, prettyName)
+  protected override def nullSafeEval(a: Any): Any =
+    NativeVec.bitVote64(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.NativeVec.bitVote64($a)")
+  override protected def withNewChildInternal(c: Expression): BitVote64Expr = copy(child = c)
 }
 
 /** minhashes(array<bigint>) → array<bigint> of k signature values. */

@@ -81,6 +81,8 @@ object GraftFunctions {
     GraftShim.column(DotProductExpr(GraftShim.expression(a), GraftShim.expression(b)))
   def bitvote32(c: Column): Column =
     GraftShim.column(BitVote32Expr(GraftShim.expression(c)))
+  def bitvote64(c: Column): Column =
+    GraftShim.column(BitVote64Expr(GraftShim.expression(c)))
   def minhashes(c: Column, k: Int): Column =
     GraftShim.column(MinHashesExpr(GraftShim.expression(c), k))
   def shingleHashes(c: Column, n: Int): Column =
@@ -105,6 +107,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
     ("graft_bitvote32", classOf[BitVote32Expr],
       (args: Seq[Expression]) => BitVote32Expr(args.head)),
+    ("graft_bitvote64", classOf[BitVote64Expr],
+      (args: Seq[Expression]) => BitVote64Expr(args.head)),
     ("graft_minhashes", classOf[MinHashesExpr],
       (args: Seq[Expression]) => MinHashesExpr(args.head, intArg(args(1), "graft_minhashes"))),
     ("graft_shinglehashes", classOf[ShingleHashesExpr],

@@ -164,6 +164,31 @@ class DedupSpec extends SparkSpec {
     label.groupBy(_._2).foreach { case (lbl, m) => assert(sizes(lbl) == m.size.toLong) }
   }
 
+  test("64-bit simhash chunk blocking is lossless: identical to all-pairs Hamming") {
+    import spark.implicits._
+    // signatures straight from the operator's own kernel…
+    val sigs = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.bitvote64(
+          transform(split(col("text"), " "), t =>
+            graft.functions.GraftFunctions.polyhash(t))).as("s"))
+      .as[(Long, Long)].collect()
+    // …all-pairs ground truth computed driver-side, no Spark join logic
+    val expected = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      dist = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if dist <= 6
+    } yield {
+      val (a, b) = (sigs(i), sigs(j))
+      if (a._1 < b._1) (a._1, b._1, dist.toLong) else (b._1, a._1, dist.toLong)
+    }).toSet
+    val got = Dedup.simhash64(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus has exact dups — distance-0 pairs must exist")
+  }
+
   test("adversarial long-chain component converges in O(log n) star rounds, not diameter") {
     import spark.implicits._
     // a single path 0-1-2-…-400: diameter 400 — min-label propagation
@@ -210,13 +235,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ingest dedup probes a persisted corpus index: warm invocations recompute nothing corpus-side") {
+    // force a cold start — the salted dir may survive from an earlier JVM
+    val p = new org.apache.hadoop.fs.Path(DedupIndex.dir(spark, d))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val before = DedupIndex.builds
     val r1 = Dedup.ingestDedup(spark, d).collect().toSeq
-    val warm = DedupIndex.builds // at least one build has happened by now
-    assert(warm >= 1)
+    assert(DedupIndex.builds == before + 1, "cold ingest must build the index once")
     val r2 = Dedup.ingestDedup(spark, d).collect().toSeq
     // zero corpus-side shingle/band/key computation on the warm path —
     // the batch scans itself and probes the persisted index
-    assert(DedupIndex.builds == warm, "warm ingest rebuilt the corpus index")
+    assert(DedupIndex.builds == before + 1, "warm ingest rebuilt the corpus index")
     assert(r1 == r2)
   }
 
