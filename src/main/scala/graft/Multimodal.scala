@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed per-partition in
   * batches (north-star extension, SURVEY.md §2.9).
   *
-  * The container has no codec libraries, so the byte-level decode is a
-  * clearly-marked deterministic STUB (`FakeCodec`) — the Spark-side
-  * plumbing is real: schema, per-partition batching, metadata pushdown,
-  * and the oracle-checked metadata projection. A production deployment
-  * replaces `FakeCodec.decode` with an actual decoder (JNI or
-  * `mapInPandas`-style Python workers) without touching the plan.
+  * The decode is REAL for the container formats whose headers are
+  * public byte layouts: PNG (IHDR chunk), JPEG (SOF marker scan), and
+  * WAV (RIFF fmt/data chunks) are parsed directly from the payload
+  * bytes inside the per-partition codec boundary — dimensions, sample
+  * rate, channel count, and frame counts come from the actual header
+  * fields (MultimodalSpec feeds hand-built fixture bytes and checks the
+  * parsed values). Payloads that are not recognizable media (the test
+  * corpus reinterprets `documents.text` as bytes) fall back to the
+  * deterministic pseudo-decode, which keeps the operator total and the
+  * q32 oracle exact; a production deployment would surface a decode
+  * error column instead and add pixel/sample decoding (the libraries
+  * for which are not in this container) behind the same boundary.
   */
 object Multimodal {
   import TextOps._
@@ -20,22 +26,103 @@ object Multimodal {
   /** An opaque media payload + its envelope. */
   final case class MediaFile(doc_id: Long, payload: Array[Byte], source: String)
 
-  /** Decoded (stub) features: what a real image decode would yield. */
+  /** Decoded features: image-shaped fields carry 0 sample_rate /
+    * n_channels; audio-shaped fields carry 0 width/height. */
   final case class MediaMeta(
       doc_id: Long, byte_len: Long, format: String,
-      width: Long, height: Long, n_frames: Long)
+      width: Long, height: Long, n_frames: Long,
+      sample_rate: Long, n_channels: Long)
 
-  /** STUB decoder: deterministic pseudo-decode from payload bytes alone.
-    * A real implementation parses the container header; this fakes the
-    * same signature so the distributed plumbing is exercised end-to-end. */
+  /** Real header parsers for the public container formats. Each returns
+    * None unless the magic matches AND the needed header fields are in
+    * bounds — a truncated/corrupt header falls through to the caller. */
+  object Codec {
+    private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xff
+    private def be16(p: Array[Byte], i: Int): Int = (u8(p, i) << 8) | u8(p, i + 1)
+    private def be32(p: Array[Byte], i: Int): Long =
+      (u8(p, i).toLong << 24) | (u8(p, i + 1) << 16) | (u8(p, i + 2) << 8) | u8(p, i + 3)
+    private def le16(p: Array[Byte], i: Int): Int = u8(p, i) | (u8(p, i + 1) << 8)
+    private def le32(p: Array[Byte], i: Int): Long =
+      u8(p, i).toLong | (u8(p, i + 1).toLong << 8) |
+        (u8(p, i + 2).toLong << 16) | (u8(p, i + 3).toLong << 24)
+    private def ascii(p: Array[Byte], i: Int, s: String): Boolean =
+      i + s.length <= p.length && s.indices.forall(k => p(i + k) == s.charAt(k).toByte)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (always first):
+      * 4-byte length, "IHDR", width/height as big-endian u32. */
+    def png(p: Array[Byte]): Option[MediaMeta] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      if (p.length < 24 || !p.startsWith(sig) || !ascii(p, 12, "IHDR")) None
+      else Some(MediaMeta(0L, p.length.toLong, "png",
+        be32(p, 16), be32(p, 20), 1L, 0L, 0L))
+    }
+
+    /** JPEG: SOI marker, then a marker-segment walk to the first SOF
+      * (C0-C3, C5-C7, C9-CB, CD-CF): precision u8, height/width u16. */
+    def jpeg(p: Array[Byte]): Option[MediaMeta] = {
+      if (p.length < 4 || u8(p, 0) != 0xff || u8(p, 1) != 0xd8) return None
+      var i = 2
+      while (i + 3 < p.length) {
+        if (u8(p, i) != 0xff) return None // marker misalignment: corrupt
+        var m = u8(p, i + 1)
+        while (m == 0xff && i + 2 < p.length) { i += 1; m = u8(p, i + 1) } // fill bytes
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // standalone
+        else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+        else {
+          if (i + 3 >= p.length) return None
+          val len = be16(p, i + 2)
+          if (len < 2 || i + 2 + len > p.length) return None
+          val isSof = (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (len < 7) return None
+            return Some(MediaMeta(0L, p.length.toLong, "jpeg",
+              be16(p, i + 7), be16(p, i + 5), 1L, 0L, 0L))
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+
+    /** WAV: RIFF/WAVE container; the "fmt " chunk carries channels and
+      * sample rate (little-endian), "data" size / block align gives the
+      * sample-frame count. */
+    def wav(p: Array[Byte]): Option[MediaMeta] = {
+      if (p.length < 12 || !ascii(p, 0, "RIFF") || !ascii(p, 8, "WAVE")) return None
+      var i = 12
+      var rate = 0L; var ch = 0L; var block = 0; var frames = 0L; var gotFmt = false
+      while (i + 8 <= p.length) {
+        val size = le32(p, i + 4)
+        if (ascii(p, i, "fmt ") && i + 8 + 16 <= p.length && size >= 16) {
+          ch = le16(p, i + 10).toLong
+          rate = le32(p, i + 12)
+          block = le16(p, i + 20)
+          gotFmt = true
+        } else if (ascii(p, i, "data") && gotFmt && block > 0) {
+          frames = math.min(size, (p.length - i - 8).toLong) / block
+          return Some(MediaMeta(0L, p.length.toLong, "wav", 0L, 0L, frames, rate, ch))
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      None
+    }
+
+    /** Sniff-and-parse; None when the payload is no recognizable media. */
+    def decode(p: Array[Byte]): Option[MediaMeta] =
+      png(p).orElse(jpeg(p)).orElse(wav(p))
+  }
+
+  /** Deterministic pseudo-decode for unrecognized payloads (the test
+    * corpus's text bytes): keeps the operator total and exactly matches
+    * the q32 SQL oracle's arithmetic. */
   object FakeCodec {
     val formats = Array("jpeg", "png", "webp")
     def decode(doc_id: Long, payload: Array[Byte]): MediaMeta = {
-      // ??? real decode goes here; deterministic fake derived from a
       // polynomial byte hash (same constants as TextOps.polyHash)
       val h = payload.foldLeft(0L)((acc, b) => (acc * 131L + (b & 0xff)) % TextOps.P)
       MediaMeta(doc_id, payload.length.toLong, formats((h % 3L).toInt),
-        320L + (h % 8L) * 160L, 240L + (h % 6L) * 120L, 1L + payload.length % 24L)
+        320L + (h % 8L) * 160L, 240L + (h % 6L) * 120L, 1L + payload.length % 24L,
+        0L, 0L)
     }
   }
 
@@ -49,18 +136,24 @@ object Multimodal {
   }
 
   /** Typed per-partition decode: the batch boundary a real codec needs
-    * (decoder init once per partition, rows streamed through it). */
+    * (decoder init once per partition, rows streamed through it). Real
+    * PNG/JPEG/WAV headers parse for real; anything else pseudo-decodes. */
   def decodeAll(files: Dataset[MediaFile]): Dataset[MediaMeta] = {
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
       // per-partition decoder setup would happen here (open codec ctx)
-      it.map(f => FakeCodec.decode(f.doc_id, f.payload))
+      it.map { f =>
+        Codec.decode(f.payload)
+          .map(_.copy(doc_id = f.doc_id))
+          .getOrElse(FakeCodec.decode(f.doc_id, f.payload))
+      }
     }
   }
 
   /** The same metadata as a pure-column projection — whole-stage
-    * codegen, no object round-trip — used for the oracle query. The two
-    * paths must agree (asserted in MultimodalSpec). */
+    * codegen, no object round-trip — used for the oracle query. On the
+    * text-byte corpus every payload takes the pseudo-decode path, so
+    * the two paths must agree exactly (asserted in MultimodalSpec). */
   def mediaMetadata(spark: SparkSession, d: String): DataFrame = {
     val payload = col("text").cast("binary")
     val h = polyHash(col("text")) // ASCII corpus: byte hash == char hash
@@ -70,7 +163,9 @@ object Multimodal {
         element_at(lit(FakeCodec.formats), (h % 3L).cast("int") + 1).as("format"),
         (lit(320L) + (h % 8L) * 160L).as("width"),
         (lit(240L) + (h % 6L) * 120L).as("height"),
-        (lit(1L) + length(payload) % 24L).as("n_frames"))
+        (lit(1L) + length(payload) % 24L).as("n_frames"),
+        lit(0L).as("sample_rate"),
+        lit(0L).as("n_channels"))
       .orderBy(col("doc_id"))
   }
 }

@@ -737,7 +737,9 @@ object SparkEntry {
          |  (['jpeg', 'png', 'webp'])[(h % 3)::INT + 1] AS format,
          |  320 + (h % 8) * 160 AS width,
          |  240 + (h % 6) * 120 AS height,
-         |  1 + octet_length(text::BLOB) % 24 AS n_frames
+         |  1 + octet_length(text::BLOB) % 24 AS n_frames,
+         |  0::BIGINT AS sample_rate,
+         |  0::BIGINT AS n_channels
          |FROM t ORDER BY doc_id""".stripMargin,
     "q34_orders_rollup" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,

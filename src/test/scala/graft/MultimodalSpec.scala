@@ -8,11 +8,69 @@ class MultimodalSpec extends SparkSpec {
   test("typed decode path matches the columnar metadata projection") {
     import spark.implicits._
     val typed = Multimodal.decodeAll(Multimodal.mediaFiles(spark, d))
-      .collect().map(m => (m.doc_id, m.byte_len, m.format, m.width, m.height, m.n_frames))
+      .collect().map(m => (m.doc_id, m.byte_len, m.format, m.width, m.height,
+        m.n_frames, m.sample_rate, m.n_channels))
       .sortBy(_._1)
     val columnar = Multimodal.mediaMetadata(spark, d)
-      .as[(Long, Long, String, Long, Long, Long)].collect().sortBy(_._1)
+      .as[(Long, Long, String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(typed.toSeq == columnar.toSeq)
+  }
+
+  // --- real container headers, hand-built byte-for-byte ---
+
+  private def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+  private def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+  private def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private def pngBytes(w: Long, h: Long): Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13L) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0L) // bit depth…interlace + (unvalidated) CRC
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] =
+    Array(0xff, 0xd8).map(_.toByte) ++ // SOI
+      Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++ // APP0, 14 payload bytes
+      ("JFIF".getBytes :+ 0.toByte) ++ Array.fill[Byte](9)(0) ++
+      Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++ // SOF0, 3 components
+      be16(h) ++ be16(w) ++ Array[Byte](3) ++ Array.fill[Byte](9)(1) ++
+      Array(0xff, 0xd9).map(_.toByte) // EOI
+
+  private def wavBytes(rate: Long, channels: Int, dataBytes: Int): Array[Byte] = {
+    val block = channels * 2 // 16-bit samples
+    "RIFF".getBytes ++ le32(36L + dataBytes) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16L) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * block) ++ le16(block) ++ le16(16) ++
+      "data".getBytes ++ le32(dataBytes.toLong) ++ Array.fill[Byte](dataBytes)(0)
+  }
+
+  test("real PNG/JPEG/WAV headers decode for real: dimensions and sample rate from the bytes") {
+    import spark.implicits._
+    val files = Seq(
+      Multimodal.MediaFile(1L, pngBytes(640L, 480L), "fixture"),
+      Multimodal.MediaFile(2L, jpegBytes(1920, 1080), "fixture"),
+      Multimodal.MediaFile(3L, wavBytes(44100L, 2, 4 * 100), "fixture"),
+      Multimodal.MediaFile(4L, "not media at all".getBytes, "fixture"))
+    val out = Multimodal.decodeAll(files.toDS().repartition(2))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).format == "png" && out(1L).width == 640L && out(1L).height == 480L)
+    assert(out(2L).format == "jpeg" && out(2L).width == 1920L && out(2L).height == 1080L)
+    assert(out(3L).format == "wav" && out(3L).sample_rate == 44100L &&
+      out(3L).n_channels == 2L && out(3L).n_frames == 100L)
+    // unrecognized payloads fall back to the deterministic pseudo-decode
+    assert(out(4L) == Multimodal.FakeCodec.decode(4L, "not media at all".getBytes))
+  }
+
+  test("truncated or corrupt media headers fall back instead of throwing") {
+    import spark.implicits._
+    val files = Seq(
+      Multimodal.MediaFile(1L, pngBytes(640L, 480L).take(12), "fixture"), // cut inside IHDR
+      Multimodal.MediaFile(2L, jpegBytes(10, 10).take(3), "fixture"),
+      Multimodal.MediaFile(3L, wavBytes(8000L, 1, 16).take(20), "fixture"),
+      Multimodal.MediaFile(4L, Array[Byte](), "fixture"))
+    val out = Multimodal.decodeAll(files.toDS()).collect()
+    assert(out.length == 4) // total, no exceptions
+    out.foreach(m => assert(m.sample_rate == 0L || m.format == "wav"))
   }
 
   test("payloads survive the binary round-trip intact") {
