@@ -394,6 +394,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental cluster maintenance — the ingest-time companion of
+    * `nearDupClustersDf`: a standing corpus already carries component
+    * labels; a batch arrives with new documents and newly-discovered
+    * near-dup edges (batch↔batch, batch↔corpus, or late corpus↔corpus
+    * pairs). Recomputing components from scratch rescans the corpus;
+    * this updates ONLY what the new edges touch.
+    *
+    * Correctness rests on contraction: an existing component is
+    * internally connected, so for connectivity it can collapse to its
+    * label node. Each new edge maps its endpoints to their current
+    * labels (new docs label themselves), components run on that
+    * contracted label graph — bounded by the new edges, independent of
+    * corpus size — and the resulting label→label remap (small, by the
+    * batch≪corpus assumption: broadcast) rewrites the standing labels
+    * in one map-side join. Untouched components never shuffle. Labels
+    * stay "min doc_id of the component": a contracted node IS the min
+    * of its old component, and star CC takes the min over contracted
+    * nodes. Equivalence with from-scratch clustering on the unioned
+    * graph is pinned in DedupSpec (including the two-old-components
+    * merge case).
+    *
+    * `labels`: (doc_id, cluster_id) standing assignment;
+    * `newDocs`: (doc_id) arriving batch (e.g. q56's survivors);
+    * `newPairs`: (doc_a, doc_b) newly-discovered edges. */
+  def incrementalClusters(labels: DataFrame, newDocs: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val all = labels.select(col("doc_id"), col("cluster_id"))
+      .union(newDocs.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    // contract: each edge endpoint → its current label
+    val contracted = newPairs.select(col("doc_a"), col("doc_b"))
+      .join(all.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")), "doc_a")
+      .join(all.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), "doc_b")
+      .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val touched = contracted.select(col("doc_a").as("doc_id"))
+      .union(contracted.select(col("doc_b").as("doc_id"))).distinct()
+    // star CC on the contracted graph only — its output maps an old
+    // label to the merged component's label
+    val remap = nearDupClustersDf(touched, contracted)
+      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("merged"))
+    val updated = all.join(broadcast(remap), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("merged"), col("cluster_id")).as("cluster_id"))
+    val sizes = updated.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
+    updated.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Eval-set decontamination: flag corpus documents sharing any
     * 4-gram with the held-out benchmark set (doc_id ≡ 0 mod 97 stands
     * in for the eval suite). This is the training-data hygiene pass

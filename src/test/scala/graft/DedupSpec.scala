@@ -189,6 +189,53 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus has exact dups — distance-0 pairs must exist")
   }
 
+  test("incremental cluster maintenance ≡ from-scratch on the unioned graph (synthetic merge case)") {
+    import spark.implicits._
+    // corpus components {1,2} and {3,4}, singletons 5,6; batch doc 10.
+    // New edges merge the two OLD components (2-3) and attach the new
+    // doc to a singleton (10-5) — the two update shapes that matter.
+    val corpusDocs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val corpusPairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val base = Dedup.nearDupClustersDf(corpusDocs, corpusPairs)
+      .select("doc_id", "cluster_id")
+    val newDocs = Seq(10L).toDF("doc_id")
+    val newPairs = Seq((2L, 3L), (10L, 5L)).toDF("doc_a", "doc_b")
+    val inc = Dedup.incrementalClusters(base, newDocs, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val scratch = Dedup.nearDupClustersDf(
+      corpusDocs.union(newDocs), corpusPairs.union(newPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inc == scratch)
+    // the merge actually happened: {1,2}∪{3,4} share label 1
+    assert(inc.map(t => t._1 -> t._2).toMap.apply(4L) == 1L)
+  }
+
+  test("incremental cluster maintenance ≡ from-scratch on the real ingest split") {
+    // standing corpus = sources < 15 with labels from its own pair
+    // graph; the batch = q56's survivors; new edges = every near-dup
+    // pair of the union touching a new doc
+    val docs = Tables.documents(spark, d).select("doc_id", "source", "text")
+    val isNew = substring(col("source"), 4, 10).cast("int") >= 15
+    val corpusDocs = docs.filter(!isNew)
+    val survivors = Dedup.ingestDedup(spark, d).select("doc_id")
+    val unionDocs = corpusDocs.select("doc_id").union(survivors)
+    val unionTexts = docs.join(unionDocs, "doc_id").select("doc_id", "text")
+    val allPairs = Dedup.minhashNearDupDf(unionTexts)
+      .select("doc_a", "doc_b").persist()
+    val newIds = survivors.collect().map(_.getLong(0)).toSet
+    val isNewId = udf((x: Long) => newIds(x))
+    val corpusPairs = allPairs.filter(!isNewId(col("doc_a")) && !isNewId(col("doc_b")))
+    val newPairs = allPairs.filter(isNewId(col("doc_a")) || isNewId(col("doc_b")))
+    val base = Dedup.nearDupClustersDf(corpusDocs.select("doc_id"), corpusPairs)
+      .select("doc_id", "cluster_id")
+    val inc = Dedup.incrementalClusters(base, survivors, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val scratch = Dedup.nearDupClustersDf(unionDocs, allPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    allPairs.unpersist()
+    assert(inc == scratch)
+  }
+
   test("adversarial long-chain component converges in O(log n) star rounds, not diameter") {
     import spark.implicits._
     // a single path 0-1-2-…-400: diameter 400 — min-label propagation
