@@ -358,17 +358,19 @@ object Dedup {
     }
 
     while (!converged && rounds < 60) {
-      val lsP = phase(e, large = true).persist()
-      lsP.count()
-      val ls = truncate(lsP)
-      val ssP = phase(ls, large = false).persist()
+      // the large-star intermediate is NOT materialized: with e a
+      // cached leaf, embedding its plan (twice) inside the small-star
+      // phase stays bounded, and skipping its persist+count removes one
+      // driver-synchronized job per round — the whole LS+SS iteration
+      // computes in a single job from the previous round's cache
+      val ssP = phase(phase(e, large = true), large = false).persist()
       val ssCount = ssP.count()
       val ss = truncate(ssP)
       // unchanged-by-iteration ⟺ star forest reached: both sets are
       // distinct, so equal counts + empty anti-join ⟹ set equality
+      // (&& short-circuits: the anti-join job only runs on count ties)
       converged = ssCount == eCount &&
         ss.join(e, Seq("x", "y"), "left_anti").isEmpty
-      lsP.unpersist()
       eP.unpersist()
       eP = ssP
       e = ss
