@@ -30,38 +30,62 @@ import graft.{Dedup, TextAnalysis, TextOps}
   * CurateStreamSpec, which also re-derives the mixture stage from both
   * stores and compares.
   *
-  * Scale notes, honestly: cross-batch state (labels, corpus signatures,
-  * survivor texts) is held as persisted DataFrames rotated per batch
-  * with lineage truncation — a production deployment would persist them
-  * as salted generation dirs exactly like the snapshot itself (the
-  * DedupIndex pattern) so a driver restart resumes from disk, and would
-  * write the snapshot as a delta MERGE rather than a full rewrite. The
-  * per-batch probe work is already the right shape: batch-sized scans,
-  * band-key equi-joins, broadcast label remaps. */
+  * All cross-batch state is ON DISK, so a restarted query resumes from
+  * where the checkpoint left off (pinned by CurateStreamSpec's
+  * kill-and-resume case):
+  *
+  *   state/sigs/batch=<id>/   append-only signature store — each batch
+  *                            writes ONLY its own signatures (O(batch)
+  *                            write); the standing corpus is the union
+  *                            of committed batch dirs
+  *   state/surv/batch=<id>/   append-only survivor rows, same scheme
+  *   state/labels/gen=<id>/   full label table per generation (labels
+  *                            mutate under merges, so they version like
+  *                            the snapshot)
+  *   gen=<id>/                canonical redacted snapshot
+  *
+  * Exactly-once falls out of the generation discipline (the upsertSink
+  * argument): a replayed batch reads only state `< batchId` — its own
+  * half-written dirs are excluded by id — recomputes deterministically,
+  * and overwrites its own dirs byte-identically. The per-batch probe
+  * work has the right scale shape: batch-sized scans, band-key
+  * equi-joins, broadcast label remaps; a production deployment would
+  * add retention pruning of old generations and periodic compaction of
+  * the batch-dir stores, like any snapshot table. */
 object CurateStream {
 
-  /** Cross-batch driver state: each rotation persists the new frame,
-    * fully materializes it, truncates lineage (plans must not grow with
-    * the number of batches), and releases the predecessor. */
+  /** The funnel's per-batch body. Stateless in memory — every input
+    * beyond the batch itself is read from the on-disk state layout. */
   final class Funnel(evalHashes: DataFrame, storeDir: String) {
-    private var labels: DataFrame = _ // (doc_id, cluster_id)
-    private var sigs: DataFrame = _ // (doc_id, hs, bands)
-    private var survivors: DataFrame = _ // decon survivors, full rows
-    private var retained: List[DataFrame] = Nil
 
-    /** Funnel counts observed so far (for the report/specs). */
+    /** Funnel counts observed by THIS process (restart resets them;
+      * durable counts live in the generation dirs). */
     @volatile var seen: Long = 0L
     @volatile var qualityKept: Long = 0L
     @volatile var deconKept: Long = 0L
 
+    /** Committed (strictly earlier) batch dirs of an append-only store,
+      * as one DataFrame; None before the first commit. The partition
+      * column `<part>` materializes from the dir names, so a replayed
+      * batch's own half-written dir is excluded by the id filter. */
+    private def committed(spark: SparkSession, path: String, part: String,
+        before: Long): Option[DataFrame] = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val has = fs.exists(root) && fs.listStatus(root).exists { s =>
+        val n = s.getPath.getName
+        n.startsWith(s"$part=") && n.stripPrefix(s"$part=").toLong < before
+      }
+      if (!has) None
+      else Some(spark.read.option("basePath", path).parquet(path)
+        .filter(col(part) < before).drop(part))
+    }
+
     def apply(batch: DataFrame, batchId: Long): Unit = {
       val spark = batch.sparkSession
-      var fresh: List[DataFrame] = Nil
-      def materialize(df: DataFrame): DataFrame = {
-        val p = df.persist()
-        p.count()
-        fresh = p :: fresh
-        spark.createDataFrame(p.rdd, p.schema)
+      var cached: List[DataFrame] = Nil
+      def hold(df: DataFrame): DataFrame = { // multi-use within this batch
+        df.persist(); cached = df :: cached; df
       }
       seen += batch.count()
       // 1. row-local gates: quality cascade, eval-split removal, then
@@ -75,16 +99,20 @@ object CurateStream {
         .select(col("doc_id"), explode(TextOps.shingleHashSet(col("text"), 4)).as("h"))
         .join(broadcast(evalHashes), "h")
         .select("doc_id").distinct()
-      val sb = materialize(quality.join(flagged, Seq("doc_id"), "left_anti"))
+      val sb = hold(quality.join(flagged, Seq("doc_id"), "left_anti"))
       deconKept += sb.count()
-      // 2. batch signatures + pair discovery vs (batch ∪ standing) —
-      // band-key equi-join candidates, exact Jaccard verify, exactly
-      // the q23/q56 machinery
-      val sigB = materialize(sb
+      // 2. batch signatures, written to the append-only store FIRST so
+      // the union below can read every batch ≤ this one uniformly
+      val sigB = hold(sb
         .select(col("doc_id"), TextOps.shingleHashSet(col("text"), TextOps.NearDupShingleN).as("hs"))
         .filter(size(col("hs")) > 0)
         .withColumn("bands", TextOps.nearDupBandKeys(col("hs"))))
-      val sigU = if (sigs == null) sigB else sigs.union(sigB)
+      sigB.write.mode("overwrite").parquet(s"$storeDir/state/sigs/batch=$batchId")
+      sb.write.mode("overwrite").parquet(s"$storeDir/state/surv/batch=$batchId")
+      // pair discovery vs (batch ∪ standing): band-key equi-join
+      // candidates, exact Jaccard verify — the q23/q56 machinery
+      val standing = committed(spark, s"$storeDir/state/sigs", "batch", batchId)
+      val sigU = hold(standing.fold(sigB)(s => s.unionByName(sigB)))
       def bandsOf(s: DataFrame) =
         s.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
       val cand = bandsOf(sigB).as("x")
@@ -105,28 +133,23 @@ object CurateStream {
         .filter(col("cm") / (col("sa") + col("sb") - col("cm")) >= 0.5)
         .select(col("doc_a"), col("doc_b"))
       // 3. incremental component update: only touched labels move
-      val base =
-        if (labels == null)
-          sb.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0)
-        else labels
-      val newLabels = materialize(
+      val base = graft.operators.MergeUpsert
+        .latestGen(spark, s"$storeDir/state/labels", before = Some(batchId))
+        .getOrElse(sb.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0))
+      val newLabels = hold(
         Dedup.incrementalClusters(base, sb.select("doc_id"), pairs)
           .select(col("doc_id"), col("cluster_id")))
-      val survU = materialize(if (survivors == null) sb else survivors.union(sb))
-      // 4. snapshot generation: canonical docs, redacted. Written fresh
-      // per batch (idempotent on replay — same batchId, same parent
-      // state, same bytes); a merged-cluster takeover simply drops the
+      newLabels.write.mode("overwrite").parquet(s"$storeDir/state/labels/gen=$batchId")
+      // 4. snapshot generation: canonical docs over ALL survivors so
+      // far, redacted. A merged-cluster takeover simply drops the
       // de-throned doc from the new generation.
+      val survU = committed(spark, s"$storeDir/state/surv", "batch", batchId)
+        .fold(sb)(s => s.unionByName(sb))
       val canonical = newLabels
         .filter(col("doc_id") === col("cluster_id")).select("doc_id")
       TextAnalysis.redactDf(survU.join(canonical, "doc_id"))
         .write.mode("overwrite").parquet(s"$storeDir/gen=$batchId")
-      // rotate: predecessors released only after the snapshot action
-      labels = newLabels
-      sigs = materialize(sigU)
-      survivors = survU
-      retained.foreach(_.unpersist())
-      retained = fresh
+      cached.foreach(_.unpersist())
     }
   }
 

@@ -61,6 +61,46 @@ class CurateStreamSpec extends SparkSpec {
     assert(streamIds == batchIds)
   }
 
+  test("killed mid-stream and restarted, the funnel resumes from disk and still equals batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("curate-restart").toString
+    val n = 1500L
+    val corpus = spark.read.format("graft.sources.SynthDocs")
+      .option("n", n.toString).option("seed", "11").option("numPartitions", "4").load()
+    val keep = TextAnalysis.corpusFilterDf(corpus)
+      .filter(col("verdict") === "keep").select("doc_id")
+    val evalHashes = corpus.join(keep, "doc_id")
+      .filter(col("doc_id") % Dedup.EvalMod === 0)
+      .select(explode(TextOps.shingleHashSet(col("text"), 4)).as("h"))
+      .distinct()
+    def stream() = spark.readStream.format("graft.sources.SynthDocs")
+      .option("n", n.toString).option("seed", "11").option("numPartitions", "4")
+      .option("rowsPerBatch", "150").load()
+    // first incarnation: default trigger, killed after ≥ 1 committed batch
+    val (q1, f1) = streaming.CurateStream.start(stream(), evalHashes,
+      s"$tmp/store", s"$tmp/ckpt")
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (f1.seen < 150 && System.nanoTime() < deadline) Thread.sleep(50)
+    q1.stop()
+    assert(f1.seen >= 150, "first incarnation never committed a batch")
+    // second incarnation: FRESH funnel (no in-memory state), same
+    // checkpoint + store — resumes from the committed offset and the
+    // on-disk state generations, drains the rest
+    val f2 = streaming.CurateStream.drain(stream(), evalHashes,
+      s"$tmp/store", s"$tmp/ckpt")
+    assert(f1.seen + f2.seen >= n, "restart lost or skipped documents")
+    // the resumed result equals batch CurateDag on the full corpus
+    corpus.write.parquet(s"$tmp/data/documents.parquet")
+    val ctx = pipeline.Ctx(spark, pipeline.PbConf(s"$tmp/data", s"$tmp/work"))
+    pipeline.CurateDag.run(ctx)
+    val batchRows = pipeline.CurateDag.Redact.read(ctx)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val streamRows = streaming.CurateStream.snapshot(spark, s"$tmp/store")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(streamRows.nonEmpty && streamRows == batchRows)
+  }
+
   test("stream curation funnel ≡ batch CurateDag on the drained corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("curate-stream").toString
     val n = 1500L
