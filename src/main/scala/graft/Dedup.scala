@@ -487,6 +487,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q107: longest contaminated span — the length-thresholded refinement
+    * of q55. Real decontamination pipelines flag on VERBATIM overlap
+    * length (e.g. "any 50-token span shared with a benchmark"), not on
+    * mere shingle intersection: a stray idiom shares a 4-gram, a leaked
+    * benchmark item shares a long run. Per contaminated doc: the number
+    * of maximal contaminated runs, the longest run of CONSECUTIVE
+    * shared 4-gram positions, and its token length (run + 3).
+    *
+    * Shape: positional 4-gram hashes are one row-local projection
+    * (sequence+transform, the q89 chunking idea); the eval side stays a
+    * tiny broadcast; runs come from one gaps-and-islands window over
+    * the (few) matched positions — corpus-side work is scan + probe,
+    * with shuffles only on matched rows. Pure integer arithmetic ⇒ the
+    * oracle replays it exactly. */
+  def contamSpans(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (corpus, eval_) = evalSplit(spark, d)
+    val ev = deconShingles(eval_).select(col("h")).distinct()
+    val hits = corpus
+      .select(col("doc_id"),
+        posexplode(transform(shingles(toks(col("text")), 4), s => polyHash(s)))
+          .as(Seq("pos", "h")))
+      .join(broadcast(ev), "h")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("run")).as("max_run"))
+      .select(col("doc_id"), col("n_spans"),
+        col("max_run"), (col("max_run") + 3).as("span_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q90: bloom-filter decontamination — the 100 TB shape of q55 when
     * the benchmark shingle set outgrows an exact broadcast. The eval
     * set's 4-gram hashes build ONE mergeable bloom filter (Spark's own

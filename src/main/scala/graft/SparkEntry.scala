@@ -211,6 +211,12 @@ object SparkEntry {
     // expressible in the oracle's strict signed-BIGINT arithmetic →
     // rows-only driver check; DedupSpec pins chunk blocking ≡ all-pairs.
     "q106_dedup_simhash64" -> (Dedup.simhash64 _),
+    // verbatim-span decontamination: longest consecutive shared-4-gram
+    // run per contaminated doc (gaps-and-islands over matched positions)
+    "q107_contam_spans" -> (Dedup.contamSpans _),
+    // n-gram-LM fluency scoring in exact integer micro-units (the
+    // CCNet-style perplexity filter; corpus is its own bigram model)
+    "q108_bigram_fluency" -> (TextAnalysis.bigramFluency _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -483,6 +489,30 @@ object SparkEntry {
          |SELECT s.doc_id, count(*) AS n_shared
          |FROM sh s JOIN ev ON ev.h = s.h WHERE s.doc_id % 97 != 0
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q108_bigram_fluency" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+        |bi AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg, tk[i] AS w1
+        |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) i FROM t)),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       (sum(c2.c2 * 1000000 // c1.c1) // count(*))::BIGINT AS fluency_micro
+        |FROM bi JOIN c2 USING (bg) JOIN c1 USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q107_contam_spans" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh AS (SELECT doc_id, i - 1 AS pos, ${H("array_to_string(tk[i:i+3], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) i FROM t)),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+         |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN ev ON ev.h = s.h
+         |         WHERE s.doc_id % 97 != 0),
+         |runs AS (SELECT doc_id,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |         FROM hits),
+         |agg AS (SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY doc_id, grp)
+         |SELECT doc_id, count(*) AS n_spans, max(run)::BIGINT AS max_run,
+         |       (max(run) + 3)::BIGINT AS span_tokens
+         |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q56_ingest_dedup" ->
       s"""WITH t AS (SELECT doc_id, lang, substr(source, 4)::INT >= 15 AS is_new,
          |           regexp_split_to_array(text, ' ') tk, lower(text) lt FROM documents),

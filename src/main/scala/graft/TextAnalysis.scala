@@ -318,6 +318,35 @@ object TextAnalysis {
   private def maskPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
+  /** q108: bigram fluency score — the n-gram-LM quality filter (the
+    * CCNet/KenLM perplexity idea) in EXACT integer arithmetic. The
+    * corpus is its own language model: c2(w1,w2) bigram and c1(w1)
+    * head counts come from two linear hash-aggs over the corpus; each
+    * document scores the average of its bigrams' conditional
+    * frequencies, floor-scaled to micro-units (`c2·1e6 div c1`, then
+    * `sum div n`) so the value is engine-portable — no log, no float.
+    * Low scores mark disfluent/ungrammatical docs exactly as high
+    * perplexity would, monotonically in the unigram-backoff LM score.
+    *
+    * Scale shape: the count tables are corpus-level but keyed by
+    * (bigram)/(head) — plain hash joins, NOT broadcasts (a 100 TB
+    * corpus's vocabulary does not fit a broadcast); per-doc work is one
+    * row-local shingle projection and the final per-doc hash-agg. */
+  def bigramFluency(spark: SparkSession, d: String): DataFrame = {
+    // referenced by both count joins and the score pass
+    val bi = graft.CacheScope.cached(Tables.documentsDist(spark, d)
+      .select(col("doc_id"), explode(shingles(toks(col("text")), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1)))
+    val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bi.join(c2, Seq("bg")).join(c1, Seq("w1"))
+      .withColumn("s", expr("c2 * 1000000 div c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(s) div count(1)").as("fluency_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DataFrame-in redaction for the curation DAG: masks PII patterns
     * in place (schema preserved, no rows dropped). */
   private[graft] def redactDf(docs: DataFrame): DataFrame =

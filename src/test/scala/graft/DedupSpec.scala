@@ -295,6 +295,48 @@ class DedupSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("contamination spans: local run recompute, doc set ≡ q55") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def grams(t: Seq[String]) =
+      t.sliding(4).filter(_.size == 4).map(_.mkString(" ")).toVector
+    val evalG = docs.filter(_._1 % 97 == 0).values.flatMap(grams).toSet
+    val expected = docs.toSeq.collect { case (id, t) if id % 97 != 0 =>
+      id -> grams(t).zipWithIndex.collect { case (g, i) if evalG(g) => i }
+    }.filter(_._2.nonEmpty).map { case (id, ps) =>
+      val runs = ps.foldLeft(List.empty[List[Int]]) { (acc, p) =>
+        acc match {
+          case (h :: t) :: rest if h == p - 1 => (p :: h :: t) :: rest
+          case _ => List(p) :: acc
+        }
+      }.map(_.size)
+      id -> ((runs.size.toLong, runs.max.toLong, runs.max.toLong + 3))
+    }.toMap
+    val got = Dedup.contamSpans(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // any shared shingle is a run of ≥ 1: q107 flags exactly q55's docs
+    val q55docs = Dedup.decontaminate(spark, d).collect().map(_.getLong(0)).toSet
+    assert(got.keySet == q55docs)
+  }
+
+  test("bigram fluency matches a local exact-integer recompute") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val allBi = docs.values.flatMap(
+      _.sliding(2).filter(_.size == 2).map(x => (x(0), x(1)))).toSeq
+    val c2 = allBi.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = allBi.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val expected = docs.toSeq.collect { case (id, t) if t.size >= 2 =>
+      val scores = t.sliding(2).filter(_.size == 2)
+        .map(x => c2((x(0), x(1))) * 1000000L / c1(x(0))).toSeq
+      id -> ((scores.size.toLong, scores.sum / scores.size))
+    }.toMap
+    val got = TextAnalysis.bigramFluency(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("q90 bloom decontamination: no false negatives vs exact q55, bounded FP overhead") {
     val exact = Dedup.decontaminate(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
