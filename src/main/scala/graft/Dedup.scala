@@ -522,6 +522,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q109: cross-document verbatim overlap — the ExactSubstr idea
+    * (public dedup literature: verbatim ≥k-token substrings shared
+    * BETWEEN training documents, the overlap MinHash can only
+    * approximate). For every doc pair sharing any 8-gram: the number of
+    * maximal shared verbatim regions and the longest one, in tokens.
+    *
+    * Shape: positional 8-gram hashes (row-local projection) feed an
+    * inverted-index self-equi-join on the gram hash — candidates are
+    * only position pairs that ALREADY share an 8-gram, never all pairs.
+    * Two matched positions are contiguous verbatim text iff they sit on
+    * the same DIAGONAL (pos_a − pos_b constant), so the longest common
+    * span is one gaps-and-islands window per (pair, diagonal) over
+    * matched positions. At 100 TB the posting list of a stop-8-gram is
+    * the blow-up risk — the production knob is a df cap on the gram
+    * index (drop grams with df > B, bounding pairs per gram at B², at
+    * the cost of missing spans made ONLY of ubiquitous grams), exactly
+    * PPJoin's stop-shingle argument (q46). Pure integer arithmetic ⇒
+    * hash-checked end-to-end. */
+  def verbatimOverlap(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = CacheScope.cached(Tables.documentsDist(spark, d)
+      .select(col("doc_id"),
+        posexplode(transform(shingles(toks(col("text")), 8), s => polyHash(s)))
+          .as(Seq("pos", "h"))))
+    val m = grams.as("a")
+      .join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_regions"), max(col("run")).as("max_run"))
+      .select(col("doc_a"), col("doc_b"), col("n_regions"),
+        col("max_run"), (col("max_run") + 7).as("span_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** q90: bloom-filter decontamination — the 100 TB shape of q55 when
     * the benchmark shingle set outgrows an exact broadcast. The eval
     * set's 4-gram hashes build ONE mergeable bloom filter (Spark's own

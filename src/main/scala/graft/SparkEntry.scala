@@ -217,6 +217,9 @@ object SparkEntry {
     // n-gram-LM fluency scoring in exact integer micro-units (the
     // CCNet-style perplexity filter; corpus is its own bigram model)
     "q108_bigram_fluency" -> (TextAnalysis.bigramFluency _),
+    // ExactSubstr-style cross-doc verbatim overlap: longest shared
+    // span via diagonal-grouped runs over the 8-gram inverted index
+    "q109_verbatim_overlap" -> (Dedup.verbatimOverlap _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -489,6 +492,20 @@ object SparkEntry {
          |SELECT s.doc_id, count(*) AS n_shared
          |FROM sh s JOIN ev ON ev.h = s.h WHERE s.doc_id % 97 != 0
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q109_verbatim_overlap" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos, ${H("array_to_string(tk[i:i+7], ' ')")} AS h
+         |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) i FROM t)),
+         |m AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, a.pos - b.pos AS diag
+         |      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |r AS (SELECT doc_a, doc_b, diag,
+         |      pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+         |      FROM m),
+         |agg AS (SELECT doc_a, doc_b, diag, grp, count(*) AS run
+         |        FROM r GROUP BY doc_a, doc_b, diag, grp)
+         |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
+         |       (max(run) + 7)::BIGINT AS span_tokens
+         |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
     "q108_bigram_fluency" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
         |bi AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg, tk[i] AS w1

@@ -337,6 +337,37 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("verbatim overlap equals a local longest-common-substring recompute") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toVector).toMap
+    // candidate pairs from STRING 8-grams (independent of the operator's
+    // hashing), then exact token-level longest common substring by DP
+    val byGram = scala.collection.mutable.Map.empty[Seq[String], List[Long]]
+    docs.foreach { case (id, t) =>
+      t.sliding(8).filter(_.size == 8).toSet
+        .foreach(g => byGram(g) = id :: byGram.getOrElse(g, Nil))
+    }
+    val candPairs = byGram.values.flatMap(ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)).toSet
+    def lcs(a: Vector[String], b: Vector[String]): Int = {
+      val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+      var best = 0
+      for (i <- 1 to a.size; j <- 1 to b.size)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    val expected = candPairs.toSeq
+      .map { case (a, b) => (a, b) -> lcs(docs(a), docs(b)).toLong }
+      .filter(_._2 >= 8).toMap
+    val got = Dedup.verbatimOverlap(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("q90 bloom decontamination: no false negatives vs exact q55, bounded FP overhead") {
     val exact = Dedup.decontaminate(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
