@@ -635,21 +635,28 @@ object Dedup {
       .join(corpusBands.as("y"), Seq("b", "key"))
       .select(col("x.doc_id").as("did"), col("y.doc_id").as("cid"))
       .distinct()
+    // verify-side pruning: only corpus docs that actually appear as
+    // candidates matter to the exact-Jaccard join — semi-join the
+    // (100 TB) sets relation down to them FIRST, via a broadcast of the
+    // (small: bounded by batch × band collisions) candidate id set, so
+    // the corpus-side shingle explode shuffles candidate rows only,
+    // never the full corpus postings
+    val candCorpus = corpusSets.join(
+      broadcast(cand.select(col("cid").as("doc_id")).distinct()), "doc_id")
     val hNew = newSets.select(col("doc_id"), explode(col("hs")).as("h"))
-    val hCorp = corpusSets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val hCorp = candCorpus.select(col("doc_id"), explode(col("hs")).as("h"))
     val common = cand
       .join(hNew.as("p"), col("did") === col("p.doc_id"))
       .join(hCorp.as("q"), col("cid") === col("q.doc_id") && col("p.h") === col("q.h"))
       .groupBy(col("did").as("doc_a"), col("cid").as("doc_b"))
       .agg(count(lit(1)).as("cm"))
-    // batch-side sizes broadcast (the batch is small by definition);
-    // corpus-side sizes join stays a plain hash join — broadcasting a
-    // 100 TB corpus's per-doc sizes would be the wrong direction
+    // both size relations are candidate-bounded after the pruning —
+    // broadcast them rather than shuffling `common`
     val szNew = newSets.select(col("doc_id").as("doc_a"), size(col("hs")).as("sa"))
-    val szCorp = corpusSets.select(col("doc_id").as("doc_b"), size(col("hs")).as("sb"))
+    val szCorp = candCorpus.select(col("doc_id").as("doc_b"), size(col("hs")).as("sb"))
     val nearDup = common
       .join(broadcast(szNew), "doc_a")
-      .join(szCorp, "doc_b")
+      .join(broadcast(szCorp), "doc_b")
       .withColumn("jacc", col("cm") / (col("sa") + col("sb") - col("cm")))
       .filter(col("jacc") >= 0.5)
       .select(col("doc_a").as("doc_id")).distinct()

@@ -121,15 +121,23 @@ object CurateStream {
         .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
           greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
         .distinct()
-      val h = sigU.select(col("doc_id"), explode(col("hs")).as("h"))
+      // verify-side pruning (the q56 shape): semi-join the standing
+      // signatures down to candidate docs via a broadcast id set, so
+      // the exact-Jaccard explode shuffles candidate rows only
+      val candIds = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sigC = sigU.join(broadcast(candIds), "doc_id")
+      val h = sigC.select(col("doc_id"), explode(col("hs")).as("h"))
       val common = cand
         .join(h.as("p"), col("doc_a") === col("p.doc_id"))
         .join(h.as("q"), col("doc_b") === col("q.doc_id") && col("p.h") === col("q.h"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("cm"))
-      val sz = sigU.select(col("doc_id"), size(col("hs")).as("sz"))
+      val sz = sigC.select(col("doc_id"), size(col("hs")).as("sz"))
       val pairs = common
-        .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
-        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+        .join(broadcast(sz.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("sz", "sa")), "doc_a")
+        .join(broadcast(sz.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("sz", "sb")), "doc_b")
         .filter(col("cm") / (col("sa") + col("sb") - col("cm")) >= 0.5)
         .select(col("doc_a"), col("doc_b"))
       // 3. incremental component update: only touched labels move
