@@ -142,10 +142,32 @@ object Dedup {
   private[graft] def minhashNearDupDf(docs: DataFrame): DataFrame =
     minhashNearDupFromSets(shingleSetsDf(docs))
 
-  private def minhashNearDupFromSets(shingled: DataFrame): DataFrame = {
+  /** Hot-bucket-capped variant — the skew knob for a real corpus. A
+    * "stop band" (a band key shared by B documents — boilerplate
+    * headers, templated pages) contributes C(B,2) candidate pairs; one
+    * viral template can dominate the whole join. Dropping buckets with
+    * more than `maxBucket` members bounds per-bucket work at
+    * C(maxBucket,2) and keeps the join linear-ish under adversarial
+    * skew. Cost, stated honestly: a pair visible ONLY through hot
+    * buckets is lost — for near-identical template docs that mass
+    * belongs to exact dedup (q21) upstream anyway. DedupSpec pins
+    * capped ≡ uncapped whenever no bucket exceeds the cap, and bounded
+    * candidate work on an adversarial hot-bucket corpus. */
+  private[graft] def minhashNearDupDfCapped(docs: DataFrame, maxBucket: Int): DataFrame =
+    minhashNearDupFromSets(shingleSetsDf(docs), Some(maxBucket))
+
+  private def minhashNearDupFromSets(shingled: DataFrame,
+      maxBucket: Option[Int] = None): DataFrame = {
     val sets = CacheScope.cached(shingled
       .select(col("doc_id"), col("hs"), nearDupBandKeys(col("hs")).as("bands")))
-    val bands = sets.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
+    val allBands = sets.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
+    val bands = maxBucket.fold(allBands) { cap =>
+      // one partial-agg count per bucket; hot buckets leave the index
+      val hot = allBands.groupBy(col("b"), col("key"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+        .select(col("b"), col("key"))
+      allBands.join(hot, Seq("b", "key"), "left_anti")
+    }
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&

@@ -19,6 +19,22 @@ class InstrumentSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("warm ingest dedup shuffles candidate-bounded records, never full corpus postings") {
+    Dedup.ingestDedup(spark, d).count() // warm the salted corpus index
+    val (rows, s) = Instrument.collectWithPlan(Dedup.ingestDedup(spark, d))
+    val corpusPostings = Tables.documents(spark, d)
+      .filter(substring(col("source"), 4, 10).cast("int") < 15)
+      .select(explode(TextOps.shingleHashSet(col("text"), TextOps.NearDupShingleN)))
+      .count()
+    assert(rows.nonEmpty)
+    // the verify join is pruned to candidate docs before the shingle
+    // explode: total shuffled records must stay strictly below even ONE
+    // pass of the corpus posting list
+    assert(s.recordsWritten < corpusPostings,
+      s"shuffled ${s.recordsWritten} records ≥ corpus postings $corpusPostings — " +
+        "the corpus-side verify explode is no longer candidate-pruned")
+  }
+
   test("q03 shape: forcing the broadcast join to shuffle moves strictly more traffic") {
     def q(c: org.apache.spark.sql.DataFrame) =
       Tables.orders(spark, d)
