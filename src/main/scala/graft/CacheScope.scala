@@ -46,9 +46,19 @@ object CacheScope {
 
   /** Register an already-persisted DataFrame for release after the next
     * completed action on its session (for operators that materialize
-    * their cache eagerly and only need the deferred release). */
+    * their cache eagerly and only need the deferred release).
+    *
+    * The listener bus is drained FIRST: an operator that just ran an
+    * internal action (the cluster loop's counts, a cold index build's
+    * writes) would otherwise race that action's still-queued completion
+    * event, which could claim and release the new registration before
+    * the caller's terminal action ever starts. Draining makes "the next
+    * completed action" mean an action completing after this call —
+    * except for actions STILL RUNNING on other threads, whose release
+    * remains the documented over-release (recompute, never wrong). */
   def adopt(df: DataFrame): DataFrame = {
     val s = df.sparkSession
+    org.apache.spark.sql.GraftShim.drainListenerBus(s)
     if (installed.add(s)) s.listenerManager.register(new Releaser(s))
     pending.merge(s, df :: Nil, (neu, old) => neu ::: old)
     val c = capture.get()

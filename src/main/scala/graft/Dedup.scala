@@ -73,14 +73,22 @@ object Dedup {
     pairJaccard(common, sz, 0.6)
   }
 
-  /** jaccard = |∩| / (|A| + |B| − |∩|), thresholded, deterministic
-    * pair order. Sizes are broadcast — they are one row per doc. */
-  private def pairJaccard(common: DataFrame, sz: DataFrame, thr: Double): DataFrame =
+  /** jaccard = |∩| / (|A| + |B| − |∩|), thresholded — the ONE
+    * definition of the dedup family's similarity formula (q22/q46/q23,
+    * ingest dedup, the streaming funnel). `common` carries (doc_a,
+    * doc_b, cm); the size relations are (doc_id, sz) and broadcast —
+    * every call site bounds them to docs that appear in candidates. */
+  private[graft] def jaccardPairs(common: DataFrame, szA: DataFrame,
+      szB: DataFrame, thr: Double): DataFrame =
     common
-      .join(broadcast(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa")), "doc_a")
-      .join(broadcast(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb")), "doc_b")
+      .join(broadcast(szA.toDF("doc_a", "sa")), "doc_a")
+      .join(broadcast(szB.toDF("doc_b", "sb")), "doc_b")
       .withColumn("jacc", col("cm") / (col("sa") + col("sb") - col("cm")))
       .filter(col("jacc") >= thr)
+
+  /** The shaped variant: rounded score, deterministic pair order. */
+  private def pairJaccard(common: DataFrame, sz: DataFrame, thr: Double): DataFrame =
+    jaccardPairs(common, sz, sz, thr)
       .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
@@ -335,6 +343,17 @@ object Dedup {
     * pair graph over an arbitrary doc set (CurateDag runs it on the
     * post-filter survivor set). */
   private[graft] def nearDupClustersDf(docs: DataFrame, pairDf: DataFrame): DataFrame = {
+    val labels = clusterLabels(docs, pairDf)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The label assignment alone — (doc_id, cluster_id), no size/order
+    * epilogue — for callers that only need the mapping
+    * (incrementalClusters' contracted-graph remap). */
+  private[graft] def clusterLabels(docs: DataFrame, pairDf: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     // Lineage truncation: phase() references its input ~4× (symmetrized
     // union + per-node min + re-attach join), so building round N+1
@@ -403,19 +422,15 @@ object Dedup {
       s"components not converged after $rounds star rounds — raise the cap " +
         "(expected O(log n): this indicates a defect, not a deep graph)")
     lastClusterRounds = rounds
-    // the final star forest backs the two result reads below; the
+    // the final star forest backs the caller's label reads; the
     // CacheScope listener releases it after the caller's terminal
     // action (no reliance on a session-level clearCache)
     CacheScope.adopt(eP)
     // star forest: every non-root x has exactly one edge (x, root)
     val lab = e.select(col("x").as("doc_id"), col("y").as("cid"))
-    val labels = docs.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(lab, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
-    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
-    labels.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
-      .orderBy(col("doc_id"))
   }
 
   /** Incremental cluster maintenance — the ingest-time companion of
@@ -455,12 +470,17 @@ object Dedup {
     val touched = contracted.select(col("doc_a").as("doc_id"))
       .union(contracted.select(col("doc_b").as("doc_id"))).distinct()
     // star CC on the contracted graph only — its output maps an old
-    // label to the merged component's label
-    val remap = nearDupClustersDf(touched, contracted)
+    // label to the merged component's label (labels alone: the size
+    // epilogue would be discarded work here)
+    val remap = clusterLabels(touched, contracted)
       .select(col("doc_id").as("cluster_id"), col("cluster_id").as("merged"))
-    val updated = all.join(broadcast(remap), Seq("cluster_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("merged"), col("cluster_id")).as("cluster_id"))
+    // referenced by both the size agg and the final join — cached so the
+    // standing-label scan + remap join runs once, released after the
+    // caller's terminal action
+    val updated = CacheScope.cached(
+      all.join(broadcast(remap), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("merged"), col("cluster_id")).as("cluster_id")))
     val sizes = updated.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
     updated.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
@@ -672,15 +692,10 @@ object Dedup {
       .join(hCorp.as("q"), col("cid") === col("q.doc_id") && col("p.h") === col("q.h"))
       .groupBy(col("did").as("doc_a"), col("cid").as("doc_b"))
       .agg(count(lit(1)).as("cm"))
-    // both size relations are candidate-bounded after the pruning —
-    // broadcast them rather than shuffling `common`
-    val szNew = newSets.select(col("doc_id").as("doc_a"), size(col("hs")).as("sa"))
-    val szCorp = candCorpus.select(col("doc_id").as("doc_b"), size(col("hs")).as("sb"))
-    val nearDup = common
-      .join(broadcast(szNew), "doc_a")
-      .join(broadcast(szCorp), "doc_b")
-      .withColumn("jacc", col("cm") / (col("sa") + col("sb") - col("cm")))
-      .filter(col("jacc") >= 0.5)
+    // both size relations are candidate-bounded after the pruning
+    val szNew = newSets.select(col("doc_id"), size(col("hs")).as("sz"))
+    val szCorp = candCorpus.select(col("doc_id"), size(col("hs")).as("sz"))
+    val nearDup = jaccardPairs(common, szNew, szCorp, 0.5)
       .select(col("doc_a").as("doc_id")).distinct()
     s1.join(nearDup, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"))

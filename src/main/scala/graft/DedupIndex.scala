@@ -50,7 +50,7 @@ object DedupIndex {
     * built once, then loaded from the salted dir. */
   def buildOrLoad(spark: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val p = dir(spark, d)
-    if (!SaltedIndex.complete(spark, p)) build(spark, d, p)
+    SaltedIndex.ensureBuilt(spark, p)(build(spark, d, p))
     (spark.read.parquet(s"$p/keys"),
       spark.read.parquet(s"$p/sets"),
       spark.read.parquet(s"$p/bands"))

@@ -39,7 +39,7 @@ object IvfIndex {
   def buildOrLoad(spark: SparkSession, d: String, nlist: Int, seed: Long)
       : (Seq[(Int, Array[Double])], DataFrame) = {
     val p = dir(spark, d, nlist, seed)
-    if (!complete(spark, p)) build(spark, d, nlist, seed, p)
+    SaltedIndex.ensureBuilt(spark, p)(build(spark, d, nlist, seed, p))
     val centroids = spark.read.parquet(s"$p/centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))

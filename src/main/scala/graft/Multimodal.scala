@@ -92,7 +92,11 @@ object Multimodal {
       var i = 12
       var rate = 0L; var ch = 0L; var block = 0; var frames = 0L; var gotFmt = false
       while (i + 8 <= p.length) {
-        val size = le32(p, i + 4)
+        val size = le32(p, i + 4) // unsigned u32 as Long — NEVER .toInt raw:
+        // a bogus size field (e.g. 0xFFFFFFF8) would overflow Int and
+        // stall the walk or index negatively; anything past the payload
+        // is corrupt → fall back
+        if (size > p.length.toLong) return None
         if (ascii(p, i, "fmt ") && i + 8 + 16 <= p.length && size >= 16) {
           ch = le16(p, i + 10).toLong
           rate = le32(p, i + 12)

@@ -52,7 +52,7 @@ object PqIndex {
   def buildOrLoad(spark: SparkSession, d: String, seed: Long)
       : (Seq[(Int, Int, Array[Double])], DataFrame) = {
     val p = dir(spark, d, seed)
-    if (!complete(spark, p)) build(spark, d, seed, p)
+    SaltedIndex.ensureBuilt(spark, p)(build(spark, d, seed, p))
     val books = spark.read.parquet(s"$p/codebooks")
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))

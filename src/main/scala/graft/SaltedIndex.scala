@@ -48,6 +48,19 @@ object SaltedIndex {
   def complete(spark: SparkSession, p: String): Boolean =
     fs(spark, p).exists(new Path(p, "_SUCCESS"))
 
+  /** Check-then-build with in-JVM serialization: two concurrent cold
+    * callers must not overwrite each other's half-written index (the
+    * loser of the race would mode("overwrite")-delete files the winner
+    * already marked _SUCCESS over). Double-checked under one JVM-wide
+    * lock — builds are rare, so coarse is fine; cross-PROCESS safety
+    * rests on the content-addressed dir scheme (a production deployment
+    * would commit via write-to-temp + atomic rename). */
+  private val buildLock = new Object
+  def ensureBuilt(spark: SparkSession, p: String)(build: => Unit): Unit =
+    if (!complete(spark, p)) buildLock.synchronized {
+      if (!complete(spark, p)) build
+    }
+
   def markSuccess(spark: SparkSession, p: String): Unit =
     fs(spark, p).create(new Path(p, "_SUCCESS"), true).close()
 }

@@ -87,13 +87,15 @@ object CurateStream {
       def hold(df: DataFrame): DataFrame = { // multi-use within this batch
         df.persist(); cached = df :: cached; df
       }
-      seen += batch.count()
+      val b = hold(batch) // the source is not rescanned per counter/stage
+      seen += b.count()
       // 1. row-local gates: quality cascade, eval-split removal, then
       // the broadcast benchmark-shingle probe (no corpus-side state)
-      val keep = TextAnalysis.corpusFilterDf(batch)
+      val keep = TextAnalysis.corpusFilterDf(b)
         .filter(col("verdict") === "keep").select("doc_id")
-      val quality = batch.join(keep, "doc_id")
-        .filter(col("doc_id") % Dedup.EvalMod =!= 0)
+      // read by the counter, the decon probe, and the anti-join left side
+      val quality = hold(b.join(keep, "doc_id")
+        .filter(col("doc_id") % Dedup.EvalMod =!= 0))
       qualityKept += quality.count()
       val flagged = quality
         .select(col("doc_id"), explode(TextOps.shingleHashSet(col("text"), 4)).as("h"))
@@ -133,12 +135,7 @@ object CurateStream {
         .join(h.as("q"), col("doc_b") === col("q.doc_id") && col("p.h") === col("q.h"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("cm"))
       val sz = sigC.select(col("doc_id"), size(col("hs")).as("sz"))
-      val pairs = common
-        .join(broadcast(sz.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("sz", "sa")), "doc_a")
-        .join(broadcast(sz.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("sz", "sb")), "doc_b")
-        .filter(col("cm") / (col("sa") + col("sb") - col("cm")) >= 0.5)
+      val pairs = Dedup.jaccardPairs(common, sz, sz, 0.5)
         .select(col("doc_a"), col("doc_b"))
       // 3. incremental component update: only touched labels move
       val base = graft.operators.MergeUpsert
