@@ -63,13 +63,19 @@ class MultimodalSpec extends SparkSpec {
 
   test("truncated or corrupt media headers fall back instead of throwing") {
     import spark.implicits._
+    // adversarial chunk size: 0xFFFFFFF8 as u32 would overflow Int and
+    // stall the chunk walk (or index negatively) if not range-checked
+    val bogusWav = "RIFF".getBytes ++ le32(36L) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ Array(0xf8, 0xff, 0xff, 0xff).map(_.toByte) ++
+      Array.fill[Byte](16)(0)
     val files = Seq(
       Multimodal.MediaFile(1L, pngBytes(640L, 480L).take(12), "fixture"), // cut inside IHDR
       Multimodal.MediaFile(2L, jpegBytes(10, 10).take(3), "fixture"),
       Multimodal.MediaFile(3L, wavBytes(8000L, 1, 16).take(20), "fixture"),
-      Multimodal.MediaFile(4L, Array[Byte](), "fixture"))
+      Multimodal.MediaFile(4L, Array[Byte](), "fixture"),
+      Multimodal.MediaFile(5L, bogusWav, "fixture"))
     val out = Multimodal.decodeAll(files.toDS()).collect()
-    assert(out.length == 4) // total, no exceptions
+    assert(out.length == 5) // total, no exceptions, no hang
     out.foreach(m => assert(m.sample_rate == 0L || m.format == "wav"))
   }
 
