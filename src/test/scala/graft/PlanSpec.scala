@@ -127,4 +127,31 @@ class PlanSpec extends SparkSpec {
     assert(p63.contains("BroadcastHashJoin"))
     assert(!p63.contains("CartesianProduct") && !p63.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q106: 64-bit simhash pairs via chunk equi-join, native kernel, no nested-loop") {
+    val p = planOf(Dedup.simhash64(spark, d))
+    assert(p.contains("graft_bitvote64"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q107/q109: span queries scan only (doc_id, text); eval side of q107 broadcasts") {
+    val p7 = planOf(Dedup.contamSpans(spark, d))
+    assert(p7.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    assert(p7.contains("BroadcastHashJoin")) // the benchmark shingle probe
+    assert(!p7.contains("BroadcastNestedLoopJoin") && !p7.contains("CartesianProduct"), p7)
+    val p9 = planOf(Dedup.verbatimOverlap(spark, d))
+    assert(p9.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    // the gram-hash inverted-index self-join must stay an equi-join
+    assert(!p9.contains("BroadcastNestedLoopJoin") && !p9.contains("CartesianProduct"), p9)
+  }
+
+  test("q108: count-table joins are EQUI-joins free to degrade to shuffle at scale") {
+    val p = planOf(TextAnalysis.bigramFluency(spark, d))
+    // like q62's vocabulary join: pin the equi-join property, not the
+    // strategy — a 100 TB vocabulary must be able to shuffle
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_")) // both count tables combine map-side
+  }
 }
