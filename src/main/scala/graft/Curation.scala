@@ -106,6 +106,47 @@ object Curation {
   private val MixturePermille =
     Seq(("en", 250L), ("de", 800L), ("es", 800L), ("fr", 800L), ("zh", 800L))
 
+  /** q110 target mixture: desired permille share of each language in
+    * the FINAL training mix (sums to 1000). */
+  private val MixtureTargetPermille =
+    Seq(("en", 400L), ("de", 150L), ("es", 150L), ("fr", 150L), ("zh", 150L))
+
+  /** q110: mixture planning — the budget solver that PRODUCES sampling
+    * rates like `MixturePermille` instead of assuming them. Given
+    * per-language token totals and target shares, the largest
+    * achievable mixture keeps every share exactly: the binding language
+    * is the one whose inventory runs out first
+    * (budget = min_l tokens_l·1000 div share_l), each language plans
+    * budget·share div 1000 tokens, and its sampling rate is
+    * planned·1000 div available. All integer floor arithmetic — the
+    * oracle replays it bit-for-bit — and the binding language always
+    * plans at rate 1000 (pinned in CurationSpec).
+    *
+    * Shape: one linear hash-agg for the token inventory, a broadcast
+    * target join, and a one-row budget scalar re-entering via a
+    * broadcast cross join (the q62 scalar pattern, allowlisted in
+    * PlanSweepSpec). Output is |langs| rows regardless of corpus. */
+  def mixturePlan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val targets = MixtureTargetPermille.toDF("lang", "share_pm")
+    // referenced by the budget scalar AND the final projection: cached
+    // so the corpus token inventory aggregates once
+    val joined = graft.CacheScope.cached(
+      Tables.documentsDist(spark, d)
+        .select(col("lang"), size(toks(col("text"))).cast("long").as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+        .join(broadcast(targets), "lang")
+        .withColumn("feasible", expr("n_tokens * 1000 div share_pm")))
+    val budget = joined.agg(min(col("feasible")).as("budget"))
+    joined.crossJoin(broadcast(budget))
+      .withColumn("planned_tokens", expr("budget * share_pm div 1000"))
+      .withColumn("rate_permille",
+        least(lit(1000L), expr("planned_tokens * 1000 div n_tokens")))
+      .select(col("lang"), col("n_tokens"), col("share_pm"),
+        col("rate_permille"), col("planned_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Deterministic stratified sampling for mixture rebalancing.
     *
     * The sample key is a CONTENT hash (`polyhash(text) % 1000`), not a

@@ -220,6 +220,9 @@ object SparkEntry {
     // ExactSubstr-style cross-doc verbatim overlap: longest shared
     // span via diagonal-grouped runs over the 8-gram inverted index
     "q109_verbatim_overlap" -> (Dedup.verbatimOverlap _),
+    // mixture planning: the integer budget solver producing per-lang
+    // sampling rates from token inventory + target shares
+    "q110_mixture_plan" -> (Curation.mixturePlan _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -506,6 +509,18 @@ object SparkEntry {
          |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
          |       (max(run) + 7)::BIGINT AS span_tokens
          |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q110_mixture_plan" ->
+      """WITH tok AS (SELECT lang, sum(len(regexp_split_to_array(text, ' ')))::BIGINT AS n_tokens
+        |             FROM documents GROUP BY lang),
+        |t(lang, share_pm) AS (VALUES ('en', 400), ('de', 150), ('es', 150), ('fr', 150), ('zh', 150)),
+        |j AS (SELECT lang, n_tokens, share_pm::BIGINT AS share_pm,
+        |             n_tokens * 1000 // share_pm AS feasible
+        |      FROM tok JOIN t USING (lang)),
+        |b AS (SELECT min(feasible) AS budget FROM j)
+        |SELECT lang, n_tokens, share_pm,
+        |       least(1000, (budget * share_pm // 1000) * 1000 // n_tokens)::BIGINT AS rate_permille,
+        |       (budget * share_pm // 1000)::BIGINT AS planned_tokens
+        |FROM j, b ORDER BY lang""".stripMargin,
     "q108_bigram_fluency" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
         |bi AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg, tk[i] AS w1

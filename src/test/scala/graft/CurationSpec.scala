@@ -131,4 +131,21 @@ class CurationSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSet
     assert(got == expect && got.nonEmpty)
   }
+
+  test("mixture plan: feasible, share-exact, and the binding language runs at rate 1000") {
+    val rows = Curation.mixturePlan(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 5)
+    val budget = rows.map { case (_, nt, sh, _, _) => nt * 1000L / sh }.min
+    rows.foreach { case (lang, nTok, share, rate, planned) =>
+      assert(planned <= nTok, s"$lang plans more tokens than it has")
+      assert(planned == budget * share / 1000L, s"$lang share not exact")
+      assert(rate >= 0L && rate <= 1000L)
+      // rate reproduces the plan (floor arithmetic both ways)
+      assert(rate == math.min(1000L, planned * 1000L / nTok))
+    }
+    // the language whose inventory binds the budget samples at full rate
+    val binding = rows.minBy { case (_, nt, sh, _, _) => nt * 1000L / sh }
+    assert(binding._4 >= 999L, s"binding language ${binding._1} not near rate 1000: $binding")
+  }
 }

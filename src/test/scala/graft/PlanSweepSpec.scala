@@ -24,7 +24,9 @@ class PlanSweepSpec extends SparkSpec {
   private val allowed = Map(
     "q26_knn_bruteforce" -> 1, "q33_knn_ivf" -> 2, "q38_knn_topk_agg" -> 1,
     "q48_knn_int8" -> 1, "q62_tfidf_terms" -> 1, "q66_heavy_users" -> 1,
-    "q83_knn_pq" -> 1)
+    "q83_knn_pq" -> 1,
+    // q110: the one-row budget scalar broadcast (|langs| rows × 1)
+    "q110_mixture_plan" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
