@@ -147,6 +147,23 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** q111: deterministic train/val/test split assignment — membership
+    * hangs on a CONTENT hash (salted so it is independent of the q50
+    * sampling cut and the q54 upweight draw), never on row position or
+    * a random draw: re-ingesting, re-sharding, or extending the corpus
+    * can never move a document across the split boundary — the property
+    * that keeps a 100 TB eval split leak-free across pipeline reruns.
+    * 98/1/1 permille split; zero shuffles except the output order. */
+  def splitAssign(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .withColumn("skey", polyHash(concat(lit("split:"), col("text"))) % 1000L)
+      .withColumn("split",
+        when(col("skey") < 980, "train")
+          .when(col("skey") < 990, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("skey"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic stratified sampling for mixture rebalancing.
     *
     * The sample key is a CONTENT hash (`polyhash(text) % 1000`), not a

@@ -223,6 +223,9 @@ object SparkEntry {
     // mixture planning: the integer budget solver producing per-lang
     // sampling rates from token inventory + target shares
     "q110_mixture_plan" -> (Curation.mixturePlan _),
+    // content-hash train/val/test split: reproducible membership under
+    // re-ingestion/re-sharding (98/1/1 permille)
+    "q111_split_assign" -> (Curation.splitAssign _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -509,6 +512,13 @@ object SparkEntry {
          |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
          |       (max(run) + 7)::BIGINT AS span_tokens
          |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q111_split_assign" ->
+      s"""WITH s AS (SELECT doc_id, ${H("'split:' || text")} % 1000 AS skey FROM documents)
+         |SELECT doc_id, skey,
+         |  CASE WHEN skey < 980 THEN 'train'
+         |       WHEN skey < 990 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q110_mixture_plan" ->
       """WITH tok AS (SELECT lang, sum(len(regexp_split_to_array(text, ' ')))::BIGINT AS n_tokens
         |             FROM documents GROUP BY lang),

@@ -48,7 +48,11 @@ object ScaleProbe {
         "q23_dedup_minhash_lsh" -> (Dedup.minhashNearDup _),
         "q24_dedup_simhash" -> (Dedup.simhash _),
         "q46_dedup_jaccard_prefix" -> (Dedup.ngramJaccardPrefix _),
-        "q49_dedup_clusters" -> (Dedup.nearDupClusters _))
+        "q49_dedup_clusters" -> (Dedup.nearDupClusters _),
+        "q56_ingest_dedup" -> (Dedup.ingestDedup _),
+        "q106_dedup_simhash64" -> (Dedup.simhash64 _),
+        "q107_contam_spans" -> (Dedup.contamSpans _),
+        "q109_verbatim_overlap" -> (Dedup.verbatimOverlap _))
     val ratios = qs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, d10)
