@@ -605,6 +605,32 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q112: multi-suite decontamination — q55 refined to the report a
+    * pipeline owner actually reads: benchmark leakage is tracked PER
+    * EVAL SUITE (which benchmark leaked, how badly), not as one pooled
+    * flag. The eval split partitions into 3 deterministic suites; each
+    * contaminated corpus doc reports its shared-shingle count per suite
+    * plus how many distinct suites it touches. Shape is q55's exactly:
+    * (suite, shingle) pairs stay a tiny broadcast; per-suite counts are
+    * conditional aggregations in the one per-doc hash-agg — adding
+    * suites adds columns, never passes. */
+  def deconSuites(spark: SparkSession, d: String): DataFrame = {
+    val (corpus, eval_) = evalSplit(spark, d)
+    val ev = eval_
+      .withColumn("suite", expr(s"(doc_id div $EvalMod) % 3")) // exact int div
+      .select(col("suite"), explode(shingleHashSet(col("text"), 4)).as("h"))
+      .distinct()
+    deconShingles(corpus)
+      .join(broadcast(ev), "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(when(col("suite") === 0, 1)).as("n_suite0"),
+        count(when(col("suite") === 1, 1)).as("n_suite1"),
+        count(when(col("suite") === 2, 1)).as("n_suite2"),
+        countDistinct(col("suite")).as("n_suites"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q90: bloom-filter decontamination — the 100 TB shape of q55 when
     * the benchmark shingle set outgrows an exact broadcast. The eval
     * set's 4-gram hashes build ONE mergeable bloom filter (Spark's own

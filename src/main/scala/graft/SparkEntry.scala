@@ -226,6 +226,9 @@ object SparkEntry {
     // content-hash train/val/test split: reproducible membership under
     // re-ingestion/re-sharding (98/1/1 permille)
     "q111_split_assign" -> (Curation.splitAssign _),
+    // per-benchmark-suite leakage report: q55 with conditional per-suite
+    // counts in the one per-doc hash-agg
+    "q112_decon_suites" -> (Dedup.deconSuites _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -512,6 +515,18 @@ object SparkEntry {
          |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
          |       (max(run) + 7)::BIGINT AS span_tokens
          |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q112_decon_suites" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+3], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) i FROM t)),
+         |ev AS (SELECT DISTINCT (doc_id // 97) % 3 AS suite, h FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id,
+         |  count(*) FILTER (ev.suite = 0) AS n_suite0,
+         |  count(*) FILTER (ev.suite = 1) AS n_suite1,
+         |  count(*) FILTER (ev.suite = 2) AS n_suite2,
+         |  count(DISTINCT ev.suite) AS n_suites
+         |FROM sh s JOIN ev ON ev.h = s.h WHERE s.doc_id % 97 != 0
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "q111_split_assign" ->
       s"""WITH s AS (SELECT doc_id, ${H("'split:' || text")} % 1000 AS skey FROM documents)
          |SELECT doc_id, skey,

@@ -397,6 +397,24 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("multi-suite decon: per-suite counts match a local recompute, doc set ≡ q55") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq.sliding(4)
+        .filter(_.size == 4).map(_.mkString(" ")).toSet).toMap
+    val suiteSets = docs.toSeq.filter(_._1 % 97 == 0)
+      .groupBy { case (id, _) => (id / 97) % 3 }
+      .view.mapValues(_.flatMap(_._2).toSet).toMap
+    val expected = docs.toSeq.collect { case (id, sh) if id % 97 != 0 =>
+      val per = (0L to 2L).map(s => (sh & suiteSets.getOrElse(s, Set.empty)).size.toLong)
+      id -> ((per(0), per(1), per(2), per.count(_ > 0).toLong))
+    }.filter { case (_, (a, b, c, _)) => a + b + c > 0 }.toMap
+    val got = Dedup.deconSuites(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    val q55docs = Dedup.decontaminate(spark, d).collect().map(_.getLong(0)).toSet
+    assert(got.keySet == q55docs)
+  }
+
   test("q90 bloom decontamination: no false negatives vs exact q55, bounded FP overhead") {
     val exact = Dedup.decontaminate(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
