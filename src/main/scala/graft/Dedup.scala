@@ -104,21 +104,25 @@ object Dedup {
     * which is the 100 TB exact-verify path. Equality with `ngramJaccard`
     * is asserted in DedupSpec; the driver hash-checks it as q46. */
   def ngramJaccardPrefix(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val thr = 0.6
     val sets = CacheScope.cached(shingleSets(spark, d))
     val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
     val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // set size via the (tiny, broadcast) sz relation — a count window
-    // over the same partitions would add a second pass over the
-    // exploded postings for a value the persisted sets already know
-    val ranked = sh.join(dfreq, "h")
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+    // rarest-first ranking WITHOUT a window: a row_number window sorts
+    // every shuffle partition of the exploded postings; collecting each
+    // doc's (df, h) pairs through a hash-agg and sorting the (small,
+    // per-doc) array row-locally does the same ranking with the same
+    // single shuffle and no partition-wide sort. Set size via the
+    // (tiny, broadcast) sz relation the persisted sets already know.
+    val prefix = sh.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ranked"))
       .join(broadcast(sz.withColumnRenamed("sz", "s")), "doc_id")
-    val prefix = ranked.filter(col("r") <= col("s") - ceil(lit(thr) * col("s")) + 1)
-      .select(col("doc_id"), col("h"))
+      .select(col("doc_id"),
+        explode(slice(col("ranked"), lit(1),
+          (col("s") - ceil(lit(thr) * col("s")) + 1).cast("int"))).as("p"))
+      .select(col("doc_id"), col("p.h").as("h"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
