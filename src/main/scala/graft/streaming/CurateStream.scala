@@ -187,4 +187,46 @@ object CurateStream {
   def snapshot(spark: SparkSession, storeDir: String): DataFrame =
     graft.operators.MergeUpsert.latestGen(spark, storeDir)
       .getOrElse(sys.error(s"no generations under $storeDir"))
+
+  /** CLI entry: `graft.streaming.CurateStream <workDir> [n] [rowsPerBatch]`
+    * — drain the SynthDocs corpus through the streaming funnel and
+    * print the funnel counts plus the final curated-store size.
+    * Re-running with the same workDir resumes from the checkpoint (and
+    * does nothing if already drained). */
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse("./data/curate-stream")
+    val n = args.lift(1).getOrElse("5000").toLong
+    val rpb = args.lift(2).getOrElse("1000").toLong
+    val spark = SparkSession.builder()
+      .appName("graft-curate-stream")
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import org.apache.spark.sql.functions._
+      def src(read: Boolean) = {
+        val opts = Map("n" -> n.toString, "seed" -> "7", "numPartitions" -> "32",
+          "rowsPerBatch" -> rpb.toString)
+        if (read) spark.read.format("graft.sources.SynthDocs").options(opts).load()
+        else spark.readStream.format("graft.sources.SynthDocs").options(opts).load()
+      }
+      // benchmark shingles compiled offline from the (deterministic) corpus
+      val corpus = src(read = true)
+      val keep = graft.TextAnalysis.corpusFilterDf(corpus)
+        .filter(col("verdict") === "keep").select("doc_id")
+      val evalHashes = corpus.join(keep, "doc_id")
+        .filter(col("doc_id") % Dedup.EvalMod === 0)
+        .select(explode(TextOps.shingleHashSet(col("text"), 4)).as("h"))
+        .distinct()
+      val funnel = drain(src(read = false), evalHashes,
+        s"$work/store", s"$work/ckpt")
+      val kept = snapshot(spark, s"$work/store").count()
+      println(s"[curate-stream] seen=${funnel.seen} quality=${funnel.qualityKept} " +
+        s"decontaminated=${funnel.deconKept} curated_store=$kept (dir=$work/store)")
+    } finally spark.stop()
+  }
 }
