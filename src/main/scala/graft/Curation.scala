@@ -147,6 +147,38 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** q113: ingest drift monitor — a KS-style comparison of the document
+    * length distribution between the standing corpus (source idx < 15)
+    * and the arriving batch (≥ 15), the data-quality gate a pipeline
+    * owner alarms on before appending a batch. Token counts bucket by
+    * tens; each side's CDF is computed in exact integer PERMILLE
+    * (running count · 1000 div total), so the per-bucket |ΔCDF| — whose
+    * max is the KS statistic — is engine-portable with no float drift.
+    * Shape: one hash-agg over the corpus (conditional per-side counts),
+    * then windows over the (tiny) bucket table only. */
+  def lengthDrift(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isNew = substring(col("source"), 4, 10).cast("int") >= 15
+    val buckets = Tables.documentsDist(spark, d)
+      .select(expr("CAST(size(split(text, ' ')) AS BIGINT) div 10").as("bucket"),
+        isNew.as("is_new"))
+      .groupBy(col("bucket"))
+      .agg(count(when(!col("is_new"), 1)).as("n_old"),
+        count(when(col("is_new"), 1)).as("n_new"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("cum_old", sum(col("n_old")).over(w))
+      .withColumn("cum_new", sum(col("n_new")).over(w))
+      .withColumn("tot_old", sum(col("n_old")).over(Window.partitionBy()))
+      .withColumn("tot_new", sum(col("n_new")).over(Window.partitionBy()))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        expr("cum_old * 1000 div tot_old").as("cdf_old_pm"),
+        expr("cum_new * 1000 div tot_new").as("cdf_new_pm"))
+      .withColumn("drift_pm", abs(col("cdf_old_pm") - col("cdf_new_pm")))
+      .orderBy(col("bucket"))
+  }
+
   /** q111: deterministic train/val/test split assignment — membership
     * hangs on a CONTENT hash (salted so it is independent of the q50
     * sampling cut and the q54 upweight draw), never on row position or

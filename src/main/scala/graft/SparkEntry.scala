@@ -229,6 +229,9 @@ object SparkEntry {
     // per-benchmark-suite leakage report: q55 with conditional per-suite
     // counts in the one per-doc hash-agg
     "q112_decon_suites" -> (Dedup.deconSuites _),
+    // KS-style ingest drift monitor: corpus-vs-batch length CDFs in
+    // exact integer permille
+    "q113_length_drift" -> (Curation.lengthDrift _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -515,6 +518,25 @@ object SparkEntry {
          |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
          |       (max(run) + 7)::BIGINT AS span_tokens
          |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q113_length_drift" ->
+      """WITH b AS (SELECT len(regexp_split_to_array(text, ' '))::BIGINT // 10 AS bucket,
+        |                  substr(source, 4)::INT >= 15 AS is_new
+        |           FROM documents),
+        |g AS (SELECT bucket,
+        |             count(*) FILTER (NOT is_new) AS n_old,
+        |             count(*) FILTER (is_new) AS n_new
+        |      FROM b GROUP BY bucket),
+        |c AS (SELECT bucket, n_old, n_new,
+        |             sum(n_old) OVER (ORDER BY bucket)::BIGINT AS cum_old,
+        |             sum(n_new) OVER (ORDER BY bucket)::BIGINT AS cum_new,
+        |             sum(n_old) OVER ()::BIGINT AS tot_old,
+        |             sum(n_new) OVER ()::BIGINT AS tot_new
+        |      FROM g)
+        |SELECT bucket, n_old, n_new,
+        |       cum_old * 1000 // tot_old AS cdf_old_pm,
+        |       cum_new * 1000 // tot_new AS cdf_new_pm,
+        |       abs(cum_old * 1000 // tot_old - cum_new * 1000 // tot_new) AS drift_pm
+        |FROM c ORDER BY bucket""".stripMargin,
     "q112_decon_suites" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
          |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+3], ' ')")} AS h

@@ -132,6 +132,29 @@ class CurationSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("length drift: permille CDFs match a local recompute, end at 1000, drift is |Δ|") {
+    val toks = Tables.documents(spark, d).select("source", "text").collect()
+      .map(r => (r.getString(0).drop(3).toInt >= 15,
+        r.getString(1).split(" ", -1).length.toLong / 10L))
+    def cdf(side: Boolean) = {
+      val counts = toks.filter(_._1 == side).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val total = counts.values.sum
+      (counts, total)
+    }
+    val (oldC, oldT) = cdf(false)
+    val (newC, newT) = cdf(true)
+    val rows = Curation.lengthDrift(spark, d).collect()
+    var (cumO, cumN) = (0L, 0L)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      cumO += oldC.getOrElse(b, 0L); cumN += newC.getOrElse(b, 0L)
+      assert(r.getLong(1) == oldC.getOrElse(b, 0L) && r.getLong(2) == newC.getOrElse(b, 0L))
+      assert(r.getLong(3) == cumO * 1000L / oldT && r.getLong(4) == cumN * 1000L / newT)
+      assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)))
+    }
+    assert(rows.last.getLong(3) == 1000L && rows.last.getLong(4) == 1000L)
+  }
+
   test("mixture plan: feasible, share-exact, and the binding language runs at rate 1000") {
     val rows = Curation.mixturePlan(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
