@@ -689,9 +689,20 @@ object Dedup {
     * DedupSpec). Both sides are blocked by band keys (the corpus never
     * self-joins), and the exact-text pass catches sub-shingle-length
     * docs the MinHash path can't see. */
-  def ingestDedup(spark: SparkSession, d: String): DataFrame = {
+  def ingestDedup(spark: SparkSession, d: String): DataFrame =
+    ingestDedupDf(Tables.documentsDist(spark, d).filter(!DedupIndex.isCorpus), spark, d)
+
+  /** Batch-in variant: dedup an arriving (doc_id, lang, …, text) batch
+    * against the persisted standing-corpus index. Because the batch is
+    * ONLY compared to the corpus (never to itself — within-batch dups
+    * are the upstream exact/near-dup stages' job), the operator is
+    * embarrassingly parallel across batches: any partition of the
+    * arriving docs into micro-batches yields the same union of
+    * survivors, which is what makes the STREAMING twin (DocStream
+    * foreachBatch) trivially ≡ batch (DocStreamSpec). */
+  private[graft] def ingestDedupDf(fresh: DataFrame, spark: SparkSession,
+      d: String): DataFrame = {
     val (corpusKeys, corpusSets, corpusBands) = DedupIndex.buildOrLoad(spark, d)
-    val fresh = Tables.documentsDist(spark, d).filter(!DedupIndex.isCorpus)
     // 1. exact text match against the persisted corpus keys (anti-join)
     val s1 = fresh.join(corpusKeys, lower(fresh("text")) === col("k"), "left_anti")
     // 2. near-dup vs corpus: batch-side signatures only; read by the

@@ -47,6 +47,22 @@ object DocStream {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
 
+  /** Streaming ingest dedup — the q56 twin on an arriving-documents
+    * stream: each micro-batch probes the PERSISTED standing-corpus
+    * DedupIndex (exact keys, shingle sets, band keys — built once per
+    * corpus version) and appends its survivors. Correctness rides on
+    * q56's own contract: the batch is only ever compared to the
+    * CORPUS, so any micro-batch partitioning of the arriving docs
+    * yields the same survivor union — the sink is append-only and
+    * batch-boundary-independent (asserted ≡ batch q56 in
+    * DocStreamSpec). At 100 TB this is the steady-state ingest path:
+    * per trigger, O(batch) signature work + index probes, zero
+    * corpus-side recompute. */
+  def ingestSink(spark: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.Dedup.ingestDedupDf(batch, spark, d)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+
   /** One exploded (band, key) posting of a document's LSH signature. */
   final case class BandPosting(
       b: Int, key: Long, doc_id: Long, ts: Timestamp, mh: Seq[Long])

@@ -76,6 +76,36 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup ≡ batch q56: per-batch index probes, append-only survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("ingest-stream").toString
+    val fresh = Tables.documents(spark, d)
+      .filter(substring(col("source"), 4, 10).cast("int") >= 15)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_chars").cast("long").as("n_chars"))
+      .as[SDoc].collect().toSeq
+    val mem = MemoryStream[SDoc](spark)
+    val q = mem.toDF().writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .foreachBatch(DocStream.ingestSink(spark, d, s"$out/surv") _)
+      .start()
+    try {
+      // three arbitrary micro-batches: q56 compares the batch only to
+      // the CORPUS, so the survivor union must be partition-independent
+      fresh.grouped(math.max(1, fresh.size / 3 + 1)).foreach { c =>
+        mem.addData(c: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamSurv = spark.read.parquet(s"$out/surv")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchSurv = Dedup.ingestDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamSurv == batchSurv && streamSurv.nonEmpty)
+  }
+
   test("streaming decontamination flags exactly the batch q55 doc set") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
