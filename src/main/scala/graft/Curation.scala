@@ -156,22 +156,33 @@ object Curation {
     * max is the KS statistic — is engine-portable with no float drift.
     * Shape: one hash-agg over the corpus (conditional per-side counts),
     * then windows over the (tiny) bucket table only. */
-  def lengthDrift(spark: SparkSession, d: String): DataFrame = {
+  def lengthDrift(spark: SparkSession, d: String): DataFrame =
+    lengthDriftDf(Tables.documentsDist(spark, d))
+
+  private[graft] def lengthDriftDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val isNew = substring(col("source"), 4, 10).cast("int") >= 15
-    val buckets = Tables.documentsDist(spark, d)
+    val buckets = docs
       .select(expr("CAST(size(split(text, ' ')) AS BIGINT) div 10").as("bucket"),
-        isNew.as("is_new"))
+        // ONE definition of the corpus/batch membership rule (q56's)
+        (!graft.DedupIndex.isCorpus).as("is_new"))
       .groupBy(col("bucket"))
       .agg(count(when(!col("is_new"), 1)).as("n_old"),
         count(when(col("is_new"), 1)).as("n_new"))
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // an EMPTY side is a misconfigured monitor, not zero drift: fail
+    // loudly (like the oracle's division-by-zero) instead of silently
+    // emitting all-NULL CDFs that an alarm gate would read as calm
+    def checked(c: String, side: String) =
+      when(col(c) > 0, col(c)).otherwise(raise_error(
+        lit(s"lengthDrift: the $side side of the corpus/batch split is empty")))
     buckets
       .withColumn("cum_old", sum(col("n_old")).over(w))
       .withColumn("cum_new", sum(col("n_new")).over(w))
-      .withColumn("tot_old", sum(col("n_old")).over(Window.partitionBy()))
-      .withColumn("tot_new", sum(col("n_new")).over(Window.partitionBy()))
+      .withColumn("tot_old_raw", sum(col("n_old")).over(Window.partitionBy()))
+      .withColumn("tot_new_raw", sum(col("n_new")).over(Window.partitionBy()))
+      .withColumn("tot_old", checked("tot_old_raw", "corpus"))
+      .withColumn("tot_new", checked("tot_new_raw", "arriving-batch"))
       .select(col("bucket"), col("n_old"), col("n_new"),
         expr("cum_old * 1000 div tot_old").as("cdf_old_pm"),
         expr("cum_new * 1000 div tot_new").as("cdf_new_pm"))

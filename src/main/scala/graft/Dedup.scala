@@ -346,8 +346,11 @@ object Dedup {
   /** DataFrame-in variant: components of an arbitrary (doc_a, doc_b)
     * pair graph over an arbitrary doc set (CurateDag runs it on the
     * post-filter survivor set). */
-  private[graft] def nearDupClustersDf(docs: DataFrame, pairDf: DataFrame): DataFrame = {
-    val labels = clusterLabels(docs, pairDf)
+  private[graft] def nearDupClustersDf(docs: DataFrame, pairDf: DataFrame): DataFrame =
+    withSizes(clusterLabels(docs, pairDf))
+
+  /** The shared (doc_id, cluster_id, cluster_n) result epilogue. */
+  private def withSizes(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
@@ -485,10 +488,7 @@ object Dedup {
       all.join(broadcast(remap), Seq("cluster_id"), "left")
         .select(col("doc_id"),
           coalesce(col("merged"), col("cluster_id")).as("cluster_id")))
-    val sizes = updated.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
-    updated.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
-      .orderBy(col("doc_id"))
+    withSizes(updated)
   }
 
   /** Eval-set decontamination: flag corpus documents sharing any

@@ -92,21 +92,25 @@ object Multimodal {
       var i = 12
       var rate = 0L; var ch = 0L; var block = 0; var frames = 0L; var gotFmt = false
       while (i + 8 <= p.length) {
-        val size = le32(p, i + 4) // unsigned u32 as Long — NEVER .toInt raw:
-        // a bogus size field (e.g. 0xFFFFFFF8) would overflow Int and
-        // stall the walk or index negatively; anything past the payload
-        // is corrupt → fall back
-        if (size > p.length.toLong) return None
+        val size = le32(p, i + 4) // unsigned u32 as Long — never .toInt raw
         if (ascii(p, i, "fmt ") && i + 8 + 16 <= p.length && size >= 16) {
           ch = le16(p, i + 10).toLong
           rate = le32(p, i + 12)
           block = le16(p, i + 20)
           gotFmt = true
         } else if (ascii(p, i, "data") && gotFmt && block > 0) {
+          // a data chunk may legitimately declare MORE than the payload
+          // holds (file truncated mid-download): clamp, don't reject —
+          // the header metadata is still real
           frames = math.min(size, (p.length - i - 8).toLong) / block
           return Some(MediaMeta(0L, p.length.toLong, "wav", 0L, 0L, frames, rate, ch))
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // advance in Long: a bogus u32 size (e.g. 0xFFFFFFF8) must not
+        // overflow Int into a stalled walk or a negative index; walking
+        // past the last complete chunk header falls back
+        val next = i.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+        if (next + 8L > p.length.toLong) return None
+        i = next.toInt
       }
       None
     }

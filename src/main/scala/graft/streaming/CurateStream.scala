@@ -177,10 +177,16 @@ object CurateStream {
     * snapshot is the newest `gen=` dir under `storeDir`. */
   def drain(stream: DataFrame, evalHashes: DataFrame, storeDir: String,
       checkpoint: String): Funnel = {
-    val (q, funnel) = start(stream, evalHashes, storeDir, checkpoint,
-      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-    q.awaitTermination()
-    funnel
+    // the benchmark shingle set probes EVERY micro-batch: persist for
+    // the run so its (possibly corpus-sized) derivation executes once,
+    // not once per batch; released when the stream finishes
+    evalHashes.persist()
+    try {
+      val (q, funnel) = start(stream, evalHashes, storeDir, checkpoint,
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      funnel
+    } finally evalHashes.unpersist()
   }
 
   /** Newest snapshot generation (the curated store). */

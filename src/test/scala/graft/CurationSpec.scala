@@ -155,6 +155,15 @@ class CurationSpec extends SparkSpec {
     assert(rows.last.getLong(3) == 1000L && rows.last.getLong(4) == 1000L)
   }
 
+  test("length drift fails loudly when a split side is empty — never silent-null calm") {
+    import spark.implicits._
+    val onlyCorpus = Seq((1L, "src01", "a b c d e"), (2L, "src02", "f g h i j"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[Exception](Curation.lengthDriftDf(onlyCorpus).collect())
+    assert(e.getMessage.contains("arriving-batch") ||
+      String.valueOf(e.getCause).contains("arriving-batch"), e.toString)
+  }
+
   test("mixture plan: feasible, share-exact, and the binding language runs at rate 1000") {
     val rows = Curation.mixturePlan(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

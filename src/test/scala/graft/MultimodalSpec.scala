@@ -61,6 +61,17 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == Multimodal.FakeCodec.decode(4L, "not media at all".getBytes))
   }
 
+  test("a WAV truncated mid-data keeps its real header metadata, frames clamped") {
+    import spark.implicits._
+    // declared data size 1000, only 40 bytes actually present (block=2)
+    val full = wavBytes(16000L, 1, 1000)
+    val cut = full.take(44 + 40)
+    val out = Multimodal.decodeAll(Seq(Multimodal.MediaFile(1L, cut, "f")).toDS())
+      .collect().head
+    assert(out.format == "wav" && out.sample_rate == 16000L && out.n_channels == 1L)
+    assert(out.n_frames == 40L / 2L) // clamped to the bytes that exist
+  }
+
   test("truncated or corrupt media headers fall back instead of throwing") {
     import spark.implicits._
     // adversarial chunk size: 0xFFFFFFF8 as u32 would overflow Int and
