@@ -194,6 +194,53 @@ object CurateStream {
     graft.operators.MergeUpsert.latestGen(spark, storeDir)
       .getOrElse(sys.error(s"no generations under $storeDir"))
 
+  /** Maintenance: compact the append-only state stores. Batch dirs
+    * STRICTLY BELOW `upTo` merge into one dir keyed by the newest
+    * absorbed id (so a later batch's `< batchId` state read sees
+    * identical content), then the absorbed dirs are removed.
+    * Run it between triggers for batches the checkpoint has already
+    * committed — `upTo` must not exceed the committed watermark, since
+    * a REPLAY of a batch ≥ upTo reads state < batchId which the
+    * compacted dir still serves byte-equivalently, while a replay
+    * below upTo can no longer occur by definition of committed.
+    * Keeps the per-batch standing-state read at O(live state) instead
+    * of O(number of batches ever). */
+  def compactState(spark: SparkSession, storeDir: String, upTo: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    Seq("sigs", "surv").foreach { store =>
+      val root = s"$storeDir/state/$store"
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new Path(root))) {
+        val ids = fs.listStatus(new Path(root)).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+          .filter(_ < upTo)
+        if (ids.size > 1) {
+          val merged = spark.read.option("basePath", root).parquet(root)
+            .filter(org.apache.spark.sql.functions.col("batch") < upTo)
+            .drop("batch")
+          // write-then-swap: the merged dir lands under a temp name and
+          // only replaces the live dirs after a complete write
+          val tmp = s"$root/.compact-tmp"
+          merged.write.mode("overwrite").parquet(tmp)
+          ids.foreach(i => fs.delete(new Path(s"$root/batch=$i"), true))
+          fs.rename(new Path(tmp), new Path(s"$root/batch=${ids.max}"))
+        }
+      }
+    }
+    // label generations: only the newest one below upTo is ever read
+    val lroot = s"$storeDir/state/labels"
+    val lfs = new Path(lroot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (lfs.exists(new Path(lroot))) {
+      val gens = lfs.listStatus(new Path(lroot)).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("gen=") => n.stripPrefix("gen=").toLong }
+        .filter(_ < upTo)
+      gens.sorted.dropRight(1)
+        .foreach(g => lfs.delete(new Path(s"$lroot/gen=$g"), true))
+    }
+  }
+
   /** CLI entry: `graft.streaming.CurateStream <workDir> [n] [rowsPerBatch]`
     * — drain the SynthDocs corpus through the streaming funnel and
     * print the funnel counts plus the final curated-store size.

@@ -75,16 +75,30 @@ class CurateStreamSpec extends SparkSpec {
     def stream() = spark.readStream.format("graft.sources.SynthDocs")
       .option("n", n.toString).option("seed", "11").option("numPartitions", "4")
       .option("rowsPerBatch", "150").load()
-    // first incarnation: default trigger, killed after ≥ 1 committed batch
+    // first incarnation: default trigger, killed after ≥ 3 WRITTEN
+    // state batches (the dirs lag the seen counter by a batch tail)
     val (q1, f1) = streaming.CurateStream.start(stream(), evalHashes,
       s"$tmp/store", s"$tmp/ckpt")
+    val sigRoot = new org.apache.hadoop.fs.Path(s"$tmp/store/state/sigs")
+    val fs = sigRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sigDirs() = if (!fs.exists(sigRoot)) Seq.empty[Long]
+      else fs.listStatus(sigRoot).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (f1.seen < 150 && System.nanoTime() < deadline) Thread.sleep(50)
+    while (sigDirs().size < 3 && System.nanoTime() < deadline) Thread.sleep(50)
     q1.stop()
-    assert(f1.seen >= 150, "first incarnation never committed a batch")
+    assert(f1.seen >= 450, "first incarnation never committed three batches")
+    // maintenance between incarnations: compact everything below the
+    // newest written batch (the conservative committed watermark) —
+    // the resumed stream must read byte-equivalent standing state
+    val before = sigDirs()
+    streaming.CurateStream.compactState(spark, s"$tmp/store", before.max)
+    val after = sigDirs()
+    assert(after.size < before.size, s"compaction absorbed nothing: $before -> $after")
+    assert(after.count(_ < before.max) == 1, s"expected one compacted dir below the watermark: $after")
     // second incarnation: FRESH funnel (no in-memory state), same
     // checkpoint + store — resumes from the committed offset and the
-    // on-disk state generations, drains the rest
+    // (compacted) on-disk state generations, drains the rest
     val f2 = streaming.CurateStream.drain(stream(), evalHashes,
       s"$tmp/store", s"$tmp/ckpt")
     assert(f1.seen + f2.seen >= n, "restart lost or skipped documents")
