@@ -211,20 +211,37 @@ object CurateStream {
       val root = s"$storeDir/state/$store"
       val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(new Path(root))) {
-        val ids = fs.listStatus(new Path(root)).toSeq
+        def dirIds() = fs.listStatus(new Path(root)).toSeq
           .map(_.getPath.getName)
           .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
-          .filter(_ < upTo)
+        // SELF-HEALING swap protocol: the merged data lands under the
+        // hidden `.compact-tmp-<t>` (t = the id it will replace), so a
+        // crash at ANY point leaves a recoverable state — if the target
+        // dir is gone the rename completes (the tmp holds everything),
+        // if it still exists the tmp is stale and drops; either way,
+        // every dir strictly below t is subsumed by t and deletes.
+        // Hidden names are invisible to partition discovery, and the
+        // caller contract (run between triggers, below the committed
+        // watermark) means no concurrent reader mid-swap.
+        fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith(".compact-tmp-") =>
+            n.stripPrefix(".compact-tmp-").toLong }
+          .foreach { t =>
+            if (!fs.exists(new Path(s"$root/batch=$t")))
+              fs.rename(new Path(s"$root/.compact-tmp-$t"), new Path(s"$root/batch=$t"))
+            else fs.delete(new Path(s"$root/.compact-tmp-$t"), true)
+            dirIds().filter(_ < t)
+              .foreach(i => fs.delete(new Path(s"$root/batch=$i"), true))
+          }
+        val ids = dirIds().filter(_ < upTo)
         if (ids.size > 1) {
+          val t = ids.max
           val merged = spark.read.option("basePath", root).parquet(root)
             .filter(org.apache.spark.sql.functions.col("batch") < upTo)
             .drop("batch")
-          // write-then-swap: the merged dir lands under a temp name and
-          // only replaces the live dirs after a complete write
-          val tmp = s"$root/.compact-tmp"
-          merged.write.mode("overwrite").parquet(tmp)
+          merged.write.mode("overwrite").parquet(s"$root/.compact-tmp-$t")
           ids.foreach(i => fs.delete(new Path(s"$root/batch=$i"), true))
-          fs.rename(new Path(tmp), new Path(s"$root/batch=${ids.max}"))
+          fs.rename(new Path(s"$root/.compact-tmp-$t"), new Path(s"$root/batch=$t"))
         }
       }
     }

@@ -115,6 +115,37 @@ class CurateStreamSpec extends SparkSpec {
     assert(streamRows.nonEmpty && streamRows == batchRows)
   }
 
+  test("compaction crash-recovery: an interrupted swap heals on the next call") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files.createTempDirectory("compact-crash").toString
+    val root = s"$tmp/store/state/sigs"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // three committed state batches
+    (0 to 2).foreach { i =>
+      Seq((i.toLong, s"t$i")).toDF("doc_id", "x")
+        .write.parquet(s"$root/batch=$i")
+    }
+    // simulate a crash AFTER the merged tmp was fully written and the
+    // absorbed dirs deleted, but BEFORE the rename landed
+    Seq((0L, "t0"), (1L, "t1")).toDF("doc_id", "x")
+      .write.parquet(s"$root/.compact-tmp-1")
+    fs.delete(new Path(s"$root/batch=0"), true)
+    fs.delete(new Path(s"$root/batch=1"), true)
+    // the next maintenance call must heal: tmp becomes batch=1
+    streaming.CurateStream.compactState(spark, s"$tmp/store", 3L)
+    val rows = spark.read.option("basePath", root).parquet(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(0L, 1L, 2L), s"recovered state lost rows: $rows")
+    assert(!fs.exists(new Path(s"$root/.compact-tmp-1")))
+    // and the stale-tmp path: tmp exists while its target also exists
+    Seq((99L, "zz")).toDF("doc_id", "x").write.parquet(s"$root/.compact-tmp-2")
+    streaming.CurateStream.compactState(spark, s"$tmp/store", 3L)
+    val rows2 = spark.read.option("basePath", root).parquet(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows2 == Set(0L, 1L, 2L), s"stale tmp corrupted state: $rows2")
+  }
+
   test("stream curation funnel ≡ batch CurateDag on the drained corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("curate-stream").toString
     val n = 1500L
