@@ -39,4 +39,7 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
   releasedAfterAction("ingestDedup", () => Dedup.ingestDedup(spark, dir))
   releasedAfterAction("nearDupClusters", () => Dedup.nearDupClusters(spark, dir))
   releasedAfterAction("lshTopK", () => Similarity.lshTopK(spark, dir))
+  releasedAfterAction("bigramFluency", () => TextAnalysis.bigramFluency(spark, dir))
+  releasedAfterAction("mixturePlan", () => Curation.mixturePlan(spark, dir))
+  releasedAfterAction("verbatimOverlap", () => Dedup.verbatimOverlap(spark, dir))
 }
