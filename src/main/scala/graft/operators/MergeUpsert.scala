@@ -86,16 +86,26 @@ object MergeUpsert {
       .write.mode("overwrite").parquet(s"$statePath/gen=$batchId")
   }
 
+  /** The ids of `<prefix>=<id>` children under `root` — the ONE
+    * definition of the generation/batch dir naming scheme (used by the
+    * upsert sink, the streaming funnel's state reads, and state
+    * compaction). */
+  private[graft] def listIds(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, prefix: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"$prefix=") =>
+        n.stripPrefix(s"$prefix=").toLong }
+  }
+
   /** Newest generation table (optionally among gens strictly below
     * `before`); None when no generation exists yet. */
   def latestGen(spark: SparkSession, statePath: String,
       before: Option[Long] = None): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(statePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("gen=") => n.stripPrefix("gen=").toLong }
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listIds(fs, statePath, "gen")
       .filter(g => before.forall(g < _))
       .maxOption
       .map(g => spark.read.parquet(s"$statePath/gen=$g"))

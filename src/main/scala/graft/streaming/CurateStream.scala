@@ -70,13 +70,9 @@ object CurateStream {
       * batch's own half-written dir is excluded by the id filter. */
     private def committed(spark: SparkSession, path: String, part: String,
         before: Long): Option[DataFrame] = {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val has = fs.exists(root) && fs.listStatus(root).exists { s =>
-        val n = s.getPath.getName
-        n.startsWith(s"$part=") && n.stripPrefix(s"$part=").toLong < before
-      }
-      if (!has) None
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!graft.operators.MergeUpsert.listIds(fs, path, part).exists(_ < before)) None
       else Some(spark.read.option("basePath", path).parquet(path)
         .filter(col(part) < before).drop(part))
     }
@@ -207,55 +203,72 @@ object CurateStream {
     * of O(number of batches ever). */
   def compactState(spark: SparkSession, storeDir: String, upTo: Long): Unit = {
     import org.apache.hadoop.fs.Path
+    import graft.operators.MergeUpsert.listIds
     Seq("sigs", "surv").foreach { store =>
       val root = s"$storeDir/state/$store"
       val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(new Path(root))) {
-        def dirIds() = fs.listStatus(new Path(root)).toSeq
-          .map(_.getPath.getName)
-          .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
-        // SELF-HEALING swap protocol: the merged data lands under the
-        // hidden `.compact-tmp-<t>` (t = the id it will replace), so a
-        // crash at ANY point leaves a recoverable state — if the target
-        // dir is gone the rename completes (the tmp holds everything),
-        // if it still exists the tmp is stale and drops; either way,
-        // every dir strictly below t is subsumed by t and deletes.
-        // Hidden names are invisible to partition discovery, and the
-        // caller contract (run between triggers, below the committed
-        // watermark) means no concurrent reader mid-swap.
+        def renamed(a: Path, b: Path): Unit =
+          require(fs.rename(a, b), s"compactState: rename $a -> $b failed")
+        // SELF-HEALING swap protocol. Invariants that make every crash
+        // window recoverable:
+        //  - the merged dir carries a `_COMPACTED` marker (written into
+        //    the hidden tmp BEFORE the swap), declaring "this dir
+        //    subsumes every id below mine" independently of the tmp;
+        //  - the target dir `batch=t` is deleted FIRST among the
+        //    absorbed dirs, so `tmp exists && batch=t exists` proves no
+        //    delete has happened yet (originals complete → drop tmp),
+        //    while `batch=t` missing proves the tmp is the only
+        //    complete copy (→ finish the rename).
+        // Hidden/underscore names are invisible to partition discovery,
+        // and the caller contract (between triggers, below the
+        // committed watermark) means no concurrent reader mid-swap.
+        // Heal 1: a marker dir subsumes everything below it — absorbed
+        // dirs surviving an interrupted cleanup delete here, never
+        // reaching a reader as duplicates.
+        listIds(fs, root, "batch").sorted.reverse.foreach { m =>
+          if (fs.exists(new Path(s"$root/batch=$m/_COMPACTED")))
+            listIds(fs, root, "batch").filter(_ < m)
+              .foreach(i => fs.delete(new Path(s"$root/batch=$i"), true))
+        }
+        // Heal 2: an orphaned tmp either drops (originals intact) or
+        // completes its swap (originals partially gone).
         fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
           .collect { case n if n.startsWith(".compact-tmp-") =>
             n.stripPrefix(".compact-tmp-").toLong }
           .foreach { t =>
-            if (!fs.exists(new Path(s"$root/batch=$t")))
-              fs.rename(new Path(s"$root/.compact-tmp-$t"), new Path(s"$root/batch=$t"))
-            else fs.delete(new Path(s"$root/.compact-tmp-$t"), true)
-            dirIds().filter(_ < t)
-              .foreach(i => fs.delete(new Path(s"$root/batch=$i"), true))
+            if (fs.exists(new Path(s"$root/batch=$t")))
+              fs.delete(new Path(s"$root/.compact-tmp-$t"), true)
+            else {
+              require(fs.exists(new Path(s"$root/.compact-tmp-$t/_COMPACTED")),
+                s"compactState: $root/batch=$t missing and tmp incomplete — " +
+                  "state needs manual recovery")
+              renamed(new Path(s"$root/.compact-tmp-$t"), new Path(s"$root/batch=$t"))
+              listIds(fs, root, "batch").filter(_ < t)
+                .foreach(i => fs.delete(new Path(s"$root/batch=$i"), true))
+            }
           }
-        val ids = dirIds().filter(_ < upTo)
+        val ids = listIds(fs, root, "batch").filter(_ < upTo)
         if (ids.size > 1) {
           val t = ids.max
           val merged = spark.read.option("basePath", root).parquet(root)
             .filter(org.apache.spark.sql.functions.col("batch") < upTo)
             .drop("batch")
           merged.write.mode("overwrite").parquet(s"$root/.compact-tmp-$t")
-          ids.foreach(i => fs.delete(new Path(s"$root/batch=$i"), true))
-          fs.rename(new Path(s"$root/.compact-tmp-$t"), new Path(s"$root/batch=$t"))
+          fs.create(new Path(s"$root/.compact-tmp-$t/_COMPACTED"), true).close()
+          fs.delete(new Path(s"$root/batch=$t"), true) // target FIRST — see invariant
+          ids.filter(_ != t).foreach(i => fs.delete(new Path(s"$root/batch=$i"), true))
+          renamed(new Path(s"$root/.compact-tmp-$t"), new Path(s"$root/batch=$t"))
         }
       }
     }
     // label generations: only the newest one below upTo is ever read
     val lroot = s"$storeDir/state/labels"
-    val lfs = new Path(lroot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (lfs.exists(new Path(lroot))) {
-      val gens = lfs.listStatus(new Path(lroot)).toSeq
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("gen=") => n.stripPrefix("gen=").toLong }
-        .filter(_ < upTo)
-      gens.sorted.dropRight(1)
-        .foreach(g => lfs.delete(new Path(s"$lroot/gen=$g"), true))
-    }
+    val lfs = new org.apache.hadoop.fs.Path(lroot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.MergeUpsert.listIds(lfs, lroot, "gen")
+      .filter(_ < upTo).sorted.dropRight(1)
+      .foreach(g => lfs.delete(new org.apache.hadoop.fs.Path(s"$lroot/gen=$g"), true))
   }
 
   /** CLI entry: `graft.streaming.CurateStream <workDir> [n] [rowsPerBatch]`

@@ -115,35 +115,52 @@ class CurateStreamSpec extends SparkSpec {
     assert(streamRows.nonEmpty && streamRows == batchRows)
   }
 
-  test("compaction crash-recovery: an interrupted swap heals on the next call") {
+  test("compaction crash-recovery: every interrupted-swap window heals without loss or duplicates") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
     val tmp = java.nio.file.Files.createTempDirectory("compact-crash").toString
     val root = s"$tmp/store/state/sigs"
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // three committed state batches
-    (0 to 2).foreach { i =>
-      Seq((i.toLong, s"t$i")).toDF("doc_id", "x")
-        .write.parquet(s"$root/batch=$i")
+    def writeBatch(i: Long, rows: Seq[Long], marker: Boolean = false): Unit = {
+      rows.map(r => (r, s"t$r")).toDF("doc_id", "x").write
+        .mode("overwrite").parquet(s"$root/batch=$i")
+      if (marker) fs.create(new Path(s"$root/batch=$i/_COMPACTED"), true).close()
     }
-    // simulate a crash AFTER the merged tmp was fully written and the
-    // absorbed dirs deleted, but BEFORE the rename landed
-    Seq((0L, "t0"), (1L, "t1")).toDF("doc_id", "x")
-      .write.parquet(s"$root/.compact-tmp-1")
-    fs.delete(new Path(s"$root/batch=0"), true)
-    fs.delete(new Path(s"$root/batch=1"), true)
-    // the next maintenance call must heal: tmp becomes batch=1
+    def writeTmp(t: Long, rows: Seq[Long]): Unit = {
+      rows.map(r => (r, s"t$r")).toDF("doc_id", "x").write
+        .mode("overwrite").parquet(s"$root/.compact-tmp-$t")
+      fs.create(new Path(s"$root/.compact-tmp-$t/_COMPACTED"), true).close()
+    }
+    def state() = spark.read.option("basePath", root).parquet(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+    // WINDOW A: crash after the tmp write, before ANY delete — the
+    // originals are complete, so the tmp must drop and compaction then
+    // proceeds normally (no loss, no duplicates)
+    (0L to 2L).foreach(i => writeBatch(i, Seq(i)))
+    writeTmp(1L, Seq(0L, 1L))
     streaming.CurateStream.compactState(spark, s"$tmp/store", 3L)
-    val rows = spark.read.option("basePath", root).parquet(root)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(rows == Set(0L, 1L, 2L), s"recovered state lost rows: $rows")
+    assert(state() == Seq(0L, 1L, 2L), s"window A lost/duplicated rows: ${state()}")
     assert(!fs.exists(new Path(s"$root/.compact-tmp-1")))
-    // and the stale-tmp path: tmp exists while its target also exists
-    Seq((99L, "zz")).toDF("doc_id", "x").write.parquet(s"$root/.compact-tmp-2")
+
+    // WINDOW B: crash after the rename landed (merged dir carries the
+    // _COMPACTED marker) but before the absorbed-dir cleanup — the
+    // leftover original must delete, never surface as duplicates
+    fs.delete(new Path(root), true)
+    writeBatch(2L, Seq(0L, 1L, 2L), marker = true)
+    writeBatch(0L, Seq(0L)) // the not-yet-cleaned-up absorbed dir
     streaming.CurateStream.compactState(spark, s"$tmp/store", 3L)
-    val rows2 = spark.read.option("basePath", root).parquet(root)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(rows2 == Set(0L, 1L, 2L), s"stale tmp corrupted state: $rows2")
+    assert(state() == Seq(0L, 1L, 2L), s"window B duplicated rows: ${state()}")
+    assert(!fs.exists(new Path(s"$root/batch=0")))
+
+    // WINDOW C: crash after the deletes, before the rename — the tmp
+    // is the only complete copy and must complete its swap
+    fs.delete(new Path(root), true)
+    writeBatch(2L, Seq(2L))
+    writeTmp(1L, Seq(0L, 1L))
+    streaming.CurateStream.compactState(spark, s"$tmp/store", 3L)
+    assert(state() == Seq(0L, 1L, 2L), s"window C lost rows: ${state()}")
+    assert(!fs.exists(new Path(s"$root/.compact-tmp-1")))
   }
 
   test("stream curation funnel ≡ batch CurateDag on the drained corpus") {
