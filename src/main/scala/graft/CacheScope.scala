@@ -1,6 +1,5 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -24,16 +23,39 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * just unaccelerated — callers wanting multi-action reuse should
   * persist the RESULT themselves, which is theirs to release.
   *
-  * The release is deliberately session-wide, not plan-matched: matching
-  * a listener's QueryExecution back to the operator that registered a
-  * cache would need identity tracking through re-analysis, and the
-  * failure mode of over-releasing is only a recompute, never a wrong
-  * answer. The listener bus is asynchronous, so release lands shortly
-  * after the action returns (specs poll; CacheLifecycleSpec).
+  * Two deliberate containment properties of the registry itself:
+  *
+  *  - **No session pinning.** Sessions are weak keys: a JVM that cycles
+  *    many short-lived sessions must not accumulate them here. The
+  *    `Releaser` is referenced only by its own session's
+  *    listenerManager (a cycle the GC collects whole), and stopped
+  *    sessions with still-pending registrations — whose strong
+  *    DataFrame values would otherwise keep their weak key alive — are
+  *    purged opportunistically on the next `adopt` from any session.
+  *
+  *  - **Release is scoped to actions that could be the registrant's
+  *    terminal action.** A completed action only claims registrations
+  *    made BEFORE it started (listener-observed end minus durationNs;
+  *    the bus delay shifts the estimate later, which only widens the
+  *    claim, never orphans a cache). An action already running on
+  *    another thread when a cache is registered can therefore no longer
+  *    release that fresh cache on completion — the silent N-fold
+  *    recompute under concurrency is closed up to the bus-delay window.
+  *    Over-release inside that residual window stays recompute-only,
+  *    never a wrong answer.
   */
 object CacheScope {
-  private val pending = new ConcurrentHashMap[SparkSession, List[DataFrame]]()
-  private val installed = ConcurrentHashMap.newKeySet[SparkSession]()
+  private final case class Entry(df: DataFrame, registeredAt: Long)
+  // Weak session keys; the lock covers both maps. Entries are
+  // short-lived by contract (claimed by the next completed action), so
+  // the strong Entry→DataFrame→session chain only pins a session while
+  // a registration is genuinely pending.
+  private val pending =
+    new java.util.WeakHashMap[SparkSession, List[Entry]]()
+  private val installed =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private val lock = new Object
 
   /** Spec observability: when set on the calling thread, every
     * DataFrame registered by that thread is also appended here, so a
@@ -53,32 +75,53 @@ object CacheScope {
     * writes) would otherwise race that action's still-queued completion
     * event, which could claim and release the new registration before
     * the caller's terminal action ever starts. Draining makes "the next
-    * completed action" mean an action completing after this call —
-    * except for actions STILL RUNNING on other threads, whose release
-    * remains the documented over-release (recompute, never wrong). */
+    * completed action" mean an action completing after this call; the
+    * registration timestamp then shields it from actions that were
+    * already running when it was made. */
   def adopt(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     org.apache.spark.sql.GraftShim.drainListenerBus(s)
-    if (installed.add(s)) s.listenerManager.register(new Releaser(s))
-    pending.merge(s, df :: Nil, (neu, old) => neu ::: old)
+    val entry = Entry(df, System.nanoTime())
+    lock.synchronized {
+      // purge registrations of stopped sessions: their listener will
+      // never fire again, and their strong values would otherwise keep
+      // the weak key alive forever
+      val it = pending.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.sparkContext.isStopped) {
+          e.getValue.foreach(x => try x.df.unpersist() catch { case _: Throwable => () })
+          it.remove()
+        }
+      }
+      if (installed.add(s)) s.listenerManager.register(new Releaser(s))
+      pending.put(s, entry :: Option(pending.get(s)).getOrElse(Nil))
+    }
     val c = capture.get()
     if (c != null) c.add(df)
     df
   }
 
-  private[graft] def pendingCount(s: SparkSession): Int = {
-    val l = pending.get(s)
-    if (l == null) 0 else l.size
-  }
+  private[graft] def pendingCount(s: SparkSession): Int =
+    lock.synchronized(Option(pending.get(s)).map(_.size).getOrElse(0))
 
   private final class Releaser(s: SparkSession) extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
-        durationNs: Long): Unit = release()
+        durationNs: Long): Unit = release(durationNs)
     override def onFailure(funcName: String, qe: QueryExecution,
-        exception: Exception): Unit = release()
-    private def release(): Unit = {
-      val dfs = pending.remove(s) // atomic claim — safe under parallel actions
-      if (dfs != null) dfs.foreach(_.unpersist())
+        exception: Exception): Unit = release(0L)
+    private def release(durationNs: Long): Unit = {
+      // claim only registrations made before this action started —
+      // newer ones belong to an operator whose terminal action is
+      // still ahead
+      val startedAt = System.nanoTime() - durationNs
+      val claimed = lock.synchronized {
+        val all = Option(pending.get(s)).getOrElse(Nil)
+        val (mine, later) = all.partition(_.registeredAt <= startedAt)
+        if (later.isEmpty) pending.remove(s) else pending.put(s, later)
+        mine
+      }
+      claimed.foreach(_.df.unpersist())
     }
   }
 }

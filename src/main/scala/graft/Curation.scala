@@ -119,8 +119,12 @@ object Curation {
     * (budget = min_l tokens_l·1000 div share_l), each language plans
     * budget·share div 1000 tokens, and its sampling rate is
     * planned·1000 div available. All integer floor arithmetic — the
-    * oracle replays it bit-for-bit — and the binding language always
-    * plans at rate 1000 (pinned in CurationSpec).
+    * oracle replays it bit-for-bit. The binding language's rate
+    * APPROACHES 1000 but the double floor is not an exact invariant:
+    * planned ≥ n − (share_pm+1000)/1000, so its rate is ≥
+    * 1000 − ceil((share_pm+1000)/n_tokens) — e.g. n_tokens=7,
+    * share_pm=400 gives rate 857. CurationSpec pins exactly this
+    * bound (≥ 999 on any corpus with n_tokens ≥ share_pm+1000).
     *
     * Shape: one linear hash-agg for the token inventory, a broadcast
     * target join, and a one-row budget scalar re-entering via a

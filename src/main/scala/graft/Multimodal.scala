@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * parsed values). Payloads that are not recognizable media (the test
   * corpus reinterprets `documents.text` as bytes) fall back to the
   * deterministic pseudo-decode, which keeps the operator total and the
-  * q32 oracle exact; a production deployment would surface a decode
-  * error column instead and add pixel/sample decoding (the libraries
-  * for which are not in this container) behind the same boundary.
+  * q32 oracle exact — and the typed path carries a `decode_status`
+  * column ("ok" / "corrupt:<fmt>" / "fallback") so a real-media payload
+  * whose header fails to parse is a visible decode problem, never
+  * silently indistinguishable from a text payload. Pixel/sample
+  * decoding (the libraries for which are not in this container) would
+  * slot in behind the same boundary.
   */
 object Multimodal {
   import TextOps._
@@ -27,11 +30,17 @@ object Multimodal {
   final case class MediaFile(doc_id: Long, payload: Array[Byte], source: String)
 
   /** Decoded features: image-shaped fields carry 0 sample_rate /
-    * n_channels; audio-shaped fields carry 0 width/height. */
+    * n_channels; audio-shaped fields carry 0 width/height.
+    * `decode_status` surfaces what the codec actually did instead of
+    * silently falling back: "ok" (a real container header parsed),
+    * "corrupt:<fmt>" (the payload bears that format's magic but the
+    * header walk failed — a decode PROBLEM, not a non-media payload),
+    * or "fallback" (no recognizable magic; pseudo-decode). */
   final case class MediaMeta(
       doc_id: Long, byte_len: Long, format: String,
       width: Long, height: Long, n_frames: Long,
-      sample_rate: Long, n_channels: Long)
+      sample_rate: Long, n_channels: Long,
+      decode_status: String = "ok")
 
   /** Real header parsers for the public container formats. Each returns
     * None unless the magic matches AND the needed header fields are in
@@ -48,11 +57,20 @@ object Multimodal {
     private def ascii(p: Array[Byte], i: Int, s: String): Boolean =
       i + s.length <= p.length && s.indices.forall(k => p(i + k) == s.charAt(k).toByte)
 
+    /** Does the payload bear this format's magic? Magic-sniffing is
+      * separate from parsing so the caller can tell "not this format"
+      * from "this format, but the header is corrupt". */
+    private val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def pngMagic(p: Array[Byte]): Boolean = p.length >= 8 && p.startsWith(pngSig)
+    def jpegMagic(p: Array[Byte]): Boolean =
+      p.length >= 2 && u8(p, 0) == 0xff && u8(p, 1) == 0xd8
+    def wavMagic(p: Array[Byte]): Boolean =
+      p.length >= 12 && ascii(p, 0, "RIFF") && ascii(p, 8, "WAVE")
+
     /** PNG: 8-byte signature, then the IHDR chunk (always first):
       * 4-byte length, "IHDR", width/height as big-endian u32. */
     def png(p: Array[Byte]): Option[MediaMeta] = {
-      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
-      if (p.length < 24 || !p.startsWith(sig) || !ascii(p, 12, "IHDR")) None
+      if (p.length < 24 || !pngMagic(p) || !ascii(p, 12, "IHDR")) None
       else Some(MediaMeta(0L, p.length.toLong, "png",
         be32(p, 16), be32(p, 20), 1L, 0L, 0L))
     }
@@ -60,13 +78,15 @@ object Multimodal {
     /** JPEG: SOI marker, then a marker-segment walk to the first SOF
       * (C0-C3, C5-C7, C9-CB, CD-CF): precision u8, height/width u16. */
     def jpeg(p: Array[Byte]): Option[MediaMeta] = {
-      if (p.length < 4 || u8(p, 0) != 0xff || u8(p, 1) != 0xd8) return None
+      if (p.length < 4 || !jpegMagic(p)) return None
       var i = 2
       while (i + 3 < p.length) {
         if (u8(p, i) != 0xff) return None // marker misalignment: corrupt
         var m = u8(p, i + 1)
         while (m == 0xff && i + 2 < p.length) { i += 1; m = u8(p, i + 1) } // fill bytes
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // standalone
+        // standalone markers carry no length word: TEM (0x01), RSTn
+        // (D0-D7), and a stray SOI — skipping 2 bytes is the whole walk
+        if (m == 0x01 || m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
         else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
         else {
           if (i + 3 >= p.length) return None
@@ -88,7 +108,7 @@ object Multimodal {
       * sample rate (little-endian), "data" size / block align gives the
       * sample-frame count. */
     def wav(p: Array[Byte]): Option[MediaMeta] = {
-      if (p.length < 12 || !ascii(p, 0, "RIFF") || !ascii(p, 8, "WAVE")) return None
+      if (!wavMagic(p)) return None
       var i = 12
       var rate = 0L; var ch = 0L; var block = 0; var frames = 0L; var gotFmt = false
       while (i + 8 <= p.length) {
@@ -118,6 +138,16 @@ object Multimodal {
     /** Sniff-and-parse; None when the payload is no recognizable media. */
     def decode(p: Array[Byte]): Option[MediaMeta] =
       png(p).orElse(jpeg(p)).orElse(wav(p))
+
+    /** Parse or explain: Right(meta) on a real parse, Left(status) with
+      * "corrupt:<fmt>" when a format's magic matched but its header walk
+      * failed, "fallback" when nothing recognizable was sniffed. */
+    def decodeOrStatus(p: Array[Byte]): Either[String, MediaMeta] =
+      decode(p).toRight(
+        if (pngMagic(p)) "corrupt:png"
+        else if (jpegMagic(p)) "corrupt:jpeg"
+        else if (wavMagic(p)) "corrupt:wav"
+        else "fallback")
   }
 
   /** Deterministic pseudo-decode for unrecognized payloads (the test
@@ -130,7 +160,7 @@ object Multimodal {
       val h = payload.foldLeft(0L)((acc, b) => (acc * 131L + (b & 0xff)) % TextOps.P)
       MediaMeta(doc_id, payload.length.toLong, formats((h % 3L).toInt),
         320L + (h % 8L) * 160L, 240L + (h % 6L) * 120L, 1L + payload.length % 24L,
-        0L, 0L)
+        0L, 0L, decode_status = "fallback")
     }
   }
 
@@ -151,9 +181,15 @@ object Multimodal {
     files.mapPartitions { it =>
       // per-partition decoder setup would happen here (open codec ctx)
       it.map { f =>
-        Codec.decode(f.payload)
-          .map(_.copy(doc_id = f.doc_id))
-          .getOrElse(FakeCodec.decode(f.doc_id, f.payload))
+        Codec.decodeOrStatus(f.payload) match {
+          case Right(meta) => meta.copy(doc_id = f.doc_id)
+          // non-ok rows still pseudo-decode (the operator stays total),
+          // but the status says so — a corrupt real-media payload is a
+          // decode problem a pipeline owner filters on, not silently
+          // indistinguishable from a text payload
+          case Left(status) =>
+            FakeCodec.decode(f.doc_id, f.payload).copy(decode_status = status)
+        }
       }
     }
   }

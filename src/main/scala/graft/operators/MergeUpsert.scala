@@ -99,14 +99,26 @@ object MergeUpsert {
         n.stripPrefix(s"$prefix=").toLong }
   }
 
-  /** Newest generation table (optionally among gens strictly below
-    * `before`); None when no generation exists yet. */
+  /** Newest COMPLETE generation table (optionally among gens strictly
+    * below `before`); None when no complete generation exists yet.
+    *
+    * Completeness = the `_SUCCESS` marker Spark's file committer writes
+    * when the parquet job commits. A crash mid-write of `gen=N` leaves
+    * the dir without the marker: the sink's own replay heals it (the
+    * replayed batch re-reads the same complete parent and OVERWRITES
+    * gen=N), but an EXTERNAL reader arriving between the crash and the
+    * resume must not be handed the partial dir — it falls back to the
+    * newest generation that actually committed. The same gate covers
+    * the overwrite window itself (mode=overwrite deletes the marker
+    * first, so a concurrent reader skips the in-flight rewrite). */
   def latestGen(spark: SparkSession, statePath: String,
       before: Option[Long] = None): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     listIds(fs, statePath, "gen")
       .filter(g => before.forall(g < _))
+      .filter(g => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$statePath/gen=$g/_SUCCESS")))
       .maxOption
       .map(g => spark.read.parquet(s"$statePath/gen=$g"))
   }

@@ -32,6 +32,28 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
       }
     }
 
+  test("a cache registered while another action is mid-flight survives that action") {
+    import spark.implicits._
+    // a deliberately slow action on another thread (sleep rides inside
+    // the task, so the action is genuinely running when we register)
+    val slow = spark.range(0, 4, 1, 4)
+      .mapPartitions { it => Thread.sleep(4000); it }
+    val t = new Thread(() => slow.count())
+    t.start()
+    Thread.sleep(1500) // the slow action is definitely mid-flight now
+    val mine = CacheScope.cached(spark.range(64).toDF)
+    t.join()
+    // let the slow action's completion event drain through the bus: it
+    // started BEFORE the registration, so it must NOT claim the cache
+    org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+    assert(mine.storageLevel != StorageLevel.NONE,
+      "an action already running at registration time released the fresh cache")
+    mine.count() // the owner's terminal action releases it
+    eventually(timeout(Span(30, Seconds))) {
+      assert(mine.storageLevel == StorageLevel.NONE)
+    }
+  }
+
   releasedAfterAction("ngramJaccard", () => Dedup.ngramJaccard(spark, dir))
   releasedAfterAction("ngramJaccardPrefix", () => Dedup.ngramJaccardPrefix(spark, dir))
   releasedAfterAction("minhashNearDup", () => Dedup.minhashNearDup(spark, dir))

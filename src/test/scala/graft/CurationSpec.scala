@@ -164,7 +164,7 @@ class CurationSpec extends SparkSpec {
       String.valueOf(e.getCause).contains("arriving-batch"), e.toString)
   }
 
-  test("mixture plan: feasible, share-exact, and the binding language runs at rate 1000") {
+  test("mixture plan: feasible, share-exact, and the binding language runs near rate 1000") {
     val rows = Curation.mixturePlan(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.length == 5)
@@ -176,8 +176,19 @@ class CurationSpec extends SparkSpec {
       // rate reproduces the plan (floor arithmetic both ways)
       assert(rate == math.min(1000L, planned * 1000L / nTok))
     }
-    // the language whose inventory binds the budget samples at full rate
+    // The language whose inventory binds the budget samples near full
+    // rate — NOT exactly 1000: the double floor (budget, then planned)
+    // loses up to (share_pm+1000)/1000 tokens, so the provable bound is
+    // rate ≥ 1000 − ceil((share_pm+1000)/n_tokens). Asserting the
+    // derived bound (not a hard-coded 999) keeps the pin valid on a
+    // tiny corpus while collapsing to ≥ 999 whenever
+    // n_tokens ≥ share_pm + 1000 (true at every test SF).
     val binding = rows.minBy { case (_, nt, sh, _, _) => nt * 1000L / sh }
-    assert(binding._4 >= 999L, s"binding language ${binding._1} not near rate 1000: $binding")
+    val (bLang, bTok, bShare, bRate, _) = binding
+    val slack = (bShare + 1000L + bTok - 1L) / bTok // ceil((share+1000)/n)
+    assert(bRate >= 1000L - slack,
+      s"binding language $bLang rate $bRate below provable bound ${1000L - slack}")
+    assert(bTok >= bShare + 1000L && bRate >= 999L,
+      s"test corpus is large enough that the bound must collapse to 999: $binding")
   }
 }

@@ -75,6 +75,25 @@ class MergeUpsertSpec extends SparkSpec {
     assert(direct == want)
   }
 
+  test("latestGen skips a partial generation (crash mid-write, no _SUCCESS)") {
+    val dir = java.nio.file.Files.createTempDirectory("gen_partial").toString
+    val sink = MergeUpsert.upsertSink(dir, Seq("k"), "seq", "op") _
+    sink(Seq((1L, Some(10.0), "U", 1L)).toDF("k", "v", "op", "seq"), 0L)
+    // simulate a crash mid-write of gen=1: data files land, the
+    // committer's _SUCCESS marker does not
+    Seq((1L, 99.0)).toDF("k", "v").write.parquet(s"$dir/gen=1")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/gen=1/_SUCCESS"))
+    // an external reader between the crash and the stream's resume gets
+    // the newest COMPLETE snapshot, not the torn one
+    assert(MergeUpsert.latestGen(spark, dir).get
+      .as[(Long, Double)].collect().toSet == Set((1L, 10.0)))
+    // the resumed stream replays batch 1: it reads the same complete
+    // parent (gen=0), overwrites the torn dir, and the new gen commits
+    sink(Seq((2L, Some(20.0), "U", 2L)).toDF("k", "v", "op", "seq"), 1L)
+    assert(MergeUpsert.latestGen(spark, dir).get
+      .as[(Long, Double)].collect().toSet == Set((1L, 10.0), (2L, 20.0)))
+  }
+
   test("upsertSink maintains state from a real stream via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext

@@ -57,8 +57,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).format == "jpeg" && out(2L).width == 1920L && out(2L).height == 1080L)
     assert(out(3L).format == "wav" && out(3L).sample_rate == 44100L &&
       out(3L).n_channels == 2L && out(3L).n_frames == 100L)
+    Seq(1L, 2L, 3L).foreach(id => assert(out(id).decode_status == "ok"))
     // unrecognized payloads fall back to the deterministic pseudo-decode
     assert(out(4L) == Multimodal.FakeCodec.decode(4L, "not media at all".getBytes))
+    assert(out(4L).decode_status == "fallback")
+  }
+
+  test("a JPEG with a standalone TEM marker (0x01) before SOF still parses") {
+    import spark.implicits._
+    // SOI, TEM (standalone — NO length word follows), then SOF0
+    val tem = Array(0xff, 0xd8).map(_.toByte) ++
+      Array(0xff, 0x01).map(_.toByte) ++
+      Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(77) ++ be16(99) ++ Array[Byte](3) ++ Array.fill[Byte](9)(1) ++
+      Array(0xff, 0xd9).map(_.toByte)
+    val out = Multimodal.decodeAll(Seq(Multimodal.MediaFile(1L, tem, "f")).toDS())
+      .collect().head
+    assert(out.format == "jpeg" && out.width == 99L && out.height == 77L &&
+      out.decode_status == "ok",
+      s"TEM mis-parsed as a length-prefixed segment: $out")
   }
 
   test("a WAV truncated mid-data keeps its real header metadata, frames clamped") {
@@ -88,6 +105,12 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decodeAll(files.toDS()).collect()
     assert(out.length == 5) // total, no exceptions, no hang
     out.foreach(m => assert(m.sample_rate == 0L || m.format == "wav"))
+    // a payload bearing real-media magic whose header fails surfaces as
+    // corrupt:<fmt> — a decode PROBLEM — while no-magic payloads are a
+    // plain fallback
+    val st = out.map(m => m.doc_id -> m.decode_status).toMap
+    assert(st(1L) == "corrupt:png" && st(2L) == "corrupt:jpeg" &&
+      st(3L) == "corrupt:wav" && st(4L) == "fallback" && st(5L) == "corrupt:wav", st)
   }
 
   test("payloads survive the binary round-trip intact") {
