@@ -232,6 +232,9 @@ object SparkEntry {
     // KS-style ingest drift monitor: corpus-vs-batch length CDFs in
     // exact integer permille
     "q113_length_drift" -> (Curation.lengthDrift _),
+    // BM25 retrieval in exact integer micro-units (rational Robertson
+    // idf — no cross-engine ln drift)
+    "q114_bm25_search" -> (TextAnalysis.bm25Search _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -518,6 +521,32 @@ object SparkEntry {
          |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
          |       (max(run) + 7)::BIGINT AS span_tokens
          |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q114_bm25_search" ->
+      """WITH p AS (SELECT doc_id, len(tk)::BIGINT AS dl,
+        |  len(list_filter(tk, x -> x = 'hash'))::BIGINT AS tf_hash,
+        |  len(list_filter(tk, x -> x = 'join'))::BIGINT AS tf_join,
+        |  len(list_filter(tk, x -> x = 'vector'))::BIGINT AS tf_vector
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents)),
+        |s AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS n_tokens,
+        |  count(*) FILTER (tf_hash > 0)::BIGINT AS df_hash,
+        |  count(*) FILTER (tf_join > 0)::BIGINT AS df_join,
+        |  count(*) FILTER (tf_vector > 0)::BIGINT AS df_vector FROM p),
+        |c AS (SELECT p.*, s.*,
+        |  250 + (750000 * dl) // ((1000 * n_tokens) // n_docs) AS norm_milli
+        |  FROM p CROSS JOIN s),
+        |sc AS (SELECT doc_id, dl, tf_hash, tf_join, tf_vector,
+        |  ((((1000 * (2 * (n_docs - df_hash) + 1)) // (2 * df_hash + 1)) *
+        |    ((tf_hash * 2200000000) //
+        |     (tf_hash * 1000 + (1200 * norm_milli) // 1000))) // 1000
+        |  + (((1000 * (2 * (n_docs - df_join) + 1)) // (2 * df_join + 1)) *
+        |    ((tf_join * 2200000000) //
+        |     (tf_join * 1000 + (1200 * norm_milli) // 1000))) // 1000
+        |  + (((1000 * (2 * (n_docs - df_vector) + 1)) // (2 * df_vector + 1)) *
+        |    ((tf_vector * 2200000000) //
+        |     (tf_vector * 1000 + (1200 * norm_milli) // 1000))) // 1000)::BIGINT
+        |  AS score_micro FROM c)
+        |SELECT * FROM sc WHERE score_micro > 0
+        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
     "q113_length_drift" ->
       """WITH b AS (SELECT len(regexp_split_to_array(text, ' '))::BIGINT // 10 AS bucket,
         |                  substr(source, 4)::INT >= 15 AS is_new

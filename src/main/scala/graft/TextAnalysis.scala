@@ -379,6 +379,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("word"))
   }
 
+  /** q114: BM25 retrieval — the standard relevance ranking a corpus
+    * search / hard-negative-mining pass runs, in EXACT integer
+    * micro-units so the oracle replays it bit-for-bit. The classic
+    * log-idf is replaced by the rational Robertson idf
+    * `(N − df + 0.5)/(df + 0.5)`, scaled ×1000 with one floor:
+    * `(1000·(2(N−df)+1)) div (2df+1)` — same monotone df ordering,
+    * no cross-engine `ln` drift (ln is NOT correctly rounded; `div`
+    * is exact). k1 = 1.2 and b = 0.75 live as milli-constants; every
+    * ratio takes exactly ONE `div` so the floor points are identical
+    * in both engines.
+    *
+    * Shape: one corpus scan computes per-doc length + per-term tf as
+    * pure row arithmetic (zero shuffle, same as q53); corpus stats
+    * (N, total tokens, per-term df) are ONE global aggregate over that
+    * same narrow projection — column pruning keeps the second scan to
+    * the token column — re-entering as a broadcast one-row scalar.
+    * The top-10 plans as TakeOrderedAndProject (per-partition heaps,
+    * no full sort). At 100 TB the df/avgdl statistics would come from
+    * a maintained vocabulary stage (q65's partial-state shape) rather
+    * than a rescan; the scoring scan is unchanged. */
+  def bm25Search(spark: SparkSession, d: String): DataFrame = {
+    val terms = Seq("hash", "join", "vector")
+    val t = toks(col("text"))
+    val perDoc = Tables.documentsDist(spark, d)
+      .select(col("doc_id") +: size(t).cast("long").as("dl") +:
+        terms.map(w => size(filter(t, x => x === w)).cast("long").as(s"tf_$w")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("n_tokens") +:
+        terms.map(w => count(when(col(s"tf_$w") > 0, 1)).as(s"df_$w")): _*)
+    val termScore = terms.map { w =>
+      expr(s"""(((1000 * (2 * (n_docs - df_$w) + 1)) div (2 * df_$w + 1)) *
+              |((tf_$w * 2200000000) div
+              |  (tf_$w * 1000 + (1200 * norm_milli) div 1000))) div 1000"""
+        .stripMargin.replace("\n", " "))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("avgdl_milli", expr("(1000 * n_tokens) div n_docs"))
+      .withColumn("norm_milli", expr("250 + (750000 * dl) div avgdl_milli"))
+      .withColumn("score_micro", termScore)
+      .filter(col("score_micro") > 0)
+      .select(Seq(col("doc_id"), col("dl")) ++
+        terms.map(w => col(s"tf_$w")) :+ col("score_micro"): _*)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Document fingerprinting: full-text rolling hash plus a winnowed
     * min-hash over 8-token windows (the content-defined signature used
     * for shard-local dedup at ingest). */

@@ -531,4 +531,28 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5))).toSet
     assert(got == expect)
   }
+
+  test("bm25 search matches a local exact-integer recompute") {
+    val terms = Seq("hash", "join", "vector")
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val n = docs.size.toLong
+    val nTok = docs.values.map(_.size.toLong).sum
+    val dfL = terms.map(w => w -> docs.values.count(_.contains(w)).toLong).toMap
+    val avgdlMilli = 1000L * nTok / n
+    val expect = docs.toSeq.map { case (id, ws) =>
+      val dl = ws.size.toLong
+      val normMilli = 250L + 750000L * dl / avgdlMilli
+      val score = terms.map { w =>
+        val tf = ws.count(_ == w).toLong
+        val idfMilli = (1000L * (2L * (n - dfL(w)) + 1L)) / (2L * dfL(w) + 1L)
+        val tfComp = tf * 2200000000L / (tf * 1000L + 1200L * normMilli / 1000L)
+        idfMilli * tfComp / 1000L
+      }.sum
+      (id, score)
+    }.filter(_._2 > 0L).sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = TextAnalysis.bm25Search(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(5))).toSeq
+    assert(got == expect && got.nonEmpty)
+  }
 }

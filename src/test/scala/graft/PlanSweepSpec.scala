@@ -26,7 +26,10 @@ class PlanSweepSpec extends SparkSpec {
     "q48_knn_int8" -> 1, "q62_tfidf_terms" -> 1, "q66_heavy_users" -> 1,
     "q83_knn_pq" -> 1,
     // q110: the one-row budget scalar broadcast (|langs| rows × 1)
-    "q110_mixture_plan" -> 1)
+    "q110_mixture_plan" -> 1,
+    // q114: the one-row corpus-statistics scalar broadcast (N, total
+    // tokens, per-term dfs) re-entering the scoring scan
+    "q114_bm25_search" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
