@@ -308,6 +308,44 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** q115: SemDeDup-style semantic deduplication — cluster the
+    * embedding space, then prune near-identical pairs WITHIN each
+    * cluster only (the published SemDeDup recipe: k-means partitions
+    * the O(n²) search so each point compares against its cluster
+    * alone). Reuses q33's PERSISTED IVF index (same nlist/seed →
+    * same salted dir), so a warm call runs ZERO KMeans iterations and
+    * the cell assignment — hence the output — is deterministic across
+    * sessions.
+    *
+    * A document drops when ANY smaller-id document in its cell has
+    * cosine ≥ 0.4 with it; its representative is the smallest such
+    * partner (min(struct) aggregate — deterministic, no per-cell
+    * sort). The cell self-join is an EQUI-join on cell id: per-cell
+    * work is |cell|², the knob a 100 TB deployment turns via nlist
+    * (nlist ∝ n/targetCellSize keeps per-cell pairs bounded, so total
+    * work stays linear with a targetCellSize² constant — same contract
+    * as the paper's k ≈ n/avg_cluster). Learned centroids ⇒ no SQL
+    * oracle; DedupSpec pins a local exact recompute from the persisted
+    * cells, drop ⊆ all-pairs-dup soundness, and the zero-refit warm
+    * path. */
+  def semDedup(spark: SparkSession, d: String): DataFrame = {
+    val (_, corpus) = IvfIndex.buildOrLoad(spark, d, nlist = 16, seed = 42L)
+    // both self-join sides; released by the CacheScope listener
+    val e = CacheScope.cached(corpus)
+    val cos = Similarity.cosine(col("a.v"), col("b.v"), col("a.nn"), col("b.nn"))
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= 0.4)
+      .select(col("b.vec_id").as("vec_id"), col("b.cell").cast("int").as("cell"),
+        col("a.vec_id").as("partner"), round(col("cos"), 6).as("cosine"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(struct(col("partner"), col("cosine"))).as("m"))
+      .select(col("vec_id"), col("cell"),
+        col("m.partner").as("dup_of"), col("m.cosine").as("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Near-dup cluster assignment: connected components over the
     * MinHash/LSH pair graph (q23), labels = min doc_id of the
     * component; singletons are their own cluster. This is the step a

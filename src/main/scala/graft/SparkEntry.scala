@@ -235,6 +235,10 @@ object SparkEntry {
     // BM25 retrieval in exact integer micro-units (rational Robertson
     // idf — no cross-engine ln drift)
     "q114_bm25_search" -> (TextAnalysis.bm25Search _),
+    // SemDeDup semantic dedup: within-cell cosine prune over the
+    // persisted IVF cells (learned centroids ⇒ rows-only; DedupSpec
+    // pins local recompute + soundness + zero-refit)
+    "q115_sem_dedup" -> (Dedup.semDedup _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and

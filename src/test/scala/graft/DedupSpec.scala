@@ -532,6 +532,49 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("semDedup: local recompute from persisted cells, drop soundness, zero refit warm") {
+    val got = Dedup.semDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // the warm path must not refit KMeans (index already persisted)
+    val fits = IvfIndex.kmeansFits
+    val again = Dedup.semDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(IvfIndex.kmeansFits == fits, "warm semDedup refit KMeans")
+    assert(again.toSeq == got.toSeq, "semDedup not deterministic across calls")
+    // local exact recompute from the SAME persisted cells: sequential
+    // double fold mirrors DotProductExpr's evaluation order
+    val (_, corpus) = IvfIndex.buildOrLoad(spark, d, nlist = 16, seed = 42L)
+    val rows = corpus.select("vec_id", "v", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val expect = rows.groupBy(_._3).toSeq.flatMap { case (cell, members) =>
+      val m = members.sortBy(_._1)
+      m.flatMap { case (idB, vb, _) =>
+        val partners = m.filter(_._1 < idB).flatMap { case (idA, va, _) =>
+          val cos = dot(va, vb) / math.sqrt(dot(va, va) * dot(vb, vb))
+          if (cos >= 0.4)
+            // Spark round() works on the shortest-decimal repr
+            Some((idA, BigDecimal(java.math.BigDecimal.valueOf(cos))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          else None
+        }
+        if (partners.isEmpty) Nil
+        else List((idB, cell, partners.min._1, partners.min._2))
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // soundness: every dropped doc has a genuine all-pairs cosine dup
+    val exactPairs = Dedup.embeddingNearDupExact(spark, d).collect()
+      .filter(_.getDouble(2) >= 0.4)
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (v, _, p, _) =>
+      assert(exactPairs.contains(v) && exactPairs.contains(p),
+        s"semDedup dropped $v (partner $p) without an exact cosine dup")
+    }
+  }
+
   test("bm25 search matches a local exact-integer recompute") {
     val terms = Seq("hash", "join", "vector")
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
