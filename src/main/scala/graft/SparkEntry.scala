@@ -239,6 +239,12 @@ object SparkEntry {
     // persisted IVF cells (learned centroids ⇒ rows-only; DedupSpec
     // pins local recompute + soundness + zero-refit)
     "q115_sem_dedup" -> (Dedup.semDedup _),
+    // BPE tokenizer learning: one corpus hash-agg + bounded-vocab merge
+    // loop, persisted salted stage (learned state ⇒ rows-only; BpeSpec
+    // pins an independent recompute + zero-relearn warm path)
+    "q116_bpe_vocab" -> (Bpe.bpeVocab _),
+    // per-doc BPE fertility/compression stats under the learned merges
+    "q117_bpe_encode" -> (Bpe.bpeEncode _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
