@@ -55,6 +55,12 @@ object SynthDocs {
     * (proves projections reach the reader). */
   @volatile var lastReadSchema: StructType = Schema
 
+  /** Observability for specs: the aggregates the LAST scan pushed
+    * (empty = no pushdown), and a generation counter proving a pushed
+    * aggregate touches ZERO corpus rows. */
+  @volatile var lastPushedAggs: Seq[String] = Nil
+  val rowsGenerated = new java.util.concurrent.atomic.LongAdder
+
   private val Langs = Array("en", "de", "es", "fr", "zh")
   private val Words = Array("the", "data", "join", "hash", "vector", "spark",
     "query", "plan", "scan", "merge", "of", "and", "a", "stream", "batch",
@@ -67,6 +73,7 @@ object SynthDocs {
     * LCG stream — skipping them cannot shift any earlier column's
     * draw, so a pruned read stays bit-consistent with a full one. */
   def genRow(docId: Long, seed: Long, cols: Seq[String]): Seq[Any] = {
+    rowsGenerated.increment()
     var x = docId * 6364136223846793005L + seed * 1442695040888963407L + 1L
     def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
     def pick(n: Int): Int = (math.floorMod(next(), n.toLong)).toInt
@@ -114,14 +121,96 @@ private class SynthDocsTable extends Table with SupportsRead {
   }
 }
 
+/** The per-partition partial an accepted aggregate pushdown answers
+  * STRUCTURALLY from the id range — no row generation at all. */
+private sealed trait SynthAgg {
+  def name: String
+  def eval(start: Long, end: Long): Any // partial over [start, end)
+}
+private case object AggCountStar extends SynthAgg {
+  def name = "COUNT(*)"; def eval(s: Long, e: Long): Any = e - s
+}
+private case object AggMinId extends SynthAgg {
+  def name = "MIN(doc_id)"; def eval(s: Long, e: Long): Any = s
+}
+private case object AggMaxId extends SynthAgg {
+  def name = "MAX(doc_id)"; def eval(s: Long, e: Long): Any = e - 1
+}
+
 private class SynthScanBuilder(n: Long, seed: Long, numParts: Int,
-    rowsPerBatch: Long) extends ScanBuilder with SupportsPushDownRequiredColumns {
+    rowsPerBatch: Long) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
   private var required: StructType = SynthDocs.Schema
+  private var pushed: Option[Seq[SynthAgg]] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = {
-    SynthDocs.lastReadSchema = required
-    new SynthScan(n, seed, numParts, rowsPerBatch, required)
+
+  /** PARTIAL pushdown (Spark still plans its merge aggregate over the
+    * per-split partials): ungrouped COUNT(*) / MIN(doc_id) /
+    * MAX(doc_id) are pure id-range arithmetic, so an accepted query
+    * generates ZERO rows — pushdown saves the corpus generation
+    * itself, the DSv2 analog of a parquet footer's rowCount/min/max
+    * statistics. Anything else (group-bys, aggregates over generated
+    * columns) declines, and Spark falls back to the full scan. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    def idCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.toSeq == Seq("doc_id")
+        case _ => false
+      }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggCountStar)
+      case m: Min if idCol(m.column) => Some(AggMinId)
+      case m: Max if idCol(m.column) => Some(AggMaxId)
+      case _ => None
+    }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) false
+    else { pushed = Some(specs.flatten); true }
+  }
+
+  override def build(): Scan = pushed match {
+    case Some(aggs) =>
+      SynthDocs.lastPushedAggs = aggs.map(_.name)
+      new SynthAggScan(n, numParts, aggs)
+    case None =>
+      SynthDocs.lastPushedAggs = Nil
+      SynthDocs.lastReadSchema = required
+      new SynthScan(n, seed, numParts, rowsPerBatch, required)
+  }
+}
+
+/** Pushed-aggregate scan: one partial row per input split, computed
+  * from the split bounds alone (`genRow` never runs). MIN/MAX are
+  * exact because ids are dense in [0, n). */
+private class SynthAggScan(n: Long, numParts: Int, aggs: Seq[SynthAgg])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(aggs.map(a => StructField(a.name, LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    SynthReaders.split(0L, n, numParts)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthAggReaderFactory(aggs)
+}
+
+/** Standalone so the task closure ships only the (serializable) agg
+  * specs, never the Scan. */
+private class SynthAggReaderFactory(aggs: Seq[SynthAgg])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[SynthRange]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val go = !emitted; emitted = true; go }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(aggs.map(_.eval(r.start, r.end)))
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -40,13 +40,49 @@ class SynthDocsSpec extends SparkSpec {
     // the scan planned only the requested columns (spec hook)
     assert(graft.sources.SynthDocs.lastReadSchema.fieldNames.toSeq ==
       Seq("doc_id", "lang"))
-    // count() needs NO columns: the scan plans an EMPTY read schema —
-    // maximal pruning, the reader generates nothing but row existence
-    assert(read(50).count() == 50)
-    assert(graft.sources.SynthDocs.lastReadSchema.fieldNames.isEmpty)
     // a full read plans the full schema again
     read(10).collect()
     assert(graft.sources.SynthDocs.lastReadSchema.fieldNames.length == 5)
+  }
+
+  test("aggregate pushdown: count/min/max answer from id ranges, zero rows generated") {
+    import graft.sources.SynthDocs
+    SynthDocs.rowsGenerated.reset()
+    val r = read(1234, parts = 7)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1234L, 0L, 1233L))
+    // the scan accepted the pushdown AND never generated a corpus row —
+    // the aggregate was answered structurally, like parquet footer stats
+    assert(SynthDocs.lastPushedAggs ==
+      Seq("COUNT(*)", "MIN(doc_id)", "MAX(doc_id)"))
+    assert(SynthDocs.rowsGenerated.sum() == 0L,
+      s"pushed aggregate generated ${SynthDocs.rowsGenerated.sum()} rows")
+    // plain count() rides the same path
+    SynthDocs.rowsGenerated.reset()
+    assert(read(50).count() == 50)
+    assert(SynthDocs.lastPushedAggs == Seq("COUNT(*)"))
+    assert(SynthDocs.rowsGenerated.sum() == 0L)
+  }
+
+  test("aggregate pushdown declines group-bys and generated columns; fallback is exact") {
+    import graft.sources.SynthDocs
+    // aggregate over a GENERATED column: decline, full-scan fallback
+    SynthDocs.rowsGenerated.reset()
+    val s = read(300).agg(sum(col("n_chars"))).collect().head.getLong(0)
+    assert(SynthDocs.lastPushedAggs.isEmpty)
+    assert(SynthDocs.rowsGenerated.sum() > 0L)
+    val sRef = read(300).select("n_chars").collect().map(_.getLong(0)).sum
+    assert(s == sRef)
+    // grouped aggregate: decline; values match a driver-side recompute
+    SynthDocs.rowsGenerated.reset()
+    val byLang = read(300).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(SynthDocs.lastPushedAggs.isEmpty)
+    assert(SynthDocs.rowsGenerated.sum() > 0L)
+    val ref = read(300).select("lang").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(byLang == ref)
   }
 
   test("micro-batch stream: incremental offsets, stream content equals batch") {
