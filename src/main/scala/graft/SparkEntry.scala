@@ -245,6 +245,9 @@ object SparkEntry {
     "q116_bpe_vocab" -> (Bpe.bpeVocab _),
     // per-doc BPE fertility/compression stats under the learned merges
     "q117_bpe_encode" -> (Bpe.bpeEncode _),
+    // winnowing fingerprints over the custom-generator shingle stream
+    // (ShingleStreamExpr — the UDTF surface)
+    "q118_winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -531,6 +534,22 @@ object SparkEntry {
          |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
          |       (max(run) + 7)::BIGINT AS span_tokens
          |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q118_winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh AS (SELECT doc_id, i::BIGINT - 1 AS pos,
+         |       ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |win AS (SELECT a.doc_id, a.pos AS p, b.pos AS q, b.h AS h
+         |        FROM sh a JOIN sh b ON b.doc_id = a.doc_id
+         |          AND b.pos BETWEEN a.pos - 3 AND a.pos
+         |        WHERE a.pos >= 3),
+         |m AS (SELECT doc_id, p, min(h) AS wmin FROM win GROUP BY 1, 2),
+         |sel AS (SELECT w.doc_id, w.p, m.wmin AS h, max(w.q) AS pos
+         |        FROM win w JOIN m ON m.doc_id = w.doc_id AND m.p = w.p
+         |          AND w.h = m.wmin
+         |        GROUP BY 1, 2, 3)
+         |SELECT DISTINCT doc_id, pos, h FROM sel
+         |ORDER BY doc_id, pos""".stripMargin,
     "q114_bm25_search" ->
       """WITH p AS (SELECT doc_id, len(tk)::BIGINT AS dl,
         |  len(list_filter(tk, x -> x = 'hash'))::BIGINT AS tf_hash,

@@ -426,6 +426,38 @@ object TextAnalysis {
       .limit(10)
   }
 
+  /** q118: winnowing fingerprint selection (Schleimer et al., SIGMOD
+    * 2003 — the MOSS algorithm): over the POSITIONAL 3-gram shingle
+    * hash stream, each window of w=4 consecutive shingles selects its
+    * minimum hash (rightmost occurrence on ties), and the distinct
+    * selected (pos, hash) pairs are the document's fingerprints. The
+    * guarantee winnowing buys over plain min-hash: any shared
+    * substring of ≥ w+n−1 tokens yields a shared fingerprint, while
+    * the density stays ~2/(w+1) — the content-defined selection a
+    * shard-local plagiarism/overlap index stores at 100 TB.
+    *
+    * The shingle stream comes from the CUSTOM GENERATOR
+    * `graft_shingle_stream` (ShingleStreamExpr — the engine's UDTF
+    * surface): positional rows are streamed into the window operator
+    * without materializing per-document hash arrays. The rightmost
+    * tie-break is one `min(struct(h, −pos))` over a 4-row running
+    * frame — an aggregate, not a per-window sort; the window is
+    * partitioned by doc_id, so at scale each partition sorts only its
+    * own documents' streams. */
+  def winnowFingerprints(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-3, 0)
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleStream(col("text"), 3).as(Seq("pos", "h")))
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(w))
+      .filter(col("pos") >= 3) // full windows only
+      .select(col("doc_id"), (-col("sel.np")).as("pos"), col("sel.h").as("h"))
+      .distinct()
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Document fingerprinting: full-text rolling hash plus a winnowed
     * min-hash over 8-token windows (the content-defined signature used
     * for shard-local dedup at ingest). */

@@ -87,6 +87,8 @@ object GraftFunctions {
     GraftShim.column(MinHashesExpr(GraftShim.expression(c), k))
   def shingleHashes(c: Column, n: Int): Column =
     GraftShim.column(ShingleHashesExpr(GraftShim.expression(c), n))
+  def shingleStream(c: Column, n: Int): Column =
+    GraftShim.column(ShingleStreamExpr(GraftShim.expression(c), n))
 
   /** Constant-int argument of a SQL builder (k of minhashes, n of
     * shinglehashes) — the kernels specialize on it at plan time. */
@@ -113,6 +115,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinHashesExpr(args.head, intArg(args(1), "graft_minhashes"))),
     ("graft_shinglehashes", classOf[ShingleHashesExpr],
       (args: Seq[Expression]) => ShingleHashesExpr(args.head, intArg(args(1), "graft_shinglehashes"))),
+    // a GENERATOR registers like any expression: the analyzer's
+    // ExtractGenerators wraps it in Generate when it appears in a
+    // projection (the engine's UDTF surface)
+    ("graft_shingle_stream", classOf[ShingleStreamExpr],
+      (args: Seq[Expression]) => ShingleStreamExpr(args.head, intArg(args(1), "graft_shingle_stream"))),
     // aggregates register the same way: the analyzer wraps a bare
     // AggregateFunction into its AggregateExpression
     ("graft_topk", classOf[TopKByScore],

@@ -575,6 +575,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowing fingerprints match a local recompute and cover every window") {
+    import graft.functions.ShingleStreamExpr
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val expect = docs.toSeq.flatMap { case (id, toks) =>
+      val hs = (0 to toks.length - 3)
+        .map(i => (i.toLong, ShingleStreamExpr.hashWindow(toks, i, 3)))
+      (3 until hs.length).map { p =>
+        val win = hs.slice(p - 3, p + 1)
+        val mn = win.map(_._2).min
+        val sel = win.filter(_._2 == mn).map(_._1).max // rightmost min
+        (id, sel, mn)
+      }.distinct
+    }.sortBy(x => (x._1, x._2)).toSeq
+    val got = TextAnalysis.winnowFingerprints(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect && got.nonEmpty)
+    // the winnowing guarantee: every w-window of every doc contains a
+    // selected fingerprint position
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    docs.foreach { case (id, toks) =>
+      val m = toks.length - 2 // number of 3-gram positions
+      if (m > 3) {
+        val sel = byDoc.getOrElse(id, Set.empty)
+        (3L until m.toLong).foreach { p =>
+          assert((p - 3 to p).exists(sel.contains),
+            s"doc $id window ending at $p has no fingerprint")
+        }
+      }
+    }
+  }
+
   test("bm25 search matches a local exact-integer recompute") {
     val terms = Seq("hash", "join", "vector")
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()

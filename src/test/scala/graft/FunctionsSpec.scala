@@ -137,4 +137,35 @@ class FunctionsSpec extends SparkSpec {
       "SELECT transform(array('ab','c'), s -> graft_polyhash(s)) h").head().getSeq[Long](0)
     assert(r == Seq(97L * 131 + 98, 99L))
   }
+
+  test("generator graft_shingle_stream: positional rows ≡ the array twin, SQL ≡ Column") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 50)
+    // in-Spark twin built from existing pieces: slice the token array
+    // per position and polyhash the joined window
+    val t = split(col("text"), " ")
+    val twin = docs
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(t) - 3),
+          i => GraftFunctions.polyhash(concat_ws(" ", slice(t, i + 1, lit(3)))))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaColumn = docs
+      .select(col("doc_id"),
+        GraftFunctions.shingleStream(col("text"), 3).as(Seq("pos", "h")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaColumn == twin && viaColumn.nonEmpty)
+    // the SQL registration path plans the same Generate
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("fs_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_shingle_stream(text, 3) FROM fs_docs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSql == twin)
+    // docs shorter than the window emit nothing, not an error
+    import spark.implicits._
+    assert(Seq("a b").toDF("text")
+      .select(GraftFunctions.shingleStream(col("text"), 3).as(Seq("pos", "h")))
+      .count() == 0L)
+  }
 }
