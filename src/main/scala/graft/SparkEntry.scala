@@ -248,6 +248,8 @@ object SparkEntry {
     // winnowing fingerprints over the custom-generator shingle stream
     // (ShingleStreamExpr — the UDTF surface)
     "q118_winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
+    // cross-doc overlap pairs from shared winnowing fingerprints
+    "q119_winnow_overlap" -> (TextAnalysis.winnowOverlap _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -534,6 +536,26 @@ object SparkEntry {
          |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
          |       (max(run) + 7)::BIGINT AS span_tokens
          |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q119_winnow_overlap" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh AS (SELECT doc_id, i::BIGINT - 1 AS pos,
+         |       ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |win AS (SELECT a.doc_id, a.pos AS p, b.pos AS q, b.h AS h
+         |        FROM sh a JOIN sh b ON b.doc_id = a.doc_id
+         |          AND b.pos BETWEEN a.pos - 3 AND a.pos
+         |        WHERE a.pos >= 3),
+         |m AS (SELECT doc_id, p, min(h) AS wmin FROM win GROUP BY 1, 2),
+         |fp AS (SELECT DISTINCT doc_id, wmin AS h FROM m),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS nfp FROM fp GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+         |       FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, sa.nfp AS nfp_a, sb.nfp AS nfp_b,
+         |       ((1000 * shared) // least(sa.nfp, sb.nfp))::BIGINT AS overlap_permille
+         |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+         |        JOIN sz sb ON sb.doc_id = pr.doc_b
+         |WHERE shared >= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "q118_winnow_fingerprints" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
          |sh AS (SELECT doc_id, i::BIGINT - 1 AS pos,

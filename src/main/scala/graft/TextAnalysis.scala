@@ -444,7 +444,12 @@ object TextAnalysis {
     * frame — an aggregate, not a per-window sort; the window is
     * partitioned by doc_id, so at scale each partition sorts only its
     * own documents' streams. */
-  def winnowFingerprints(spark: SparkSession, d: String): DataFrame = {
+  def winnowFingerprints(spark: SparkSession, d: String): DataFrame =
+    winnowFp(spark, d).orderBy(col("doc_id"), col("pos"))
+
+  /** The fingerprint relation (doc_id, pos, h), distinct — shared by
+    * q118 (presentation) and q119 (overlap join). */
+  private[graft] def winnowFp(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-3, 0)
@@ -455,7 +460,35 @@ object TextAnalysis {
       .filter(col("pos") >= 3) // full windows only
       .select(col("doc_id"), (-col("sel.np")).as("pos"), col("sel.h").as("h"))
       .distinct()
-      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** q119: cross-document overlap from shared winnowing fingerprints —
+    * what a plagiarism / verbatim-reuse index actually does with q118's
+    * selection: pairs sharing ≥ 3 fingerprint hashes, scored by
+    * shared/min(|fp|) permille. The join is the fingerprint inverted
+    * index (equi-join on h) — cost Σ_h C(df,2) over the WINNOWED
+    * density (~2/(w+1) of shingles), i.e. the same shape as q22's
+    * exact index but ~60× fewer postings at w=4,n=3 — that reduction
+    * is the point of storing fingerprints instead of shingles. Sizes
+    * join back per-doc; the planner broadcasts at test scale and may
+    * degrade to shuffle joins at corpus scale (same contract as q62's
+    * vocabulary join). */
+  def winnowOverlap(spark: SparkSession, d: String): DataFrame = {
+    val fp = CacheScope.cached(
+      winnowFp(spark, d).select(col("doc_id"), col("h")).distinct())
+    val sz = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    fp.as("a")
+      .join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .join(sz.toDF("doc_a", "nfp_a"), "doc_a")
+      .join(sz.toDF("doc_b", "nfp_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("nfp_a"), col("nfp_b"),
+        expr("(1000 * shared) div least(nfp_a, nfp_b)").as("overlap_permille"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Document fingerprinting: full-text rolling hash plus a winnowed

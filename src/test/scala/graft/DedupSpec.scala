@@ -607,6 +607,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnow overlap recovers the high-jaccard planted pairs") {
+    val got = TextAnalysis.winnowOverlap(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { case (shared, na, nb, pm) =>
+      assert(shared >= 3 && pm >= 0 && pm <= 1000 &&
+        shared <= math.min(na, nb))
+    }
+    // winnowing guarantee applied cross-doc: docs sharing ≥ 0.9 of
+    // their shingles must share fingerprints — the planted near-dups
+    // all surface as overlap pairs
+    val strong = Dedup.ngramJaccard(spark, d).filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = strong.filterNot(got.contains)
+    assert(missed.isEmpty, s"high-jaccard pairs without fingerprint overlap: $missed")
+  }
+
   test("bm25 search matches a local exact-integer recompute") {
     val terms = Seq("hash", "join", "vector")
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
