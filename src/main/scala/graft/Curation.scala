@@ -399,4 +399,31 @@ object Curation {
         expr("(1000 * inter) div (nv_a + nv_b - inter)").as("jaccard_permille"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** q120: exact-k per-stratum eval carve — the "hold out exactly 50
+    * documents per source" cut an eval-set owner runs, deterministic
+    * under re-ingestion because the rank key is a CONTENT hash
+    * (prefix-salted like q111's split key, so carve membership and
+    * split membership stay independent draws; duplicate texts tie-break
+    * by doc_id).
+    *
+    * Scale shape: NOT a row_number window (which sorts every document
+    * of every stratum) but the bounded-heap `graft_topk` aggregate —
+    * per (source) group the state is 50 pairs, map-side partials
+    * shuffle k rows per partition per stratum, and no full sort ever
+    * happens. The hash fits a double exactly (< 2^53), so the heap's
+    * (score desc, id asc) order realizes (hash asc, doc_id asc) via
+    * score = −hash. */
+  def evalCarve(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .select(col("source"),
+        polyHash(concat(lit("carve:"), col("text"))).as("hkey"),
+        col("doc_id"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKByScore.topk(
+        -col("hkey").cast("double"), col("doc_id"), 50).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("source"), (col("i") + 1).cast("long").as("rank"),
+        col("p.id").as("doc_id"), (-col("p.score")).cast("long").as("hkey"))
+      .orderBy(col("source"), col("rank"))
 }

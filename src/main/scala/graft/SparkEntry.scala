@@ -250,6 +250,9 @@ object SparkEntry {
     "q118_winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
     // cross-doc overlap pairs from shared winnowing fingerprints
     "q119_winnow_overlap" -> (TextAnalysis.winnowOverlap _),
+    // exact-k per-stratum eval carve via the bounded-heap top-k
+    // aggregate (no per-stratum sort)
+    "q120_eval_carve" -> (Curation.evalCarve _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -536,6 +539,13 @@ object SparkEntry {
          |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
          |       (max(run) + 7)::BIGINT AS span_tokens
          |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q120_eval_carve" ->
+      s"""WITH h AS (SELECT source, ${H("'carve:' || text")} AS hkey, doc_id FROM documents),
+         |r AS (SELECT source, hkey, doc_id,
+         |      row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rn
+         |      FROM h)
+         |SELECT source, rn::BIGINT AS rank, doc_id, hkey
+         |FROM r WHERE rn <= 50 ORDER BY source, rank""".stripMargin,
     "q119_winnow_overlap" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
          |sh AS (SELECT doc_id, i::BIGINT - 1 AS pos,

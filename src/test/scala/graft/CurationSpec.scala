@@ -191,4 +191,28 @@ class CurationSpec extends SparkSpec {
     assert(bTok >= bShare + 1000L && bRate >= 999L,
       s"test corpus is large enough that the bound must collapse to 999: $binding")
   }
+
+  test("eval carve: exact-k strata, window-free plan, deterministic under re-run") {
+    val df = Curation.evalCarve(spark, d)
+    // the scale claim: the carve is the bounded-heap aggregate, not a
+    // per-stratum row_number sort — no Window operator may appear
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"evalCarve planned a window sort:\n$plan")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // per stratum: ranks are 1..k', k' ≤ 50, hash-ascending with
+    // doc_id tie-break
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= 50)
+      assert(sorted.map(x => (x._4, x._3)).sliding(2).forall(w =>
+        w.length < 2 || (w(0)._1 < w(1)._1 ||
+          (w(0)._1 == w(1)._1 && w(0)._2 < w(1)._2))),
+        s"stratum $src not (hash, doc_id)-ordered")
+    }
+    assert(rows.toSeq == Curation.evalCarve(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+  }
 }
