@@ -346,6 +346,56 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** q121: content-defined chunking (CDC) duplicate-block detection —
+    * the storage-dedup technique applied to text: chunk boundaries are
+    * DECLARED BY THE CONTENT (a token position starts a new chunk when
+    * its 3-gram rolling hash ≡ 0 mod 8, the Rabin-style cut rule with
+    * expected chunk length 8), so a shared passage chunks identically
+    * in every document that contains it REGARDLESS of its offset —
+    * insertion/deletion before a passage never breaks its chunk
+    * identity, which fixed-stride blocking cannot offer. The report is
+    * every chunk appearing ≥ 2 times corpus-wide: the shared-block
+    * inventory a long-document partial-dedup or storage layer keeps.
+    *
+    * Shape: the positional hash stream comes from the
+    * `graft_shingle_stream` generator (one pass, no hash arrays);
+    * token rows join boundary flags on (doc_id, position) — an
+    * equi-join co-partitioned by doc — and chunk ids are one running
+    * sum per document. Chunk identity is the polyhash of the
+    * space-joined chunk tokens (order pinned by sort_array, never
+    * collect_list order), aggregated corpus-wide in one hash-agg.
+    * Every step is linear; the only per-doc state is the running
+    * boundary count. */
+  def cdcChunkDups(spark: SparkSession, d: String): DataFrame =
+    cdcChunkDupsDf(Tables.documentsDist(spark, d))
+
+  private[graft] def cdcChunkDupsDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksDf = docs.select(col("doc_id"),
+      posexplode(toks(col("text"))).as(Seq("i", "w")))
+    val bnd = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleStream(col("text"), 3).as(Seq("p", "h")))
+      .filter(col("p") >= 1 && col("h") % 8 === 0)
+      .select(col("doc_id"), col("p"), lit(1L).as("b"))
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val chunks = toksDf
+      .join(bnd, toksDf("doc_id") === bnd("doc_id") && col("i") === col("p"), "left")
+      .select(toksDf("doc_id"), col("i"), col("w"), coalesce(col("b"), lit(0L)).as("b"))
+      .withColumn("chunk_id", sum(col("b")).over(wRun))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sort_array(collect_list(struct(col("i"), col("w")))).as("tw"))
+      .select(col("doc_id"),
+        polyHash(array_join(transform(col("tw"), x => x.getField("w")), " ")).as("chunk_hash"),
+        size(col("tw")).cast("long").as("n_tok"))
+    chunks
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("n_tok")).as("n_tok"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(col("chunk_hash"))
+  }
+
   /** Near-dup cluster assignment: connected components over the
     * MinHash/LSH pair graph (q23), labels = min doc_id of the
     * component; singletons are their own cluster. This is the step a

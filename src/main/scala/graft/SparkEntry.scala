@@ -253,6 +253,9 @@ object SparkEntry {
     // exact-k per-stratum eval carve via the bounded-heap top-k
     // aggregate (no per-stratum sort)
     "q120_eval_carve" -> (Curation.evalCarve _),
+    // content-defined chunking: offset-independent shared-block
+    // inventory (Rabin-style cut rule over the generator hash stream)
+    "q121_cdc_chunk_dups" -> (Dedup.cdcChunkDups _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -539,6 +542,26 @@ object SparkEntry {
          |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
          |       (max(run) + 7)::BIGINT AS span_tokens
          |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q121_cdc_chunk_dups" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |tok AS (SELECT doc_id, i::BIGINT - 1 AS i, tk[i] AS w
+         |        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) i FROM t)),
+         |sh AS (SELECT doc_id, i::BIGINT - 1 AS p,
+         |       ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |bnd AS (SELECT doc_id, p FROM sh WHERE p >= 1 AND h % 8 = 0),
+         |mk AS (SELECT tok.doc_id, tok.i, tok.w,
+         |       CASE WHEN bnd.p IS NULL THEN 0 ELSE 1 END AS b
+         |       FROM tok LEFT JOIN bnd ON bnd.doc_id = tok.doc_id AND bnd.p = tok.i),
+         |ch AS (SELECT doc_id, i, w,
+         |       sum(b) OVER (PARTITION BY doc_id ORDER BY i)::BIGINT AS chunk_id FROM mk),
+         |cg AS (SELECT doc_id, chunk_id,
+         |       ${H("string_agg(w, ' ' ORDER BY i)")} AS chunk_hash,
+         |       count(*)::BIGINT AS n_tok FROM ch GROUP BY 1, 2)
+         |SELECT chunk_hash, min(n_tok)::BIGINT AS n_tok,
+         |       count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ
+         |FROM cg GROUP BY chunk_hash HAVING count(*) >= 2
+         |ORDER BY chunk_hash""".stripMargin,
     "q120_eval_carve" ->
       s"""WITH h AS (SELECT source, ${H("'carve:' || text")} AS hkey, doc_id FROM documents),
          |r AS (SELECT source, hkey, doc_id,

@@ -607,6 +607,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("CDC chunking is offset-independent: a prefixed copy still shares its blocks") {
+    import spark.implicits._
+    import graft.functions.ShingleStreamExpr
+    // doc 2 = doc 1 shifted by an unrelated prefix: fixed-stride
+    // blocking would misalign every block; content-defined cuts must
+    // re-find the shared chunks after doc 2's first in-passage boundary
+    val base = Tables.documents(spark, d).select("text").head().getString(0)
+    val docs = Seq((1L, base), (2L, s"zz qq pp $base")).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkDupsDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "no shared CDC chunk between a doc and its prefixed copy")
+    got.foreach { case (_, nTok, nDocs, nOcc) =>
+      assert(nTok >= 1 && nDocs >= 1 && nOcc >= 2 && nOcc >= nDocs)
+    }
+    // local recompute of the whole report on this two-doc corpus (the
+    // chunk hash is the window hasher applied to the whole joined chunk)
+    def chunkHashes(text: String): Seq[(Long, Int)] = {
+      val tk = text.split(" ", -1)
+      val bnd = (1 to tk.length - 3)
+        .filter(p => ShingleStreamExpr.hashWindow(tk, p, 3) % 8 == 0).toSet
+      val ids = tk.indices.map(i => (1 to i).count(bnd.contains))
+      tk.indices.groupBy(ids(_)).values.map { is =>
+        val joined = is.sorted.map(tk).toArray
+        (ShingleStreamExpr.hashWindow(joined, 0, joined.length), joined.length)
+      }.toSeq
+    }
+    val all = chunkHashes(base) ++ chunkHashes(s"zz qq pp $base")
+    val expect = all.groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).min.toLong, v.size.toLong))
+      .toMap.filter(_._2._2 >= 2)
+    val gotMap = got.map(x => x._1 -> (x._2, x._4)).toMap
+    assert(gotMap == expect)
+  }
+
   test("winnow overlap recovers the high-jaccard planted pairs") {
     val got = TextAnalysis.winnowOverlap(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
