@@ -139,15 +139,53 @@ private case object AggMaxId extends SynthAgg {
 
 private class SynthScanBuilder(n: Long, seed: Long, numParts: Int,
     rowsPerBatch: Long) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownFilters {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.sources._
 
   private var required: StructType = SynthDocs.Schema
   private var pushed: Option[Seq[SynthAgg]] = None
+  private var lo = 0L // narrowed id range [lo, hi) — FILTER pushdown
+  private var hi = n
+  private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** doc_id range predicates narrow the GENERATED id range exactly —
+    * ids are dense in [0, n), so [lo, hi) clamping IS the predicate;
+    * accepted filters are fully handled (no post-scan re-evaluation),
+    * which also lets a filtered aggregate keep its pushdown. Anything
+    * over other columns stays residual for Spark to apply. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def long(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    val (ours, residual) = filters.partition {
+      case EqualTo("doc_id", v) => long(v).isDefined
+      case GreaterThan("doc_id", v) => long(v).isDefined
+      case GreaterThanOrEqual("doc_id", v) => long(v).isDefined
+      case LessThan("doc_id", v) => long(v).isDefined
+      case LessThanOrEqual("doc_id", v) => long(v).isDefined
+      case _ => false
+    }
+    ours.foreach {
+      case EqualTo(_, v) =>
+        lo = math.max(lo, long(v).get); hi = math.min(hi, long(v).get + 1)
+      case GreaterThan(_, v) => lo = math.max(lo, long(v).get + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, long(v).get)
+      case LessThan(_, v) => hi = math.min(hi, long(v).get)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, long(v).get + 1)
+      case _ => ()
+    }
+    accepted = ours
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
 
   /** PARTIAL pushdown (Spark still plans its merge aggregate over the
     * per-split partials): ungrouped COUNT(*) / MIN(doc_id) /
@@ -173,27 +211,31 @@ private class SynthScanBuilder(n: Long, seed: Long, numParts: Int,
     else { pushed = Some(specs.flatten); true }
   }
 
-  override def build(): Scan = pushed match {
-    case Some(aggs) =>
-      SynthDocs.lastPushedAggs = aggs.map(_.name)
-      new SynthAggScan(n, numParts, aggs)
-    case None =>
-      SynthDocs.lastPushedAggs = Nil
-      SynthDocs.lastReadSchema = required
-      new SynthScan(n, seed, numParts, rowsPerBatch, required)
+  override def build(): Scan = {
+    val (l, h) = (lo, math.max(lo, hi)) // empty range when contradictory
+    pushed match {
+      case Some(aggs) =>
+        SynthDocs.lastPushedAggs = aggs.map(_.name)
+        new SynthAggScan(l, h, numParts, aggs)
+      case None =>
+        SynthDocs.lastPushedAggs = Nil
+        SynthDocs.lastReadSchema = required
+        new SynthScan(l, h, seed, numParts, rowsPerBatch, required)
+    }
   }
 }
 
 /** Pushed-aggregate scan: one partial row per input split, computed
   * from the split bounds alone (`genRow` never runs). MIN/MAX are
-  * exact because ids are dense in [0, n). */
-private class SynthAggScan(n: Long, numParts: Int, aggs: Seq[SynthAgg])
+  * exact because ids are dense in the (possibly filter-narrowed)
+  * [lo, hi) range. */
+private class SynthAggScan(lo: Long, hi: Long, numParts: Int, aggs: Seq[SynthAgg])
     extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(aggs.map(a => StructField(a.name, LongType, nullable = false)))
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    SynthReaders.split(0L, n, numParts)
+    SynthReaders.split(lo, hi, numParts)
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthAggReaderFactory(aggs)
 }
@@ -245,12 +287,12 @@ private case class SynthOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-private class SynthScan(n: Long, seed: Long, numParts: Int, rowsPerBatch: Long,
-    schema: StructType) extends Scan with Batch {
+private class SynthScan(lo: Long, hi: Long, seed: Long, numParts: Int,
+    rowsPerBatch: Long, schema: StructType) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    SynthReaders.split(0L, n, numParts)
+    SynthReaders.split(lo, hi, numParts)
   override def createReaderFactory(): PartitionReaderFactory =
     SynthReaders.factory(seed, schema.fieldNames.toSeq)
 
@@ -266,7 +308,7 @@ private class SynthScan(n: Long, seed: Long, numParts: Int, rowsPerBatch: Long,
       private var known = 0L
       private var drainAll = false
       override def prepareForTriggerAvailableNow(): Unit = drainAll = true
-      override def initialOffset(): Offset = SynthOffset(0L)
+      override def initialOffset(): Offset = SynthOffset(lo)
       // SupportsAdmissionControl routes through the two-arg form; the
       // legacy no-arg variant must not be reachable
       override def latestOffset(): Offset =
@@ -278,7 +320,7 @@ private class SynthScan(n: Long, seed: Long, numParts: Int, rowsPerBatch: Long,
         known = math.max(known, start.asInstanceOf[SynthOffset].v)
         // Trigger.AvailableNow drains the whole corpus; a normal
         // trigger releases rowsPerBatch ids per micro-batch
-        known = if (drainAll) n else math.min(n, known + rowsPerBatch)
+        known = if (drainAll) hi else math.min(hi, known + rowsPerBatch)
         SynthOffset(known)
       }
       override def reportLatestOffset(): Offset = SynthOffset(known)

@@ -65,6 +65,35 @@ class SynthDocsSpec extends SparkSpec {
     assert(SynthDocs.rowsGenerated.sum() == 0L)
   }
 
+  test("filter pushdown: doc_id ranges narrow the GENERATED id range exactly") {
+    import graft.sources.SynthDocs
+    // a doc_id range generates ONLY the range — pushdown saves the
+    // generation itself, not just post-scan filtering
+    SynthDocs.rowsGenerated.reset()
+    val rows = read(1000, parts = 5)
+      .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+      .collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (200L until 250L).toSeq)
+    assert(SynthDocs.rowsGenerated.sum() == 50L,
+      s"range filter generated ${SynthDocs.rowsGenerated.sum()} rows, wanted 50")
+    // content identical to the unfiltered corpus over the same ids
+    val full = read(1000).filter(col("doc_id") === 237L).collect().head
+    assert(rows.find(_.getLong(0) == 237L).get.toSeq == full.toSeq)
+    // a filtered COUNT composes both pushdowns: zero rows generated
+    SynthDocs.rowsGenerated.reset()
+    assert(read(1000).filter(col("doc_id") < 123).count() == 123L)
+    assert(SynthDocs.lastPushedAggs == Seq("COUNT(*)"))
+    assert(SynthDocs.rowsGenerated.sum() == 0L)
+    // a non-id predicate stays residual (re-applied by Spark), exact
+    val byLang = read(300).filter(col("lang") === "en").collect()
+    val ref = read(300).collect().filter(_.getString(1) == "en")
+    assert(byLang.map(_.getLong(0)).sorted.toSeq ==
+      ref.map(_.getLong(0)).sorted.toSeq)
+    // contradictory ranges yield an empty (not negative) split set
+    assert(read(1000).filter(col("doc_id") > 500 && col("doc_id") < 100).count() == 0L)
+  }
+
   test("aggregate pushdown declines group-bys and generated columns; fallback is exact") {
     import graft.sources.SynthDocs
     // aggregate over a GENERATED column: decline, full-scan fallback
