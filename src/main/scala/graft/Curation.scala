@@ -400,6 +400,37 @@ object Curation {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q122: Horvitz–Thompson extrapolation from the q50 sample — the
+    * survey-estimation pass: every corpus statistic a monitoring job
+    * wants (doc counts, token inventory per language) estimated from
+    * the SAMPLE alone, each sampled row weighted by its known inverse
+    * inclusion rate (1000/permille). Because q50's inclusion is a
+    * content-hash cut (not a random draw), the estimate is REPRODUCIBLE
+    * — the same corpus always yields the same estimate — and exact
+    * integer arithmetic (`·1000 div permille`) makes it oracle-exact.
+    * At 100 TB this is the only affordable way to track corpus drift
+    * between full-inventory runs: the scan touches rate·corpus rows.
+    *
+    * Shape: the sample cut (scan → broadcast rate probe → filter), one
+    * hash-agg per language, estimator arithmetic on the |langs|-row
+    * result. */
+  def sampleEstimate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val rates = MixturePermille.toDF("lang", "permille")
+    Tables.documentsDist(spark, d)
+      .withColumn("skey", polyHash(col("text")) % 1000L)
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("skey") < col("permille"))
+      .select(col("lang"), col("permille"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("permille"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_tok")).as("tok_sampled"))
+      .select(col("lang"), col("permille"), col("n_sampled"), col("tok_sampled"),
+        expr("(n_sampled * 1000) div permille").as("est_docs"),
+        expr("(tok_sampled * 1000) div permille").as("est_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** q120: exact-k per-stratum eval carve — the "hold out exactly 50
     * documents per source" cut an eval-set owner runs, deterministic
     * under re-ingestion because the rank key is a CONTENT hash

@@ -256,6 +256,8 @@ object SparkEntry {
     // content-defined chunking: offset-independent shared-block
     // inventory (Rabin-style cut rule over the generator hash stream)
     "q121_cdc_chunk_dups" -> (Dedup.cdcChunkDups _),
+    // Horvitz-Thompson corpus estimates from the q50 sample cut
+    "q122_sample_estimate" -> (Curation.sampleEstimate _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -542,6 +544,19 @@ object SparkEntry {
          |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
          |       (max(run) + 7)::BIGINT AS span_tokens
          |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q122_sample_estimate" ->
+      s"""WITH r(lang, permille) AS (VALUES ('en', 250), ('de', 800), ('es', 800),
+         |                                 ('fr', 800), ('zh', 800)),
+         |s AS (SELECT d.lang, r.permille::BIGINT AS permille,
+         |      len(regexp_split_to_array(d.text, ' '))::BIGINT AS n_tok
+         |      FROM documents d JOIN r ON r.lang = d.lang
+         |      WHERE ${H("d.text")} % 1000 < r.permille),
+         |g AS (SELECT lang, permille, count(*)::BIGINT AS n_sampled,
+         |      sum(n_tok)::BIGINT AS tok_sampled FROM s GROUP BY 1, 2)
+         |SELECT lang, permille, n_sampled, tok_sampled,
+         |       ((n_sampled * 1000) // permille)::BIGINT AS est_docs,
+         |       ((tok_sampled * 1000) // permille)::BIGINT AS est_tokens
+         |FROM g ORDER BY lang""".stripMargin,
     "q121_cdc_chunk_dups" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
          |tok AS (SELECT doc_id, i::BIGINT - 1 AS i, tk[i] AS w

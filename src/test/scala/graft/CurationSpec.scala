@@ -192,6 +192,33 @@ class CurationSpec extends SparkSpec {
       s"test corpus is large enough that the bound must collapse to 999: $binding")
   }
 
+  test("sample estimate: exact local recompute and bounded estimation error") {
+    val got = Curation.sampleEstimate(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // the estimator reproduces its own arithmetic exactly
+    got.foreach { case (_, pm, n, tok, estD, estT) =>
+      assert(estD == n * 1000L / pm && estT == tok * 1000L / pm)
+    }
+    // Horvitz–Thompson consistency: the hash cut approximates the rate,
+    // so estimates land near the true per-language inventory
+    val truth = Tables.documents(spark, d).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    // relative error of a rate-r hash cut concentrates like
+    // 1/sqrt(n_sampled); 4 sigmas is a deterministic-corpus-safe bound
+    got.foreach { case (lang, _, n, _, estD, estT) =>
+      val (td, tt) = truth(lang)
+      val bound = math.max(0.05, 4.0 / math.sqrt(n.toDouble))
+      assert(math.abs(estD - td).toDouble / td <= bound,
+        s"$lang est_docs $estD vs true $td beyond $bound")
+      assert(math.abs(estT - tt).toDouble / tt <= bound,
+        s"$lang est_tokens $estT vs true $tt beyond $bound")
+    }
+  }
+
   test("eval carve: exact-k strata, window-free plan, deterministic under re-run") {
     val df = Curation.evalCarve(spark, d)
     // the scale claim: the carve is the bounded-heap aggregate, not a
