@@ -52,7 +52,10 @@ object ScaleProbe {
         "q56_ingest_dedup" -> (Dedup.ingestDedup _),
         "q106_dedup_simhash64" -> (Dedup.simhash64 _),
         "q107_contam_spans" -> (Dedup.contamSpans _),
-        "q109_verbatim_overlap" -> (Dedup.verbatimOverlap _))
+        "q109_verbatim_overlap" -> (Dedup.verbatimOverlap _),
+        "q118_winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
+        "q119_winnow_overlap" -> (TextAnalysis.winnowOverlap _),
+        "q121_cdc_chunk_dups" -> (Dedup.cdcChunkDups _))
     val ratios = qs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, d10)
