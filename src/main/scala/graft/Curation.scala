@@ -446,7 +446,10 @@ object Curation {
     * (score desc, id asc) order realizes (hash asc, doc_id asc) via
     * score = −hash. */
   def evalCarve(spark: SparkSession, d: String): DataFrame =
-    Tables.documentsDist(spark, d)
+    evalCarveDf(Tables.documentsDist(spark, d))
+
+  private[graft] def evalCarveDf(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         polyHash(concat(lit("carve:"), col("text"))).as("hkey"),
         col("doc_id"))

@@ -64,4 +64,6 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
   releasedAfterAction("bigramFluency", () => TextAnalysis.bigramFluency(spark, dir))
   releasedAfterAction("mixturePlan", () => Curation.mixturePlan(spark, dir))
   releasedAfterAction("verbatimOverlap", () => Dedup.verbatimOverlap(spark, dir))
+  releasedAfterAction("semDedup", () => Dedup.semDedup(spark, dir))
+  releasedAfterAction("winnowOverlap", () => TextAnalysis.winnowOverlap(spark, dir))
 }

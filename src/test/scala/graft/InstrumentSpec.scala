@@ -78,4 +78,26 @@ class InstrumentSpec extends SparkSpec {
     assert(s.recordsWritten <= 2 * nIn + rows.length, s)
     assert(rows.length <= nIn) // (sf0.001 happens to have no exact dups)
   }
+
+  test("q120 eval carve: the heap aggregate shuffles k-bounded partials, never documents") {
+    // plain loader: documentsDist's round-robin spread is a test-scale
+    // fixture artifact (single-row-group files), not part of the operator
+    val (rows, s) = Instrument.collectWithPlan(
+      Curation.evalCarveDf(Tables.documents(spark, d)))
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, d).count()
+    val nStrata = Tables.documents(spark, d).select("source").distinct().count()
+    val parts = spark.sparkContext.defaultParallelism.toLong
+    // partial heaps: ≤ one buffer row per (stratum, map partition) into
+    // the agg exchange, plus the ≤ 50·strata output rows into the
+    // presentation sort — strictly below one pass of the corpus (the
+    // row_number-window formulation would shuffle every document)
+    // (at sf0.001 every stratum is smaller than k, so rows.length ==
+    // nDocs and the corpus term is the OUTPUT, not the input — at real
+    // scale rows.length caps at 50·strata regardless of corpus size)
+    val bound = nStrata * parts + rows.length
+    assert(s.recordsWritten <= bound,
+      s"carve shuffled ${s.recordsWritten} records (bound $bound, " +
+        s"$nDocs docs) — did the top-k aggregate degrade to a document shuffle?")
+  }
 }
