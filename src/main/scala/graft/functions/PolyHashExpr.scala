@@ -89,6 +89,8 @@ object GraftFunctions {
     GraftShim.column(ShingleHashesExpr(GraftShim.expression(c), n))
   def shingleStream(c: Column, n: Int): Column =
     GraftShim.column(ShingleStreamExpr(GraftShim.expression(c), n))
+  def winnow(c: Column): Column =
+    GraftShim.column(WinnowFpExpr(GraftShim.expression(c)))
 
   /** Constant-int argument of a SQL builder (k of minhashes, n of
     * shinglehashes) — the kernels specialize on it at plan time. */
@@ -120,6 +122,10 @@ object GraftFunctions {
     // projection (the engine's UDTF surface)
     ("graft_shingle_stream", classOf[ShingleStreamExpr],
       (args: Seq[Expression]) => ShingleStreamExpr(args.head, intArg(args(1), "graft_shingle_stream"))),
+    // row-local winnowing: the streaming-safe scalar twin of the
+    // generator + window formulation
+    ("graft_winnow", classOf[WinnowFpExpr],
+      (args: Seq[Expression]) => WinnowFpExpr(args.head)),
     // aggregates register the same way: the analyzer wraps a bare
     // AggregateFunction into its AggregateExpression
     ("graft_topk", classOf[TopKByScore],

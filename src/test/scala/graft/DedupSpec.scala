@@ -641,6 +641,19 @@ class DedupSpec extends SparkSpec {
     assert(gotMap == expect)
   }
 
+  test("row-local graft_winnow is value-identical to the windowed q118 formulation") {
+    // the scalar kernel must reproduce the generator+window selection
+    // row-for-row — this is what makes it a legal streaming stand-in
+    val viaExpr = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.winnow(col("text"))).as("fp"))
+      .select(col("doc_id"), col("fp.pos"), col("fp.h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaWindow = TextAnalysis.winnowFingerprints(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaExpr == viaWindow && viaExpr.nonEmpty)
+  }
+
   test("winnow overlap recovers the high-jaccard planted pairs") {
     val got = TextAnalysis.winnowOverlap(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->

@@ -13,6 +13,35 @@ class DocStreamSpec extends SparkSpec {
   private val Base = 1000L
   private def ts(min: Long): Timestamp = new Timestamp((Base + min) * 60000L)
 
+  test("streaming winnowing fingerprints equal the batch q118 selection per doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    // row-local graft_winnow needs no window operator, so the SAME
+    // projection runs unchanged on the stream — fingerprint-at-ingest
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().take(60)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.winnow(col("text"))).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+      .writeStream.format("memory").queryName("winnow_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = docs.splitAt(25)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val got = spark.table("winnow_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ids = docs.map(_._1).toSet
+      val batch = TextAnalysis.winnowFingerprints(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(x => ids.contains(x._1)).toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("cross-batch duplicates are suppressed; first occurrence wins") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
