@@ -674,12 +674,43 @@ object Dedup {
     * the cost of missing spans made ONLY of ubiquitous grams), exactly
     * PPJoin's stop-shingle argument (q46). Pure integer arithmetic ⇒
     * hash-checked end-to-end. */
-  def verbatimOverlap(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = CacheScope.cached(Tables.documentsDist(spark, d)
+  def verbatimOverlap(spark: SparkSession, d: String): DataFrame =
+    overlapFromGrams(gramIndex(spark, d))
+
+  /** q123: q109 with the production df cap REAL — grams whose posting
+    * list exceeds `GramDfCap` fall out of the index before the
+    * self-join, bounding pair instances per gram at cap² (PPJoin's
+    * stop-shingle argument, q46). The price, stated exactly: a shared
+    * span is missed only when EVERY 8-gram inside it is corpus-
+    * ubiquitous (df > cap) — spans with any distinctive gram survive.
+    * Same diagonal machinery; the df filter is one re-aggregation of
+    * the gram relation joined back on the gram key. */
+  def verbatimOverlapCapped(spark: SparkSession, d: String): DataFrame =
+    verbatimOverlapCappedDf(Tables.documentsDist(spark, d))
+
+  private[graft] def verbatimOverlapCappedDf(docs: DataFrame): DataFrame = {
+    val grams = gramIndexDf(docs)
+    val keep = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= GramDfCap)
+      .select(col("h"))
+    overlapFromGrams(grams.join(keep, "h"))
+  }
+
+  private[graft] val GramDfCap = 16L
+
+  /** Positional 8-gram hash index (row-local projection), shared by
+    * q109 (uncapped) and q123 (df-capped). */
+  private def gramIndex(spark: SparkSession, d: String): DataFrame =
+    gramIndexDf(Tables.documentsDist(spark, d))
+
+  private def gramIndexDf(docs: DataFrame): DataFrame =
+    CacheScope.cached(docs
       .select(col("doc_id"),
         posexplode(transform(shingles(toks(col("text")), 8), s => polyHash(s)))
           .as(Seq("pos", "h"))))
+
+  private def overlapFromGrams(grams: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val m = grams.as("a")
       .join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -258,6 +258,9 @@ object SparkEntry {
     "q121_cdc_chunk_dups" -> (Dedup.cdcChunkDups _),
     // Horvitz-Thompson corpus estimates from the q50 sample cut
     "q122_sample_estimate" -> (Curation.sampleEstimate _),
+    // q109 with the df cap real: stop-grams fall out of the index,
+    // pair instances per gram bounded at cap^2
+    "q123_verbatim_overlap_capped" -> (Dedup.verbatimOverlapCapped _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -530,6 +533,22 @@ object SparkEntry {
          |SELECT s.doc_id, count(*) AS n_shared
          |FROM sh s JOIN ev ON ev.h = s.h WHERE s.doc_id % 97 != 0
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q123_verbatim_overlap_capped" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |g0 AS (SELECT doc_id, i - 1 AS pos, ${H("array_to_string(tk[i:i+7], ' ')")} AS h
+         |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) i FROM t)),
+         |keep AS (SELECT h FROM g0 GROUP BY h HAVING count(*) <= 16),
+         |g AS (SELECT g0.* FROM g0 JOIN keep USING (h)),
+         |m AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, a.pos - b.pos AS diag
+         |      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |r AS (SELECT doc_a, doc_b, diag,
+         |      pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+         |      FROM m),
+         |agg AS (SELECT doc_a, doc_b, diag, grp, count(*) AS run
+         |        FROM r GROUP BY doc_a, doc_b, diag, grp)
+         |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
+         |       (max(run) + 7)::BIGINT AS span_tokens
+         |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
     "q109_verbatim_overlap" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
          |g AS (SELECT doc_id, i - 1 AS pos, ${H("array_to_string(tk[i:i+7], ' ')")} AS h

@@ -607,6 +607,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("df-capped verbatim overlap: subset of q109, stop-gram pairs pruned, rare spans kept") {
+    import spark.implicits._
+    // on the real corpus the capped report never invents a pair or a
+    // longer run than the exact one
+    val exact = Dedup.verbatimOverlap(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val capped = Dedup.verbatimOverlapCapped(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+    assert(capped.nonEmpty)
+    capped.foreach { case (k, run) =>
+      assert(exact.contains(k), s"capped invented pair $k")
+      assert(run <= exact(k), s"capped run exceeds exact for $k")
+    }
+    // adversarial synthetic: a stop 8-gram shared by 20 docs (df = 20
+    // > cap) produces NO pairs once capped — the B² blow-up is gone —
+    // while a rare shared span between two docs survives intact
+    val stop = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val rare = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    val docs = ((1L to 20L).map(i => (i, s"$stop u$i v$i w$i x$i y$i z$i a$i b$i")) :+
+      (100L, s"$rare k1 k2 k3 k4 k5 k6 k7") :+
+      (101L, s"m1 m2 m3 m4 m5 m6 m7 $rare")).toDF("doc_id", "text")
+    val out = Dedup.verbatimOverlapCappedDf(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.keySet == Set((100L, 101L)),
+      s"capped synthetic expected only the rare pair, got ${out.keySet}")
+    assert(out((100L, 101L)) == (1L, 2L, 9L)) // 9-token span = two 8-gram positions
+  }
+
   test("CDC chunking is offset-independent: a prefixed copy still shares its blocks") {
     import spark.implicits._
     import graft.functions.ShingleStreamExpr
