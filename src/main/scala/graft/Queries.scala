@@ -956,4 +956,60 @@ object Queries {
         round(min(col("v")), 2).as("min_v"),
         round(max(col("v")), 2).as("max_v"))
       .orderBy(col("col_name"))
+
+  /** q124: ordered funnel analysis (the MATCH_RECOGNIZE-class query a
+    * product-analytics warehouse runs daily): per user, the first
+    * `view`, the first `click` AT OR AFTER that view, and the first
+    * `purchase` at or after that click — strictly ordered stages, so a
+    * click before any view does not count. Stage = how far the user
+    * got (1-3).
+    *
+    * Shape: three per-user hash-aggregations chained by equi-joins on
+    * user_id — each stage aggregates only its own event type's rows
+    * (filter pushed to the scan), and the per-user joins co-partition
+    * on the same key, so AQE plans one shuffle per stage side and the
+    * chain never re-scans events. Exact integer epoch-nanos throughout
+    * (`min` on Long, no timestamp arithmetic). */
+  def eventFunnel(spark: SparkSession, d: String): DataFrame = {
+    // micros, not nanos: the portable cross-engine resolution (the
+    // oracle's TIMESTAMP reads at us precision; same as the as-of
+    // family) — `div` keeps the floor exact
+    val ev = eventsNs(spark, d).withColumn("tus", expr("ts div 1000"))
+    def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+    val v = stage("view").groupBy(col("user_id")).agg(min(col("tus")).as("view_us"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("tus") >= col("view_us"))
+      .groupBy(col("user_id"), col("view_us")).agg(min(col("tus")).as("click_us"))
+    val p = stage("purchase").join(c.select(col("user_id"), col("click_us")), "user_id")
+      .filter(col("tus") >= col("click_us"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("purchase_us"))
+    v.join(c.select(col("user_id"), col("click_us")), Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+        (lit(1L) + when(col("click_us").isNotNull, 1L).otherwise(0L)
+          + when(col("purchase_us").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q125: cohort retention — users grouped by first-activity day, and
+    * for each (cohort day, day offset) the count of cohort members
+    * active on that offset. The standard warehouse retention triangle.
+    *
+    * Day indexes are exact integer `div` over epoch-nanos (identical
+    * floors in both engines); the per-user cohort day is one hash-agg
+    * re-joined on user_id; the triangle is one distinct + hash-agg over
+    * (cohort, offset) — all linear, all shuffles keyed. */
+  def cohortRetention(spark: SparkSession, d: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val ev = eventsNs(spark, d)
+      .select(col("user_id"), expr(s"ts div $DayNs").as("day"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 }

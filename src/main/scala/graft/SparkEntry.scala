@@ -261,6 +261,10 @@ object SparkEntry {
     // q109 with the df cap real: stop-grams fall out of the index,
     // pair instances per gram bounded at cap^2
     "q123_verbatim_overlap_capped" -> (Dedup.verbatimOverlapCapped _),
+    // ordered funnel (view -> click -> purchase), strictly staged
+    "q124_event_funnel" -> (Queries.eventFunnel _),
+    // cohort retention triangle on exact integer day indexes
+    "q125_cohort_retention" -> (Queries.cohortRetention _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -533,6 +537,30 @@ object SparkEntry {
          |SELECT s.doc_id, count(*) AS n_shared
          |FROM sh s JOIN ev ON ev.h = s.h WHERE s.doc_id % 97 != 0
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q124_event_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS view_us
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS click_us
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.view_us
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS purchase_us
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.click_us
+        |      GROUP BY 1)
+        |SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+        |       (1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+        |          + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS stage
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "q125_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |ch AS (SELECT user_id, min(day)::BIGINT AS cohort_day FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT ch.cohort_day, e.day - ch.cohort_day AS day_offset,
+        |      e.user_id FROM e JOIN ch ON ch.user_id = e.user_id)
+        |SELECT cohort_day, day_offset::BIGINT AS day_offset, count(*)::BIGINT AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q123_verbatim_overlap_capped" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
          |g0 AS (SELECT doc_id, i - 1 AS pos, ${H("array_to_string(tk[i:i+7], ' ')")} AS h

@@ -296,4 +296,35 @@ class EventStreamSpec extends SparkSpec {
       .select("user_id", "n_sessions")
     assert(sessions.except(oracle).isEmpty && oracle.except(sessions).isEmpty)
   }
+
+  test("funnel stages match an independent per-user event-log walk") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    // independent recompute: literally walk each user's ordered log
+    val byUser = Tables.eventsNs(spark, d)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L, r.getString(2)))
+      .groupBy(_._1)
+    val expect = byUser.flatMap { case (u, evs) =>
+      val s = evs.sortBy(_._2)
+      s.find(_._3 == "view").map { v =>
+        val c = s.find(e => e._3 == "click" && e._2 >= v._2)
+        val p = c.flatMap(cc => s.find(e => e._3 == "purchase" && e._2 >= cc._2))
+        (u, v._2, c.map(_._2), p.map(_._2),
+          1L + c.size.toLong + p.size.toLong)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Queries.eventFunnel(spark, d).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4))
+    }.toSeq
+    assert(got == expect && got.nonEmpty)
+    // ordering property the SQL twin could get wrong identically: no
+    // stage timestamp precedes its predecessor
+    got.foreach { case (_, v, c, p, _) =>
+      c.foreach(x => assert(x >= v)); (c zip p).foreach { case (x, y) => assert(y >= x) }
+    }
+  }
 }

@@ -7,44 +7,7 @@ package graft
 class PlanSpec extends SparkSpec {
   private val d = "/root/testdata/sf0.001"
 
-  test("runtime bloom filter: a selective dim predicate prunes the fact side of a shuffle join") {
-    import org.apache.spark.sql.functions._
-    val c = spark.conf
-    val keys = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-    val saved = keys.map(k => k -> c.getOption(k))
-    def query = Tables.lineitem(spark, d)
-      .join(Tables.orders(spark, d)
-        .filter(col("o_orderpriority") === "1-URGENT"), // selective dim cut
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"))
-    try {
-      // force the shuffle-join shape runtime filtering targets (a
-      // broadcast join already prunes via its hash relation), and drop
-      // the 10 GB application-side floor so the test-scale scan
-      // qualifies — at 100 TB the defaults fire on their own
-      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      val withRf = query
-      val optimized = withRf.queryExecution.optimizedPlan.toString
-      assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter"),
-        s"runtime bloom filter did not inject:\n$optimized")
-      val got = withRf.collect().map(r => (r.getString(0), r.getLong(1))).toSet
-      // value-identical with runtime filtering off
-      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-      val plain = query.collect().map(r => (r.getString(0), r.getLong(1))).toSet
-      assert(got == plain && got.nonEmpty)
-    } finally saved.foreach {
-      case (k, Some(v)) => c.set(k, v)
-      case (k, None) => c.unset(k)
-    }
-  }
+  // runtime bloom-filter injection is pinned in RuntimeFilterSpec
 
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
