@@ -120,9 +120,13 @@ object Bpe {
 
   /** Encode one word: merges apply in rank order (training-consistent
     * by construction). Total for unseen words — they simply stay
-    * character-split wherever no merge matches. */
+    * character-split wherever no merge matches. The EMPTY token (legal
+    * under `toks`'s keep-empty split) encodes as one empty piece, so
+    * every word contributes ≥ 1 piece and the per-doc ratio arithmetic
+    * (`div n_bpe`) can never divide by zero. */
   private[graft] def encodeWord(w: String, merges: Seq[(String, String)])
       : List[String] = {
+    if (w.isEmpty) return List("")
     var sym = w.map(_.toString).toList
     val it = merges.iterator
     while (it.hasNext && sym.length > 1) {

@@ -108,8 +108,15 @@ object CacheScope {
   private final class Releaser(s: SparkSession) extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
         durationNs: Long): Unit = release(durationNs)
+    // onFailure carries no durationNs, so the action's start is
+    // unknowable — claiming with startedAt = now would claim caches
+    // registered while the failed action was mid-flight, reopening the
+    // concurrent over-release the timestamp scoping exists to close.
+    // Claim NOTHING instead: the registrant's own terminal action (or
+    // any later successful action) releases them, so the trade is a
+    // slightly longer cache lifetime on failure, never a lost cache.
     override def onFailure(funcName: String, qe: QueryExecution,
-        exception: Exception): Unit = release(0L)
+        exception: Exception): Unit = ()
     private def release(durationNs: Long): Unit = {
       // claim only registrations made before this action started —
       // newer ones belong to an operator whose terminal action is

@@ -693,7 +693,10 @@ object Dedup {
     val keep = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= GramDfCap)
       .select(col("h"))
-    overlapFromGrams(grams.join(keep, "h"))
+    // cache the CAPPED index — the relation the pair join actually
+    // self-joins — so the corpus-wide df aggregate + semi-join subtree
+    // computes once structurally, not via optimizer exchange reuse
+    overlapFromGrams(CacheScope.cached(grams.join(keep, "h")))
   }
 
   private[graft] val GramDfCap = 16L

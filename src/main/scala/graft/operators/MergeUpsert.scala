@@ -82,8 +82,19 @@ object MergeUpsert {
     val spark = batch.sparkSession
     val base = latestGen(spark, statePath, before = Some(batchId))
       .getOrElse(batch.drop(opCol, seqCol).filter(lit(false)))
+    val dir = s"$statePath/gen=$batchId"
     applyCdc(base, batch, keys, seqCol, opCol)
-      .write.mode("overwrite").parquet(s"$statePath/gen=$batchId")
+      .write.mode("overwrite").parquet(dir)
+    // the sink writes its OWN completeness marker rather than trusting
+    // the committer's: with marksuccessfuljobs=false (common on
+    // object-store committers) no _SUCCESS would ever appear, and the
+    // latestGen gate would silently treat every committed generation
+    // as torn — the next batch would then rebuild state from empty.
+    // Idempotent (create overwrites), ordered after the parquet job
+    // commit returns.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
   }
 
   /** The ids of `<prefix>=<id>` children under `root` — the ONE

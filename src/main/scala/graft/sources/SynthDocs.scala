@@ -173,13 +173,17 @@ private class SynthScanBuilder(n: Long, seed: Long, numParts: Int,
       case LessThanOrEqual("doc_id", v) => long(v).isDefined
       case _ => false
     }
+    // saturating successor: v+1 on Long.MaxValue must not wrap to
+    // MinValue (a wrapped lo un-narrows the range while the accepted
+    // filter is never re-applied — silently wrong rows)
+    def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     ours.foreach {
       case EqualTo(_, v) =>
-        lo = math.max(lo, long(v).get); hi = math.min(hi, long(v).get + 1)
-      case GreaterThan(_, v) => lo = math.max(lo, long(v).get + 1)
+        lo = math.max(lo, long(v).get); hi = math.min(hi, inc(long(v).get))
+      case GreaterThan(_, v) => lo = math.max(lo, inc(long(v).get))
       case GreaterThanOrEqual(_, v) => lo = math.max(lo, long(v).get)
       case LessThan(_, v) => hi = math.min(hi, long(v).get)
-      case LessThanOrEqual(_, v) => hi = math.min(hi, long(v).get + 1)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, inc(long(v).get))
       case _ => ()
     }
     accepted = ours

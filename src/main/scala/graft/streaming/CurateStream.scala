@@ -140,7 +140,17 @@ object CurateStream {
       val newLabels = hold(
         Dedup.incrementalClusters(base, sb.select("doc_id"), pairs)
           .select(col("doc_id"), col("cluster_id")))
-      newLabels.write.mode("overwrite").parquet(s"$storeDir/state/labels/gen=$batchId")
+      // markers written by the sink itself, not trusted from the
+      // committer (marksuccessfuljobs=false would otherwise make the
+      // latestGen completeness gate treat every generation as torn)
+      def markDone(dir: String): Unit = {
+        val f = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+      }
+      val labelsDir = s"$storeDir/state/labels/gen=$batchId"
+      newLabels.write.mode("overwrite").parquet(labelsDir)
+      markDone(labelsDir)
       // 4. snapshot generation: canonical docs over ALL survivors so
       // far, redacted. A merged-cluster takeover simply drops the
       // de-throned doc from the new generation.
@@ -148,8 +158,10 @@ object CurateStream {
         .fold(sb)(s => s.unionByName(sb))
       val canonical = newLabels
         .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+      val genDir = s"$storeDir/gen=$batchId"
       TextAnalysis.redactDf(survU.join(canonical, "doc_id"))
-        .write.mode("overwrite").parquet(s"$storeDir/gen=$batchId")
+        .write.mode("overwrite").parquet(genDir)
+      markDone(genDir)
       cached.foreach(_.unpersist())
     }
   }

@@ -83,9 +83,21 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == expect && got.nonEmpty)
-    // structural bounds: ≥1 piece per word, pieces never exceed chars
+    // structural bounds: ≥1 piece per word; pieces exceed chars only by
+    // the one-piece floor of empty tokens (≤ one per word)
     got.foreach { case (_, nw, nb, nc, _, _) =>
-      assert(nb >= nw && nb <= nc)
+      assert(nb >= nw && nb <= nc + nw)
     }
+  }
+
+  test("empty tokens are total: one empty piece, no divide-by-zero") {
+    val merges = Bpe.bpeVocab(spark, d).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(Bpe.encodeWord("", merges) == List(""))
+    // "a  b" splits to ["a", "", "b"] under the keep-empty tokenizer:
+    // 3 words, 3 pieces, 2 chars — the stats stay defined
+    val ws = "a  b".split(" ", -1)
+    assert(ws.length == 3)
+    assert(ws.map(w => Bpe.encodeWord(w, merges).length.toLong).sum == 3L)
   }
 }

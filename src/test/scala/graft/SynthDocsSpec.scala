@@ -92,6 +92,11 @@ class SynthDocsSpec extends SparkSpec {
       ref.map(_.getLong(0)).sorted.toSeq)
     // contradictory ranges yield an empty (not negative) split set
     assert(read(1000).filter(col("doc_id") > 500 && col("doc_id") < 100).count() == 0L)
+    // Long.MaxValue boundaries must not wrap (v+1 saturates): <= MAX is
+    // the full corpus, > MAX is empty — never the other way around
+    assert(read(100).filter(col("doc_id") <= Long.MaxValue).count() == 100L)
+    assert(read(100).filter(col("doc_id") > Long.MaxValue).count() == 0L)
+    assert(read(100).filter(col("doc_id") === Long.MaxValue).count() == 0L)
   }
 
   test("aggregate pushdown declines group-bys and generated columns; fallback is exact") {
