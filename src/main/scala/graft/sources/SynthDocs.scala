@@ -292,11 +292,35 @@ private case class SynthOffset(v: Long) extends Offset {
 }
 
 private class SynthScan(lo: Long, hi: Long, seed: Long, numParts: Int,
-    rowsPerBatch: Long, schema: StructType) extends Scan with Batch {
+    rowsPerBatch: Long, schema: StructType) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     SynthReaders.split(lo, hi, numParts)
+
+  /** Exact statistics to the optimizer (`SupportsReportStatistics`):
+    * the row count IS the (filter-narrowed) id range, and bytes are a
+    * per-row estimate over the pruned read schema — so Catalyst can
+    * pick a broadcast join for a small or tightly-filtered synthetic
+    * dim without any ANALYZE pass. Estimates honor BOTH pushdowns:
+    * filters shrink rowCount, pruning shrinks bytes-per-row. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    // avg word ~6 chars ×70 tokens when text rides along; small
+    // fixed-width columns otherwise
+    private val perRow: Long =
+      schema.fieldNames.map {
+        case "text" => 480L
+        case "lang" | "source" => 8L
+        case _ => 8L
+      }.sum.max(1L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(
+        if (rows > Long.MaxValue / perRow) Long.MaxValue else rows * perRow)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     SynthReaders.factory(seed, schema.fieldNames.toSeq)
 

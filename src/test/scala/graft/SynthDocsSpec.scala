@@ -99,6 +99,30 @@ class SynthDocsSpec extends SparkSpec {
     assert(read(100).filter(col("doc_id") === Long.MaxValue).count() == 0L)
   }
 
+  test("reported statistics drive the join strategy: small synth side broadcasts") {
+    // a 100-row synthetic dim joins a parquet fact: the scan's
+    // SupportsReportStatistics estimate sits far under the broadcast
+    // threshold, so Catalyst picks a broadcast join with NO ANALYZE
+    // pass and no hint
+    val dim = read(100).select(col("doc_id").as("k"), col("lang"))
+    val fact = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("k"), col("source"))
+    val j = fact.join(dim, "k")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small synth dim did not broadcast:\n${plan.take(2000)}")
+    assert(j.count() == 100)
+    // a filter-narrowed scan reports the NARROWED row count: still
+    // broadcast even when n is huge, because the range is tiny
+    val big = read(100000000L, parts = 4)
+      .filter(col("doc_id") < 50).select(col("doc_id").as("k"))
+    val j2 = fact.join(big, "k")
+    val plan2 = j2.queryExecution.executedPlan.toString
+    assert(plan2.contains("BroadcastHashJoin"),
+      s"filter-narrowed synth side did not broadcast:\n${plan2.take(2000)}")
+    assert(j2.count() == 50)
+  }
+
   test("aggregate pushdown declines group-bys and generated columns; fallback is exact") {
     import graft.sources.SynthDocs
     // aggregate over a GENERATED column: decline, full-scan fallback
