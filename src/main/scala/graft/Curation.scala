@@ -460,4 +460,47 @@ object Curation {
       .select(col("source"), (col("i") + 1).cast("long").as("rank"),
         col("p.id").as("doc_id"), (-col("p.score")).cast("long").as("hkey"))
       .orderBy(col("source"), col("rank"))
+
+  /** q129: DSIR-style importance weights (Xie et al., NeurIPS 2023 —
+    * Data Selection via Importance Resampling): score every candidate
+    * document by how much its hashed-token distribution looks like a
+    * TARGET set (here the q55/q111 eval-held convention doc_id%97=0)
+    * versus the raw pool. DSIR's per-feature log-likelihood ratio is
+    * replaced by the smoothed probability RATIO in exact integer
+    * milli-units — per bucket b of 1024 hash buckets,
+    * w(b) = 1000·(t_b+1)·(R+1024) div ((r_b+1)·(T+1024)) (add-one
+    * smoothing; T,R the target/raw token totals) — monotone in the
+    * log-ratio per bucket, so bucket ordering is DSIR's, with no
+    * cross-engine `ln` (the q114/q128 argument). A doc's affinity is
+    * its mean token-bucket weight.
+    *
+    * Shape: ONE token explode feeds both sides — the 1024-row bucket
+    * count table (conditional aggregates split target/raw in the same
+    * hash-agg) and the per-doc scoring pass; the weight table re-enters
+    * as a BROADCAST hash join (1024 rows regardless of corpus size),
+    * and scoring is one per-doc hash-agg. Exactly the
+    * importance-resampling sampler shape at 100 TB: the weight table is
+    * tiny state learned in one linear pass, scoring is linear and
+    * embarrassingly parallel. Decimal `div` guards the product against
+    * the Long ceiling at corpus scale. */
+  def importanceWeights(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .select(col("doc_id"), (polyHash(col("w")) % 1024).as("b"))
+    val isTgt = col("doc_id") % 97 === 0
+    val bcnt = tok.groupBy(col("b")).agg(
+      count(when(isTgt, 1)).as("tb"),
+      count(when(!isTgt, 1)).as("rb"))
+    val stats = bcnt.agg(sum(col("tb")).as("tt"), sum(col("rb")).as("rt"))
+    val wts = bcnt.crossJoin(broadcast(stats))
+      .select(col("b"),
+        expr("""(cast(1000 as decimal(38,0)) * (tb + 1) * (rt + 1024))
+                | div (cast(rb + 1 as decimal(38,0)) * (tt + 1024))"""
+          .stripMargin.replace("\n", " ")).as("wm"))
+    tok.filter(!isTgt).join(broadcast(wts), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        expr("sum(wm) div count(1)").as("affinity_milli"))
+      .orderBy(col("doc_id"))
+  }
 }

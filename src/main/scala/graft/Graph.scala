@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relations the engine already stores — the
+  * link-analysis family a training-data pipeline runs for source
+  * reputation (PageRank over a reference graph), community structure
+  * (triangle counts / clustering coefficients), and reachability
+  * (seeded BFS) without leaving the DataFrame surface.
+  *
+  * The test graph is the bipartite supplier↔customer trade graph
+  * derived from `lineitem ⋈ orders`: supplier s ↦ node 2s, customer
+  * c ↦ node 2c+1 (disjoint integer id spaces, oracle-expressible), one
+  * undirected edge per (supplier, customer) pair that traded, stored as
+  * two directed arcs. The same operators run unchanged on any
+  * (src, dst) edge relation — a crawl's link graph at 100 TB.
+  *
+  * All scores are EXACT integer arithmetic (micro/milli units, `div`
+  * floors) so the DuckDB oracle replays them bit-identically; at
+  * petabyte node counts the Long rank mass would move to DECIMAL(38)
+  * with the same plans.
+  */
+object Graph {
+
+  /** Symmetric arc list of the trade graph, deduped. One equi-join
+    * (orders side projected to two ints) + one distinct — both shuffles
+    * keyed; the arc relation is what every operator here consumes. */
+  private def tradeArcs(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), (col("l_suppkey") * 2).as("s"))
+    val os = Tables.orders(spark, d)
+      .select(col("o_orderkey").as("ok2"), (col("o_custkey") * 2 + 1).as("c"))
+    val b = li.join(os, col("ok") === col("ok2"))
+      .select(col("s"), col("c")).distinct()
+    b.select(col("s").as("src"), col("c").as("dst"))
+      .union(b.select(col("c").as("src"), col("s").as("dst")))
+  }
+
+  /** PageRank iterations per the fixed-round contract below. */
+  val PageRankIters = 5
+
+  /** q126: PageRank (damping 0.85) over the trade graph, FIVE fixed
+    * power iterations in exact integer micro-units: rank starts at
+    * 1e6 per node, each round r'(v) = 150000 + (850 · Σ_{u→v}
+    * (r(u) div outdeg(u))) div 1000. The symmetric arc list means no
+    * dangling nodes (every node has outdeg ≥ 1 and appears as a dst),
+    * so no dangling-mass redistribution term is needed.
+    *
+    * Shape: the arc list and the degree relation are computed once and
+    * cached (scope-released after the caller's terminal action); each
+    * round is one node-keyed hash join (rank ⋈ deg — co-partitioned on
+    * the node key) + one arc-keyed join + one hash aggregate. Because
+    * the round count is FIXED, the whole 5-round recurrence stays ONE
+    * lazy plan — a single job with no driver-synchronized barrier per
+    * round (contrast q49, whose convergence test forces per-round
+    * actions); each round's aggregate is a shuffle boundary, so stages
+    * pipeline and nothing recomputes. A convergence-tested variant
+    * would adopt q49's persist/truncate round discipline verbatim. At
+    * 100 TB the rank mass in a round is bounded by nodes·1e6 — the
+    * `850 · sum` product would be DECIMAL(38) there; plans unchanged. */
+  def pageRank(spark: SparkSession, d: String): DataFrame = {
+    val e = CacheScope.cached(tradeArcs(spark, d))
+    val deg = CacheScope.cached(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to PageRankIters) {
+      val shares = rank.join(deg, col("node") === col("src"))
+        .select(col("node").as("sn"), expr("r div outdeg").as("share"))
+      rank = e.join(shares, col("src") === col("sn"))
+        .groupBy(col("dst"))
+        .agg(expr("150000 + (850 * sum(share)) div 1000").as("r"))
+        .select(col("dst").as("node"), col("r"))
+    }
+    rank.select(col("node"), col("r").as("rank_micro")).orderBy(col("node"))
+  }
+
+  /** q127: per-node triangle counts + local clustering coefficient over
+    * the part co-purchase graph (parts sharing an order), via the
+    * DEGREE-ORIENTED wedge join (Suri & Vassilvitskii's MR algorithm):
+    * orient every edge from its (degree, id)-smaller endpoint to the
+    * larger, enumerate wedges as the oriented-edge self-join on the
+    * source, close each wedge with one hash join back to the oriented
+    * edges. Orientation bounds every node's out-degree at O(√m), so the
+    * wedge intermediate is O(m^1.5) worst case and ~Σ deg²/4 on
+    * ER-like graphs — the property that makes the plan survive skewed
+    * hubs at 100 TB, where the naive (unoriented) wedge join explodes
+    * on the highest-degree node. Every triangle materializes exactly
+    * once (its corners appear in a fixed (deg,id) order), so per-node
+    * counts are one explode-to-corners + hash-agg.
+    *
+    * cc_milli = 2000·tri div (deg·(deg−1)) — the local clustering
+    * coefficient in exact integer milli-units. */
+  def triangleCounts(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("p1"), col("b.pk").as("p2")).distinct()
+    val deg = CacheScope.cached(
+      pairs.select(col("p1").as("node")).union(pairs.select(col("p2").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg")))
+    val d1 = deg.select(col("node").as("p1"), col("dg").as("dg1"))
+    val d2 = deg.select(col("node").as("p2"), col("dg").as("dg2"))
+    val lt = struct(col("dg1"), col("p1")) < struct(col("dg2"), col("p2"))
+    val oriented = CacheScope.cached(
+      pairs.join(d1, "p1").join(d2, "p2")
+        .select(
+          when(lt, col("p1")).otherwise(col("p2")).as("src"),
+          when(lt, col("p2")).otherwise(col("p1")).as("dst"),
+          when(lt, col("dg2")).otherwise(col("dg1")).as("dd")))
+    val o1 = oriented.select(col("src").as("a"), col("dst").as("b"), col("dd").as("db"))
+    val o2 = oriented.select(col("src").as("a2"), col("dst").as("c"), col("dd").as("dc"))
+    val wedges = o1.join(o2,
+      col("a") === col("a2") &&
+        struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tris.select(col("a").as("node"))
+      .union(tris.select(col("b").as("node")))
+      .union(tris.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("dg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_tri"),
+        when(col("dg") >= 2,
+          expr("(2000 * coalesce(tri, 0)) div (dg * (dg - 1))"))
+          .otherwise(lit(0L)).as("cc_milli"))
+      .orderBy(col("node"))
+  }
+
+  /** BFS rounds — covers the trade graph's small diameter; nodes
+    * farther than this from every seed are absent from the result. */
+  val BfsRounds = 4
+
+  /** q131: seeded multi-source BFS — exact hop distance from the
+    * low-nation (s_nationkey < 10 — non-empty at every SF) suppliers
+    * to every node within `BfsRounds` hops. Each
+    * round relaxes the frontier by one arc: dist ← min(dist,
+    * min_{u→v} dist(u)+1), one arc-keyed join + one min hash-agg per
+    * round. After k rounds every node whose true distance ≤ k holds
+    * exactly that distance (shortest-path-with-≤k-edges invariant), so
+    * the fixed-round output is exact for the emitted nodes — the same
+    * reachability contract a crawl-frontier or contamination-blast-
+    * radius query wants. Like q126 the fixed round count keeps the
+    * recurrence one lazy plan (no per-round driver barrier); the arc
+    * list is cached once and scope-released. */
+  def bfsDistances(spark: SparkSession, d: String): DataFrame = {
+    val e = CacheScope.cached(tradeArcs(spark, d))
+    var dist: DataFrame = Tables.supplier(spark, d)
+      .filter(col("s_nationkey") < 10)
+      .select((col("s_suppkey") * 2).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to BfsRounds) {
+      dist = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        .union(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("node"), col("dist")).orderBy(col("node"))
+  }
+}

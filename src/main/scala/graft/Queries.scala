@@ -999,6 +999,29 @@ object Queries {
     * floors in both engines); the per-user cohort day is one hash-agg
     * re-joined on user_id; the triangle is one distinct + hash-agg over
     * (cohort, offset) — all linear, all shuffles keyed. */
+  /** q130: event-transition matrix — the first-order Markov model of
+    * user behavior (the "what happens after a click" table): per-user
+    * event streams ordered by (ts, event_id), consecutive event-type
+    * pairs counted, and each from-state's row normalized to exact
+    * integer permille. One user-keyed window (`lead` — the shuffle is
+    * the same user_id partitioning every product-analytics query here
+    * shares), one pair hash-agg, and a |types|²-bounded join for the
+    * row totals; at 100 TB only the window's user-keyed shuffle moves
+    * corpus-sized data, and it co-partitions with q124/q125. */
+  def eventTransitions(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = eventsNs(spark, d)
+      .select(col("user_id"), col("event_type").as("from_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+    val tot = t.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    t.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000 * n) div tot").as("permille"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   def cohortRetention(spark: SparkSession, d: String): DataFrame = {
     val DayNs = 86400000000000L
     val ev = eventsNs(spark, d)

@@ -265,6 +265,23 @@ object SparkEntry {
     "q124_event_funnel" -> (Queries.eventFunnel _),
     // cohort retention triangle on exact integer day indexes
     "q125_cohort_retention" -> (Queries.cohortRetention _),
+    // PageRank, 5 fixed power iterations in exact integer micro-units
+    // over the symmetric supplier-customer trade graph — one lazy plan,
+    // no per-round driver barrier
+    "q126_pagerank" -> (Graph.pageRank _),
+    // degree-oriented triangle counting + local clustering coefficient
+    // over the part co-purchase graph (O(sqrt m) out-degree bound)
+    "q127_triangle_counts" -> (Graph.triangleCounts _),
+    // collocation mining: bigram lift in exact integer milli-units
+    // (monotone in PMI, no cross-engine ln)
+    "q128_collocations" -> (TextAnalysis.collocations _),
+    // DSIR-style importance weights: 1024-bucket hashed-token target/raw
+    // probability ratios, broadcast weight table, per-doc mean affinity
+    "q129_importance_weights" -> (Curation.importanceWeights _),
+    // first-order Markov transition matrix of user event streams
+    "q130_event_transitions" -> (Queries.eventTransitions _),
+    // seeded multi-source BFS: exact hop distances within 4 rounds
+    "q131_bfs_distances" -> (Graph.bfsDistances _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -287,6 +304,47 @@ object SparkEntry {
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
   private def H(e: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (acc, x) -> (acc * 131 + x) % 1000000007)"
+
+  /** Shared trade-graph CTEs (q126/q131): supplier s ↦ 2s, customer
+    * c ↦ 2c+1, symmetric arcs — mirrors Graph.tradeArcs exactly. */
+  private val TradeGraphCte: String =
+    """b AS (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+      |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT s AS src, c AS dst FROM b
+      |      UNION ALL SELECT c AS src, s AS dst FROM b)""".stripMargin
+
+  /** q126 oracle: the 5 fixed PageRank rounds as chained CTEs — the
+    * same exact integer recurrence Graph.pageRank runs. */
+  private val PageRankOracle: String = {
+    val rounds = (1 to Graph.PageRankIters).map { k =>
+      s"""r$k AS (SELECT e.dst AS node,
+         |  (150000 + (850 * sum(r${k - 1}.r // d.outdeg)) // 1000)::BIGINT AS r
+         |  FROM e JOIN r${k - 1} ON r${k - 1}.node = e.src
+         |         JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $TradeGraphCte,
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM deg),
+       |$rounds
+       |SELECT node, r AS rank_micro FROM r${Graph.PageRankIters}
+       |ORDER BY node""".stripMargin
+  }
+
+  /** q131 oracle: BFS frontier relaxation rounds as chained CTEs. */
+  private val BfsOracle: String = {
+    val rounds = (1 to Graph.BfsRounds).map { k =>
+      s"""d$k AS (SELECT node, min(dist)::BIGINT AS dist FROM (
+         |  SELECT e.dst AS node, x.dist + 1 AS dist
+         |  FROM d${k - 1} x JOIN e ON e.src = x.node
+         |  UNION ALL SELECT node, dist FROM d${k - 1}) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $TradeGraphCte,
+       |d0 AS (SELECT s_suppkey * 2 AS node, 0::BIGINT AS dist
+       |       FROM supplier WHERE s_nationkey < 10),
+       |$rounds
+       |SELECT node, dist FROM d${Graph.BfsRounds} ORDER BY node""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -561,6 +619,73 @@ object SparkEntry {
         |      e.user_id FROM e JOIN ch ON ch.user_id = e.user_id)
         |SELECT cohort_day, day_offset::BIGINT AS day_offset, count(*)::BIGINT AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q126_pagerank" -> PageRankOracle,
+    "q131_bfs_distances" -> BfsOracle,
+    "q127_triangle_counts" ->
+      """WITH pr AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |            FROM lineitem a JOIN lineitem b
+        |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*)::BIGINT AS dg FROM
+        |        (SELECT p1 AS node FROM pr UNION ALL SELECT p2 AS node FROM pr)
+        |        GROUP BY 1),
+        |o AS (SELECT
+        |        CASE WHEN (d1.dg, pr.p1) < (d2.dg, pr.p2) THEN pr.p1 ELSE pr.p2 END AS src,
+        |        CASE WHEN (d1.dg, pr.p1) < (d2.dg, pr.p2) THEN pr.p2 ELSE pr.p1 END AS dst,
+        |        CASE WHEN (d1.dg, pr.p1) < (d2.dg, pr.p2) THEN d2.dg ELSE d1.dg END AS dd
+        |      FROM pr JOIN deg d1 ON d1.node = pr.p1 JOIN deg d2 ON d2.node = pr.p2),
+        |t AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+        |      FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |             AND (o1.dd, o1.dst) < (o2.dd, o2.dst)
+        |      JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+        |n AS (SELECT node, count(*)::BIGINT AS tri FROM
+        |      (SELECT a AS node FROM t UNION ALL SELECT b AS node FROM t
+        |       UNION ALL SELECT c AS node FROM t) GROUP BY 1)
+        |SELECT deg.node, deg.dg AS degree, coalesce(n.tri, 0)::BIGINT AS n_tri,
+        |       (CASE WHEN deg.dg >= 2
+        |             THEN (2000 * coalesce(n.tri, 0)) // (deg.dg * (deg.dg - 1))
+        |             ELSE 0 END)::BIGINT AS cc_milli
+        |FROM deg LEFT JOIN n ON n.node = deg.node ORDER BY deg.node""".stripMargin,
+    "q128_collocations" ->
+      """WITH t AS (SELECT regexp_split_to_array(text, ' ') AS tk FROM documents),
+        |bi AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |       FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM t)),
+        |uni AS (SELECT unnest(tk) AS w FROM t),
+        |uc AS (SELECT w, count(*)::BIGINT AS cw FROM uni GROUP BY 1),
+        |bc AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM bi GROUP BY 1, 2
+        |       HAVING count(*) >= 5),
+        |st AS (SELECT (SELECT count(*) FROM uni)::BIGINT AS n_uni,
+        |              (SELECT count(*) FROM bi)::BIGINT AS n_bi)
+        |SELECT bc.w1, bc.w2, bc.n_pair, u1.cw AS n_w1, u2.cw AS n_w2,
+        |       ((1000::HUGEINT * bc.n_pair * st.n_uni * st.n_uni)
+        |         // (st.n_bi::HUGEINT * u1.cw * u2.cw))::BIGINT AS lift_milli
+        |FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2, st
+        |ORDER BY lift_milli DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q129_importance_weights" ->
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
+         |           FROM documents),
+         |tb AS (SELECT doc_id, ${H("w")} % 1024 AS b FROM t),
+         |bc AS (SELECT b, count(*) FILTER (doc_id % 97 = 0)::BIGINT AS tb,
+         |              count(*) FILTER (doc_id % 97 != 0)::BIGINT AS rb
+         |       FROM tb GROUP BY 1),
+         |st AS (SELECT sum(tb)::BIGINT AS tt, sum(rb)::BIGINT AS rt FROM bc),
+         |wt AS (SELECT b, ((1000::HUGEINT * (tb + 1) * (rt + 1024))
+         |                   // ((rb + 1)::HUGEINT * (tt + 1024)))::BIGINT AS wm
+         |       FROM bc, st)
+         |SELECT tb.doc_id, count(*)::BIGINT AS n_tok,
+         |       (sum(wm) // count(*))::BIGINT AS affinity_milli
+         |FROM tb JOIN wt ON wt.b = tb.b WHERE tb.doc_id % 97 != 0
+         |GROUP BY tb.doc_id ORDER BY tb.doc_id""".stripMargin,
+    "q130_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_ns(ts), event_id) AS to_type
+        |           FROM events),
+        |t AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM s
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n)::BIGINT AS tot FROM t GROUP BY 1)
+        |SELECT t.from_type, t.to_type, t.n, ((1000 * t.n) // tot.tot)::BIGINT AS permille
+        |FROM t JOIN tot ON tot.from_type = t.from_type
+        |ORDER BY t.from_type, t.to_type""".stripMargin,
     "q123_verbatim_overlap_capped" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
          |g0 AS (SELECT doc_id, i - 1 AS pos, ${H("array_to_string(tk[i:i+7], ' ')")} AS h

@@ -491,6 +491,50 @@ object TextAnalysis {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q128: collocation mining — adjacent-token bigrams ranked by LIFT
+    * (pointwise association without the logarithm): lift =
+    * P(w1w2) / (P(w1)·P(w2)) = c_ab·N² / (M·c_a·c_b), reported in
+    * exact integer milli-units. The one formula phrase-mining runs to
+    * pull multiword expressions ("machine learning") out of a corpus
+    * before tokenizer training; PMI = log(lift) is monotone in it, so
+    * the RANKING is PMI's ranking with none of the cross-engine `ln`
+    * drift (the q114 idf argument).
+    *
+    * The numerator 1000·c_ab·N² is a DECIMAL(38,0) product — at corpus
+    * scale (N ~ 10^12 tokens) the Long ceiling is real, and decimal
+    * `div` keeps the floor exact on both engines (DuckDB computes the
+    * same product in HUGEINT). Shape: one explode each for bigram and
+    * unigram counts (two linear hash-aggs), the vocabulary-keyed join
+    * of pair counts to their unigram counts (planner-chosen; the pair
+    * side is already collapsed to counts so the join is vocabulary-
+    * sized, not corpus-sized), the corpus totals as a one-row broadcast
+    * scalar, and a top-50 TakeOrdered. */
+  def collocations(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documentsDist(spark, d).select(toks(col("text")).as("tk"))
+    val bi = docs.select(explode(when(size(col("tk")) >= 2,
+        transform(sequence(lit(0), size(col("tk")) - 2),
+          i => struct(element_at(col("tk"), i + 1).as("w1"),
+            element_at(col("tk"), i + 2).as("w2"))))
+        .otherwise(array())).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = docs.select(explode(col("tk")).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+    val stats = docs.agg(
+      sum(size(col("tk"))).cast("long").as("n_uni"),
+      sum(greatest(size(col("tk")) - 1, lit(0))).cast("long").as("n_bi"))
+    bc.join(uc.select(col("w").as("w1"), col("cw").as("n_w1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("cw").as("n_w2")), "w2")
+      .crossJoin(broadcast(stats))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        expr("""(cast(1000 as decimal(38,0)) * n_pair * n_uni * n_uni)
+                | div (cast(n_bi as decimal(38,0)) * n_w1 * n_w2)"""
+          .stripMargin.replace("\n", " ")).as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** Document fingerprinting: full-text rolling hash plus a winnowed
     * min-hash over 8-token windows (the content-defined signature used
     * for shard-local dedup at ingest). */

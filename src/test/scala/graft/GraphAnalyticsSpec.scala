@@ -1,0 +1,150 @@
+package graft
+
+/** Independent driver-side recomputes for the graph/association family
+  * (q126-q131): every distributed result must equal a from-scratch
+  * local implementation built directly from the parquet rows — plain
+  * Scala collections and the same exact integer arithmetic, no shared
+  * code with the operators under test.
+  */
+class GraphAnalyticsSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  /** (symmetric arc map, node set) of the supplier↔customer trade
+    * graph, built locally: supplier s ↦ 2s, customer c ↦ 2c+1. */
+  private lazy val tradeAdj: Map[Long, Set[Long]] = {
+    val om = spark.read.parquet(s"$d/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val undirected = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .flatMap(r => om.get(r.getLong(0)).map(c => (2 * r.getLong(1), 2 * c + 1)))
+      .toSet
+    val arcs = undirected.flatMap { case (s, c) => Seq(s -> c, c -> s) }
+    arcs.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+  }
+
+  test("q126 pagerank ≡ local exact-integer power iteration") {
+    val adj = tradeAdj
+    var r: Map[Long, Long] = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to Graph.PageRankIters) {
+      val share = r.map { case (u, ru) => u -> ru / adj(u).size }
+      r = adj.keys.map { v =>
+        // in-neighbors of v == out-neighbors (symmetric arcs)
+        val s = adj(v).iterator.map(share).sum
+        v -> (150000L + 850L * s / 1000L)
+      }.toMap
+    }
+    val got = Graph.pageRank(spark, d).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r)
+    // sanity: total rank mass stays within damping slack of n·1e6
+    val n = adj.size.toLong
+    assert(math.abs(r.values.sum - n * 1000000L) < n * 160000L)
+  }
+
+  test("q127 triangle counts ≡ local adjacency-set intersection") {
+    val om = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = om.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+    def tri(n: Long): Long = {
+      val nb = adj(n).toSeq.sorted
+      (for (i <- nb.indices; j <- i + 1 until nb.size
+            if adj(nb(i)).contains(nb(j))) yield 1L).sum
+    }
+    val got = Graph.triangleCounts(spark, d).collect()
+    assert(got.map(_.getLong(0)).toSet == adj.keySet)
+    got.foreach { row =>
+      val (node, deg, nTri, cc) =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(deg == adj(node).size.toLong, s"degree of $node")
+      assert(nTri == tri(node), s"triangles of $node")
+      val expCc = if (deg >= 2) 2000L * nTri / (deg * (deg - 1)) else 0L
+      assert(cc == expCc, s"cc of $node")
+    }
+  }
+
+  test("q131 bfs ≡ local breadth-first layers, exact within round bound") {
+    val adj = tradeAdj
+    val seeds = spark.read.parquet(s"$d/supplier.parquet")
+      .select("s_suppkey", "s_nationkey").collect()
+      .filter(_.getAs[Number](1).longValue < 10).map(r => 2 * r.getLong(0)).toSet
+    assert(seeds.nonEmpty, "seed set empty — the query would be vacuous")
+    var dist = seeds.map(_ -> 0L).toMap
+    for (k <- 1 to Graph.BfsRounds) {
+      val frontier = dist.filter(_._2 == k - 1).keys
+        .flatMap(u => adj.getOrElse(u, Set.empty)).toSet
+      dist = dist ++ frontier.filterNot(dist.contains).map(_ -> k.toLong)
+    }
+    val got = Graph.bfsDistances(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist)
+  }
+
+  test("q128 collocations ≡ local BigInt lift over bigram counts") {
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val bi = toks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val nUni = toks.map(_.size.toLong).sum
+    val nBi = toks.map(t => math.max(t.size - 1, 0).toLong).sum
+    val scored = bi.toSeq.filter(_._2 >= 5).map { case ((w1, w2), cab) =>
+      val lift = (BigInt(1000) * cab * nUni * nUni /
+        (BigInt(nBi) * uni(w1) * uni(w2))).toLong
+      (w1, w2, cab, uni(w1), uni(w2), lift)
+    }.sortBy(x => (-x._6, x._1, x._2)).take(50)
+    val got = TextAnalysis.collocations(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == scored)
+  }
+
+  test("q129 importance weights ≡ local smoothed-ratio recompute") {
+    def ph(s: String) =
+      s.foldLeft(0L)((a, c) => (a * 131 + c.toInt) % 1000000007L)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).map(w => ph(w) % 1024))
+    val (tgt, raw) = docs.partition(_._1 % 97 == 0)
+    val tb = tgt.flatMap(_._2).groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val rb = raw.flatMap(_._2).groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val tt = tb.values.sum; val rt = rb.values.sum
+    // weight table over the buckets that OCCUR (the operator's bcnt
+    // relation only has observed buckets; unobserved ones never join)
+    val wm: Map[Long, Long] =
+      (tb.keySet ++ rb.keySet).map { b =>
+        b -> (BigInt(1000) * (tb.getOrElse(b, 0L) + 1) * (rt + 1024) /
+          (BigInt(rb.getOrElse(b, 0L) + 1) * (tt + 1024))).toLong
+      }.toMap
+    val exp = raw.map { case (id, bs) =>
+      (id, bs.length.toLong, bs.map(wm).sum / bs.length)
+    }.sortBy(_._1)
+    val got = Curation.importanceWeights(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("q130 transition matrix ≡ local per-user event walk") {
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._3, e._4)).map(_._2)
+      s.zip(s.drop(1))
+    }.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val tot = trans.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val exp = trans.toSeq.map { case ((f, t), n) =>
+      (f, t, n, 1000 * n / tot(f))
+    }.sortBy(x => (x._1, x._2))
+    val got = Queries.eventTransitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp)
+  }
+}

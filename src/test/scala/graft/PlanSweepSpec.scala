@@ -29,7 +29,12 @@ class PlanSweepSpec extends SparkSpec {
     "q110_mixture_plan" -> 1,
     // q114: the one-row corpus-statistics scalar broadcast (N, total
     // tokens, per-term dfs) re-entering the scoring scan
-    "q114_bm25_search" -> 1)
+    "q114_bm25_search" -> 1,
+    // q128/q129: one-row corpus-totals scalar broadcasts (N/M token
+    // totals; target/raw totals) joined to the vocabulary-sized /
+    // 1024-row-bounded count tables
+    "q128_collocations" -> 1,
+    "q129_importance_weights" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
