@@ -503,4 +503,42 @@ object Curation {
         expr("sum(wm) div count(1)").as("affinity_milli"))
       .orderBy(col("doc_id"))
   }
+
+  /** q134: per-source quality-score calibration — raw heuristic scores
+    * are not comparable ACROSS sources (a mid-tier web page and a
+    * mid-tier academic paper score very differently), so mixing and
+    * thresholding operate on the within-source quantile instead: each
+    * doc's score is mapped to its exact empirical rank permille inside
+    * its source, `(1000·(rank−1)) div (n−1)` with a deterministic
+    * (score, doc_id) order — quantile normalization, the curation twin
+    * of q59's curriculum buckets. The raw score itself is the q29
+    * heuristic restated in exact integer milli-units (500·uniq-ratio +
+    * 200·stopword-ratio + 300·capped-length), so the whole operator is
+    * hash-checked.
+    *
+    * Shape: row-local scoring (no shuffle), then ONE source-keyed sort
+    * window shared by rank and count — a single exchange at 100 TB,
+    * partitioned by source; no joins. Sources are few and large; a
+    * pathological mega-source would take the q50-style per-source
+    * range repartition, same semantics. */
+  def qualityCalibration(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_uniq"),
+        size(filter(col("tk"), x =>
+          x.isin("the", "a", "of", "and", "is", "to", "in"))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("source"),
+        expr("(500 * n_uniq) div n_tok + (200 * n_stop) div n_tok" +
+          " + (300 * least(n_tok, 200)) div 200").as("score_milli"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score_milli"), col("doc_id"))
+    s.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nsrc", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("doc_id"), col("source"), col("score_milli"),
+        expr("CASE WHEN nsrc > 1 THEN (1000 * (rn - 1)) div (nsrc - 1)" +
+          " ELSE 500 END").as("cal_permille"))
+      .orderBy(col("doc_id"))
+  }
 }

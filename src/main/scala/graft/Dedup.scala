@@ -701,6 +701,42 @@ object Dedup {
 
   private[graft] val GramDfCap = 16L
 
+  /** q132: duplicated-span LOCALIZATION — q109/q123 report which PAIRS
+    * overlap; the operator a span-level cleaner actually consumes is
+    * per-document: WHICH token ranges of each doc are verbatim
+    * duplicated elsewhere in the corpus (the "cut the duplicated
+    * substring, keep the rest" step of the ExactSubstr recipe, vs the
+    * doc-level drop of q21/q23). A position is covered iff its 8-gram
+    * also occurs in at least one OTHER document (within-doc repetition
+    * alone doesn't flag — that's q61's signal); adjacent covered
+    * positions merge into maximal islands via one gaps-and-islands
+    * window per doc.
+    *
+    * Shape: the positional gram index (row-local projection), a gram-
+    * keyed two-phase distinct-doc count to find cross-doc grams, one
+    * hash join back on the gram key, and a doc-keyed window — every
+    * shuffle is keyed and linear in the gram count; NO pair join at
+    * all, so unlike q109 this is safe against stop-gram posting blowup
+    * (a df cap is unnecessary: df only enters as a count). At 100 TB
+    * the gram index is ~|tokens| rows — the same relation q109 already
+    * budgets for — and the output is bounded by it. */
+  def dupSpans(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramIndexDf(Tables.documentsDist(spark, d))
+    val crossDoc = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val hits = grams.join(crossDoc, "h").select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("n_grams"),
+        (col("n_grams") + 7).as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Positional 8-gram hash index (row-local projection), shared by
     * q109 (uncapped) and q123 (df-capped). */
   private def gramIndex(spark: SparkSession, d: String): DataFrame =

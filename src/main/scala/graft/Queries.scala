@@ -1035,4 +1035,44 @@ object Queries {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** q133: daily volume anomaly detection per event type — the ingest
+    * monitor that pages when a day's count departs its type's history
+    * by more than 3σ. The whole z-test is EXACT integer arithmetic:
+    * with per-type day count D, total T and sum-of-squares S over the
+    * per-(type, day) counts n, z² = (n·D − T)² / (D·S − T²) (both sides
+    * scaled by D², population variance), so |z| > 3 is the integer
+    * predicate (n·D − T)² > 9·(D·S − T²) — no sqrt, no division, no
+    * float drift against the oracle. Emits every (type, day) with its
+    * deviation, z² in milli-units (NULL when the type's variance is
+    * zero), and the flag — the monitor's full dashboard, not just hits
+    * (also keeps the relation non-empty on quiet corpora).
+    *
+    * Shape: one (type, day) hash-agg over the fact scan, a |types|-row
+    * re-aggregate joined back by BROADCAST, row-local predicates. At
+    * 100 TB the first agg's map-side partials collapse each (type, day)
+    * before the only keyed shuffle; the products are Long-safe to
+    * ~3·10⁹ events/day/type and would widen to DECIMAL(38) beyond. */
+  def eventAnomalies(spark: SparkSession, d: String): DataFrame = {
+    val DayNs = 86400000000000L
+    // cached: both the output rows and the |types|-row stats re-aggregate
+    // consume it — one fact scan, not two (scope-released after the
+    // caller's terminal action)
+    val cnt = CacheScope.cached(Tables.eventsNs(spark, d)
+      .select(col("event_type"), expr(s"ts div $DayNs").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+    val st = cnt.groupBy(col("event_type")).agg(
+      count(lit(1)).as("days"), sum(col("n")).as("total"),
+      sum(col("n") * col("n")).as("sumsq"))
+    cnt.join(broadcast(st), "event_type")
+      .withColumn("dev_scaled", expr("n * days - total"))
+      .withColumn("var_scaled", expr("days * sumsq - total * total"))
+      .select(col("event_type"), col("day"), col("n"), col("dev_scaled"),
+        expr("CASE WHEN var_scaled > 0 THEN " +
+          "(1000 * dev_scaled * dev_scaled) div var_scaled END").as("z2_milli"),
+        expr("CASE WHEN var_scaled > 0 AND " +
+          "dev_scaled * dev_scaled > 9 * var_scaled THEN 1 ELSE 0 END")
+          .cast("long").as("flagged"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

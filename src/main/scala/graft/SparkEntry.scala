@@ -282,6 +282,15 @@ object SparkEntry {
     "q130_event_transitions" -> (Queries.eventTransitions _),
     // seeded multi-source BFS: exact hop distances within 4 rounds
     "q131_bfs_distances" -> (Graph.bfsDistances _),
+    // per-document duplicated-span localization: maximal token islands
+    // of cross-doc 8-grams (the span-cut step; no pair join)
+    "q132_dup_spans" -> (Dedup.dupSpans _),
+    // per-type daily volume anomaly monitor: exact-integer 3σ z-test
+    // ((nD−T)² > 9(DS−T²)) — no sqrt, no division
+    "q133_event_anomalies" -> (Queries.eventAnomalies _),
+    // per-source quantile normalization of the integer quality score:
+    // exact empirical rank permille within each source
+    "q134_quality_calibration" -> (Curation.qualityCalibration _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -716,6 +725,47 @@ object SparkEntry {
          |SELECT doc_a, doc_b, count(*) AS n_regions, max(run)::BIGINT AS max_run,
          |       (max(run) + 7)::BIGINT AS span_tokens
          |FROM agg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q132_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos, ${H("array_to_string(tk[i:i+7], ' ')")} AS h
+         |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) i FROM t)),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |hit AS (SELECT g.doc_id, g.pos FROM g JOIN dup ON g.h = dup.h),
+         |r AS (SELECT doc_id, pos,
+         |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM hit)
+         |SELECT doc_id, min(pos)::BIGINT AS span_start, count(*)::BIGINT AS n_grams,
+         |       (count(*) + 7)::BIGINT AS span_tokens
+         |FROM r GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    "q133_event_anomalies" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT event_type, day::BIGINT AS day, count(*)::BIGINT AS n FROM e GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*)::BIGINT AS days, sum(n)::BIGINT AS total,
+        |      sum(n * n)::BIGINT AS sumsq FROM c GROUP BY 1),
+        |j AS (SELECT c.event_type, c.day, c.n,
+        |      (c.n * s.days - s.total)::BIGINT AS dev_scaled,
+        |      (s.days * s.sumsq - s.total * s.total)::BIGINT AS var_scaled
+        |      FROM c JOIN s ON c.event_type = s.event_type)
+        |SELECT event_type, day, n, dev_scaled,
+        |  (CASE WHEN var_scaled > 0
+        |        THEN (1000 * dev_scaled * dev_scaled) // var_scaled END)::BIGINT AS z2_milli,
+        |  (CASE WHEN var_scaled > 0 AND dev_scaled * dev_scaled > 9 * var_scaled
+        |        THEN 1 ELSE 0 END)::BIGINT AS flagged
+        |FROM j ORDER BY event_type, day""".stripMargin,
+    "q134_quality_calibration" ->
+      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, ' ') tk FROM documents),
+        |s AS (SELECT doc_id, source, len(tk)::BIGINT n_tok,
+        |      len(list_distinct(tk))::BIGINT n_uniq,
+        |      len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in')))::BIGINT n_stop
+        |      FROM t),
+        |sc AS (SELECT doc_id, source,
+        |       ((500 * n_uniq) // n_tok + (200 * n_stop) // n_tok
+        |        + (300 * least(n_tok, 200)) // 200)::BIGINT AS score_milli FROM s),
+        |r AS (SELECT doc_id, source, score_milli,
+        |      row_number() OVER (PARTITION BY source ORDER BY score_milli, doc_id)::BIGINT AS rn,
+        |      count(*) OVER (PARTITION BY source)::BIGINT AS nsrc FROM sc)
+        |SELECT doc_id, source, score_milli,
+        |  (CASE WHEN nsrc > 1 THEN (1000 * (rn - 1)) // (nsrc - 1) ELSE 500 END)::BIGINT AS cal_permille
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q122_sample_estimate" ->
       s"""WITH r(lang, permille) AS (VALUES ('en', 250), ('de', 800), ('es', 800),
          |                                 ('fr', 800), ('zh', 800)),

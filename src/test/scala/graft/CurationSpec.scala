@@ -242,4 +242,33 @@ class CurationSpec extends SparkSpec {
     assert(rows.toSeq == Curation.evalCarve(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
   }
+
+  test("q134 quality calibration ≡ local rank recompute; endpoints and uniformity hold") {
+    val stop = Set("the", "a", "of", "and", "is", "to", "in")
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    val scored = docs.toSeq.map { case (id, src, tk) =>
+      val (n, u, s) = (tk.size.toLong, tk.distinct.size.toLong,
+        tk.count(stop).toLong)
+      (id, src, 500 * u / n + 200 * s / n + 300 * math.min(n, 200) / 200)
+    }
+    val exp = scored.groupBy(_._2).flatMap { case (_, g) =>
+      val sorted = g.sortBy(x => (x._3, x._1))
+      val n = sorted.size.toLong
+      sorted.zipWithIndex.map { case ((id, src, sc), i) =>
+        (id, src, sc, if (n > 1) 1000 * i / (n - 1) else 500L)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Curation.qualityCalibration(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == exp)
+    assert(got.nonEmpty)
+    // calibration makes sources comparable: every multi-doc source
+    // spans the full [0, 1000] permille range
+    got.groupBy(_._2).filter(_._2.size > 1).foreach { case (src, g) =>
+      assert(g.map(_._4).min == 0L && g.map(_._4).max == 1000L,
+        s"source $src not calibrated to the full range")
+    }
+  }
 }

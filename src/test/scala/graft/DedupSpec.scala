@@ -397,6 +397,34 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q132 dup spans equal a local cross-doc gram-coverage recompute") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toVector).toMap
+    // cross-doc grams from STRING 8-grams (independent of the operator's
+    // hashing), then island merge per doc
+    val byGram = scala.collection.mutable.Map.empty[Seq[String], Set[Long]]
+    docs.foreach { case (id, t) =>
+      t.sliding(8).filter(_.size == 8).toSet
+        .foreach(g => byGram(g) = byGram.getOrElse(g, Set.empty) + id)
+    }
+    val expected = docs.toSeq.flatMap { case (id, t) =>
+      val pos = t.sliding(8).zipWithIndex
+        .collect { case (g, p) if g.size == 8 && byGram(g).size >= 2 => p }.toVector
+      val runs = pos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, l) :: rest, p) if p == s + l => (s, l + 1) :: rest
+        case (acc, p) => (p, 1) :: acc
+      }.reverse
+      runs.map { case (s, l) => (id, s.toLong, l.toLong, l + 7L) }
+    }.sortBy(x => (x._1, x._2))
+    val got = Dedup.dupSpans(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // within-doc-only repetition must NOT flag: every reported span's
+    // gram set reaches a second document (already implied by equality
+    // with the byGram(g).size >= 2 recompute)
+  }
+
   test("multi-suite decon: per-suite counts match a local recompute, doc set ≡ q55") {
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq.sliding(4)

@@ -147,4 +147,37 @@ class GraphAnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == exp)
   }
+
+  test("q133 event anomalies ≡ local exact-integer z-test (and a planted spike flags)") {
+    val DayNs = 86400000000000L
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), DayNs)))
+    val cnt = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byType = cnt.groupBy(_._1._1)
+    val exp = cnt.toSeq.map { case ((tpe, day), n) =>
+      val ns = byType(tpe).values.toSeq
+      val (days, total, sumsq) = (ns.size.toLong, ns.sum, ns.map(x => x * x).sum)
+      val dev = n * days - total
+      val vr = days * sumsq - total * total
+      val z2 = if (vr > 0) Some(1000 * dev * dev / vr) else None
+      val fl = if (vr > 0 && dev * dev > 9 * vr) 1L else 0L
+      (tpe, day, n, dev, z2, fl)
+    }.sortBy(x => (x._1, x._2))
+    val got = Queries.eventAnomalies(spark, d).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5))).toSeq
+    assert(got == exp)
+    assert(got.nonEmpty)
+    // synthetic corpus with a planted 10× spike day: exactly that day flags
+    import spark.implicits._
+    val base = (0 until 30).flatMap(day => Seq.fill(10)(("click", day * DayNs + 1L)))
+    val spike = Seq.fill(100)(("click", 17 * DayNs + 2L))
+    val synth = (base ++ spike).toDF("event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("anom").toString
+    synth.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val flagged = Queries.eventAnomalies(spark, dir).collect()
+      .filter(_.getLong(5) == 1L).map(_.getLong(1)).toSeq
+    assert(flagged == Seq(17L))
+  }
 }
