@@ -78,8 +78,13 @@ object Bench {
     def short(name: String): String = name.takeWhile(_ != '_')
     def sec3(t: Double): String = // Locale.ROOT: a comma decimal point would break the JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+    // stdout per-query precision is 2 decimals: 10 ms resolution is
+    // plenty for the gate's profile, and the saved byte per query is
+    // real window headroom (full precision lives in bench_detail.json)
+    def sec2(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))
     val qs = results.map { case (k, v) =>
-      s"\"" + short(k) + "\":" + v.fold(_ => "null", sec3)
+      s"\"" + short(k) + "\":" + v.fold(_ => "null", sec2)
     }.mkString("{", ",", "}")
     // every pass time, in run order (crashed pass = null): min-of-2 hides
     // a contended pass; the raw pair makes a contention artifact
@@ -99,7 +104,17 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench_detail.json write failed: $e") }
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}""")
+    // Hard guard on the 2000-char capture window: a line the driver
+    // cannot parse is worth less than one with a coarser queries map, so
+    // degrade (3 more queries per byte-step) rather than overflow. 1900
+    // leaves ~100 chars for sbt's trailing [success] line.
+    def line(qj: String) =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qj,"failures":$fj,"sf":"$sfDir"}"""
+    def qsInt = results.map { case (k, v) => // whole seconds, floor
+      s"\"" + short(k) + "\":" + v.fold(_ => "null", t => t.toLong.toString)
+    }.mkString("{", ",", "}")
+    val out = Seq(line(qs), line(qsInt), line("{}")).find(_.length <= 1900).get
+    println(out)
     spark.stop()
   }
 }
