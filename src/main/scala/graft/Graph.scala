@@ -67,10 +67,12 @@ object Graph {
     for (_ <- 1 to PageRankIters) {
       val shares = rank.join(deg, col("node") === col("src"))
         .select(col("node").as("sn"), expr("r div outdeg").as("share"))
-      rank = e.join(shares, col("src") === col("sn"))
+      // lineage-truncate each round (lazy — no driver barrier): keeps
+      // AQE re-planning the round, not the whole recurrence prefix
+      rank = CacheScope.cached(e.join(shares, col("src") === col("sn"))
         .groupBy(col("dst"))
         .agg(expr("150000 + (850 * sum(share)) div 1000").as("r"))
-        .select(col("dst").as("node"), col("r"))
+        .select(col("dst").as("node"), col("r")))
     }
     rank.select(col("node"), col("r").as("rank_micro")).orderBy(col("node"))
   }
@@ -136,26 +138,44 @@ object Graph {
 
   /** q131: seeded multi-source BFS — exact hop distance from the
     * low-nation (s_nationkey < 10 — non-empty at every SF) suppliers
-    * to every node within `BfsRounds` hops. Each
-    * round relaxes the frontier by one arc: dist ← min(dist,
-    * min_{u→v} dist(u)+1), one arc-keyed join + one min hash-agg per
-    * round. After k rounds every node whose true distance ≤ k holds
-    * exactly that distance (shortest-path-with-≤k-edges invariant), so
-    * the fixed-round output is exact for the emitted nodes — the same
-    * reachability contract a crawl-frontier or contamination-blast-
-    * radius query wants. Like q126 the fixed round count keeps the
-    * recurrence one lazy plan (no per-round driver barrier); the arc
-    * list is cached once and scope-released. */
+    * to every node within `BfsRounds` hops. Frontier-delta expansion:
+    * only nodes DISCOVERED last round expand (with unit weights a
+    * node's first-discovery distance is final, so re-expanding settled
+    * nodes can never improve anything), the new frontier is the
+    * expansion minus everything already settled (one distinct + one
+    * anti-join per round), and the answer is the disjoint union of the
+    * per-round frontiers. After k rounds every node whose true
+    * distance ≤ k holds exactly that distance — the same reachability
+    * contract a crawl-frontier or contamination-blast-radius query
+    * wants.
+    *
+    * Each round's frontier is lineage-truncated via CacheScope (NOT a
+    * driver barrier — the fixed round count keeps the whole recurrence
+    * lazy until the caller's action). Without the truncation the naive
+    * relax-everything formulation references each round's result twice
+    * (join + union), and the plan tree doubles per round — the v1 of
+    * this operator planned ~240 operators for 4 rounds and spent more
+    * time planning and re-broadcasting than scanning. Frontier work
+    * also SHRINKS as the graph saturates (the trade graph saturates in
+    * ~2 hops), so late rounds relax nearly nothing, where the naive
+    * form re-joined the full settled set against all arcs every round.
+    * At 100 TB: per-round cost ∝ out-degree mass of the frontier —
+    * the optimal BFS work bound. */
   def bfsDistances(spark: SparkSession, d: String): DataFrame = {
     val e = CacheScope.cached(tradeArcs(spark, d))
-    var dist: DataFrame = Tables.supplier(spark, d)
+    val seeds = CacheScope.cached(Tables.supplier(spark, d)
       .filter(col("s_nationkey") < 10)
-      .select((col("s_suppkey") * 2).as("node"), lit(0L).as("dist"))
-    for (_ <- 1 to BfsRounds) {
-      dist = dist.join(e, col("node") === col("src"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-        .union(dist)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      .select((col("s_suppkey") * 2).as("node"), lit(0L).as("dist")))
+    var dist = seeds
+    var frontier = seeds
+    for (k <- 1 to BfsRounds) {
+      val nf = CacheScope.cached(
+        frontier.join(e, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(k.toLong).as("dist")))
+      dist = dist.union(nf) // disjoint by construction — no re-agg
+      frontier = nf
     }
     dist.select(col("node"), col("dist")).orderBy(col("node"))
   }
