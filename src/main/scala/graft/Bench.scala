@@ -95,7 +95,12 @@ object Bench {
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
-    val fj = results.collect { case (k, Left(m)) => s"\"" + short(k) + "\":" + jstr(m) }
+    // Failure messages on stdout are capped hard at 40 chars each: round 4
+    // proved that N long analysis exceptions alone can blow the 2000-char
+    // capture window and erase the whole bench record. Full messages live
+    // in bench_detail.json.
+    val failures = results.collect { case (k, Left(m)) => (k, m) }
+    val fj = failures.map { case (k, m) => s"\"" + short(k) + "\":" + jstr(m.take(40)) }
       .mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.fold(jstr, _.toString)
@@ -106,14 +111,20 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"bench_detail.json write failed: $e") }
     // Hard guard on the 2000-char capture window: a line the driver
     // cannot parse is worth less than one with a coarser queries map, so
-    // degrade (3 more queries per byte-step) rather than overflow. 1900
-    // leaves ~100 chars for sbt's trailing [success] line.
-    def line(qj: String) =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qj,"failures":$fj,"sf":"$sfDir"}"""
+    // degrade (shorter queries map, then failure messages → count only)
+    // rather than overflow. 1900 leaves ~100 chars for sbt's trailing
+    // [success] line. The ladder is TOTAL: the last rung is a constant
+    // ~120-byte line that always fits, so "some queries failed" can never
+    // again become "no bench output at all" (round 4's None.get).
+    def line(qj: String, fjx: String) =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qj,"failures":$fjx,"sf":"$sfDir"}"""
     def qsInt = results.map { case (k, v) => // whole seconds, floor
       s"\"" + short(k) + "\":" + v.fold(_ => "null", t => t.toLong.toString)
     }.mkString("{", ",", "}")
-    val out = Seq(line(qs), line(qsInt), line("{}")).find(_.length <= 1900).get
+    val fjCount = s"""{"count":${failures.size}}"""
+    val lastRung = line("{}", fjCount)
+    val out = Seq(line(qs, fj), line(qsInt, fj), line(qsInt, fjCount), lastRung)
+      .find(_.length <= 1900).getOrElse(lastRung)
     println(out)
     spark.stop()
   }

@@ -23,27 +23,51 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for. Read it as a LongType of epoch-nanoseconds
-    * (`nanosAsLong`) — integer nanos keep event-time arithmetic exact
-    * (no micro truncation ambiguity vs the oracle's TIMESTAMP_NS), and
-    * long comparisons stay inside whole-stage codegen.
+  /** Events with `ts` normalized to a LongType of epoch-NANOSECONDS —
+    * the engine-wide event-time contract. Integer nanos keep event-time
+    * arithmetic exact and long comparisons stay inside whole-stage
+    * codegen.
     *
-    * The `nanosAsLong` flag must be set at session build (see
-    * `requireNanosAsLong` — Bench/Verify/SparkSpec all do); a loader
-    * that silently flipped session config would be action-at-a-distance
-    * for co-resident queries. */
-  def eventsNs(spark: SparkSession, d: String): DataFrame = {
-    requireNanosAsLong(spark)
-    spark.read.parquet(s"$d/events.parquet")
-  }
+    * The loader is SCHEMA-DRIVEN, not conf-driven: the testdata
+    * generator has shipped `ts` both as parquet TIMESTAMP(NANOS) (which
+    * `spark.sql.legacy.parquet.nanosAsLong=true` surfaces as epoch-nanos
+    * BIGINT) and as plain TIMESTAMP_MICROS (which Spark loads as a
+    * TimestampType). We dispatch on the LOADED column type so either
+    * vintage of the data — or a user's own micros/NTZ event logs —
+    * satisfies the same nanos-BIGINT contract:
+    *   - LongType: already epoch-nanos (nanos parquet + nanosAsLong, or
+    *     a pre-normalized BIGINT column) → pass through.
+    *   - TimestampType / TimestampNTZType: `unix_micros * 1000` → exact
+    *     epoch-nanos (micros precision; no truncation — codegen'd long
+    *     multiply, stays in whole-stage codegen). NTZ is cast through
+    *     TimestampType first; all engine sessions run UTC so the cast is
+    *     a no-op re-tag.
+    * Anything else fails loudly with the loaded type named, rather than
+    * letting a downstream `ts div N` die with an opaque
+    * DATATYPE_MISMATCH (the round-4 failure mode). */
+  def eventsNs(spark: SparkSession, d: String): DataFrame =
+    normalizeTsNs(spark.read.parquet(s"$d/events.parquet"))
 
-  /** Fail fast with a pointer at the session-builder fix rather than
-    * letting the parquet reader throw an opaque nanos error. */
-  def requireNanosAsLong(spark: SparkSession): Unit =
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
+  /** The type dispatch above, reusable for ANY events relation —
+    * including streaming readers (`readStream.schema(raw).parquet(...)`),
+    * which must apply the same normalization so stream ≡ batch holds
+    * whatever vintage the files are. */
+  def normalizeTsNs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(
+          s"events ts loaded as $other; expected BIGINT (epoch nanos), " +
+            "TIMESTAMP, or TIMESTAMP_NTZ. If the data is TIMESTAMP(NANOS) parquet, " +
+            "build the session with spark.sql.legacy.parquet.nanosAsLong=true.")
+    }
+  }
 
   /** `documents` spread across cores: the fixtures are single row-group
     * parquet files (one scan task); per-row text hashing then runs

@@ -251,11 +251,14 @@ class EventStreamSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
-    // ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long (see
-    // Tables.eventsNs), convert to a timestamp column for the watermark
-    val schema = Tables.eventsNs(spark, d).schema
+    // The stream source must read with the file's RAW schema (whatever
+    // ts vintage the testdata generator shipped) and then apply the SAME
+    // normalization as the batch path (Tables.normalizeTsNs) — declaring
+    // LongType over a TIMESTAMP file would reinterpret the raw INT64
+    // micros as nanos and shift every hour bucket.
+    val schema = spark.read.parquet(s"$d/events.parquet").schema
     def toTs(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Tables.normalizeTsNs(df).withColumn("ts", timestamp_micros(expr("ts div 1000")))
     // the file stream source wants a directory of arriving files
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(

@@ -132,7 +132,7 @@ class GraphAnalyticsSpec extends SparkSpec {
   }
 
   test("q130 transition matrix ≡ local per-user event walk") {
-    val ev = spark.read.parquet(s"$d/events.parquet")
+    val ev = Tables.eventsNs(spark, d)
       .selectExpr("user_id", "event_type", "ts", "event_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val trans = ev.groupBy(_._1).values.flatMap { g =>
@@ -150,7 +150,7 @@ class GraphAnalyticsSpec extends SparkSpec {
 
   test("q133 event anomalies ≡ local exact-integer z-test (and a planted spike flags)") {
     val DayNs = 86400000000000L
-    val ev = spark.read.parquet(s"$d/events.parquet")
+    val ev = Tables.eventsNs(spark, d)
       .select("event_type", "ts").collect()
       .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), DayNs)))
     val cnt = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap

@@ -37,11 +37,20 @@ class PlanSweepSpec extends SparkSpec {
     "q129_importance_weights" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
+    // A query that fails ANALYSIS is its own named offense — the sweep
+    // keeps going so one broken family can't mask a cartesian regression
+    // elsewhere (round 4: 13 ts-type crashes aborted the whole sweep).
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val p = fn(spark, d).queryExecution.executedPlan.toString
-      val n = "BroadcastNestedLoopJoin".r.findAllIn(p).size +
-        "CartesianProduct".r.findAllIn(p).size
-      if (n > allowed.getOrElse(name, 0)) Some(s"$name: $n nested-loop joins") else None
+      try {
+        val p = fn(spark, d).queryExecution.executedPlan.toString
+        val n = "BroadcastNestedLoopJoin".r.findAllIn(p).size +
+          "CartesianProduct".r.findAllIn(p).size
+        if (n > allowed.getOrElse(name, 0)) Some(s"$name: $n nested-loop joins") else None
+      } catch {
+        case e: Throwable =>
+          Some(s"$name: plan failed (${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).takeWhile(_ != '\n').take(120)})")
+      }
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
     // the allowlist must not rot: entries that stop planning a NLJ
