@@ -93,9 +93,24 @@ object Graph {
     *
     * cc_milli = 2000·tri div (deg·(deg−1)) — the local clustering
     * coefficient in exact integer milli-units. */
+  /** Per-order item cap for the co-purchase pair build. The pair
+    * relation is quadratic in per-order item count — harmless here
+    * (TPC-H orders hold ≤7 items) but a power-law basket (one "order"
+    * with 10⁶ items at 100 TB) would emit 5·10¹¹ pairs from a single
+    * group before the wedge join's O(√m) bound ever applies. The cap
+    * bounds any one order's contribution at CAP²/2 pairs,
+    * deterministically (smallest partkeys kept, oracle-expressible via
+    * the same ROW_NUMBER window). It never binds at test scale, so
+    * results are bit-identical to the uncapped build. */
+  val CoPurchaseCap = 1024
+
   def triangleCounts(spark: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(spark, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val li = items
+      .withColumn("rn", row_number().over(Window.partitionBy(col("ok")).orderBy(col("pk"))))
+      .filter(col("rn") <= CoPurchaseCap).drop("rn")
     val pairs = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("p1"), col("b.pk").as("p2")).distinct()

@@ -631,9 +631,13 @@ object SparkEntry {
     "q126_pagerank" -> PageRankOracle,
     "q131_bfs_distances" -> BfsOracle,
     "q127_triangle_counts" ->
-      """WITH pr AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
-        |            FROM lineitem a JOIN lineitem b
-        |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      """WITH it0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |it AS (SELECT ok, pk FROM (
+        |         SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rn
+        |         FROM it0) WHERE rn <= 1024),
+        |pr AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |            FROM it a JOIN it b
+        |              ON a.ok = b.ok AND a.pk < b.pk),
         |deg AS (SELECT node, count(*)::BIGINT AS dg FROM
         |        (SELECT p1 AS node FROM pr UNION ALL SELECT p2 AS node FROM pr)
         |        GROUP BY 1),

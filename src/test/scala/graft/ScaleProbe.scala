@@ -63,6 +63,50 @@ object ScaleProbe {
       name -> (t10 / t1)
     }
     println(ratios.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] ratios: ", ", ", ""))
+
+    // Graph-family probe: 10 DISJOINT replicas of the trade/co-purchase
+    // graph (every key space shifted per replica) → 10× nodes and arcs
+    // with identical per-replica structure. That is the honest scale
+    // model for these operators: a 10× crawl graph grows nodes and
+    // edges, not the degree of each existing node (which is what naively
+    // replicating orderkeys alone would measure after distinct()).
+    val gdir = s"${sys.props("java.io.tmpdir")}/graft-scale-graph10x"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$gdir/supplier.parquet/_SUCCESS"))) {
+      val li = spark.read.parquet(s"$d1/lineitem.parquet")
+      val os = spark.read.parquet(s"$d1/orders.parquet")
+      val su = spark.read.parquet(s"$d1/supplier.parquet")
+      val mo = os.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      val mc = os.agg(max(col("o_custkey"))).head().getLong(0) + 1
+      val ms = su.agg(max(col("s_suppkey"))).head().getLong(0) + 1
+      val mp = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
+      def reps(base: org.apache.spark.sql.DataFrame)(
+          shift: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame) =
+        (0 until 10).map(r => shift(base, r)).reduce(_ unionByName _).repartition(32)
+      reps(li) { (b, r) =>
+        b.withColumn("l_orderkey", col("l_orderkey") + lit(r * mo))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(r * ms))
+          .withColumn("l_partkey", col("l_partkey") + lit(r * mp))
+      }.write.mode("overwrite").parquet(s"$gdir/lineitem.parquet")
+      reps(os) { (b, r) =>
+        b.withColumn("o_orderkey", col("o_orderkey") + lit(r * mo))
+          .withColumn("o_custkey", col("o_custkey") + lit(r * mc))
+      }.write.mode("overwrite").parquet(s"$gdir/orders.parquet")
+      reps(su) { (b, r) =>
+        b.withColumn("s_suppkey", col("s_suppkey") + lit(r * ms))
+      }.write.mode("overwrite").parquet(s"$gdir/supplier.parquet")
+      println(s"[probe] built 10x graph corpus at $gdir")
+    }
+    val gqs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("q126_pagerank" -> (Graph.pageRank _),
+        "q127_triangle_counts" -> (Graph.triangleCounts _),
+        "q131_bfs_distances" -> (Graph.bfsDistances _))
+    val gratios = gqs.map { case (name, fn) =>
+      val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
+      val t10 = time(name, fn, gdir)
+      println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+      name -> (t10 / t1)
+    }
+    println(gratios.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] graph ratios: ", ", ", ""))
     spark.stop()
   }
 }
