@@ -483,7 +483,12 @@ object Curation {
     * tiny state learned in one linear pass, scoring is linear and
     * embarrassingly parallel. Decimal `div` guards the product against
     * the Long ceiling at corpus scale. */
-  def importanceWeights(spark: SparkSession, d: String): DataFrame = {
+  def importanceWeights(spark: SparkSession, d: String): DataFrame =
+    dsirAffinity(spark, d).orderBy(col("doc_id"))
+
+  /** The q129 affinity pass without the presentation sort, shared with
+    * q135's selection step. */
+  private def dsirAffinity(spark: SparkSession, d: String): DataFrame = {
     val tok = Tables.documentsDist(spark, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .select(col("doc_id"), (polyHash(col("w")) % 1024).as("b"))
@@ -501,8 +506,59 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         expr("sum(wm) div count(1)").as("affinity_milli"))
-      .orderBy(col("doc_id"))
   }
+
+  /** q135: DSIR SELECTION — the resampling step that q129's weights
+    * exist for (Xie et al. §2: sample documents with probability
+    * proportional to the importance weight). Done DETERMINISTICALLY as
+    * exact-integer acceptance sampling: each candidate doc draws its
+    * own uniform u ∈ [0, 1000) from a salted content-independent hash
+    * of its id (`polyHash("sel:" ++ doc_id)` — replayable by the
+    * oracle, uncorrelated with the affinity), and is kept iff
+    * u < min(affinity_milli, 1000). Acceptance probability is exactly
+    * min(w, 1)·(per-doc), so the kept set IS an importance-resampled
+    * draw with a fixed seed — rerunnable, auditable, and
+    * shard-independent (each doc's verdict depends on nothing but its
+    * own row: selection stays embarrassingly parallel at 100 TB, no
+    * global sampling state, no RNG sequence to coordinate across
+    * executors).
+    *
+    * Shape: q129's affinity pass (one token explode + 1024-row
+    * broadcast weight table) + a row-local filter. Nothing new
+    * shuffles. */
+  def dsirSelect(spark: SparkSession, d: String): DataFrame =
+    dsirAffinity(spark, d)
+      .withColumn("u_permille",
+        polyHash(concat(lit("sel:"), col("doc_id").cast("string"))) % 1000L)
+      .filter(col("u_permille") < least(col("affinity_milli"), lit(1000L)))
+      .select(col("doc_id"), col("n_tok"), col("affinity_milli"), col("u_permille"))
+      .orderBy(col("doc_id"))
+
+  /** q137: sequence-length bucketing — the batch-shape planning pass a
+    * training pipeline runs before padding/packing: documents grouped
+    * into fixed 64-token length buckets, with per-bucket doc counts,
+    * token mass, bucket max, the exact padding waste of padding every
+    * doc to the bucket max, and the fill ratio in permille. This is
+    * the report that decides bucketed-batching boundaries (and
+    * quantifies what q51's packing saves over naive padding).
+    *
+    * Shape: row-local token count → ONE hash-agg keyed by bucket
+    * (output rows = max_len/64 regardless of corpus size) → tiny
+    * arithmetic on the aggregates. Linear, one shuffle of
+    * bucket-partial rows, nothing else — at 100 TB this is a
+    * map-combine reduction like q64. */
+  def lengthBuckets(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .select(size(toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket", expr("n_tok div 64"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .select(col("bucket"), (col("bucket") * 64).as("lo_tok"), col("n_docs"),
+        col("sum_tok"), col("max_tok"),
+        (col("n_docs") * col("max_tok") - col("sum_tok")).as("pad_waste_tok"),
+        expr("(1000 * sum_tok) div (n_docs * max_tok)").as("fill_permille"))
+      .orderBy(col("bucket"))
 
   /** q134: per-source quality-score calibration — raw heuristic scores
     * are not comparable ACROSS sources (a mid-tier web page and a

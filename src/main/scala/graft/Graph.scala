@@ -47,31 +47,33 @@ object Graph {
     * dangling nodes (every node has outdeg ≥ 1 and appears as a dst),
     * so no dangling-mass redistribution term is needed.
     *
-    * Shape: the arc list and the degree relation are computed once and
-    * cached (scope-released after the caller's terminal action); each
-    * round is one node-keyed hash join (rank ⋈ deg — co-partitioned on
-    * the node key) + one arc-keyed join + one hash aggregate. Because
-    * the round count is FIXED, the whole 5-round recurrence stays ONE
-    * lazy plan — a single job with no driver-synchronized barrier per
-    * round (contrast q49, whose convergence test forces per-round
-    * actions); each round's aggregate is a shuffle boundary, so stages
-    * pipeline and nothing recomputes. A convergence-tested variant
-    * would adopt q49's persist/truncate round discipline verbatim. At
-    * 100 TB the rank mass in a round is bounded by nodes·1e6 — the
-    * `850 · sum` product would be DECIMAL(38) there; plans unchanged. */
+    * Shape: the out-degree is folded into the arc relation ONCE
+    * (`arcs ⋈ deg`, cached) so each round is exactly one src-keyed hash
+    * join (rank ⋈ degree-carrying arcs, share computed per-arc — the
+    * same `r div outdeg` value every arc of a node would get from a
+    * separate node-keyed share join, minus that join) + one dst-keyed
+    * hash aggregate. Because the round count is FIXED, the whole
+    * 5-round recurrence stays ONE lazy plan — a single job with no
+    * driver-synchronized barrier per round (contrast q49, whose
+    * convergence test forces per-round actions); each round's aggregate
+    * is a shuffle boundary, so stages pipeline and nothing recomputes.
+    * A convergence-tested variant would adopt q49's persist/truncate
+    * round discipline verbatim. At 100 TB the rank mass in a round is
+    * bounded by nodes·1e6 — the `850 · sum` product would be
+    * DECIMAL(38) there; plans unchanged. */
   def pageRank(spark: SparkSession, d: String): DataFrame = {
     val e = CacheScope.cached(tradeArcs(spark, d))
-    val deg = CacheScope.cached(
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // degree-carrying arcs: one extra int per arc buys back a per-round
+    // node-keyed join — 5 joins saved over the recurrence
+    val ed = CacheScope.cached(e.join(deg, "src"))
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to PageRankIters) {
-      val shares = rank.join(deg, col("node") === col("src"))
-        .select(col("node").as("sn"), expr("r div outdeg").as("share"))
       // lineage-truncate each round (lazy — no driver barrier): keeps
       // AQE re-planning the round, not the whole recurrence prefix
-      rank = CacheScope.cached(e.join(shares, col("src") === col("sn"))
+      rank = CacheScope.cached(ed.join(rank, col("src") === col("node"))
         .groupBy(col("dst"))
-        .agg(expr("150000 + (850 * sum(share)) div 1000").as("r"))
+        .agg(expr("150000 + (850 * sum(r div outdeg)) div 1000").as("r"))
         .select(col("dst").as("node"), col("r")))
     }
     rank.select(col("node"), col("r").as("rank_micro")).orderBy(col("node"))

@@ -263,4 +263,66 @@ object Similarity {
       .withColumn("centroid_micro",
         floor(col("sum_micro") / col("n")).cast("long"))
       .orderBy(col("label"), col("pos"))
+
+  /** k-means rounds / cluster count for q136 — fixed so the whole
+    * recurrence is one lazy plan and the oracle can chain the same
+    * number of CTEs (the q126 fixed-round argument). */
+  val KmeansK = 8
+  val KmeansRounds = 2
+
+  /** q136: UNSUPERVISED embedding clustering — fixed-round Lloyd's
+    * k-means in exact integer micro-units, the clustering primitive a
+    * curation pipeline runs for corpus cartography (what topical cells
+    * exist?), cluster-balanced mixing, and SemDeDup-style cell
+    * pruning when no labels exist (q64 needs labels; the IVF index
+    * persists its cells — this is the in-query, oracle-exact
+    * formulation).
+    *
+    * Determinism, cross-engine: components floor-quantized to micro
+    * ints (the q64 argument); init = the k lowest vec_ids (TakeOrdered
+    * k rows, no global window); assignment = argmin of EXACT integer
+    * squared L2 with (d2, cid) tie-break; update = floor-mean per
+    * (cid, dim). |vm| ≤ ~1e6, so a squared diff is ≤ 4e12 and a 64-dim
+    * sum ≤ 2.6e14 — far inside Long.
+    *
+    * Shape per round: centroids are k·64 rows — BROADCAST to the
+    * component relation (join on dim, k-way fan-out), partial hash-agg
+    * to (vec, cid) distances, one row_number window keyed by vec for
+    * the argmin, one hash-agg for the new centroids. Per-round cost is
+    * O(n·k·d) with ONE vec-keyed shuffle — the canonical distributed
+    * Lloyd's step; at 100 TB the fan-out join would move to the native
+    * dot kernel (DotProductExpr, the q26 family) with identical
+    * semantics, trading oracle-replayability for a d× smaller
+    * intermediate. */
+  def kmeansEmbed(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.embeddings(spark, d)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("col") * lit(1000000.0d)).cast("long").as("vm"))
+    val seeds = Tables.embeddings(spark, d)
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(KmeansK)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+    var cent = q.join(broadcast(seeds), "vec_id")
+      .select(col("cid"), col("pos"), col("vm").as("cm"))
+    def assign(c: DataFrame): DataFrame = {
+      val d2 = q.join(broadcast(c), "pos")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm"))).as("d2"))
+      d2.withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("d2"))
+    }
+    var asg = assign(cent)
+    for (_ <- 2 to KmeansRounds) {
+      cent = q.join(asg.select(col("vec_id"), col("cid")), "vec_id")
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("vm")) / count(lit(1))).cast("long").as("cm"))
+      asg = assign(cent)
+    }
+    asg.select(col("vec_id"), col("cid"), col("d2").as("dist_sq_micro"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -291,6 +291,15 @@ object SparkEntry {
     // per-source quantile normalization of the integer quality score:
     // exact empirical rank permille within each source
     "q134_quality_calibration" -> (Curation.qualityCalibration _),
+    // DSIR selection: deterministic exact-integer acceptance sampling
+    // on the q129 weights (u = salted id-hash, keep iff u < min(w,1000))
+    "q135_dsir_select" -> (Curation.dsirSelect _),
+    // fixed-round integer Lloyd's k-means over embeddings (k=8, 2
+    // rounds, first-k init) — unsupervised twin of q64
+    "q136_kmeans_embed" -> (Similarity.kmeansEmbed _),
+    // 64-token sequence-length buckets with exact padding-waste and
+    // fill-ratio accounting — batch-shape planning
+    "q137_length_buckets" -> (Curation.lengthBuckets _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -770,6 +779,61 @@ object SparkEntry {
         |SELECT doc_id, source, score_milli,
         |  (CASE WHEN nsrc > 1 THEN (1000 * (rn - 1)) // (nsrc - 1) ELSE 500 END)::BIGINT AS cal_permille
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q135_dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
+         |           FROM documents),
+         |tb AS (SELECT doc_id, ${H("w")} % 1024 AS b FROM t),
+         |bc AS (SELECT b, count(*) FILTER (doc_id % 97 = 0)::BIGINT AS tb,
+         |              count(*) FILTER (doc_id % 97 != 0)::BIGINT AS rb
+         |       FROM tb GROUP BY 1),
+         |st AS (SELECT sum(tb)::BIGINT AS tt, sum(rb)::BIGINT AS rt FROM bc),
+         |wt AS (SELECT b, ((1000::HUGEINT * (tb + 1) * (rt + 1024))
+         |                   // ((rb + 1)::HUGEINT * (tt + 1024)))::BIGINT AS wm
+         |       FROM bc, st),
+         |af AS (SELECT tb.doc_id, count(*)::BIGINT AS n_tok,
+         |              (sum(wm) // count(*))::BIGINT AS affinity_milli
+         |       FROM tb JOIN wt ON wt.b = tb.b WHERE tb.doc_id % 97 != 0
+         |       GROUP BY tb.doc_id),
+         |sel AS (SELECT doc_id, n_tok, affinity_milli,
+         |               (${H("'sel:' || doc_id::VARCHAR")} % 1000)::BIGINT AS u_permille
+         |        FROM af)
+         |SELECT doc_id, n_tok, affinity_milli, u_permille FROM sel
+         |WHERE u_permille < least(affinity_milli, 1000)
+         |ORDER BY doc_id""".stripMargin,
+    "q136_kmeans_embed" ->
+      """WITH q AS (SELECT vec_id, i::BIGINT - 1 AS pos,
+        |             floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
+        |           FROM (SELECT vec_id, embedding,
+        |                 unnest(generate_series(1, len(embedding))) i FROM embeddings)),
+        |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid
+        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |c0 AS (SELECT s.cid, q.pos, q.vm AS cm FROM q JOIN seeds s ON s.vec_id = q.vec_id),
+        |e1 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c0 c ON c.pos = q.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid, d2 FROM (
+        |         SELECT vec_id, cid, d2,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |         FROM e1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, q.pos, floor(sum(q.vm) / count(*))::BIGINT AS cm
+        |       FROM q JOIN a1 a ON a.vec_id = q.vec_id GROUP BY 1, 2),
+        |e2 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c1 c ON c.pos = q.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid, d2 FROM (
+        |         SELECT vec_id, cid, d2,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |         FROM e2) WHERE rn = 1)
+        |SELECT vec_id, cid, d2 AS dist_sq_micro FROM a2 ORDER BY vec_id""".stripMargin,
+    "q137_length_buckets" ->
+      """WITH t AS (SELECT len(regexp_split_to_array(text, ' '))::BIGINT AS n_tok
+        |           FROM documents),
+        |g AS (SELECT n_tok // 64 AS bucket, count(*)::BIGINT AS n_docs,
+        |             sum(n_tok)::BIGINT AS sum_tok, max(n_tok)::BIGINT AS max_tok
+        |      FROM t GROUP BY 1)
+        |SELECT bucket::BIGINT AS bucket, (bucket * 64)::BIGINT AS lo_tok, n_docs,
+        |       sum_tok, max_tok,
+        |       (n_docs * max_tok - sum_tok)::BIGINT AS pad_waste_tok,
+        |       ((1000 * sum_tok) // (n_docs * max_tok))::BIGINT AS fill_permille
+        |FROM g ORDER BY bucket""".stripMargin,
     "q122_sample_estimate" ->
       s"""WITH r(lang, permille) AS (VALUES ('en', 250), ('de', 800), ('es', 800),
          |                                 ('fr', 800), ('zh', 800)),

@@ -271,4 +271,46 @@ class CurationSpec extends SparkSpec {
         s"source $src not calibrated to the full range")
     }
   }
+
+  test("q135 DSIR selection ≡ acceptance rule over q129's weights; deterministic") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val weights = Curation.importanceWeights(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent acceptance recompute: salted id-hash uniform vs
+    // min(affinity, 1000), exactly the documented rule
+    val exp = weights.flatMap { case (id, n, w) =>
+      val u = graft.functions.PolyHashExpr.hash(
+        UTF8String.fromString(s"sel:$id")) % 1000L
+      if (u < math.min(w, 1000L)) Some((id, n, w, u)) else None
+    }.toSeq.sortBy(_._1)
+    val got = Curation.dsirSelect(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == exp)
+    // the selection is a real cut, not pass-all or pass-none
+    assert(got.nonEmpty && got.size < weights.length)
+    // re-run is bit-identical (no RNG state anywhere)
+    val again = Curation.dsirSelect(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(again == got)
+  }
+
+  test("q137 length buckets ≡ local histogram; waste/fill identities hold") {
+    val lens = Tables.documents(spark, d).select("text").collect()
+      .map(_.getString(0).split(" ").length.toLong)
+    val exp = lens.groupBy(_ / 64).toSeq.map { case (b, g) =>
+      val (n, s, m) = (g.size.toLong, g.sum, g.max)
+      (b, b * 64, n, s, m, n * m - s, 1000 * s / (n * m))
+    }.sortBy(_._1)
+    val got = Curation.lengthBuckets(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == exp)
+    // bucket invariants: every max is inside its bucket's 64-token
+    // range, and fill can never exceed 1000 permille
+    got.foreach { case (b, lo, _, _, m, waste, fill) =>
+      assert(lo == b * 64 && m >= lo && m < lo + 64)
+      assert(fill > 0L && fill <= 1000L && waste >= 0L)
+    }
+    assert(got.map(_._3).sum == lens.length.toLong) // partition of the corpus
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+/** q136 fixed-round integer k-means — full independent local Lloyd
+  * recompute (quantize → first-k init → assign/update/assign with the
+  * documented tie-breaks) compared row-for-row against the distributed
+  * plan, plus clustering sanity properties. */
+class KmeansSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("q136 kmeans ≡ local exact-integer Lloyd recompute") {
+    val k = Similarity.KmeansK
+    val vecs = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6).toLong).toArray))
+      .sortBy(_._1)
+    def assign(cents: Map[Long, Array[Long]]): Map[Long, (Long, Long)] =
+      vecs.map { case (id, v) =>
+        val (cid, d2) = cents.toSeq.map { case (c, cm) =>
+          (c, v.zip(cm).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.minBy { case (c, dd) => (dd, c) }
+        id -> (cid, d2)
+      }.toMap
+    val c0 = vecs.take(k).zipWithIndex.map { case ((_, v), i) => i.toLong -> v }.toMap
+    val a1 = assign(c0)
+    val c1 = a1.toSeq.groupBy(_._2._1).map { case (cid, members) =>
+      val vs = members.map { case (id, _) => vecs.find(_._1 == id).get._2 }
+      cid -> Array.tabulate(vs.head.length) { p =>
+        Math.floorDiv(vs.map(_(p)).sum, vs.size.toLong)
+      }
+    }
+    val a2 = assign(c1)
+    val exp = a2.toSeq.map { case (id, (cid, d2)) => (id, cid, d2) }.sortBy(_._1)
+    val got = Similarity.kmeansEmbed(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp)
+    // sanity: all vectors assigned exactly once, several cells occupied
+    assert(got.map(_._1) == vecs.map(_._1).toSeq)
+    assert(got.map(_._2).distinct.size >= 2)
+    assert(got.forall { case (_, cid, d2) => cid >= 0 && cid < k && d2 >= 0 })
+  }
+}

@@ -34,7 +34,10 @@ class PlanSweepSpec extends SparkSpec {
     // totals; target/raw totals) joined to the vocabulary-sized /
     // 1024-row-bounded count tables
     "q128_collocations" -> 1,
-    "q129_importance_weights" -> 1)
+    "q129_importance_weights" -> 1,
+    // q135 = q129's affinity pass + a row-local filter; same one-row
+    // corpus-totals scalar broadcast
+    "q135_dsir_select" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep
