@@ -92,6 +92,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** q138: asymmetric CONTAINMENT pairs — C(A,B) = |A∩B| / min(|A|,|B|)
+    * ≥ 0.8 in exact integer permille. Symmetric Jaccard (q22/q23) is
+    * structurally blind to the sub-document duplicate: a 30-shingle doc
+    * fully embedded in a 300-shingle doc has J ≈ 0.1 (invisible at any
+    * sane threshold) but containment 1.0 — quoted articles, boilerplate
+    * wrappers, and excerpt spam all live there, and a real curation
+    * pipeline flags them on containment, not Jaccard. Output carries
+    * both scores so the gap is auditable (pairs here with low
+    * jaccard_permille are exactly what q22 cannot see).
+    *
+    * Shape: identical to q22 — the shingle inverted index produces
+    * (pair, |∩|) once; the min-size denominator is one integer
+    * expression on the same broadcast size relation. Same Σ C(df,2)
+    * cost model, same PPJoin/minhash escape hatches at 100 TB. */
+  def containmentPairs(spark: SparkSession, d: String): DataFrame =
+    containmentPairsDf(Tables.documents(spark, d)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** DataFrame-in variant over (doc_id, text). */
+  private[graft] def containmentPairsDf(docs: DataFrame): DataFrame = {
+    val sets = CacheScope.cached(shingleSetsDf(docs))
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("cm"))
+    val sz = sets.select(col("doc_id"), size(col("hs")).cast("long").as("sz"))
+    common
+      .join(broadcast(sz.toDF("doc_a", "sa")), "doc_a")
+      .join(broadcast(sz.toDF("doc_b", "sb")), "doc_b")
+      .withColumn("containment_permille", expr("(1000 * cm) div least(sa, sb)"))
+      .filter(col("containment_permille") >= 800)
+      .select(col("doc_a"), col("doc_b"), col("cm"), col("sa"), col("sb"),
+        col("containment_permille"),
+        expr("(1000 * cm) div (sa + sb - cm)").as("jaccard_permille"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Prefix-filtered exact n-gram Jaccard (PPJoin-style, Xiao et al.
     * WWW'08) — same semantics and oracle as `ngramJaccard`, different
     * candidate generation: shingles are globally ordered by document
@@ -619,6 +657,54 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared")) // per-doc shingles are distinct
       .orderBy(col("doc_id"))
+  }
+
+  /** BFS rounds for q139 — fixed so the recurrence stays one lazy plan
+    * and the oracle chains the same number of expansion CTEs. */
+  val RadiusHops = 2
+
+  /** q139: TRANSITIVE contamination blast radius. q55 flags documents
+    * that directly share eval 4-grams — but a paraphrased copy of a
+    * flagged doc shares the *flagged doc's* shingles, not the eval
+    * set's, and survives direct decontamination. Real pipelines
+    * therefore expand the contaminated seed set over the near-duplicate
+    * graph: hops=0 are q55's direct hits, hops=k are docs within k
+    * near-dup edges (q23's MinHash pairs at J ≥ 0.5) of a hit — the
+    * set a conservative decontamination actually removes, and the
+    * "blast radius" number a leakage audit reports.
+    *
+    * Shape: the composition is entirely reused plans — q55's broadcast
+    * shingle probe for seeds, q23's banded candidate join for edges —
+    * plus q131's frontier-delta BFS (settled docs never re-expand,
+    * per-round work ∝ frontier degree mass, lineage truncated per
+    * round). Nothing here introduces a new scale surface: at 100 TB it
+    * costs exactly one decontamination pass + one near-dup pass + 2
+    * sparse frontier joins on the (tiny) contaminated subgraph. */
+  def contamRadius(spark: SparkSession, d: String): DataFrame = {
+    val (corpus, eval_) = evalSplit(spark, d)
+    contamRadiusDf(corpus, eval_)
+  }
+
+  /** DataFrame-in variant over (doc_id, text) corpus/eval relations. */
+  private[graft] def contamRadiusDf(corpus: DataFrame, eval_ : DataFrame): DataFrame = {
+    val direct = decontaminateDf(corpus, eval_)
+      .select(col("doc_id"), lit(0L).as("hops"))
+    val pairs = minhashNearDupDf(corpus)
+    val edges = CacheScope.cached(
+      pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
+        .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("t"))))
+    var dist = CacheScope.cached(direct)
+    var frontier = dist
+    for (k <- 1 to RadiusHops) {
+      val nf = CacheScope.cached(
+        frontier.join(edges, col("doc_id") === col("s"))
+          .select(col("t").as("doc_id")).distinct()
+          .join(dist, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(k.toLong).as("hops")))
+      dist = dist.union(nf) // disjoint by construction
+      frontier = nf
+    }
+    dist.orderBy(col("doc_id"))
   }
 
   /** q107: longest contaminated span — the length-thresholded refinement

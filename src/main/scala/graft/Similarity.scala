@@ -264,6 +264,44 @@ object Similarity {
         floor(col("sum_micro") / col("n")).cast("long"))
       .orderBy(col("label"), col("pos"))
 
+  /** q140: HARD-NEGATIVE mining — for each query vector, the top-5
+    * most-similar vectors with a DIFFERENT label: the pairs a
+    * contrastive/retrieval trainer wants as negatives precisely because
+    * they are near-misses (easy negatives teach nothing). Same exact
+    * cosine arithmetic as q26, same bounded-heap aggregation as q38 —
+    * the label inequality rides the candidate join, so the filter
+    * happens before any scoring state accumulates.
+    *
+    * Shape: broadcast queries × corpus scan with map-side partial
+    * top-k (k rows per query per partition on the wire — the q38
+    * argument); the tiny (5·|Q| row) result re-joins the broadcast
+    * label relation for auditability. At 100 TB the scan side swaps
+    * for the IVF/PQ candidate paths (q33/q83) unchanged — negatives
+    * only need to be NEAR, not exact, so ANN candidates are the
+    * production pool. */
+  def hardNegatives(spark: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.embeddings(spark, d)
+    val lbl = e0.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+    val e = e0.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nn", dot(col("v"), col("v")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nn").as("qn"))
+    broadcast(q).join(e, col("q_id") =!= col("vec_id") && col("q_label") =!= col("label"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nn")))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(graft.functions.TopKByScore.topk(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), col("q_label"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("q_label"), col("s.id").as("neighbor_id"),
+        round(col("s.score"), 6).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .join(broadcast(lbl), "neighbor_id")
+      .select(col("q_id"), col("q_label"), col("neighbor_id"), col("n_label"),
+        col("cosine"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** k-means rounds / cluster count for q136 — fixed so the whole
     * recurrence is one lazy plan and the oracle can chain the same
     * number of CTEs (the q126 fixed-round argument). */

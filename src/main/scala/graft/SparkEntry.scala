@@ -300,6 +300,15 @@ object SparkEntry {
     // 64-token sequence-length buckets with exact padding-waste and
     // fill-ratio accounting — batch-shape planning
     "q137_length_buckets" -> (Curation.lengthBuckets _),
+    // asymmetric containment pairs (|∩| / min size ≥ 0.8): the
+    // sub-document duplicates symmetric Jaccard cannot see
+    "q138_containment_pairs" -> (Dedup.containmentPairs _),
+    // transitive contamination blast radius: q55 seeds expanded 2 hops
+    // over q23's near-dup graph via frontier-delta BFS
+    "q139_contam_radius" -> (Dedup.contamRadius _),
+    // hard-negative mining: per query, top-5 nearest DIFFERENT-label
+    // vectors via the bounded-heap aggregate — contrastive negatives
+    "q140_hard_negatives" -> (Similarity.hardNegatives _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -799,6 +808,67 @@ object SparkEntry {
          |        FROM af)
          |SELECT doc_id, n_tok, affinity_milli, u_permille FROM sel
          |WHERE u_permille < least(affinity_milli, 1000)
+         |ORDER BY doc_id""".stripMargin,
+    "q140_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+        |s AS (SELECT q.vec_id q_id, q.label q_label, n.vec_id neighbor_id,
+        |      n.label n_label,
+        |      list_dot_product(q.v, n.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
+        |      FROM e q, e n
+        |      WHERE q.vec_id < 10 AND n.vec_id != q.vec_id AND n.label != q.label),
+        |r AS (SELECT q_id, q_label, neighbor_id, n_label, c,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
+        |SELECT q_id, q_label, neighbor_id, n_label, round(c, 6) AS cosine,
+        |       rnk::BIGINT AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q138_containment_pairs" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |sz AS (SELECT doc_id, count(*)::BIGINT sz FROM sh GROUP BY doc_id),
+         |cm AS (SELECT a.doc_id da, b.doc_id db, count(*)::BIGINT cm
+         |       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b, cm, x.sz AS sa, y.sz AS sb,
+         |       ((1000 * cm) // least(x.sz, y.sz))::BIGINT AS containment_permille,
+         |       ((1000 * cm) // (x.sz + y.sz - cm))::BIGINT AS jaccard_permille
+         |FROM cm JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |WHERE (1000 * cm) // least(x.sz, y.sz) >= 800
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q139_contam_radius" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)
+         |       WHERE doc_id % 97 != 0),
+         |mh AS (SELECT doc_id, j, min(((2*j + 1) * h + 12345 + 7919*j) % 1000000007) m
+         |       FROM sh, generate_series(0, 15) g(j) GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, j // 4 AS b,
+         |          list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
+         |                      (acc, x) -> (acc * 131 + x) % 1000000007) AS key
+         |          FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x JOIN bands y
+         |         ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         |cm AS (SELECT da, db, count(*) cm FROM cand
+         |       JOIN sh p ON p.doc_id = da JOIN sh q ON q.doc_id = db AND q.h = p.h
+         |       GROUP BY da, db),
+         |sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT da, db FROM cm JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |          WHERE cm / (x.sz + y.sz - cm) >= 0.5),
+         |edges AS (SELECT da s, db t2 FROM pairs UNION ALL SELECT db, da FROM pairs),
+         |sh4 AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+3], ' ')")} AS h
+         |        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) i FROM t)),
+         |ev AS (SELECT DISTINCT h FROM sh4 WHERE doc_id % 97 = 0),
+         |h0 AS (SELECT DISTINCT s.doc_id FROM sh4 s JOIN ev ON ev.h = s.h
+         |       WHERE s.doc_id % 97 != 0),
+         |h1 AS (SELECT DISTINCT e.t2 AS doc_id FROM h0 JOIN edges e ON e.s = h0.doc_id
+         |       WHERE e.t2 NOT IN (SELECT doc_id FROM h0)),
+         |h2 AS (SELECT DISTINCT e.t2 AS doc_id FROM h1 JOIN edges e ON e.s = h1.doc_id
+         |       WHERE e.t2 NOT IN (SELECT doc_id FROM h0)
+         |         AND e.t2 NOT IN (SELECT doc_id FROM h1))
+         |SELECT doc_id, 0::BIGINT AS hops FROM h0
+         |UNION ALL SELECT doc_id, 1::BIGINT AS hops FROM h1
+         |UNION ALL SELECT doc_id, 2::BIGINT AS hops FROM h2
          |ORDER BY doc_id""".stripMargin,
     "q136_kmeans_embed" ->
       """WITH q AS (SELECT vec_id, i::BIGINT - 1 AS pos,

@@ -752,4 +752,110 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(5))).toSeq
     assert(got == expect && got.nonEmpty)
   }
+
+  test("q140 hard negatives ≡ local different-label top-5 with sequential-fold cosines") {
+    val rows = Tables.embeddings(spark, d)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val exp = rows.filter(_._1 < 10).flatMap { case (qid, ql, qv) =>
+      rows.filter { case (id, l, _) => id != qid && l != ql }
+        .map { case (id, l, v) =>
+          (id, l, dotSeq(qv, v) / math.sqrt(dotSeq(qv, qv) * dotSeq(v, v)))
+        }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, l, c), i) =>
+          // valueOf = shortest-decimal-string rounding, what Spark's
+          // round() does (BigDecimal(c) would round the raw binary)
+          (qid, ql, id, l, new java.math.BigDecimal(java.lang.Double.toString(c))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(), (i + 1).toLong)
+        }
+    }.toSeq.sortBy(x => (x._1, x._6))
+    val got = Similarity.hardNegatives(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // the mined negatives are genuinely hard: every one scores within
+    // the query's same-label neighborhood range, and none shares the
+    // query's label (the training contract)
+    assert(got.forall { case (_, ql, _, nl, _, _) => ql != nl })
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  private def sh3(text: String): Set[Long] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val tk = text.split(" ")
+    tk.sliding(3).filter(_.length == 3)
+      .map(g => graft.functions.PolyHashExpr.hash(
+        UTF8String.fromString(g.mkString(" ")))).toSet
+  }
+
+  test("q138 containment ≡ local set recompute; finds the embedded doc Jaccard misses") {
+    // local recompute on the real corpus
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), sh3(r.getString(1)))).filter(_._2.nonEmpty)
+    val exp = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+      cm = (sa & sb).size.toLong if cm > 0
+      cont = 1000L * cm / math.min(sa.size, sb.size) if cont >= 800L
+    } yield (ia, ib, cm, sa.size.toLong, sb.size.toLong, cont,
+        1000L * cm / (sa.size + sb.size - cm))).sortBy(x => (x._1, x._2)).toSeq
+    val got = Dedup.containmentPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // the motivating case: a short doc embedded verbatim in a longer
+    // one has containment 1000 but Jaccard far below q22's 0.6 cut
+    import spark.implicits._
+    val inner = (1 to 20).map(i => s"core$i").mkString(" ")
+    val outer = ((1 to 10).map(i => s"pre$i") ++ (1 to 20).map(i => s"core$i")
+      ++ (1 to 10).map(i => s"post$i")).mkString(" ")
+    val fix = Seq((1L, inner), (2L, outer), (3L, (1 to 30).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairsDf(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq((1L, 2L, 1000L, 473L)))
+    assert(out.head._4 < 600L) // invisible to the symmetric-Jaccard family
+  }
+
+  test("q139 contamination radius ≡ local BFS over q55 seeds + q23 edges; paraphrase caught at hop 1") {
+    // local frontier recompute from the independently-verified parts:
+    // seeds = q55's direct hits, edges = q23's pairs among corpus docs
+    // (pair candidacy is per-doc-signature, so eval docs' presence in
+    // q23's input adds only eval-touching pairs — filtered out here)
+    val seeds = Dedup.decontaminate(spark, d).collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.minhashNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 97 != 0 && b % 97 != 0 }
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (k <- 1 to Dedup.RadiusHops) {
+      val nf = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist ++= nf.map(_ -> k.toLong)
+      frontier = nf
+    }
+    val exp = dist.toSeq.sortBy(_._1)
+    val got = Dedup.contamRadius(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // the motivating case: a near-dup PARAPHRASE of a contaminated doc
+    // shares no eval 4-gram (q55-invisible) but is one near-dup hop away
+    import spark.implicits._
+    val evalTok = Seq("e1", "e2", "e3", "e4")
+    val filler = (1 to 40).map(i => s"f$i")
+    val a = (evalTok ++ filler).mkString(" ")        // direct hit
+    val b = (Seq("zz") ++ filler).mkString(" ")      // paraphrase: no eval 4-gram
+    val unrelated = (1 to 44).map(i => s"u$i").mkString(" ")
+    val corpus = Seq((1L, a), (2L, b), (3L, unrelated)).toDF("doc_id", "text")
+    val ev = Seq((100L, evalTok.mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.contamRadiusDf(corpus, ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 0L), (2L, 1L))) // B caught transitively; unrelated doc clean
+  }
 }

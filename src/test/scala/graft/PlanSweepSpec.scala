@@ -37,7 +37,10 @@ class PlanSweepSpec extends SparkSpec {
     "q129_importance_weights" -> 1,
     // q135 = q129's affinity pass + a row-local filter; same one-row
     // corpus-totals scalar broadcast
-    "q135_dsir_select" -> 1)
+    "q135_dsir_select" -> 1,
+    // q140: q38's broadcast-queries × corpus scan with the label
+    // inequality in the join condition — same bounded exact baseline
+    "q140_hard_negatives" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep
