@@ -107,6 +107,38 @@ object ScaleProbe {
       name -> (t10 / t1)
     }
     println(gratios.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] graph ratios: ", ", ", ""))
+
+    // Events-family probe: 10 replicas with DISJOINT user/event id
+    // spaces and the SAME time distribution — 10× users and volume in
+    // every hour/day bucket, which is how an event stream actually
+    // grows (more users, not a longer history). Sessionization, funnel,
+    // retention and the anomaly monitor are all user- or bucket-keyed,
+    // so near-linear wall ratios here mean the shuffles stay keyed and
+    // nothing degenerates to a global sort.
+    val edir = s"${sys.props("java.io.tmpdir")}/graft-scale-events10x"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$edir/events.parquet/_SUCCESS"))) {
+      val ev = spark.read.parquet(s"$d1/events.parquet")
+      val mu = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+      val me = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+      (0 until 10).map { r =>
+        ev.withColumn("user_id", col("user_id") + lit(r * mu))
+          .withColumn("event_id", col("event_id") + lit(r * me))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$edir/events.parquet")
+      println(s"[probe] built 10x events corpus at $edir")
+    }
+    val eqs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("q19_events_sessionize" -> (Queries.eventsSessionize _),
+        "q124_event_funnel" -> (Queries.eventFunnel _),
+        "q125_cohort_retention" -> (Queries.cohortRetention _),
+        "q133_event_anomalies" -> (Queries.eventAnomalies _))
+    val eratios = eqs.map { case (name, fn) =>
+      val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
+      val t10 = time(name, fn, edir)
+      println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+      name -> (t10 / t1)
+    }
+    println(eratios.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] events ratios: ", ", ", ""))
     spark.stop()
   }
 }
