@@ -233,6 +233,56 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** q141: session-level event-type ASSOCIATION RULES — the
+    * market-basket statistics (support, both-direction confidence,
+    * lift) over q19's sessions: which event types co-occur in the same
+    * user session beyond chance. q128 asks this of token bigrams; this
+    * asks it of product events — the "users who X in a session also Y"
+    * report, and (on a corpus pipeline) the co-occurring quality-signal
+    * audit. All exact integer permille: lift > 1000 means positive
+    * association.
+    *
+    * Shape: ONE user-keyed sort window (lag + running sum share it)
+    * numbers sessions exactly as q19; a distinct to (user, session,
+    * type); the pair join is keyed on (user, session) — within-session
+    * fan-out is bounded by the type alphabet, so pair mass is ≤
+    * |types|²/2 per session, not events². Type totals and the session
+    * count re-enter as broadcasts (|types| rows + 1 row). DECIMAL(38)
+    * guards the lift product at stream scale (n_both · n_sess
+    * overflows Long at ~10⁹ sessions). */
+  def sessionAssociations(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = eventsNs(spark, d)
+      .withColumn("prev_ns", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ns").isNull || col("ts") - col("prev_ns") > 1800000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("sid"), col("event_type")).distinct()
+    val u = CacheScope.cached(sess)
+    val tot = u.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sess"))
+    val tc = u.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
+    u.as("a")
+      .join(u.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.sid") === col("b.sid") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 5)
+      .join(broadcast(tc.toDF("type_a", "na")), "type_a")
+      .join(broadcast(tc.toDF("type_b", "nb")), "type_b")
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("na"), col("nb"),
+        expr("(1000 * n_both) div na").as("conf_a_to_b_permille"),
+        expr("(1000 * n_both) div nb").as("conf_b_to_a_permille"),
+        expr("""(cast(1000 as decimal(38,0)) * n_both * n_sess)
+                | div (cast(na as decimal(38,0)) * nb)"""
+          .stripMargin.replace("\n", " ")).as("lift_permille"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Hierarchical aggregate: ROLLUP(month, status) with subtotal and
     * grand-total rows disambiguated by grouping_id — one shuffle, all
     * grouping sets computed in the same hash aggregate. */

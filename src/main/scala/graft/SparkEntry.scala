@@ -309,6 +309,9 @@ object SparkEntry {
     // hard-negative mining: per query, top-5 nearest DIFFERENT-label
     // vectors via the bounded-heap aggregate — contrastive negatives
     "q140_hard_negatives" -> (Similarity.hardNegatives _),
+    // session-level event association rules: support/confidence/lift
+    // over q19's sessions in exact integer permille
+    "q141_session_associations" -> (Queries.sessionAssociations _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -809,6 +812,31 @@ object SparkEntry {
          |SELECT doc_id, n_tok, affinity_milli, u_permille FROM sel
          |WHERE u_permille < least(affinity_milli, 1000)
          |ORDER BY doc_id""".stripMargin,
+    "q141_session_associations" ->
+      """WITH s AS (SELECT user_id, event_id, event_type, epoch_ns(ts) tns,
+        |             lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_ns(ts), event_id) prev_ns
+        |           FROM events),
+        |n AS (SELECT user_id, event_type,
+        |        sum(CASE WHEN prev_ns IS NULL OR tns - prev_ns > 1800000000000
+        |                 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s),
+        |u AS (SELECT DISTINCT user_id, sid, event_type FROM n),
+        |tot AS (SELECT count(*)::BIGINT n_sess FROM (SELECT DISTINCT user_id, sid FROM u)),
+        |tc AS (SELECT event_type, count(*)::BIGINT nt FROM u GROUP BY 1),
+        |p AS (SELECT a.event_type ta, b.event_type tb, count(*)::BIGINT n_both
+        |      FROM u a JOIN u b ON a.user_id = b.user_id AND a.sid = b.sid
+        |                       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT ta AS type_a, tb AS type_b, n_both, x.nt AS na, y.nt AS nb,
+        |  ((1000 * n_both) // x.nt)::BIGINT AS conf_a_to_b_permille,
+        |  ((1000 * n_both) // y.nt)::BIGINT AS conf_b_to_a_permille,
+        |  ((1000::HUGEINT * n_both * t.n_sess) // (x.nt::HUGEINT * y.nt))::BIGINT
+        |    AS lift_permille
+        |FROM p JOIN tc x ON x.event_type = ta JOIN tc y ON y.event_type = tb, tot t
+        |ORDER BY type_a, type_b""".stripMargin,
     "q140_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
         |s AS (SELECT q.vec_id q_id, q.label q_label, n.vec_id neighbor_id,

@@ -40,7 +40,9 @@ class PlanSweepSpec extends SparkSpec {
     "q135_dsir_select" -> 1,
     // q140: q38's broadcast-queries × corpus scan with the label
     // inequality in the join condition — same bounded exact baseline
-    "q140_hard_negatives" -> 1)
+    "q140_hard_negatives" -> 1,
+    // q141: the one-row session-count scalar broadcast
+    "q141_session_associations" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep
