@@ -7,22 +7,34 @@ import org.apache.hadoop.fs.Path
 /** Persisted IVF (inverted-file) ANN index — the build side of
   * Similarity.ivfTopK, factored into a salted build-once stage.
   *
-  * At 100 TB the index build (a distributed KMeans fit + one shuffle to
-  * cell-partition the corpus) is a pipeline stage you pay once, not per
-  * query: queries only load centroids (tiny, broadcast) and probe the
-  * cell-partitioned corpus. This object gives q33 exactly that shape —
-  * the index directory is content-addressed by (corpus path, nlist,
-  * seed, version) via the same lineage-salt scheme the pb-etl stages use
-  * (pipeline.Salt), memoized by a `_SUCCESS` flag, so a second
-  * invocation in any session runs ZERO KMeans iterations (asserted in
-  * DedupSpec via `kmeansFits`).
-  */
+  * At 100 TB the index build (a distributed clustering pass + one
+  * shuffle to cell-partition the corpus) is a pipeline stage you pay
+  * once, not per query: queries only load centroids (tiny, broadcast)
+  * and probe the cell-partitioned corpus. This object gives q33 exactly
+  * that shape — the index directory is content-addressed by (corpus
+  * path, nlist, seed, version) via the same lineage-salt scheme the
+  * pb-etl stages use (pipeline.Salt), memoized by a `_SUCCESS` flag, so
+  * a second invocation in any session runs ZERO clustering iterations
+  * (asserted in DedupSpec via `kmeansFits`).
+  *
+  * Clustering is the DETERMINISTIC fixed-round integer Lloyd of q136
+  * (Similarity.lloyd): first-nlist init, exact integer micro-unit
+  * argmin, floor-mean update. That choice is what upgrades q33 from
+  * rows-only to fully DuckDB-oracle-checked — the cells, the probe
+  * selection, and the candidate scoring are all replayable in SQL,
+  * which no seeded MLlib KMeans (k-means||, float accumulation order)
+  * can offer. Centroids persist in exact micro-units (array<long>). */
 object IvfIndex {
 
-  /** Observability for specs: number of KMeans fits this JVM has run. */
+  /** Observability for specs: number of clustering fits this JVM has
+    * run (name kept from the MLlim-KMeans era for spec stability). */
   @volatile var kmeansFits: Int = 0
 
-  private val Version = "0.0.1"
+  /** Lloyd assignment rounds (see Similarity.lloyd) — part of the
+    * oracle contract: q33's oracle SQL chains exactly this many. */
+  val Rounds = 2
+
+  private val Version = "0.0.2"
 
   /** Content-addressed index dir (SaltedIndex): corpus file stamps +
     * (nlist, seed) + version — any change relocates the index. */
@@ -33,37 +45,35 @@ object IvfIndex {
   def complete(spark: SparkSession, p: String): Boolean =
     SaltedIndex.complete(spark, p)
 
-  /** (centroids, cell-assigned corpus): built once, then loaded from the
-    * salted dir. The corpus is written partitioned by cell id — at scale
-    * a probe with a pushed `cell` filter reads nprobe/nlist of the data. */
+  /** (micro-unit centroids, cell-assigned corpus): built once, then
+    * loaded from the salted dir. The corpus is written partitioned by
+    * cell id — at scale a probe with a pushed `cell` filter reads
+    * nprobe/nlist of the data. */
   def buildOrLoad(spark: SparkSession, d: String, nlist: Int, seed: Long)
-      : (Seq[(Int, Array[Double])], DataFrame) = {
+      : (Seq[(Int, Array[Long])], DataFrame) = {
     val p = dir(spark, d, nlist, seed)
-    SaltedIndex.ensureBuilt(spark, p)(build(spark, d, nlist, seed, p))
+    SaltedIndex.ensureBuilt(spark, p)(build(spark, d, nlist, p))
     val centroids = spark.read.parquet(s"$p/centroids")
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
     (centroids, spark.read.parquet(s"$p/corpus"))
   }
 
-  private def build(spark: SparkSession, d: String, nlist: Int, seed: Long,
+  private def build(spark: SparkSession, d: String, nlist: Int,
       p: String): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = Similarity.withNorm(Tables.embeddings(spark, d))
-      .withColumn("fv", array_to_vector(col("v")))
-    e.cache()
-    val km = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(e)
+    val e0 = Tables.embeddings(spark, d)
+    val (cent, asg) = Similarity.lloyd(e0, nlist, Rounds)
     kmeansFits += 1
-    km.transform(e).select(col("vec_id"), col("v"), col("nn"), col("cell"))
+    Similarity.withNorm(e0)
+      .join(asg.select(col("vec_id"), col("cid").cast("int").as("cell")), "vec_id")
+      .select(col("vec_id"), col("v"), col("nn"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$p/corpus")
-    val cents = km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    spark.createDataFrame(cents.toSeq).toDF("cell", "cv")
+    // (cell, cv): exact micro-unit centroid components in dim order
+    cent.groupBy(col("cid").cast("int").as("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), s -> s.cm)")
+        .as("cv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$p/centroids")
-    e.unpersist()
     SaltedIndex.markSuccess(spark, p)
   }
 }

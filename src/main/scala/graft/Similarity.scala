@@ -117,12 +117,16 @@ object Similarity {
     * corpus, and a second invocation runs zero KMeans iterations. */
   def ivfTopK(spark: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val (centroids, indexed) = IvfIndex.buildOrLoad(spark, d, nlist, seed = 42L)
-    val centDf = broadcast(spark.createDataFrame(centroids).toDF("cell", "cv"))
+    val centDf = broadcast(spark.createDataFrame(centroids).toDF("cell", "cm"))
     val q = indexed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn"))
     import org.apache.spark.sql.expressions.Window
-    val dist2 = // ||q-c||² = q·q − 2 q·c + c·c, all native dots
-      col("qn") - lit(2.0) * dot(col("qv"), col("cv")) + dot(col("cv"), col("cv"))
+    // probe selection in EXACT integer micro space (oracle-replayable):
+    // quantize the query like the index build did, integer L2 to the
+    // micro centroids. |Q|·nlist rows — the HOFs are off the hot path.
+    val qm = transform(col("qv"), x => floor(x * lit(1000000.0d)))
+    val dist2 = aggregate(zip_with(qm, col("cm"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
     val probes = q.join(centDf)
       .withColumn("d2", dist2)
       .withColumn("pr", row_number().over(
@@ -332,14 +336,27 @@ object Similarity {
     * dot kernel (DotProductExpr, the q26 family) with identical
     * semantics, trading oracle-replayability for a d× smaller
     * intermediate. */
-  def kmeansEmbed(spark: SparkSession, d: String): DataFrame = {
+  def kmeansEmbed(spark: SparkSession, d: String): DataFrame =
+    lloyd(Tables.embeddings(spark, d), KmeansK, KmeansRounds)._2
+      .select(col("vec_id"), col("cid"), col("d2").as("dist_sq_micro"))
+      .orderBy(col("vec_id"))
+
+  /** The shared fixed-round integer Lloyd recurrence (q136's semantics,
+    * parameterized) — also the IVF index's clustering (IvfIndex), which
+    * is what makes q33's cells oracle-replayable. Returns
+    * (final centroids (cid, pos, cm-micro), final assignment
+    * (vec_id, cid, d2)). `rounds` counts ASSIGNMENTS: round 1 assigns
+    * to the first-k seed vectors, each later round re-centers
+    * (floor-mean) and re-assigns. */
+  private[graft] def lloyd(emb: DataFrame, k: Int, rounds: Int)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val q = Tables.embeddings(spark, d)
+    val q = emb
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         floor(col("col") * lit(1000000.0d)).cast("long").as("vm"))
-    val seeds = Tables.embeddings(spark, d)
-      .select(col("vec_id")).orderBy(col("vec_id")).limit(KmeansK)
+    val seeds = emb
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(k)
       .withColumn("cid",
         row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
     var cent = q.join(broadcast(seeds), "vec_id")
@@ -354,13 +371,12 @@ object Similarity {
         .select(col("vec_id"), col("cid"), col("d2"))
     }
     var asg = assign(cent)
-    for (_ <- 2 to KmeansRounds) {
+    for (_ <- 2 to rounds) {
       cent = q.join(asg.select(col("vec_id"), col("cid")), "vec_id")
         .groupBy(col("cid"), col("pos"))
         .agg(floor(sum(col("vm")) / count(lit(1))).cast("long").as("cm"))
       asg = assign(cent)
     }
-    asg.select(col("vec_id"), col("cid"), col("d2").as("dist_sq_micro"))
-      .orderBy(col("vec_id"))
+    (cent, asg)
   }
 }

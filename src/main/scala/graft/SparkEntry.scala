@@ -49,9 +49,10 @@ object SparkEntry {
     "q30_text_token_stats" -> (TextAnalysis.tokenStats _),
     "q31_text_fingerprint" -> (TextAnalysis.fingerprint _),
     "q32_media_metadata" -> (Multimodal.mediaMetadata _),
-    // IVF ANN: learned KMeans centroids are not SQL-oracle-expressible;
-    // no oracleSql entry → the driver records a rows-only check, and
-    // DedupSpec asserts candidate ranking + recall against brute force.
+    // IVF ANN over the persisted index. The index clusters with the
+    // deterministic fixed-round integer Lloyd (Similarity.lloyd), so
+    // cells, probe selection, and scoring all replay in the oracle —
+    // fully hash-checked since round 5 (rows-only before).
     "q33_knn_ivf" -> ((s: SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
     "q34_orders_rollup" -> (Queries.ordersRollup _),
     // sketches (HLL++/percentile_approx) are engine-specific: rows-only
@@ -236,8 +237,9 @@ object SparkEntry {
     // idf — no cross-engine ln drift)
     "q114_bm25_search" -> (TextAnalysis.bm25Search _),
     // SemDeDup semantic dedup: within-cell cosine prune over the
-    // persisted IVF cells (learned centroids ⇒ rows-only; DedupSpec
-    // pins local recompute + soundness + zero-refit)
+    // persisted IVF cells — oracle-checked since round 5 (the integer
+    // Lloyd made the cells replayable); DedupSpec additionally pins
+    // local recompute + soundness + zero-refit
     "q115_sem_dedup" -> (Dedup.semDedup _),
     // BPE tokenizer learning: one corpus hash-agg + bounded-vocab merge
     // loop, persisted salted stage (learned state ⇒ rows-only; BpeSpec
@@ -812,6 +814,84 @@ object SparkEntry {
          |SELECT doc_id, n_tok, affinity_milli, u_permille FROM sel
          |WHERE u_permille < least(affinity_milli, 1000)
          |ORDER BY doc_id""".stripMargin,
+    // SemDeDup oracle: the same Lloyd cell chain as q33, then the
+    // within-cell cosine prune with the min-partner representative.
+    "q115_sem_dedup" ->
+      """WITH q AS (SELECT vec_id, i::BIGINT - 1 AS pos,
+        |             floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
+        |           FROM (SELECT vec_id, embedding,
+        |                 unnest(generate_series(1, len(embedding))) i FROM embeddings)),
+        |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid
+        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |c0 AS (SELECT s.cid, q.pos, q.vm AS cm FROM q JOIN seeds s ON s.vec_id = q.vec_id),
+        |e1 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c0 c ON c.pos = q.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |         FROM e1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, q.pos, floor(sum(q.vm) / count(*))::BIGINT AS cm
+        |       FROM q JOIN a1 a ON a.vec_id = q.vec_id GROUP BY 1, 2),
+        |e2 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c1 c ON c.pos = q.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |         FROM e2) WHERE rn = 1),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |pr AS (SELECT b.vec_id, b.cid AS cell, a.vec_id AS partner,
+        |       list_dot_product(ae.v, be.v)
+        |       / sqrt(list_dot_product(ae.v, ae.v) * list_dot_product(be.v, be.v)) c
+        |       FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |       JOIN e ae ON ae.vec_id = a.vec_id JOIN e be ON be.vec_id = b.vec_id),
+        |sel AS (SELECT vec_id, cell, partner, round(c, 6) AS cosine,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY partner, round(c, 6)) rn
+        |        FROM pr WHERE c >= 0.4)
+        |SELECT vec_id, cell::INTEGER AS cell, partner AS dup_of, cosine
+        |FROM sel WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // IVF oracle: the q136 Lloyd CTE chain at nlist=16, then integer
+    // probe selection (nprobe=4) and exact double-cosine scoring on the
+    // probed cells — replays Similarity.ivfTopK bit-for-bit.
+    "q33_knn_ivf" ->
+      """WITH q AS (SELECT vec_id, i::BIGINT - 1 AS pos,
+        |             floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
+        |           FROM (SELECT vec_id, embedding,
+        |                 unnest(generate_series(1, len(embedding))) i FROM embeddings)),
+        |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid
+        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |c0 AS (SELECT s.cid, q.pos, q.vm AS cm FROM q JOIN seeds s ON s.vec_id = q.vec_id),
+        |e1 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c0 c ON c.pos = q.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |         FROM e1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, q.pos, floor(sum(q.vm) / count(*))::BIGINT AS cm
+        |       FROM q JOIN a1 a ON a.vec_id = q.vec_id GROUP BY 1, 2),
+        |e2 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c1 c ON c.pos = q.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |         FROM e2) WHERE rn = 1),
+        |pd AS (SELECT q.vec_id q_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm)) d2
+        |       FROM q JOIN c1 c ON c.pos = q.pos WHERE q.vec_id < 10 GROUP BY 1, 2),
+        |probes AS (SELECT q_id, cid FROM (
+        |            SELECT q_id, cid,
+        |                   row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) pr
+        |            FROM pd) WHERE pr <= 4),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |s AS (SELECT p.q_id, n.vec_id neighbor_id,
+        |      list_dot_product(qe.v, ne.v)
+        |      / sqrt(list_dot_product(qe.v, qe.v) * list_dot_product(ne.v, ne.v)) c
+        |      FROM probes p JOIN a2 n ON n.cid = p.cid
+        |      JOIN e qe ON qe.vec_id = p.q_id JOIN e ne ON ne.vec_id = n.vec_id
+        |      WHERE n.vec_id != p.q_id),
+        |r AS (SELECT q_id, neighbor_id, c,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
+        |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "q141_session_associations" ->
       """WITH s AS (SELECT user_id, event_id, event_type, epoch_ns(ts) tns,
         |             lag(epoch_ns(ts)) OVER (PARTITION BY user_id
