@@ -28,14 +28,16 @@ import org.apache.hadoop.fs.Path
   */
 object PqIndex {
 
-  /** Observability for specs: number of KMeans fits this JVM has run. */
+  /** Observability for specs: number of clustering fits this JVM has
+    * run (name kept from the MLlib-KMeans era for spec stability). */
   @volatile var kmeansFits: Int = 0
 
-  private val Version = "0.0.1"
+  private val Version = "0.0.2"
 
-  val M = 8     // subspaces
-  val DSub = 8  // dims per subspace (M * DSub = 64)
-  val KSub = 16 // centroids per subspace
+  val M = 8      // subspaces
+  val DSub = 8   // dims per subspace (M * DSub = 64)
+  val KSub = 16  // centroids per subspace
+  val Rounds = 2 // Lloyd assignment rounds (oracle contract, as IvfIndex)
 
   /** Content-addressed index dir (SaltedIndex): corpus file stamps +
     * (m, ksub, seed) + version — any change relocates the index. */
@@ -47,46 +49,67 @@ object PqIndex {
   def complete(spark: SparkSession, p: String): Boolean =
     SaltedIndex.complete(spark, p)
 
-  /** (codebooks as (subspace, code, centroid), encoded corpus).
-    * Codebooks are tiny (M·KSub rows) — always broadcast. */
+  /** (codebooks as (subspace, code, micro-unit centroid), encoded
+    * corpus). Codebooks are tiny (M·KSub rows) — always broadcast. */
   def buildOrLoad(spark: SparkSession, d: String, seed: Long)
-      : (Seq[(Int, Int, Array[Double])], DataFrame) = {
+      : (Seq[(Int, Int, Array[Long])], DataFrame) = {
     val p = dir(spark, d, seed)
-    SaltedIndex.ensureBuilt(spark, p)(build(spark, d, seed, p))
+    SaltedIndex.ensureBuilt(spark, p)(build(spark, d, p))
     val books = spark.read.parquet(s"$p/codebooks")
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
       .sortBy(t => (t._1, t._2)).toSeq
     (books, spark.read.parquet(s"$p/codes"))
   }
 
-  private def build(spark: SparkSession, d: String, seed: Long, p: String): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    var e = Similarity.withNorm(Tables.embeddings(spark, d))
-    for (s <- 0 until M)
-      e = e.withColumn(s"fv$s",
-        array_to_vector(slice(col("v"), s * DSub + 1, DSub)))
-    e.cache()
-    val fitted = (0 until M).map { s =>
-      val km = new KMeans().setK(KSub).setSeed(seed + s)
-        .setFeaturesCol(s"fv$s").setPredictionCol(s"code$s")
-        .fit(e)
-      kmeansFits += 1
-      km
+  /** Per-subspace fixed-round integer Lloyd — the q136 recurrence with
+    * `sub = pos div DSub` folded into every key, so all M codebooks
+    * learn in ONE set of jobs (not M sequential fits). Same
+    * determinism argument as IvfIndex: first-KSub init, exact integer
+    * micro-unit argmin, floor-mean update — which is what upgrades
+    * q83 from rows-only to fully oracle-checked. */
+  private def build(spark: SparkSession, d: String, p: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, d)
+    val q = emb
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), expr(s"cast(pos as bigint) div $DSub").as("sub"),
+        col("pos").cast("long").as("pos"),
+        floor(col("col") * lit(1000000.0d)).cast("long").as("vm"))
+    val seeds = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(KSub)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+    var cent = q.join(broadcast(seeds), "vec_id")
+      .select(col("sub"), col("cid"), col("pos"), col("vm").as("cm"))
+    def assign(c: DataFrame): DataFrame = {
+      val d2 = q.join(broadcast(c), Seq("sub", "pos"))
+        .groupBy(col("vec_id"), col("sub"), col("cid"))
+        .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm"))).as("d2"))
+      d2.withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cid"))
     }
-    val encoded = fitted.zipWithIndex
-      .foldLeft(e.toDF()) { case (df, (km, _)) => km.transform(df) }
-      .select(col("vec_id"), col("v"), col("nn"),
-        array((0 until M).map(s => col(s"code$s")): _*).as("codes"))
-    encoded.write.mode("overwrite").parquet(s"$p/codes")
-    val books = for {
-      (km, s) <- fitted.zipWithIndex
-      (c, i) <- km.clusterCenters.zipWithIndex
-    } yield (s, i, c.toArray)
-    spark.createDataFrame(books.toSeq).toDF("s", "c", "cv")
+    var asg = assign(cent)
+    for (_ <- 2 to Rounds) {
+      cent = q.join(asg, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(floor(sum(col("vm")) / count(lit(1))).cast("long").as("cm"))
+      asg = assign(cent)
+    }
+    kmeansFits += 1
+    val codes = asg
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), s -> cast(s.cid as int))")
+        .as("codes"))
+    Similarity.withNorm(emb).join(codes, "vec_id")
+      .select(col("vec_id"), col("v"), col("nn"), col("codes"))
+      .write.mode("overwrite").parquet(s"$p/codes")
+    // (s, c, cv): exact micro-unit centroid components in dim order
+    cent.groupBy(col("sub").cast("int").as("s"), col("cid").cast("int").as("c"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), x -> x.cm)")
+        .as("cv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$p/codebooks")
-    e.unpersist()
     SaltedIndex.markSuccess(spark, p)
   }
 }

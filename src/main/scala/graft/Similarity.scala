@@ -195,15 +195,21 @@ object Similarity {
   def pqTopK(spark: SparkSession, d: String, coarseK: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (books, codes) = PqIndex.buildOrLoad(spark, d, seed = 42L)
-    val bookDf = broadcast(spark.createDataFrame(books).toDF("s", "c", "cv"))
+    val bookDf = broadcast(spark.createDataFrame(books).toDF("s", "c", "cm"))
     val q = codes.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn"))
-    // ADC tables: Q × (M·KSub) rows — subvector slice by the s column
+    // ADC tables: Q × (M·KSub) rows — EXACT integer inner product of
+    // the quantized query subvector with the micro-unit centroid
+    // (oracle-replayable; the HOFs run on Q·M·KSub rows, off the hot
+    // path — the corpus-side pass below joins on small int keys only)
+    val qm = transform(col("qv"), x => floor(x * lit(1000000.0d)))
     val t = broadcast(q.join(bookDf)
       .select(col("q_id"),
         col("s"), col("c"),
-        dot(slice(col("qv"), col("s") * PqIndex.DSub + 1, lit(PqIndex.DSub)),
-          col("cv")).as("t")))
+        aggregate(
+          zip_with(slice(qm, col("s") * PqIndex.DSub + 1, lit(PqIndex.DSub)),
+            col("cm"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("t")))
     val adc = codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
       .join(t, Seq("s", "c"))

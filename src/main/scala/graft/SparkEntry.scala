@@ -157,8 +157,10 @@ object SparkEntry {
     // MapType in flight, exploded back to relational rows
     "q82_word_map" -> (TextAnalysis.wordMap _),
     // product-quantization ANN: ADC scan over 8-byte codes + exact
-    // re-rank. Learned codebooks ⇒ rows-only (like q33); DedupSpec
-    // holds re-rank agreement, recall, and zero-refit.
+    // re-rank. Codebooks learn via the per-subspace integer Lloyd and
+    // the ADC table is exact integer arithmetic — fully oracle-checked
+    // since round 5 (rows-only before); DedupSpec additionally holds
+    // re-rank agreement, recall, and zero-refit.
     "q83_knn_pq" -> ((s: SparkSession, dir: String) => Similarity.pqTopK(s, dir)),
     // explicit INTERSECT / EXCEPT (distinct set semantics)
     "q84_set_ops" -> (Queries.setOps _),
@@ -814,6 +816,53 @@ object SparkEntry {
          |SELECT doc_id, n_tok, affinity_milli, u_permille FROM sel
          |WHERE u_permille < least(affinity_milli, 1000)
          |ORDER BY doc_id""".stripMargin,
+    // PQ oracle: the per-subspace Lloyd chain (sub = dim div 8 folded
+    // into every key), integer ADC table + coarse rank, exact cosine
+    // re-rank — replays Similarity.pqTopK bit-for-bit.
+    "q83_knn_pq" ->
+      """WITH q AS (SELECT vec_id, (i::BIGINT - 1) // 8 AS sub, i::BIGINT - 1 AS pos,
+        |             floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
+        |           FROM (SELECT vec_id, embedding,
+        |                 unnest(generate_series(1, len(embedding))) i FROM embeddings)),
+        |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid
+        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |c0 AS (SELECT q.sub, s.cid, q.pos, q.vm AS cm
+        |       FROM q JOIN seeds s ON s.vec_id = q.vec_id),
+        |e1 AS (SELECT q.vec_id, q.sub, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c0 c ON c.sub = q.sub AND c.pos = q.pos GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, sub, cid FROM (
+        |         SELECT vec_id, sub, cid,
+        |                row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) rn
+        |         FROM e1) WHERE rn = 1),
+        |c1 AS (SELECT a.sub, a.cid, q.pos, floor(sum(q.vm) / count(*))::BIGINT AS cm
+        |       FROM q JOIN a1 a ON a.vec_id = q.vec_id AND a.sub = q.sub
+        |       GROUP BY 1, 2, 3),
+        |e2 AS (SELECT q.vec_id, q.sub, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c1 c ON c.sub = q.sub AND c.pos = q.pos GROUP BY 1, 2, 3),
+        |a2 AS (SELECT vec_id, sub, cid FROM (
+        |         SELECT vec_id, sub, cid,
+        |                row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) rn
+        |         FROM e2) WHERE rn = 1),
+        |t AS (SELECT q.vec_id q_id, c.sub, c.cid, sum(q.vm * c.cm)::BIGINT t
+        |      FROM q JOIN c1 c ON c.sub = q.sub AND c.pos = q.pos
+        |      WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+        |adc AS (SELECT t.q_id, a.vec_id, sum(t.t)::BIGINT adc
+        |        FROM a2 a JOIN t ON t.sub = a.sub AND t.cid = a.cid
+        |        WHERE a.vec_id != t.q_id GROUP BY 1, 2),
+        |cand AS (SELECT q_id, vec_id FROM (
+        |          SELECT q_id, vec_id,
+        |                 row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) rn
+        |          FROM adc) WHERE rn <= 50),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |s2 AS (SELECT c2.q_id, c2.vec_id neighbor_id,
+        |       list_dot_product(qe.v, ne.v)
+        |       / sqrt(list_dot_product(qe.v, qe.v) * list_dot_product(ne.v, ne.v)) c
+        |       FROM cand c2 JOIN e qe ON qe.vec_id = c2.q_id
+        |       JOIN e ne ON ne.vec_id = c2.vec_id),
+        |r AS (SELECT q_id, neighbor_id, c,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s2)
+        |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // SemDeDup oracle: the same Lloyd cell chain as q33, then the
     // within-cell cosine prune with the min-partner representative.
     "q115_sem_dedup" ->
