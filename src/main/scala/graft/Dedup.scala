@@ -76,13 +76,18 @@ object Dedup {
   /** jaccard = |∩| / (|A| + |B| − |∩|), thresholded — the ONE
     * definition of the dedup family's similarity formula (q22/q46/q23,
     * ingest dedup, the streaming funnel). `common` carries (doc_a,
-    * doc_b, cm); the size relations are (doc_id, sz) and broadcast —
-    * every call site bounds them to docs that appear in candidates. */
+    * doc_b, cm); the size relations are (doc_id, sz) — ONE ROW PER
+    * DOCUMENT, i.e. corpus-cardinality, so they must NOT carry a
+    * forced broadcast() hint (an instruction, not a hint: at 100 TB
+    * it would OOM the driver). Plain equi-joins on the doc key let
+    * AQE broadcast at runtime exactly when the relation is genuinely
+    * small; PlanSweepSpec pins that no doc-keyed size relation is
+    * statically broadcast in the pair-join family. */
   private[graft] def jaccardPairs(common: DataFrame, szA: DataFrame,
       szB: DataFrame, thr: Double): DataFrame =
     common
-      .join(broadcast(szA.toDF("doc_a", "sa")), "doc_a")
-      .join(broadcast(szB.toDF("doc_b", "sb")), "doc_b")
+      .join(szA.toDF("doc_a", "sa"), "doc_a")
+      .join(szB.toDF("doc_b", "sb"), "doc_b")
       .withColumn("jacc", col("cm") / (col("sa") + col("sb") - col("cm")))
       .filter(col("jacc") >= thr)
 
@@ -104,24 +109,50 @@ object Dedup {
     *
     * Shape: identical to q22 — the shingle inverted index produces
     * (pair, |∩|) once; the min-size denominator is one integer
-    * expression on the same broadcast size relation. Same Σ C(df,2)
-    * cost model, same PPJoin/minhash escape hatches at 100 TB. */
+    * expression on the same doc-keyed size relation (plain equi-join,
+    * AQE broadcasts if small). Same Σ C(df,2) cost model, and the SAME
+    * production knob as q123's gram index: `dfCap` drops shingles whose
+    * posting list exceeds the cap BEFORE the self-join, bounding pair
+    * instances per shingle at cap². The price, stated exactly: a pair's
+    * |∩| undercounts by its corpus-ubiquitous shingles, so a containment
+    * hit is missed only when ≥20% of the smaller doc's shingles are
+    * ubiquitous — boilerplate mass that exact dedup (q21) or the
+    * minhash hot-bucket cap already owns. q138 runs uncapped (exact);
+    * q142 runs the cap REAL and is hash-checked under it. */
   def containmentPairs(spark: SparkSession, d: String): DataFrame =
     containmentPairsDf(Tables.documents(spark, d)
       .repartition(spark.sparkContext.defaultParallelism))
 
+  /** q142: q138 with the stop-shingle df cap active (q123's knob
+    * threaded into the containment posting index). */
+  def containmentPairsCapped(spark: SparkSession, d: String): DataFrame =
+    containmentPairsDf(Tables.documents(spark, d)
+      .repartition(spark.sparkContext.defaultParallelism),
+      dfCap = Some(ContainDfCap))
+
+  private[graft] val ContainDfCap = 64L
+
   /** DataFrame-in variant over (doc_id, text). */
-  private[graft] def containmentPairsDf(docs: DataFrame): DataFrame = {
+  private[graft] def containmentPairsDf(docs: DataFrame,
+      dfCap: Option[Long] = None): DataFrame = {
     val sets = CacheScope.cached(shingleSetsDf(docs))
-    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val allSh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sh = dfCap.fold(allSh) { cap =>
+      // one partial-agg count per shingle; stop-shingles leave the
+      // index before the pair join (cache: the df aggregate + semi-join
+      // subtree feeds both sides of the self-join)
+      val keep = allSh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("h"))
+      CacheScope.cached(allSh.join(keep, "h"))
+    }
     val common = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("cm"))
     val sz = sets.select(col("doc_id"), size(col("hs")).cast("long").as("sz"))
     common
-      .join(broadcast(sz.toDF("doc_a", "sa")), "doc_a")
-      .join(broadcast(sz.toDF("doc_b", "sb")), "doc_b")
+      .join(sz.toDF("doc_a", "sa"), "doc_a")
+      .join(sz.toDF("doc_b", "sb"), "doc_b")
       .withColumn("containment_permille", expr("(1000 * cm) div least(sa, sb)"))
       .filter(col("containment_permille") >= 800)
       .select(col("doc_a"), col("doc_b"), col("cm"), col("sa"), col("sb"),
@@ -152,11 +183,11 @@ object Dedup {
     // doc's (df, h) pairs through a hash-agg and sorting the (small,
     // per-doc) array row-locally does the same ranking with the same
     // single shuffle and no partition-wide sort. Set size via the
-    // (tiny, broadcast) sz relation the persisted sets already know.
+    // doc-keyed sz relation (plain join; AQE broadcasts when small).
     val prefix = sh.join(dfreq, "h")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ranked"))
-      .join(broadcast(sz.withColumnRenamed("sz", "s")), "doc_id")
+      .join(sz.withColumnRenamed("sz", "s"), "doc_id")
       .select(col("doc_id"),
         explode(slice(col("ranked"), lit(1),
           (col("s") - ceil(lit(thr) * col("s")) + 1).cast("int"))).as("p"))

@@ -316,6 +316,9 @@ object SparkEntry {
     // session-level event association rules: support/confidence/lift
     // over q19's sessions in exact integer permille
     "q141_session_associations" -> (Queries.sessionAssociations _),
+    // q138 with the stop-shingle df cap REAL (q123's production knob
+    // threaded into the containment posting index)
+    "q142_containment_capped" -> (Dedup.containmentPairsCapped _),
   )
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
@@ -984,6 +987,25 @@ object SparkEntry {
          |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
          |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
          |sz AS (SELECT doc_id, count(*)::BIGINT sz FROM sh GROUP BY doc_id),
+         |cm AS (SELECT a.doc_id da, b.doc_id db, count(*)::BIGINT cm
+         |       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b, cm, x.sz AS sa, y.sz AS sb,
+         |       ((1000 * cm) // least(x.sz, y.sz))::BIGINT AS containment_permille,
+         |       ((1000 * cm) // (x.sz + y.sz - cm))::BIGINT AS jaccard_permille
+         |FROM cm JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |WHERE (1000 * cm) // least(x.sz, y.sz) >= 800
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q138 with the df cap replayed: stop-shingles (df > 64) leave the
+    // index before the pair join; sizes stay UNCAPPED (the denominator
+    // is the doc's true shingle count, matching Dedup.containmentPairsDf)
+    "q142_containment_capped" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |keep AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= ${Dedup.ContainDfCap}),
+         |sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN keep USING (h)),
+         |sz AS (SELECT doc_id, count(*)::BIGINT sz FROM sh0 GROUP BY doc_id),
          |cm AS (SELECT a.doc_id da, b.doc_id db, count(*)::BIGINT cm
          |       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2)

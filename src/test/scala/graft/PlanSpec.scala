@@ -147,6 +147,48 @@ class PlanSpec extends SparkSpec {
     assert(!p9.contains("BroadcastNestedLoopJoin") && !p9.contains("CartesianProduct"), p9)
   }
 
+  test("q22/q46/q138/q142: no FORCED broadcast of corpus-cardinality relations") {
+    // the per-doc size relations (one row per document) must join
+    // unhinted — an explicit broadcast() is an instruction, not a hint,
+    // and at 100 TB would OOM the driver. AQE may still broadcast at
+    // runtime when the relation is genuinely small; what this pins is
+    // that the LOGICAL plan carries no broadcast hint anywhere in the
+    // pair-join family.
+    for (df <- Seq(Dedup.ngramJaccard(spark, d),
+                   Dedup.ngramJaccardPrefix(spark, d),
+                   Dedup.containmentPairs(spark, d),
+                   Dedup.containmentPairsCapped(spark, d))) {
+      val lp = df.queryExecution.optimizedPlan.toString
+      assert(!lp.contains("strategy=broadcast"), lp)
+    }
+  }
+
+  test("q142: stop-shingle df cap bounds the containment posting index") {
+    // adversarial corpus: one ubiquitous shingle shared by every doc
+    // (df = n docs > cap) plus one distinctive pair. Uncapped, the hot
+    // shingle alone contributes C(n,2) pair instances; capped, it falls
+    // out of the index and only the distinctive pair survives to verify.
+    import spark.implicits._
+    val hot = (0L until 100L).map(i => (i, s"boiler plate header unique$i tail$i end$i"))
+    val dup = Seq((200L, "alpha beta gamma delta epsilon zeta"),
+                  (201L, "alpha beta gamma delta epsilon zeta"))
+    val docs = (hot ++ dup).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairsDf(docs, dfCap = Some(16L))
+    val rows = capped.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the exact duplicate pair survives (its shingles have df=2)...
+    assert(rows.contains((200L, 201L)), rows)
+    // ...and no hot-shingle-only pair does: "boiler plate header" has
+    // df=100 > 16 and is each hot doc's ONLY shared shingle
+    assert(!rows.exists { case (a, b) => a < 100L && b < 100L }, rows)
+    // uncapped twin DOES see hot pairs only if containment clears 0.8 —
+    // with 4 shingles per hot doc and 1 shared, it must not; the real
+    // invariant is capped ≡ uncapped when no shingle exceeds the cap
+    val eqDocs = dup.toDF("doc_id", "text")
+    val a = Dedup.containmentPairsDf(eqDocs).collect().map(_.toSeq)
+    val b = Dedup.containmentPairsDf(eqDocs, dfCap = Some(16L)).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
   test("q108: count-table joins are EQUI-joins free to degrade to shuffle at scale") {
     val p = planOf(TextAnalysis.bigramFluency(spark, d))
     // like q62's vocabulary join: pin the equi-join property, not the
