@@ -210,9 +210,10 @@ object SparkEntry {
     "q104_unpivot_measures" -> (Queries.unpivotMeasures _),
     // ordered listagg string aggregation (Spark 4 WITHIN GROUP)
     "q105_lang_rollup" -> (Queries.langRollup _),
-    // 64-bit SimHash production mode: splitmix64 token mixing is not
-    // expressible in the oracle's strict signed-BIGINT arithmetic →
-    // rows-only driver check; DedupSpec pins chunk blocking ≡ all-pairs.
+    // 64-bit SimHash production mode: splitmix64 token mixing replayed
+    // in the oracle via UBIGINT xor/shift + hi/lo-split wrapping
+    // multiplication in HUGEINT — fully hash-checked since round 6
+    // (rows-only before); DedupSpec pins chunk blocking ≡ all-pairs.
     "q106_dedup_simhash64" -> (Dedup.simhash64 _),
     // verbatim-span decontamination: longest consecutive shared-4-gram
     // run per contaminated doc (gaps-and-islands over matched positions)
@@ -244,10 +245,14 @@ object SparkEntry {
     // local recompute + soundness + zero-refit
     "q115_sem_dedup" -> (Dedup.semDedup _),
     // BPE tokenizer learning: one corpus hash-agg + bounded-vocab merge
-    // loop, persisted salted stage (learned state ⇒ rows-only; BpeSpec
-    // pins an independent recompute + zero-relearn warm path)
+    // loop, persisted salted stage. Oracle-checked since round 6: the
+    // greedy merge recurrence replays as a DuckDB recursive CTE (state
+    // = per-round symbolization; argmax via aggregate over the working
+    // table); BpeSpec additionally pins an independent recompute + the
+    // zero-relearn warm path.
     "q116_bpe_vocab" -> (Bpe.bpeVocab _),
     // per-doc BPE fertility/compression stats under the learned merges
+    // (oracle: final-round CTE state IS each vocab word's encoding)
     "q117_bpe_encode" -> (Bpe.bpeEncode _),
     // winnowing fingerprints over the custom-generator shingle stream
     // (ShingleStreamExpr — the UDTF surface)
@@ -320,6 +325,32 @@ object SparkEntry {
     // threaded into the containment posting index)
     "q142_containment_capped" -> (Dedup.containmentPairsCapped _),
   )
+
+  /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
+    * word-count cut, then one recursive round per merge — the
+    * working-table aggregate picks the argmax pair, the fold applies
+    * it. Mirrors Bpe.learnLocal exactly (tie-break (count desc, l, r);
+    * stop at NMerges or when no pair remains). */
+  private val BpeStateCte: String =
+    s"""WITH RECURSIVE wc AS (
+       |  SELECT word, count(*)::BIGINT c FROM
+       |    (SELECT unnest(regexp_split_to_array(text, ' ')) word FROM documents)
+       |  GROUP BY word ORDER BY c DESC, word LIMIT ${Bpe.MaxWords}),
+       |state(round, word, syms, c) AS (
+       |  SELECT 0, word, regexp_split_to_array(word, ''), c FROM wc
+       |  UNION ALL
+       |  SELECT round + 1, word,
+       |    list_reduce(list_transform(syms, s -> [s]),
+       |      (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+       |                  THEN list_append(list_slice(acc, 1, len(acc)-1), b.l || b.r)
+       |                  ELSE list_concat(acc, x) END),
+       |    c
+       |  FROM state, (SELECT syms[i] l, syms[i+1] r, sum(c) pc
+       |               FROM state, unnest(generate_series(1, len(syms)-1)) t(i)
+       |               GROUP BY 1, 2
+       |               ORDER BY pc DESC, l, r LIMIT 1) b
+       |  WHERE round < ${Bpe.NMerges}
+       |),""".stripMargin
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
     * q67 (custom physical operator): the two entries must stay
@@ -1143,6 +1174,40 @@ object SparkEntry {
          |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
          |        JOIN sz sb ON sb.doc_id = pr.doc_b
          |WHERE shared >= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // q116/q117: the greedy BPE merge recurrence replayed as a DuckDB
+    // recursive CTE. `state` carries the full (bounded, top-MaxWords)
+    // word table's symbolization per round; the recursive term picks
+    // the (count desc, pair asc) argmax pair by aggregating over the
+    // working table and applies it via a left fold (just-merged tokens
+    // can never re-match as lhs since lhs||rhs != lhs, so the fold ≡
+    // the left-to-right non-overlapping scan in Bpe.applyMerge).
+    "q116_bpe_vocab" ->
+      s"""$BpeStateCte
+         |pairs AS (SELECT round, syms[i] l, syms[i+1] r, sum(c)::BIGINT pc
+         |          FROM state, unnest(generate_series(1, len(syms)-1)) t(i)
+         |          GROUP BY 1, 2, 3),
+         |best AS (SELECT round, l, r, pc,
+         |         row_number() OVER (PARTITION BY round ORDER BY pc DESC, l, r) rn
+         |         FROM pairs)
+         |SELECT round::BIGINT rank, l AS lhs, r AS rhs, l || r AS merged, pc AS pair_count
+         |FROM best WHERE rn = 1 AND round < ${Bpe.NMerges} ORDER BY rank""".stripMargin,
+    // final-round state IS each vocab word's encoding (learn and encode
+    // apply the same merges in the same order); the corpus joins the
+    // word -> piece-count relation exactly as Bpe.bpeEncode does. Holds
+    // while the corpus vocabulary fits the top-MaxWords cut (it does at
+    // every test SF by orders of magnitude).
+    "q117_bpe_encode" ->
+      s"""$BpeStateCte
+         |enc AS (SELECT word, len(syms)::BIGINT n_pieces FROM state
+         |        WHERE round = (SELECT max(round) FROM state)),
+         |w AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) word FROM documents),
+         |agg AS (SELECT doc_id, count(*)::BIGINT n_words, sum(n_pieces)::BIGINT n_bpe,
+         |               sum(length(word))::BIGINT n_chars
+         |        FROM w JOIN enc USING (word) GROUP BY doc_id)
+         |SELECT doc_id, n_words, n_bpe, n_chars,
+         |       ((n_bpe * 1000) // n_words)::BIGINT AS pieces_per_word_milli,
+         |       ((n_chars * 1000) // n_bpe)::BIGINT AS chars_per_piece_milli
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "q118_winnow_fingerprints" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
          |sh AS (SELECT doc_id, i::BIGINT - 1 AS pos,
@@ -1408,6 +1473,44 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tok, (prev_tok // 512)::BIGINT AS window_id,
         |       (prev_tok % 512)::BIGINT AS off_in_win
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q106: splitmix64 mix replayed exactly — UBIGINT carries the
+    // unsigned 64-bit state (xor/logical-shift are native); the two
+    // wrapping multiplications split multiplier and state into 32-bit
+    // halves so every product stays under 2^64 and the mod-2^64 sum
+    // runs in HUGEINT: (a*b) mod 2^64 = al*bl + 2^32*((al*bh + ah*bl)
+    // mod 2^32). Constants are splitmix64's published mixers
+    // (0x9e3779b97f4a7c15; 0xbf58476d1ce4e5b9 = 3210233709·2^32 +
+    // 484763065; 0x94d049bb133111eb = 2496678331·2^32 + 321982955).
+    // Votes/pack/pairing are q24's oracle at 64-bit width; the unsigned
+    // signature maps to Spark's signed Long by subtracting 2^64 ≥ 2^63.
+    "q106_dedup_simhash64" ->
+      s"""WITH th AS (SELECT doc_id, ${H("tok")}::UBIGINT AS h FROM
+         |  (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) tok FROM documents)),
+         |m0 AS (SELECT doc_id, ((h::HUGEINT + 11400714819323198485) % 18446744073709551616)::UBIGINT z FROM th),
+         |m1 AS (SELECT doc_id, xor(z, z >> 30) z FROM m0),
+         |m2 AS (SELECT doc_id, (((z % 4294967296)::HUGEINT * 484763065
+         |        + 4294967296::HUGEINT * ((((z % 4294967296)::HUGEINT * 3210233709
+         |                                   + (z // 4294967296)::HUGEINT * 484763065) % 4294967296))
+         |       ) % 18446744073709551616)::UBIGINT z FROM m1),
+         |m3 AS (SELECT doc_id, xor(z, z >> 27) z FROM m2),
+         |m4 AS (SELECT doc_id, (((z % 4294967296)::HUGEINT * 321982955
+         |        + 4294967296::HUGEINT * ((((z % 4294967296)::HUGEINT * 2496678331
+         |                                   + (z // 4294967296)::HUGEINT * 321982955) % 4294967296))
+         |       ) % 18446744073709551616)::UBIGINT z FROM m3),
+         |m5 AS (SELECT doc_id, xor(z, z >> 31) z FROM m4),
+         |bits AS (SELECT doc_id, i,
+         |         CASE WHEN sum(((z >> i) & 1)::BIGINT * 2 - 1) > 0
+         |              THEN (1::UBIGINT << i) ELSE 0::UBIGINT END v
+         |         FROM m5, generate_series(0, 63) g(i) GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id,
+         |        (CASE WHEN sum(v::HUGEINT) >= 9223372036854775808
+         |              THEN sum(v::HUGEINT) - 18446744073709551616
+         |              ELSE sum(v::HUGEINT) END)::BIGINT s
+         |        FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id doc_a, b.doc_id doc_b, bit_count(xor(a.s, b.s))::BIGINT AS dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q24_dedup_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${H("tok")} AS h FROM
          |  (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) tok FROM documents)),
