@@ -164,7 +164,10 @@ object Curation {
     lengthDriftDf(Tables.documentsDist(spark, d))
 
   private[graft] def lengthDriftDf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    // THE corpus pass: one conditional hash-agg (map-side combine) down
+    // to the bucket table, whose cardinality is bounded by
+    // max-doc-length/10 — data-shape-bounded, not corpus-bounded
     val buckets = docs
       .select(expr("CAST(size(split(text, ' ')) AS BIGINT) div 10").as("bucket"),
         // ONE definition of the corpus/batch membership rule (q56's)
@@ -172,25 +175,32 @@ object Curation {
       .groupBy(col("bucket"))
       .agg(count(when(!col("is_new"), 1)).as("n_old"),
         count(when(col("is_new"), 1)).as("n_new"))
-    val w = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // CDF arithmetic finishes driver-side over the bounded bucket rows
+    // (the justified-bounded-collect idiom, q73 offsets / IVF
+    // centroids) — the former formulation ran two no-partition windows,
+    // i.e. the single-partition-sort plan shape this engine bans
+    val totOld = buckets.map(_._2).sum
+    val totNew = buckets.map(_._3).sum
     // an EMPTY side is a misconfigured monitor, not zero drift: fail
     // loudly (like the oracle's division-by-zero) instead of silently
     // emitting all-NULL CDFs that an alarm gate would read as calm
-    def checked(c: String, side: String) =
-      when(col(c) > 0, col(c)).otherwise(raise_error(
-        lit(s"lengthDrift: the $side side of the corpus/batch split is empty")))
-    buckets
-      .withColumn("cum_old", sum(col("n_old")).over(w))
-      .withColumn("cum_new", sum(col("n_new")).over(w))
-      .withColumn("tot_old_raw", sum(col("n_old")).over(Window.partitionBy()))
-      .withColumn("tot_new_raw", sum(col("n_new")).over(Window.partitionBy()))
-      .withColumn("tot_old", checked("tot_old_raw", "corpus"))
-      .withColumn("tot_new", checked("tot_new_raw", "arriving-batch"))
-      .select(col("bucket"), col("n_old"), col("n_new"),
-        expr("cum_old * 1000 div tot_old").as("cdf_old_pm"),
-        expr("cum_new * 1000 div tot_new").as("cdf_new_pm"))
-      .withColumn("drift_pm", abs(col("cdf_old_pm") - col("cdf_new_pm")))
+    def checked(tot: Long, side: String): Long =
+      if (tot > 0) tot
+      else throw new IllegalStateException(
+        s"lengthDrift: the $side side of the corpus/batch split is empty")
+    val (tO, tN) = (checked(totOld, "corpus"), checked(totNew, "arriving-batch"))
+    var cumOld = 0L
+    var cumNew = 0L
+    val rows = buckets.map { case (b, nOld, nNew) =>
+      cumOld += nOld; cumNew += nNew
+      val cdfOld = cumOld * 1000L / tO
+      val cdfNew = cumNew * 1000L / tN
+      (b, nOld, nNew, cdfOld, cdfNew, math.abs(cdfOld - cdfNew))
+    }
+    spark.createDataFrame(rows.toIndexedSeq)
+      .toDF("bucket", "n_old", "n_new", "cdf_old_pm", "cdf_new_pm", "drift_pm")
       .orderBy(col("bucket"))
   }
 

@@ -76,9 +76,14 @@ object PqIndex {
       .select(col("vec_id"), expr(s"cast(pos as bigint) div $DSub").as("sub"),
         col("pos").cast("long").as("pos"),
         floor(col("col") * lit(1000000.0d)).cast("long").as("vm"))
-    val seeds = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(KSub)
-      .withColumn("cid",
-        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+    // first-KSub seeds numbered 0..KSub-1 via a bounded collect (the
+    // IVF-centroid idiom) — a no-partition row_number window would
+    // plan the banned single-partition sort
+    val seedIds = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(KSub)
+      .collect().map(_.getLong(0))
+    val seeds = spark.createDataFrame(
+        seedIds.zipWithIndex.toIndexedSeq.map { case (v, i) => (v, i.toLong) })
+      .toDF("vec_id", "cid")
     var cent = q.join(broadcast(seeds), "vec_id")
       .select(col("sub"), col("cid"), col("pos"), col("vm").as("cm"))
     def assign(c: DataFrame): DataFrame = {

@@ -530,23 +530,75 @@ object Queries {
   }
 
   /** q73: ranking-function suite over per-customer spend — ntile
-    * deciles, percent_rank, and lead/lag neighbors on one ordered
-    * window. Spend is summed in exact cents; the only float outputs are
-    * single integer→double divisions, identical IEEE ops cross-engine.
-    * Two shuffles total: the spend aggregation, then ONE global-order
-    * window partition (fine for ranking over per-customer aggregates —
-    * cardinality is |customers|, already reduced). */
+    * deciles, percent_rank, and lead/lag neighbors under ONE global
+    * total order (cents desc, custkey). Spend is summed in exact cents;
+    * the only float outputs are single integer→double divisions,
+    * identical IEEE ops cross-engine.
+    *
+    * DISTRIBUTED global ranking — the naive `Window.orderBy` with no
+    * partition funnels every row through one partition's sort (the
+    * `WindowExec: No Partition Defined` plan); at 100× that's ~150 M
+    * per-customer rows in a single task. Instead, the classic two-pass
+    * ranking: range-repartition on the sort key (partition-parallel
+    * sort), per-partition LOCAL row_number via a pid-partitioned
+    * window, then add per-partition offsets. The offset table is one
+    * row per shuffle partition — bounded by cluster config, not data —
+    * so the driver-side cumulative sum is a justified bounded collect
+    * (same contract as IvfIndex's centroids). ntile/percent_rank are
+    * then closed-form in (global rank, N), and lead/lag neighbors come
+    * from a self-equi-join on rank±1 — scalable shuffles on the reduced
+    * relation, no single-partition sort anywhere. Exactly the oracle's
+    * ntile/percent_rank/lead/lag semantics (no ties: custkey is unique
+    * in the key). */
   def customerDeciles(spark: SparkSession, d: String): DataFrame = {
     val spend = orders(spark, d)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
         count(lit(1)).as("n_orders"))
-    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-    spend
-      .withColumn("decile", ntile(10).over(w).cast("long"))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("next_cents", lead(col("cents"), 1).over(w))
-      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // persisted across BOTH consumers (the offsets collect below and
+    // the caller's terminal action): pid/lrk must be computed exactly
+    // once — a recompute could re-plan the range exchange and assign
+    // different partition ids, silently colliding ranks. Direct persist
+    // + post-collect adopt (not cached()) so the internal collect can't
+    // claim the scope release before the caller's action runs.
+    val local = spend.repartitionByRange(parts, col("cents").desc, col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("cents").desc, col("o_custkey"))))
+    local.persist()
+    // one bounded row per range partition: local counts → cumulative
+    // offsets (driver-side cumsum over ≤`parts` rows, no global window)
+    val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .orderBy(col("pid")).collect().map(r => (r.getInt(0), r.getLong(1)))
+    CacheScope.adopt(local)
+    val n = counts.map(_._2).sum
+    val offsets = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    }
+    val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("pid", "off"))
+    val ranked = local.join(offDf, "pid")
+      .withColumn("rk", (col("off") + col("lrk")).cast("long"))
+    // ntile(10) in closed form: the first (n % 10) buckets carry
+    // ceil(n/10) rows, the rest floor(n/10) — derived from rank alone
+    val q = n / 10L
+    val rem = n % 10L
+    val cut = rem * (q + 1L)
+    val decile =
+      if (q == 0L) col("rk") // fewer rows than buckets: bucket = rank
+      else when(col("rk") <= cut, expr(s"(rk - 1) div ${q + 1L} + 1"))
+        .otherwise(expr(s"$rem + (rk - ${cut + 1L}) div $q + 1"))
+    val byRank = ranked.select(col("rk"), col("cents"))
+    ranked
+      .withColumn("decile", decile.cast("long"))
+      .withColumn("pct_rank",
+        if (n > 1L) round((col("rk") - 1L).cast("double") / (n - 1L).toDouble, 6)
+        else lit(0.0))
+      .join(byRank.select((col("rk") - 1L).as("rk"), col("cents").as("next_cents")),
+        Seq("rk"), "left")
+      .join(byRank.select((col("rk") + 1L).as("rk"), col("cents").as("prev_cents")),
+        Seq("rk"), "left")
       .select(col("o_custkey"), (col("cents") / 100.0).as("total_spent"),
         col("n_orders"), col("decile"), col("pct_rank"),
         (col("next_cents") / 100.0).as("next_spent"),

@@ -357,14 +357,19 @@ object Similarity {
   private[graft] def lloyd(emb: DataFrame, k: Int, rounds: Int)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
     val q = emb
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         floor(col("col") * lit(1000000.0d)).cast("long").as("vm"))
-    val seeds = emb
-      .select(col("vec_id")).orderBy(col("vec_id")).limit(k)
-      .withColumn("cid",
-        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+    // first-k seeds numbered 0..k-1: a k-row bounded collect (the
+    // IVF-centroid idiom) — numbering k rows with a no-partition
+    // row_number window would plan the banned single-partition sort
+    val seedIds = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getLong(0))
+    val seeds = spark.createDataFrame(
+        seedIds.zipWithIndex.toIndexedSeq.map { case (v, i) => (v, i.toLong) })
+      .toDF("vec_id", "cid")
     var cent = q.join(broadcast(seeds), "vec_id")
       .select(col("cid"), col("pos"), col("vm").as("cm"))
     def assign(c: DataFrame): DataFrame = {

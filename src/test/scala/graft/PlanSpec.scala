@@ -189,6 +189,17 @@ class PlanSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("q73: no single-partition global window (two-pass distributed ranking)") {
+    // the ranking suite must never plan `Window.orderBy` with no
+    // partition spec — the one-task global sort that dies at 100×.
+    // The distributed formulation keeps every WindowExec partitioned
+    // (local ranks within range partitions).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Queries.customerDeciles(spark, d).queryExecution.executedPlan
+    val global = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(global.isEmpty, s"single-partition window(s): $global")
+  }
+
   test("q108: count-table joins are EQUI-joins free to degrade to shuffle at scale") {
     val p = planOf(TextAnalysis.bigramFluency(spark, d))
     // like q62's vocabulary join: pin the equi-join property, not the
