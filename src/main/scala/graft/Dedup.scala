@@ -398,7 +398,7 @@ object Dedup {
     * cells, drop ⊆ all-pairs-dup soundness, and the zero-refit warm
     * path. */
   def semDedup(spark: SparkSession, d: String): DataFrame = {
-    val (_, corpus) = IvfIndex.buildOrLoad(spark, d, nlist = 16, seed = 42L)
+    val (_, corpus) = IvfIndex.buildOrLoad(spark, d, nlist = 16)
     // both self-join sides; released by the CacheScope listener
     val e = CacheScope.cached(corpus)
     val cos = Similarity.cosine(col("a.v"), col("b.v"), col("a.nn"), col("b.nn"))

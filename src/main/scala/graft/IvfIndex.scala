@@ -34,13 +34,17 @@ object IvfIndex {
     * oracle contract: q33's oracle SQL chains exactly this many. */
   val Rounds = 2
 
-  private val Version = "0.0.2"
+  // 0.0.3: dropped the vestigial `seed` cache-key salt — the
+  // deterministic first-nlist Lloyd has no randomization knob, and a
+  // seed-salted dir would rebuild bit-identical indexes per seed. The
+  // version bump relocates any pre-0.0.3 index.
+  private val Version = "0.0.3"
 
   /** Content-addressed index dir (SaltedIndex): corpus file stamps +
-    * (nlist, seed) + version — any change relocates the index. */
-  def dir(spark: SparkSession, d: String, nlist: Int, seed: Long): String =
+    * nlist + version — any change relocates the index. */
+  def dir(spark: SparkSession, d: String, nlist: Int): String =
     SaltedIndex.dir(spark, "ivf", Version, s"$d/embeddings.parquet",
-      Seq("corpus" -> d, "nlist" -> nlist.toString, "seed" -> seed.toString))
+      Seq("corpus" -> d, "nlist" -> nlist.toString))
 
   def complete(spark: SparkSession, p: String): Boolean =
     SaltedIndex.complete(spark, p)
@@ -49,9 +53,9 @@ object IvfIndex {
     * loaded from the salted dir. The corpus is written partitioned by
     * cell id — at scale a probe with a pushed `cell` filter reads
     * nprobe/nlist of the data. */
-  def buildOrLoad(spark: SparkSession, d: String, nlist: Int, seed: Long)
+  def buildOrLoad(spark: SparkSession, d: String, nlist: Int)
       : (Seq[(Int, Array[Long])], DataFrame) = {
-    val p = dir(spark, d, nlist, seed)
+    val p = dir(spark, d, nlist)
     SaltedIndex.ensureBuilt(spark, p)(build(spark, d, nlist, p))
     val centroids = spark.read.parquet(s"$p/centroids")
       .collect()

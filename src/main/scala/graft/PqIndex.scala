@@ -32,7 +32,10 @@ object PqIndex {
     * run (name kept from the MLlib-KMeans era for spec stability). */
   @volatile var kmeansFits: Int = 0
 
-  private val Version = "0.0.2"
+  // 0.0.3: dropped the vestigial `seed` cache-key salt (deterministic
+  // first-KSub Lloyd has no randomization knob); the bump relocates
+  // any pre-0.0.3 index.
+  private val Version = "0.0.3"
 
   val M = 8      // subspaces
   val DSub = 8   // dims per subspace (M * DSub = 64)
@@ -40,20 +43,19 @@ object PqIndex {
   val Rounds = 2 // Lloyd assignment rounds (oracle contract, as IvfIndex)
 
   /** Content-addressed index dir (SaltedIndex): corpus file stamps +
-    * (m, ksub, seed) + version — any change relocates the index. */
-  def dir(spark: SparkSession, d: String, seed: Long): String =
+    * (m, ksub) + version — any change relocates the index. */
+  def dir(spark: SparkSession, d: String): String =
     SaltedIndex.dir(spark, "pq", Version, s"$d/embeddings.parquet",
-      Seq("corpus" -> d, "m" -> M.toString,
-        "ksub" -> KSub.toString, "seed" -> seed.toString))
+      Seq("corpus" -> d, "m" -> M.toString, "ksub" -> KSub.toString))
 
   def complete(spark: SparkSession, p: String): Boolean =
     SaltedIndex.complete(spark, p)
 
   /** (codebooks as (subspace, code, micro-unit centroid), encoded
     * corpus). Codebooks are tiny (M·KSub rows) — always broadcast. */
-  def buildOrLoad(spark: SparkSession, d: String, seed: Long)
+  def buildOrLoad(spark: SparkSession, d: String)
       : (Seq[(Int, Int, Array[Long])], DataFrame) = {
-    val p = dir(spark, d, seed)
+    val p = dir(spark, d)
     SaltedIndex.ensureBuilt(spark, p)(build(spark, d, p))
     val books = spark.read.parquet(s"$p/codebooks")
       .collect()
@@ -71,11 +73,15 @@ object PqIndex {
   private def build(spark: SparkSession, d: String, p: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, d)
+    // persisted for the whole (eager) build: every Lloyd round and the
+    // final encode re-consume the exploded component relation — without
+    // the cache each round would re-run the full posexplode chain
     val q = emb
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
       .select(col("vec_id"), expr(s"cast(pos as bigint) div $DSub").as("sub"),
         col("pos").cast("long").as("pos"),
         floor(col("col") * lit(1000000.0d)).cast("long").as("vm"))
+      .persist()
     // first-KSub seeds numbered 0..KSub-1 via a bounded collect (the
     // IVF-centroid idiom) — a no-partition row_number window would
     // plan the banned single-partition sort
@@ -115,6 +121,7 @@ object PqIndex {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), x -> x.cm)")
         .as("cv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$p/codebooks")
+    q.unpersist()
     SaltedIndex.markSuccess(spark, p)
   }
 }

@@ -116,7 +116,7 @@ object Similarity {
     * with measured recall ≥ 0.6 at nlist=16/nprobe=4 on the test
     * corpus, and a second invocation runs zero KMeans iterations. */
   def ivfTopK(spark: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val (centroids, indexed) = IvfIndex.buildOrLoad(spark, d, nlist, seed = 42L)
+    val (centroids, indexed) = IvfIndex.buildOrLoad(spark, d, nlist)
     val centDf = broadcast(spark.createDataFrame(centroids).toDF("cell", "cm"))
     val q = indexed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn"))
@@ -194,7 +194,7 @@ object Similarity {
     * measured recall, zero KMeans fits on the second invocation). */
   def pqTopK(spark: SparkSession, d: String, coarseK: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (books, codes) = PqIndex.buildOrLoad(spark, d, seed = 42L)
+    val (books, codes) = PqIndex.buildOrLoad(spark, d)
     val bookDf = broadcast(spark.createDataFrame(books).toDF("s", "c", "cm"))
     val q = codes.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn"))

@@ -52,11 +52,41 @@ object Tables {
     * including streaming readers (`readStream.schema(raw).parquet(...)`),
     * which must apply the same normalization so stream ≡ batch holds
     * whatever vintage the files are. */
+  /** One plausibility probe per distinct BIGINT-ts relation per JVM:
+    * a BIGINT column holding epoch-MICROS (or millis) would pass the
+    * type dispatch and silently misread 1000×, so the first use pays
+    * one min/max aggregate and asserts the range reads as epoch-nanos.
+    * 1e17 ns ≈ 1973 while 1e17 µs ≈ year 5138 — an unambiguous
+    * discriminator for any real event log. Streaming relations can't
+    * run the probe (no batch action) and trust the contract. */
+  private val tsProbed =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  private def assertPlausibleNanos(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{max, min}
+    val key = df.sparkSession.hashCode() + ":" +
+      df.queryExecution.analyzed.semanticHash()
+    if (tsProbed.add(key)) {
+      val r = df.agg(min("ts"), max("ts")).head()
+      if (!r.isNullAt(0)) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        if (lo < 100000000000000000L || hi > 5000000000000000000L)
+          throw new IllegalStateException(
+            s"events ts is BIGINT but its range [$lo, $hi] is not plausible " +
+              "epoch-NANOS (epoch-micros/millis vintage?). The engine contract " +
+              "is nanos; convert upstream or load as TIMESTAMP.")
+      }
+    }
+  }
+
   def normalizeTsNs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case LongType => df
+      case LongType =>
+        if (!df.isStreaming) assertPlausibleNanos(df)
+        df
       case TimestampType =>
         df.withColumn("ts", unix_micros(col("ts")) * 1000L)
       case TimestampNTZType =>

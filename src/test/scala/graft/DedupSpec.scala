@@ -479,8 +479,9 @@ class DedupSpec extends SparkSpec {
     val fitsBefore = PqIndex.kmeansFits
     assert(Similarity.pqTopK(spark, d).count() > 0)
     assert(PqIndex.kmeansFits == fitsBefore, "KMeans re-fit on a warm index")
-    // salting: a different seed relocates the index
-    assert(PqIndex.dir(spark, d, 42L) != PqIndex.dir(spark, d, 43L))
+    // salting: a different corpus relocates the index (no seed knob —
+    // the deterministic first-KSub Lloyd has no randomization to salt)
+    assert(PqIndex.dir(spark, d) != PqIndex.dir(spark, "/root/testdata/sf0.01"))
   }
 
   test("IVF index is a persisted salted stage: second invocation refits nothing") {
@@ -490,7 +491,7 @@ class DedupSpec extends SparkSpec {
     assert(again > 0)
     assert(IvfIndex.kmeansFits == fitsBefore, "KMeans re-fit on a warm index")
     // salting: different nlist relocates the index
-    assert(IvfIndex.dir(spark, d, 16, 42L) != IvfIndex.dir(spark, d, 32, 42L))
+    assert(IvfIndex.dir(spark, d, 16) != IvfIndex.dir(spark, d, 32))
   }
 
   test("token stats agree with the documents table's own n_chars") {
@@ -572,7 +573,7 @@ class DedupSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq, "semDedup not deterministic across calls")
     // local exact recompute from the SAME persisted cells: sequential
     // double fold mirrors DotProductExpr's evaluation order
-    val (_, corpus) = IvfIndex.buildOrLoad(spark, d, nlist = 16, seed = 42L)
+    val (_, corpus) = IvfIndex.buildOrLoad(spark, d, nlist = 16)
     val rows = corpus.select("vec_id", "v", "cell").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
     def dot(a: Array[Double], b: Array[Double]): Double =

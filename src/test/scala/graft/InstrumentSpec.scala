@@ -79,6 +79,36 @@ class InstrumentSpec extends SparkSpec {
     assert(rows.length <= nIn) // (sf0.001 happens to have no exact dups)
   }
 
+  test("q129/q141: fixed broadcasts stay bucket/alphabet-bounded, never corpus-sized") {
+    // the ONLY broadcasts these plans FORCE are structurally bounded
+    // state: q129's 1024-bucket weight table (+ the one-row totals),
+    // q141's per-event-type counts (×2 sides) and one-row session
+    // total. A schema change that silently turns either into a
+    // corpus-cardinality relation must fail here, not OOM a driver at
+    // scale. Auto-broadcast is disabled for the measurement so AQE's
+    // runtime size-gated broadcasts (legitimate, and absent at real
+    // scale) don't drown the forced ones being pinned.
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val (r129, s129) = Instrument.collectWithPlan(Curation.importanceWeights(spark, d))
+      assert(r129.nonEmpty)
+      assert(s129.broadcastRows <= 1024L + 1L,
+        s"q129 broadcast ${s129.broadcastRows} rows — weight table no longer bucket-bounded")
+      val nTypes = Tables.eventsNs(spark, d).select("event_type").distinct().count()
+      val (r141, s141) = Instrument.collectWithPlan(Queries.sessionAssociations(spark, d))
+      assert(r141.nonEmpty)
+      assert(s141.broadcastRows <= 2L * nTypes + 1L,
+        s"q141 broadcast ${s141.broadcastRows} rows for $nTypes event types — " +
+          "type-totals no longer alphabet-bounded")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q120 eval carve: the heap aggregate shuffles k-bounded partials, never documents") {
     // plain loader: documentsDist's round-robin spread is a test-scale
     // fixture artifact (single-row-group files), not part of the operator

@@ -139,6 +139,50 @@ object ScaleProbe {
       name -> (t10 / t1)
     }
     println(eratios.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] events ratios: ", ", ", ""))
+
+    // ANN-family probe: 10 disjoint-id replicas of the embeddings table
+    // (vectors unchanged — per-replica geometry is identical, which is
+    // the honest model: the corpus grows, the 10-query probe batch does
+    // not). IVF/PQ are persisted salted stages, so BOTH scales take
+    // min-of-2: the first 10× run pays the one-time index build, the
+    // second measures the zero-refit steady state a deployment lives in.
+    val vdir = s"${sys.props("java.io.tmpdir")}/graft-scale-vec10x"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/embeddings.parquet/_SUCCESS"))) {
+      val em = spark.read.parquet(s"$d1/embeddings.parquet")
+      val mv = em.agg(max(col("vec_id"))).head().getLong(0) + 1
+      (0 until 10).map { r =>
+        em.withColumn("vec_id", col("vec_id") + lit(r * mv))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$vdir/embeddings.parquet")
+      println(s"[probe] built 10x embeddings corpus at $vdir")
+    }
+    val aqs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("q27_knn_lsh" -> (Similarity.lshTopK _),
+        "q33_knn_ivf" -> ((s: org.apache.spark.sql.SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
+        "q48_knn_int8" -> ((s: org.apache.spark.sql.SparkSession, dir: String) => Similarity.int8TopK(s, dir)),
+        "q83_knn_pq" -> ((s: org.apache.spark.sql.SparkSession, dir: String) => Similarity.pqTopK(s, dir)))
+    val aratios = aqs.map { case (name, fn) =>
+      val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
+      val t10 = math.min(time(name, fn, vdir), time(name, fn, vdir))
+      println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+      name -> (t10 / t1)
+    }
+    println(aratios.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] ann ratios: ", ", ", ""))
+
+    // Text-family probe on the 10× doc corpus (built above): BM25's
+    // inverted-index scoring and TF-IDF's vocabulary join are the two
+    // text plans with corpus-wide joins worth an empirical datapoint
+    // (q118 winnowing already probes in the dedup block).
+    val tqs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("q62_tfidf_terms" -> (TextAnalysis.tfidfTerms _),
+        "q114_bm25_search" -> (TextAnalysis.bm25Search _))
+    val tratios = tqs.map { case (name, fn) =>
+      val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
+      val t10 = time(name, fn, d10)
+      println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+      name -> (t10 / t1)
+    }
+    println(tratios.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] text ratios: ", ", ", ""))
     spark.stop()
   }
 }

@@ -32,9 +32,11 @@ class TestdataSchemaSpec extends SparkSpec {
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     assert(lo > 9.0e17.toLong && hi < 4.0e18.toLong,
       s"ts range [$lo, $hi] is not plausible epoch-nanos")
-    // and the downstream contract that crashed in round 4: integer
-    // div on ts must analyze + run
-    assert(ev.select((col("ts") / lit(3600L * 1000000000L)).cast(LongType)).limit(1).count() == 1L)
+    // and the downstream contract that crashed in round 4: `ts div N`
+    // (the EXACT expression family the event queries use — integer div
+    // analyzes on fewer types than `/`, so `/` here would stay green on
+    // a ts type that still breaks the real queries)
+    assert(ev.select(expr("ts div 3600000000000")).limit(1).count() == 1L)
   }
 
   test("eventsNs normalizes all three ts vintages to the same epoch-nanos") {
