@@ -274,6 +274,50 @@ object Similarity {
         floor(col("sum_micro") / col("n")).cast("long"))
       .orderBy(col("label"), col("pos"))
 
+  /** q143: NEAREST-CENTROID classification — assign every vector to
+    * its closest per-label prototype (q64's centroids) with the
+    * runner-up margin as confidence. This is the read side q64's
+    * prototypes exist for: label auditing (an example closer to
+    * another class's prototype than its own is a labeling-error /
+    * boundary candidate — exactly the `is_match = 0` rows), and the
+    * nearest-prototype baseline classifier for unlabeled embeddings.
+    *
+    * Exact integer arithmetic end-to-end: q64's floor-scaled
+    * micro-unit centroids, squared-L2 in micro² Longs (≤ 64·(2·10⁶)²
+    * ≈ 2.6·10¹⁴, far under the Long ceiling), argmin with (d2, label)
+    * tie-break, margin = runner-up d2 − best d2 — fully
+    * oracle-replayable, like q136/q33.
+    *
+    * Shape: the |labels|·dim centroid relation BROADCASTS (bounded by
+    * the label alphabet, never the corpus); each vector fans to dim
+    * component rows once and joins centroids on pos — the inherent
+    * O(N·|labels|·dim) nearest-prototype cost, embarrassingly parallel
+    * per vector — then one (vec, label) hash-agg and a
+    * vec_id-partitioned argmin window. No global window, no NLJ. */
+  def centroidClassify(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("label"), col("pos").cast("long").as("pos"),
+        floor(col("col") * lit(1000000.0d)).cast("long").as("vm"))
+    // q64's centroid arithmetic (floor-mean of micro-units), keyed for
+    // the classify join
+    val cent = comp.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(floor(sum(col("vm")) / count(lit(1))).cast("long").as("cm"))
+    val d2 = comp.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm"))).as("d2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))
+    d2.withColumn("rn", row_number().over(w))
+      .withColumn("margin", lead(col("d2"), 1).over(w) - col("d2"))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("pred_label"),
+        col("d2").as("d2_micro"), col("margin").as("margin_micro"),
+        (col("label") === col("clabel")).cast("long").as("is_match"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q140: HARD-NEGATIVE mining — for each query vector, the top-5
     * most-similar vectors with a DIFFERENT label: the pairs a
     * contrastive/retrieval trainer wants as negatives precisely because
@@ -284,11 +328,13 @@ object Similarity {
     *
     * Shape: broadcast queries × corpus scan with map-side partial
     * top-k (k rows per query per partition on the wire — the q38
-    * argument); the tiny (5·|Q| row) result re-joins the broadcast
-    * label relation for auditability. At 100 TB the scan side swaps
-    * for the IVF/PQ candidate paths (q33/q83) unchanged — negatives
-    * only need to be NEAR, not exact, so ANN candidates are the
-    * production pool. */
+    * argument); the tiny (5·|Q| row) result re-joins the label
+    * relation UNHINTED — labels are one row per vector, i.e.
+    * corpus-cardinality, so a forced broadcast would OOM at scale;
+    * AQE broadcasts the 5·|Q|-row side instead. At 100 TB the scan
+    * side swaps for the IVF/PQ candidate paths (q33/q83) unchanged —
+    * negatives only need to be NEAR, not exact, so ANN candidates are
+    * the production pool. */
   def hardNegatives(spark: SparkSession, d: String): DataFrame = {
     val e0 = Tables.embeddings(spark, d)
     val lbl = e0.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
@@ -306,7 +352,7 @@ object Similarity {
       .select(col("q_id"), col("q_label"), col("s.id").as("neighbor_id"),
         round(col("s.score"), 6).as("cosine"),
         (col("pos") + 1).cast("long").as("rank"))
-      .join(broadcast(lbl), "neighbor_id")
+      .join(lbl, "neighbor_id")
       .select(col("q_id"), col("q_label"), col("neighbor_id"), col("n_label"),
         col("cosine"), col("rank"))
       .orderBy(col("q_id"), col("rank"))

@@ -324,6 +324,10 @@ object SparkEntry {
     // q138 with the stop-shingle df cap REAL (q123's production knob
     // threaded into the containment posting index)
     "q142_containment_capped" -> (Dedup.containmentPairsCapped _),
+    // nearest-centroid classification over q64's prototypes: label
+    // audit (is_match=0 = boundary/mislabel candidates) + runner-up
+    // margin confidence, exact integer micro-units
+    "q143_centroid_classify" -> (Similarity.centroidClassify _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -1408,6 +1412,27 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type, date_trunc('hour', ts)
         |ORDER BY event_type, hour""".stripMargin,
+    // q143: q64's centroid arithmetic + per-vector integer argmin with
+    // (d2, label) tie-break; margin from the rank-2 row of the same
+    // window order
+    "q143_centroid_classify" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |           unnest(generate_series(1, len(embedding))) i FROM embeddings),
+        |c AS (SELECT vec_id, label, i::BIGINT - 1 AS pos,
+        |      floor(embedding[i]::DOUBLE * 1000000)::BIGINT vm FROM e),
+        |cent AS (SELECT label clabel, pos, floor(sum(vm) / count(*))::BIGINT cm
+        |         FROM c GROUP BY 1, 2),
+        |d2 AS (SELECT c.vec_id, c.label, cent.clabel,
+        |       sum((vm - cm) * (vm - cm))::BIGINT d2
+        |       FROM c JOIN cent ON cent.pos = c.pos GROUP BY 1, 2, 3),
+        |r AS (SELECT vec_id, label, clabel, d2,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn,
+        |      lead(d2) OVER (PARTITION BY vec_id ORDER BY d2, clabel) nx
+        |      FROM d2)
+        |SELECT vec_id, label, clabel AS pred_label, d2 AS d2_micro,
+        |       (nx - d2)::BIGINT AS margin_micro,
+        |       (label = clabel)::BIGINT AS is_match
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q64_label_centroids" ->
       """WITH e AS (SELECT label, embedding,
         |           unnest(generate_series(1, len(embedding))) i FROM embeddings),

@@ -245,14 +245,16 @@ object PbEtl {
   }
 
   /** J3: actuals ⋈ predictions, left outer on the key
-    * (pb_etl/tasks.py:395-425). Both sides are post-aggregation small at
-    * any scale that fits a backtest — broadcast the prediction side. */
+    * (pb_etl/tasks.py:395-425). The prediction side is one row per
+    * forecast transaction — it grows with the data, so it joins
+    * UNHINTED (a forced broadcast would OOM the driver on a large
+    * forecast period; AQE broadcasts when genuinely small). */
   object BackTest extends Stage {
     override def deps: Seq[Stage] = Seq(Predict, BacktestActuals)
     def run(ctx: Ctx): Unit = {
       val actuals = csv(ctx, "results", results)
       val preds = Predict.read(ctx)
-      writeGz(actuals.join(broadcast(preds), Seq("TRANSACTION_ID"), "left_outer"),
+      writeGz(actuals.join(preds, Seq("TRANSACTION_ID"), "left_outer"),
         outputDir(ctx).get)
     }
   }

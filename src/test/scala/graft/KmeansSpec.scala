@@ -39,4 +39,34 @@ class KmeansSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size >= 2)
     assert(got.forall { case (_, cid, d2) => cid >= 0 && cid < k && d2 >= 0 })
   }
+
+  test("q143 centroid classify ≡ local nearest-prototype recompute") {
+    val rows = Tables.embeddings(spark, d)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(v => math.floor(v.toDouble * 1e6).toLong).toArray))
+      .sortBy(_._1)
+    // q64's centroid arithmetic: floor of the DOUBLE mean of micro-units
+    val cents = rows.groupBy(_._2).map { case (lbl, members) =>
+      lbl -> Array.tabulate(members.head._3.length) { p =>
+        math.floor(members.map(_._3(p)).sum.toDouble / members.size).toLong
+      }
+    }
+    val exp = rows.map { case (id, lbl, v) =>
+      val byD2 = cents.toSeq.map { case (c, cm) =>
+        (c, v.zip(cm).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (c, dd) => (dd, c) }
+      val (pred, best) = byD2.head
+      (id, lbl, pred, best, byD2(1)._2 - best, if (lbl == pred) 1L else 0L)
+    }.toSeq
+    val got = Similarity.centroidClassify(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == exp)
+    // sanity: every vector classified once; margins non-negative; a
+    // label's OWN members are not uniformly closer to other prototypes
+    assert(got.map(_._1) == rows.map(_._1).toSeq)
+    assert(got.forall(_._5 >= 0))
+    assert(got.count(_._6 == 1L) > 0)
+  }
 }
