@@ -587,6 +587,47 @@ object Curation {
     * partitioned by source; no joins. Sources are few and large; a
     * pathological mega-source would take the q50-style per-source
     * range repartition, same semantics. */
+  /** q144: PII / policy-pattern scrub over the event property channel —
+    * the telemetry-side sibling of q88 (which masks seeded email/phone
+    * in the document corpus). What q144 adds over q88: two more
+    * families (IPv4, bare digit runs), a fixed redaction CASCADE
+    * (email → IPv4 → phone → digit-run) where each family is counted
+    * on the string as the previous family left it — so a digit run
+    * inside an already-redacted IP is never double-counted — and
+    * per-row chars_redacted accounting for the audit log. Patterns avoid
+    * engine-specific escapes (`[.]` not `\.`, no `\b`, no `\d`) so the
+    * Java-regex plan and the RE2 oracle match byte-for-byte.
+    *
+    * Shape: pure row-local regex codegen — zero shuffles before the
+    * presentation sort; at 100 TB this is a map-only pass that fuses
+    * into the scan. The synthetic props only carry digit runs (the
+    * email/IP/phone counters read 0 corpus-wide); CurationSpec drives
+    * the full cascade on seeded PII rows. */
+  def piiScrub(spark: SparkSession, d: String): DataFrame =
+    piiScrubDf(Tables.events(spark, d))
+
+  private[graft] val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private[graft] val PiiIpRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  private[graft] val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private[graft] val PiiNumRe = "[0-9]{2,}"
+
+  private[graft] def piiScrubDf(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("event_type"), col("props"))
+      .withColumn("s1", regexp_replace(col("props"), PiiEmailRe, "<EMAIL>"))
+      .withColumn("s2", regexp_replace(col("s1"), PiiIpRe, "<IP>"))
+      .withColumn("s3", regexp_replace(col("s2"), PiiPhoneRe, "<PHONE>"))
+      .select(col("event_id"), col("event_type"),
+        expr(s"size(regexp_extract_all(props, '$PiiEmailRe', 0))").cast("long").as("n_email"),
+        expr(s"size(regexp_extract_all(s1, '$PiiIpRe', 0))").cast("long").as("n_ipv4"),
+        expr(s"size(regexp_extract_all(s2, '$PiiPhoneRe', 0))").cast("long").as("n_phone"),
+        expr(s"size(regexp_extract_all(s3, '$PiiNumRe', 0))").cast("long").as("n_num"),
+        (length(col("props")) - length(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            col("props"), PiiEmailRe, ""), PiiIpRe, ""), PiiPhoneRe, ""), PiiNumRe, "")))
+          .cast("long").as("chars_redacted"),
+        regexp_replace(col("s3"), PiiNumRe, "<NUM>").as("redacted"))
+      .orderBy(col("event_id"))
+
   def qualityCalibration(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = Tables.documentsDist(spark, d)
@@ -606,5 +647,55 @@ object Curation {
         expr("CASE WHEN nsrc > 1 THEN (1000 * (rn - 1)) div (nsrc - 1)" +
           " ELSE 500 END").as("cal_permille"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q147: per-source document caps (RefinedWeb/C4-style host caps) —
+    * keep at most `SourceCap` docs per source, best-first by the q134
+    * integer milli-quality score (ties → smaller doc_id), and report
+    * per-source retention: docs/chars kept vs dropped and the quality
+    * bar the cap landed on. The curation guard against any one host
+    * flooding the training mix.
+    *
+    * Shape at 100 TB: scoring is row-local; selection is the
+    * bounded-heap top-k aggregate (map-side partial heaps, k rows per
+    * source per partition shuffled — never a per-source sort of all
+    * docs); the kept-id list per source is k-bounded, so the stats
+    * join is against a capped-cardinality relation. No windows. */
+  def sourceCaps(spark: SparkSession, d: String): DataFrame =
+    sourceCapsDf(Tables.documentsDist(spark, d))
+
+  private[graft] val SourceCap = 15
+
+  private[graft] def sourceCapsDf(docs: DataFrame): DataFrame = {
+    val s = CacheScope.cached(docs
+      .select(col("doc_id"), col("source"), col("n_chars"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_uniq"),
+        size(filter(col("tk"), x =>
+          x.isin("the", "a", "of", "and", "is", "to", "in"))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("(500 * n_uniq) div n_tok + (200 * n_stop) div n_tok" +
+          " + (300 * least(n_tok, 200)) div 200").as("score_milli")))
+    // heap orders by (score desc, id asc); milli-scores are < 2^53 so
+    // the double cast is exact
+    val kept = s.groupBy(col("source"))
+      .agg(graft.functions.TopKByScore.topk(
+        col("score_milli").cast("double"), col("doc_id"), SourceCap).as("top"))
+      .select(col("source"), explode(col("top.id")).as("doc_id"))
+    val keptStats = s.join(kept, Seq("source", "doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col("n_chars")).as("kept_chars"),
+        min(col("score_milli")).as("cap_score_milli"))
+    s.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .join(keptStats, Seq("source"))
+      .select(col("source"), col("n_docs"), col("kept_docs"),
+        (col("n_docs") - col("kept_docs")).as("dropped_docs"),
+        col("n_chars_total"), col("kept_chars"),
+        expr("(1000 * kept_docs) div n_docs").as("retention_permille"),
+        col("cap_score_milli"))
+      .orderBy(col("source"))
   }
 }

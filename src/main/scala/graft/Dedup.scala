@@ -1032,4 +1032,51 @@ object Dedup {
         round(col("cos"), 6).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** q145: paragraph-granularity exact dedup (Dolma-style) — the
+    * sub-document twin of q21. The synthetic corpus has no paragraph
+    * delimiters, so the paragraph unit is a deterministic fixed-width
+    * chunk: 16-token windows at stride 16. Corpus-wide, the first
+    * occurrence of each chunk (smallest (doc_id, chunk_idx)) is the
+    * keeper; every later copy is dropped, and the per-document report
+    * counts surviving chunks/tokens — what the pipeline would write
+    * back as the pruned corpus.
+    *
+    * Shape at 100 TB: chunking is per-row codegen (split + slice, row
+    * amplification n_tok/16); keeper election is ONE hash-agg shuffle
+    * on the chunk hash with map-side partial min(struct), then one
+    * equi-join back on the hash and one per-doc agg — no windows, no
+    * self-join, no corpus-sized broadcast. The keeper key packs
+    * (doc_id, chunk_idx) into one BIGINT (chunk_idx < 2^20 ⇔ docs
+    * under ~16M tokens — asserted range, not assumed). */
+  def chunkDedup(spark: SparkSession, d: String): DataFrame =
+    chunkDedupDf(Tables.documents(spark, d)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  private[graft] val ChunkW = 16
+
+  private[graft] def chunkDedupDf(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(expr(s"sequence(0, (size(tk) + ${ChunkW - 1}) div $ChunkW - 1)"))
+          .as(Seq("p", "cidx")))
+      .select(col("doc_id"), col("cidx").cast("long").as("cidx"),
+        expr(s"slice(tk, cidx * $ChunkW + 1, $ChunkW)").as("ctk"))
+      .select(col("doc_id"), col("cidx"),
+        size(col("ctk")).cast("long").as("ctok"),
+        polyHash(array_join(col("ctk"), " ")).as("h"),
+        (col("doc_id") * lit(1048576L) + col("cidx")).as("ckey"))
+    val keeper = chunks.groupBy(col("h")).agg(min(col("ckey")).as("keep_key"))
+    chunks.join(keeper, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ckey") === col("keep_key"), 1L).otherwise(0L)).as("kept_chunks"),
+        sum(when(col("ckey") === col("keep_key"), col("ctok")).otherwise(0L)).as("kept_tokens"),
+        sum(col("ctok")).as("n_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("kept_chunks"),
+        (col("n_chunks") - col("kept_chunks")).as("dup_chunks"),
+        col("n_tokens"), col("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -436,4 +436,33 @@ object Similarity {
     }
     (cent, asg)
   }
+
+  /** q146: ANN quality evaluation — recall@5 of the int8-quantized
+    * (q48) and hyperplane-LSH (q27) paths against the exact
+    * brute-force ground truth (q26), per query. This is the eval
+    * harness a pipeline runs before trusting an index build: both
+    * approximate paths and the exact truth are the production plans
+    * themselves, so the measured recall is the deployed recall.
+    *
+    * Shape: the three top-k plans (each already scale-audited) feed
+    * two hash-joins on (q_id, neighbor_id) and a per-query count —
+    * everything downstream of the top-k lists is query-cardinality
+    * (10·k rows), so the eval adds no corpus-sized work of its own. */
+  def quantRecall(spark: SparkSession, d: String): DataFrame = {
+    val gt = bruteForceTopK(spark, d).select(col("q_id"), col("neighbor_id"))
+    val i8 = int8TopK(spark, d).select(col("q_id"), col("neighbor_id"))
+    val ls = lshTopK(spark, d).select(col("q_id"), col("neighbor_id"))
+    def hits(ap: DataFrame, name: String): DataFrame =
+      gt.join(ap, Seq("q_id", "neighbor_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as(name))
+    gt.groupBy(col("q_id")).agg(count(lit(1)).as("n_gt"))
+      .join(hits(i8, "h8"), Seq("q_id"), "left")
+      .join(hits(ls, "hl"), Seq("q_id"), "left")
+      .select(col("q_id"), col("n_gt"),
+        coalesce(col("h8"), lit(0L)).as("hits_int8"),
+        round(coalesce(col("h8"), lit(0L)) / col("n_gt"), 6).as("recall_int8"),
+        coalesce(col("hl"), lit(0L)).as("hits_lsh"),
+        round(coalesce(col("hl"), lit(0L)) / col("n_gt"), 6).as("recall_lsh"))
+      .orderBy(col("q_id"))
+  }
 }

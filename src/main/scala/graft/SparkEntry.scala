@@ -328,6 +328,22 @@ object SparkEntry {
     // audit (is_match=0 = boundary/mislabel candidates) + runner-up
     // margin confidence, exact integer micro-units
     "q143_centroid_classify" -> (Similarity.centroidClassify _),
+    // PII/policy-pattern scrub cascade (email → IPv4 → phone →
+    // digit-run) over the event property channel — row-local regex
+    // codegen, engine-portable patterns
+    "q144_pii_scrub" -> (Curation.piiScrub _),
+    // paragraph-granularity exact dedup (16-token chunks, first
+    // occurrence wins) — the sub-document twin of q21
+    "q145_chunk_dedup" -> (Dedup.chunkDedup _),
+    // ANN eval harness: per-query recall@5 of the int8 (q48) and LSH
+    // (q27) paths vs the brute-force truth (q26)
+    "q146_quant_recall" -> (Similarity.quantRecall _),
+    // per-source document caps (host-cap curation): bounded-heap
+    // best-15 by integer quality, per-source retention report
+    "q147_source_caps" -> (Curation.sourceCaps _),
+    // integer multinomial naive Bayes over a deterministic 80/20
+    // split — learned language classifier, fixed-point likelihoods
+    "q148_nb_lang_classify" -> (TextAnalysis.nbLangClassify _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -417,6 +433,69 @@ object SparkEntry {
        |$rounds
        |SELECT node, dist FROM d${Graph.BfsRounds} ORDER BY node""".stripMargin
   }
+
+  /** q26 oracle — exact cosine top-5 ground truth. Shared verbatim by
+    * q146's recall eval (the eval must grade against the same truth
+    * the driver checks). */
+  private val BruteTopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |s AS (SELECT q.vec_id q_id, n.vec_id neighbor_id,
+      |      list_dot_product(q.v, n.v)
+      |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
+      |      FROM e q, e n WHERE q.vec_id < 10 AND n.vec_id != q.vec_id),
+      |r AS (SELECT q_id, neighbor_id, c,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
+      |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
+      |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** q27 oracle — hyperplane-LSH top-5 (shared by q146). */
+  private val LshTopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |sig AS (SELECT vec_id, t,
+      |  list_sum(list_transform(generate_series(0, 3), r ->
+      |    CASE WHEN list_sum(list_transform(generate_series(0, 63), i ->
+      |      (CASE WHEN ((((t*4 + r)*64 + i) * 2654435761) & 65536) != 0
+      |            THEN 1.0 ELSE -1.0 END) * v[i + 1])) > 0
+      |    THEN (1::BIGINT << r) ELSE 0 END))::BIGINT AS bucket
+      |  FROM e, generate_series(0, 3) g(t)),
+      |cand AS (SELECT DISTINCT q.vec_id q_id, c.vec_id vec_id
+      |         FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+      |              AND q.vec_id != c.vec_id
+      |         WHERE q.vec_id < 10),
+      |s AS (SELECT cand.q_id, cand.vec_id neighbor_id,
+      |      list_dot_product(q.v, n.v)
+      |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
+      |      FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e n ON n.vec_id = cand.vec_id),
+      |r AS (SELECT q_id, neighbor_id, c,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
+      |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
+      |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** q48 oracle — int8 coarse-rank + exact re-rank top-5 (shared by
+    * q146). */
+  private val Int8TopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |       127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
+      |       FROM e WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0),
+      |q8 AS (SELECT vec_id, v, list_transform(v, x ->
+      |         CASE WHEN x >= 0 THEN floor(abs(x * sc) + 0.5)
+      |              ELSE -floor(abs(x * sc) + 0.5) END) q FROM s),
+      |qq AS (SELECT vec_id, v, q, list_dot_product(q, q) qn FROM q8
+      |       WHERE list_dot_product(q, q) > 0),
+      |cand AS (SELECT a.vec_id q_id, b.vec_id vec_id,
+      |         list_dot_product(a.q, b.q) / sqrt(a.qn * b.qn) ac, a.v qv, b.v nv
+      |         FROM qq a JOIN qq b ON b.vec_id != a.vec_id
+      |         WHERE a.vec_id < 10),
+      |r1 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |                                    ORDER BY ac DESC, vec_id) rn FROM cand),
+      |ex AS (SELECT q_id, vec_id, list_dot_product(qv, nv)
+      |       / sqrt(list_dot_product(qv, qv) * list_dot_product(nv, nv)) c
+      |       FROM r1 WHERE rn <= 20),
+      |r2 AS (SELECT q_id, vec_id neighbor_id, c,
+      |       row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) rnk FROM ex)
+      |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
+      |FROM r2 WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1570,37 +1649,8 @@ object SparkEntry {
         |WHERE list_dot_product(x.v, y.v)
         |      / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v)) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
-    "q26_knn_bruteforce" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |s AS (SELECT q.vec_id q_id, n.vec_id neighbor_id,
-        |      list_dot_product(q.v, n.v)
-        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
-        |      FROM e q, e n WHERE q.vec_id < 10 AND n.vec_id != q.vec_id),
-        |r AS (SELECT q_id, neighbor_id, c,
-        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
-        |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
-        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
-    "q27_knn_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |sig AS (SELECT vec_id, t,
-        |  list_sum(list_transform(generate_series(0, 3), r ->
-        |    CASE WHEN list_sum(list_transform(generate_series(0, 63), i ->
-        |      (CASE WHEN ((((t*4 + r)*64 + i) * 2654435761) & 65536) != 0
-        |            THEN 1.0 ELSE -1.0 END) * v[i + 1])) > 0
-        |    THEN (1::BIGINT << r) ELSE 0 END))::BIGINT AS bucket
-        |  FROM e, generate_series(0, 3) g(t)),
-        |cand AS (SELECT DISTINCT q.vec_id q_id, c.vec_id vec_id
-        |         FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
-        |              AND q.vec_id != c.vec_id
-        |         WHERE q.vec_id < 10),
-        |s AS (SELECT cand.q_id, cand.vec_id neighbor_id,
-        |      list_dot_product(q.v, n.v)
-        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
-        |      FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e n ON n.vec_id = cand.vec_id),
-        |r AS (SELECT q_id, neighbor_id, c,
-        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
-        |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
-        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q26_knn_bruteforce" -> BruteTopkSql,
+    "q27_knn_lsh" -> LshTopkSql,
     "q28_text_langid" ->
       """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(text, ' ') tk FROM documents),
         |s AS (SELECT doc_id, lang,
@@ -1738,29 +1788,7 @@ object SparkEntry {
         |  min(cts - vts) AS min_gap_us, max(value) AS max_view_value
         |FROM j GROUP BY click_id, user_id
         |ORDER BY click_id""".stripMargin,
-    "q48_knn_int8" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |       127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
-        |       FROM e WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0),
-        |q8 AS (SELECT vec_id, v, list_transform(v, x ->
-        |         CASE WHEN x >= 0 THEN floor(abs(x * sc) + 0.5)
-        |              ELSE -floor(abs(x * sc) + 0.5) END) q FROM s),
-        |qq AS (SELECT vec_id, v, q, list_dot_product(q, q) qn FROM q8
-        |       WHERE list_dot_product(q, q) > 0),
-        |cand AS (SELECT a.vec_id q_id, b.vec_id vec_id,
-        |         list_dot_product(a.q, b.q) / sqrt(a.qn * b.qn) ac, a.v qv, b.v nv
-        |         FROM qq a JOIN qq b ON b.vec_id != a.vec_id
-        |         WHERE a.vec_id < 10),
-        |r1 AS (SELECT *, row_number() OVER (PARTITION BY q_id
-        |                                    ORDER BY ac DESC, vec_id) rn FROM cand),
-        |ex AS (SELECT q_id, vec_id, list_dot_product(qv, nv)
-        |       / sqrt(list_dot_product(qv, qv) * list_dot_product(nv, nv)) c
-        |       FROM r1 WHERE rn <= 20),
-        |r2 AS (SELECT q_id, vec_id neighbor_id, c,
-        |       row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) rnk FROM ex)
-        |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
-        |FROM r2 WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q48_knn_int8" -> Int8TopkSql,
     "q47_text_subwords" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_alpha,
@@ -2152,5 +2180,109 @@ object SparkEntry {
         |FROM orders
         |GROUP BY strftime(o_orderdate, '%Y-%m')
         |ORDER BY month""".stripMargin,
+    // q144: same regex cascade, RE2 side. Counts read the string as the
+    // previous family left it, exactly like the plan.
+    "q144_pii_scrub" ->
+      s"""WITH s AS (SELECT event_id, event_type, props,
+         |  regexp_replace(props, '${Curation.PiiEmailRe}', '<EMAIL>', 'g') AS s1
+         |  FROM events),
+         |s2t AS (SELECT *, regexp_replace(s1, '${Curation.PiiIpRe}', '<IP>', 'g') AS s2
+         |        FROM s),
+         |s3t AS (SELECT *, regexp_replace(s2, '${Curation.PiiPhoneRe}', '<PHONE>', 'g') AS s3
+         |        FROM s2t)
+         |SELECT event_id, event_type,
+         |  len(regexp_extract_all(props, '${Curation.PiiEmailRe}'))::BIGINT AS n_email,
+         |  len(regexp_extract_all(s1, '${Curation.PiiIpRe}'))::BIGINT AS n_ipv4,
+         |  len(regexp_extract_all(s2, '${Curation.PiiPhoneRe}'))::BIGINT AS n_phone,
+         |  len(regexp_extract_all(s3, '${Curation.PiiNumRe}'))::BIGINT AS n_num,
+         |  (length(props) - length(regexp_replace(regexp_replace(regexp_replace(
+         |     regexp_replace(props, '${Curation.PiiEmailRe}', '', 'g'),
+         |     '${Curation.PiiIpRe}', '', 'g'), '${Curation.PiiPhoneRe}', '', 'g'),
+         |     '${Curation.PiiNumRe}', '', 'g')))::BIGINT AS chars_redacted,
+         |  regexp_replace(s3, '${Curation.PiiNumRe}', '<NUM>', 'g') AS redacted
+         |FROM s3t ORDER BY event_id""".stripMargin,
+    // q145: chunk rows via unnest(generate_series), keeper = min packed
+    // (doc_id, chunk_idx) per chunk hash — mirrors Dedup.chunkDedup.
+    "q145_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |x AS (SELECT doc_id, tk,
+         |      unnest(generate_series(0, (len(tk) + 15) // 16 - 1)) AS cidx FROM t),
+         |c AS (SELECT doc_id, cidx,
+         |      len(tk[cidx*16+1 : cidx*16+16])::BIGINT AS ctok,
+         |      ${H("array_to_string(tk[cidx*16+1 : cidx*16+16], ' ')")} AS h,
+         |      doc_id * 1048576 + cidx AS ckey FROM x),
+         |k AS (SELECT h, min(ckey) AS keep_key FROM c GROUP BY h)
+         |SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum(CASE WHEN ckey = keep_key THEN 1 ELSE 0 END)::BIGINT AS kept_chunks,
+         |  (count(*) - sum(CASE WHEN ckey = keep_key THEN 1 ELSE 0 END))::BIGINT AS dup_chunks,
+         |  sum(ctok)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN ckey = keep_key THEN ctok ELSE 0 END)::BIGINT AS kept_tokens
+         |FROM c JOIN k USING (h)
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // q146: recall@5 against the SAME three oracle plans the driver
+    // checks individually (q26/q48/q27 SQL embedded verbatim).
+    "q146_quant_recall" ->
+      s"""WITH gt AS (SELECT q_id, neighbor_id FROM ($BruteTopkSql)),
+         |i8 AS (SELECT q_id, neighbor_id FROM ($Int8TopkSql)),
+         |ls AS (SELECT q_id, neighbor_id FROM ($LshTopkSql)),
+         |g AS (SELECT q_id, count(*)::BIGINT AS n_gt FROM gt GROUP BY q_id),
+         |h8 AS (SELECT gt.q_id, count(*)::BIGINT AS h FROM gt
+         |       JOIN i8 ON gt.q_id = i8.q_id AND gt.neighbor_id = i8.neighbor_id
+         |       GROUP BY gt.q_id),
+         |hl AS (SELECT gt.q_id, count(*)::BIGINT AS h FROM gt
+         |       JOIN ls ON gt.q_id = ls.q_id AND gt.neighbor_id = ls.neighbor_id
+         |       GROUP BY gt.q_id)
+         |SELECT g.q_id, g.n_gt,
+         |  coalesce(h8.h, 0)::BIGINT AS hits_int8,
+         |  round(coalesce(h8.h, 0) / g.n_gt, 6) AS recall_int8,
+         |  coalesce(hl.h, 0)::BIGINT AS hits_lsh,
+         |  round(coalesce(hl.h, 0) / g.n_gt, 6) AS recall_lsh
+         |FROM g LEFT JOIN h8 ON g.q_id = h8.q_id LEFT JOIN hl ON g.q_id = hl.q_id
+         |ORDER BY g.q_id""".stripMargin,
+    // q147: q134's integer milli-score, best-15 per source by
+    // (score desc, doc_id) — the window replays the bounded heap.
+    "q147_source_caps" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |           regexp_split_to_array(text, ' ') tk FROM documents),
+        |s AS (SELECT doc_id, source, n_chars, len(tk)::BIGINT n_tok,
+        |      len(list_distinct(tk))::BIGINT n_uniq,
+        |      len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in')))::BIGINT n_stop
+        |      FROM t),
+        |sc AS (SELECT doc_id, source, n_chars,
+        |       ((500 * n_uniq) // n_tok + (200 * n_stop) // n_tok
+        |        + (300 * least(n_tok, 200)) // 200)::BIGINT AS score_milli FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY score_milli DESC, doc_id)::BIGINT AS rn FROM sc),
+        |ks AS (SELECT source, count(*)::BIGINT kept_docs, sum(n_chars)::BIGINT kept_chars,
+        |       min(score_milli)::BIGINT cap_score_milli FROM r WHERE rn <= 15 GROUP BY source),
+        |a AS (SELECT source, count(*)::BIGINT n_docs, sum(n_chars)::BIGINT n_chars_total
+        |      FROM sc GROUP BY source)
+        |SELECT a.source, a.n_docs, ks.kept_docs,
+        |  (a.n_docs - ks.kept_docs)::BIGINT AS dropped_docs,
+        |  a.n_chars_total, ks.kept_chars,
+        |  ((1000 * ks.kept_docs) // a.n_docs)::BIGINT AS retention_permille,
+        |  ks.cap_score_milli
+        |FROM a JOIN ks ON a.source = ks.source ORDER BY a.source""".stripMargin,
+    // q148: fixed-point NB likelihoods term-for-term; argmax ties →
+    // lang asc (the window ORDER BY mirrors min(struct(-score, l))).
+    "q148_nb_lang_classify" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |             unnest(regexp_split_to_array(text, ' ')) AS w FROM documents),
+        |tr AS (SELECT * FROM tok WHERE doc_id % 5 != 0),
+        |cnt AS (SELECT lang AS l, w, count(*)::BIGINT c FROM tr GROUP BY 1, 2),
+        |tot AS (SELECT lang AS l, count(*)::BIGINT tot FROM tr GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w)::BIGINT v FROM tr),
+        |den AS (SELECT l, (tot + v)::BIGINT AS den FROM tot, voc),
+        |te AS (SELECT doc_id, lang, w, count(*)::BIGINT m FROM tok
+        |       WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+        |sc AS (SELECT te.doc_id, te.lang, den.l,
+        |       sum(te.m * ((1000000000000 * (coalesce(cnt.c, 0) + 1)) // den.den))::BIGINT AS score
+        |       FROM te CROSS JOIN den LEFT JOIN cnt ON cnt.l = den.l AND cnt.w = te.w
+        |       GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, l)::BIGINT AS rn FROM sc)
+        |SELECT doc_id, lang, l AS pred, score AS pred_score,
+        |  (CASE WHEN l = lang THEN 1 ELSE 0 END)::BIGINT AS correct
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -546,4 +546,56 @@ object TextAnalysis {
         // so the native distinct-shingle kernel applies directly
         array_min(graft.functions.GraftFunctions.shingleHashes(toks(col("text")), 8)).as("fp_win"))
       .orderBy(col("doc_id"))
+
+  /** q148: multinomial naive-Bayes language classification in exact
+    * integer arithmetic — the learned upgrade of q28's fixed stopword
+    * profiles. Train on `doc_id % 5 != 0` (token counts per (lang,
+    * token) with Laplace smoothing), classify the held-out fifth.
+    * Instead of float log-likelihoods (whose summation order would
+    * diverge cross-engine), each token contributes the integer
+    * `(10^12·(c+1)) div (total_lang + V)` — a fixed-point likelihood
+    * the oracle replays term-for-term; argmax ties break on lang asc
+    * via a min(struct(-score, lang)) aggregate. The shared-vocabulary
+    * word-salad corpus makes accuracy near-chance BY DESIGN — the
+    * oracle grades the operator, not the corpus.
+    *
+    * Shape at 100 TB: the model is one hash-agg over train tokens
+    * (vocab·|langs| rows — data-bounded, stays distributed); scoring
+    * joins test tokens × the 5-row lang alphabet to the model on the
+    * token key (shuffle equi-join, model NOT collected or broadcast),
+    * then one per-(doc,lang) sum and one per-doc argmin agg. */
+  def nbLangClassify(spark: SparkSession, d: String): DataFrame =
+    nbLangClassifyDf(Tables.documentsDist(spark, d))
+
+  private[graft] def nbLangClassifyDf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(toks(col("text"))).as("w"))
+    val train = tok.filter(col("doc_id") % 5 =!= 0)
+    // per-(lang, token) counts and per-lang totals; V = train vocab size
+    val counts = train.groupBy(col("lang").as("l"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val totals = train.groupBy(col("lang").as("l"))
+      .agg(count(lit(1)).as("tot"))
+    val vocabN = train.select(countDistinct(col("w")).as("v"))
+    val langs = broadcast(totals.crossJoin(broadcast(vocabN))
+      .select(col("l"), (col("tot") + col("v")).as("den")))
+    // held-out doc tokens with multiplicity, scored against every lang
+    val test = tok.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("m"))
+    val scored = test.crossJoin(langs)
+      .join(counts, Seq("l", "w"), "left")
+      .select(col("doc_id"), col("lang"), col("l"),
+        (col("m") * expr("(cast(1000000000000 as bigint) * (coalesce(c, 0) + 1)) div den"))
+          .as("term"))
+      .groupBy(col("doc_id"), col("lang"), col("l"))
+      .agg(sum(col("term")).as("score"))
+    scored.groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("ns"), col("l"), col("score"))).as("best"))
+      .select(col("doc_id"), col("lang"),
+        col("best.l").as("pred"),
+        col("best.score").as("pred_score"),
+        when(col("best.l") === col("lang"), 1L).otherwise(0L).as("correct"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -313,4 +313,67 @@ class CurationSpec extends SparkSpec {
     }
     assert(got.map(_._3).sum == lens.length.toLong) // partition of the corpus
   }
+
+  test("q144 pii scrub: seeded cascade redacts exactly; corpus counts sane") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "signup", """{"email": "alice.smith+x@mail.example.com"}"""),
+      (2L, "login", """{"ip": "10.0.255.7", "port": 8080}"""),
+      (3L, "call", """{"phone": "415-555-1234"}"""),
+      (4L, "misc", """{"k": 7, "v": 42}"""),
+      (5L, "mix", """{"e": "b@c.io", "ip": "1.2.3.4", "t": "555-111-2222 9"}"""))
+      .toDF("event_id", "event_type", "props")
+    val got = Curation.piiScrubDf(rows).collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getString(7))).toSeq
+    // chars_redacted recomputed by the same Java regex engine the plan
+    // compiles to (the RE2 side is held by the driver oracle)
+    def strip(s: String): Long =
+      (s.length - s.replaceAll(Curation.PiiEmailRe, "")
+        .replaceAll(Curation.PiiIpRe, "").replaceAll(Curation.PiiPhoneRe, "")
+        .replaceAll(Curation.PiiNumRe, "").length).toLong
+    val props = rows.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val exp = Seq(
+      (1L, 1L, 0L, 0L, 0L, strip(props(1L)), """{"email": "<EMAIL>"}"""),
+      (2L, 0L, 1L, 0L, 1L, strip(props(2L)), """{"ip": "<IP>", "port": <NUM>}"""),
+      (3L, 0L, 0L, 1L, 0L, strip(props(3L)), """{"phone": "<PHONE>"}"""),
+      (4L, 0L, 0L, 0L, 1L, strip(props(4L)), """{"k": 7, "v": <NUM>}"""),
+      (5L, 1L, 1L, 1L, 0L, strip(props(5L)),
+        """{"e": "<EMAIL>", "ip": "<IP>", "t": "<PHONE> 9"}"""))
+    assert(got == exp)
+    // the synthetic event stream carries digit runs but no contact PII
+    val corpus = Curation.piiScrub(spark, d).collect()
+    assert(corpus.forall(r => r.getLong(2) == 0 && r.getLong(3) == 0 && r.getLong(4) == 0))
+    assert(corpus.map(_.getLong(5)).sum > 0) // digit runs redacted
+    assert(corpus.map(_.getLong(6)).sum > 0)
+  }
+
+  test("q147 source caps ≡ local top-15-by-quality recompute (cap binds at sf0.01)") {
+    val d01 = "/root/testdata/sf0.01"
+    val stop = Set("the", "a", "of", "and", "is", "to", "in")
+    val docs = Tables.documents(spark, d01)
+      .select("doc_id", "source", "n_chars", "text").collect()
+      .map { r =>
+        val tk = r.getString(3).split(" ", -1)
+        val (nTok, nUniq) = (tk.length.toLong, tk.distinct.length.toLong)
+        val nStop = tk.count(stop).toLong
+        val score = 500 * nUniq / nTok + 200 * nStop / nTok +
+          300 * math.min(nTok, 200L) / 200
+        (r.getLong(0), r.getString(1), r.getLong(2), score)
+      }
+    val exp = docs.groupBy(_._2).toSeq.map { case (src, g) =>
+      val kept = g.sortBy(x => (-x._4, x._1)).take(Curation.SourceCap)
+      (src, g.size.toLong, kept.size.toLong, (g.size - kept.size).toLong,
+        g.map(_._3).sum, kept.map(_._3).sum,
+        1000L * kept.size / g.size, kept.map(_._4).min)
+    }.sortBy(_._1)
+    val got = Curation.sourceCaps(spark, d01).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == exp && got.nonEmpty)
+    assert(got.exists(_._4 > 0)) // at sf0.01 at least one source overflows the cap
+    got.foreach { case (_, n, k, _, tot, keptC, ret, _) =>
+      assert(k <= Curation.SourceCap && k <= n && keptC <= tot && ret <= 1000)
+    }
+  }
 }

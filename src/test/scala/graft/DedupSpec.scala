@@ -859,4 +859,98 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 0L), (2L, 1L))) // B caught transitively; unrelated doc clean
   }
+
+  /** Local twin of TextOps.polyHash (ASCII corpus). */
+  private def localHash(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)
+
+  test("q145 chunk dedup ≡ local first-occurrence recompute; planted sub-doc dup drops") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // keeper = smallest (doc_id, cidx) per chunk HASH — same key the
+    // plan and the oracle elect on, so a collision (possible at this
+    // corpus size) cannot diverge the spec from the gate
+    val keeper = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val chunks = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(Dedup.ChunkW).zipWithIndex.map {
+        case (ck, ci) => (id, ci.toLong, ck.length.toLong, localHash(ck.mkString(" ")))
+      }
+    }
+    chunks.foreach { case (id, ci, _, h) =>
+      if (!keeper.contains(h)) keeper(h) = (id, ci)
+    }
+    val exp = chunks.groupBy(_._1).toSeq.map { case (id, cs) =>
+      val kept = cs.filter(c => keeper(c._4) == ((c._1, c._2)))
+      (id, cs.length.toLong, kept.length.toLong, (cs.length - kept.length).toLong,
+        cs.map(_._3).sum, kept.map(_._3).sum)
+    }.sortBy(_._1)
+    val got = Dedup.chunkDedup(spark, d).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == exp && got.nonEmpty)
+    assert(got.map(_._4).sum > 0) // the prefix-sharing corpus HAS duplicate chunks
+    // planted: doc 2 opens with doc 1's first 16 tokens → exactly that
+    // chunk drops; doc 1 (first occurrence) keeps everything
+    import spark.implicits._
+    val w = (1 to 32).map(i => s"w$i")
+    val d1 = w.mkString(" ")
+    val d2 = (w.take(16) ++ (1 to 16).map(i => s"z$i")).mkString(" ")
+    val synth = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val o = Dedup.chunkDedupDf(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(o == Seq((1L, 2L, 0L), (2L, 1L, 1L)))
+  }
+
+  test("q146 quant recall ≡ local intersection of the gated top-k outputs; int8 near-exact") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val gt = pairs(Similarity.bruteForceTopK(spark, d))
+    val i8 = pairs(Similarity.int8TopK(spark, d)).toSet
+    val ls = pairs(Similarity.lshTopK(spark, d)).toSet
+    val exp = gt.groupBy(_._1).toSeq.map { case (q, g) =>
+      val (h8, hl) = (g.count(i8).toLong, g.count(ls).toLong)
+      (q, g.size.toLong, h8, BigDecimal(h8.toDouble / g.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        hl, BigDecimal(hl.toDouble / g.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = Similarity.quantRecall(spark, d).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == exp && got.size == 10)
+    // exact re-rank over the int8 coarse top-20 loses almost nothing
+    val meanR8 = got.map(_._4).sum / got.size
+    assert(meanR8 >= 0.8, s"int8 mean recall $meanR8")
+    assert(got.forall(r => r._3 <= r._2 && r._5 <= r._2))
+  }
+
+  test("q148 naive Bayes ≡ local fixed-point recompute on the 80/20 split") {
+    val docs = Tables.documents(spark, d).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val cnt = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    val tot = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val vocab = scala.collection.mutable.Set[String]()
+    docs.filter(_._1 % 5 != 0).foreach { case (_, lang, text) =>
+      text.split(" ", -1).foreach { w =>
+        cnt((lang, w)) += 1; tot(lang) += 1; vocab += w
+      }
+    }
+    val v = vocab.size.toLong
+    val langs = tot.keys.toSeq.sorted
+    val exp = docs.filter(_._1 % 5 == 0).map { case (id, lang, text) =>
+      val ws = text.split(" ", -1)
+      val scores = langs.map { l =>
+        val den = tot(l) + v
+        (l, ws.map(w => (1000000000000L * (cnt((l, w)) + 1)) / den).sum)
+      }
+      val (pl, ps) = scores.minBy { case (l, s) => (-s, l) }
+      (id, lang, pl, ps, if (pl == lang) 1L else 0L)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.nbLangClassify(spark, d).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // every trained language is reachable as a prediction target
+    assert(got.map(_._3).toSet.subsetOf(langs.toSet))
+  }
 }

@@ -204,15 +204,20 @@ class GraphAnalyticsSpec extends SparkSpec {
         if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5))).toSeq
     assert(got == exp)
     assert(got.nonEmpty)
-    // synthetic corpus with a planted 10× spike day: exactly that day flags
+    // synthetic corpus with a planted 10× spike day: exactly that day
+    // flags. Day 20000 ≈ 2024-10 keeps the fixture inside the loader's
+    // plausible-epoch-nanos window (BIGINT ts is trusted as nanos only
+    // when its range looks like a real event log).
     import spark.implicits._
-    val base = (0 until 30).flatMap(day => Seq.fill(10)(("click", day * DayNs + 1L)))
-    val spike = Seq.fill(100)(("click", 17 * DayNs + 2L))
+    val epoch = 20000L
+    val base =
+      (0 until 30).flatMap(day => Seq.fill(10)(("click", (epoch + day) * DayNs + 1L)))
+    val spike = Seq.fill(100)(("click", (epoch + 17) * DayNs + 2L))
     val synth = (base ++ spike).toDF("event_type", "ts")
     val dir = java.nio.file.Files.createTempDirectory("anom").toString
     synth.write.mode("overwrite").parquet(s"$dir/events.parquet")
     val flagged = Queries.eventAnomalies(spark, dir).collect()
       .filter(_.getLong(5) == 1L).map(_.getLong(1)).toSeq
-    assert(flagged == Seq(17L))
+    assert(flagged == Seq(epoch + 17L))
   }
 }
