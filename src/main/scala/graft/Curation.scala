@@ -698,4 +698,64 @@ object Curation {
         col("cap_score_milli"))
       .orderBy(col("source"))
   }
+
+  /** q151: exact per-language token-length percentiles (p50/p90/p99)
+    * — the distribution report batch-shape planning (q137) and drift
+    * monitoring (q113) read from. pK is rank semantics, not
+    * interpolation: the smallest length whose cumulative doc count
+    * reaches ceil(n·K/100) under the deterministic (n_tok, doc_id)
+    * order — integer-exact, engine-portable.
+    *
+    * Shape at 100 TB: NOT a per-lang sort of the corpus (a
+    * Window.partitionBy(lang) rank would drag every doc of a language
+    * through one partition — the q73 anti-pattern). Instead ONE
+    * (lang, n_tok) hash-agg collapses the corpus to a histogram
+    * bounded by |langs|·max_len rows, and the cumulative windows run
+    * over that bounded relation only (the q113 justified-bounded
+    * idiom). */
+  def lengthPercentiles(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documentsDist(spark, d)
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy(col("lang"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(byLang.orderBy(col("n_tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(byLang))
+    cum.groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
+        min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("n_tok"))).as("p50_tok"),
+        min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("n_tok"))).as("p90_tok"),
+        min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("n_tok"))).as("p99_tok"))
+      .orderBy(col("lang"))
+  }
+
+  /** q152: leakage-safe train/val/test split — the q111 content-hash
+    * split made consistent with q49's near-dup clusters, so two
+    * near-duplicate documents can never straddle train and test (the
+    * eval-contamination channel dedup exists to close: a test doc
+    * whose near-dup sits in train is a leaked answer). Every doc
+    * inherits the split of its cluster representative (the minimum
+    * doc_id — exactly q49's cluster_id), `moved` flags docs the
+    * reconciliation pulled across, and singletons keep their own
+    * split by construction.
+    *
+    * Shape at 100 TB: pure composition of two verified plans (q49
+    * star-CC labels + q111 row-local hash split) plus two doc-keyed
+    * equi-joins — the representative side is one row per CLUSTER, so
+    * the join against it is dimension-shaped, and nothing new
+    * shuffles at corpus width. */
+  def leakSafeSplit(spark: SparkSession, d: String): DataFrame = {
+    val labels = Dedup.nearDupClusters(spark, d)
+    val split = splitAssign(spark, d).select(col("doc_id"), col("split"))
+    val rep = split.select(col("doc_id").as("cluster_id"),
+      col("split").as("final_split"))
+    labels.join(split, "doc_id").join(rep, "cluster_id")
+      .select(col("doc_id"), col("split").as("orig_split"),
+        col("cluster_id"), col("cluster_n"), col("final_split"),
+        when(col("split") =!= col("final_split"), 1L).otherwise(0L).as("moved"))
+      .orderBy(col("doc_id"))
+  }
 }

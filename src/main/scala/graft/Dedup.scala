@@ -1055,18 +1055,26 @@ object Dedup {
 
   private[graft] val ChunkW = 16
 
-  private[graft] def chunkDedupDf(docs: DataFrame): DataFrame = {
-    val chunks = docs
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), col("tk"),
+  /** Per-row 16-token chunking shared by q145/q150: (doc_id, [extra
+    * passthrough cols], cidx, ctok, h). split + slice + posexplode
+    * only — row amplification n_tok/16, no shuffle. */
+  private[graft] def chunkRows(docs: DataFrame, extra: String*): DataFrame = {
+    val keep = extra.map(col)
+    docs
+      .select(col("doc_id") +: toks(col("text")).as("tk") +: keep: _*)
+      .select(col("doc_id") +: col("tk") +: (keep :+
         posexplode(expr(s"sequence(0, (size(tk) + ${ChunkW - 1}) div $ChunkW - 1)"))
-          .as(Seq("p", "cidx")))
-      .select(col("doc_id"), col("cidx").cast("long").as("cidx"),
-        expr(s"slice(tk, cidx * $ChunkW + 1, $ChunkW)").as("ctk"))
-      .select(col("doc_id"), col("cidx"),
-        size(col("ctk")).cast("long").as("ctok"),
-        polyHash(array_join(col("ctk"), " ")).as("h"),
-        (col("doc_id") * lit(1048576L) + col("cidx")).as("ckey"))
+          .as(Seq("p", "cidx"))): _*)
+      .select(col("doc_id") +: col("cidx").cast("long").as("cidx") +:
+        expr(s"slice(tk, cidx * $ChunkW + 1, $ChunkW)").as("ctk") +: keep: _*)
+      .select(col("doc_id") +: col("cidx") +:
+        size(col("ctk")).cast("long").as("ctok") +:
+        polyHash(array_join(col("ctk"), " ")).as("h") +: keep: _*)
+  }
+
+  private[graft] def chunkDedupDf(docs: DataFrame): DataFrame = {
+    val chunks = chunkRows(docs)
+      .withColumn("ckey", col("doc_id") * lit(1048576L) + col("cidx"))
     val keeper = chunks.groupBy(col("h")).agg(min(col("ckey")).as("keep_key"))
     chunks.join(keeper, "h")
       .groupBy(col("doc_id"))
@@ -1078,5 +1086,74 @@ object Dedup {
         (col("n_chunks") - col("kept_chunks")).as("dup_chunks"),
         col("n_tokens"), col("kept_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q149: per-document novelty scoring — of a document's distinct
+    * 8-gram shingles, the fraction whose corpus-wide FIRST occurrence
+    * (minimum doc_id over holders) is this document. The
+    * dataset-growth audit: novelty ≈ 0 marks a doc that adds nothing
+    * the corpus didn't already have (the aggregate view of what
+    * q145/q109 flag pairwise), and the permille stream over ingest
+    * order shows when a source stops contributing.
+    *
+    * Shape at 100 TB: distinct shingle sets are per-row codegen
+    * (native kernel); first-holder election is ONE hash-agg min on
+    * the gram hash; one equi-join back + one per-doc agg — the q145
+    * keeper shape on the q31 gram unit. Docs shorter than 8 tokens
+    * have no 8-gram and drop out (mirrored in the oracle). */
+  def docNovelty(spark: SparkSession, d: String): DataFrame =
+    docNoveltyDf(Tables.documents(spark, d)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  private[graft] def docNoveltyDf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(shingleHashSet(col("text"), 8)).as("h"))
+    val first = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(1000 * n_novel) div n_grams").as("novelty_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q150: cross-source duplication matrix — for every source pair,
+    * how many distinct 16-token chunks they share verbatim, plus the
+    * overlap as a permille of the smaller source's chunk inventory.
+    * The mirror-detection report: q63 says two sources use the same
+    * WORDS; q150 says they carry the same CONTENT (syndication,
+    * scraped mirrors, boilerplate families).
+    *
+    * Shape at 100 TB: chunking is row-local (shared q145 kernel);
+    * the per-(source, chunk) relation is distinct-collapsed BEFORE
+    * the pair join (aggregate-before-join, the q63 discipline), and a
+    * boilerplate chunk held by more than `SourceDfCap` sources leaves
+    * the index before the self-join (the q123/q142 stop-key cap —
+    * without it one universal header contributes |sources|² pair
+    * instances). Output is source-pair bounded, never corpus-sized. */
+  def crossSourceDup(spark: SparkSession, d: String): DataFrame =
+    crossSourceDupDf(Tables.documentsDist(spark, d))
+
+  private[graft] val SourceDfCap = 16L
+
+  private[graft] def crossSourceDupDf(docs: DataFrame): DataFrame = {
+    val ch = CacheScope.cached(
+      chunkRows(docs, "source").select(col("source"), col("h")).distinct())
+    val perSrc = ch.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val keep = ch.groupBy(col("h")).agg(count(lit(1)).as("nsrc"))
+      .filter(col("nsrc") <= SourceDfCap).select(col("h"))
+    val chc = CacheScope.cached(ch.join(keep, "h"))
+    val shared = chc.as("a")
+      .join(chc.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+    shared
+      .join(perSrc.toDF("src_a", "sa"), "src_a")
+      .join(perSrc.toDF("src_b", "sb"), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_chunks"),
+        col("sa"), col("sb"),
+        expr("(1000 * shared_chunks) div least(sa, sb)").as("overlap_permille"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 }

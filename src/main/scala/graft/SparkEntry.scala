@@ -344,6 +344,18 @@ object SparkEntry {
     // integer multinomial naive Bayes over a deterministic 80/20
     // split — learned language classifier, fixed-point likelihoods
     "q148_nb_lang_classify" -> (TextAnalysis.nbLangClassify _),
+    // per-doc novelty: fraction of a doc's distinct 8-grams whose
+    // corpus-wide first holder is this doc — dataset-growth audit
+    "q149_doc_novelty" -> (Dedup.docNovelty _),
+    // cross-source duplication matrix: distinct shared 16-token
+    // chunks per source pair, df-capped against boilerplate
+    "q150_cross_source_dup" -> (Dedup.crossSourceDup _),
+    // exact per-lang token-length percentiles from the bounded
+    // (lang, len) histogram — no per-lang corpus sort
+    "q151_length_percentiles" -> (Curation.lengthPercentiles _),
+    // leakage-safe split: q111's content-hash split reconciled over
+    // q49's near-dup clusters (cluster representative wins)
+    "q152_leak_safe_split" -> (Curation.leakSafeSplit _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -433,6 +445,36 @@ object SparkEntry {
        |$rounds
        |SELECT node, dist FROM d${Graph.BfsRounds} ORDER BY node""".stripMargin
   }
+
+  /** q49 oracle CTE chain — the full recursive near-dup closure
+    * (shingles -> minhash bands -> verified pairs -> transitive
+    * reach -> min-labels + sizes). Shared verbatim by q152's
+    * leakage-safe split so the split reconciles against exactly the
+    * clusters the driver checks. */
+  private val NearDupClusterCte: String =
+    s"""RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |mh AS (SELECT doc_id, j, min(((2*j + 1) * h + 12345 + 7919*j) % 1000000007) m
+         |       FROM sh, generate_series(0, 15) g(j) GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, j // 4 AS b,
+         |          list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
+         |                      (acc, x) -> (acc * 131 + x) % 1000000007) AS key
+         |          FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x JOIN bands y
+         |         ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         |cm AS (SELECT da, db, count(*) cm FROM cand
+         |       JOIN sh p ON p.doc_id = da JOIN sh q ON q.doc_id = db AND q.h = p.h
+         |       GROUP BY da, db),
+         |sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT da, db FROM cm JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |          WHERE cm / (x.sz + y.sz - cm) >= 0.5),
+         |edges AS (SELECT da s, db t2 FROM pairs UNION ALL SELECT db, da FROM pairs),
+         |reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+         |          UNION
+         |          SELECT r.src, e.t2 FROM reach r JOIN edges e ON r.dst = e.s),
+         |lbl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |cn AS (SELECT cluster_id, count(*) AS cluster_n FROM lbl GROUP BY cluster_id)""".stripMargin
 
   /** q26 oracle — exact cosine top-5 ground truth. Shared verbatim by
     * q146's recall eval (the eval must grade against the same truth
@@ -685,29 +727,7 @@ object SparkEntry {
     // q23's pair pipeline, then WITH RECURSIVE transitive closure from
     // every doc; component label = min reachable doc_id (incl. self)
     "q49_dedup_clusters" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
-         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
-         |mh AS (SELECT doc_id, j, min(((2*j + 1) * h + 12345 + 7919*j) % 1000000007) m
-         |       FROM sh, generate_series(0, 15) g(j) GROUP BY doc_id, j),
-         |bands AS (SELECT doc_id, j // 4 AS b,
-         |          list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
-         |                      (acc, x) -> (acc * 131 + x) % 1000000007) AS key
-         |          FROM mh GROUP BY doc_id, j // 4),
-         |cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x JOIN bands y
-         |         ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
-         |cm AS (SELECT da, db, count(*) cm FROM cand
-         |       JOIN sh p ON p.doc_id = da JOIN sh q ON q.doc_id = db AND q.h = p.h
-         |       GROUP BY da, db),
-         |sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
-         |pairs AS (SELECT da, db FROM cm JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
-         |          WHERE cm / (x.sz + y.sz - cm) >= 0.5),
-         |edges AS (SELECT da s, db t2 FROM pairs UNION ALL SELECT db, da FROM pairs),
-         |reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
-         |          UNION
-         |          SELECT r.src, e.t2 FROM reach r JOIN edges e ON r.dst = e.s),
-         |lbl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
-         |cn AS (SELECT cluster_id, count(*) AS cluster_n FROM lbl GROUP BY cluster_id)
+      s"""WITH $NearDupClusterCte
          |SELECT l.doc_id, l.cluster_id, cn.cluster_n
          |FROM lbl l JOIN cn ON cn.cluster_id = l.cluster_id
          |ORDER BY l.doc_id""".stripMargin,
@@ -2284,5 +2304,67 @@ object SparkEntry {
         |SELECT doc_id, lang, l AS pred, score AS pred_score,
         |  (CASE WHEN l = lang THEN 1 ELSE 0 END)::BIGINT AS correct
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q149: distinct 8-gram sets (q31's gram unit), first holder =
+    // min doc_id per hash — mirrors Dedup.docNovelty.
+    "q149_doc_novelty" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+         |g AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+7], ' ')")} AS h
+         |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) i FROM t)),
+         |f AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h)
+         |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+         |  sum(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+         |  ((1000 * sum(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END))
+         |   // count(*))::BIGINT AS novelty_permille
+         |FROM g JOIN f USING (h)
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // q150: distinct (source, chunk-hash) before the pair join; a
+    // chunk in > 16 sources leaves the index (boilerplate cap).
+    "q150_cross_source_dup" ->
+      s"""WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, ' ') tk
+         |           FROM documents),
+         |x AS (SELECT doc_id, source, tk,
+         |      unnest(generate_series(0, (len(tk) + 15) // 16 - 1)) AS cidx FROM t),
+         |c AS (SELECT DISTINCT source,
+         |      ${H("array_to_string(tk[cidx*16+1 : cidx*16+16], ' ')")} AS h FROM x),
+         |ps AS (SELECT source, count(*)::BIGINT sz FROM c GROUP BY source),
+         |keep AS (SELECT h FROM c GROUP BY h HAVING count(*) <= 16),
+         |cc AS (SELECT c.source, c.h FROM c JOIN keep USING (h)),
+         |sh AS (SELECT a.source src_a, b.source src_b, count(*)::BIGINT shared_chunks
+         |       FROM cc a JOIN cc b ON a.h = b.h AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT sh.src_a, sh.src_b, sh.shared_chunks, x1.sz AS sa, x2.sz AS sb,
+         |  ((1000 * sh.shared_chunks) // least(x1.sz, x2.sz))::BIGINT AS overlap_permille
+         |FROM sh JOIN ps x1 ON x1.source = sh.src_a JOIN ps x2 ON x2.source = sh.src_b
+         |ORDER BY sh.src_a, sh.src_b""".stripMargin,
+    // q151: cumulative over the bounded (lang, len) histogram; pK =
+    // smallest len with cum >= ceil(n·K/100).
+    "q151_length_percentiles" ->
+      """WITH s AS (SELECT lang, len(regexp_split_to_array(text, ' '))::BIGINT n_tok
+        |           FROM documents),
+        |h AS (SELECT lang, n_tok, count(*)::BIGINT c FROM s GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |      sum(c) OVER (PARTITION BY lang ORDER BY n_tok
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT cum,
+        |      sum(c) OVER (PARTITION BY lang)::BIGINT n FROM h)
+        |SELECT lang, max(n)::BIGINT AS n_docs,
+        |  min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN n_tok END)::BIGINT AS p50_tok,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN n_tok END)::BIGINT AS p90_tok,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN n_tok END)::BIGINT AS p99_tok
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    // q152: the q49 closure + the q111 hash split; every doc takes
+    // its cluster representative's split.
+    "q152_leak_safe_split" ->
+      s"""WITH $NearDupClusterCte,
+         |sp AS (SELECT doc_id, CASE WHEN ${H("'split:' || text")} % 1000 < 980 THEN 'train'
+         |       WHEN ${H("'split:' || text")} % 1000 < 990 THEN 'val'
+         |       ELSE 'test' END AS split FROM documents)
+         |SELECT l.doc_id, sp.split AS orig_split, l.cluster_id, cn.cluster_n,
+         |  rp.split AS final_split,
+         |  (CASE WHEN sp.split != rp.split THEN 1 ELSE 0 END)::BIGINT AS moved
+         |FROM lbl l JOIN cn ON cn.cluster_id = l.cluster_id
+         |JOIN sp ON sp.doc_id = l.doc_id
+         |JOIN sp rp ON rp.doc_id = l.cluster_id
+         |ORDER BY l.doc_id""".stripMargin,
   )
 }

@@ -314,6 +314,46 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._3).sum == lens.length.toLong) // partition of the corpus
   }
 
+  test("q151 length percentiles ≡ local sorted-rank recompute") {
+    val byLang = Tables.documents(spark, d).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1)
+    val exp = byLang.toSeq.map { case (lang, g) =>
+      val ls = g.map(_._2).sorted
+      def pk(k: Long): Long = ls(((ls.length * k + 99) / 100 - 1).toInt)
+      (lang, ls.length.toLong, ls.head, ls.last, pk(50), pk(90), pk(99))
+    }.sortBy(_._1)
+    val got = Curation.lengthPercentiles(spark, d).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == exp && got.nonEmpty)
+    got.foreach { case (_, n, mn, mx, p50, p90, p99) =>
+      assert(n > 0 && mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+    }
+  }
+
+  test("q152 leak-safe split: clusters never straddle; ≡ recompute from the gated plans") {
+    val labels = Dedup.nearDupClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val split = Curation.splitAssign(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val exp = labels.map { case (id, cid, cn) =>
+      val fin = split(cid)
+      (id, split(id), cid, cn, fin, if (split(id) != fin) 1L else 0L)
+    }.sortBy(_._1).toSeq
+    val got = Curation.leakSafeSplit(spark, d).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // the leakage invariant: one split per cluster, exactly the
+    // representative's; singletons never move
+    got.groupBy(_._3).values.foreach { g =>
+      assert(g.map(_._5).distinct.size == 1)
+      if (g.size == 1) assert(g.head._6 == 0L)
+    }
+    assert(got.forall(r => (r._6 == 1L) == (r._2 != r._5)))
+  }
+
   test("q144 pii scrub: seeded cascade redacts exactly; corpus counts sane") {
     import spark.implicits._
     val rows = Seq(

@@ -925,6 +925,56 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(r => r._3 <= r._2 && r._5 <= r._2))
   }
 
+  test("q149 doc novelty ≡ local first-holder recompute; novel counts partition the gram space") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val first = scala.collection.mutable.Map[Long, Long]()
+    val perDoc = docs.map { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val hs = (0 to tk.length - 8).map(i => localHash(tk.slice(i, i + 8).mkString(" "))).distinct
+      hs.foreach(h => if (!first.contains(h)) first(h) = id)
+      (id, hs)
+    }.filter(_._2.nonEmpty)
+    val exp = perDoc.map { case (id, hs) =>
+      val novel = hs.count(h => first(h) == id).toLong
+      (id, hs.size.toLong, novel, 1000L * novel / hs.size)
+    }.toSeq
+    val got = Dedup.docNovelty(spark, d).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // every distinct gram is novel in exactly one doc
+    assert(got.map(_._3).sum == first.size.toLong)
+    // the planted near-dup corpus has at least one low-novelty doc
+    assert(got.exists(_._4 < 500))
+  }
+
+  test("q150 cross-source dup ≡ local recompute; cap prunes ubiquitous chunks") {
+    val docs = Tables.documents(spark, d).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySrcH = docs.flatMap { case (_, src, text) =>
+      text.split(" ", -1).grouped(Dedup.ChunkW)
+        .map(ck => (src, localHash(ck.mkString(" ")))).toSeq
+    }.distinct
+    val sz = bySrcH.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nsrc = bySrcH.groupBy(_._2).view.mapValues(_.size).toMap
+    val capped = bySrcH.filter(p => nsrc(p._2) <= Dedup.SourceDfCap)
+    val byH = capped.groupBy(_._2)
+    val exp = byH.values.flatMap { g =>
+      val ss = g.map(_._1).sorted
+      for (i <- ss.indices; j <- i + 1 until ss.size) yield (ss(i), ss(j))
+    }.groupBy(identity).map { case ((a, b), ps) =>
+      val shared = ps.size.toLong
+      (a, b, shared, sz(a), sz(b), 1000L * shared / math.min(sz(a), sz(b)))
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = Dedup.crossSourceDup(spark, d).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == exp && got.nonEmpty)
+    got.foreach { case (a, b, sh, sa, sb, pm) =>
+      assert(a < b && sh <= math.min(sa, sb) && pm <= 1000)
+    }
+  }
+
   test("q148 naive Bayes ≡ local fixed-point recompute on the 80/20 split") {
     val docs = Tables.documents(spark, d).select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
