@@ -612,6 +612,13 @@ object Curation {
   private[graft] val PiiNumRe = "[0-9]{2,}"
 
   private[graft] def piiScrubDf(events: DataFrame): DataFrame =
+    scrubCut(events).orderBy(col("event_id"))
+
+  /** The stateless scrub core (no presentation sort): pure per-row
+    * regex columns, so it runs UNCHANGED on a streaming DataFrame —
+    * the ingest-time redaction deployment (CurateStreamSpec pins
+    * stream ≡ batch). */
+  private[graft] def scrubCut(events: DataFrame): DataFrame =
     events.select(col("event_id"), col("event_type"), col("props"))
       .withColumn("s1", regexp_replace(col("props"), PiiEmailRe, "<EMAIL>"))
       .withColumn("s2", regexp_replace(col("s1"), PiiIpRe, "<IP>"))
@@ -626,7 +633,6 @@ object Curation {
             col("props"), PiiEmailRe, ""), PiiIpRe, ""), PiiPhoneRe, ""), PiiNumRe, "")))
           .cast("long").as("chars_redacted"),
         regexp_replace(col("s3"), PiiNumRe, "<NUM>").as("redacted"))
-      .orderBy(col("event_id"))
 
   def qualityCalibration(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -666,17 +672,26 @@ object Curation {
 
   private[graft] val SourceCap = 15
 
-  private[graft] def sourceCapsDf(docs: DataFrame): DataFrame = {
-    val s = CacheScope.cached(docs
-      .select(col("doc_id"), col("source"), col("n_chars"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        size(col("tk")).cast("long").as("n_tok"),
-        size(array_distinct(col("tk"))).cast("long").as("n_uniq"),
+  /** The q134/q29 heuristic in exact integer milli-units, as a
+    * passthrough-column transform: (doc_id, [extra], n_chars,
+    * score_milli). Row-local; shared by q147/q154. */
+  private[graft] def qualityMilli(docs: DataFrame, extra: String*): DataFrame = {
+    val keep = extra.map(col)
+    docs
+      .select(col("doc_id") +: col("n_chars") +: toks(col("text")).as("tk") +: keep: _*)
+      .select(col("doc_id") +: col("n_chars") +:
+        size(col("tk")).cast("long").as("n_tok") +:
+        size(array_distinct(col("tk"))).cast("long").as("n_uniq") +:
         size(filter(col("tk"), x =>
-          x.isin("the", "a", "of", "and", "is", "to", "in"))).cast("long").as("n_stop"))
-      .select(col("doc_id"), col("source"), col("n_chars"),
+          x.isin("the", "a", "of", "and", "is", "to", "in"))).cast("long").as("n_stop") +:
+        keep: _*)
+      .select(col("doc_id") +: col("n_chars") +:
         expr("(500 * n_uniq) div n_tok + (200 * n_stop) div n_tok" +
-          " + (300 * least(n_tok, 200)) div 200").as("score_milli")))
+          " + (300 * least(n_tok, 200)) div 200").as("score_milli") +: keep: _*)
+  }
+
+  private[graft] def sourceCapsDf(docs: DataFrame): DataFrame = {
+    val s = CacheScope.cached(qualityMilli(docs, "source"))
     // heap orders by (score desc, id asc); milli-scores are < 2^53 so
     // the double cast is exact
     val kept = s.groupBy(col("source"))
@@ -757,5 +772,34 @@ object Curation {
         col("cluster_id"), col("cluster_n"), col("final_split"),
         when(col("split") =!= col("final_split"), 1L).otherwise(0L).as("moved"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q154: canonical-document selection per duplicate cluster — the
+    * step the whole dedup family exists to feed: for every q49
+    * near-dup cluster, keep the best document (highest q134 integer
+    * milli-quality, ties → smallest doc_id) and account for what the
+    * collapse saves (dropped docs, dropped chars). Singleton clusters
+    * keep their only doc with zero savings.
+    *
+    * Shape at 100 TB: q49's labels (verified star-CC) + the row-local
+    * quality columns, one doc-keyed equi-join, then ONE per-cluster
+    * agg whose argmax rides a min(struct) — no windows over the
+    * corpus, output one row per CLUSTER. */
+  def canonicalDocs(spark: SparkSession, d: String): DataFrame = {
+    val labels = Dedup.nearDupClusters(spark, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val score = qualityMilli(Tables.documentsDist(spark, d))
+    labels.join(score, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("score_milli")).as("ns"), col("doc_id"),
+          col("n_chars"), col("score_milli"))).as("best"),
+        count(lit(1)).as("cluster_n"),
+        sum(col("n_chars")).as("chars_total"))
+      .select(col("cluster_id"), col("best.doc_id").as("canonical_id"),
+        col("best.score_milli").as("canonical_score_milli"),
+        col("cluster_n"),
+        (col("cluster_n") - 1L).as("dropped_docs"),
+        (col("chars_total") - col("best.n_chars")).as("chars_saved"))
+      .orderBy(col("cluster_id"))
   }
 }

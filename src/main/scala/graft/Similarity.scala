@@ -437,6 +437,39 @@ object Similarity {
     (cent, asg)
   }
 
+  /** q153: embedding outlier detection — every vector's squared
+    * distance to its q136 k-means centroid, normalized by the
+    * cluster's mean distance; a vector ≥ 2.5× its cluster mean is
+    * flagged. The embedding-space noise/mislabel sweep (the
+    * "prune the junk before SemDeDup trusts the cells" step): all
+    * arithmetic is the Lloyd micro-unit integers, the per-cluster
+    * mean is an exact integer division, so the flags replay in the
+    * oracle bit-for-bit.
+    *
+    * Shape at 100 TB: the assignment relation is q136's (already one
+    * lazy recurrence); the stats side is k rows (broadcast,
+    * alphabet-bounded), the flagging row-local.
+    *
+    * On the synthetic near-uniform corpus the max ratio is ~1.1×
+    * (high-dim concentration), so zero flags is the HONEST answer —
+    * the oracle checks the ratios; KmeansSpec plants a genuine
+    * far-out vector through the Df variant and sees it flag. */
+  def embedOutliers(spark: SparkSession, d: String): DataFrame =
+    embedOutliersDf(Tables.embeddings(spark, d))
+
+  private[graft] def embedOutliersDf(emb: DataFrame): DataFrame = {
+    val asg = lloyd(emb, KmeansK, KmeansRounds)._2
+    val stats = asg.groupBy(col("cid"))
+      .agg(expr("sum(d2) div count(1)").as("mean_d2"))
+    asg.join(broadcast(stats), "cid")
+      .select(col("vec_id"), col("cid"), col("d2").as("dist_sq_micro"),
+        col("mean_d2"),
+        expr("(1000 * d2) div greatest(mean_d2, 1)").as("ratio_permille"),
+        when(expr("(1000 * d2) div greatest(mean_d2, 1)") >= 2500, 1L)
+          .otherwise(0L).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q146: ANN quality evaluation — recall@5 of the int8-quantized
     * (q48) and hyperplane-LSH (q27) paths against the exact
     * brute-force ground truth (q26), per query. This is the eval

@@ -356,6 +356,12 @@ object SparkEntry {
     // leakage-safe split: q111's content-hash split reconciled over
     // q49's near-dup clusters (cluster representative wins)
     "q152_leak_safe_split" -> (Curation.leakSafeSplit _),
+    // embedding outlier sweep: distance-to-centroid vs cluster mean
+    // in exact Lloyd micro-units; >= 2.5x mean flags
+    "q153_embed_outliers" -> (Similarity.embedOutliers _),
+    // canonical doc per q49 dup cluster: best quality wins, dropped
+    // docs/chars accounted — the collapse step dedup feeds
+    "q154_canonical_docs" -> (Curation.canonicalDocs _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -475,6 +481,32 @@ object SparkEntry {
          |          SELECT r.src, e.t2 FROM reach r JOIN edges e ON r.dst = e.s),
          |lbl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
          |cn AS (SELECT cluster_id, count(*) AS cluster_n FROM lbl GROUP BY cluster_id)""".stripMargin
+
+  /** The q136 fixed-round integer Lloyd CTE chain at cluster count k
+    * — micro-unit components `q` through final assignment `a2`
+    * (vec_id, cid, d2). Shared by q136 and q153. */
+  private def lloydCte(k: Int): String =
+    s"""q AS (SELECT vec_id, i::BIGINT - 1 AS pos,
+       |        floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
+       |      FROM (SELECT vec_id, embedding,
+       |            unnest(generate_series(1, len(embedding))) i FROM embeddings)),
+       |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid
+       |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |c0 AS (SELECT s.cid, q.pos, q.vm AS cm FROM q JOIN seeds s ON s.vec_id = q.vec_id),
+       |e1 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+       |       FROM q JOIN c0 c ON c.pos = q.pos GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, cid, d2 FROM (
+       |         SELECT vec_id, cid, d2,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+       |         FROM e1) WHERE rn = 1),
+       |c1 AS (SELECT a.cid, q.pos, floor(sum(q.vm) / count(*))::BIGINT AS cm
+       |       FROM q JOIN a1 a ON a.vec_id = q.vec_id GROUP BY 1, 2),
+       |e2 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+       |       FROM q JOIN c1 c ON c.pos = q.pos GROUP BY 1, 2),
+       |a2 AS (SELECT vec_id, cid, d2 FROM (
+       |         SELECT vec_id, cid, d2,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+       |         FROM e2) WHERE rn = 1)""".stripMargin
 
   /** q26 oracle — exact cosine top-5 ground truth. Shared verbatim by
     * q146's recall eval (the eval must grade against the same truth
@@ -1184,28 +1216,8 @@ object SparkEntry {
          |UNION ALL SELECT doc_id, 2::BIGINT AS hops FROM h2
          |ORDER BY doc_id""".stripMargin,
     "q136_kmeans_embed" ->
-      """WITH q AS (SELECT vec_id, i::BIGINT - 1 AS pos,
-        |             floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
-        |           FROM (SELECT vec_id, embedding,
-        |                 unnest(generate_series(1, len(embedding))) i FROM embeddings)),
-        |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid
-        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-        |c0 AS (SELECT s.cid, q.pos, q.vm AS cm FROM q JOIN seeds s ON s.vec_id = q.vec_id),
-        |e1 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
-        |       FROM q JOIN c0 c ON c.pos = q.pos GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, cid, d2 FROM (
-        |         SELECT vec_id, cid, d2,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
-        |         FROM e1) WHERE rn = 1),
-        |c1 AS (SELECT a.cid, q.pos, floor(sum(q.vm) / count(*))::BIGINT AS cm
-        |       FROM q JOIN a1 a ON a.vec_id = q.vec_id GROUP BY 1, 2),
-        |e2 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
-        |       FROM q JOIN c1 c ON c.pos = q.pos GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, cid, d2 FROM (
-        |         SELECT vec_id, cid, d2,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
-        |         FROM e2) WHERE rn = 1)
-        |SELECT vec_id, cid, d2 AS dist_sq_micro FROM a2 ORDER BY vec_id""".stripMargin,
+      s"""WITH ${lloydCte(8)}
+         |SELECT vec_id, cid, d2 AS dist_sq_micro FROM a2 ORDER BY vec_id""".stripMargin,
     "q137_length_buckets" ->
       """WITH t AS (SELECT len(regexp_split_to_array(text, ' '))::BIGINT AS n_tok
         |           FROM documents),
@@ -2366,5 +2378,39 @@ object SparkEntry {
          |JOIN sp ON sp.doc_id = l.doc_id
          |JOIN sp rp ON rp.doc_id = l.cluster_id
          |ORDER BY l.doc_id""".stripMargin,
+    // q153: the q136 Lloyd chain, then per-cluster integer mean and
+    // row-local ratio/flag.
+    "q153_embed_outliers" ->
+      s"""WITH ${lloydCte(8)},
+         |st AS (SELECT cid, (sum(d2) // count(*))::BIGINT AS mean_d2 FROM a2 GROUP BY cid)
+         |SELECT a2.vec_id, a2.cid, a2.d2 AS dist_sq_micro, st.mean_d2,
+         |  ((1000 * a2.d2) // greatest(st.mean_d2, 1))::BIGINT AS ratio_permille,
+         |  (CASE WHEN (1000 * a2.d2) // greatest(st.mean_d2, 1) >= 2500
+         |        THEN 1 ELSE 0 END)::BIGINT AS is_outlier
+         |FROM a2 JOIN st USING (cid) ORDER BY a2.vec_id""".stripMargin,
+    // q154: the q49 closure + the q134 integer quality; per-cluster
+    // argmax (score desc, doc_id) picks the canonical survivor.
+    "q154_canonical_docs" ->
+      s"""WITH $NearDupClusterCte,
+         |tq AS (SELECT doc_id, n_chars, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sq AS (SELECT doc_id, n_chars, len(tk)::BIGINT n_tok,
+         |       len(list_distinct(tk))::BIGINT n_uniq,
+         |       len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in')))::BIGINT n_stop
+         |       FROM tq),
+         |scq AS (SELECT doc_id, n_chars,
+         |        ((500 * n_uniq) // n_tok + (200 * n_stop) // n_tok
+         |         + (300 * least(n_tok, 200)) // 200)::BIGINT AS score_milli FROM sq),
+         |jq AS (SELECT l.doc_id, l.cluster_id, sc.n_chars, sc.score_milli
+         |       FROM lbl l JOIN scq sc ON sc.doc_id = l.doc_id),
+         |rq AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY score_milli DESC, doc_id) rn FROM jq),
+         |ag AS (SELECT cluster_id, count(*)::BIGINT cluster_n, sum(n_chars)::BIGINT chars_total
+         |       FROM jq GROUP BY cluster_id)
+         |SELECT rq.cluster_id, rq.doc_id AS canonical_id,
+         |  rq.score_milli AS canonical_score_milli,
+         |  ag.cluster_n, (ag.cluster_n - 1)::BIGINT AS dropped_docs,
+         |  (ag.chars_total - rq.n_chars)::BIGINT AS chars_saved
+         |FROM rq JOIN ag ON ag.cluster_id = rq.cluster_id
+         |WHERE rq.rn = 1 ORDER BY rq.cluster_id""".stripMargin,
   )
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 /** Curation operators (stratified sampling, window packing) on sf0.001 —
   * value-level properties beyond the DuckDB parity gate (q50/q51). */
 case class LDoc(doc_id: Long, lang: String, text: String)
+case class LEvt(event_id: Long, event_type: String, props: String)
 
 class CurationSpec extends SparkSpec {
   private val d = "/root/testdata/sf0.001"
@@ -314,6 +315,28 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._3).sum == lens.length.toLong) // partition of the corpus
   }
 
+  test("pii scrub cut runs unchanged on a stream and matches the batch rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = spark.sqlContext
+    val evs = Tables.events(spark, d)
+      .select("event_id", "event_type", "props").as[LEvt].collect().toSeq
+    val mem = MemoryStream[LEvt]
+    val q = Curation.scrubCut(mem.toDF())
+      .writeStream.format("memory").queryName("scrub_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = evs.splitAt(evs.size / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val stream = spark.table("scrub_out").collect().map(_.toString).sorted.toSeq
+      val batch = Curation.piiScrubDf(Tables.events(spark, d)).collect()
+        .map(_.toString).sorted.toSeq
+      assert(stream == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("q151 length percentiles ≡ local sorted-rank recompute") {
     val byLang = Tables.documents(spark, d).select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
@@ -352,6 +375,36 @@ class CurationSpec extends SparkSpec {
       if (g.size == 1) assert(g.head._6 == 0L)
     }
     assert(got.forall(r => (r._6 == 1L) == (r._2 != r._5)))
+  }
+
+  test("q154 canonical docs ≡ local best-quality recompute over the gated clusters") {
+    val stop = Set("the", "a", "of", "and", "is", "to", "in")
+    val score = Tables.documents(spark, d)
+      .select("doc_id", "n_chars", "text").collect()
+      .map { r =>
+        val tk = r.getString(2).split(" ", -1)
+        val (nTok, nUniq) = (tk.length.toLong, tk.distinct.length.toLong)
+        val sc = 500 * nUniq / nTok + 200 * tk.count(stop).toLong / nTok +
+          300 * math.min(nTok, 200L) / 200
+        r.getLong(0) -> (r.getLong(1), sc)
+      }.toMap
+    val labels = Dedup.nearDupClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exp = labels.groupBy(_._2).toSeq.map { case (cid, g) =>
+      val members = g.map(_._1)
+      val best = members.minBy(id => (-score(id)._2, id))
+      val chars = members.map(score(_)._1).sum
+      (cid, best, score(best)._2, members.size.toLong,
+        members.size - 1L, chars - score(best)._1)
+    }.sortBy(_._1)
+    val got = Curation.canonicalDocs(spark, d).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // clusters partition the corpus; singletons save nothing
+    assert(got.map(_._4).sum == labels.length.toLong)
+    got.filter(_._4 == 1L).foreach(r => assert(r._5 == 0L && r._6 == 0L))
+    assert(got.exists(_._5 > 0L)) // the planted near-dups DO collapse
   }
 
   test("q144 pii scrub: seeded cascade redacts exactly; corpus counts sane") {

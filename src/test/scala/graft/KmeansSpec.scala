@@ -69,4 +69,43 @@ class KmeansSpec extends SparkSpec {
     assert(got.forall(_._5 >= 0))
     assert(got.count(_._6 == 1L) > 0)
   }
+
+  test("q153 embed outliers ≡ local recompute from the gated assignment") {
+    val asg = Similarity.kmeansEmbed(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mean = asg.groupBy(_._2).view
+      .mapValues(g => g.map(_._3).sum / g.size).toMap
+    val exp = asg.map { case (v, c, d2) =>
+      val m = math.max(mean(c), 1L)
+      val ratio = 1000L * d2 / m
+      (v, c, d2, mean(c), ratio, if (ratio >= 2500) 1L else 0L)
+    }.sortBy(_._1).toSeq
+    val got = Similarity.embedOutliers(spark, d).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // a mean can never sit below every member: each cluster keeps at
+    // least one non-outlier
+    got.groupBy(_._2).values.foreach(g => assert(g.exists(_._6 == 0L)))
+    // the near-uniform corpus concentrates (max ratio ~1.1x): zero
+    // flags here is the honest answer — the flag PATH is proven below
+    assert(got.forall(_._6 == 0L))
+  }
+
+  test("q153: a planted far-out vector flags; its tight cluster-mates do not") {
+    import spark.implicits._
+    // 8 tight 3-vector clusters (seeds = first 8 ids) + one genuine
+    // outlier far from everything, landing in cluster 0's cell
+    val tight = (0 until 8).flatMap { c =>
+      (0 until 3).map { j =>
+        (c + 8L * j, Seq.fill(4)(c * 10.0f + j * 0.001f))
+      }
+    }
+    val far = Seq((24L, Seq.fill(4)(100.0f)))
+    val emb = (tight ++ far).toDF("vec_id", "embedding")
+    val out = Similarity.embedOutliersDf(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(5))).toMap
+    assert(out(24L) == 1L)
+    assert(tight.map(_._1).forall(id => out(id) == 0L))
+  }
 }

@@ -42,7 +42,15 @@ class PlanSweepSpec extends SparkSpec {
     // inequality in the join condition — same bounded exact baseline
     "q140_hard_negatives" -> 1,
     // q141: the one-row session-count scalar broadcast
-    "q141_session_associations" -> 1)
+    "q141_session_associations" -> 1,
+    // q146: the eval re-instantiates the q26 truth plan three times
+    // (n_gt + two hit joins) and the q48 coarse pass once — each the
+    // SAME documented 10-broadcast-queries × corpus scan as above
+    "q146_quant_recall" -> 4,
+    // q148: the |langs|(=5)-row smoothing-denominator broadcast onto
+    // test tokens + the one-row vocab-size scalar onto totals — both
+    // alphabet/scalar-bounded; the MODEL joins on the token equi-key
+    "q148_nb_lang_classify" -> 2)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

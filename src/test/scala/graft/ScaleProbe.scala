@@ -55,7 +55,13 @@ object ScaleProbe {
         "q109_verbatim_overlap" -> (Dedup.verbatimOverlap _),
         "q118_winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
         "q119_winnow_overlap" -> (TextAnalysis.winnowOverlap _),
-        "q121_cdc_chunk_dups" -> (Dedup.cdcChunkDups _))
+        "q121_cdc_chunk_dups" -> (Dedup.cdcChunkDups _),
+        "q145_chunk_dedup" -> (Dedup.chunkDedup _),
+        "q148_nb_lang_classify" -> (TextAnalysis.nbLangClassify _),
+        "q149_doc_novelty" -> (Dedup.docNovelty _),
+        "q150_cross_source_dup" -> (Dedup.crossSourceDup _),
+        "q151_length_percentiles" -> (Curation.lengthPercentiles _),
+        "q152_leak_safe_split" -> (Curation.leakSafeSplit _))
     val ratios = qs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, d10)
@@ -131,7 +137,8 @@ object ScaleProbe {
       Seq("q19_events_sessionize" -> (Queries.eventsSessionize _),
         "q124_event_funnel" -> (Queries.eventFunnel _),
         "q125_cohort_retention" -> (Queries.cohortRetention _),
-        "q133_event_anomalies" -> (Queries.eventAnomalies _))
+        "q133_event_anomalies" -> (Queries.eventAnomalies _),
+        "q144_pii_scrub" -> (Curation.piiScrub _))
     val eratios = eqs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, edir)
