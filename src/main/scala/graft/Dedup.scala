@@ -1088,6 +1088,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q155: ingest-time paragraph (chunk) dedup — the arriving batch's
+    * 16-token chunks probed against the PERSISTED standing-corpus
+    * chunk index (q145's deployment shape, exactly as q56 is q23's):
+    * per new document, how many of its chunks the corpus already
+    * holds, and the fresh token mass an append would actually add.
+    * Within-batch duplication is deliberately out of scope (q145's
+    * job upstream) — the batch compares only to the corpus, so the
+    * operator is embarrassingly parallel across micro-batches.
+    *
+    * Shape at 100 TB: the corpus side is ONE distinct chunk-hash
+    * relation from the salted DedupIndex stage, paid once per corpus
+    * version (warm = zero corpus work, pinned via DedupIndex.builds);
+    * an ingest chunk-hashes only the batch and probes with one
+    * hash-equi-join. */
+  def ingestChunkDedup(spark: SparkSession, d: String): DataFrame = {
+    val fresh = Tables.documentsDist(spark, d).filter(!DedupIndex.isCorpus)
+    val idx = DedupIndex.buildOrLoadChunks(spark, d).withColumn("in_corpus", lit(1L))
+    chunkRows(fresh)
+      .join(idx, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("in_corpus").isNotNull, 1L).otherwise(0L)).as("corpus_dup_chunks"),
+        sum(col("ctok")).as("n_tokens"),
+        sum(when(col("in_corpus").isNull, col("ctok")).otherwise(0L)).as("fresh_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("corpus_dup_chunks"),
+        (col("n_chunks") - col("corpus_dup_chunks")).as("fresh_chunks"),
+        col("n_tokens"), col("fresh_tokens"),
+        expr("(1000 * corpus_dup_chunks) div n_chunks").as("dup_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q149: per-document novelty scoring — of a document's distinct
     * 8-gram shingles, the fraction whose corpus-wide FIRST occurrence
     * (minimum doc_id over holders) is this document. The

@@ -35,7 +35,9 @@ object DedupIndex {
   /** Observability for specs: corpus-side builds this JVM has run. */
   @volatile var builds: Int = 0
 
-  private val Version = "0.0.1"
+  // 0.0.2: adds the distinct chunk-hash relation (q155 ingest-time
+  // paragraph dedup) — the bump relocates and rebuilds old indexes
+  private val Version = "0.0.2"
 
   /** The standing-corpus membership rule shared with ingestDedup:
     * source index < 15 is corpus, >= 15 is the arriving batch. */
@@ -56,6 +58,15 @@ object DedupIndex {
       spark.read.parquet(s"$p/bands"))
   }
 
+  /** The distinct 16-token chunk hashes of the standing corpus — the
+    * membership side of q155's ingest-time paragraph dedup. Same
+    * salted dir, so a warm corpus version pays zero chunk work. */
+  def buildOrLoadChunks(spark: SparkSession, d: String): DataFrame = {
+    val p = dir(spark, d)
+    SaltedIndex.ensureBuilt(spark, p)(build(spark, d, p))
+    spark.read.parquet(s"$p/chunks")
+  }
+
   private def build(spark: SparkSession, d: String, p: String): Unit = {
     val corpus = Tables.documentsDist(spark, d).filter(isCorpus)
     corpus.select(lower(col("text")).as("k")).distinct()
@@ -70,6 +81,9 @@ object DedupIndex {
       .select(col("doc_id"),
         posexplode(nearDupBandKeys(col("hs"))).as(Seq("b", "key")))
       .write.mode("overwrite").parquet(s"$p/bands")
+    // distinct chunk membership for sub-document ingest dedup (q155)
+    Dedup.chunkRows(corpus).select(col("h")).distinct()
+      .write.mode("overwrite").parquet(s"$p/chunks")
     builds += 1
     SaltedIndex.markSuccess(spark, p)
   }

@@ -362,6 +362,9 @@ object SparkEntry {
     // canonical doc per q49 dup cluster: best quality wins, dropped
     // docs/chars accounted — the collapse step dedup feeds
     "q154_canonical_docs" -> (Curation.canonicalDocs _),
+    // ingest-time chunk dedup: the arriving batch probes the
+    // persisted standing-corpus chunk index (q145's q56 twin)
+    "q155_ingest_chunk_dedup" -> (Dedup.ingestChunkDedup _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -2412,5 +2415,25 @@ object SparkEntry {
          |  (ag.chars_total - rq.n_chars)::BIGINT AS chars_saved
          |FROM rq JOIN ag ON ag.cluster_id = rq.cluster_id
          |WHERE rq.rn = 1 ORDER BY rq.cluster_id""".stripMargin,
+    // q155: corpus membership = distinct chunk hashes of the standing
+    // half (the persisted index's content); the batch left-joins it.
+    "q155_ingest_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, substr(source, 4)::INT >= 15 AS is_new,
+         |           regexp_split_to_array(text, ' ') tk FROM documents),
+         |x AS (SELECT doc_id, is_new, tk,
+         |      unnest(generate_series(0, (len(tk) + 15) // 16 - 1)) AS cidx FROM t),
+         |c AS (SELECT doc_id, is_new,
+         |      len(tk[cidx*16+1 : cidx*16+16])::BIGINT AS ctok,
+         |      ${H("array_to_string(tk[cidx*16+1 : cidx*16+16], ' ')")} AS h FROM x),
+         |ci AS (SELECT DISTINCT h FROM c WHERE NOT is_new),
+         |j AS (SELECT c.doc_id, c.ctok, (ci.h IS NOT NULL) AS dup
+         |      FROM c LEFT JOIN ci ON ci.h = c.h WHERE c.is_new)
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS corpus_dup_chunks,
+         |  (count(*) - sum(CASE WHEN dup THEN 1 ELSE 0 END))::BIGINT AS fresh_chunks,
+         |  sum(ctok)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN NOT dup THEN ctok ELSE 0 END)::BIGINT AS fresh_tokens,
+         |  ((1000 * sum(CASE WHEN dup THEN 1 ELSE 0 END)) // count(*))::BIGINT AS dup_permille
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -901,6 +901,33 @@ class DedupSpec extends SparkSpec {
     assert(o == Seq((1L, 2L, 0L), (2L, 1L, 1L)))
   }
 
+  test("q155 ingest chunk dedup ≡ local corpus-membership recompute; warm probe rebuilds nothing") {
+    val docs = Tables.documents(spark, d).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def chunksOf(text: String) =
+      text.split(" ", -1).grouped(Dedup.ChunkW)
+        .map(ck => (localHash(ck.mkString(" ")), ck.length.toLong)).toSeq
+    val corpus = docs.filter(_._2.substring(3).toInt < 15)
+      .flatMap(x => chunksOf(x._3)).map(_._1).toSet
+    val exp = docs.filter(_._2.substring(3).toInt >= 15).map { case (id, _, text) =>
+      val cs = chunksOf(text)
+      val dup = cs.count(c => corpus(c._1)).toLong
+      val freshTok = cs.filterNot(c => corpus(c._1)).map(_._2).sum
+      (id, cs.size.toLong, dup, cs.size - dup, cs.map(_._2).sum, freshTok,
+        1000L * dup / cs.size)
+    }.sortBy(_._1).toSeq
+    val got = Dedup.ingestChunkDedup(spark, d).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == exp && got.nonEmpty)
+    assert(got.exists(_._3 > 0)) // the batch DOES carry corpus-known chunks
+    // a second ingest against the same corpus version probes only —
+    // zero corpus-side rebuilds
+    val b = DedupIndex.builds
+    val again = Dedup.ingestChunkDedup(spark, d).collect()
+    assert(DedupIndex.builds == b && again.length == got.length)
+  }
+
   test("q146 quant recall ≡ local intersection of the gated top-k outputs; int8 near-exact") {
     def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.select("q_id", "neighbor_id").collect()

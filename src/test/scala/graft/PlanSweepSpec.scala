@@ -74,4 +74,30 @@ class PlanSweepSpec extends SparkSpec {
     val stale = allowed.keys.filterNot(SparkEntry.queries.contains)
     assert(stale.isEmpty, s"allowlist names unknown queries: $stale")
   }
+
+  /** Queries whose partitionless windows run over PROVABLY BOUNDED
+    * relations (the q113 justified-bounded idiom), never the corpus —
+    * each entry names the bound. An unlisted global window fails the
+    * sweep: that is the one-task sort that dies at 100× (the q73
+    * lesson, round 6). */
+  private val boundedGlobalWindows = Map.empty[String, Int]
+
+  test("no single-partition window over corpus-sized data in any query plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, d).queryExecution.executedPlan
+        val n = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.size
+        if (n > boundedGlobalWindows.getOrElse(name, 0))
+          Some(s"$name: $n partitionless window(s)")
+        else None
+      } catch {
+        case e: Throwable =>
+          Some(s"$name: plan failed (${e.getClass.getSimpleName})")
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+    val stale = boundedGlobalWindows.keys.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"window allowlist names unknown queries: $stale")
+  }
 }

@@ -61,7 +61,8 @@ object ScaleProbe {
         "q149_doc_novelty" -> (Dedup.docNovelty _),
         "q150_cross_source_dup" -> (Dedup.crossSourceDup _),
         "q151_length_percentiles" -> (Curation.lengthPercentiles _),
-        "q152_leak_safe_split" -> (Curation.leakSafeSplit _))
+        "q152_leak_safe_split" -> (Curation.leakSafeSplit _),
+        "q155_ingest_chunk_dedup" -> (Dedup.ingestChunkDedup _))
     val ratios = qs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, d10)
