@@ -492,9 +492,33 @@ object Dedup {
     * final edges directly. Each phase is materialized via persist +
     * full count (truncating recomputation); long jobs would
     * periodically checkpoint to cut lineage. */
-  def nearDupClusters(spark: SparkSession, d: String): DataFrame =
-    nearDupClustersDf(Tables.documents(spark, d),
-      minhashNearDup(spark, d))
+  /** The corpus entry persists its labels as a salted stage (the
+    * IvfIndex/DedupIndex pattern): clustering is the most expensive
+    * recurring artifact in the dedup family, and THREE operators
+    * consume the same labels (q49 itself, q152's leakage-safe split,
+    * q154's canonical selection). The star-CC rounds run once per
+    * corpus version; warm consumers read one parquet relation
+    * (zero-rebuild pinned via `clusterBuilds` in DedupSpec). The
+    * Df-in variant below stays unpersisted — it serves arbitrary
+    * survivor sets (CurateDag) and the convergence specs. */
+  def nearDupClusters(spark: SparkSession, d: String): DataFrame = {
+    val p = SaltedIndex.dir(spark, "clusters", ClusterIdxVersion,
+      s"$d/documents.parquet",
+      Seq("corpus" -> d, "shingleN" -> NearDupShingleN.toString,
+        "jaccard" -> "0.5", "bands" -> s"$NearDupBands x $NearDupRows"))
+    SaltedIndex.ensureBuilt(spark, p) {
+      clusterLabels(Tables.documents(spark, d), minhashNearDup(spark, d))
+        .write.mode("overwrite").parquet(s"$p/labels")
+      clusterBuilds += 1
+      SaltedIndex.markSuccess(spark, p)
+    }
+    withSizes(spark.read.parquet(s"$p/labels"))
+  }
+
+  private val ClusterIdxVersion = "0.0.1"
+
+  /** Observability for specs: corpus-side cluster builds this JVM ran. */
+  @volatile var clusterBuilds: Int = 0
 
   /** Observability for specs: rounds (full LS+SS iterations) the last
     * nearDupClustersDf call took to converge. */

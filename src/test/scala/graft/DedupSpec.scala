@@ -901,6 +901,16 @@ class DedupSpec extends SparkSpec {
     assert(o == Seq((1L, 2L, 0L), (2L, 1L, 1L)))
   }
 
+  test("cluster labels are a persisted stage: warm q49/q152/q154 rebuild nothing, labels identical") {
+    val first = Dedup.nearDupClusters(spark, d).collect().map(_.toString).toSeq
+    val b = Dedup.clusterBuilds
+    val again = Dedup.nearDupClusters(spark, d).collect().map(_.toString).toSeq
+    Curation.leakSafeSplit(spark, d).count()
+    Curation.canonicalDocs(spark, d).count()
+    assert(Dedup.clusterBuilds == b, "warm consumers re-ran the star-CC build")
+    assert(again == first && first.nonEmpty)
+  }
+
   test("q155 ingest chunk dedup ≡ local corpus-membership recompute; warm probe rebuilds nothing") {
     val docs = Tables.documents(spark, d).select("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
