@@ -35,6 +35,29 @@ class InstrumentSpec extends SparkSpec {
         "the corpus-side verify explode is no longer candidate-pruned")
   }
 
+  test("q144 scrub: map-only — the presentation sort is the only shuffle, no broadcasts") {
+    val (rows, s) = Instrument.collectWithPlan(
+      Curation.piiScrubDf(Tables.events(spark, d)))
+    assert(s.shuffles == 1, s"expected only the output range sort: $s")
+    assert(s.broadcasts == 0, s)
+    assert(s.recordsWritten == rows.length, s) // every event passes once
+    assert(rows.nonEmpty)
+  }
+
+  test("q155 warm ingest chunk probe shuffles batch-proportional traffic, under one corpus chunk pass") {
+    Dedup.ingestChunkDedup(spark, d).count() // warm the salted chunk index
+    val (rows, s) = Instrument.collectWithPlan(Dedup.ingestChunkDedup(spark, d))
+    val cc = Tables.documents(spark, d)
+      .filter(substring(col("source"), 4, 10).cast("int") < 15)
+      .select("text").collect()
+      .map(r => (r.getString(0).split(" ", -1).length + Dedup.ChunkW - 1) / Dedup.ChunkW)
+      .sum
+    assert(rows.nonEmpty && cc > 0)
+    assert(s.recordsWritten < cc,
+      s"warm probe shuffled ${s.recordsWritten} records ≥ corpus chunk stream $cc — " +
+        "the corpus side is no longer a persisted probe-only relation")
+  }
+
   test("q03 shape: forcing the broadcast join to shuffle moves strictly more traffic") {
     def q(c: org.apache.spark.sql.DataFrame) =
       Tables.orders(spark, d)
