@@ -25,17 +25,37 @@ object Graph {
 
   /** Symmetric arc list of the trade graph, deduped. One equi-join
     * (orders side projected to two ints) + one distinct — both shuffles
-    * keyed; the arc relation is what every operator here consumes. */
+    * keyed; the arc relation is what every operator here consumes.
+    * Since round 6 the extraction is a PERSISTED salted stage (the
+    * cluster-label pattern): graph analytics re-read the same arc
+    * relation per query, so the fact-table join + distinct runs once
+    * per data version and warm consumers (q126 PageRank, q131 BFS)
+    * scan one parquet relation. */
   private def tradeArcs(spark: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(spark, d)
-      .select(col("l_orderkey").as("ok"), (col("l_suppkey") * 2).as("s"))
-    val os = Tables.orders(spark, d)
-      .select(col("o_orderkey").as("ok2"), (col("o_custkey") * 2 + 1).as("c"))
-    val b = li.join(os, col("ok") === col("ok2"))
-      .select(col("s"), col("c")).distinct()
-    b.select(col("s").as("src"), col("c").as("dst"))
-      .union(b.select(col("c").as("src"), col("s").as("dst")))
+    val p = SaltedIndex.dir(spark, "tradearcs", ArcIdxVersion,
+      s"$d/lineitem.parquet",
+      Seq("corpus" -> d,
+        "orders" -> SaltedIndex.stamp(spark, s"$d/orders.parquet")))
+    SaltedIndex.ensureBuilt(spark, p) {
+      val li = Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("ok"), (col("l_suppkey") * 2).as("s"))
+      val os = Tables.orders(spark, d)
+        .select(col("o_orderkey").as("ok2"), (col("o_custkey") * 2 + 1).as("c"))
+      val b = li.join(os, col("ok") === col("ok2"))
+        .select(col("s"), col("c")).distinct()
+      b.select(col("s").as("src"), col("c").as("dst"))
+        .union(b.select(col("c").as("src"), col("s").as("dst")))
+        .write.mode("overwrite").parquet(s"$p/arcs")
+      arcBuilds += 1
+      SaltedIndex.markSuccess(spark, p)
+    }
+    spark.read.parquet(s"$p/arcs")
   }
+
+  private val ArcIdxVersion = "0.0.1"
+
+  /** Observability for specs: arc-extraction builds this JVM ran. */
+  @volatile var arcBuilds: Int = 0
 
   /** PageRank iterations per the fixed-round contract below. */
   val PageRankIters = 5

@@ -59,7 +59,12 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
   releasedAfterAction("minhashNearDup", () => Dedup.minhashNearDup(spark, dir))
   releasedAfterAction("embeddingNearDup", () => Dedup.embeddingNearDup(spark, dir))
   releasedAfterAction("ingestDedup", () => Dedup.ingestDedup(spark, dir))
-  releasedAfterAction("nearDupClusters", () => Dedup.nearDupClusters(spark, dir))
+  // the corpus entry is a persisted salted stage since round 6 (a warm
+  // call reads parquet, no caches) — the cache contract lives in the
+  // Df-in variant the build and CurateDag compose
+  releasedAfterAction("nearDupClustersDf", () =>
+    Dedup.nearDupClustersDf(Tables.documents(spark, dir),
+      Dedup.minhashNearDupDf(Tables.documents(spark, dir))))
   releasedAfterAction("lshTopK", () => Similarity.lshTopK(spark, dir))
   releasedAfterAction("bigramFluency", () => TextAnalysis.bigramFluency(spark, dir))
   releasedAfterAction("mixturePlan", () => Curation.mixturePlan(spark, dir))

@@ -220,4 +220,13 @@ class GraphAnalyticsSpec extends SparkSpec {
       .filter(_.getLong(5) == 1L).map(_.getLong(1)).toSeq
     assert(flagged == Seq(epoch + 17L))
   }
+
+  test("trade arcs are a persisted stage: warm q126/q131 rebuild nothing, results identical") {
+    val first = Graph.pageRank(spark, d).collect().map(_.toString).toSeq
+    val b = Graph.arcBuilds
+    val again = Graph.pageRank(spark, d).collect().map(_.toString).toSeq
+    Graph.bfsDistances(spark, d).count()
+    assert(Graph.arcBuilds == b, "warm graph queries re-ran the arc extraction")
+    assert(again == first && first.nonEmpty)
+  }
 }
