@@ -118,12 +118,21 @@ object Bench {
     // again become "no bench output at all" (round 4's None.get).
     def line(qj: String, fjx: String) =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qj,"failures":$fjx,"sf":"$sfDir"}"""
+    // 1-decimal rung: past ~155 queries the 2-decimal map alone
+    // overflows the window (159 × ~12 B > 1900), and whole seconds
+    // flatten every sub-second query to 0 — 100 ms resolution keeps
+    // the gate's profile readable for ~175 queries before the int rung
+    def sec1(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(t))
+    def qs1 = results.map { case (k, v) =>
+      s"\"" + short(k) + "\":" + v.fold(_ => "null", sec1)
+    }.mkString("{", ",", "}")
     def qsInt = results.map { case (k, v) => // whole seconds, floor
       s"\"" + short(k) + "\":" + v.fold(_ => "null", t => t.toLong.toString)
     }.mkString("{", ",", "}")
     val fjCount = s"""{"count":${failures.size}}"""
     val lastRung = line("{}", fjCount)
-    val out = Seq(line(qs, fj), line(qsInt, fj), line(qsInt, fjCount), lastRung)
+    val out = Seq(line(qs, fj), line(qs1, fj), line(qsInt, fj), line(qsInt, fjCount), lastRung)
       .find(_.length <= 1900).getOrElse(lastRung)
     println(out)
     spark.stop()

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators — the steps between "deduped documents"
@@ -149,6 +149,56 @@ object Curation {
       .select(col("lang"), col("n_tokens"), col("share_pm"),
         col("rate_permille"), col("planned_tokens"))
       .orderBy(col("lang"))
+  }
+
+  /** Exact integer square root: floor(sqrt(double)) then a one-step
+    * correction in each direction. IEEE-754 requires sqrt to be
+    * correctly rounded, so the seed is within 1 of the true isqrt for
+    * every n < 2^53 and the corrected value is EXACT in both engines —
+    * the trick that keeps a fractional-power weight oracle-checkable
+    * (the "no cross-engine ln" discipline of q114/q128/q129 extended
+    * to α = 1/2). */
+  private def isqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    val s1 = when(s0 * s0 > n, s0 - 1L).otherwise(s0)
+    when((s1 + 1L) * (s1 + 1L) <= n, s1 + 1L).otherwise(s1)
+  }
+
+  /** q157: TEMPERATURE-scaled source mixture weights — w_s = n_s^α
+    * with α = 1/2 (temperature T = 1/α = 2), the standard multilingual/
+    * multi-source rebalancing rule (Conneau & Lample's exponentiated
+    * sampling; Raffel et al.'s T5 mixing): big sources are tempered
+    * toward the mean, small sources upweighted, without the hard target
+    * shares q110 needs as input. For each source: its exact isqrt
+    * weight, its resulting permille share, the tokens it contributes to
+    * a one-corpus-pass budget (Σn tokens drawn ∝ w), and the implied
+    * epochs over that source in milli-units (>1000 = the small source
+    * repeats; the overfit-risk number a pipeline owner reads first).
+    *
+    * All integer arithmetic: isqrt is exact (see above), shares and
+    * epochs are floor divisions. tn·w stays far inside Long until
+    * Σn·√n_max ≈ 9·10¹⁸ — a 10-trillion-token corpus with a
+    * trillion-token source; past that the division reorders to
+    * (tn div tw)·w + (tn mod tw)·w div tw.
+    *
+    * Shape: ONE linear token-count hash-agg (|sources| rows out), a
+    * one-row total re-entering via broadcast cross join (the q110
+    * scalar pattern). Output is |sources| rows regardless of corpus —
+    * nothing here scales with N but the one partial-agg scan. */
+  def temperatureMix(spark: SparkSession, d: String): DataFrame = {
+    // referenced by the totals scalar AND the final projection
+    val inv = graft.CacheScope.cached(
+      Tables.documentsDist(spark, d)
+        .select(col("source"), size(toks(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+        .withColumn("w", isqrt(col("n_tokens"))))
+    val tot = inv.agg(sum(col("w")).as("tw"), sum(col("n_tokens")).as("tn"))
+    inv.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("w").as("weight"),
+        expr("(1000 * w) div tw").as("share_pm"),
+        expr("(tn * w) div tw").as("tokens_drawn"),
+        expr("(1000 * ((tn * w) div tw)) div n_tokens").as("epochs_milli"))
+      .orderBy(col("source"))
   }
 
   /** q113: ingest drift monitor — a KS-style comparison of the document

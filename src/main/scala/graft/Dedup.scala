@@ -1211,4 +1211,53 @@ object Dedup {
         expr("(1000 * shared_chunks) div least(sa, sb)").as("overlap_permille"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Eval-carve size for q156 — FIXED (not a corpus fraction), which is
+    * what makes the eval side broadcastable at any corpus size. */
+  private[graft] val EmbedDecontamEvalK = 64
+
+  /** q156: EMBEDDING-SPACE decontamination — the semantic twin of q55.
+    * n-gram decontamination (q55/q107/q90) catches verbatim and
+    * near-verbatim eval leakage; it is blind to paraphrases, which live
+    * in embedding space. Here a held-out eval set is carved from the
+    * vector table (the `EmbedDecontamEvalK` vec_ids ranking first by
+    * the salted content hash — deterministic, size-FIXED by
+    * construction, the q120 carve idea on the vector side) and every
+    * corpus vector with cosine ≥ 0.4 to ANY eval vector is flagged
+    * with its hit count and best-matching eval item.
+    *
+    * Shape at 100 TB: the eval relation is 64 rows by construction —
+    * the broadcast is bounded by the carve constant, never the corpus
+    * (same legitimacy argument as q55's eval shingles). The corpus
+    * pass is a map-only broadcast nested scan (64 exact dot products
+    * per row, linear in N) followed by one vec_id-keyed hash-agg of
+    * the ≥τ survivors. A deployment with a larger eval set swaps the
+    * brute pass for the IVF cell restriction (q33's index): probe only
+    * cells whose centroid is within the τ-ball bound — plan shape
+    * unchanged. Exact double cosine (the q25/q26 discipline: positional
+    * fold = DuckDB list_dot_product, identical order) keeps it fully
+    * oracle-checked. */
+  def embedDecontam(spark: SparkSession, d: String): DataFrame = {
+    // eval carve + corpus anti side read the same normed relation once
+    val e = CacheScope.cached(Similarity.withNorm(Tables.embeddings(spark, d)))
+    // TakeOrderedAndProject: per-partition top-64 + driver merge — no
+    // global sort, result total-ordered by (h, vec_id) so deterministic
+    val ev = e
+      .withColumn("h", polyHash(concat(lit("ed:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(EmbedDecontamEvalK)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("nn").as("en"))
+    val corpus = e.join(ev.select(col("eval_id").as("vec_id")), Seq("vec_id"), "left_anti")
+    corpus.crossJoin(broadcast(ev))
+      .withColumn("cos",
+        Similarity.cosine(col("v"), col("ev"), col("nn"), col("en")))
+      .filter(col("cos") >= 0.4)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        // best match = highest cosine, ties to the SMALLEST eval id
+        max(struct(col("cos").as("c"), (-col("eval_id")).as("nid"))).as("best"))
+      .select(col("vec_id"), col("n_eval_hits"),
+        (-col("best.nid")).as("eval_id"),
+        round(col("best.c"), 6).as("cosine"))
+      .orderBy(col("vec_id"))
+  }
 }

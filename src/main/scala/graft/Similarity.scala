@@ -498,4 +498,32 @@ object Similarity {
         round(coalesce(col("hl"), lit(0L)) / col("n_gt"), 6).as("recall_lsh"))
       .orderBy(col("q_id"))
   }
+
+  /** q158: cluster PROTOTYPES — the 4 most-central vectors of every
+    * q136 k-means cell (smallest exact integer d2 to their centroid,
+    * ties to the lower vec_id). This is the "show me what each cell
+    * IS" read of the clustering: prototype exemplars for corpus
+    * cartography, the per-cell representatives cluster-balanced
+    * sampling keeps first (SSL-prototypes pruning keeps central
+    * examples exactly like this; SemDeDup drops their near-twins),
+    * and seed candidates for a finer index level.
+    *
+    * Shape: the assignment relation is q136's one lazy recurrence;
+    * prototype selection is the bounded-heap top-k aggregate (q38's
+    * TopKByScore on −d2 — exact integers ≤ 2.6·10¹⁴ carried in
+    * doubles, far inside the 2^53 exact range): map-side partial
+    * top-4, 4 rows per cell per partition on the wire, never a
+    * per-cell sort. Output is 4k rows regardless of corpus size, and
+    * the whole thing replays in the oracle via the q136 Lloyd CTEs. */
+  def clusterPrototypes(spark: SparkSession, d: String): DataFrame = {
+    val asg = lloyd(Tables.embeddings(spark, d), KmeansK, KmeansRounds)._2
+    asg.groupBy(col("cid"))
+      .agg(graft.functions.TopKByScore.topk(
+        -col("d2").cast("double"), col("vec_id"), 4).as("top"))
+      .select(col("cid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("cid"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("vec_id"),
+        (-col("s.score")).cast("long").as("dist_sq_micro"))
+      .orderBy(col("cid"), col("rank"))
+  }
 }

@@ -365,6 +365,18 @@ object SparkEntry {
     // ingest-time chunk dedup: the arriving batch probes the
     // persisted standing-corpus chunk index (q145's q56 twin)
     "q155_ingest_chunk_dedup" -> (Dedup.ingestChunkDedup _),
+    // embedding-space decontamination: the paraphrase leakage q55's
+    // n-grams cannot see — bounded eval carve, exact cosine flags
+    "q156_embed_decontam" -> (Dedup.embedDecontam _),
+    // temperature-scaled source mixture (α = 1/2 via exact isqrt):
+    // shares, drawn tokens, and per-source epoch counts
+    "q157_temperature_mix" -> (Curation.temperatureMix _),
+    // per-cell prototype exemplars of the q136 clustering via the
+    // bounded-heap top-k (most-central 4 per cell)
+    "q158_cluster_prototypes" -> (Similarity.clusterPrototypes _),
+    // Heaps-law vocabulary growth: cumulative new token types across
+    // 20 ingest-order slices, per language
+    "q159_vocab_growth" -> (TextAnalysis.vocabGrowth _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -2435,5 +2447,75 @@ object SparkEntry {
          |  sum(CASE WHEN NOT dup THEN ctok ELSE 0 END)::BIGINT AS fresh_tokens,
          |  ((1000 * sum(CASE WHEN dup THEN 1 ELSE 0 END)) // count(*))::BIGINT AS dup_permille
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q156: the 64-vector eval carve is the TOP-64 by salted content
+    // hash (deterministic, size-fixed); flags replay q25's exact
+    // double cosine; best match = (cos desc, eval_id asc).
+    "q156_embed_decontam" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |ev AS (SELECT vec_id AS eval_id, v FROM e
+         |       ORDER BY ${H("'ed:' || vec_id")}, vec_id LIMIT 64),
+         |s AS (SELECT e.vec_id, ev.eval_id,
+         |      list_dot_product(e.v, ev.v)
+         |      / sqrt(list_dot_product(e.v, e.v) * list_dot_product(ev.v, ev.v)) c
+         |      FROM e, ev
+         |      WHERE e.vec_id NOT IN (SELECT eval_id FROM ev)),
+         |f AS (SELECT vec_id, eval_id, c,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, eval_id) rn
+         |      FROM s WHERE c >= 0.4)
+         |SELECT vec_id, (SELECT count(*) FROM f g
+         |                WHERE g.vec_id = f.vec_id)::BIGINT AS n_eval_hits,
+         |  eval_id, round(c, 6) AS cosine
+         |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // q157: exact isqrt = floor(sqrt(double)) with the one-step
+    // correction both ways (IEEE sqrt is correctly rounded, so the
+    // corrected integer is exact in both engines).
+    "q157_temperature_mix" ->
+      """WITH inv AS (SELECT source,
+        |       sum(len(regexp_split_to_array(text, ' ')))::BIGINT AS n_tokens
+        |       FROM documents GROUP BY 1),
+        |w0 AS (SELECT source, n_tokens,
+        |       floor(sqrt(n_tokens::DOUBLE))::BIGINT AS s0 FROM inv),
+        |w1 AS (SELECT source, n_tokens,
+        |       CASE WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END AS s1 FROM w0),
+        |wt AS (SELECT source, n_tokens,
+        |       CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens THEN s1 + 1 ELSE s1 END AS w
+        |       FROM w1),
+        |t AS (SELECT sum(w)::BIGINT AS tw, sum(n_tokens)::BIGINT AS tn FROM wt)
+        |SELECT source, n_tokens, w::BIGINT AS weight,
+        |  ((1000 * w) // tw)::BIGINT AS share_pm,
+        |  ((tn * w) // tw)::BIGINT AS tokens_drawn,
+        |  ((1000 * ((tn * w) // tw)) // n_tokens)::BIGINT AS epochs_milli
+        |FROM wt, t ORDER BY source""".stripMargin,
+    // q158: the q136 Lloyd CTEs verbatim, then the per-cell top-4 by
+    // (d2, vec_id) — the oracle's window sort equals the bounded heap.
+    "q158_cluster_prototypes" ->
+      s"""WITH ${lloydCte(8)},
+         |r AS (SELECT cid, vec_id, d2,
+         |      row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) rn FROM a2)
+         |SELECT cid, rn::BIGINT AS rank, vec_id, d2 AS dist_sq_micro
+         |FROM r WHERE rn <= 4 ORDER BY cid, rank""".stripMargin,
+    // q159: same integer bucket rule; first-seen = min bucket per
+    // (lang, token); cumulative over the ≤20-row per-lang curve.
+    "q159_vocab_growth" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        |occ AS (SELECT lang,
+        |        least(19, (doc_id * 20) // (mx + 1))::BIGINT AS bucket,
+        |        unnest(regexp_split_to_array(text, ' ')) AS tok
+        |        FROM documents, m),
+        |g AS (SELECT lang, bucket, tok, count(*)::BIGINT AS n
+        |      FROM occ GROUP BY 1, 2, 3),
+        |vol AS (SELECT lang, bucket, sum(n)::BIGINT AS bucket_tokens
+        |        FROM g GROUP BY 1, 2),
+        |fresh AS (SELECT lang, bucket, count(*)::BIGINT AS new_types FROM (
+        |            SELECT lang, tok, min(bucket) AS bucket FROM g GROUP BY 1, 2)
+        |          GROUP BY 1, 2)
+        |SELECT v.lang, v.bucket,
+        |  coalesce(f.new_types, 0)::BIGINT AS new_types, v.bucket_tokens,
+        |  sum(coalesce(f.new_types, 0)) OVER
+        |    (PARTITION BY v.lang ORDER BY v.bucket)::BIGINT AS cum_types,
+        |  sum(v.bucket_tokens) OVER
+        |    (PARTITION BY v.lang ORDER BY v.bucket)::BIGINT AS cum_tokens
+        |FROM vol v LEFT JOIN fresh f ON f.lang = v.lang AND f.bucket = v.bucket
+        |ORDER BY v.lang, v.bucket""".stripMargin,
   )
 }

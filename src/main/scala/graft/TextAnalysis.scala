@@ -598,4 +598,62 @@ object TextAnalysis {
         when(col("best.l") === col("lang"), 1L).otherwise(0L).as("correct"))
       .orderBy(col("doc_id"))
   }
+
+  /** Number of ingest-order buckets the q159 growth curve samples —
+    * FIXED, so every window below runs over ≤ VocabGrowthBuckets rows
+    * per language and the output is alphabet-bounded. */
+  private[graft] val VocabGrowthBuckets = 20L
+
+  /** q159: VOCABULARY GROWTH curve (Heaps' law empirics) — per
+    * language, cumulative distinct token types vs cumulative token
+    * volume across 20 equal ingest-order slices of the corpus. The
+    * curve a pipeline owner reads to decide whether more of the same
+    * source still buys new vocabulary (sub-linear type growth
+    * flattening = the source is mined out) and to size tokenizer vocab
+    * (q116) against real type inventories.
+    *
+    * Determinism: the "ingest order" is doc_id order, bucketed by
+    * exact integer arithmetic (least(B−1, doc_id·B div (max+1))) — no
+    * row_number over the corpus. A type's first appearance is
+    * min(bucket) over its occurrences, so cum_types at bucket b counts
+    * types first seen in any slice ≤ b — exactly |vocab(prefix b)|.
+    *
+    * Shape at 100 TB: one token explode (linear) into one
+    * (lang, bucket, token) hash-agg with map-side partials; the
+    * first-seen reduction is a second hash-agg on (lang, token) — both
+    * shuffles are token-keyed, never a global sort. The cumulative
+    * windows run per language over ≤ 20 bucket rows (alphabet-bounded
+    * partitions — the q151 histogram-window argument, not the banned
+    * q73 global sort). Output ≤ |langs|·20 rows regardless of N. */
+  def vocabGrowth(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsDist(spark, d)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val B = VocabGrowthBuckets
+    // per (lang, bucket, token): occurrence counts — the ONE
+    // corpus-sized aggregation both curves derive from
+    val occ = CacheScope.cached(docs.crossJoin(broadcast(mx))
+      .select(col("lang"),
+        expr(s"least($B - 1, (doc_id * $B) div (mx + 1))").as("bucket"),
+        explode(toks(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("bucket"), col("tok"))
+      .agg(count(lit(1)).as("n")))
+    // token volume per slice
+    val vol = occ.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n")).as("bucket_tokens"))
+    // new types per slice: types whose FIRST slice is this one
+    val fresh = occ.groupBy(col("lang"), col("tok"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vol.join(fresh, Seq("lang", "bucket"), "left")
+      .select(col("lang"), col("bucket"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        col("bucket_tokens"))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+      .orderBy(col("lang"), col("bucket"))
+  }
 }

@@ -469,4 +469,81 @@ class CurationSpec extends SparkSpec {
       assert(k <= Curation.SourceCap && k <= n && keptC <= tot && ret <= 1000)
     }
   }
+
+  test("q157 temperature mix ≡ local recompute; isqrt exact on adversarial values") {
+    def isqrt(n: Long): Long = {
+      var s = math.floor(math.sqrt(n.toDouble)).toLong
+      if (s * s > n) s -= 1
+      if ((s + 1) * (s + 1) <= n) s += 1
+      s
+    }
+    // the correction handles both sqrt rounding directions: perfect
+    // squares, their neighbors, and values where floor(sqrt) seeds off
+    // by one (k² − 1 above 2^53 rounds UP in double — the 94906265
+    // row). Domain is token counts (≲10¹³ at 100 TB); values near
+    // isqrt(Long.Max)² are out of contract ((s+1)² would overflow).
+    for (k <- Seq(1L, 2L, 3L, 1000L, 94906265L, 3000000000L); n <- Seq(k * k - 1, k * k, k * k + 1))
+      if (n >= 0) {
+        val s = isqrt(n)
+        assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n)")
+      }
+    val inv = Tables.documents(spark, d).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val tw = inv.map { case (_, n) => isqrt(n) }.sum
+    val tn = inv.map(_._2).sum
+    val exp = inv.map { case (s, n) =>
+      val w = isqrt(n)
+      val drawn = Math.floorDiv(tn * w, tw)
+      (s, n, w, Math.floorDiv(1000L * w, tw), drawn, Math.floorDiv(1000L * drawn, n))
+    }
+    val got = Curation.temperatureMix(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // floor shares sum to ≤1000; share ordering follows inventory
+    // ordering (isqrt and floor-div are monotone); and tempering
+    // compresses RELATIVE spread: max/min weight ratio ≤ the token
+    // ratio (strictly, w²  bounds: w_max² ≤ n_max+... use exact form)
+    assert(got.map(_._4).sum <= 1000)
+    val byN = got.sortBy(_._2)
+    assert(byN.map(_._3) == byN.map(_._3).sorted) // weight monotone in n
+    val (wMax, wMin) = (got.map(_._3).max, got.map(_._3).min)
+    val (nMax, nMin) = (got.map(_._2).max, got.map(_._2).min)
+    // isqrt(a)/isqrt(b) ≤ a/b for a ≥ b ≥ 1 up to the floor unit:
+    // exact integer form w_max² · n_min ≤ (n_max) · (w_min+1)²
+    assert(wMax * wMax * nMin <= nMax * (wMin + 1) * (wMin + 1))
+  }
+
+  test("q159 vocab growth ≡ local recompute; curves are monotone and Heaps-concave") {
+    val docs = Tables.documents(spark, d).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mx = docs.map(_._1).max
+    def bucket(id: Long): Long = math.min(19L, (id * 20L) / (mx + 1L))
+    val occ = docs.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).map(t => (lang, bucket(id), t)) }
+    val vol = occ.groupBy { case (l, b, _) => (l, b) }.map { case (k, xs) => (k, xs.length.toLong) }
+    val fresh = occ.groupBy { case (l, _, t) => (l, t) }.toSeq
+      .map { case ((l, _), xs) => (l, xs.map(_._2).min) }
+      .groupBy(identity).map { case ((l, b), xs) => ((l, b), xs.size.toLong) }
+    val exp = vol.keys.toSeq.sorted.map { case (l, b) =>
+      val nt = fresh.getOrElse((l, b), 0L)
+      val cumT = fresh.filter { case ((fl, fb), _) => fl == l && fb <= b }.values.sum
+      val cumK = vol.filter { case ((vl, vb), _) => vl == l && vb <= b }.values.sum
+      (l, b, nt, vol((l, b)), cumT, cumK)
+    }
+    val got = TextAnalysis.vocabGrowth(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // per lang: cum curves are non-decreasing, and type growth is
+    // concave-ish in the aggregate (last-slice new types below the
+    // first slice's — the mined-out signal on a closed vocabulary)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._5) == sorted.map(_._5).sorted)
+      assert(sorted.map(_._6) == sorted.map(_._6).sorted)
+      assert(sorted.last._3 <= sorted.head._3)
+    }
+  }
 }

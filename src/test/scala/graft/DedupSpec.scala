@@ -1040,4 +1040,39 @@ class DedupSpec extends SparkSpec {
     // every trained language is reachable as a prediction target
     assert(got.map(_._3).toSet.subsetOf(langs.toSet))
   }
+
+  test("q156 embed decontam ≡ local exact recompute; eval carve is size-fixed") {
+    val vecs = Tables.embeddings(spark, d).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    // the carve: top-64 by (polyhash("ed:"+id), id) — fixed size
+    val evalIds = vecs.map { case (id, _) => (localHash(s"ed:$id"), id) }
+      .sorted.take(Dedup.EmbedDecontamEvalK).map(_._2)
+    assert(evalIds.length == Dedup.EmbedDecontamEvalK)
+    val byId = vecs.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dt = 0.0; var i = 0
+      while (i < a.length) { dt += a(i) * b(i); i += 1 }
+      var na = 0.0; var nb = 0.0; i = 0
+      while (i < a.length) { na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dt / math.sqrt(na * nb)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = vecs.filterNot { case (id, _) => evalIds.contains(id) }.flatMap {
+      case (id, v) =>
+        val hits = evalIds.map(e => (e, cos(v, byId(e)))).filter(_._2 >= 0.4)
+        if (hits.isEmpty) None
+        else {
+          val (be, bc) = hits.minBy { case (e, c) => (-c, e) }
+          Some((id, hits.size.toLong, be, r6(bc)))
+        }
+    }.sortBy(_._1).toSeq
+    val got = Dedup.embedDecontam(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // flagged vectors are never eval members; hit counts are positive
+    assert(got.forall { case (id, n, e, c) =>
+      !evalIds.contains(id) && evalIds.contains(e) && n >= 1 && c >= 0.4 })
+  }
 }

@@ -132,6 +132,27 @@ class InstrumentSpec extends SparkSpec {
     }
   }
 
+  test("q156: the forced eval broadcast stays carve-bounded, never corpus-sized") {
+    // q156's ONLY forced broadcast is the 64-row eval carve (the
+    // constant is the bound, not a corpus fraction). If a refactor
+    // ever broadcasts the corpus side of the decontam scan, this
+    // fails before a driver OOMs at scale. Same auto-broadcast
+    // isolation discipline as the q129/q141 pin above.
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val (rows, s) = Instrument.collectWithPlan(Dedup.embedDecontam(spark, d))
+      assert(rows.nonEmpty)
+      assert(s.broadcastRows <= Dedup.EmbedDecontamEvalK.toLong,
+        s"q156 broadcast ${s.broadcastRows} rows — eval carve no longer size-fixed")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q120 eval carve: the heap aggregate shuffles k-bounded partials, never documents") {
     // plain loader: documentsDist's round-robin spread is a test-scale
     // fixture artifact (single-row-group files), not part of the operator

@@ -108,4 +108,25 @@ class KmeansSpec extends SparkSpec {
     assert(out(24L) == 1L)
     assert(tight.map(_._1).forall(id => out(id) == 0L))
   }
+
+  test("q158 cluster prototypes ≡ top-4 of the gated assignment; heap order matches") {
+    // ground truth from q136's own (already recompute-pinned) output:
+    // per cell, the 4 smallest (d2, vec_id)
+    val asg = Similarity.kmeansEmbed(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = asg.groupBy(_._2).toSeq.flatMap { case (cid, members) =>
+      members.sortBy { case (v, _, d2) => (d2, v) }.take(4).zipWithIndex
+        .map { case ((v, _, d2), i) => (cid, i + 1L, v, d2) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Similarity.clusterPrototypes(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // every occupied cell is represented; a prototype's d2 is ≤ its
+    // cell's mean (central by construction)
+    assert(got.map(_._1).distinct.sorted ==
+      asg.map(_._2).distinct.sorted.toSeq)
+    val mean = asg.groupBy(_._2).view.mapValues(g => g.map(_._3).sum / g.size).toMap
+    got.filter(_._2 == 1L).foreach { case (cid, _, _, d2) =>
+      assert(d2 <= mean(cid)) }
+  }
 }

@@ -50,7 +50,16 @@ class PlanSweepSpec extends SparkSpec {
     // q148: the |langs|(=5)-row smoothing-denominator broadcast onto
     // test tokens + the one-row vocab-size scalar onto totals — both
     // alphabet/scalar-bounded; the MODEL joins on the token equi-key
-    "q148_nb_lang_classify" -> 2)
+    "q148_nb_lang_classify" -> 2,
+    // q156: the 64-row eval carve (size FIXED by construction) ×
+    // corpus — the q55-shingle argument on the vector side
+    "q156_embed_decontam" -> 1,
+    // q157/q159: one-row corpus-totals / max-doc-id scalar broadcasts
+    // (q159's single scalar join sits inside the cached occurrence
+    // relation and is traversed once per consumer branch: volume +
+    // first-seen — 2 plan nodes, ONE physical scalar broadcast)
+    "q157_temperature_mix" -> 1,
+    "q159_vocab_growth" -> 2)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep
