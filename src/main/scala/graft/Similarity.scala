@@ -499,6 +499,92 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** q160: Johnson-Lindenstrauss RANDOM PROJECTION — every corpus
+    * vector sketched from 64 to 16 dimensions through the SAME 16
+    * deterministic ±1 hyperplanes the LSH family hashes with (q27
+    * keeps only the SIGN of these projections; this keeps the values).
+    * ±1 (Achlioptas-style) projections satisfy the JL distance-
+    * preservation guarantee like Gaussian ones, and the 4× narrower
+    * vectors are the cheap first pass for distance work: coarse ANN
+    * scans (the q48 byte argument in dimension form), cluster
+    * bootstraps, and distortion-bounded dedup pre-filters.
+    *
+    * Cross-engine exactness: each projected component is ONE
+    * sequential ±fold over the 64 components (the q25/q26 fold-order
+    * discipline — bit-identical in both engines), floor-scaled to
+    * micro units only at the output boundary. Map-only over the
+    * corpus — no shuffle but the presentation sort; at 100 TB this
+    * fuses into whatever scan feeds it. Output long-form
+    * (vec_id, pdim, val_micro), 16 rows per vector. JlProjectSpec
+    * (DedupSpec) pins the JL property itself on the corpus: projected
+    * pair distances concentrate around 16/64 of the originals. */
+  def rpProject(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val proj = array((0 until 16).map(j => dot(col("v"), lit(planes(j)))): _*)
+    e.select(col("vec_id"), posexplode(proj).as(Seq("pdim", "p")))
+      .select(col("vec_id"), col("pdim").cast("long").as("pdim"),
+        floor(col("p") * lit(1000000.0d)).cast("long").as("val_micro"))
+      .orderBy(col("vec_id"), col("pdim"))
+  }
+
+  /** Selection size for q161 — fixed rounds keep the whole traversal
+    * one lazy plan and the oracle a fixed CTE chain (q126/q136). */
+  val CoresetK = 8
+
+  /** q161: farthest-point CORESET — GREEDY k-center traversal (Gonzalez
+    * 1985, a 2-approximation): start from the lowest vec_id, then k−1
+    * times add the vector FARTHEST from everything selected so far.
+    * The diversity complement of q158: prototypes show what each
+    * region IS, the coreset guarantees every region is REACHED —
+    * coverage-first eval-set seeding, outlier-inclusive index warmup,
+    * and the classic corpus-cartography skeleton. The selection radius
+    * (each pick's distance to its predecessors) is emitted: it is a
+    * certified upper bound sequence on how far any corpus vector sits
+    * from the selected set.
+    *
+    * Determinism: exact integer micro-unit squared L2 (the Lloyd
+    * arithmetic), argmax ties to the SMALLEST vec_id via
+    * max(struct(d2, −vec_id)). Shape per round: the ≤k·dim selected
+    * components BROADCAST (bounded by k, never the corpus), one
+    * component join + (vec, sel) partial agg + per-vec min + ONE
+    * global argmax hash-agg producing a 1-row relation that re-enters
+    * broadcast — k−1 chained rounds in ONE lazy plan, no driver
+    * barrier (each 1-row pick is CacheScope-memoized so the chain's
+    * reuse of earlier picks can never re-run their corpus pass).
+    * O(k²·N·d) total — the simple from-scratch min each round; the
+    * running-min variant would shave the k² to k at the price of a
+    * corpus-sized carried state. At 100 TB the q160 sketch feeds the
+    * distance pass unchanged. */
+  def coresetSelect(spark: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(spark, d)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("col") * lit(1000000.0d)).cast("long").as("vm"))
+    val seedId = Tables.embeddings(spark, d)
+      .agg(min(col("vec_id")).as("vec_id"))
+    // selected relation: (rank, vec_id, d2 to prior selection)
+    var sel = seedId.select(lit(1L).as("rank"), col("vec_id"), lit(0L).as("d2"))
+    for (r <- 2 to CoresetK) {
+      // min over the current selection of exact squared L2, per vector
+      val selComp = broadcast(q.join(sel.select(col("vec_id")), "vec_id")
+        .select(col("vec_id").as("sid"), col("pos"), col("vm").as("sm")))
+      val minD2 = q.join(selComp, "pos")
+        .groupBy(col("vec_id"), col("sid"))
+        .agg(sum((col("vm") - col("sm")) * (col("vm") - col("sm"))).as("d2"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
+      // the farthest unselected vector (ties -> smallest id); selected
+      // vectors have d2 = 0 and can never win while any vector remains
+      val pick = CacheScope.cached(minD2
+        .agg(max(struct(col("d2"), (-col("vec_id")).as("nid"))).as("m"))
+        .select(lit(r.toLong).as("rank"), (-col("m.nid")).as("vec_id"),
+          col("m.d2").as("d2")))
+      sel = sel.unionAll(pick)
+    }
+    sel.select(col("rank"), col("vec_id"), col("d2").as("min_d2_micro"))
+      .orderBy(col("rank"))
+  }
+
   /** q158: cluster PROTOTYPES — the 4 most-central vectors of every
     * q136 k-means cell (smallest exact integer d2 to their centroid,
     * ties to the lower vec_id). This is the "show me what each cell

@@ -377,6 +377,12 @@ object SparkEntry {
     // Heaps-law vocabulary growth: cumulative new token types across
     // 20 ingest-order slices, per language
     "q159_vocab_growth" -> (TextAnalysis.vocabGrowth _),
+    // Johnson-Lindenstrauss ±1 random projection 64→16 dims (the q27
+    // hyperplanes, values kept instead of signs) — map-only sketch
+    "q160_rp_project" -> (Similarity.rpProject _),
+    // farthest-point coreset (greedy 2-approx k-center): coverage-first
+    // diverse selection, the complement of q158's central prototypes
+    "q161_coreset_select" -> (Similarity.coresetSelect _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -522,6 +528,32 @@ object SparkEntry {
        |         SELECT vec_id, cid, d2,
        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
        |         FROM e2) WHERE rn = 1)""".stripMargin
+
+  /** q161 oracle CTE chain: greedy farthest-point rounds 2..k over the
+    * micro-quantized component relation — per round the distances to
+    * every selected vector, the per-vector min, and the argmax pick
+    * (ties to the smallest vec_id), mirroring Similarity.coresetSelect
+    * round for round. */
+  private def coresetCte(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = s"ss${r - 1}"
+      s"""dd$r AS (SELECT a.vec_id, b.vec_id AS sid,
+         |       sum((a.vm - b.vm) * (a.vm - b.vm))::BIGINT AS d2
+         |       FROM q a JOIN q b ON b.pos = a.pos
+         |       JOIN $prev s ON s.vec_id = b.vec_id GROUP BY 1, 2),
+         |mm$r AS (SELECT vec_id, min(d2) AS d2 FROM dd$r GROUP BY 1),
+         |pp$r AS (SELECT $r::BIGINT AS rank, vec_id, d2 FROM mm$r
+         |        ORDER BY d2 DESC, vec_id LIMIT 1),
+         |ss$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM pp$r)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS (SELECT vec_id, i::BIGINT - 1 AS pos,
+       |        floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
+       |      FROM (SELECT vec_id, embedding,
+       |            unnest(generate_series(1, len(embedding))) i FROM embeddings)),
+       |ss1 AS (SELECT 1::BIGINT AS rank, min(vec_id) AS vec_id,
+       |        0::BIGINT AS d2 FROM embeddings),
+       |$rounds""".stripMargin
+  }
 
   /** q26 oracle — exact cosine top-5 ground truth. Shared verbatim by
     * q146's recall eval (the eval must grade against the same truth
@@ -2517,5 +2549,23 @@ object SparkEntry {
         |    (PARTITION BY v.lang ORDER BY v.bucket)::BIGINT AS cum_tokens
         |FROM vol v LEFT JOIN fresh f ON f.lang = v.lang AND f.bucket = v.bucket
         |ORDER BY v.lang, v.bucket""".stripMargin,
+    // q160: the q27 ±1 hyperplane arithmetic with the projection VALUES
+    // kept (list_transform product + sequential list_sum — the same
+    // fold the sign test already proves bit-identical), floor-scaled
+    // to micro units at the boundary.
+    "q160_rp_project" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |p AS (SELECT vec_id, j::BIGINT AS pdim,
+        |  list_sum(list_transform(generate_series(0, 63), i ->
+        |    (CASE WHEN (((j*64 + i) * 2654435761) & 65536) != 0
+        |          THEN 1.0 ELSE -1.0 END) * v[i + 1])) AS pr
+        |  FROM e, generate_series(0, 15) g(j))
+        |SELECT vec_id, pdim, floor(pr * 1000000)::BIGINT AS val_micro
+        |FROM p ORDER BY vec_id, pdim""".stripMargin,
+    // q161: the greedy farthest-point recurrence as a fixed CTE chain
+    // (the q136/q126 fixed-round pattern).
+    "q161_coreset_select" ->
+      s"""WITH ${coresetCte(8)}
+         |SELECT rank, vec_id, d2 AS min_d2_micro FROM ss8 ORDER BY rank""".stripMargin,
   )
 }

@@ -109,6 +109,74 @@ class KmeansSpec extends SparkSpec {
     assert(tight.map(_._1).forall(id => out(id) == 0L))
   }
 
+  test("q160 rp project ≡ local ±1 fold; JL distance concentration holds on real pairs") {
+    val vecs = Tables.embeddings(spark, d).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def plane(j: Int): Array[Double] = Array.tabulate(64)(i =>
+      if ((((j * 64 + i).toLong * 2654435761L) & 65536L) != 0L) 1.0 else -1.0)
+    def proj(v: Array[Double]): Array[Double] = Array.tabulate(16) { j =>
+      val p = plane(j); var s = 0.0; var i = 0
+      while (i < v.length) { s += p(i) * v(i); i += 1 }; s
+    }
+    val exp = vecs.flatMap { case (id, v) =>
+      proj(v).zipWithIndex.map { case (p, j) =>
+        (id, j.toLong, math.floor(p * 1e6).toLong) }
+    }.toSeq
+    val got = Similarity.rpProject(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // the JL property the sketch exists for: squared distances scale by
+    // ~m (=16) under ±1 projection — E[d2_proj] = 16·d2_orig, sd ≈
+    // sqrt(2/16) ≈ 35%. Consecutive-id pairs, generous ±3σ-ish bounds.
+    val byId = vecs.toMap
+    val pj = vecs.map { case (id, v) => id -> proj(v) }.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // fixed (data-independent but deterministic) planes give JL
+    // concentration in DISTRIBUTION, not per worst-case pair — a
+    // difference vector aligned with the plane pattern can distort
+    // far beyond the random-planes σ (observed tails ~[1, 80] on this
+    // corpus). Assert the distributional law: mean ≈ m = 16 and the
+    // bulk inside a 4× band.
+    val ratios = vecs.map(_._1).sliding(2).collect { case Array(a, b) =>
+      d2(pj(a), pj(b)) / d2(byId(a), byId(b)) }.toSeq
+    val mean = ratios.sum / ratios.size
+    assert(mean > 8.0 && mean < 28.0, s"JL mean ratio $mean far from m=16")
+    val inBand = ratios.count(r => r >= 4.0 && r <= 64.0).toDouble / ratios.size
+    assert(inBand >= 0.8, s"only ${inBand * 100}%% of JL ratios inside [m/4, 4m]")
+  }
+
+  test("q161 coreset ≡ local greedy farthest-point; radius certificate holds") {
+    val vecs = Tables.embeddings(spark, d).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6).toLong).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byId = vecs.toMap
+    var sel = Vector((1L, vecs.head._1, 0L))
+    for (r <- 2 to Similarity.CoresetK) {
+      val (pid, pd2) = vecs.map { case (id, v) =>
+        (id, sel.map(s => d2(v, byId(s._2))).min)
+      }.maxBy { case (id, dd) => (dd, -id) }
+      sel :+= ((r.toLong, pid, pd2))
+    }
+    val got = Similarity.coresetSelect(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == sel && got.size == Similarity.CoresetK)
+    // greedy invariants: picks distinct; the radius sequence is
+    // non-increasing from round 2 on; and the final selection COVERS:
+    // no corpus vector sits farther from it than the last radius
+    assert(got.map(_._2).distinct.size == got.size)
+    val radii = got.drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse)
+    val selIds = got.map(_._2).toSet
+    val worst = vecs.map { case (_, v) =>
+      selIds.map(s => d2(v, byId(s))).min }.max
+    assert(worst <= radii.last)
+  }
+
   test("q158 cluster prototypes ≡ top-4 of the gated assignment; heap order matches") {
     // ground truth from q136's own (already recompute-pinned) output:
     // per cell, the 4 smallest (d2, vec_id)
