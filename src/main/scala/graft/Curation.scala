@@ -201,6 +201,50 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q165: corpus SNAPSHOT DIFF — the dataset-versioning audit between
+    * the standing corpus (source idx < 15, the q113/q155 split
+    * convention) and the arriving snapshot (≥ 15): per language, how
+    * many distinct document contents were added, removed, and carried
+    * over, with integer-permille churn rates. The report a dataset
+    * release process publishes with every version bump ("v2 replaces
+    * 12% of German, drops 3%"), and the tripwire for silent upstream
+    * truncation (removed_pm spiking) or duplication (added_pm ~ 0).
+    *
+    * Content identity is the polynomial text hash (q21's unit) — a
+    * re-ingested byte-identical doc is "same" regardless of doc_id.
+    *
+    * Shape: one row-local hash projection, two distinct-collapses
+    * (lang, h)-keyed, ONE full-outer equi-join on the same key, and a
+    * |langs|-row conditional agg — everything keyed, nothing quadratic,
+    * output alphabet-bounded. */
+  def snapshotDiff(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documentsDist(spark, d)
+      .select(col("lang"),
+        (substring(col("source"), 4, 10).cast("int") >= 15).as("is_new"),
+        polyHash(col("text")).as("h"))
+    val old = docs.filter(!col("is_new")).select(col("lang"), col("h"))
+      .distinct().withColumn("ov", lit(1L))
+    val neu = docs.filter(col("is_new")).select(col("lang"), col("h"))
+      .distinct().withColumn("nv", lit(1L))
+    old.join(neu, Seq("lang", "h"), "full_outer")
+      .groupBy(col("lang"))
+      .agg(sum(coalesce(col("ov"), lit(0L))).as("n_old"),
+        sum(coalesce(col("nv"), lit(0L))).as("n_new"),
+        sum(when(col("nv").isNotNull && col("ov").isNull, 1L).otherwise(0L))
+          .as("added"),
+        sum(when(col("ov").isNotNull && col("nv").isNull, 1L).otherwise(0L))
+          .as("removed"),
+        sum(when(col("ov").isNotNull && col("nv").isNotNull, 1L).otherwise(0L))
+          .as("common"))
+      .select(col("lang"), col("n_old"), col("n_new"), col("added"),
+        col("removed"), col("common"),
+        expr("CASE WHEN n_new > 0 THEN (1000 * added) div n_new END")
+          .as("added_pm"),
+        expr("CASE WHEN n_old > 0 THEN (1000 * removed) div n_old END")
+          .as("removed_pm"))
+      .orderBy(col("lang"))
+  }
+
   /** q113: ingest drift monitor — a KS-style comparison of the document
     * length distribution between the standing corpus (source idx < 15)
     * and the arriving batch (≥ 15), the data-quality gate a pipeline

@@ -216,4 +216,133 @@ object Graph {
     }
     dist.select(col("node"), col("dist")).orderBy(col("node"))
   }
+
+  /** q162 coreness threshold / peel-round budget. 8 rounds converge on
+    * every graph whose peeling cascade is ≤ 8 deep — GraphAnalyticsSpec
+    * pins convergence on this corpus (an unconverged run would leave a
+    * sub-k-degree survivor, which the spec rejects). */
+  val KCoreK = 3
+  val KCoreRounds = 8
+
+  /** q162: K-CORE decomposition by fixed-round peeling — repeatedly
+    * remove nodes of degree < k until only the k-core (the maximal
+    * subgraph where everyone keeps ≥ k neighbors) remains. THE
+    * cohesion filter for graph-shaped curation: on the trade graph the
+    * 3-core is the stably-interconnected supplier/customer economy,
+    * while peel-round-1 nodes are one-off participants; on a near-dup
+    * or citation graph the core separates template ecosystems from
+    * incidental pairs, and coreness is the standard cheap proxy for
+    * "how embedded is this node" (denser than degree, far cheaper than
+    * betweenness).
+    *
+    * Output: (node, peel_round, degree) — the round the node fell
+    * (1-based; 0 = survives in the k-core) and its degree AT that
+    * moment (survivors: their core degree ≥ k). Deterministic: peeling
+    * is simultaneous per round (no order dependence within a round).
+    *
+    * Shape per round: one src-keyed degree hash-agg over the REMAINING
+    * arcs + two anti-joins dropping arcs touching peeled nodes; the
+    * arc relation only ever SHRINKS, so per-round cost ∝ surviving
+    * arcs — the peeling analogue of q131's frontier-delta argument.
+    * Rounds are DRIVER-SYNCHRONIZED with persist+count+RDD-rebuild
+    * lineage truncation — the q49 star-CC discipline, and necessary
+    * here for the same reason: each round references its predecessor
+    * 3× (degree agg + two anti-join probes), so the lazy formulation's
+    * LOGICAL plan grows 3^rounds and the driver dies building a
+    * 2 GB plan string long before any data moves (measured — the
+    * first cut of this operator did exactly that). Converged rounds
+    * (empty peel set) cost one cached count each. */
+  def kCore(spark: SparkSession, d: String): DataFrame = {
+    val k = KCoreK
+    // rebuild from the materialized RDD: the next round's plan starts
+    // at a leaf instead of embedding this round's full lineage
+    def truncate(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    var arcsP = tradeArcs(spark, d).persist()
+    arcsP.count() // full materialization before anything reads it
+    var arcs = truncate(arcsP)
+    // the node universe rides along explicitly: a node whose LAST
+    // neighbor peels away vanishes from the arc relation, but it must
+    // still peel (at degree 0) rather than silently leave the output
+    var nodes = arcs.select(col("src").as("node")).distinct()
+    var peels = Vector.empty[DataFrame]
+    for (r <- 1 to KCoreRounds) {
+      val deg = arcs.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      // per-round degrees over the SURVIVING node universe (0 for
+      // isolated survivors) — one persisted node-cardinality relation
+      // whose cheap filters feed everything below, keeping each
+      // round's plan linear in the previous round's leaves
+      val degAllP = nodes.join(deg, col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("dg"), lit(0L)).as("dg"))
+        .persist()
+      degAllP.count()
+      CacheScope.adopt(degAllP) // peel filters feed the result plan
+      val degAll = truncate(degAllP)
+      val out = degAll.filter(col("dg") < k)
+        .select(col("node"), lit(r.toLong).as("peel_round"),
+          col("dg").as("degree"))
+      peels :+= out
+      nodes = degAll.filter(col("dg") >= k).select(col("node"))
+      val nextP = arcs
+        .join(out.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(out.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .persist()
+      nextP.count()
+      arcsP.unpersist() // predecessor fully superseded — safe to drop
+      arcsP = nextP
+      arcs = truncate(nextP)
+    }
+    CacheScope.adopt(arcsP) // the surviving-core arcs back the result
+    val coreDeg = arcs.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    val core = nodes.join(coreDeg, col("node") === col("src"), "left")
+      .select(col("node"), lit(0L).as("peel_round"),
+        coalesce(col("dg"), lit(0L)).as("degree"))
+    peels.reduce(_ unionAll _).unionAll(core)
+      .orderBy(col("node"))
+  }
+
+  /** q163 rounds — fixed for the one-lazy-plan / chained-CTE-oracle
+    * contract (q126's argument). */
+  val LabelPropRounds = 4
+
+  /** q163: community detection by synchronous LABEL PROPAGATION
+    * (Raghavan et al. 2007) — every node starts as its own community
+    * and each round adopts the most frequent label among its neighbors
+    * AND itself (majority vote; ties to the smallest label). The
+    * near-linear community pass a curation pipeline runs where q49's
+    * connected components are too coarse (everything touching anything
+    * merges) and modularity solvers too expensive: on the trade graph
+    * it groups supplier/customer neighborhoods that actually transact
+    * with each other.
+    *
+    * Determinism: SYNCHRONOUS rounds (all nodes update from the same
+    * previous labeling — no update-order dependence), integer labels,
+    * argmax tie-break (count desc, label asc) via max(struct(cnt,
+    * −lbl)). The self-vote keeps the bipartite trade graph from the
+    * textbook two-coloring oscillation sync-LPA is prone to, and makes
+    * the fixed point absorbing. Fixed rounds ⇒ the recurrence is ONE
+    * lazy plan and the oracle the same chained CTEs (q126/q136/q161).
+    *
+    * Shape per round: one dst-keyed join (labels onto arcs) + one
+    * (node, label) count hash-agg + one node-keyed argmax hash-agg —
+    * all equi-shuffles on node keys, per-round cost ∝ arcs. Labels
+    * lineage-truncate per round (CacheScope). At 100 TB this is the
+    * canonical Pregel-style superstep as three relational ops. */
+  def labelProp(spark: SparkSession, d: String): DataFrame = {
+    val e = CacheScope.cached(tradeArcs(spark, d))
+    var lab = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to LabelPropRounds) {
+      val votes = e.join(lab, col("dst") === col("node"))
+        .select(col("src").as("node"), col("lbl"))
+        .unionAll(lab) // the self-vote
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      lab = CacheScope.cached(votes
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl")))
+    }
+    lab.select(col("node"), col("lbl").as("community"))
+      .orderBy(col("node"))
+  }
 }

@@ -1177,4 +1177,45 @@ object Queries {
           .cast("long").as("flagged"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** q164: time-DECAYED user engagement — each user's event value
+    * mass, weighted by a halving-per-week recency decay anchored at
+    * the stream's last day. The "how alive is this account" score
+    * behind churn models, re-engagement targeting, and decay-weighted
+    * LTV: yesterday's purchase counts full, last month's an eighth.
+    *
+    * Exact integer end-to-end: values enter as floor-CENTS (the q40
+    * money discipline), the decay weight is 1000 div 2^age_weeks
+    * permille (integer halving, 0 from week 10 — an exact exp(−λt)
+    * stand-in that is engine-portable where exp/pow are not), so the
+    * score is a Σ cents·permille Long. The anchor (max day) is a
+    * one-row scalar broadcast (the q110 pattern).
+    *
+    * Shape: row-local day/age/weight arithmetic + ONE user-keyed
+    * hash-agg with map-side partials — linear, no windows; the decay
+    * needs no per-user sort because the weight is a function of the
+    * EVENT's age alone, not of event order. */
+  def decayedEngagement(spark: SparkSession, d: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val ev = Tables.eventsNs(spark, d)
+      .select(col("user_id"), expr(s"ts div $DayNs").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val anchor = ev.agg(max(col("day")).as("mxd"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("agew", expr("(mxd - day) div 7"))
+      .withColumn("w_pm", expr(
+        "CASE WHEN agew >= 10 THEN 0 " +
+          "ELSE 1000 div shiftleft(1, CAST(agew AS INT)) END"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("raw_cents"),
+        sum(col("cents") * col("w_pm")).as("score_cpm"),
+        max(col("day")).as("last_day"))
+      .select(col("user_id"), col("n_events"), col("raw_cents"),
+        col("score_cpm"),
+        expr("CASE WHEN raw_cents != 0 THEN (score_cpm) div raw_cents END")
+          .as("freshness_pm"),
+        col("last_day"))
+      .orderBy(col("user_id"))
+  }
 }

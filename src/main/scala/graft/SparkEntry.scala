@@ -383,6 +383,18 @@ object SparkEntry {
     // farthest-point coreset (greedy 2-approx k-center): coverage-first
     // diverse selection, the complement of q158's central prototypes
     "q161_coreset_select" -> (Similarity.coresetSelect _),
+    // k-core decomposition by fixed-round peeling: peel round + degree
+    // at peel per node (0 = survives in the 3-core)
+    "q162_k_core" -> (Graph.kCore _),
+    // synchronous label-propagation communities (4 rounds, self-vote,
+    // (count desc, label asc) tie-break)
+    "q163_label_prop" -> (Graph.labelProp _),
+    // time-decayed engagement: halving-per-week recency weights in
+    // exact cents·permille integers, one user-keyed agg
+    "q164_decayed_engagement" -> (Queries.decayedEngagement _),
+    // corpus snapshot diff: per-lang added/removed/common distinct
+    // contents between the standing corpus and the arriving snapshot
+    "q165_snapshot_diff" -> (Curation.snapshotDiff _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -439,6 +451,71 @@ object SparkEntry {
       |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |e AS (SELECT s AS src, c AS dst FROM b
       |      UNION ALL SELECT c AS src, s AS dst FROM b)""".stripMargin
+
+  /** q162 oracle CTE chain: fixed-round peeling — per round the degree
+    * table over the remaining arcs, the sub-k peel set (with its
+    * degrees), and the arc relation minus everything touching it;
+    * mirrors Graph.kCore round for round. */
+  private def kCoreCte(k: Int, rounds: Int): String = {
+    // MATERIALIZED throughout: DuckDB INLINES plain CTEs, and every
+    // round references its predecessor 3× (degree + two NOT INs) — the
+    // inlined tree grows 3^rounds and re-opens the base parquet files
+    // thousands of times ("Too many open files", measured). Forced
+    // materialization makes each round's relation compute once — the
+    // oracle twin of the Spark side's persist+truncate rounds.
+    val steps = (1 to rounds).map { r =>
+      val prevA = if (r == 1) "e" else s"aa${r - 1}"
+      val prevN = s"nn${r - 1}"
+      s"""gg$r AS MATERIALIZED (SELECT src, count(*)::BIGINT AS dg
+         |        FROM $prevA GROUP BY 1),
+         |dd$r AS MATERIALIZED (SELECT n.node, coalesce(g.dg, 0)::BIGINT AS dg
+         |        FROM $prevN n LEFT JOIN gg$r g ON g.src = n.node),
+         |oo$r AS MATERIALIZED (SELECT node, $r::BIGINT AS peel_round,
+         |        dg AS degree FROM dd$r WHERE dg < $k),
+         |nn$r AS MATERIALIZED (SELECT node FROM dd$r WHERE dg >= $k),
+         |aa$r AS MATERIALIZED (SELECT a.src, a.dst FROM $prevA a
+         |        WHERE a.src NOT IN (SELECT node FROM oo$r)
+         |          AND a.dst NOT IN (SELECT node FROM oo$r))""".stripMargin
+    }.mkString(",\n")
+    val peels = (1 to rounds).map(r => s"SELECT * FROM oo$r").mkString(" UNION ALL ")
+    val graphM = TradeGraphCte
+      .replace("b AS (", "b AS MATERIALIZED (")
+      .replace("e AS (", "e AS MATERIALIZED (")
+    s"""$graphM,
+       |nn0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |$steps,
+       |cg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS dg
+       |      FROM aa$rounds GROUP BY 1),
+       |core AS (SELECT n.node, 0::BIGINT AS peel_round,
+       |         coalesce(g.dg, 0)::BIGINT AS degree
+       |         FROM nn$rounds n LEFT JOIN cg g ON g.src = n.node),
+       |allrows AS ($peels UNION ALL SELECT * FROM core)""".stripMargin
+  }
+
+  /** q163 oracle CTE chain: synchronous label propagation — per round
+    * the neighbor+self vote counts and the (count desc, label asc)
+    * argmax; mirrors Graph.labelProp. */
+  private def labelPropCte(rounds: Int): String = {
+    // MATERIALIZED for the same reason as kCoreCte: each round inlines
+    // its predecessor twice (neighbor join + self-vote) — 2^rounds
+    // re-expansions of the full graph subtree without it.
+    val steps = (1 to rounds).map { r =>
+      val prev = s"ll${r - 1}"
+      s"""vv$r AS MATERIALIZED (SELECT node, lbl, count(*)::BIGINT AS cnt FROM (
+         |        SELECT e.src AS node, l.lbl FROM e JOIN $prev l ON l.node = e.dst
+         |        UNION ALL SELECT node, lbl FROM $prev) GROUP BY 1, 2),
+         |ll$r AS MATERIALIZED (SELECT node, lbl FROM (
+         |        SELECT node, lbl,
+         |               row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) rn
+         |        FROM vv$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val graphM = TradeGraphCte
+      .replace("b AS (", "b AS MATERIALIZED (")
+      .replace("e AS (", "e AS MATERIALIZED (")
+    s"""$graphM,
+       |ll0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$steps""".stripMargin
+  }
 
   /** q126 oracle: the 5 fixed PageRank rounds as chained CTEs — the
     * same exact integer recurrence Graph.pageRank runs. */
@@ -2567,5 +2644,53 @@ object SparkEntry {
     "q161_coreset_select" ->
       s"""WITH ${coresetCte(8)}
          |SELECT rank, vec_id, d2 AS min_d2_micro FROM ss8 ORDER BY rank""".stripMargin,
+    // q162: the peeling cascade as a fixed CTE chain over the shared
+    // trade-graph CTEs.
+    "q162_k_core" ->
+      s"""WITH ${kCoreCte(Graph.KCoreK, Graph.KCoreRounds)}
+         |SELECT node, peel_round, degree FROM allrows ORDER BY node""".stripMargin,
+    // q163: synchronous label propagation as a fixed CTE chain.
+    "q163_label_prop" ->
+      s"""WITH ${labelPropCte(Graph.LabelPropRounds)}
+         |SELECT node, lbl AS community FROM ll${Graph.LabelPropRounds}
+         |ORDER BY node""".stripMargin,
+    // q164: same integer day/age/halving arithmetic; cents via floor.
+    "q164_decayed_engagement" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |            floor(value * 100)::BIGINT AS cents FROM events),
+        |a AS (SELECT max(day) AS mxd FROM ev),
+        |w AS (SELECT user_id, day, cents,
+        |      CASE WHEN (mxd - day) // 7 >= 10 THEN 0
+        |           ELSE 1000 // (1 << ((mxd - day) // 7)) END AS w_pm
+        |      FROM ev, a)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  sum(cents)::BIGINT AS raw_cents,
+        |  sum(cents * w_pm)::BIGINT AS score_cpm,
+        |  (CASE WHEN sum(cents) != 0
+        |        THEN sum(cents * w_pm) // sum(cents) END)::BIGINT AS freshness_pm,
+        |  max(day)::BIGINT AS last_day
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q165: distinct (lang, content-hash) sets full-outer joined; the
+    // split convention is q113/q155's source-index cut.
+    "q165_snapshot_diff" ->
+      s"""WITH t AS (SELECT lang, substr(source, 4)::INT >= 15 AS is_new,
+         |           ${H("text")} AS h FROM documents),
+         |o AS (SELECT DISTINCT lang, h FROM t WHERE NOT is_new),
+         |n AS (SELECT DISTINCT lang, h FROM t WHERE is_new),
+         |j AS (SELECT coalesce(o.lang, n.lang) AS lang,
+         |      (CASE WHEN o.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS ov,
+         |      (CASE WHEN n.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS nv
+         |      FROM o FULL JOIN n ON n.lang = o.lang AND n.h = o.h)
+         |SELECT lang, sum(ov)::BIGINT AS n_old, sum(nv)::BIGINT AS n_new,
+         |  sum(CASE WHEN nv = 1 AND ov = 0 THEN 1 ELSE 0 END)::BIGINT AS added,
+         |  sum(CASE WHEN ov = 1 AND nv = 0 THEN 1 ELSE 0 END)::BIGINT AS removed,
+         |  sum(CASE WHEN ov = 1 AND nv = 1 THEN 1 ELSE 0 END)::BIGINT AS common,
+         |  (CASE WHEN sum(nv) > 0 THEN
+         |    (1000 * sum(CASE WHEN nv = 1 AND ov = 0 THEN 1 ELSE 0 END)) // sum(nv)
+         |   END)::BIGINT AS added_pm,
+         |  (CASE WHEN sum(ov) > 0 THEN
+         |    (1000 * sum(CASE WHEN ov = 1 AND nv = 0 THEN 1 ELSE 0 END)) // sum(ov)
+         |   END)::BIGINT AS removed_pm
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

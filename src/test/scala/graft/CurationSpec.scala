@@ -515,6 +515,34 @@ class CurationSpec extends SparkSpec {
     assert(wMax * wMax * nMin <= nMax * (wMin + 1) * (wMin + 1))
   }
 
+  test("q165 snapshot diff ≡ local distinct-content set algebra; identities hold") {
+    def h(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)
+    val docs = Tables.documents(spark, d)
+      .select("lang", "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).drop(3).toInt >= 15,
+        h(r.getString(2))))
+    val langs = docs.map(_._1).distinct.sorted
+    val exp = langs.map { l =>
+      val old = docs.collect { case (`l`, false, hh) => hh }.toSet
+      val neu = docs.collect { case (`l`, true, hh) => hh }.toSet
+      val (added, removed, common) =
+        ((neu -- old).size.toLong, (old -- neu).size.toLong, (old & neu).size.toLong)
+      (l, old.size.toLong, neu.size.toLong, added, removed, common,
+        if (neu.nonEmpty) Some(1000L * added / neu.size) else None,
+        if (old.nonEmpty) Some(1000L * removed / old.size) else None)
+    }.toSeq
+    val got = Curation.snapshotDiff(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // set identities: old = removed + common, new = added + common
+    got.foreach { case (_, no, nn, a, rm, c, _, _) =>
+      assert(no == rm + c && nn == a + c) }
+  }
+
   test("q159 vocab growth ≡ local recompute; curves are monotone and Heaps-concave") {
     val docs = Tables.documents(spark, d).select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))

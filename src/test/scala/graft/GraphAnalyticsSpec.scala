@@ -229,4 +229,80 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(Graph.arcBuilds == b, "warm graph queries re-ran the arc extraction")
     assert(again == first && first.nonEmpty)
   }
+
+  test("q164 decayed engagement ≡ local cents-permille recompute; decay orders recency") {
+    val DayNs = 86400000000000L
+    val ev = Tables.eventsNs(spark, d)
+      .select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), DayNs),
+        math.floor(r.getDouble(2) * 100).toLong))
+    val mxd = ev.map(_._2).max
+    def wpm(day: Long): Long = {
+      val agew = (mxd - day) / 7
+      if (agew >= 10) 0L else 1000L / (1L << agew)
+    }
+    val exp = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      val raw = es.map(_._3).sum
+      val score = es.map(e => e._3 * wpm(e._2)).sum
+      (u, es.size.toLong, raw, score,
+        if (raw != 0) Some(score / raw) else None, es.map(_._2).max)
+    }.sortBy(_._1)
+    val got = Queries.decayedEngagement(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // freshness is a permille in [0, 1000] for positive-valued users,
+    // and a user active ONLY on the last day scores exactly 1000
+    got.filter(_._3 > 0).foreach { case (_, _, _, _, f, _) =>
+      assert(f.exists(x => x >= 0L && x <= 1000L)) }
+  }
+
+  test("q162 k-core ≡ local peeling cascade; survivors certify the core") {
+    val k = Graph.KCoreK
+    var adj = tradeAdj
+    var remaining = adj.keySet
+    var peeled = Map.empty[Long, (Long, Long)]
+    for (r <- 1 to Graph.KCoreRounds) {
+      val degOf = remaining.iterator
+        .map(u => u -> adj.getOrElse(u, Set.empty).count(remaining)).toMap
+      val out = degOf.filter(_._2 < k)
+      peeled ++= out.map { case (u, dg) => u -> (r.toLong, dg.toLong) }
+      remaining --= out.keySet
+    }
+    val exp = (peeled.map { case (u, (r, dg)) => (u, r, dg) } ++
+      remaining.map { u =>
+        (u, 0L, adj.getOrElse(u, Set.empty).count(remaining).toLong) })
+      .toSeq.sortBy(_._1)
+    val got = Graph.kCore(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // output covers EVERY graph node exactly once (incl. nodes that
+    // lost their last neighbor — the degree-0 peel case)
+    assert(got.map(_._1).toSet == adj.keySet && got.size == adj.size)
+    // convergence certificate: every survivor keeps >= k neighbors
+    // WITHIN the core — the defining k-core property
+    val core = got.filter(_._2 == 0L).map(_._1).toSet
+    core.foreach { u => assert(adj(u).count(core) >= k) }
+    // and peeled degrees were genuinely sub-k at peel time
+    assert(got.filter(_._2 > 0L).forall(_._3 < k))
+  }
+
+  test("q163 label propagation ≡ local synchronous rounds with self-vote") {
+    val adj = tradeAdj
+    var lbl: Map[Long, Long] = adj.keys.map(u => u -> u).toMap
+    for (_ <- 1 to Graph.LabelPropRounds) {
+      lbl = adj.keys.map { u =>
+        val votes = (adj(u).toSeq.map(lbl) :+ lbl(u))
+          .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        u -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val got = Graph.labelProp(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lbl && got.nonEmpty)
+    // labels are node ids, and propagation actually merged something:
+    // fewer communities than nodes
+    assert(got.values.toSet.subsetOf(adj.keySet))
+    assert(got.values.toSet.size < adj.size)
+  }
 }

@@ -54,12 +54,14 @@ class PlanSweepSpec extends SparkSpec {
     // q156: the 64-row eval carve (size FIXED by construction) ×
     // corpus — the q55-shingle argument on the vector side
     "q156_embed_decontam" -> 1,
-    // q157/q159: one-row corpus-totals / max-doc-id scalar broadcasts
-    // (q159's single scalar join sits inside the cached occurrence
-    // relation and is traversed once per consumer branch: volume +
-    // first-seen — 2 plan nodes, ONE physical scalar broadcast)
+    // q157/q159/q164: one-row corpus-totals / max-doc-id / max-day
+    // scalar broadcasts (q159's single scalar join sits inside the
+    // cached occurrence relation and is traversed once per consumer
+    // branch: volume + first-seen — 2 plan nodes, ONE physical scalar
+    // broadcast)
     "q157_temperature_mix" -> 1,
-    "q159_vocab_growth" -> 2)
+    "q159_vocab_growth" -> 2,
+    "q164_decayed_engagement" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

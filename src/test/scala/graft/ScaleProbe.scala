@@ -106,7 +106,9 @@ object ScaleProbe {
     val gqs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("q126_pagerank" -> (Graph.pageRank _),
         "q127_triangle_counts" -> (Graph.triangleCounts _),
-        "q131_bfs_distances" -> (Graph.bfsDistances _))
+        "q131_bfs_distances" -> (Graph.bfsDistances _),
+        "q162_k_core" -> (Graph.kCore _),
+        "q163_label_prop" -> (Graph.labelProp _))
     val gratios = gqs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, gdir)
