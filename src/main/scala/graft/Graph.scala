@@ -266,7 +266,9 @@ object Graph {
     // still peel (at degree 0) rather than silently leave the output
     var nodes = arcs.select(col("src").as("node")).distinct()
     var peels = Vector.empty[DataFrame]
-    for (r <- 1 to KCoreRounds) {
+    var r = 1
+    var converged = false
+    while (r <= KCoreRounds && !converged) {
       val deg = arcs.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       // per-round degrees over the SURVIVING node universe (0 for
       // isolated survivors) — one persisted node-cardinality relation
@@ -281,23 +283,32 @@ object Graph {
       val out = degAll.filter(col("dg") < k)
         .select(col("node"), lit(r.toLong).as("peel_round"),
           col("dg").as("degree"))
-      peels :+= out
-      nodes = degAll.filter(col("dg") >= k).select(col("node"))
-      val nextP = arcs
-        .join(out.select(col("node").as("src")), Seq("src"), "left_anti")
-        .join(out.select(col("node").as("dst")), Seq("dst"), "left_anti")
-        .persist()
-      nextP.count()
-      arcsP.unpersist() // predecessor fully superseded — safe to drop
-      arcsP = nextP
-      arcs = truncate(nextP)
+      // empty peel set = fixed point: every later round is a no-op, so
+      // skipping them leaves the output byte-identical (the oracle
+      // replays all rounds and agrees for the same reason). One cheap
+      // count against the cached degree relation buys back the idle
+      // rounds' jobs.
+      converged = out.isEmpty
+      if (!converged) {
+        peels :+= out
+        nodes = degAll.filter(col("dg") >= k).select(col("node"))
+        val nextP = arcs
+          .join(out.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(out.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .persist()
+        nextP.count()
+        arcsP.unpersist() // predecessor fully superseded — safe to drop
+        arcsP = nextP
+        arcs = truncate(nextP)
+      }
+      r += 1
     }
     CacheScope.adopt(arcsP) // the surviving-core arcs back the result
     val coreDeg = arcs.groupBy(col("src")).agg(count(lit(1)).as("dg"))
     val core = nodes.join(coreDeg, col("node") === col("src"), "left")
       .select(col("node"), lit(0L).as("peel_round"),
         coalesce(col("dg"), lit(0L)).as("degree"))
-    peels.reduce(_ unionAll _).unionAll(core)
+    (peels :+ core).reduce(_ unionAll _) // peels may be empty (no peel)
       .orderBy(col("node"))
   }
 
