@@ -194,6 +194,42 @@ object Multimodal {
     }
   }
 
+  /** Samples per media item for q166 — fixed, so the output is
+    * exactly `FrameSamples` rows per item at any corpus size. */
+  val FrameSamples = 4
+
+  /** q166: FRAME-SAMPLE planning — for every media item, the uniform
+    * frame-sampling schedule a downstream embed/caption stage decodes:
+    * `FrameSamples` slots spread evenly across the clip
+    * (idx_i = i·(n_frames−1) div (k−1), the endpoints-inclusive rule;
+    * a short clip legitimately repeats frames — honest uniform
+    * sampling, and the slot column keeps the schedule positional) plus
+    * each sample's byte offset under the virtual raw-frame layout
+    * (header 64 + idx·width·height·3). This is the planning half of
+    * the video/frame pipeline: the SCHEDULE is exact relational
+    * arithmetic over the decoded metadata (oracle-checked); the pixel
+    * decode it drives is the partition-local codec boundary
+    * (`decodeAll`), stubbed by contract in this container.
+    *
+    * Shape: q32's row-local metadata projection + one sequence/explode
+    * fan-out of exactly k rows per item — map-only, no shuffle but the
+    * presentation sort, output k·N rows. */
+  def frameSamplePlan(spark: SparkSession, d: String): DataFrame = {
+    val k = FrameSamples
+    val meta = mediaMetadata(spark, d)
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_frames"))
+    meta
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_frames"), explode(sequence(lit(0L), lit(k - 1L))).as("slot"))
+      .withColumn("frame_idx", expr(s"(slot * (n_frames - 1)) div ${k - 1}"))
+      .select(col("doc_id"), col("format"), col("n_frames"), col("slot"),
+        col("frame_idx"),
+        (lit(64L) + col("frame_idx") * col("width") * col("height") * 3L)
+          .as("byte_offset"))
+      .orderBy(col("doc_id"), col("slot"))
+  }
+
   /** The same metadata as a pure-column projection — whole-stage
     * codegen, no object round-trip — used for the oracle query. On the
     * text-byte corpus every payload takes the pseudo-decode path, so

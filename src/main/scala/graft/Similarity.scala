@@ -557,10 +557,13 @@ object Similarity {
     * corpus-sized carried state. At 100 TB the q160 sketch feeds the
     * distance pass unchanged. */
   def coresetSelect(spark: SparkSession, d: String): DataFrame = {
-    val q = Tables.embeddings(spark, d)
+    // referenced 2× per round (corpus distance side + selected-component
+    // extraction) × k−1 rounds: cached so the posexplode fan-out
+    // computes once, not 14× (released after the caller's action)
+    val q = CacheScope.cached(Tables.embeddings(spark, d)
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
-        floor(col("col") * lit(1000000.0d)).cast("long").as("vm"))
+        floor(col("col") * lit(1000000.0d)).cast("long").as("vm")))
     val seedId = Tables.embeddings(spark, d)
       .agg(min(col("vec_id")).as("vec_id"))
     // selected relation: (rank, vec_id, d2 to prior selection)

@@ -395,6 +395,9 @@ object SparkEntry {
     // corpus snapshot diff: per-lang added/removed/common distinct
     // contents between the standing corpus and the arriving snapshot
     "q165_snapshot_diff" -> (Curation.snapshotDiff _),
+    // frame-sample planning: 4 uniform sample slots per media item
+    // with byte offsets — the schedule the decode stage consumes
+    "q166_frame_sample_plan" -> (Multimodal.frameSamplePlan _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -2692,5 +2695,21 @@ object SparkEntry {
          |    (1000 * sum(CASE WHEN ov = 1 AND nv = 0 THEN 1 ELSE 0 END)) // sum(ov)
          |   END)::BIGINT AS removed_pm
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+    // q166: q32's pseudo-decode arithmetic + the endpoints-inclusive
+    // uniform sample rule, one generate_series fan-out per item.
+    "q166_frame_sample_plan" ->
+      s"""WITH t AS (SELECT doc_id, text, ${H("text")} AS h FROM documents),
+         |m AS (SELECT doc_id,
+         |      (['jpeg', 'png', 'webp'])[(h % 3)::INT + 1] AS format,
+         |      320 + (h % 8) * 160 AS width,
+         |      240 + (h % 6) * 120 AS height,
+         |      1 + octet_length(text::BLOB) % 24 AS n_frames FROM t)
+         |SELECT doc_id, format, n_frames::BIGINT AS n_frames,
+         |  slot::BIGINT AS slot,
+         |  ((slot * (n_frames - 1)) // 3)::BIGINT AS frame_idx,
+         |  (64 + ((slot * (n_frames - 1)) // 3) * width * height * 3)::BIGINT
+         |    AS byte_offset
+         |FROM m, unnest(generate_series(0, 3)) AS g(slot)
+         |ORDER BY doc_id, slot""".stripMargin,
   )
 }

@@ -130,4 +130,33 @@ class MultimodalSpec extends SparkSpec {
     assert(metas.rdd.getNumPartitions == 8)
     assert(metas.count() == Tables.documents(spark, d).count())
   }
+
+  test("q166 frame-sample plan ≡ local schedule recompute; uniform-sampling laws hold") {
+    val d = "/root/testdata/sf0.001"
+    val meta = Multimodal.mediaMetadata(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))) // (doc_id, format, width, height, n_frames)
+    val k = Multimodal.FrameSamples
+    val exp = meta.flatMap { case (id, fmt, w, h, nf) =>
+      (0L until k.toLong).map { s =>
+        val idx = s * (nf - 1) / (k - 1)
+        (id, fmt, nf, s, idx, 64L + idx * w * h * 3L)
+      }
+    }.sortBy(r => (r._1, r._4)).toSeq
+    val got = Multimodal.frameSamplePlan(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // uniform-sampling laws: exactly k slots per item; slot 0 is frame
+    // 0 and the last slot is the LAST frame (endpoints-inclusive);
+    // indexes are non-decreasing in slot and inside [0, n_frames)
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.size == k)
+      assert(sorted.head._5 == 0L)
+      assert(sorted.last._5 == sorted.head._3 - 1)
+      assert(sorted.map(_._5) == sorted.map(_._5).sorted)
+      assert(sorted.forall(r => r._5 >= 0 && r._5 < r._3))
+    }
+  }
 }
