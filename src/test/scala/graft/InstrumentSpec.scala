@@ -153,6 +153,29 @@ class InstrumentSpec extends SparkSpec {
     }
   }
 
+  test("q161: every forced broadcast is the k-bounded selection, never the corpus") {
+    // per round the coreset broadcasts ONLY the selected vectors'
+    // component relation (≤ CoresetK·dim rows) and the 1-row argmax
+    // pick; across k−1 rounds that is Σ r·dim + (k−1) rows. A refactor
+    // that broadcasts the corpus side must fail here (the q129/q141
+    // discipline).
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val (rows, s) = Instrument.collectWithPlan(Similarity.coresetSelect(spark, d))
+      assert(rows.length == Similarity.CoresetK)
+      val k = Similarity.CoresetK.toLong
+      val bound = (2L to k).map(r => r - 1).sum * 64L + (k - 1L)
+      assert(s.broadcastRows <= bound,
+        s"q161 broadcast ${s.broadcastRows} rows > selection bound $bound")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q120 eval carve: the heap aggregate shuffles k-bounded partials, never documents") {
     // plain loader: documentsDist's round-robin spread is a test-scale
     // fixture artifact (single-row-group files), not part of the operator

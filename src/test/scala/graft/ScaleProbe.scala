@@ -170,7 +170,10 @@ object ScaleProbe {
       Seq("q27_knn_lsh" -> (Similarity.lshTopK _),
         "q33_knn_ivf" -> ((s: org.apache.spark.sql.SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
         "q48_knn_int8" -> ((s: org.apache.spark.sql.SparkSession, dir: String) => Similarity.int8TopK(s, dir)),
-        "q83_knn_pq" -> ((s: org.apache.spark.sql.SparkSession, dir: String) => Similarity.pqTopK(s, dir)))
+        "q83_knn_pq" -> ((s: org.apache.spark.sql.SparkSession, dir: String) => Similarity.pqTopK(s, dir)),
+        "q156_embed_decontam" -> (Dedup.embedDecontam _),
+        "q160_rp_project" -> (Similarity.rpProject _),
+        "q161_coreset_select" -> (Similarity.coresetSelect _))
     val aratios = aqs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = math.min(time(name, fn, vdir), time(name, fn, vdir))
