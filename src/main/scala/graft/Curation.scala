@@ -896,4 +896,37 @@ object Curation {
         (col("chars_total") - col("best.n_chars")).as("chars_saved"))
       .orderBy(col("cluster_id"))
   }
+
+  /** q171's anonymity threshold and quasi-identifier bucket width. */
+  val AnonK = 8
+  val AnonBucketTokens = 64L
+
+  /** q171: K-ANONYMITY SUPPRESSION audit (Sweeney 2002) over the
+    * quasi-identifier (lang, token-length bucket) — any group smaller
+    * than K is suppressed (its docs can be singled out by the
+    * identifier combination alone), larger groups are retained whole.
+    * The release gate a privacy-reviewed corpus export runs AFTER
+    * q144's content-level PII scrub: scrubbing hides values, this
+    * hides membership. Output is the per-group audit (size, suppressed
+    * flag, retained count) — the export join keys off it.
+    *
+    * Shape: one (lang, bucket) hash-agg with map-side partials — the
+    * group relation is |langs|·|buckets|, alphabet-bounded, so the
+    * audit costs one scan + one tiny shuffle at any corpus size; the
+    * export applying it is one broadcast join of this relation back
+    * onto the corpus. Thresholding after aggregation means no
+    * per-doc state and no skew sensitivity. */
+  def kAnonymity(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .select(col("lang"),
+        expr(s"CAST(size(split(text, ' ')) AS BIGINT) div $AnonBucketTokens")
+          .as("len_bucket"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("len_bucket"), col("n_docs"),
+        when(col("n_docs") < AnonK, lit(1L)).otherwise(lit(0L))
+          .as("suppressed"),
+        when(col("n_docs") < AnonK, lit(0L)).otherwise(col("n_docs"))
+          .as("retained_docs"))
+      .orderBy(col("lang"), col("len_bucket"))
 }

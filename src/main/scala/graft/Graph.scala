@@ -356,4 +356,50 @@ object Graph {
     lab.select(col("node"), col("lbl").as("community"))
       .orderBy(col("node"))
   }
+
+  /** Hub cap for q167's wedge enumeration: intermediates whose degree
+    * exceeds this leave the candidate index (the q123/q142 df-cap
+    * pattern — a ubiquitous hub contributes deg² wedges and predicts
+    * nothing). Documented loss: hub-mediated-only pairs are missed. */
+  val LinkDegCap = 256
+
+  /** q167: LINK PREDICTION by common-neighbor counting (Liben-Nowell &
+    * Kleinberg 2003) — for every same-side node pair that shares at
+    * least 2 neighbors, the common-neighbor count and the exact integer
+    * Jaccard (permille) of their neighbor sets. On the bipartite trade
+    * graph candidate pairs are never already adjacent (both endpoints
+    * sit on the same side), so no existing-edge anti-join is needed —
+    * the score ranks supplier pairs serving the same customer base /
+    * customer pairs sharing suppliers, the signal a recommender or
+    * assortment planner consumes.
+    *
+    * Shape: degree table (one hash-agg), then wedges enumerated by a
+    * SELF-JOIN KEYED ON THE INTERMEDIATE — per-intermediate fan-out is
+    * deg², bounded by LinkDegCap² through the hub cap, so the join is
+    * linear in (capped) wedge count, never all-pairs. The `common >= 2`
+    * floor keeps the output to genuinely supported candidates. Jaccard
+    * denominators use FULL (uncapped) degrees, so scores are exact for
+    * every emitted pair; only hub-mediated candidate discovery is
+    * sacrificed. All shuffles are node-keyed equi-joins/aggs. */
+  def linkPredict(spark: SparkSession, d: String): DataFrame = {
+    val e = CacheScope.cached(tradeArcs(spark, d))
+    val deg = CacheScope.cached(
+      e.groupBy(col("src")).agg(count(lit(1)).as("dg")))
+    val mid = deg.filter(col("dg") <= LinkDegCap).select(col("src").as("m"))
+    val em = e.join(mid, col("dst") === col("m"))
+      .select(col("src"), col("dst"))
+    val pairs = em.as("w1")
+      .join(em.as("w2"),
+        col("w1.dst") === col("w2.dst") && col("w1.src") < col("w2.src"))
+      .select(col("w1.src").as("a"), col("w2.src").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 2)
+    pairs
+      .join(deg.select(col("src").as("a"), col("dg").as("dg_a")), "a")
+      .join(deg.select(col("src").as("b"), col("dg").as("dg_b")), "b")
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("common"),
+        col("dg_a"), col("dg_b"),
+        expr("(1000 * common) div (dg_a + dg_b - common)").as("jaccard_pm"))
+      .orderBy(col("node_a"), col("node_b"))
+  }
 }

@@ -1218,4 +1218,49 @@ object Queries {
         col("last_day"))
       .orderBy(col("user_id"))
   }
+
+  /** q168: per-user INTER-EVENT GAP distribution — exact integer order
+    * statistics (min / lower-median / ceil-p90 / max / floor-mean of
+    * whole-second gaps) over the time between a user's consecutive
+    * events. The cadence profile an engagement or anomaly pipeline
+    * keys on (q133 flags bursts; this gives each user's baseline).
+    *
+    * Exactness: gaps are the first differences of the user's SORTED
+    * timestamp multiset — well-defined even under tied timestamps
+    * (ties yield zero gaps regardless of tie order), so lag over
+    * (user, ts) is deterministic in value. Order statistics are picked
+    * by rank over (gap asc) — equal values make the pick
+    * order-independent. median rank = (n+1) div 2 (lower median),
+    * p90 rank = ceil(9n/10) = (9n+9) div 10; mean is integer floor.
+    *
+    * Shape: two user-keyed window passes (lag over ts; rank over gap)
+    * + one user-keyed hash-agg — three shuffles on the same key, and
+    * AQE coalesces the exchanges; no global sort, no driver state.
+    * Per-user row counts bound every partition's window buffer. */
+  def eventGaps(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.eventsNs(spark, d).select(col("user_id"), col("ts"))
+    val wl = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gaps = ev
+      .withColumn("prev", lag(col("ts"), 1).over(wl))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), expr("(ts - prev) div 1000000000").as("gap_s"))
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("gap_s"))
+    gaps
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_gaps"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("gap_s")))
+          .as("median_gap_s"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("gap_s")))
+          .as("p90_gap_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        sum(col("gap_s")).as("sum_gap_s"))
+      .select(col("user_id"), col("n_gaps"), col("min_gap_s"),
+        col("median_gap_s"), col("p90_gap_s"), col("max_gap_s"),
+        expr("sum_gap_s div n_gaps").as("mean_gap_s"))
+      .orderBy(col("user_id"))
+  }
 }

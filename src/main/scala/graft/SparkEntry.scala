@@ -398,6 +398,18 @@ object SparkEntry {
     // frame-sample planning: 4 uniform sample slots per media item
     // with byte offsets — the schedule the decode stage consumes
     "q166_frame_sample_plan" -> (Multimodal.frameSamplePlan _),
+    // common-neighbor link prediction: wedge-join candidates (hub
+    // df-cap) + exact integer Jaccard over full neighbor sets
+    "q167_link_predict" -> (Graph.linkPredict _),
+    // per-user inter-event gap order statistics (exact integer
+    // min/median/p90/max/mean whole-second gaps)
+    "q168_event_gaps" -> (Queries.eventGaps _),
+    // per-doc token concentration: exact HHI ppm, top-share pm, TTR pm
+    "q169_token_concentration" -> (TextAnalysis.tokenConcentration _),
+    // corpus frequency-of-frequency spectrum in exact pow-2 buckets
+    "q170_freq_spectrum" -> (TextAnalysis.freqSpectrum _),
+    // k-anonymity suppression audit over (lang, length-bucket)
+    "q171_k_anonymity" -> (Curation.kAnonymity _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -2711,5 +2723,82 @@ object SparkEntry {
          |    AS byte_offset
          |FROM m, unnest(generate_series(0, 3)) AS g(slot)
          |ORDER BY doc_id, slot""".stripMargin,
+    // q167: same hub-capped wedge enumeration over the shared trade
+    // graph; Jaccard denominators from FULL degrees.
+    "q167_link_predict" ->
+      s"""WITH $TradeGraphCte,
+         |deg AS (SELECT src, count(*)::BIGINT AS dg FROM e GROUP BY 1),
+         |mid AS (SELECT src AS m FROM deg WHERE dg <= ${Graph.LinkDegCap}),
+         |em AS (SELECT e.src, e.dst FROM e JOIN mid ON e.dst = mid.m),
+         |p AS (SELECT w1.src AS a, w2.src AS b, count(*)::BIGINT AS common
+         |      FROM em w1 JOIN em w2
+         |        ON w1.dst = w2.dst AND w1.src < w2.src
+         |      GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.a AS node_a, p.b AS node_b, p.common,
+         |  da.dg AS dg_a, db.dg AS dg_b,
+         |  ((1000 * p.common) // (da.dg + db.dg - p.common))::BIGINT
+         |    AS jaccard_pm
+         |FROM p JOIN deg da ON da.src = p.a
+         |       JOIN deg db ON db.src = p.b
+         |ORDER BY node_a, node_b""".stripMargin,
+    // q168: first differences of each user's sorted ts multiset, then
+    // rank-picked exact order statistics (lower median, ceil-p90).
+    "q168_event_gaps" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
+        |g AS (SELECT user_id,
+        |      (tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns))
+        |        // 1000000000 AS gap_s FROM ev),
+        |g2 AS (SELECT user_id, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |r AS (SELECT user_id, gap_s,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY gap_s) AS rn,
+        |      count(*) OVER (PARTITION BY user_id) AS n FROM g2)
+        |SELECT user_id, max(n)::BIGINT AS n_gaps,
+        |  min(gap_s)::BIGINT AS min_gap_s,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN gap_s END)::BIGINT
+        |    AS median_gap_s,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_s END)::BIGINT
+        |    AS p90_gap_s,
+        |  max(gap_s)::BIGINT AS max_gap_s,
+        |  (sum(gap_s) // max(n))::BIGINT AS mean_gap_s
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q169: exact rational concentration indices over per-doc token
+    // counts; floors via // match `div`.
+    "q169_token_concentration" ->
+      """WITH t AS (SELECT doc_id,
+        |      unnest(regexp_split_to_array(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct,
+        |      sum(c * c) AS sumsq, max(c) AS top_c FROM c GROUP BY 1)
+        |SELECT doc_id, n_tok::BIGINT AS n_tok,
+        |  n_distinct::BIGINT AS n_distinct,
+        |  ((1000000 * sumsq) // (n_tok * n_tok))::BIGINT AS hhi_ppm,
+        |  ((1000 * top_c) // n_tok)::BIGINT AS top_share_pm,
+        |  ((1000 * n_distinct) // n_tok)::BIGINT AS ttr_pm
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // q170: floor(log2 c) exactly as length(bin(c)) - 1 on both
+    // engines — no floating log at power-of-two boundaries.
+    "q170_freq_spectrum" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(text, ' ')) AS w
+        |           FROM documents),
+        |c AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY 1),
+        |b AS (SELECT w, c, (length(bin(c)) - 1)::BIGINT AS bucket FROM c)
+        |SELECT bucket, count(*)::BIGINT AS n_types,
+        |  sum(c)::BIGINT AS n_occurrences,
+        |  min(w) AS first_type
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q171: the (lang, len-bucket) audit with the K=8 floor.
+    "q171_k_anonymity" ->
+      s"""WITH t AS (SELECT lang,
+         |      len(regexp_split_to_array(text, ' '))::BIGINT
+         |        // ${Curation.AnonBucketTokens} AS len_bucket
+         |      FROM documents),
+         |g AS (SELECT lang, len_bucket, count(*)::BIGINT AS n_docs
+         |      FROM t GROUP BY 1, 2)
+         |SELECT lang, len_bucket, n_docs,
+         |  (CASE WHEN n_docs < ${Curation.AnonK} THEN 1 ELSE 0 END)::BIGINT
+         |    AS suppressed,
+         |  (CASE WHEN n_docs < ${Curation.AnonK} THEN 0 ELSE n_docs
+         |   END)::BIGINT AS retained_docs
+         |FROM g ORDER BY lang, len_bucket""".stripMargin,
   )
 }

@@ -656,4 +656,58 @@ object TextAnalysis {
       .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
       .orderBy(col("lang"), col("bucket"))
   }
+
+  /** q169: per-document TOKEN CONCENTRATION — the exact-integer
+    * Herfindahl index (ppm), top-token share (permille) and type-token
+    * ratio (permille) of each document's token distribution. The
+    * log-free twin of entropy-based quality filters: a doc whose mass
+    * sits on few tokens (high HHI / top share, low TTR) is boilerplate
+    * or spam; q46-style repetition rules catch adjacency, this catches
+    * global concentration. All three are rationals over exact counts
+    * (Σc ≤ doc tokens, Σc² ≤ (Σc)² — BIGINT-safe for any real doc;
+    * corpus-scale variants would lift numerators to DECIMAL(38)).
+    *
+    * Shape: one explode + (doc, token) hash-agg + doc hash-agg, both
+    * doc-keyed with map-side partials — per-doc cost ∝ doc length,
+    * embarrassingly parallel, no windows, no driver state. */
+  def tokenConcentration(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    c.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sumsq"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        expr("(1000000 * sumsq) div (n_tok * n_tok)").as("hhi_ppm"),
+        expr("(1000 * top_c) div n_tok").as("top_share_pm"),
+        expr("(1000 * n_distinct) div n_tok").as("ttr_pm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q170: corpus FREQUENCY-OF-FREQUENCY SPECTRUM — how many distinct
+    * token types occur [2^b, 2^(b+1)) times, with each bucket's total
+    * occurrence mass and lexicographically-first type. The Zipf
+    * diagnostic a tokenizer/dedup pipeline reads before committing a
+    * vocabulary: a healthy corpus shows geometric type decay across
+    * buckets; a duplicated one shows mass bulging in high buckets
+    * (q159 tracks growth over ingest order; this is the steady-state
+    * shape). The bucket is floor(log2 c) computed EXACTLY as
+    * length(bin(c)) - 1 — no floating log near power-of-two edges.
+    *
+    * Shape: explode → token hash-agg (the one corpus-sized shuffle,
+    * map-side combined) → bucket hash-agg over |vocab| rows → ≤ 64
+    * output rows. min(w) makes the example type deterministic. */
+  def freqSpectrum(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("w"), col("c"),
+        (length(bin(col("c"))) - 1).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_occurrences"),
+        min(col("w")).as("first_type"))
+      .orderBy(col("bucket"))
 }
