@@ -929,4 +929,89 @@ object Curation {
         when(col("n_docs") < AnonK, lit(0L)).otherwise(col("n_docs"))
           .as("retained_docs"))
       .orderBy(col("lang"), col("len_bucket"))
+
+  /** q173: RANK-FUSION quality scoring (Borda count) — three
+    * independent per-doc quality signals (token volume, distinct-type
+    * count, char length) are each converted to a within-language
+    * min-rank ("1 + number of strictly better docs", higher value =
+    * better) and summed; low fused score = strong on all signals.
+    * Rank fusion is how curation pipelines combine incommensurable
+    * quality signals without inventing scale factors between them —
+    * ranks are dimensionless, outlier-proof, and monotone-invariant.
+    *
+    * Shape at 100 TB: min-rank is NOT computed with a rank() window
+    * over per-language corpus partitions (the banned q73 shape).
+    * Each signal collapses to its (lang, value) HISTOGRAM first — one
+    * hash-agg with map-side partials — and the rank of a VALUE is
+    * 1 + (docs above it) via a cumulative window over the histogram,
+    * value-domain-bounded rows per language (the q151 idiom). Docs
+    * re-acquire their rank through three (lang, value)-keyed equi
+    * joins against those dimension-shaped rank tables. Ties share the
+    * min-rank by construction (they hit the same histogram row). */
+  def rankFusion(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_types"))
+    // min-rank of each distinct VALUE of `c` within lang, higher = rank 1
+    def rankTable(metric: String, rk: String): DataFrame = {
+      val w = Window.partitionBy(col("lang")).orderBy(col(metric).desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.groupBy(col("lang"), col(metric)).agg(count(lit(1)).as("c"))
+        .withColumn(rk, (sum(col("c")).over(w) - col("c") + 1L).cast("long"))
+        .drop("c")
+    }
+    m.join(rankTable("n_tok", "r_tok"), Seq("lang", "n_tok"))
+      .join(rankTable("n_types", "r_types"), Seq("lang", "n_types"))
+      .join(rankTable("n_chars", "r_chars"), Seq("lang", "n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("n_types"),
+        col("n_chars"), col("r_tok"), col("r_types"), col("r_chars"),
+        (col("r_tok") + col("r_types") + col("r_chars")).as("borda"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q174: WINSORIZED length statistics per language — the robust
+    * mean a mixture planner (q110/q157) should weight by: token
+    * counts are clipped to the exact rank-picked [p05, p95] before
+    * averaging, so a handful of pathological megadocs (or empty
+    * stubs) cannot swing a language's budget the way a raw mean does.
+    * Reports the clip bounds, how many docs hit each, and the raw
+    * mean for comparison; all arithmetic integer-exact (floor means).
+    *
+    * Shape at 100 TB: the percentile bounds come from the q151
+    * histogram + cumulative-window idiom (value-domain-bounded, no
+    * corpus sort); the clip itself is a (lang)-keyed equi-join of the
+    * |langs|-row bounds table back onto the histogram — NOT the
+    * corpus — so the winsorized sum is Σ c·clip(value), one more
+    * agg over bounded rows. The corpus is scanned exactly once. */
+  def winsorizedStats(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documentsDist(spark, d)
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy(col("lang"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(byLang.orderBy(col("n_tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(byLang))
+    val bounds = cum.groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        min(when(col("cum") >= expr("(n * 5 + 99) div 100"), col("n_tok"))).as("lo"),
+        min(when(col("cum") >= expr("(n * 95 + 99) div 100"), col("n_tok"))).as("hi"))
+    hist.join(bounds, "lang")
+      .withColumn("w_tok", greatest(col("lo"), least(col("hi"), col("n_tok"))))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("lo")).as("p05_tok"), max(col("hi")).as("p95_tok"),
+        sum(when(col("n_tok") < col("lo"), col("c")).otherwise(lit(0L)))
+          .as("clipped_low"),
+        sum(when(col("n_tok") > col("hi"), col("c")).otherwise(lit(0L)))
+          .as("clipped_high"),
+        expr("sum(n_tok * c) div sum(c)").as("raw_mean_tok"),
+        expr("sum(w_tok * c) div sum(c)").as("winsor_mean_tok"))
+      .orderBy(col("lang"))
+  }
 }

@@ -54,10 +54,13 @@ object Queries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** J1/J2 analog: left outer equi-join fact→dim on a single key.
-    * Dimension side broadcast — no shuffle of the fact table. */
+    * customer is SF-proportional (0.15M rows per TPC-H SF — corpus
+    * scale, not a fixed dimension), so the join is UNHINTED: AQE
+    * broadcasts it while it fits and falls back to a shuffle join at
+    * 100 TB, where a forced broadcast() would OOM the driver. */
   def joinOrdersCustomer(spark: SparkSession, d: String): DataFrame =
     orders(spark, d)
-      .join(broadcast(customer(spark, d)),
+      .join(customer(spark, d),
         col("o_custkey") === col("c_custkey"), "left_outer")
       .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("o_orderkey"))
@@ -170,14 +173,16 @@ object Queries {
       .filter(col("n_orders") >= 3)
       .orderBy(col("o_custkey"))
 
-  /** TPC-H Q3 shape: 3-way join + grouped revenue + top-k.
-    * customer is broadcast; orders⋈lineitem is the only shuffle. */
+  /** TPC-H Q3 shape: 3-way join + grouped revenue + top-k. customer
+    * joins UNHINTED (SF-proportional — AQE broadcasts the filtered
+    * segment while small, shuffles at 100 TB); orders⋈lineitem is the
+    * dominant shuffle either way. */
   def shippingPriority(spark: SparkSession, d: String): DataFrame =
     lineitem(spark, d)
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .join(orders(spark, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer(spark, d).filter(col("c_mktsegment") === "BUILDING")),
+      .join(customer(spark, d).filter(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
@@ -187,14 +192,15 @@ object Queries {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
 
-  /** TPC-H Q5 shape: 5-way join through the dimension hierarchy with all
-    * dimensions broadcast — the fact table never shuffles for the joins,
-    * only for the final group-by. */
+  /** TPC-H Q5 shape: 5-way join through the dimension hierarchy.
+    * nation/region (25/5 rows, fixed cardinality) keep explicit
+    * broadcast hints; customer/supplier are SF-proportional and join
+    * UNHINTED so AQE picks broadcast only while they genuinely fit. */
   def localSupplierVolume(spark: SparkSession, d: String): DataFrame =
     lineitem(spark, d)
       .join(orders(spark, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer(spark, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier(spark, d)),
+      .join(customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(spark, d),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation(spark, d)), col("s_nationkey") === col("n_nationkey"))

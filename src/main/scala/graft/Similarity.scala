@@ -615,4 +615,45 @@ object Similarity {
         (-col("s.score")).cast("long").as("dist_sq_micro"))
       .orderBy(col("cid"), col("rank"))
   }
+
+  /** q172: MUTUAL nearest-neighbor pair mining — emit (a, b) exactly
+    * when b is a's single nearest neighbor AND a is b's (within their
+    * shared IVF cell). Mutual-NN is the standard high-precision pair
+    * miner (bitext mining, paraphrase pairs, contrastive positives):
+    * one-directional top-1 lists are noisy, but reciprocity filters
+    * hubs — a vector that is "everyone's neighbor" is almost nobody's
+    * MUTUAL neighbor.
+    *
+    * Reuses q33's PERSISTED IVF index (same nlist → same salted dir;
+    * warm call = zero k-means fits), so candidate generation is the
+    * cell equi-join with |cell|² work — the SemDeDup q115 contract:
+    * at 100 TB nlist scales ∝ n/targetCellSize and total pair work
+    * stays linear with a targetCellSize² constant. Per-vector top-1
+    * rides the bounded-heap aggregate (map-side partial top-1, ONE
+    * row per vector per partition on the wire — no per-cell sort),
+    * and the reciprocity check is a self-equi-join on vec ids of the
+    * one-row-per-vector relation. Cosines are the sequential-fold dot
+    * (= the oracle's list_dot_product, and symmetric in IEEE terms),
+    * so the argmax and the reported score replay exactly. */
+  def mutualNn(spark: SparkSession, d: String): DataFrame = {
+    val (_, corpus) = IvfIndex.buildOrLoad(spark, d, nlist = 16)
+    val e = CacheScope.cached(corpus)
+    val top1 = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("a.cell").as("cell"),
+        cosine(col("a.v"), col("b.v"), col("a.nn"), col("b.nn")).as("cos"),
+        col("b.vec_id").as("nbr"))
+      .groupBy(col("src"), col("cell"))
+      .agg(graft.functions.TopKByScore.topk(col("cos"), col("nbr"), 1).as("top"))
+      .select(col("src"), col("cell"),
+        col("top").getItem(0).getField("id").as("nn_id"),
+        col("top").getItem(0).getField("score").as("cos"))
+    top1.as("x").join(top1.as("y"),
+        col("x.nn_id") === col("y.src") && col("y.nn_id") === col("x.src") &&
+          col("x.src") < col("y.src"))
+      .select(col("x.src").as("vec_a"), col("y.src").as("vec_b"),
+        col("x.cell").cast("int").as("cell"),
+        round(col("x.cos"), 6).as("cosine"))
+      .orderBy(col("vec_a"))
+  }
 }

@@ -410,6 +410,12 @@ object SparkEntry {
     "q170_freq_spectrum" -> (TextAnalysis.freqSpectrum _),
     // k-anonymity suppression audit over (lang, length-bucket)
     "q171_k_anonymity" -> (Curation.kAnonymity _),
+    // mutual nearest-neighbor pair mining within persisted IVF cells
+    "q172_mutual_nn" -> (Similarity.mutualNn _),
+    // Borda rank fusion of three quality signals via histogram ranks
+    "q173_rank_fusion" -> (Curation.rankFusion _),
+    // winsorized per-language length stats (exact p05/p95 clip)
+    "q174_winsorize" -> (Curation.winsorizedStats _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -2786,6 +2792,83 @@ object SparkEntry {
         |  sum(c)::BIGINT AS n_occurrences,
         |  min(w) AS first_type
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q172: the q115 Lloyd cell chain (nlist=16), full directed
+    // within-cell cosine ranking, top-1 per vector with (c DESC, nbr)
+    // tie-break = TopKByScore order, then the reciprocity self-join.
+    "q172_mutual_nn" ->
+      """WITH q AS (SELECT vec_id, i::BIGINT - 1 AS pos,
+        |             floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
+        |           FROM (SELECT vec_id, embedding,
+        |                 unnest(generate_series(1, len(embedding))) i FROM embeddings)),
+        |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid
+        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |c0 AS (SELECT s.cid, q.pos, q.vm AS cm FROM q JOIN seeds s ON s.vec_id = q.vec_id),
+        |e1 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c0 c ON c.pos = q.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |         FROM e1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, q.pos, floor(sum(q.vm) / count(*))::BIGINT AS cm
+        |       FROM q JOIN a1 a ON a.vec_id = q.vec_id GROUP BY 1, 2),
+        |e2 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c1 c ON c.pos = q.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |         FROM e2) WHERE rn = 1),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |pr AS (SELECT a.vec_id AS src, a.cid AS cell, b.vec_id AS nbr,
+        |       list_dot_product(ae.v, be.v)
+        |       / sqrt(list_dot_product(ae.v, ae.v) * list_dot_product(be.v, be.v)) c
+        |       FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id != b.vec_id
+        |       JOIN e ae ON ae.vec_id = a.vec_id JOIN e be ON be.vec_id = b.vec_id),
+        |n1 AS (SELECT src, cell, nbr, c FROM (
+        |         SELECT src, cell, nbr, c,
+        |                row_number() OVER (PARTITION BY src ORDER BY c DESC, nbr) rn
+        |         FROM pr) WHERE rn = 1)
+        |SELECT x.src AS vec_a, y.src AS vec_b, x.cell::INTEGER AS cell,
+        |  round(x.c, 6) AS cosine
+        |FROM n1 x JOIN n1 y ON x.nbr = y.src AND y.nbr = x.src AND x.src < y.src
+        |ORDER BY vec_a""".stripMargin,
+    // q173: plain rank() windows per signal — DuckDB's rank() IS the
+    // min-rank the histogram cumsum computes on the Spark side.
+    "q173_rank_fusion" ->
+      """WITH m AS (SELECT doc_id, lang, n_chars,
+        |      len(regexp_split_to_array(text, ' '))::BIGINT AS n_tok,
+        |      len(list_distinct(regexp_split_to_array(text, ' ')))::BIGINT AS n_types
+        |      FROM documents),
+        |r AS (SELECT doc_id, lang, n_tok, n_types, n_chars,
+        |      rank() OVER (PARTITION BY lang ORDER BY n_tok DESC)::BIGINT AS r_tok,
+        |      rank() OVER (PARTITION BY lang ORDER BY n_types DESC)::BIGINT AS r_types,
+        |      rank() OVER (PARTITION BY lang ORDER BY n_chars DESC)::BIGINT AS r_chars
+        |      FROM m)
+        |SELECT doc_id, lang, n_tok, n_types, n_chars, r_tok, r_types, r_chars,
+        |  (r_tok + r_types + r_chars)::BIGINT AS borda
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q174: rank-picked p05/p95 (ceil thresholds over the sorted
+    // multiset), clip, integer floor means — mirrors the histogram
+    // cumsum exactly.
+    "q174_winsorize" ->
+      """WITH t AS (SELECT lang,
+        |      len(regexp_split_to_array(text, ' '))::BIGINT AS n_tok
+        |      FROM documents),
+        |r AS (SELECT lang, n_tok,
+        |      row_number() OVER (PARTITION BY lang ORDER BY n_tok) AS rn,
+        |      count(*) OVER (PARTITION BY lang) AS n FROM t),
+        |b AS (SELECT lang, max(n)::BIGINT AS n_docs,
+        |      min(CASE WHEN rn >= (n * 5 + 99) // 100 THEN n_tok END) AS lo,
+        |      min(CASE WHEN rn >= (n * 95 + 99) // 100 THEN n_tok END) AS hi
+        |      FROM r GROUP BY lang)
+        |SELECT t.lang, max(b.n_docs)::BIGINT AS n_docs,
+        |  max(b.lo)::BIGINT AS p05_tok, max(b.hi)::BIGINT AS p95_tok,
+        |  sum(CASE WHEN n_tok < lo THEN 1 ELSE 0 END)::BIGINT AS clipped_low,
+        |  sum(CASE WHEN n_tok > hi THEN 1 ELSE 0 END)::BIGINT AS clipped_high,
+        |  (sum(n_tok) // count(*))::BIGINT AS raw_mean_tok,
+        |  (sum(greatest(lo, least(hi, n_tok))) // count(*))::BIGINT
+        |    AS winsor_mean_tok
+        |FROM t JOIN b ON b.lang = t.lang
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
     // q171: the (lang, len-bucket) audit with the K=8 floor.
     "q171_k_anonymity" ->
       s"""WITH t AS (SELECT lang,

@@ -10,10 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reference pb_etl/tasks.py:21-43).
   *
   * Scale notes: `lineitem`/`orders`/`events` are the fact tables (grow
-  * with sf); `region`/`nation`/`supplier`/`part`/`customer` are dimension
-  * tables small enough to broadcast at any realistic scale — join helpers
-  * in Queries use `broadcast()` hints for them so the plans stay
-  * shuffle-free on the dimension side at 100 TB.
+  * with sf). Of the dimensions, only `region`/`nation` have FIXED
+  * cardinality (5/25 rows) and carry explicit `broadcast()` hints;
+  * `customer`/`supplier`/`part` are SF-proportional (billions of rows at
+  * 100 TB), so join helpers in Queries leave them UNHINTED — AQE
+  * broadcasts them while they fit and falls back to shuffle joins at
+  * scale, which a forced hint would prevent.
   */
 object Tables {
   val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")

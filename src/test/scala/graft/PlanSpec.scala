@@ -20,11 +20,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_comment")) // untouched columns never read
   }
 
-  test("q03/q17: dimension joins are broadcast, not shuffled") {
+  test("q03/q17: dim joins broadcast while small, but only FIXED dims are hinted") {
+    // customer/supplier are SF-proportional: they must broadcast here
+    // purely via size statistics (so AQE can demote them at 100 TB),
+    // never via a forced hint that would pin the choice at any scale
     assert(planOf(Queries.joinOrdersCustomer(spark, d)).contains("BroadcastHashJoin"))
     val p = planOf(Queries.localSupplierVolume(spark, d))
-    // customer/supplier/nation/region all broadcast
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    def hintedTables(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+      df.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h.child.output.map(_.name).mkString(",")
+      }
+    }
+    for (q <- Seq(Queries.joinOrdersCustomer(spark, d),
+                  Queries.shippingPriority(spark, d),
+                  Queries.localSupplierVolume(spark, d));
+         cols <- hintedTables(q)) {
+      assert(!cols.contains("c_custkey") && !cols.contains("s_suppkey"),
+        s"SF-proportional table carries a forced broadcast hint: $cols")
+    }
   }
 
   test("q01: aggregation is partial before the shuffle (map-side combine)") {
