@@ -930,6 +930,36 @@ object Curation {
           .as("retained_docs"))
       .orderBy(col("lang"), col("len_bucket"))
 
+  /** q176's sample size. */
+  val PrioritySampleK = 100
+
+  /** q176: deterministic PRIORITY SAMPLING (weighted without
+    * replacement, A-RES family) — each document draws priority
+    * w·SCALE div u, where w = n_chars (the byte weight a
+    * token-budgeted sample wants) and u ∈ [1, 10⁶] is a content-keyed
+    * integer uniform (polyhash of `smp:<doc_id>` — the q111/q135
+    * acceptance-sampling trick), and the K highest-priority docs are
+    * the sample. Priority sampling yields inclusion probability ∝ w
+    * asymptotically, is deterministic per (corpus, seed-string) — the
+    * reproducibility a training-data manifest requires — and needs NO
+    * global weight total (unlike q54's upweighting), so shards sample
+    * independently.
+    *
+    * Shape at 100 TB: priorities are row-local integer arithmetic in
+    * codegen; the top-K is `orderBy.limit` = TakeOrderedAndProject —
+    * a bounded heap per partition, K rows per partition on the wire,
+    * NEVER a global sort (the q10 pin). */
+  def prioritySample(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (polyHash(concat(lit("smp:"), col("doc_id").cast("string")))
+          % 1000000L + 1L).as("u"))
+      .withColumn("priority", expr("(n_chars * 1000000) div u"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(PrioritySampleK)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("u").as("u_ppm"), col("priority"))
+
   /** q173: RANK-FUSION quality scoring (Borda count) — three
     * independent per-doc quality signals (token volume, distinct-type
     * count, char length) are each converted to a within-language

@@ -1269,4 +1269,61 @@ object Queries {
         expr("sum_gap_s div n_gaps").as("mean_gap_s"))
       .orderBy(col("user_id"))
   }
+
+  /** q175: conversion ATTRIBUTION — for every `purchase`, the
+    * click/view touchpoints by the same user in the preceding 7 days
+    * split the credit two ways: LAST-TOUCH (the whole conversion to
+    * the most recent touchpoint's channel) and LINEAR (equal
+    * micro-shares to every touchpoint, floor division). Conversions
+    * with no preceding touch credit an `organic` channel. This is the
+    * standard marketing/product attribution read over the same event
+    * log the funnel (q124) and transition (q130) queries mine.
+    *
+    * Shape at 100 TB: the touch↔conversion pairing is a USER-keyed
+    * equi-join with the 7-day band as a residual predicate — per-user
+    * fan-out is bounded by a user's own 7-day activity (the q45
+    * interval argument), never cross-user. Both credit reductions are
+    * conversion-keyed hash-aggs (last-touch rides one max(struct), no
+    * per-conversion sort), and the final channel rollup is
+    * alphabet-bounded. */
+  def attribution(spark: SparkSession, d: String): DataFrame = {
+    val WeekNs = 7L * 86400000000000L
+    val ev = Tables.eventsNs(spark, d)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("tu"), col("event_type").as("channel"),
+        col("ts").as("tts"), col("event_id").as("tid"))
+    val j = CacheScope.cached(conv.join(touch,
+        col("cu") === col("tu") &&
+          col("tts") <= col("cts") && col("tts") > col("cts") - WeekNs,
+        "left")
+      .select(col("conv_id"), col("channel"), col("tts"), col("tid")))
+    // per conversion: touch count and the (ts desc, id desc) last touch
+    val per = j.groupBy(col("conv_id"))
+      .agg(count(col("tid")).as("n_touches"),
+        max(struct(col("tts"), col("tid"), col("channel"))).as("last"))
+    val lastWins = per.filter(col("n_touches") > 0)
+      .groupBy(col("last.channel").as("channel"))
+      .agg(count(lit(1)).as("last_touch_wins"))
+    // linear: each conversion splits 1e6 micro-credits evenly
+    val linear = j.filter(col("channel").isNotNull)
+      .groupBy(col("conv_id"), col("channel")).agg(count(lit(1)).as("c"))
+      .join(per.select(col("conv_id"), col("n_touches")), "conv_id")
+      .groupBy(col("channel"))
+      .agg(sum(expr("(1000000 * c) div n_touches")).as("linear_credit_micro"),
+        countDistinct(col("conv_id")).as("conversions_touched"))
+    val organic = per.filter(col("n_touches") === 0)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("organic").as("channel"), col("n").as("conversions_touched"),
+        (col("n") * 1000000L).as("linear_credit_micro"),
+        col("n").as("last_touch_wins"))
+    linear.join(lastWins, Seq("channel"), "left")
+      .select(col("channel"), col("conversions_touched"),
+        col("linear_credit_micro"),
+        coalesce(col("last_touch_wins"), lit(0L)).as("last_touch_wins"))
+      .unionByName(organic)
+      .orderBy(col("channel"))
+  }
 }

@@ -416,6 +416,12 @@ object SparkEntry {
     "q173_rank_fusion" -> (Curation.rankFusion _),
     // winsorized per-language length stats (exact p05/p95 clip)
     "q174_winsorize" -> (Curation.winsorizedStats _),
+    // last-touch + linear conversion attribution over 7-day windows
+    "q175_attribution" -> (Queries.attribution _),
+    // deterministic weighted priority sampling (top-K bounded heap)
+    "q176_priority_sample" -> (Curation.prioritySample _),
+    // per-(lang, source) tokenizer fertility / byte-density profile
+    "q177_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -2869,6 +2875,69 @@ object SparkEntry {
         |    AS winsor_mean_tok
         |FROM t JOIN b ON b.lang = t.lang
         |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
+    // q175: same user-keyed band join; last touch via row_number
+    // (tts DESC, tid DESC) = max(struct); floor micro-credit split.
+    "q175_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns
+        |            FROM events),
+        |conv AS (SELECT event_id AS conv_id, user_id, tns AS cts FROM ev
+        |         WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, event_type AS channel, tns AS tts,
+        |                 event_id AS tid FROM ev
+        |          WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT c.conv_id, t.channel, t.tts, t.tid
+        |      FROM conv c LEFT JOIN touch t ON t.user_id = c.user_id
+        |        AND t.tts <= c.cts AND t.tts > c.cts - 604800000000000),
+        |per AS (SELECT conv_id, count(tid)::BIGINT AS n_touches FROM j GROUP BY 1),
+        |lastw AS (SELECT channel, count(*)::BIGINT AS last_touch_wins FROM (
+        |           SELECT conv_id, channel,
+        |                  row_number() OVER (PARTITION BY conv_id
+        |                                     ORDER BY tts DESC, tid DESC) rn
+        |           FROM j WHERE tid IS NOT NULL) WHERE rn = 1 GROUP BY 1),
+        |lin AS (SELECT j.channel,
+        |        sum((1000000 * cnt) // p.n_touches)::BIGINT AS linear_credit_micro,
+        |        count(DISTINCT j.conv_id)::BIGINT AS conversions_touched
+        |        FROM (SELECT conv_id, channel, count(*)::BIGINT AS cnt FROM j
+        |              WHERE channel IS NOT NULL GROUP BY 1, 2) j
+        |        JOIN per p ON p.conv_id = j.conv_id GROUP BY 1),
+        |org AS (SELECT 'organic' AS channel,
+        |        count(*)::BIGINT AS conversions_touched,
+        |        (count(*) * 1000000)::BIGINT AS linear_credit_micro,
+        |        count(*)::BIGINT AS last_touch_wins
+        |        FROM per WHERE n_touches = 0)
+        |SELECT l.channel, l.conversions_touched, l.linear_credit_micro,
+        |  coalesce(w.last_touch_wins, 0)::BIGINT AS last_touch_wins
+        |FROM lin l LEFT JOIN lastw w ON w.channel = l.channel
+        |UNION ALL SELECT * FROM org
+        |ORDER BY channel""".stripMargin,
+    // q176: identical integer priority arithmetic; top-K by
+    // (priority DESC, doc_id).
+    "q176_priority_sample" ->
+      s"""WITH p AS (SELECT doc_id, source, n_chars,
+         |      (${H("'smp:' || doc_id::VARCHAR")} % 1000000 + 1)::BIGINT AS u_ppm
+         |      FROM documents)
+         |SELECT doc_id, source, n_chars, u_ppm,
+         |  ((n_chars * 1000000) // u_ppm)::BIGINT AS priority
+         |FROM p ORDER BY priority DESC, doc_id
+         |LIMIT ${Curation.PrioritySampleK}""".stripMargin,
+    // q177: one unnest + one rollup; ceil(len/4) granules as
+    // (len+3)//4; byte totals summed per doc (octet_length).
+    "q177_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang, source, strlen(text)::BIGINT AS db,
+        |      generate_subscripts(regexp_split_to_array(text, ' '), 1) AS p,
+        |      unnest(regexp_split_to_array(text, ' ')) AS w
+        |      FROM documents),
+        |a AS (SELECT lang, source,
+        |      sum(CASE WHEN p = 1 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+        |      count(*)::BIGINT AS n_words,
+        |      sum((strlen(w) + 3) // 4)::BIGINT AS n_granules,
+        |      sum(CASE WHEN p = 1 THEN db ELSE 0 END)::BIGINT AS n_bytes
+        |      FROM t GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, n_words, n_granules, n_bytes,
+        |  ((1000 * n_granules) // n_words)::BIGINT AS fertility_milli,
+        |  ((1000 * n_words) // greatest(n_bytes, 1))::BIGINT AS words_per_kb,
+        |  ((1000 * n_bytes) // n_words)::BIGINT AS bytes_per_word_milli
+        |FROM a ORDER BY lang, source""".stripMargin,
     // q171: the (lang, len-bucket) audit with the K=8 floor.
     "q171_k_anonymity" ->
       s"""WITH t AS (SELECT lang,

@@ -710,4 +710,37 @@ object TextAnalysis {
         sum(col("c")).as("n_occurrences"),
         min(col("w")).as("first_type"))
       .orderBy(col("bucket"))
+
+  /** q177: TOKENIZER FERTILITY / density profile per (lang, source)
+    * — the per-corpus-slice cost model a token-budgeted pipeline
+    * prices data with: words per KB (how much training signal a byte
+    * buys), bytes per word (UTF-8 density), and a subword-fertility
+    * proxy (4-char-granule count per word, ceil(len/4) — the
+    * BPE-granularity stand-in that needs no learned vocab, flagging
+    * slices whose long rare words will explode into many subwords).
+    * All ratios are exact integer milli/per-KB floor divisions.
+    *
+    * Shape at 100 TB: one token explode (linear, codegen) into ONE
+    * (lang, source) hash-agg with map-side partials; byte counts ride
+    * the same agg via octet_length — no second corpus scan, output
+    * alphabet-bounded. */
+  def tokenizerFertility(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .select(col("lang"), col("source"),
+        octet_length(col("text")).cast("long").as("doc_bytes"),
+        posexplode(toks(col("text"))).as(Seq("p", "w")))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        // doc-level facts ride the token stream at position 0 — one
+        // scan, no per-doc pre-agg, no countDistinct shuffle
+        sum(when(col("p") === 0, 1L).otherwise(0L)).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(expr("(octet_length(w) + 3) div 4")).as("n_granules"),
+        sum(when(col("p") === 0, col("doc_bytes")).otherwise(0L)).as("n_bytes"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_granules"), col("n_bytes"),
+        expr("(1000 * n_granules) div n_words").as("fertility_milli"),
+        expr("(1000 * n_words) div greatest(n_bytes, 1)").as("words_per_kb"),
+        expr("(1000 * n_bytes) div n_words").as("bytes_per_word_milli"))
+      .orderBy(col("lang"), col("source"))
 }

@@ -101,4 +101,77 @@ class PairMiningSpec extends SparkSpec {
     // winsorized mean is a real clip: bounded by the clip bounds
     assert(got.forall(t => t._8 >= t._3 && t._8 <= t._4))
   }
+
+  test("q175 attribution ≡ local window scan; credit conserves 1e6 per conversion mod flooring") {
+    val WeekNs = 7L * 86400000000000L
+    val ev = Tables.eventsNs(spark, d)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val convs = ev.filter(_._3 == "purchase")
+    val touches = ev.filter(e => e._3 == "click" || e._3 == "view")
+    case class Acc(var touched: Long = 0, var linear: Long = 0, var wins: Long = 0)
+    val acc = scala.collection.mutable.Map[String, Acc]()
+    var organic = 0L
+    for ((cid, u, _, cts) <- convs) {
+      val w = touches.filter(t =>
+        t._2 == u && t._4 <= cts && t._4 > cts - WeekNs)
+      if (w.isEmpty) organic += 1
+      else {
+        val n = w.length.toLong
+        val last = w.maxBy(t => (t._4, t._1))
+        acc.getOrElseUpdate(last._3, Acc()).wins += 1
+        for ((ch, g) <- w.groupBy(_._3)) {
+          val a = acc.getOrElseUpdate(ch, Acc())
+          a.touched += 1
+          a.linear += 1000000L * g.length / n
+        }
+      }
+    }
+    val exp = (acc.toSeq.map { case (ch, a) => (ch, a.touched, a.linear, a.wins) } :+
+      (("organic", organic, organic * 1000000L, organic))).sortBy(_._1)
+    val got = Queries.attribution(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == exp && got.nonEmpty)
+    // linear credit conserves ≤ 1e6 per touched conversion (floor loss only)
+    val touchedConvs = convs.count { case (_, u, _, cts) =>
+      touches.exists(t => t._2 == u && t._4 <= cts && t._4 > cts - WeekNs)
+    }
+    val totalLinear = got.filter(_._1 != "organic").map(_._3).sum
+    assert(totalLinear <= 1000000L * touchedConvs &&
+      totalLinear > 1000000L * touchedConvs - 1000000L)
+  }
+
+  test("q176 priority sample ≡ local integer priorities; weight-monotone") {
+    def ph(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)
+    val rows = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = rows.toSeq.map { case (id, src, nc) =>
+      val u = ph(s"smp:$id") % 1000000L + 1L
+      (id, src, nc, u, nc * 1000000L / u)
+    }.sortBy(t => (-t._5, t._1)).take(Curation.PrioritySampleK)
+    val got = Curation.prioritySample(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.sortBy(t => (-t._5, t._1)) == exp && got.size == Curation.PrioritySampleK)
+  }
+
+  test("q177 fertility ≡ local byte/granule accounting") {
+    val exp = spark.read.parquet(s"$d/documents.parquet")
+      .select("lang", "source", "text").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((lang, src), docs) =>
+        val words = docs.flatMap(_._3.split(" ", -1))
+        val nw = words.size.toLong
+        val gran = words.map(w => (w.getBytes("UTF-8").length + 3L) / 4L).sum
+        val bytes = docs.map(_._3.getBytes("UTF-8").length.toLong).sum
+        (lang, src, docs.size.toLong, nw, gran, bytes,
+          1000L * gran / nw, 1000L * nw / math.max(bytes, 1L), 1000L * bytes / nw)
+      }.sortBy(t => (t._1, t._2))
+    val got = TextAnalysis.tokenizerFertility(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(got == exp && got.nonEmpty)
+  }
 }

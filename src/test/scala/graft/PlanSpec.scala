@@ -42,6 +42,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q175/q176: attribution pairs on the user key; priority sample is a bounded heap") {
+    // the 7-day band must ride a user-keyed EQUI join, never a
+    // nested-loop over conversions × touches
+    val p = planOf(Queries.attribution(spark, d))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // top-K without a global sort (the q10 pin)
+    val q = planOf(Curation.prioritySample(spark, d))
+    assert(q.contains("TakeOrderedAndProject"), q)
+  }
+
   test("q01: aggregation is partial before the shuffle (map-side combine)") {
     val p = planOf(Queries.pricingSummary(spark, d))
     assert(p.contains("HashAggregate"))
