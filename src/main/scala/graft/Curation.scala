@@ -960,6 +960,36 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("u").as("u_ppm"), col("priority"))
 
+  /** q180's per-language sample size. */
+  val StratSampleK = 20
+
+  /** q180: STRATIFIED priority sampling — q176's deterministic
+    * weighted draw, budgeted PER LANGUAGE: the K highest-priority
+    * documents of every language, so low-resource languages keep
+    * their quota instead of being crowded out by the head language
+    * (the failure mode of one global top-K over a skewed corpus).
+    * Same content-keyed integer priorities as q176 ⇒ the strata are
+    * consistent subsets: a doc sampled here is sampled by q176
+    * whenever its language's quota allows.
+    *
+    * Shape at 100 TB: per-group top-K rides the bounded-heap
+    * aggregate (map-side partial top-K, K rows per language per
+    * partition on the wire) — NOT a rank() window over per-language
+    * corpus partitions. Output ≤ |langs|·K rows. */
+  def stratifiedPrioritySample(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (polyHash(concat(lit("smp:"), col("doc_id").cast("string")))
+          % 1000000L + 1L).as("u"))
+      .withColumn("priority", expr("(n_chars * 1000000) div u"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKByScore.topk(
+        col("priority").cast("double"), col("doc_id"), StratSampleK).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("doc_id"), col("s.score").cast("long").as("priority"))
+      .orderBy(col("lang"), col("rank"))
+
   /** q173: RANK-FUSION quality scoring (Borda count) — three
     * independent per-doc quality signals (token volume, distinct-type
     * count, char length) are each converted to a within-language

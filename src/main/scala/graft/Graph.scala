@@ -402,4 +402,44 @@ object Graph {
         expr("(1000 * common) div (dg_a + dg_b - common)").as("jaccard_pm"))
       .orderBy(col("node_a"), col("node_b"))
   }
+
+  /** q178: PERSONALIZED PageRank from a seed set — the seed-restart
+    * variant of q126 used for seed-based data discovery: rank mass
+    * teleports only to the SEEDS (supplier nodes with suppkey ≡ 0
+    * mod 5 here; in production, "documents/users like these"), so
+    * the stationary scores measure proximity to the seed
+    * neighborhood rather than global centrality. Same exact integer
+    * micro-unit recurrence as q126: seeds start at 1e6, each round
+    * r'(v) = [v∈S]·150000 + (850 · Σ_{u→v} r(u) div outdeg(u)) div
+    * 1000; nodes never reached stay 0 and are dropped from the
+    * report.
+    *
+    * Shape: identical cost to q126 (that's the point — the
+    * personalization is a seed indicator column, not a new plan):
+    * degree-carrying arcs cached once, each round ONE src-keyed hash
+    * join + ONE dst-keyed hash agg, plus a node-keyed left join to
+    * re-add the teleport (the nodes relation is one row per node —
+    * same cardinality the rank relation already has). Fixed rounds ⇒
+    * one lazy plan, lineage-truncated per round. */
+  def personalizedPageRank(spark: SparkSession, d: String): DataFrame = {
+    val e = CacheScope.cached(tradeArcs(spark, d))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = CacheScope.cached(e.join(deg, "src"))
+    val nodes = CacheScope.cached(deg.select(col("src").as("node"),
+      when(col("src") % 2 === 0 && expr("(src div 2) % 5 = 0"), lit(1L))
+        .otherwise(lit(0L)).as("seed")))
+    var rank = nodes.select(col("node"), (col("seed") * 1000000L).as("r"))
+    for (_ <- 1 to PageRankIters) {
+      val contrib = ed.join(rank, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(expr("(850 * sum(r div outdeg)) div 1000").as("c"))
+      rank = CacheScope.cached(
+        nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (col("seed") * 150000L + coalesce(col("c"), lit(0L))).as("r")))
+    }
+    rank.filter(col("r") > 0)
+      .select(col("node"), col("r").as("ppr_micro"))
+      .orderBy(col("node"))
+  }
 }

@@ -1270,6 +1270,32 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** q179: TPC-H Q17 shape — revenue locked in "small quantity"
+    * orders: lineitems whose quantity is below 20% of their part's
+    * average order quantity, reported as exact yearly cents (the Q17
+    * `/ 7.0` as integer division). This is the per-group CORRELATED
+    * threshold pattern (compare q76's global scalar subquery): the
+    * row predicate references an aggregate of the row's own group.
+    *
+    * Shape at 100 TB: decorrelated the way Catalyst would — ONE
+    * partkey-keyed aggregate of the fact table, joined back to the
+    * fact on the same key (co-partitioned: AQE reuses the shuffle
+    * layout), threshold as exact integer cents arithmetic (5·qc·cnt <
+    * sq avoids division), then a global agg to one row. No windows,
+    * no second fact scan beyond the join's own. */
+  def smallQuantityRevenue(spark: SparkSession, d: String): DataFrame = {
+    val li = lineitem(spark, d).select(col("l_partkey"),
+      expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qc")).as("sq"), count(lit(1)).as("cnt"))
+    li.join(perPart, "l_partkey")
+      .filter(expr("5 * qc * cnt < sq"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        expr("sum(pc) div 7").as("yearly_cents"))
+  }
+
   /** q175: conversion ATTRIBUTION — for every `purchase`, the
     * click/view touchpoints by the same user in the preceding 7 days
     * split the credit two ways: LAST-TOUCH (the whole conversion to

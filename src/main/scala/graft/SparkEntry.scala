@@ -422,6 +422,12 @@ object SparkEntry {
     "q176_priority_sample" -> (Curation.prioritySample _),
     // per-(lang, source) tokenizer fertility / byte-density profile
     "q177_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
+    // seed-restart personalized PageRank over the trade graph
+    "q178_personalized_pagerank" -> (Graph.personalizedPageRank _),
+    // TPC-H Q17 shape: correlated per-part quantity threshold
+    "q179_small_qty_revenue" -> (Queries.smallQuantityRevenue _),
+    // per-language budgeted weighted sample (bounded-heap top-K)
+    "q180_stratified_sample" -> (Curation.stratifiedPrioritySample _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -560,6 +566,31 @@ object SparkEntry {
        |$rounds
        |SELECT node, r AS rank_micro FROM r${Graph.PageRankIters}
        |ORDER BY node""".stripMargin
+  }
+
+  /** q178 oracle: the q126 chain with seed-restart teleport — each
+    * round re-joins the one-row-per-node seed relation so teleport
+    * mass lands only on seeds; mirrors Graph.personalizedPageRank
+    * round for round. */
+  private val PprOracle: String = {
+    val rounds = (1 to Graph.PageRankIters).map { k =>
+      s"""p$k AS (SELECT n.node,
+         |  (n.seed * 150000 + coalesce((850 * c.s) // 1000, 0))::BIGINT AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(p${k - 1}.r // d.outdeg) AS s
+         |    FROM e JOIN p${k - 1} ON p${k - 1}.node = e.src
+         |           JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $TradeGraphCte,
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS (SELECT src AS node,
+       |  CASE WHEN src % 2 = 0 AND (src // 2) % 5 = 0 THEN 1 ELSE 0 END AS seed
+       |  FROM deg),
+       |p0 AS (SELECT node, (seed * 1000000)::BIGINT AS r FROM nodes),
+       |$rounds
+       |SELECT node, r AS ppr_micro FROM p${Graph.PageRankIters}
+       |WHERE r > 0 ORDER BY node""".stripMargin
   }
 
   /** q131 oracle: BFS frontier relaxation rounds as chained CTEs. */
@@ -2938,6 +2969,34 @@ object SparkEntry {
         |  ((1000 * n_words) // greatest(n_bytes, 1))::BIGINT AS words_per_kb,
         |  ((1000 * n_bytes) // n_words)::BIGINT AS bytes_per_word_milli
         |FROM a ORDER BY lang, source""".stripMargin,
+    "q178_personalized_pagerank" -> PprOracle,
+    // q179: the correlated threshold decorrelated identically —
+    // per-part sums joined back, exact cents arithmetic throughout.
+    "q179_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey,
+        |      CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |      CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |      FROM lineitem),
+        |p AS (SELECT l_partkey, sum(qc)::BIGINT AS sq, count(*)::BIGINT AS cnt
+        |      FROM li GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_items,
+        |  count(DISTINCT li.l_partkey)::BIGINT AS n_parts,
+        |  (sum(pc) // 7)::BIGINT AS yearly_cents
+        |FROM li JOIN p ON p.l_partkey = li.l_partkey
+        |WHERE 5 * qc * cnt < sq""".stripMargin,
+    // q180: q176's priorities ranked per language; row_number
+    // (priority DESC, doc_id) = TopKByScore order.
+    "q180_stratified_sample" ->
+      s"""WITH p AS (SELECT doc_id, lang,
+         |      ((n_chars * 1000000) //
+         |       (${H("'smp:' || doc_id::VARCHAR")} % 1000000 + 1))::BIGINT AS priority
+         |      FROM documents),
+         |r AS (SELECT lang, doc_id, priority,
+         |      row_number() OVER (PARTITION BY lang
+         |                         ORDER BY priority DESC, doc_id) AS rn
+         |      FROM p)
+         |SELECT lang, rn::BIGINT AS rank, doc_id, priority FROM r
+         |WHERE rn <= ${Curation.StratSampleK} ORDER BY lang, rank""".stripMargin,
     // q171: the (lang, len-bucket) audit with the K=8 floor.
     "q171_k_anonymity" ->
       s"""WITH t AS (SELECT lang,

@@ -156,6 +156,72 @@ class PairMiningSpec extends SparkSpec {
     assert(got.sortBy(t => (-t._5, t._1)) == exp && got.size == Curation.PrioritySampleK)
   }
 
+  test("q178 personalized PageRank ≡ local seed-restart iteration") {
+    val adj = tradeAdjLocal
+    val outdeg = adj.map { case (n, vs) => n -> vs.size.toLong }
+    val seeds = adj.keySet.filter(n => n % 2 == 0 && (n / 2) % 5 == 0)
+    var r = adj.keySet.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to Graph.PageRankIters) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, vs) <- adj; v <- vs) in(v) += r(u) / outdeg(u)
+      r = adj.keySet.map(n =>
+        n -> ((if (seeds(n)) 150000L else 0L) + 850L * in(n) / 1000L)).toMap
+    }
+    val exp = r.toSeq.filter(_._2 > 0).sortBy(_._1)
+    val got = Graph.personalizedPageRank(spark, d).collect().toSeq
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(got == exp && got.nonEmpty)
+    // teleport is seed-only: a node with positive score is a seed or
+    // has an in-neighbor with positive score at the previous round
+    assert(seeds.forall(s => got.toMap.getOrElse(s, 0L) >= 150000L))
+  }
+
+  /** Local symmetric trade-graph adjacency (s ↦ 2s, c ↦ 2c+1). */
+  private lazy val tradeAdjLocal: Map[Long, Seq[Long]] = {
+    val om = spark.read.parquet(s"$d/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val undirected = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .flatMap(r => om.get(r.getLong(0)).map(c => (2 * r.getLong(1), 2 * c + 1)))
+      .toSet
+    val arcs = undirected.toSeq.flatMap { case (s, c) => Seq(s -> c, c -> s) }
+    arcs.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+  }
+
+  test("q179 small-quantity revenue ≡ local correlated threshold") {
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100),
+        math.round(r.getDouble(2) * 100)))
+    val per = li.groupBy(_._1).map { case (pk, xs) =>
+      pk -> (xs.map(_._2).sum, xs.length.toLong)
+    }
+    val sel = li.filter { case (pk, qc, _) =>
+      val (sq, cnt) = per(pk); 5L * qc * cnt < sq
+    }
+    val exp = (sel.length.toLong, sel.map(_._1).distinct.length.toLong,
+      sel.map(_._3).sum / 7L)
+    val r = Queries.smallQuantityRevenue(spark, d).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == exp && exp._1 > 0)
+  }
+
+  test("q180 stratified sample ≡ local per-language top-K; quota respected") {
+    def ph(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)
+    val exp = docRows.map { case (id, lang, nc, _) =>
+      val u = ph(s"smp:$id") % 1000000L + 1L
+      (lang, id, nc * 1000000L / u)
+    }.groupBy(_._1).toSeq.flatMap { case (lang, xs) =>
+      xs.sortBy(t => (-t._3, t._2)).take(Curation.StratSampleK)
+        .zipWithIndex.map { case ((_, id, pr), i) => (lang, i + 1L, id, pr) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Curation.stratifiedPrioritySample(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == exp && got.nonEmpty)
+    assert(got.groupBy(_._1).values.forall(_.size <= Curation.StratSampleK))
+  }
+
   test("q177 fertility ≡ local byte/granule accounting") {
     val exp = spark.read.parquet(s"$d/documents.parquet")
       .select("lang", "source", "text").collect().toSeq
