@@ -264,6 +264,106 @@ object Dedup {
     pairJaccard(common, sz, 0.5)
   }
 
+  /** q182: LSH CANDIDATE-GENERATION quality eval — the q23 band
+    * scheme (16 minhashes, 4 bands × 4 rows) measured against ground
+    * truth: every pair with exact Jaccard ≥ 0.5 (the full inverted
+    * index, q22's machinery at q23's threshold) versus every pair the
+    * bands propose. Reports candidate recall (dup pairs the bands
+    * surface — the pairs LSH dedup can ever delete) and precision
+    * (candidate pairs worth the exact verify). This is the dedup twin
+    * of q146's ANN-recall eval: the measurement a pipeline owner runs
+    * before trusting a band configuration, and reruns when shingle
+    * statistics drift.
+    *
+    * Shape: composes two verified plans (q22 exact pairs, q23
+    * candidates) plus three one-row aggregates; the exact baseline is
+    * the expensive half — by design, an eval runs on a sampled slice
+    * at 100 TB (the operator takes the corpus it is given), while the
+    * candidate side is the production-linear plan. */
+  def lshEval(spark: SparkSession, d: String): DataFrame = {
+    val sets = CacheScope.cached(shingleSets(spark, d)
+      .select(col("doc_id"), col("hs"), nearDupBandKeys(col("hs")).as("bands")))
+    val bands = sets.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
+    val cand = CacheScope.cached(bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct())
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("cm"))
+    val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
+    val exact = CacheScope.cached(
+      jaccardPairs(common, sz, sz, 0.5).select(col("doc_a"), col("doc_b")))
+    val nEx = exact.agg(count(lit(1)).as("n_exact"))
+    val nCa = cand.agg(count(lit(1)).as("n_candidates"))
+    val nHit = exact.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nEx.crossJoin(nCa).crossJoin(nHit)
+      .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+        expr("(1000 * n_hit) div greatest(n_exact, 1)").as("recall_pm"),
+        expr("(1000 * n_hit) div greatest(n_candidates, 1)").as("precision_pm"))
+  }
+
+  /** q183: MinHash estimator CALIBRATION curve — for every q23
+    * candidate pair, the signature-agreement estimate (k matching
+    * minhashes out of 16 → est ≈ k/16) laid against the exact Jaccard
+    * of the pair, grouped by agreement level. A well-behaved
+    * estimator shows mean_exact_pm tracking est_pm with tight spread;
+    * a drifting shingle distribution (or a broken hash family) shows
+    * up as systematic bias long before dedup quality visibly decays.
+    * Together with q182 this is the dedup observability pair:
+    * q182 scores the CANDIDATES, q183 scores the ESTIMATOR.
+    *
+    * Shape: candidates and signatures come from the q23 pipeline
+    * (cached once); per-pair agreement is one zip_with/aggregate fold
+    * over two 16-long arrays — candidate-bounded, never corpus² —
+    * and the exact intersection joins only candidate pairs (the q23
+    * verify shape). Output ≤ 17 rows. */
+  def minhashCalibration(spark: SparkSession, d: String): DataFrame = {
+    val K = NearDupMinhashK
+    val sets = CacheScope.cached(shingleSets(spark, d)
+      .select(col("doc_id"), col("hs"),
+        graft.functions.GraftFunctions.minhashes(col("hs"), K).as("mh"),
+        nearDupBandKeys(col("hs")).as("bands")))
+    val bands = sets.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val common = cand
+      .join(sh.as("p"), col("doc_a") === col("p.doc_id"))
+      .join(sh.as("q"), col("doc_b") === col("q.doc_id") && col("p.h") === col("q.h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("cm"))
+    val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
+    val mh = sets.select(col("doc_id"), col("mh"))
+    val scored = cand
+      .join(mh.toDF("doc_a", "mha"), "doc_a")
+      .join(mh.toDF("doc_b", "mhb"), "doc_b")
+      .withColumn("agreement",
+        aggregate(zip_with(col("mha"), col("mhb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .join(sz.toDF("doc_a", "sa"), "doc_a")
+      .join(sz.toDF("doc_b", "sb"), "doc_b")
+      .withColumn("epm", expr(
+        "(1000 * coalesce(cm, 0)) div (sa + sb - coalesce(cm, 0))"))
+    scored.groupBy(col("agreement"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(epm) div count(1)").as("mean_exact_pm"),
+        min(col("epm")).as("min_exact_pm"),
+        max(col("epm")).as("max_exact_pm"))
+      .withColumn("est_pm", expr(s"(1000 * agreement) div $K"))
+      .orderBy(col("agreement"))
+  }
+
   /** 32-bit SimHash signature per doc + chunk-blocked Hamming ≤ 6
     * pairing (Manku et al., WWW'07 style).
     *

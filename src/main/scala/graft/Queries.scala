@@ -1270,6 +1270,43 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** q181: frequent SESSION PATHS — the top 20 three-step event-type
+    * sequences users actually walk inside one q19 session, with both
+    * raw occurrence counts and the number of distinct sessions
+    * containing the path. This is sequence mining one level up from
+    * q130's Markov transitions (which see only pairwise hops and
+    * would hallucinate paths a second-order pattern forbids) — the
+    * report UX/funnel owners read to find real multi-step behavior.
+    *
+    * Shape at 100 TB: session numbering and the two lookaheads share
+    * ONE user-keyed shuffle (the lead window partitions by
+    * (user, sid) — a refinement of the session window's partitioning,
+    * so no second exchange); path counting is one hash-agg on the
+    * (|types|³-bounded) path alphabet with map-side partials, and the
+    * top-20 is TakeOrderedAndProject on that alphabet-bounded
+    * relation. No corpus-wide sort anywhere. */
+  def sessionPaths(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ws = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    eventsNs(spark, d)
+      .withColumn("prev_ns", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ns").isNull || col("ts") - col("prev_ns") > 1800000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t2", lead(col("event_type"), 1).over(ws))
+      .withColumn("t3", lead(col("event_type"), 2).over(ws))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id"), col("sid")).as("n_sessions"))
+      .orderBy(col("n_occurrences").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
   /** q179: TPC-H Q17 shape — revenue locked in "small quantity"
     * orders: lineitems whose quantity is below 20% of their part's
     * average order quantity, reported as exact yearly cents (the Q17

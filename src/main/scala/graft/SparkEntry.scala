@@ -428,6 +428,12 @@ object SparkEntry {
     "q179_small_qty_revenue" -> (Queries.smallQuantityRevenue _),
     // per-language budgeted weighted sample (bounded-heap top-K)
     "q180_stratified_sample" -> (Curation.stratifiedPrioritySample _),
+    // top 3-step event-type paths inside q19 sessions
+    "q181_session_paths" -> (Queries.sessionPaths _),
+    // LSH candidate recall/precision vs the exact-Jaccard ground truth
+    "q182_lsh_eval" -> (Dedup.lshEval _),
+    // minhash-agreement vs exact-Jaccard calibration curve
+    "q183_minhash_calibration" -> (Dedup.minhashCalibration _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -472,6 +478,23 @@ object SparkEntry {
       |  vts AS view_ts, cts - vts AS gap_us
       |FROM j WHERE rn = 1
       |ORDER BY click_id""".stripMargin
+
+  /** Shared q23-pipeline CTE prefix (shingles → 16 minhashes → band
+    * keys → candidate pairs) for the dedup-observability oracles
+    * q182/q183 — textually identical to the q23 oracle's chain. */
+  private lazy val MinhashCandCte: String =
+    s"""t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+       |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+       |mh AS (SELECT doc_id, j, min(((2*j + 1) * h + 12345 + 7919*j) % 1000000007) m
+       |       FROM sh, generate_series(0, 15) g(j) GROUP BY doc_id, j),
+       |bands AS (SELECT doc_id, j // 4 AS b,
+       |          list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
+       |                      (acc, x) -> (acc * 131 + x) % 1000000007) AS key
+       |          FROM mh GROUP BY doc_id, j // 4),
+       |cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x JOIN bands y
+       |         ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id)""".stripMargin
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
   private def H(e: String): String =
@@ -2997,6 +3020,71 @@ object SparkEntry {
          |      FROM p)
          |SELECT lang, rn::BIGINT AS rank, doc_id, priority FROM r
          |WHERE rn <= ${Curation.StratSampleK} ORDER BY lang, rank""".stripMargin,
+    // q181: same session numbering as q19/q141, two leads inside the
+    // (user, sid) refinement, top-20 with full tie-break.
+    "q181_session_paths" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns
+        |            FROM events),
+        |s AS (SELECT user_id, event_id, event_type, tns,
+        |      CASE WHEN lag(tns) OVER w IS NULL
+        |             OR tns - lag(tns) OVER w > 1800000000000
+        |           THEN 1 ELSE 0 END AS ns
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+        |s2 AS (SELECT user_id, event_id, event_type, tns,
+        |       sum(ns) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |p AS (SELECT user_id, sid, event_type AS step1,
+        |      lead(event_type, 1) OVER w2 AS step2,
+        |      lead(event_type, 2) OVER w2 AS step3
+        |      FROM s2 WINDOW w2 AS (PARTITION BY user_id, sid
+        |                            ORDER BY tns, event_id))
+        |SELECT step1, step2, step3, count(*)::BIGINT AS n_occurrences,
+        |  count(DISTINCT (user_id, sid))::BIGINT AS n_sessions
+        |FROM p WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_occurrences DESC, step1, step2, step3 LIMIT 20""".stripMargin,
+    // q182: q23's candidate chain + the q22-shape exact baseline at
+    // the q23 threshold; three scalar counts + floor permilles.
+    "q182_lsh_eval" ->
+      s"""WITH $MinhashCandCte,
+         |cm AS (SELECT a.doc_id da, b.doc_id db, count(*) cm
+         |       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |ex AS (SELECT da, db FROM cm
+         |       JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |       WHERE cm / (x.sz + y.sz - cm) >= 0.5),
+         |n1 AS (SELECT count(*)::BIGINT n_exact FROM ex),
+         |n2 AS (SELECT count(*)::BIGINT n_candidates FROM cand),
+         |n3 AS (SELECT count(*)::BIGINT n_hit
+         |       FROM ex JOIN cand c ON c.da = ex.da AND c.db = ex.db)
+         |SELECT n_exact, n_candidates, n_hit,
+         |  ((1000 * n_hit) // greatest(n_exact, 1))::BIGINT AS recall_pm,
+         |  ((1000 * n_hit) // greatest(n_candidates, 1))::BIGINT AS precision_pm
+         |FROM n1, n2, n3""".stripMargin,
+    // q183: per-candidate minhash agreement (position-joined) vs the
+    // exact permille, grouped by agreement level.
+    "q183_minhash_calibration" ->
+      s"""WITH $MinhashCandCte,
+         |ag AS (SELECT c.da, c.db,
+         |       sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END)::BIGINT AS agreement
+         |       FROM cand c JOIN mh x ON x.doc_id = c.da
+         |            JOIN mh y ON y.doc_id = c.db AND y.j = x.j
+         |       GROUP BY 1, 2),
+         |cm AS (SELECT c.da, c.db, count(*)::BIGINT cm FROM cand c
+         |       JOIN sh p ON p.doc_id = c.da
+         |       JOIN sh q ON q.doc_id = c.db AND q.h = p.h
+         |       GROUP BY 1, 2),
+         |e AS (SELECT a.da, a.db, a.agreement,
+         |      (1000 * coalesce(cm.cm, 0))
+         |        // (x.sz + y.sz - coalesce(cm.cm, 0)) AS epm
+         |      FROM ag a LEFT JOIN cm ON cm.da = a.da AND cm.db = a.db
+         |      JOIN sz x ON x.doc_id = a.da JOIN sz y ON y.doc_id = a.db)
+         |SELECT agreement, count(*)::BIGINT AS n_pairs,
+         |  (sum(epm) // count(*))::BIGINT AS mean_exact_pm,
+         |  min(epm)::BIGINT AS min_exact_pm,
+         |  max(epm)::BIGINT AS max_exact_pm,
+         |  ((1000 * agreement) // 16)::BIGINT AS est_pm
+         |FROM e GROUP BY agreement ORDER BY agreement""".stripMargin,
     // q171: the (lang, len-bucket) audit with the K=8 floor.
     "q171_k_anonymity" ->
       s"""WITH t AS (SELECT lang,

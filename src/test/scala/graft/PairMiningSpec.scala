@@ -222,6 +222,109 @@ class PairMiningSpec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.size <= Curation.StratSampleK))
   }
 
+  test("q181 session paths ≡ local sessionize + trigram scan") {
+    val ev = Tables.eventsNs(spark, d)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val paths = scala.collection.mutable.Map[(String, String, String),
+      (Long, Set[(Long, Long)])]()
+    for ((u, evs) <- ev.groupBy(_._2)) {
+      val sorted = evs.sortBy(e => (e._4, e._1))
+      var sid = 0L
+      var prev = Long.MinValue
+      val withSid = sorted.map { e =>
+        if (prev == Long.MinValue || e._4 - prev > 1800000000000L) sid += 1
+        prev = e._4
+        (e._3, sid)
+      }
+      for (w <- withSid.sliding(3) if w.length == 3 && w(0)._2 == w(2)._2) {
+        val k = (w(0)._1, w(1)._1, w(2)._1)
+        val (n, ss) = paths.getOrElse(k, (0L, Set.empty[(Long, Long)]))
+        paths(k) = (n + 1, ss + ((u, w(0)._2)))
+      }
+    }
+    val exp = paths.toSeq
+      .map { case ((a, b, c), (n, ss)) => (a, b, c, n, ss.size.toLong) }
+      .sortBy(t => (-t._4, t._1, t._2, t._3)).take(20)
+    val got = Queries.sessionPaths(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got == exp && got.nonEmpty)
+  }
+
+  /** Local q23 pipeline: distinct 3-gram polyhash shingles, 16
+    * minhashes, 4 band keys — same integer arithmetic, no shared
+    * code. */
+  private def localPh(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)
+
+  private lazy val localShingles: Map[Long, Set[Long]] =
+    spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ", -1)
+        r.getLong(0) -> tk.sliding(3).filter(_.length == 3)
+          .map(g => localPh(g.mkString(" "))).toSet
+      }.toMap.filter(_._2.nonEmpty)
+
+  private lazy val localMinhash: Map[Long, IndexedSeq[Long]] =
+    localShingles.map { case (id, hs) =>
+      id -> (0 until 16).map { j =>
+        hs.map(h => ((2L * j + 1) * h + 12345L + 7919L * j) % 1000000007L).min
+      }
+    }
+
+  private lazy val localCands: Set[(Long, Long)] = {
+    val bandKey = localMinhash.map { case (id, mh) =>
+      id -> (0 until 4).map(b =>
+        mh.slice(4 * b, 4 * b + 4)
+          .foldLeft(0L)((acc, m) => (acc * 131 + m) % 1000000007L))
+    }
+    val ids = bandKey.keys.toSeq.sorted
+    (for (i <- ids.indices; j <- i + 1 until ids.size;
+          a = ids(i); b = ids(j)
+          if (0 until 4).exists(k => bandKey(a)(k) == bandKey(b)(k)))
+      yield (a, b)).toSet
+  }
+
+  test("q182 LSH eval ≡ local recall/precision over exact ground truth") {
+    val exact = (for {
+      (a, ha) <- localShingles.toSeq; (b, hb) <- localShingles.toSeq
+      if a < b
+      cm = (ha intersect hb).size
+      if cm.toDouble / (ha.size + hb.size - cm) >= 0.5
+    } yield (a, b)).toSet
+    val hit = (exact intersect localCands).size.toLong
+    val exp = (exact.size.toLong, localCands.size.toLong, hit,
+      1000L * hit / math.max(exact.size, 1),
+      1000L * hit / math.max(localCands.size, 1))
+    val r = Dedup.lshEval(spark, d).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == exp)
+    assert(exp._1 > 0 && exp._3 <= math.min(exp._1, exp._2))
+  }
+
+  test("q183 calibration ≡ local per-agreement exact-Jaccard stats") {
+    val rows = localCands.toSeq.map { case (a, b) =>
+      val agree = (0 until 16).count(j => localMinhash(a)(j) == localMinhash(b)(j)).toLong
+      val (ha, hb) = (localShingles(a), localShingles(b))
+      val cm = (ha intersect hb).size.toLong
+      (agree, 1000L * cm / (ha.size + hb.size - cm))
+    }
+    val exp = rows.groupBy(_._1).toSeq.map { case (k, xs) =>
+      val e = xs.map(_._2)
+      (k, xs.size.toLong, e.sum / e.size, e.min, e.max, 1000L * k / 16L)
+    }.sortBy(_._1)
+    val got = Dedup.minhashCalibration(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got == exp && got.nonEmpty)
+    // estimator sanity: mean exact similarity is monotone-ish in
+    // agreement at the extremes (perfect agreement ⇒ highest mean)
+    if (got.size >= 2)
+      assert(got.last._3 >= got.head._3)
+  }
+
   test("q177 fertility ≡ local byte/granule accounting") {
     val exp = spark.read.parquet(s"$d/documents.parquet")
       .select("lang", "source", "text").collect().toSeq
