@@ -990,6 +990,88 @@ object Curation {
         col("s.id").as("doc_id"), col("s.score").cast("long").as("priority"))
       .orderBy(col("lang"), col("rank"))
 
+  /** q184's shard fan-out. */
+  val ManifestShards = 8L
+
+  /** q184: training-data EXPORT MANIFEST — the artifact the whole
+    * curation pipeline exists to write: one row per (split, shard)
+    * stating exactly which deduplicated documents ship where. Keeps
+    * ONE canonical doc per q49 near-dup cluster (q154's quality
+    * argmax), assigns it the split of its CLUSTER REPRESENTATIVE
+    * (q152's leak-safety rule — near-dups can never straddle
+    * train/test), and fans docs into content-hash shards so any
+    * worker can re-derive its slice without coordination. Doc counts,
+    * char mass, and id ranges per cell make the manifest verifiable
+    * downstream (a shard that re-materializes differently is corrupt).
+    *
+    * Shape at 100 TB: pure composition of three verified plans (q154
+    * canonical argmax, q111 row-local split hash, the shard hash is
+    * row-local codegen) plus two doc-keyed equi-joins and ONE
+    * (split, shard) hash-agg — output |splits|·|shards| rows. */
+  def exportManifest(spark: SparkSession, d: String): DataFrame = {
+    val canon = canonicalDocs(spark, d)
+      .select(col("cluster_id"), col("canonical_id"))
+    val repSplit = splitAssign(spark, d)
+      .select(col("doc_id").as("cluster_id"), col("split"))
+    val docs = Tables.documentsDist(spark, d)
+      .select(col("doc_id").as("canonical_id"), col("n_chars"))
+    canon.join(repSplit, "cluster_id").join(docs, "canonical_id")
+      .withColumn("shard",
+        polyHash(concat(lit("shard:"), col("canonical_id").cast("string")))
+          % ManifestShards)
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        min(col("canonical_id")).as("min_doc"),
+        max(col("canonical_id")).as("max_doc"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  /** q185: MAD-robust length outliers per language — the robust twin
+    * of q153's z-score sweep for scalar features: median and median
+    * absolute deviation (both exact lower medians, rank-picked) are
+    * immune to the very outliers they hunt, where mean/stddev get
+    * dragged toward them (masking). A doc flags when |len − median| >
+    * 3·MAD — the standard robust cutoff; with MAD = 0 (degenerate:
+    * most docs share one length) any deviation flags, which is the
+    * honest reading. Reports per-language median, MAD, and flag
+    * rates.
+    *
+    * Shape at 100 TB: both medians come from the q151 histogram +
+    * cumulative-window idiom — the deviation histogram derives from
+    * the length histogram by a |langs|-row bounds join (NOT a second
+    * corpus scan), and the outlier count is one more aggregate over
+    * histogram rows. The corpus is scanned exactly once. */
+  def madOutliers(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = CacheScope.cached(Tables.documentsDist(spark, d)
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("c")))
+    val byLang = Window.partitionBy(col("lang"))
+    def lowerMedian(h: DataFrame, v: String): DataFrame =
+      h.withColumn("cum", sum(col("c")).over(byLang.orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(byLang))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).as("n_docs"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col(v))).as("med"))
+    val med = lowerMedian(hist, "n_tok")
+      .select(col("lang"), col("n_docs"), col("med").as("median_tok"))
+    val devHist = hist.join(med, "lang")
+      .select(col("lang"), abs(col("n_tok") - col("median_tok")).as("dev"), col("c"))
+      .groupBy(col("lang"), col("dev")).agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(devHist, "dev")
+      .select(col("lang"), col("med").as("mad_tok"))
+    val flags = hist.join(med, "lang").join(mad, "lang")
+      .groupBy(col("lang"))
+      .agg(sum(when(abs(col("n_tok") - col("median_tok")) > col("mad_tok") * 3L,
+        col("c")).otherwise(lit(0L))).as("n_outliers"))
+    med.join(mad, "lang").join(flags, "lang")
+      .select(col("lang"), col("n_docs"), col("median_tok"), col("mad_tok"),
+        col("n_outliers"),
+        expr("(1000 * n_outliers) div n_docs").as("outlier_pm"))
+      .orderBy(col("lang"))
+  }
+
   /** q173: RANK-FUSION quality scoring (Borda count) — three
     * independent per-doc quality signals (token volume, distinct-type
     * count, char length) are each converted to a within-language

@@ -616,6 +616,43 @@ object Similarity {
       .orderBy(col("cid"), col("rank"))
   }
 
+  /** q186: per-DIMENSION embedding health profile — count, exact
+    * integer micro-unit min/max/mean and a scaled variance for each
+    * of the 64 dimensions, plus a dead-dimension flag (min = max).
+    * This is the feature-health monitor an embedding pipeline runs on
+    * every model or corpus rollover: a collapsed dimension, a scale
+    * drift, or a saturated tail shows up here before any ANN recall
+    * metric moves. Variance products ride DECIMAL(38) so the
+    * n·Σv² − (Σv)² arithmetic cannot overflow at corpus scale
+    * (vm² ≤ 10¹², n up to 10¹⁰ ⇒ products past 2⁶³; the q141 lift
+    * lesson).
+    *
+    * Shape at 100 TB: ONE posexplode (embarrassingly parallel, row
+    * local) into ONE 64-group hash-agg with map-side partials —
+    * output is |dims| rows regardless of corpus size. */
+  def embeddingDimStats(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      // +1e6 shift: components live in [−1, 1], so vms ≥ 0 — integer
+      // division then agrees across engines (Spark `div` truncates
+      // toward zero, DuckDB `//` floors; they differ only below zero).
+      // The mean un-shifts exactly (offset is n·1e6 ≡ 0 mod n) and
+      // variance is shift-invariant.
+      .select(col("pos").cast("long").as("pos"),
+        (floor(col("v") * 1000000.0d).cast("long") + 1000000L).as("vms"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (min(col("vms")) - 1000000L).as("min_micro"),
+        (max(col("vms")) - 1000000L).as("max_micro"),
+        expr("sum(vms) div count(1) - 1000000").as("mean_micro"),
+        expr("""CAST((CAST(count(1) AS DECIMAL(38,0)) * sum(vms * vms)
+                 - CAST(sum(vms) AS DECIMAL(38,0)) * sum(vms))
+                div (CAST(count(1) AS DECIMAL(38,0)) * count(1)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("var_micro2"))
+      .withColumn("dead", when(col("min_micro") === col("max_micro"), 1L)
+        .otherwise(0L))
+      .orderBy(col("pos"))
+
   /** q172: MUTUAL nearest-neighbor pair mining — emit (a, b) exactly
     * when b is a's single nearest neighbor AND a is b's (within their
     * shared IVF cell). Mutual-NN is the standard high-precision pair

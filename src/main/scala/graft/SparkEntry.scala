@@ -434,6 +434,12 @@ object SparkEntry {
     "q182_lsh_eval" -> (Dedup.lshEval _),
     // minhash-agreement vs exact-Jaccard calibration curve
     "q183_minhash_calibration" -> (Dedup.minhashCalibration _),
+    // per-(split, shard) export manifest over canonical docs
+    "q184_export_manifest" -> (Curation.exportManifest _),
+    // MAD-robust per-language length outlier audit
+    "q185_mad_outliers" -> (Curation.madOutliers _),
+    // per-dimension embedding health profile (64 rows)
+    "q186_embedding_dim_stats" -> (Similarity.embeddingDimStats _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -3085,6 +3091,81 @@ object SparkEntry {
          |  max(epm)::BIGINT AS max_exact_pm,
          |  ((1000 * agreement) // 16)::BIGINT AS est_pm
          |FROM e GROUP BY agreement ORDER BY agreement""".stripMargin,
+    // q184: q154's canonical chain + q111's split of the cluster
+    // representative + shard hash, one (split, shard) rollup.
+    "q184_export_manifest" ->
+      s"""WITH $NearDupClusterCte,
+         |tq AS (SELECT doc_id, n_chars, regexp_split_to_array(text, ' ') tk FROM documents),
+         |sq AS (SELECT doc_id, n_chars, len(tk)::BIGINT n_tok,
+         |       len(list_distinct(tk))::BIGINT n_uniq,
+         |       len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in')))::BIGINT n_stop
+         |       FROM tq),
+         |scq AS (SELECT doc_id, n_chars,
+         |        ((500 * n_uniq) // n_tok + (200 * n_stop) // n_tok
+         |         + (300 * least(n_tok, 200)) // 200)::BIGINT AS score_milli FROM sq),
+         |jq AS (SELECT l.doc_id, l.cluster_id, sc.n_chars, sc.score_milli
+         |       FROM lbl l JOIN scq sc ON sc.doc_id = l.doc_id),
+         |rq AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY score_milli DESC, doc_id) rn FROM jq),
+         |can AS (SELECT cluster_id, doc_id AS canonical_id FROM rq WHERE rn = 1),
+         |spl AS (SELECT doc_id,
+         |        CASE WHEN k < 980 THEN 'train' WHEN k < 990 THEN 'val'
+         |             ELSE 'test' END AS split
+         |        FROM (SELECT doc_id, ${H("'split:' || text")} % 1000 AS k
+         |              FROM documents)),
+         |m AS (SELECT s.split,
+         |      (${H("'shard:' || c.canonical_id::VARCHAR")} % ${Curation.ManifestShards})::BIGINT AS shard,
+         |      c.canonical_id, dch.n_chars
+         |      FROM can c JOIN spl s ON s.doc_id = c.cluster_id
+         |      JOIN documents dch ON dch.doc_id = c.canonical_id)
+         |SELECT split, shard, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS n_chars, min(canonical_id)::BIGINT AS min_doc,
+         |  max(canonical_id)::BIGINT AS max_doc
+         |FROM m GROUP BY 1, 2 ORDER BY split, shard""".stripMargin,
+    // q185: both lower medians rank-picked; 3·MAD flags; floor pm.
+    "q185_mad_outliers" ->
+      """WITH t AS (SELECT lang,
+        |      len(regexp_split_to_array(text, ' '))::BIGINT AS n_tok
+        |      FROM documents),
+        |r AS (SELECT lang, n_tok,
+        |      row_number() OVER (PARTITION BY lang ORDER BY n_tok) rn,
+        |      count(*) OVER (PARTITION BY lang) n FROM t),
+        |med AS (SELECT lang, max(n)::BIGINT n_docs,
+        |        min(CASE WHEN rn >= (n + 1) // 2 THEN n_tok END)::BIGINT med
+        |        FROM r GROUP BY 1),
+        |dv AS (SELECT t.lang, abs(t.n_tok - m.med) AS dev
+        |       FROM t JOIN med m ON m.lang = t.lang),
+        |r2 AS (SELECT lang, dev,
+        |       row_number() OVER (PARTITION BY lang ORDER BY dev) rn,
+        |       count(*) OVER (PARTITION BY lang) n FROM dv),
+        |mad AS (SELECT lang,
+        |        min(CASE WHEN rn >= (n + 1) // 2 THEN dev END)::BIGINT mad
+        |        FROM r2 GROUP BY 1),
+        |fl AS (SELECT t.lang,
+        |       sum(CASE WHEN abs(t.n_tok - m.med) > 3 * md.mad
+        |                THEN 1 ELSE 0 END)::BIGINT n_outliers
+        |       FROM t JOIN med m ON m.lang = t.lang
+        |            JOIN mad md ON md.lang = t.lang GROUP BY 1)
+        |SELECT m.lang, m.n_docs, m.med AS median_tok, md.mad AS mad_tok,
+        |  fl.n_outliers,
+        |  ((1000 * fl.n_outliers) // m.n_docs)::BIGINT AS outlier_pm
+        |FROM med m JOIN mad md ON md.lang = m.lang JOIN fl ON fl.lang = m.lang
+        |ORDER BY m.lang""".stripMargin,
+    // q186: same +1e6 shift (floor ≡ truncate on the nonnegative
+    // domain), HUGEINT variance products.
+    "q186_embedding_dim_stats" ->
+      """WITH q AS (SELECT i::BIGINT - 1 AS pos,
+        |      floor(embedding[i]::DOUBLE * 1000000)::BIGINT + 1000000 AS vms
+        |      FROM (SELECT embedding,
+        |            unnest(generate_series(1, len(embedding))) i FROM embeddings))
+        |SELECT pos, count(*)::BIGINT AS n_vecs,
+        |  (min(vms) - 1000000)::BIGINT AS min_micro,
+        |  (max(vms) - 1000000)::BIGINT AS max_micro,
+        |  (sum(vms) // count(*) - 1000000)::BIGINT AS mean_micro,
+        |  ((count(*)::HUGEINT * sum(vms * vms) - sum(vms)::HUGEINT * sum(vms))
+        |    // (count(*)::HUGEINT * count(*)))::BIGINT AS var_micro2,
+        |  (CASE WHEN min(vms) = max(vms) THEN 1 ELSE 0 END)::BIGINT AS dead
+        |FROM q GROUP BY pos ORDER BY pos""".stripMargin,
     // q171: the (lang, len-bucket) audit with the K=8 floor.
     "q171_k_anonymity" ->
       s"""WITH t AS (SELECT lang,

@@ -325,6 +325,61 @@ class PairMiningSpec extends SparkSpec {
       assert(got.last._3 >= got.head._3)
   }
 
+  test("q184 manifest: conservation — every cluster ships exactly one doc, no split straddle") {
+    val canon = Curation.canonicalDocs(spark, d).collect()
+    val manifest = Curation.exportManifest(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // total docs across cells == number of clusters
+    assert(manifest.map(_._3).sum == canon.length.toLong)
+    // shard ids in range; (split, shard) cells unique
+    assert(manifest.forall(m => m._2 >= 0 && m._2 < Curation.ManifestShards))
+    assert(manifest.map(m => (m._1, m._2)).distinct.size == manifest.size)
+    // char mass equals the canonical docs' chars exactly
+    val chars = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val canonChars = canon.map(r => chars(r.getLong(1))).sum
+    assert(manifest.map(_._4).sum == canonChars)
+  }
+
+  test("q185 MAD outliers ≡ local robust stats") {
+    val exp = docRows.groupBy(_._2).map { case (lang, docs) =>
+      val lens = docs.map(_._4.length.toLong).sorted
+      val n = lens.size
+      def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+      val med = lowerMedian(lens)
+      val mad = lowerMedian(lens.map(v => math.abs(v - med)))
+      val out = lens.count(v => math.abs(v - med) > 3 * mad).toLong
+      (lang, n.toLong, med, mad, out, 1000L * out / n)
+    }.toSeq.sortBy(_._1)
+    val got = Curation.madOutliers(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("q186 dim stats ≡ local per-dimension accounting") {
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("cast(embedding as array<double>) as v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dims = vecs.head.length
+    val exp = (0 until dims).map { p =>
+      val vms = vecs.map(v => math.floor(v(p) * 1e6).toLong + 1000000L)
+      val n = vms.length.toLong
+      val (s1, s2) = (vms.sum, vms.map(x => BigInt(x) * x).sum)
+      val variance = ((BigInt(n) * s2 - BigInt(s1) * s1) / (BigInt(n) * n)).toLong
+      (p.toLong, n, vms.min - 1000000L, vms.max - 1000000L,
+        s1 / n - 1000000L, variance,
+        if (vms.min == vms.max) 1L else 0L)
+    }
+    val got = Similarity.embeddingDimStats(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got == exp && got.nonEmpty)
+    // live embeddings: no dead dimensions expected in the fixture
+    assert(got.forall(_._7 == 0L))
+  }
+
   test("q177 fertility ≡ local byte/granule accounting") {
     val exp = spark.read.parquet(s"$d/documents.parquet")
       .select("lang", "source", "text").collect().toSeq

@@ -61,7 +61,11 @@ class PlanSweepSpec extends SparkSpec {
     // broadcast)
     "q157_temperature_mix" -> 1,
     "q159_vocab_growth" -> 2,
-    "q164_decayed_engagement" -> 1)
+    "q164_decayed_engagement" -> 1,
+    // q182: the three ONE-ROW eval scalars (n_exact, n_candidates,
+    // n_hit) combine via two cross joins of single-row relations —
+    // scalar-bounded by construction
+    "q182_lsh_eval" -> 2)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

@@ -62,7 +62,13 @@ object ScaleProbe {
         "q150_cross_source_dup" -> (Dedup.crossSourceDup _),
         "q151_length_percentiles" -> (Curation.lengthPercentiles _),
         "q152_leak_safe_split" -> (Curation.leakSafeSplit _),
-        "q155_ingest_chunk_dedup" -> (Dedup.ingestChunkDedup _))
+        "q155_ingest_chunk_dedup" -> (Dedup.ingestChunkDedup _),
+        // round-6 curation additions — all histogram/heap-bounded plans
+        "q173_rank_fusion" -> (Curation.rankFusion _),
+        "q174_winsorize" -> (Curation.winsorizedStats _),
+        "q176_priority_sample" -> (Curation.prioritySample _),
+        "q177_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
+        "q180_stratified_sample" -> (Curation.stratifiedPrioritySample _))
     val ratios = qs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, d10)
@@ -108,7 +114,8 @@ object ScaleProbe {
         "q127_triangle_counts" -> (Graph.triangleCounts _),
         "q131_bfs_distances" -> (Graph.bfsDistances _),
         "q162_k_core" -> (Graph.kCore _),
-        "q163_label_prop" -> (Graph.labelProp _))
+        "q163_label_prop" -> (Graph.labelProp _),
+        "q178_personalized_pagerank" -> (Graph.personalizedPageRank _))
     val gratios = gqs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, gdir)
@@ -141,7 +148,9 @@ object ScaleProbe {
         "q124_event_funnel" -> (Queries.eventFunnel _),
         "q125_cohort_retention" -> (Queries.cohortRetention _),
         "q133_event_anomalies" -> (Queries.eventAnomalies _),
-        "q144_pii_scrub" -> (Curation.piiScrub _))
+        "q144_pii_scrub" -> (Curation.piiScrub _),
+        "q175_attribution" -> (Queries.attribution _),
+        "q181_session_paths" -> (Queries.sessionPaths _))
     val eratios = eqs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, edir)
@@ -173,7 +182,11 @@ object ScaleProbe {
         "q83_knn_pq" -> ((s: org.apache.spark.sql.SparkSession, dir: String) => Similarity.pqTopK(s, dir)),
         "q156_embed_decontam" -> (Dedup.embedDecontam _),
         "q160_rp_project" -> (Similarity.rpProject _),
-        "q161_coreset_select" -> (Similarity.coresetSelect _))
+        "q161_coreset_select" -> (Similarity.coresetSelect _),
+        // mutual-NN probes the persisted-IVF cell self-join (q115's
+        // cost contract) plus the reciprocity join; min-of-2 so the
+        // warm zero-refit path is measured like the other index users
+        "q172_mutual_nn" -> (Similarity.mutualNn _))
     val aratios = aqs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = math.min(time(name, fn, vdir), time(name, fn, vdir))
