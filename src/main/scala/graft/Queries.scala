@@ -1389,4 +1389,98 @@ object Queries {
       .unionByName(organic)
       .orderBy(col("channel"))
   }
+
+  /** q188: EQUI-DEPTH histogram of lineitem extended price (8 bins of
+    * ~equal row count) — the statistic a cost-based optimizer and a
+    * skew-aware partitioner both want, where the equi-WIDTH histogram
+    * (q103) wastes resolution on empty ranges. Depth boundaries are
+    * computed at whole-dollar granularity: exact bin populations, bin
+    * edges quantized to the dollar grid.
+    *
+    * Shape at 100 TB: NOT a global sort/ntile over the fact table. The
+    * fact table collapses to its (dollar → count) histogram in ONE
+    * hash-agg with map-side partials — bounded by the VALUE DOMAIN
+    * (~110k distinct dollar values for TPC-H prices), not the row
+    * count — and the global cumulative over that bounded relation runs
+    * as the q73 two-pass (range partition, pid-local running sum,
+    * driver cumsum over ≤|parts| totals re-broadcast): zero
+    * partitionless windows anywhere. Each dollar-group lands in the
+    * bin of its first row: bin = (rows_before * B) div n —
+    * deterministic, exact, and identical in both engines. */
+  def equiDepthHist(spark: SparkSession, d: String): DataFrame = {
+    val hist = Tables.lineitem(spark, d)
+      .select(expr("cast(round(l_extendedprice * 100) as bigint) div 100")
+        .as("dollars"))
+      .groupBy(col("dollars")).agg(count(lit(1)).as("c"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // global cumulative over the value-bounded histogram WITHOUT a
+    // partitionless window (the sweep-banned one-task sort): the q73
+    // two-pass — range-partition by value, pid-local running sum,
+    // driver cumsum over ≤`parts` per-partition totals re-enters as a
+    // broadcast offset. persist + post-collect adopt per the q73 note:
+    // pid must be computed exactly once.
+    val local = hist.repartitionByRange(parts, col("dollars"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lcum", sum(col("c")).over(
+        Window.partitionBy(col("pid")).orderBy(col("dollars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    local.persist()
+    val totals = local.groupBy(col("pid")).agg(sum(col("c")).as("t"))
+      .orderBy(col("pid")).collect().map(r => (r.getInt(0), r.getLong(1)))
+    CacheScope.adopt(local)
+    val n = totals.map(_._2).sum
+    val offsets = {
+      var acc = 0L
+      totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    }
+    val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("pid", "off"))
+    local.join(offDf, "pid")
+      .select(expr(s"((off + lcum - c) * 8) div $n").as("bin"),
+        col("dollars"), col("c"))
+      .groupBy(col("bin"))
+      .agg(sum(col("c")).as("n_rows"),
+        min(col("dollars")).as("lo_dollars"),
+        max(col("dollars")).as("hi_dollars"),
+        count(lit(1)).as("n_distinct_dollars"))
+      .orderBy(col("bin"))
+  }
+
+  private val DayNs = 86400L * 1000000000L
+
+  /** q189: SLIDING-WINDOW active users — per day, the exact count of
+    * distinct users active that day (DAU) and within the trailing
+    * 7-day window (WAU), plus the event count. The stickiness ratio
+    * DAU/WAU is the engagement metric every events pipeline reports;
+    * the hard part is that count(DISTINCT) does not compose across a
+    * sliding window — yesterday's WAU can't be updated, it must be
+    * re-derived.
+    *
+    * Shape at 100 TB: events first collapse to DISTINCT (user, day) —
+    * one hash-agg, the corpus's only full-width shuffle. Each (user,
+    * day) row then fans out to the ≤7 window ENDS it is visible from
+    * (a bounded explode — 7×, constant), and one more distinct-agg per
+    * (window_end) yields exact WAU with every shuffle keyed on
+    * user/day — no range join, no re-scan per day, no window function
+    * over an unbounded frame. This is the standard exact-sliding-
+    * distinct rewrite; the approximate path at larger windows is q74's
+    * HLL sketches. */
+  def slidingActiveUsers(spark: SparkSession, d: String): DataFrame = {
+    val ud = CacheScope.cached(Tables.eventsNs(spark, d)
+      .select(col("user_id"), expr(s"ts div $DayNs").as("day")))
+    val daily = ud.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("dau"))
+    val userDays = ud.select(col("user_id"), col("day")).distinct()
+    val wau = userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6L)).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    // report only observed days: phantom trailing days (visible from a
+    // user-day's fan-out but holding no events) are inner-joined away
+    daily.join(wau, Seq("day"))
+      .select(col("day"), col("n_events"), col("dau"), col("wau"),
+        expr("(1000 * dau) div wau").as("stickiness_pm"))
+      .orderBy(col("day"))
+  }
 }

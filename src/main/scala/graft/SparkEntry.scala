@@ -440,6 +440,12 @@ object SparkEntry {
     "q185_mad_outliers" -> (Curation.madOutliers _),
     // per-dimension embedding health profile (64 rows)
     "q186_embedding_dim_stats" -> (Similarity.embeddingDimStats _),
+    // exact phrase search over the persisted positional postings index
+    "q187_phrase_search" -> (TextAnalysis.phraseSearch _),
+    // equi-depth price histogram via the two-pass bounded cumsum
+    "q188_equidepth_hist" -> (Queries.equiDepthHist _),
+    // exact sliding 7-day distinct active users (DAU/WAU/stickiness)
+    "q189_sliding_active_users" -> (Queries.slidingActiveUsers _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded

@@ -724,6 +724,52 @@ object TextAnalysis {
     * (lang, source) hash-agg with map-side partials; byte counts ride
     * the same agg via octet_length — no second corpus scan, output
     * alphabet-bounded. */
+  /** The q187 query workload: fixed phrases of 2-3 tokens, chosen for
+    * nonzero hit counts in the synthetic corpus (a real deployment
+    * takes these per request). */
+  private[graft] val SearchPhrases = Seq("hash join", "merge sort", "slow hash batch")
+
+  /** q187: exact PHRASE SEARCH over the persisted positional postings
+    * index (PhraseIndex) — "these tokens, adjacent, in order", the
+    * retrieval primitive bag-of-words ranking (BM25 q114) cannot
+    * express and verbatim-overlap decontamination (q109) only
+    * approximates at a fixed n. Per phrase: how many documents match,
+    * total occurrence count, and the best document (most occurrences,
+    * ties to the smallest doc_id — one min(struct) aggregate, not a
+    * sort).
+    *
+    * Shape at 100 TB: the corpus is NEVER rescanned at query time —
+    * each phrase term filters the term-clustered postings parquet
+    * (row-group pruning on `term`), so probe cost ∝ the DF of the
+    * queried terms. Adjacency is a chain of (doc_id, pos)-keyed
+    * equi-joins — `pos - i` aligns every term of a k-phrase to the
+    * phrase's START position, so the k-way join is hash-partitionable
+    * on identical keys with no broadcast and no inequality condition.
+    * The per-phrase loop is query-set-bounded (3 here), not
+    * data-bounded. A planner refinement at scale: start the chain from
+    * the RAREST term; the join order here is phrase order, which the
+    * optimizer is free to reorder from the posting-list stats. */
+  def phraseSearch(spark: SparkSession, d: String): DataFrame = {
+    val post = PhraseIndex.buildOrLoad(spark, d)
+    def terms(ph: String) = ph.split(' ').toSeq
+    val perPhrase = SearchPhrases.map { ph =>
+      val ws = terms(ph)
+      // (doc_id, start): every position where the full phrase begins
+      val start = ws.zipWithIndex.map { case (w, i) =>
+        post.filter(col("term") === w)
+          .select(col("doc_id"), (col("pos") - i.toLong).as("start"))
+      }.reduce(_.join(_, Seq("doc_id", "start")))
+      val perDoc = start.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("c")), lit(0L)).as("n_matches"),
+        min(struct((-col("c")).as("nc"), col("doc_id").as("id"))).as("b"))
+        .select(lit(ph).as("phrase"), col("n_docs"), col("n_matches"),
+          col("b.id").as("best_doc"), (-col("b.nc")).as("best_matches"))
+    }
+    perPhrase.reduce(_.unionAll(_)).orderBy(col("phrase"))
+  }
+
   def tokenizerFertility(spark: SparkSession, d: String): DataFrame =
     Tables.documentsDist(spark, d)
       .select(col("lang"), col("source"),
