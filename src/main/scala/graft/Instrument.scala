@@ -66,4 +66,13 @@ object Instrument {
     val rows = df.collect()
     (rows, shuffleStats(df))
   }
+
+  /** numOutputRows of every join operator in an already-executed
+    * plan — probe-cost accounting for intersection chains
+    * (PhraseIndexSpec pins the rarest-first min-df bound with it). */
+  def joinOutputRows(df: DataFrame): Seq[Long] =
+    nodes(finalPlan(df)).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+    }
 }

@@ -16,6 +16,30 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.localSupplierVolume(spark, "/root/testdata/sf0.001")
 
+  /** Queries REGISTERED WITHOUT an oracle, each with the reason it is
+    * not SQL-oracle-expressible. The registration gate
+    * (RegistrationGateSpec) asserts `queries.keySet` is EXACTLY
+    * `oracleSql.keySet ∪ rowsOnly.keySet` (disjoint) — so no query can
+    * ship unchecked-by-omission again (the r6 q187-q189 drift). Every
+    * entry here must still carry a bound/recompute spec; the reason
+    * string names it. */
+  val rowsOnly: Map[String, String] = Map(
+    "q37_event_sketches" ->
+      ("approximate sketches (HLL/CPC) — nondeterministic vs exact SQL; " +
+        "error-bound spec in SketchSpec"),
+    "q66_heavy_users" ->
+      "approx_count_distinct inside the query — bound spec in SketchSpec",
+    "q74_user_reach_sketch" ->
+      ("HLL reach estimates — bound-vs-exact spec in SketchSpec " +
+        "(tightened against q189's exact WAU this round)"),
+    "q90_decon_bloom" ->
+      ("one-sided Bloom filter — false-positive side has no SQL twin; " +
+        "one-sidedness + fp-rate spec in DedupSpec"),
+    "q96_quality_classifier" ->
+      ("learned logistic weights (iterative fit) — recompute spec in " +
+        "CurationSpec pins the training trajectory"),
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (Queries.pricingSummary _),
     "q02_scan_filter_project" -> (Queries.scanFilterProject _),
@@ -3186,5 +3210,84 @@ object SparkEntry {
          |  (CASE WHEN n_docs < ${Curation.AnonK} THEN 0 ELSE n_docs
          |   END)::BIGINT AS retained_docs
          |FROM g ORDER BY lang, len_bucket""".stripMargin,
+    // q187: replay the positional-postings phrase search — postings as
+    // a (term, doc_id, pos) CTE, each phrase as a chain of
+    // (doc_id, pos+offset) self-joins, best doc via (count desc, id
+    // asc) LIMIT 1 subqueries so empty phrases degrade to NULLs the
+    // same way Spark's min(struct) does.
+    "q187_phrase_search" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+        |           FROM documents),
+        |post AS (SELECT doc_id, i - 1 AS pos, tk[i] AS term
+        |         FROM (SELECT doc_id, tk,
+        |               unnest(generate_series(1, len(tk))) i FROM t)),
+        |s1 AS (SELECT a.doc_id FROM post a
+        |       JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |       WHERE a.term = 'hash' AND b.term = 'join'),
+        |p1 AS (SELECT doc_id, count(*)::BIGINT c FROM s1 GROUP BY 1),
+        |b1 AS (SELECT doc_id, c FROM p1 ORDER BY c DESC, doc_id LIMIT 1),
+        |s2 AS (SELECT a.doc_id FROM post a
+        |       JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |       WHERE a.term = 'merge' AND b.term = 'sort'),
+        |p2 AS (SELECT doc_id, count(*)::BIGINT c FROM s2 GROUP BY 1),
+        |b2 AS (SELECT doc_id, c FROM p2 ORDER BY c DESC, doc_id LIMIT 1),
+        |s3 AS (SELECT a.doc_id FROM post a
+        |       JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |       JOIN post d ON d.doc_id = a.doc_id AND d.pos = a.pos + 2
+        |       WHERE a.term = 'slow' AND b.term = 'hash' AND d.term = 'batch'),
+        |p3 AS (SELECT doc_id, count(*)::BIGINT c FROM s3 GROUP BY 1),
+        |b3 AS (SELECT doc_id, c FROM p3 ORDER BY c DESC, doc_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 'hash join' AS phrase,
+        |    (SELECT count(*) FROM p1)::BIGINT AS n_docs,
+        |    (SELECT coalesce(sum(c), 0) FROM p1)::BIGINT AS n_matches,
+        |    (SELECT doc_id FROM b1) AS best_doc,
+        |    (SELECT c FROM b1)::BIGINT AS best_matches
+        |  UNION ALL
+        |  SELECT 'merge sort',
+        |    (SELECT count(*) FROM p2)::BIGINT,
+        |    (SELECT coalesce(sum(c), 0) FROM p2)::BIGINT,
+        |    (SELECT doc_id FROM b2), (SELECT c FROM b2)::BIGINT
+        |  UNION ALL
+        |  SELECT 'slow hash batch',
+        |    (SELECT count(*) FROM p3)::BIGINT,
+        |    (SELECT coalesce(sum(c), 0) FROM p3)::BIGINT,
+        |    (SELECT doc_id FROM b3), (SELECT c FROM b3)::BIGINT
+        |) ORDER BY phrase""".stripMargin,
+    // q188: equi-depth bins over the dollar-grid histogram — DuckDB
+    // can afford the plain cumulative window (the value-bounded
+    // relation is small); bin assignment is the identical exact
+    // integer formula (rows_before * 8) // n.
+    "q188_equidepth_hist" ->
+      """WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100
+        |             AS dollars, count(*)::BIGINT AS c
+        |           FROM lineitem GROUP BY 1),
+        |cum AS (SELECT dollars, c,
+        |               sum(c) OVER (ORDER BY dollars)::BIGINT AS cumc,
+        |               sum(c) OVER ()::BIGINT AS n
+        |        FROM h)
+        |SELECT ((cumc - c) * 8) // n AS bin, sum(c)::BIGINT AS n_rows,
+        |       min(dollars) AS lo_dollars, max(dollars) AS hi_dollars,
+        |       count(*)::BIGINT AS n_distinct_dollars
+        |FROM cum GROUP BY 1 ORDER BY bin""".stripMargin,
+    // q189: exact sliding 7-day distinct users — the same bounded 7×
+    // fan-out rewrite (user-day × window-ends it is visible from),
+    // inner join drops phantom trailing days exactly as Spark does.
+    "q189_sliding_active_users" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |           FROM events),
+        |daily AS (SELECT day, count(*)::BIGINT AS n_events,
+        |                 count(DISTINCT user_id)::BIGINT AS dau
+        |          FROM e GROUP BY 1),
+        |ud AS (SELECT DISTINCT user_id, day FROM e),
+        |fan AS (SELECT user_id, day + i AS day
+        |        FROM (SELECT user_id, day,
+        |              unnest(generate_series(0, 6)) i FROM ud)),
+        |wau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS wau
+        |        FROM fan GROUP BY 1)
+        |SELECT d.day, d.n_events, d.dau, w.wau,
+        |       (1000 * d.dau) // w.wau AS stickiness_pm
+        |FROM daily d JOIN wau w USING (day)
+        |ORDER BY day""".stripMargin,
   )
 }

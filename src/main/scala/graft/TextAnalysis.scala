@@ -746,19 +746,31 @@ object TextAnalysis {
     * phrase's START position, so the k-way join is hash-partitionable
     * on identical keys with no broadcast and no inequality condition.
     * The per-phrase loop is query-set-bounded (3 here), not
-    * data-bounded. A planner refinement at scale: start the chain from
-    * the RAREST term; the join order here is phrase order, which the
-    * optimizer is free to reorder from the posting-list stats. */
+    * data-bounded.
+    *
+    * STOP-TERM SKEW (the q123/q142 physics for positional postings):
+    * the chain is intersection — commutative and associative — so it
+    * is built RAREST TERM FIRST, from actual posting-list document
+    * frequencies (one row-group-pruned count over just the query
+    * terms, a ≤|query terms|-row collect). Every intermediate result
+    * is then a subset of the rarest term's starts: a stop word's
+    * corpus-sized list enters only as the PROBE side of a join whose
+    * build/stream flow is already min-df-bounded, never as the seed
+    * that fans out. PhraseIndexSpec pins the bound on a synthetic
+    * hot-term corpus via join numOutputRows. */
   def phraseSearch(spark: SparkSession, d: String): DataFrame = {
     val post = PhraseIndex.buildOrLoad(spark, d)
     def terms(ph: String) = ph.split(' ').toSeq
+    val allTerms = SearchPhrases.flatMap(terms).distinct
+    // document frequency of each QUERY term (never the full vocab):
+    // the isin filter prunes to the queried terms' row groups, and the
+    // collect is bounded by the query set, not the data
+    val dfs: Map[String, Long] = post
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val perPhrase = SearchPhrases.map { ph =>
-      val ws = terms(ph)
-      // (doc_id, start): every position where the full phrase begins
-      val start = ws.zipWithIndex.map { case (w, i) =>
-        post.filter(col("term") === w)
-          .select(col("doc_id"), (col("pos") - i.toLong).as("start"))
-      }.reduce(_.join(_, Seq("doc_id", "start")))
+      val start = phraseStarts(post, terms(ph), dfs)
       val perDoc = start.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
       perDoc.agg(
         count(lit(1)).as("n_docs"),
@@ -769,6 +781,28 @@ object TextAnalysis {
     }
     perPhrase.reduce(_.unionAll(_)).orderBy(col("phrase"))
   }
+
+  /** Probe order for a phrase's intersection chain: ascending document
+    * frequency, position as the tie-break. Pure — pinned by spec.
+    * Terms missing from `dfs` have zero postings (df 0): they sort
+    * first and correctly empty the chain at its cheapest point. */
+  private[graft] def chainOrder(
+      dfs: Map[String, Long], ws: Seq[String]): Seq[(String, Int)] =
+    ws.zipWithIndex.sortBy { case (w, i) => (dfs.getOrElse(w, 0L), i) }
+
+  /** (doc_id, start) rows where the full phrase `ws` begins, built as
+    * a rarest-first intersection chain over the postings relation.
+    * Each term contributes its postings shifted to the phrase START
+    * (`pos - offset`), so every join is an equi-join on the identical
+    * (doc_id, start) key — hash-partitioned once, reused down the
+    * chain — and each intermediate is a subset of the rarest term's
+    * starts (≤ min-df rows). */
+  private[graft] def phraseStarts(
+      post: DataFrame, ws: Seq[String], dfs: Map[String, Long]): DataFrame =
+    chainOrder(dfs, ws).map { case (w, i) =>
+      post.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - i.toLong).as("start"))
+    }.reduce(_.join(_, Seq("doc_id", "start")))
 
   def tokenizerFertility(spark: SparkSession, d: String): DataFrame =
     Tables.documentsDist(spark, d)

@@ -123,4 +123,30 @@ class SketchSpec extends SparkSpec {
       assert(estT >= c)
     }
   }
+
+  test("sliding WAU from merged daily HLL sketches within published ε of q189's exact WAU") {
+    // q189 gives the EXACT 7-day sliding distinct count; the q74
+    // mergeable-partial path at window scale is: one HLL sketch per
+    // day, union the trailing 7 — never rescanning history. The two
+    // must agree within the sketch's published error: DataSketches HLL
+    // at the default lgK=12 has RSE ≈ 1.04/√4096 ≈ 1.63%; we assert
+    // 3·RSE (≈4.9%) with a small-count absolute floor.
+    val daily = Tables.eventsNs(spark, d)
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      .groupBy(col("day")).agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val est = daily
+      .select(explode(sequence(col("day"), col("day") + 6L)).as("day"),
+        col("sk"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau_est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Queries.slidingActiveUsers(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(exact.nonEmpty && exact.keySet.subsetOf(est.keySet))
+    exact.foreach { case (day, wau) =>
+      val e = est(day)
+      assert(math.abs(e - wau) <= math.max(3.0, 0.049 * wau),
+        s"day $day: HLL WAU $e vs exact $wau exceeds 3·RSE")
+    }
+  }
 }
