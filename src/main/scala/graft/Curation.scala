@@ -1156,4 +1156,39 @@ object Curation {
         expr("sum(w_tok * c) div sum(c)").as("winsor_mean_tok"))
       .orderBy(col("lang"))
   }
+
+  /** q195: CATEGORICAL MIX DRIFT (chi-square) — the lang × source
+    * contingency audit: per cell the observed count, the
+    * independence-expected count (milli), and the chi-square
+    * contribution (O−E)²/E in exact milli-units via integer
+    * cross-multiplication: 1000·(O·N − R·C)² div (N·R·C). The
+    * categorical complement of q113's numeric KS drift — it answers
+    * "did the language mix shift inside a source", the alarm a
+    * multilingual pipeline owner wants before a mixture plan (q110)
+    * goes stale. The statistic itself is Σ of the floored cell
+    * contributions (engine-portable by construction; per-cell floors
+    * are the defined statistic).
+    *
+    * Shape at 100 TB: one (lang, source) hash-agg over the corpus
+    * with map-side partials; the row/column/grand totals re-aggregate
+    * the CELL table (alphabet-bounded, not corpus-bounded) and join
+    * back broadcast. The N² product is DECIMAL(38,0) — exact where
+    * corpus-scale counts would overflow Long. */
+  def chisqMix(spark: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documentsDist(spark, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    cells
+      .join(broadcast(rows), "lang")
+      .join(broadcast(cols), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("o").as("n_obs"),
+        expr("(1000 * r * c) div n").as("exp_milli"),
+        expr("""CAST((CAST(1000 AS DECIMAL(38,0)) * (o*n - r*c) * (o*n - r*c))
+               | div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)""".stripMargin
+          .replace("\n", " ")).as("contrib_milli"))
+      .orderBy(col("lang"), col("source"))
+  }
 }

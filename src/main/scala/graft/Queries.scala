@@ -1483,4 +1483,322 @@ object Queries {
         expr("(1000 * dau) div wau").as("stickiness_pm"))
       .orderBy(col("day"))
   }
+
+  /** q193: LAG/ROLLING FEATURE MATRIX — per (user, active day):
+    * today's event count, the count exactly 1 and 7 days earlier
+    * (0 when inactive), a 28-day rolling total, and tomorrow's count
+    * as the supervised label. The feature-engineering pass that turns
+    * an event stream into training rows for churn/activity models —
+    * generated directly from the stream with NO calendar spine table.
+    *
+    * The gap-correctness trick: every lag/rolling column is a RANGE
+    * frame over the numeric day (rangeBetween on day values, not row
+    * offsets), so missing days contribute nothing and `lag()` row
+    * semantics are never confused by gaps — `sum over range [-7,-7]`
+    * IS "the count 7 calendar days ago, else 0". No users×days spine
+    * is materialized (the classic OOM at 100 TB: spine rows =
+    * |users|·|history|, v.s. active rows here).
+    *
+    * Shape at 100 TB: one (user, day) hash-agg with map-side partials,
+    * then ONE user-keyed window pass computes all five frames over the
+    * same sort — a single exchange+sort per user partition, each
+    * partition bounded by that user's active-day count. */
+  def lagFeatures(spark: SparkSession, d: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val daily = Tables.eventsNs(spark, d)
+      .select(col("user_id"), expr(s"ts div $DayNs").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    def frame(lo: Long, hi: Long) =
+      coalesce(sum(col("n")).over(byDay.rangeBetween(lo, hi)), lit(0L))
+    daily.select(col("user_id"), col("day"), col("n"),
+        frame(-1, -1).as("lag1"),
+        frame(-7, -7).as("lag7"),
+        frame(-27, 0).as("sum28"),
+        frame(1, 1).as("next1"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** q194: DATA-QUALITY AUDIT — the cross-table expectation suite a
+    * pipeline gates ingest on, one report row per check: referential
+    * integrity (orphan lineitems, orphan orders), primary-key
+    * duplication, domain ranges (quantity, discount, order dates),
+    * order-total reconciliation against the lineitem sum in exact
+    * integer cents, and childless orders. Violations in parts-per-
+    * million (exact integer floor).
+    *
+    * Shape at 100 TB: ONE pass per driving table — every lineitem
+    * check (orphan + both ranges) rides a single lineitem scan with
+    * its keys-only join to orders, and every orders check (orphan,
+    * dup-PK, date range, reconciliation, childless) rides a single
+    * orders scan joined to customer keys and the per-order lineitem
+    * cents pre-aggregate (shuffled on the join key it is grouped by —
+    * no re-exchange). The per-check rows come from `stack` over the
+    * two 1-row aggregates: adding a check adds a column, never a
+    * scan. */
+  def dqViolations(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    val ord = Tables.orders(spark, d)
+    val liAgg = li
+      .join(ord.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_orphan"),
+        sum(when(col("l_quantity") <= 0.0 || col("l_quantity") > 100.0, 1L)
+          .otherwise(0L)).as("v_qty"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.5, 1L)
+          .otherwise(0L)).as("v_disc"))
+      .selectExpr(
+        """stack(3,
+          |  'li_orphan_orderkey', n, v_orphan,
+          |  'li_quantity_range',  n, v_qty,
+          |  'li_discount_range',  n, v_disc) AS (check_name, n_checked, n_violations)"""
+          .stripMargin)
+    val cents = li
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val ordAgg = ord
+      .join(Tables.customer(spark, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .join(cents, col("o_orderkey") === col("l_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_orphan"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"),
+        sum(when(col("o_orderdate") < lit("1995-01-01").cast("timestamp") ||
+            col("o_orderdate") >= lit("2002-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("v_date"),
+        sum(when(expr("CAST(round(o_totalprice * 100) AS BIGINT)") =!=
+            coalesce(col("cents"), lit(0L)), 1L).otherwise(0L)).as("v_recon"),
+        sum(when(col("cents").isNull, 1L).otherwise(0L)).as("v_childless"))
+      .selectExpr(
+        """stack(5,
+          |  'ord_orphan_custkey', n, v_orphan,
+          |  'ord_dup_pk',         n, v_dup,
+          |  'ord_date_range',     n, v_date,
+          |  'ord_total_recon',    n, v_recon,
+          |  'ord_childless',      n, v_childless) AS (check_name, n_checked, n_violations)"""
+          .stripMargin)
+    liAgg.unionAll(ordAgg)
+      .select(col("check_name"), col("n_checked"), col("n_violations"),
+        expr("(1000000 * n_violations) div n_checked").as("viol_ppm"))
+      .orderBy(col("check_name"))
+  }
+
+  /** q198: CO-PURCHASE PAIRS — market-basket part pairs: parts bought
+    * together in the same order, min support 3, ranked by count with
+    * exact-integer lift (c_ab·T div c_a·c_b, milli; T = ordering
+    * baskets). The item-item association build behind "bought
+    * together" recommenders and product-affinity blocking — the
+    * BASKET analogue of q191's windowed text co-occurrence.
+    *
+    * Shape at 100 TB: the pair generator is an orderkey-keyed
+    * self-join — co-partitioned on the key both sides are already
+    * grouped by, per-basket fan-out C(k,2) with k bounded by basket
+    * size (single-digit), never corpus². Pair counts agg map-side;
+    * the part-frequency joins are vocabulary(part)-keyed; T is a
+    * one-row scalar broadcast. */
+  def copurchasePairs(spark: SparkSession, d: String): DataFrame = {
+    val items = CacheScope.cached(
+      Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct())
+    val pairs = items.toDF("ok", "pa").join(items.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+    val freq = items.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val baskets = items.agg(countDistinct(col("ok")).as("t"))
+    pairs
+      .join(freq.toDF("pa", "c_a"), "pa")
+      .join(freq.toDF("pb", "c_b"), "pb")
+      .crossJoin(broadcast(baskets))
+      .select(col("pa"), col("pb"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(1000 * c_ab * t) div (c_a * c_b)").as("lift_milli"))
+      .orderBy(col("c_ab").desc, col("pa"), col("pb"))
+      .limit(30)
+  }
+
+  /** Global cumulative-before over a value-keyed histogram WITHOUT a
+    * partitionless window: the q73/q188 two-pass (range partition on
+    * the value, pid-local running sum, driver cumsum over ≤|parts|
+    * totals re-broadcast). Returns the histogram extended with
+    * `before` (count of rows at strictly smaller — or larger, when
+    * `asc` is false — values) and the grand total. Shared by q199's
+    * three quintile assignments. */
+  private def histCumBefore(spark: SparkSession, hist: DataFrame,
+      value: String, asc: Boolean): (DataFrame, Long) = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ord = if (asc) col(value).asc else col(value).desc
+    val local = hist.repartitionByRange(parts, ord)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lcum", sum(col("c")).over(
+        Window.partitionBy(col("pid")).orderBy(ord)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    local.persist()
+    val totals = local.groupBy(col("pid")).agg(sum(col("c")).as("t"))
+      .orderBy(col("pid")).collect().map(r => (r.getInt(0), r.getLong(1)))
+    CacheScope.adopt(local)
+    val n = totals.map(_._2).sum
+    val offsets = {
+      var acc = 0L
+      totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    }
+    val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("pid", "off"))
+    (local.join(offDf, "pid")
+      .select(col(value), col("c"), (col("off") + col("lcum") - col("c")).as("before")),
+      n)
+  }
+
+  /** q199: RFM SCORING — per customer: recency (days since last
+    * order, against the corpus max day), frequency (orders), monetary
+    * (exact cents), each assigned an exact-integer quintile score
+    * 1..5 (5 best) from the VALUE-GROUP empirical CDF: score =
+    * (customers strictly better-ranked · 5) div n + 1, so ties share
+    * a score deterministically. The classic customer-value feature
+    * triple, engineered exactly.
+    *
+    * Shape at 100 TB: one orders hash-agg to the per-customer triple;
+    * each quintile is computed on the metric's bounded HISTOGRAM
+    * (recency: day domain; frequency: small-count domain; monetary:
+    * hundred-dollar grid — the q188 dollar-grid trick) run through
+    * the two-pass cumulative (no partitionless window), then joined
+    * back BROADCAST on the grid value. No per-row global ranking
+    * anywhere. */
+  def rfmScores(spark: SparkSession, d: String): DataFrame = {
+    val per = CacheScope.cached(Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      // datediff is timestamp-vintage-agnostic (works on NTZ and LTZ
+      // reads alike), unlike unix_micros
+      .agg(max(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long")).as("last_day"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m_cents")))
+    // "now" is a ONE-ROW bounded collect (the q187 df-probe
+    // precedent) — as a cross-joined scalar it would re-enter the plan
+    // once per score branch (5 nested-loop nodes for one number)
+    val now = per.agg(max(col("last_day"))).head().getLong(0)
+    val base = per
+      .select(col("o_custkey"), (lit(now) - col("last_day")).as("r_days"),
+        col("f"), col("m_cents"),
+        expr("m_cents div 10000").as("m_hund"))
+    // each score table re-aliases its grid key — fresh exprIds, so the
+    // joins below stay broadcast HASH joins (the q196 lesson: a
+    // shared-lineage key would dedup into a trivially-true predicate)
+    def scores(value: String, asc: Boolean): DataFrame = {
+      val hist = base.groupBy(col(value)).agg(count(lit(1)).as("c"))
+      val (cum, n) = histCumBefore(spark, hist, value, asc)
+      cum.select(col(value).as(s"${value}_k"),
+        expr(s"(before * 5) div $n + 1").as(s"${value}_score"))
+    }
+    base
+      .join(broadcast(scores("r_days", asc = false)),
+        col("r_days") === col("r_days_k"))
+      .join(broadcast(scores("f", asc = true)), col("f") === col("f_k"))
+      .join(broadcast(scores("m_hund", asc = true)),
+        col("m_hund") === col("m_hund_k"))
+      .select(col("o_custkey"), col("r_days"), col("f"),
+        expr("m_cents div 100").as("m_dollars"),
+        col("r_days_score").as("r_score"), col("f_score"),
+        col("m_hund_score").as("m_score"),
+        (col("r_days_score") * 100 + col("f_score") * 10 + col("m_hund_score"))
+          .as("rfm_code"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q200: SKEW / SALT PLAN — the AQE-style skew diagnostic for a
+    * join key, computed from the key's count profile: the 10 heaviest
+    * customer keys with their row share (permille), ratio to the mean
+    * key (milli), and the number of salt splits each needs against a
+    * 2×-mean target partition size — the plan a salted-join rewrite
+    * would execute. The profile a pipeline owner reads BEFORE a big
+    * join, not after it dies.
+    *
+    * Shape at 100 TB: one key-bounded count agg; the mean/total enter
+    * as a one-row scalar broadcast; top-10 is a bounded TakeOrdered,
+    * never a global sort. */
+  def saltPlan(spark: SparkSession, d: String): DataFrame = {
+    val c = CacheScope.cached(Tables.orders(spark, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n")))
+    val stats = c.agg(sum(col("n")).as("total"), count(lit(1)).as("nkeys"))
+    c.crossJoin(broadcast(stats))
+      .select(col("o_custkey"), col("n"),
+        expr("(1000 * n) div total").as("share_pm"),
+        expr("(1000 * n * nkeys) div total").as("ratio_to_mean_milli"),
+        expr("(n + greatest(1, (2 * total) div nkeys) - 1)" +
+          " div greatest(1, (2 * total) div nkeys)").as("n_splits"))
+      .orderBy(col("n").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  /** q201: LOCF FEATURE BACKFILL — per (user, active day): the event
+    * count plus the most recent purchase-day total within the
+    * trailing 7 days carried forward (last observation carried
+    * forward), with its age. The point-in-time-correct feature a
+    * feature store serves ("spend as of this activity"), built
+    * WITHOUT a calendar spine and WITHOUT an inequality join: each
+    * purchase day fans out to the ≤8 future days it is visible from
+    * (the q189 bounded fan-out applied to as-of semantics), and the
+    * winner per (user, day) is one max(struct) aggregate — latest
+    * purchase day wins, its cents ride the struct.
+    *
+    * Shape at 100 TB: user/day-keyed hash-aggs and one (user, day)
+    * equi-join; fan-out multiplier is the window constant 8, never
+    * data-dependent. The event-level sibling is q44's as-of join —
+    * this is the day-grain batch twin. */
+  def locfFeatures(spark: SparkSession, d: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val ev = Tables.eventsNs(spark, d)
+      .select(col("user_id"), expr(s"ts div $DayNs").as("day"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val days = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    // uid/vday are fresh aliases: the left join below must not share
+    // attribute lineage with `days` (the q196 trivially-true lesson)
+    val pur = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("uid"), col("day").as("pday"))
+      .agg(sum(col("cents")).as("pcents"))
+    val vis = pur.select(col("uid"), col("pday"), col("pcents"),
+        explode(sequence(col("pday"), col("pday") + 7L)).as("vday"))
+      .groupBy(col("uid"), col("vday"))
+      .agg(max(struct(col("pday"), col("pcents"))).as("b"))
+    days.join(vis,
+        col("user_id") === col("uid") && col("day") === col("vday"), "left")
+      .select(col("user_id"), col("day"), col("n_events"),
+        col("b.pday").as("last_purchase_day"),
+        coalesce(col("b.pcents"), lit(0L)).as("carried_cents"),
+        (col("day") - col("b.pday")).as("age_days"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** q202: JOIN CARDINALITY ESTIMATOR AUDIT — the CBO statistics
+    * question "how big would the partkey self-join be", answered two
+    * ways from ONE count profile: exactly (Σ c² — the true output
+    * size of an equi-self-join) and as an optimizer would estimate it
+    * from CAPPED statistics (top-20 heavy hitters exact + uniformity
+    * over the rest: est = Σ_top c² + rest²  div d_rest), with the
+    * error in permille. Calibrates how much cardinality truth the
+    * heavy-hitter cap buys — the evidence behind choosing statistics
+    * sizes for a 100 TB catalog.
+    *
+    * Shape: one key-bounded count agg feeding two tiny consumers
+    * (full-profile scalars and a bounded TakeOrdered top-20), then
+    * pure scalar arithmetic on one-row relations. */
+  def joinCardEst(spark: SparkSession, d: String): DataFrame = {
+    val counts = CacheScope.cached(Tables.lineitem(spark, d)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c")))
+    val full = counts.agg(sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      sum(expr("c * c")).as("exact_rows"))
+    val top = counts.orderBy(col("c").desc, col("l_partkey")).limit(20)
+      .agg(sum(expr("c * c")).as("top_sq"), sum(col("c")).as("top_rows"),
+        count(lit(1)).as("top_keys"))
+    full.crossJoin(broadcast(top))
+      .select(col("n_keys"), col("n_rows"), col("exact_rows"),
+        expr("""top_sq + CASE WHEN n_keys > top_keys
+               |  THEN ((n_rows - top_rows) * (n_rows - top_rows))
+               |       div (n_keys - top_keys)
+               |  ELSE 0 END""".stripMargin.replace("\n", " ")).as("est_rows"))
+      .select(col("n_keys"), col("n_rows"), col("exact_rows"), col("est_rows"),
+        expr("(1000 * abs(est_rows - exact_rows)) div exact_rows").as("err_pm"))
+  }
 }

@@ -693,4 +693,43 @@ object Similarity {
         round(col("x.cos"), 6).as("cosine"))
       .orderBy(col("vec_a"))
   }
+
+  /** q196: MRR EVAL — rank-position-sensitive quality of the two
+    * approximate ANN paths against the exact nearest neighbor: for
+    * each query, WHERE in the LSH (q27) and int8 (q48) top-5 lists
+    * the true rank-1 neighbor (q26) lands, and the reciprocal rank in
+    * exact micro-units (10⁶ div rank; 0 = missed). Complements q146's
+    * recall@5 — recall can't see that an index demoted every true
+    * neighbor from rank 1 to rank 5, MRR can. Mean-able downstream
+    * (the MRR itself is one avg over this table's column).
+    *
+    * Shape at 100 TB: all three inputs are the production top-k plans
+    * (each already scale-audited); downstream of them everything is
+    * query-cardinality (≤ 10·k rows) — two (q_id, neighbor) hash
+    * joins and a coalesce. The eval adds no corpus-sized work. */
+  def mrrEval(spark: SparkSession, d: String): DataFrame = {
+    val gt1 = bruteForceTopK(spark, d).filter(col("rank") === 1L)
+      .select(col("q_id"), col("neighbor_id").as("true_nn"))
+    // each branch re-aliases gt1's columns — fresh exprIds, so the
+    // q_id equi-joins below stay hash joins (a shared-lineage self-join
+    // would dedup the key into a trivially-true predicate and degrade
+    // to a nested-loop join)
+    def rankOf(ap: DataFrame, rq: String, rk: String): DataFrame =
+      gt1.select(col("q_id").as(rq), col("true_nn").as(s"tn_$rk"))
+        .join(ap.select(col("q_id"), col("neighbor_id"), col("rank").as(rk)),
+          col(rq) === col("q_id"))
+        .filter(col("neighbor_id") === col(s"tn_$rk"))
+        .select(col(rq), col(rk))
+    gt1
+      .join(rankOf(lshTopK(spark, d), "rq_l", "rank_lsh"),
+        col("q_id") === col("rq_l"), "left")
+      .join(rankOf(int8TopK(spark, d), "rq_8", "rank_int8"),
+        col("q_id") === col("rq_8"), "left")
+      .select(col("q_id"), col("true_nn"),
+        col("rank_lsh"),
+        coalesce(expr("1000000 div rank_lsh"), lit(0L)).as("rr_lsh_micro"),
+        col("rank_int8"),
+        coalesce(expr("1000000 div rank_int8"), lit(0L)).as("rr_int8_micro"))
+      .orderBy(col("q_id"))
+  }
 }

@@ -470,6 +470,32 @@ object SparkEntry {
     "q188_equidepth_hist" -> (Queries.equiDepthHist _),
     // exact sliding 7-day distinct active users (DAU/WAU/stickiness)
     "q189_sliding_active_users" -> (Queries.slidingActiveUsers _),
+    // proximity (NEAR/w) search over the persisted postings index
+    "q190_proximity_search" -> (TextAnalysis.proximitySearch _),
+    // forward-window-3 skip-gram co-occurrence with exact lift
+    "q191_skipgram_cooc" -> (TextAnalysis.skipgramCooc _),
+    // sparse tf-idf shingle cosine top-30 via inverted index, df-capped
+    "q192_sparse_cosine" -> (TextAnalysis.sparseCosineTopK _),
+    // gap-correct per-user lag/rolling feature matrix (range frames)
+    "q193_lag_features" -> (Queries.lagFeatures _),
+    // cross-table data-quality audit: one report row per check
+    "q194_dq_violations" -> (Queries.dqViolations _),
+    // lang x source chi-square mix-drift audit (exact milli)
+    "q195_chisq_mix" -> (Curation.chisqMix _),
+    // MRR of LSH/int8 ANN vs the exact rank-1 neighbor (micro units)
+    "q196_mrr_eval" -> (Similarity.mrrEval _),
+    // term burstiness / top-doc concentration (stopword-list evidence)
+    "q197_term_burstiness" -> (TextAnalysis.termBurstiness _),
+    // market-basket co-purchase part pairs with exact lift
+    "q198_copurchase_pairs" -> (Queries.copurchasePairs _),
+    // exact-quintile RFM customer scoring via bounded histograms
+    "q199_rfm_scores" -> (Queries.rfmScores _),
+    // AQE-style join-key skew profile + salt-split plan
+    "q200_salt_plan" -> (Queries.saltPlan _),
+    // gap-aware LOCF purchase-spend backfill per (user, active day)
+    "q201_locf_features" -> (Queries.locfFeatures _),
+    // CBO cardinality-estimate audit: capped stats vs exact self-join size
+    "q202_join_card_est" -> (Queries.joinCardEst _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -3289,5 +3315,297 @@ object SparkEntry {
         |       (1000 * d.dau) // w.wau AS stickiness_pm
         |FROM daily d JOIN wau w USING (day)
         |ORDER BY day""".stripMargin,
+    // q190: per probe pair, postings rows within |Δpos| <= w — the
+    // window membership itself, independent of Spark's rarest-side
+    // fan-out rewrite.
+    "q190_proximity_search" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+        |           FROM documents),
+        |post AS (SELECT doc_id, i - 1 AS pos, tk[i] AS term
+        |         FROM (SELECT doc_id, tk,
+        |               unnest(generate_series(1, len(tk))) i FROM t)),
+        |h1 AS (SELECT a.doc_id FROM post a
+        |       JOIN post b ON b.doc_id = a.doc_id AND abs(b.pos - a.pos) <= 4
+        |       WHERE a.term = 'hash' AND b.term = 'join'),
+        |p1 AS (SELECT doc_id, count(*)::BIGINT c FROM h1 GROUP BY 1),
+        |b1 AS (SELECT doc_id, c FROM p1 ORDER BY c DESC, doc_id LIMIT 1),
+        |h2 AS (SELECT a.doc_id FROM post a
+        |       JOIN post b ON b.doc_id = a.doc_id AND abs(b.pos - a.pos) <= 4
+        |       WHERE a.term = 'sort' AND b.term = 'merge'),
+        |p2 AS (SELECT doc_id, count(*)::BIGINT c FROM h2 GROUP BY 1),
+        |b2 AS (SELECT doc_id, c FROM p2 ORDER BY c DESC, doc_id LIMIT 1),
+        |h3 AS (SELECT a.doc_id FROM post a
+        |       JOIN post b ON b.doc_id = a.doc_id AND abs(b.pos - a.pos) <= 6
+        |       WHERE a.term = 'slow' AND b.term = 'batch'),
+        |p3 AS (SELECT doc_id, count(*)::BIGINT c FROM h3 GROUP BY 1),
+        |b3 AS (SELECT doc_id, c FROM p3 ORDER BY c DESC, doc_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 'hash NEAR/4 join' AS probe,
+        |    (SELECT count(*) FROM p1)::BIGINT AS n_docs,
+        |    (SELECT coalesce(sum(c), 0) FROM p1)::BIGINT AS n_pairs,
+        |    (SELECT doc_id FROM b1) AS best_doc,
+        |    (SELECT c FROM b1)::BIGINT AS best_pairs
+        |  UNION ALL
+        |  SELECT 'sort NEAR/4 merge',
+        |    (SELECT count(*) FROM p2)::BIGINT,
+        |    (SELECT coalesce(sum(c), 0) FROM p2)::BIGINT,
+        |    (SELECT doc_id FROM b2), (SELECT c FROM b2)::BIGINT
+        |  UNION ALL
+        |  SELECT 'slow NEAR/6 batch',
+        |    (SELECT count(*) FROM p3)::BIGINT,
+        |    (SELECT coalesce(sum(c), 0) FROM p3)::BIGINT,
+        |    (SELECT doc_id FROM b3), (SELECT c FROM b3)::BIGINT
+        |) ORDER BY probe""".stripMargin,
+    // q191: forward-window-3 ordered pairs; M = total in-window slots
+    // = count of all pairs; lift in HUGEINT exactly as Spark's
+    // DECIMAL(38,0).
+    "q191_skipgram_cooc" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+        |           FROM documents),
+        |post AS (SELECT doc_id, i - 1 AS pos, tk[i] AS term
+        |         FROM (SELECT doc_id, tk,
+        |               unnest(generate_series(1, len(tk))) i FROM t)),
+        |pr AS (SELECT a.term w1, b.term w2, count(*)::BIGINT c_ab
+        |       FROM post a JOIN post b ON b.doc_id = a.doc_id
+        |            AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+        |       GROUP BY 1, 2),
+        |uc AS (SELECT term, count(*)::BIGINT c FROM post GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM post)::BIGINT n,
+        |              (SELECT sum(c_ab) FROM pr)::BIGINT m)
+        |SELECT pr.w1, pr.w2, pr.c_ab,
+        |       ((1000::HUGEINT * pr.c_ab * st.n * st.n)
+        |         // (st.m::HUGEINT * u1.c * u2.c))::BIGINT AS lift_milli
+        |FROM pr JOIN uc u1 ON u1.term = pr.w1
+        |        JOIN uc u2 ON u2.term = pr.w2, st
+        |ORDER BY pr.c_ab DESC, pr.w1, pr.w2 LIMIT 40""".stripMargin,
+    // q192: tf-idf (idfw = 100000 // df, df in [2, cap]) shingle
+    // cosine^2 in exact micro units, HUGEINT mirror of the
+    // DECIMAL(38,0) floor arithmetic.
+    "q192_sparse_cosine" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+         |           FROM documents),
+         |sh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') g
+         |       FROM (SELECT doc_id, tk,
+         |             unnest(generate_series(1, len(tk) - 2)) i FROM t)
+         |       WHERE len(tk) >= 3),
+         |tf AS (SELECT doc_id, g, count(*)::BIGINT tf FROM sh GROUP BY 1, 2),
+         |df AS (SELECT g, count(*)::BIGINT df FROM tf GROUP BY 1
+         |       HAVING count(*) BETWEEN 2 AND ${TextAnalysis.SparseCosineDfCap}),
+         |w AS (SELECT tf.doc_id, tf.g, tf.tf * (100000 // df.df) AS wt
+         |      FROM tf JOIN df USING (g)),
+         |nrm AS (SELECT doc_id, sum(wt::HUGEINT * wt) n2 FROM w GROUP BY 1),
+         |dots AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+         |                sum(a.wt::HUGEINT * b.wt) dt
+         |         FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2)
+         |SELECT d.doc_a, d.doc_b,
+         |       ((1000000::HUGEINT * d.dt * d.dt) // (na.n2 * nb.n2))::BIGINT
+         |         AS cos2_micro
+         |FROM dots d JOIN nrm na ON na.doc_id = d.doc_a
+         |            JOIN nrm nb ON nb.doc_id = d.doc_b
+         |ORDER BY cos2_micro DESC, d.doc_a, d.doc_b LIMIT 30""".stripMargin,
+    // q193: identical RANGE frames over the numeric day — gap-correct
+    // lags with no spine in either engine.
+    "q193_lag_features" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |           FROM events),
+        |daily AS (SELECT user_id, day, count(*)::BIGINT AS n
+        |          FROM e GROUP BY 1, 2)
+        |SELECT user_id, day, n,
+        |  coalesce(sum(n) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS lag1,
+        |  coalesce(sum(n) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING), 0)::BIGINT AS lag7,
+        |  coalesce(sum(n) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 27 PRECEDING AND CURRENT ROW), 0)::BIGINT AS sum28,
+        |  coalesce(sum(n) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING), 0)::BIGINT AS next1
+        |FROM daily ORDER BY user_id, day""".stripMargin,
+    // q194: each check restated as its own aggregate — the oracle
+    // checks the CONTRACT (violation counts), not Spark's fused
+    // two-pass plan.
+    "q194_dq_violations" ->
+      """WITH cents AS (SELECT l_orderkey,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) c
+        |       FROM lineitem GROUP BY 1),
+        |li AS (SELECT count(*)::BIGINT n,
+        |  sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT v_orphan,
+        |  sum(CASE WHEN l.l_quantity <= 0 OR l.l_quantity > 100
+        |      THEN 1 ELSE 0 END)::BIGINT v_qty,
+        |  sum(CASE WHEN l.l_discount < 0 OR l.l_discount > 0.5
+        |      THEN 1 ELSE 0 END)::BIGINT v_disc
+        |  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |od AS (SELECT count(*)::BIGINT n,
+        |  sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT v_orphan,
+        |  (count(*) - count(DISTINCT o.o_orderkey))::BIGINT v_dup,
+        |  sum(CASE WHEN o.o_orderdate < TIMESTAMP '1995-01-01'
+        |        OR o.o_orderdate >= TIMESTAMP '2002-01-01'
+        |      THEN 1 ELSE 0 END)::BIGINT v_date,
+        |  sum(CASE WHEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+        |        != coalesce(cents.c, 0) THEN 1 ELSE 0 END)::BIGINT v_recon,
+        |  sum(CASE WHEN cents.c IS NULL THEN 1 ELSE 0 END)::BIGINT v_childless
+        |  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |       LEFT JOIN cents ON cents.l_orderkey = o.o_orderkey),
+        |rep AS (
+        |  SELECT 'li_orphan_orderkey' check_name, n n_checked, v_orphan v FROM li
+        |  UNION ALL SELECT 'li_quantity_range', n, v_qty FROM li
+        |  UNION ALL SELECT 'li_discount_range', n, v_disc FROM li
+        |  UNION ALL SELECT 'ord_orphan_custkey', n, v_orphan FROM od
+        |  UNION ALL SELECT 'ord_dup_pk', n, v_dup FROM od
+        |  UNION ALL SELECT 'ord_date_range', n, v_date FROM od
+        |  UNION ALL SELECT 'ord_total_recon', n, v_recon FROM od
+        |  UNION ALL SELECT 'ord_childless', n, v_childless FROM od)
+        |SELECT check_name, n_checked, v AS n_violations,
+        |       (1000000 * v) // n_checked AS viol_ppm
+        |FROM rep ORDER BY check_name""".stripMargin,
+    // q195: chi-square cell contributions via integer cross-
+    // multiplication, HUGEINT mirror of DECIMAL(38,0).
+    "q195_chisq_mix" ->
+      """WITH cells AS (SELECT lang, source, count(*)::BIGINT o
+        |               FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, sum(o)::BIGINT r FROM cells GROUP BY 1),
+        |c AS (SELECT source, sum(o)::BIGINT c FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o)::BIGINT n FROM cells)
+        |SELECT cells.lang, cells.source, cells.o AS n_obs,
+        |       (1000 * r.r * c.c) // n.n AS exp_milli,
+        |       ((1000::HUGEINT * (cells.o*n.n - r.r*c.c)
+        |                       * (cells.o*n.n - r.r*c.c))
+        |         // (n.n::HUGEINT * r.r * c.c))::BIGINT AS contrib_milli
+        |FROM cells JOIN r USING (lang) JOIN c USING (source), n
+        |ORDER BY cells.lang, cells.source""".stripMargin,
+    // q196: composes the SAME three top-k oracles the driver already
+    // checks (q26/q27/q48) — rank of the true rank-1 neighbor in each
+    // approximate list, reciprocal rank floored to micro units.
+    "q196_mrr_eval" ->
+      s"""WITH gt AS (SELECT q_id, neighbor_id true_nn
+         |            FROM ($BruteTopkSql) WHERE rank = 1),
+         |ls AS (SELECT q_id, neighbor_id, rank FROM ($LshTopkSql)),
+         |i8 AS (SELECT q_id, neighbor_id, rank FROM ($Int8TopkSql)),
+         |rl AS (SELECT gt.q_id, ls.rank FROM gt
+         |       JOIN ls ON ls.q_id = gt.q_id AND ls.neighbor_id = gt.true_nn),
+         |r8 AS (SELECT gt.q_id, i8.rank FROM gt
+         |       JOIN i8 ON i8.q_id = gt.q_id AND i8.neighbor_id = gt.true_nn)
+         |SELECT gt.q_id, gt.true_nn,
+         |       rl.rank AS rank_lsh,
+         |       coalesce(1000000 // rl.rank, 0)::BIGINT AS rr_lsh_micro,
+         |       r8.rank AS rank_int8,
+         |       coalesce(1000000 // r8.rank, 0)::BIGINT AS rr_int8_micro
+         |FROM gt LEFT JOIN rl ON rl.q_id = gt.q_id
+         |        LEFT JOIN r8 ON r8.q_id = gt.q_id
+         |ORDER BY gt.q_id""".stripMargin,
+    // q197: (doc, term) tf roll-up; heaviest doc via min over
+    // (-tf, doc_id) exactly like Spark's min(struct).
+    "q197_term_burstiness" ->
+      """WITH tf AS (SELECT doc_id, w, count(*)::BIGINT tf FROM
+        |    (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) w
+        |     FROM documents) GROUP BY 1, 2),
+        |agg AS (SELECT w, count(*)::BIGINT df, sum(tf)::BIGINT cf
+        |        FROM tf GROUP BY 1),
+        |top AS (SELECT w, doc_id, tf FROM
+        |    (SELECT w, doc_id, tf, row_number() OVER
+        |       (PARTITION BY w ORDER BY tf DESC, doc_id) rn FROM tf)
+        |    WHERE rn = 1)
+        |SELECT agg.w, agg.df, agg.cf,
+        |       (1000 * agg.cf) // agg.df AS burstiness_milli,
+        |       top.doc_id AS top_doc,
+        |       (1000 * top.tf) // agg.cf AS top_doc_share_pm
+        |FROM agg JOIN top USING (w)
+        |ORDER BY agg.cf DESC, agg.w""".stripMargin,
+    // q198: distinct (order, part) baskets; lift vs part basket
+    // frequencies, T = ordering baskets.
+    "q198_copurchase_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey p
+        |               FROM lineitem),
+        |pr AS (SELECT a.p pa, b.p pb, count(*)::BIGINT c_ab
+        |       FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING count(*) >= 3),
+        |fr AS (SELECT p, count(*)::BIGINT c FROM items GROUP BY 1),
+        |st AS (SELECT count(DISTINCT ok)::BIGINT t FROM items)
+        |SELECT pr.pa, pr.pb, pr.c_ab, fa.c AS c_a, fb.c AS c_b,
+        |       (1000 * pr.c_ab * st.t) // (fa.c * fb.c) AS lift_milli
+        |FROM pr JOIN fr fa ON fa.p = pr.pa JOIN fr fb ON fb.p = pr.pb, st
+        |ORDER BY pr.c_ab DESC, pr.pa, pr.pb LIMIT 30""".stripMargin,
+    // q199: value-group empirical-CDF quintiles — before = customers
+    // strictly better-ranked; DuckDB can afford the plain histogram
+    // window where Spark runs the two-pass.
+    "q199_rfm_scores" ->
+      """WITH per AS (SELECT o_custkey,
+        |         max(date_diff('day', DATE '1970-01-01', o_orderdate))::BIGINT
+        |           AS last_day,
+        |         count(*)::BIGINT AS f,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m_cents
+        |       FROM orders GROUP BY 1),
+        |base AS (SELECT o_custkey,
+        |           (SELECT max(last_day) FROM per) - last_day AS r_days,
+        |           f, m_cents, m_cents // 10000 AS m_hund FROM per),
+        |rs AS (SELECT r_days, ((coalesce(sum(c) OVER (ORDER BY r_days DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+        |         // (SELECT count(*) FROM base) + 1)::BIGINT s
+        |       FROM (SELECT r_days, count(*)::BIGINT c FROM base GROUP BY 1)),
+        |fs AS (SELECT f, ((coalesce(sum(c) OVER (ORDER BY f
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+        |         // (SELECT count(*) FROM base) + 1)::BIGINT s
+        |       FROM (SELECT f, count(*)::BIGINT c FROM base GROUP BY 1)),
+        |ms AS (SELECT m_hund, ((coalesce(sum(c) OVER (ORDER BY m_hund
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+        |         // (SELECT count(*) FROM base) + 1)::BIGINT s
+        |       FROM (SELECT m_hund, count(*)::BIGINT c FROM base GROUP BY 1))
+        |SELECT b.o_custkey, b.r_days, b.f, b.m_cents // 100 AS m_dollars,
+        |       rs.s AS r_score, fs.s AS f_score, ms.s AS m_score,
+        |       rs.s * 100 + fs.s * 10 + ms.s AS rfm_code
+        |FROM base b JOIN rs ON rs.r_days = b.r_days
+        |     JOIN fs ON fs.f = b.f JOIN ms ON ms.m_hund = b.m_hund
+        |ORDER BY b.o_custkey""".stripMargin,
+    // q200: count profile + scalar mean; 2x-mean salt target.
+    "q200_salt_plan" ->
+      """WITH c AS (SELECT o_custkey, count(*)::BIGINT n FROM orders GROUP BY 1),
+        |st AS (SELECT sum(n)::BIGINT total, count(*)::BIGINT nkeys FROM c)
+        |SELECT c.o_custkey, c.n,
+        |       (1000 * c.n) // st.total AS share_pm,
+        |       (1000 * c.n * st.nkeys) // st.total AS ratio_to_mean_milli,
+        |       (c.n + greatest(1, (2 * st.total) // st.nkeys) - 1)
+        |         // greatest(1, (2 * st.total) // st.nkeys) AS n_splits
+        |FROM c, st ORDER BY c.n DESC, c.o_custkey LIMIT 10""".stripMargin,
+    // q201: purchase day visible from the ≤8 trailing days; latest
+    // wins (arg_max on pday — unique per (user, pday)).
+    "q201_locf_features" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |                  event_type,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |days AS (SELECT user_id, day, count(*)::BIGINT n_events
+        |         FROM e GROUP BY 1, 2),
+        |pur AS (SELECT user_id, day pday, sum(cents)::BIGINT pcents
+        |        FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |best AS (SELECT d.user_id, d.day, max(p.pday) lpd,
+        |                arg_max(p.pcents, p.pday) lpc
+        |         FROM days d JOIN pur p ON p.user_id = d.user_id
+        |              AND p.pday BETWEEN d.day - 7 AND d.day
+        |         GROUP BY 1, 2)
+        |SELECT d.user_id, d.day, d.n_events,
+        |       b.lpd AS last_purchase_day,
+        |       coalesce(b.lpc, 0) AS carried_cents,
+        |       d.day - b.lpd AS age_days
+        |FROM days d LEFT JOIN best b
+        |     ON b.user_id = d.user_id AND b.day = d.day
+        |ORDER BY d.user_id, d.day""".stripMargin,
+    // q202: same capped-statistics estimate formula, scalar math.
+    "q202_join_card_est" ->
+      """WITH c AS (SELECT l_partkey, count(*)::BIGINT c FROM lineitem
+        |           GROUP BY 1),
+        |full_ AS (SELECT sum(c)::BIGINT n_rows, count(*)::BIGINT n_keys,
+        |                 sum(c * c)::BIGINT exact_rows FROM c),
+        |top_ AS (SELECT sum(c * c)::BIGINT top_sq, sum(c)::BIGINT top_rows,
+        |                count(*)::BIGINT top_keys
+        |         FROM (SELECT c FROM c ORDER BY c DESC, l_partkey LIMIT 20)),
+        |est AS (SELECT f.n_keys, f.n_rows, f.exact_rows,
+        |          t.top_sq + CASE WHEN f.n_keys > t.top_keys
+        |            THEN ((f.n_rows - t.top_rows) * (f.n_rows - t.top_rows))
+        |                 // (f.n_keys - t.top_keys)
+        |            ELSE 0 END AS est_rows
+        |        FROM full_ f, top_ t)
+        |SELECT n_keys, n_rows, exact_rows, est_rows,
+        |       (1000 * abs(est_rows - exact_rows)) // exact_rows AS err_pm
+        |FROM est""".stripMargin,
   )
 }

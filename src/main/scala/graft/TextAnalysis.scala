@@ -804,6 +804,177 @@ object TextAnalysis {
         .select(col("doc_id"), (col("pos") - i.toLong).as("start"))
     }.reduce(_.join(_, Seq("doc_id", "start")))
 
+  /** The q190 query workload: (termA, termB, window) proximity probes
+    * — "both terms within w tokens, any order", fixed per deployment
+    * request like q187's phrases. */
+  private[graft] val ProximityPairs =
+    Seq(("hash", "join", 4L), ("sort", "merge", 4L), ("slow", "batch", 6L))
+
+  /** q190: PROXIMITY (NEAR) SEARCH over the persisted positional
+    * postings index — the relaxation of q187's exact-adjacency
+    * operator: count co-occurrences of two terms within a token
+    * window, any order. Ranking retrieval uses this as the
+    * phrase-miss fallback ("hash ... join" still signals the concept)
+    * and boilerplate audits use it to find template co-locations.
+    *
+    * Shape at 100 TB: same contract as q187 — the corpus is never
+    * rescanned; each probe reads two term-pruned posting lists. The
+    * window predicate |posA − posB| ≤ w is NOT a range join here: the
+    * RARER term's postings fan out to the 2w+1 admissible partner
+    * positions (bounded, query-constant multiplier) and the pair
+    * match becomes one (doc_id, pos) equi-join whose build side is
+    * min-df·(2w+1) rows — the hot term enters only as the probe side,
+    * the q187 rarest-first physics applied to windows. The per-pair
+    * loop is query-set-bounded, not data-bounded. */
+  def proximitySearch(spark: SparkSession, d: String): DataFrame = {
+    val post = PhraseIndex.buildOrLoad(spark, d)
+    val allTerms = ProximityPairs.flatMap { case (a, b, _) => Seq(a, b) }.distinct
+    val dfs: Map[String, Long] = post
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perPair = ProximityPairs.map { case (ta, tb, w) =>
+      // fan out the RARER side: its postings emit every position the
+      // partner may occupy, the denser list is probed by equi-join
+      val (rare, dense) =
+        if (dfs.getOrElse(ta, 0L) <= dfs.getOrElse(tb, 0L)) (ta, tb) else (tb, ta)
+      val fan = post.filter(col("term") === rare)
+        .select(col("doc_id"),
+          explode(sequence(col("pos") - w, col("pos") + w)).as("pos"))
+      val hits = fan.join(
+        post.filter(col("term") === dense).select(col("doc_id"), col("pos")),
+        Seq("doc_id", "pos"))
+      val perDoc = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("c")), lit(0L)).as("n_pairs"),
+        min(struct((-col("c")).as("nc"), col("doc_id").as("id"))).as("b"))
+        .select(lit(s"$ta NEAR/$w $tb").as("probe"), col("n_docs"),
+          col("n_pairs"), col("b.id").as("best_doc"),
+          (-col("b.nc")).as("best_pairs"))
+    }
+    perPair.reduce(_.unionAll(_)).orderBy(col("probe"))
+  }
+
+  /** q191: SKIP-GRAM CO-OCCURRENCE counts — ordered term pairs within
+    * a forward window of 3 (the word2vec/GloVe co-occurrence-matrix
+    * build), ranked by count with exact-integer LIFT in milli-units
+    * (q128's adjacent-bigram association generalized to windows: lift
+    * = P(pair)/P(a)P(b) = c_ab·N²/(M·c_a·c_b), where M is the total
+    * number of in-window slots — its log is the PMI so the ranking is
+    * PMI's). The matrix a subword/embedding bootstrap consumes.
+    *
+    * Shape at 100 TB: reuses the persisted postings stage (no corpus
+    * rescan); the left occurrence fans out to its 3 forward partner
+    * positions (bounded multiplier) and pairing is one (doc_id, pos)
+    * equi-join; the count agg is vocab²-bounded with map-side
+    * partials, unigram joins are vocab-keyed. The N²·1000 numerator
+    * is DECIMAL(38,0) — exact at corpus token counts where Long
+    * would overflow. */
+  def skipgramCooc(spark: SparkSession, d: String): DataFrame = {
+    val post = CacheScope.cached(PhraseIndex.buildOrLoad(spark, d))
+    val uni = post.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = post.agg(count(lit(1)).as("n"))
+    val pairs = post
+      .select(col("doc_id"), explode(sequence(col("pos") + 1, col("pos") + 3)).as("pos"),
+        col("term").as("w1"))
+      .join(post.select(col("doc_id"), col("pos"), col("term").as("w2")),
+        Seq("doc_id", "pos"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val m = pairs.agg(sum(col("c_ab")).as("m"))
+    pairs
+      .join(broadcast(uni.toDF("w1", "c_a")), "w1")
+      .join(broadcast(uni.toDF("w2", "c_b")), "w2")
+      .crossJoin(broadcast(tot.select(col("n"))))
+      .crossJoin(broadcast(m))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        expr("""CAST(1000 AS DECIMAL(38,0)) * c_ab * n * n
+               | div (CAST(m AS DECIMAL(38,0)) * c_a * c_b)""".stripMargin
+          .replace("\n", " ")).cast("long").as("lift_milli"))
+      .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+      .limit(40)
+  }
+
+  /** Boilerplate/stop-shingle guard for q192: shingle types held by
+    * more than this many documents are dropped from the similarity
+    * vocabulary (the q123/q142 df-cap physics — a corpus-wide
+    * template shingle would otherwise contribute C(df,2) pair terms
+    * and zero discriminative signal). */
+  private[graft] val SparseCosineDfCap = 50L
+
+  /** q192: SPARSE TF-IDF COSINE top-k — all-pairs document similarity
+    * over 3-token shingle vectors via the inverted index (the
+    * Elsayed/Lin pairwise-similarity shape: pairs are generated ONLY
+    * where a shared term's posting list puts two docs together, never
+    * by a quadratic doc×doc join). The lexical complement of q25's
+    * embedding cosine: catches verbatim-ish reuse embeddings smooth
+    * over, feeds dedup candidate review and citation mining.
+    *
+    * Exact-integer discipline: idf weight = 100000 div df (inverse-df
+    * fixed-point; monotone in idf, no log drift), component weight =
+    * tf·idfw, and the reported score is cos²·10⁶ = 10⁶·dot²/(‖a‖²‖b‖²)
+    * computed entirely in DECIMAL(38,0) floor arithmetic — rational,
+    * engine-portable, and order-equivalent to cosine on [0,1]. Magnitude
+    * audit: wt ≤ tf·10⁵, ‖·‖² ≲ 10¹³ at corpus doc sizes, dot² ≲ 10²⁶,
+    * ×10⁶ ≲ 10³² < 10³⁸.
+    *
+    * Shape at 100 TB: pair mass is Σ_g C(df_g, 2) over CAPPED dfs —
+    * bounded by cap²·|vocab|, never corpus²; the df cap drops exactly
+    * the shingles whose pairs carry no signal. Everything else is
+    * tf/df hash-aggs and vocab-keyed joins with map-side partials.
+    * Top-30 by (score, pair) is deterministic. */
+  def sparseCosineTopK(spark: SparkSession, d: String): DataFrame = {
+    val tf = CacheScope.cached(
+      Tables.documentsDist(spark, d)
+        .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= SparseCosineDfCap)
+    val w = tf.join(df, "g")
+      .select(col("doc_id"), col("g"),
+        (col("tf") * expr("100000 div df")).as("wt"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(expr("CAST(wt AS DECIMAL(38,0)) * wt")).as("n2"))
+    w.as("a").join(w.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(expr("CAST(a.wt AS DECIMAL(38,0)) * b.wt")).as("dot"))
+      .join(norms.toDF("doc_a", "n2_a"), "doc_a")
+      .join(norms.toDF("doc_b", "n2_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * dot * dot) div (n2_a * n2_b) AS BIGINT)")
+          .as("cos2_micro"))
+      .orderBy(col("cos2_micro").desc, col("doc_a"), col("doc_b"))
+      .limit(30)
+  }
+
+  /** q197: TERM BURSTINESS — per term: document frequency, collection
+    * frequency, burstiness (mean occurrences per containing doc,
+    * milli: 1000·cf div df) and top-doc concentration (share of all
+    * occurrences held by the single heaviest doc, permille). The
+    * corpus statistic that separates STOP terms (high df, burstiness
+    * ≈ uniform, low concentration) from BOILERPLATE/template terms
+    * (bursty: few docs each repeating the term) — the evidence a
+    * pipeline uses to build its stopword and template-strip lists
+    * instead of importing someone else's.
+    *
+    * Shape at 100 TB: one token explode into a (doc, term) hash-agg
+    * (map-side combined), then a vocab-keyed agg; the heaviest-doc
+    * pick is a min(struct) aggregate, not a window sort. Output is
+    * vocab-bounded. */
+  def termBurstiness(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        min(struct((-col("tf")).as("ntf"), col("doc_id").as("id"))).as("b"))
+      .select(col("w"), col("df"), col("cf"),
+        expr("(1000 * cf) div df").as("burstiness_milli"),
+        col("b.id").as("top_doc"),
+        expr("(1000 * -b.ntf) div cf").as("top_doc_share_pm"))
+      .orderBy(col("cf").desc, col("w"))
+
   def tokenizerFertility(spark: SparkSession, d: String): DataFrame =
     Tables.documentsDist(spark, d)
       .select(col("lang"), col("source"),

@@ -65,7 +65,26 @@ class PlanSweepSpec extends SparkSpec {
     // q182: the three ONE-ROW eval scalars (n_exact, n_candidates,
     // n_hit) combine via two cross joins of single-row relations —
     // scalar-bounded by construction
-    "q182_lsh_eval" -> 2)
+    "q182_lsh_eval" -> 2,
+    // q191: the one-row token-total (N) and pair-total (M) scalar
+    // broadcasts joined to the vocab²-bounded pair-count table
+    "q191_skipgram_cooc" -> 2,
+    // q195: the one-row grand-total (N) scalar broadcast joined to the
+    // alphabet-bounded contingency cells
+    "q195_chisq_mix" -> 1,
+    // q196: the eval re-instantiates the q26 truth plan (10 broadcast
+    // queries × corpus) THREE times (output + one per rank branch) and
+    // the q48 coarse pass once — the same documented bounded baselines
+    // as q146's 4
+    "q196_mrr_eval" -> 4,
+    // q198/q200/q202: one-row scalar broadcasts (basket total T /
+    // key-profile totals / capped-stats summary × full-profile
+    // summary) joined to bounded relations (q199's "now" scalar is a
+    // bounded 1-row collect instead — it would otherwise re-enter the
+    // plan once per score branch)
+    "q198_copurchase_pairs" -> 1,
+    "q200_salt_plan" -> 1,
+    "q202_join_card_est" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

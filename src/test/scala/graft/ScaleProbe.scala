@@ -111,6 +111,11 @@ object ScaleProbe {
     }
     val gqs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("q126_pagerank" -> (Graph.pageRank _),
+        // round-7 relational ops ride the same 10× lineitem/orders
+        // replicas: basket pair mining, RFM quintiles, skew profile
+        "q198_copurchase_pairs" -> (Queries.copurchasePairs _),
+        "q199_rfm_scores" -> (Queries.rfmScores _),
+        "q200_salt_plan" -> (Queries.saltPlan _),
         "q127_triangle_counts" -> (Graph.triangleCounts _),
         "q131_bfs_distances" -> (Graph.bfsDistances _),
         "q162_k_core" -> (Graph.kCore _),
@@ -150,7 +155,12 @@ object ScaleProbe {
         "q133_event_anomalies" -> (Queries.eventAnomalies _),
         "q144_pii_scrub" -> (Curation.piiScrub _),
         "q175_attribution" -> (Queries.attribution _),
-        "q181_session_paths" -> (Queries.sessionPaths _))
+        "q181_session_paths" -> (Queries.sessionPaths _),
+        // round-7: user-keyed range-frame feature matrix and the exact
+        // sliding-distinct rewrite — both user/day-keyed shuffles
+        "q189_sliding_active_users" -> (Queries.slidingActiveUsers _),
+        "q193_lag_features" -> (Queries.lagFeatures _),
+        "q201_locf_features" -> (Queries.locfFeatures _))
     val eratios = eqs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, edir)
@@ -201,14 +211,46 @@ object ScaleProbe {
     // (q118 winnowing already probes in the dedup block).
     val tqs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("q62_tfidf_terms" -> (TextAnalysis.tfidfTerms _),
-        "q114_bm25_search" -> (TextAnalysis.bm25Search _))
+        "q114_bm25_search" -> (TextAnalysis.bm25Search _),
+        // round-7 corpus-join additions: windowed co-occurrence and the
+        // df-capped inverted-index pair join (its pair mass tracks
+        // Σ C(df,2) — the df cap is what the 10× ratio evidences)
+        "q191_skipgram_cooc" -> (TextAnalysis.skipgramCooc _),
+        "q192_sparse_cosine" -> (TextAnalysis.sparseCosineTopK _),
+        "q197_term_burstiness" -> (TextAnalysis.termBurstiness _))
     val tratios = tqs.map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
-      val t10 = time(name, fn, d10)
+      // min-of-2 at 10× too: q191 rides the persisted postings stage,
+      // and its first 10× pass pays that one-time build
+      val t10 = math.min(time(name, fn, d10), time(name, fn, d10))
       println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
       name -> (t10 / t1)
     }
     println(tratios.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] text ratios: ", ", ", ""))
+
+    // Postings/phrase-family probe on the 10× doc corpus: q187 is a
+    // persisted-index operator like IVF/PQ, so the honest scale story
+    // has TWO numbers — the one-time postings build (linear in corpus
+    // tokens by design: one posexplode + one term-clustered shuffle
+    // write) and the warm probe (∝ queried-term DF only, which grows
+    // ~10× here because every replica repeats the corpus text — an
+    // upper bound; real growth adds new terms too, diluting hot-term
+    // DF). Timed separately: cold first run = build + probe, min of
+    // two subsequent runs = the zero-refit steady state a search
+    // deployment lives in.
+    def phraseProbe(d: String): (Double, Double) = {
+      val p = new org.apache.hadoop.fs.Path(PhraseIndex.dir(spark, d))
+      val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (pfs.exists(p)) pfs.delete(p, true) // force a cold build
+      val cold = time("q187_phrase_search(cold)", TextAnalysis.phraseSearch _, d)
+      val warm = math.min(
+        time("q187_phrase_search(warm)", TextAnalysis.phraseSearch _, d),
+        time("q187_phrase_search(warm)", TextAnalysis.phraseSearch _, d))
+      (cold, warm)
+    }
+    val (c1, w1) = phraseProbe(d1)
+    val (c10, w10) = phraseProbe(d10)
+    println(f"[probe] q187 build+probe cold ratio = ${c10 / c1}%5.1f, warm probe ratio = ${w10 / w1}%5.1f (linear would be ~10)")
     spark.stop()
   }
 }
