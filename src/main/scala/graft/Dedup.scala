@@ -498,7 +498,9 @@ object Dedup {
     * cells, drop ⊆ all-pairs-dup soundness, and the zero-refit warm
     * path. */
   def semDedup(spark: SparkSession, d: String): DataFrame = {
-    val (_, corpus) = IvfIndex.buildOrLoad(spark, d, nlist = 16)
+    // corpus-proportional cells (≡ 16 at driver SFs; see scaledNlist)
+    val (_, corpus) =
+      IvfIndex.buildOrLoad(spark, d, IvfIndex.scaledNlist(spark, d))
     // both self-join sides; released by the CacheScope listener
     val e = CacheScope.cached(corpus)
     val cos = Similarity.cosine(col("a.v"), col("b.v"), col("a.nn"), col("b.nn"))

@@ -442,4 +442,35 @@ object Graph {
       .select(col("node"), col("r").as("ppr_micro"))
       .orderBy(col("node"))
   }
+
+  /** q204: TWO-HOP REACH — per node: degree and the number of DISTINCT
+    * nodes at distance exactly 2 (friend-of-friend reach, direct
+    * neighbors and self excluded). The audience-expansion /
+    * influence-radius statistic, and the exact denominator behind
+    * q167's common-neighbor link scores.
+    *
+    * Shape at 100 TB: the wedge join (arcs ⋈ arcs on the middle node)
+    * costs Σ deg² — the SAME mass q127's triangle count already pays,
+    * documented there as degree-bounded; the distinct and the
+    * neighbor-exclusion anti-join are (src, dst)-keyed shuffles. No
+    * iteration, no broadcast of anything node-sized. */
+  def twoHopReach(spark: SparkSession, d: String): DataFrame = {
+    val e = CacheScope.cached(tradeArcs(spark, d))
+    // fresh aliases on every leg: three self-joins of one cached plan
+    // (the q196 shared-lineage discipline)
+    val wedges = e.select(col("src").as("a"), col("dst").as("m"))
+      .join(e.select(col("src").as("m2"), col("dst").as("b")),
+        col("m") === col("m2"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    val reach2 = wedges
+      .join(e.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .groupBy(col("a")).agg(count(lit(1)).as("reach2"))
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      .join(reach2, col("node") === col("a"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("reach2"), lit(0L)).as("reach2"))
+      .orderBy(col("node"))
+  }
 }

@@ -40,6 +40,22 @@ object IvfIndex {
   // version bump relocates any pre-0.0.3 index.
   private val Version = "0.0.3"
 
+  /** Corpus-proportional cell count: nlist = max(16, ⌈n / 125⌉), i.e.
+    * a ~125-vector target cell. This is the "nlist ∝ n/targetCellSize"
+    * contract the |cell|²-cost consumers (q115 SemDeDup, q172
+    * mutual-NN) document: with FIXED nlist their per-cell self-joins
+    * grow quadratically in corpus scale (the round-7 ScaleProbe
+    * measured q172 at 14.7× wall for 10× data before this) — constant
+    * CELL SIZE keeps total pair work linear. At every driver SF
+    * (≤ 2000 vectors) this floors to 16, so the DuckDB oracles replay
+    * unchanged; the knob only engages beyond them. One count() on the
+    * vec table per call — footer-metadata cheap, and the index dir it
+    * selects is the persisted salted stage. */
+  def scaledNlist(spark: SparkSession, d: String): Int = {
+    val n = Tables.embeddings(spark, d).count()
+    math.max(16, ((n + 124) / 125).toInt)
+  }
+
   /** Content-addressed index dir (SaltedIndex): corpus file stamps +
     * nlist + version — any change relocates the index. */
   def dir(spark: SparkSession, d: String, nlist: Int): String =

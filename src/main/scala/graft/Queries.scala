@@ -1801,4 +1801,142 @@ object Queries {
       .select(col("n_keys"), col("n_rows"), col("exact_rows"), col("est_rows"),
         expr("(1000 * abs(est_rows - exact_rows)) div exact_rows").as("err_pm"))
   }
+
+  /** q203: DATA-SKIPPING / PRUNING AUDIT — simulate file-level min/max
+    * pruning (parquet row-group stats, Iceberg manifests) for a fixed
+    * predicate set: treat each ship-month as a "file", collect its
+    * min/max column stats, and report per predicate how many files the
+    * stats prune, the rows inside surviving files, the exact matching
+    * rows, and the scan amplification (rows scanned per 1000 matching).
+    * The layout-planning evidence behind q60's Z-order: it quantifies
+    * what a time-clustered layout buys each predicate shape BEFORE
+    * anyone rewrites a 100 TB table.
+    *
+    * Shape at 100 TB: the stats relation is file-count-bounded (one
+    * month-keyed hash-agg with map-side partials); exact match counts
+    * ride ONE conditional-sum pass over the fact table; everything
+    * downstream joins 3-row-bounded relations. */
+  def pruningStats(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("file"),
+        col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+        col("l_quantity"))
+    val stats = li.groupBy(col("file"))
+      .agg(count(lit(1)).as("c"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+        min(col("price_c")).as("min_pc"), max(col("price_c")).as("max_pc"),
+        max(col("l_quantity")).as("max_q"))
+    // yyyy-MM compares lexicographically == chronologically, so the
+    // file key doubles as its own min/max shipdate stat
+    val pruneAgg = stats.agg(count(lit(1)).as("n_files"),
+        sum(when(col("max_pc") < 5000000L, 1L).otherwise(0L)).as("pr1"),
+        sum(when(col("max_pc") < 5000000L, 0L).otherwise(col("c"))).as("sc1"),
+        sum(when(col("max_ok") < 1000L || col("min_ok") > 2000L, 1L)
+          .otherwise(0L)).as("pr2"),
+        sum(when(col("max_ok") < 1000L || col("min_ok") > 2000L, 0L)
+          .otherwise(col("c"))).as("sc2"),
+        sum(when(col("max_q") < 45.0, 1L).otherwise(0L)).as("pr3"),
+        sum(when(col("max_q") < 45.0, 0L).otherwise(col("c"))).as("sc3"),
+        sum(when(col("file") < "1998-01", 1L).otherwise(0L)).as("pr4"),
+        sum(when(col("file") < "1998-01", 0L).otherwise(col("c"))).as("sc4"))
+      .selectExpr(
+        """stack(4,
+          |  'price_ge_50k',      n_files, pr1, sc1,
+          |  'orderkey_1k_2k',    n_files, pr2, sc2,
+          |  'quantity_ge_45',    n_files, pr3, sc3,
+          |  'shipdate_ge_1998',  n_files, pr4, sc4)
+          |AS (pred, n_files, n_pruned, rows_scanned)""".stripMargin)
+    val exact = li.agg(
+        sum(when(col("price_c") >= 5000000L, 1L).otherwise(0L)).as("m1"),
+        sum(when(col("l_orderkey") >= 1000L && col("l_orderkey") <= 2000L, 1L)
+          .otherwise(0L)).as("m2"),
+        sum(when(col("l_quantity") >= 45.0, 1L).otherwise(0L)).as("m3"),
+        sum(when(col("file") >= "1998-01", 1L).otherwise(0L)).as("m4"))
+      .selectExpr(
+        """stack(4,
+          |  'price_ge_50k',   m1,
+          |  'orderkey_1k_2k', m2,
+          |  'quantity_ge_45', m3,
+          |  'shipdate_ge_1998', m4) AS (pred2, n_match)""".stripMargin)
+    pruneAgg.join(exact, col("pred") === col("pred2"))
+      .select(col("pred"), col("n_files"), col("n_pruned"),
+        col("rows_scanned"), col("n_match"),
+        expr("""CASE WHEN n_match > 0
+               |  THEN (1000 * rows_scanned) div n_match END""".stripMargin
+          .replace("\n", " ")).as("amp_pm"))
+      .orderBy(col("pred"))
+  }
+
+  /** q205: CHURN LABEL GENERATION — the labeled-training-set builder:
+    * for every user active in the 7-day observation window
+    * [maxDay−13, maxDay−7], features from that window only (events,
+    * active days, purchases, recency gap at cutoff) and the label
+    * "churned" = zero PURCHASES in the following 7-day label window
+    * (purchase churn — raw-activity churn is degenerate on an
+    * always-on population, and this one's base rate is nonzero at
+    * every SF, which the spec pins).
+    * Point-in-time correct by construction: every feature is
+    * conditioned on day ≤ cutoff, so nothing from the label window
+    * leaks into the features (the q152 leakage discipline applied to
+    * time instead of content).
+    *
+    * Shape at 100 TB: ONE user-keyed conditional-aggregate pass over
+    * the stream — both windows ride the same groupBy as CASE sums, no
+    * join between feature and label sides; maxDay is a one-row
+    * bounded collect. */
+  def churnLabels(spark: SparkSession, d: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val ev = Tables.eventsNs(spark, d)
+      .select(col("user_id"), expr(s"ts div $DayNs").as("day"),
+        col("event_type"))
+    val maxDay = ev.agg(max(col("day"))).head().getLong(0)
+    val (obsLo, obsHi, labLo) = (maxDay - 13, maxDay - 7, maxDay - 6)
+    def inObs = col("day") >= obsLo && col("day") <= obsHi
+    ev.groupBy(col("user_id"))
+      .agg(sum(when(inObs, 1L).otherwise(0L)).as("n_events_obs"),
+        countDistinct(when(inObs, col("day"))).as("active_days_obs"),
+        sum(when(inObs && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("n_purchases_obs"),
+        max(when(inObs, col("day"))).as("last_obs_day"),
+        sum(when(col("day") >= labLo && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("n_label"))
+      .filter(col("n_events_obs") > 0)
+      .select(col("user_id"), col("n_events_obs"), col("active_days_obs"),
+        col("n_purchases_obs"),
+        (lit(obsHi) - col("last_obs_day")).as("gap_days"),
+        when(col("n_label") === 0L, 1L).otherwise(0L).as("churned"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q206: A/B ASSIGNMENT + SRM AUDIT — deterministic hash-based 50/50
+    * arm assignment for 5 experiment salts over the user population,
+    * with the sample-ratio-mismatch chi-square per (experiment, arm)
+    * in exact milli-units: contrib = 1000·(2·o − n)² div (2·n) — the
+    * guardrail every experimentation platform runs before trusting a
+    * readout. Assignment is pure integer arithmetic ((user_id +
+    * salt·1000003)·2654435761 mod 1000 < 500), replayable by any
+    * engine — no engine-specific hash.
+    *
+    * Shape at 100 TB: distinct users once, a 5× literal fan-out
+    * (experiment-count-bounded), one (exp, arm) hash-agg, and a
+    * 5-row-bounded totals join. */
+  def abSrm(spark: SparkSession, d: String): DataFrame = {
+    val users = Tables.eventsNs(spark, d).select(col("user_id")).distinct()
+    val arms = users
+      .select(col("user_id"), explode(sequence(lit(0L), lit(4L))).as("exp"))
+      .select(col("exp"),
+        when(expr("((user_id + exp * 1000003) * 2654435761) % 1000") < 500L,
+          lit("a")).otherwise(lit("b")).as("arm"))
+      .groupBy(col("exp"), col("arm")).agg(count(lit(1)).as("n_users"))
+    val totals = arms.groupBy(col("exp").as("exp_t"))
+      .agg(sum(col("n_users")).as("n"))
+    arms.join(broadcast(totals), col("exp") === col("exp_t"))
+      .select(col("exp"), col("arm"), col("n_users"),
+        expr("(1000 * n) div 2").as("expected_milli"),
+        expr("""(1000 * (2 * n_users - n) * (2 * n_users - n))
+               | div (2 * n)""".stripMargin.replace("\n", " "))
+          .as("chi2_contrib_milli"))
+      .orderBy(col("exp"), col("arm"))
+  }
 }

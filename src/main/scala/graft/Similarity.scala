@@ -673,7 +673,9 @@ object Similarity {
     * (= the oracle's list_dot_product, and symmetric in IEEE terms),
     * so the argmax and the reported score replay exactly. */
   def mutualNn(spark: SparkSession, d: String): DataFrame = {
-    val (_, corpus) = IvfIndex.buildOrLoad(spark, d, nlist = 16)
+    // corpus-proportional cells (≡ 16 at driver SFs; see scaledNlist)
+    val (_, corpus) =
+      IvfIndex.buildOrLoad(spark, d, IvfIndex.scaledNlist(spark, d))
     val e = CacheScope.cached(corpus)
     val top1 = e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))

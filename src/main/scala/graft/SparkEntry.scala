@@ -496,6 +496,14 @@ object SparkEntry {
     "q201_locf_features" -> (Queries.locfFeatures _),
     // CBO cardinality-estimate audit: capped stats vs exact self-join size
     "q202_join_card_est" -> (Queries.joinCardEst _),
+    // file-stats data-skipping audit: pruned files + scan amplification
+    "q203_pruning_stats" -> (Queries.pruningStats _),
+    // exact distance-2 distinct reach per trade-graph node
+    "q204_two_hop_reach" -> (Graph.twoHopReach _),
+    // point-in-time churn labels: obs-window features, next-window label
+    "q205_churn_labels" -> (Queries.churnLabels _),
+    // deterministic A/B assignment + sample-ratio-mismatch chi-square
+    "q206_ab_srm" -> (Queries.abSrm _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -3607,5 +3615,99 @@ object SparkEntry {
         |SELECT n_keys, n_rows, exact_rows, est_rows,
         |       (1000 * abs(est_rows - exact_rows)) // exact_rows AS err_pm
         |FROM est""".stripMargin,
+    // q203: month-files min/max stats; per predicate pruned files,
+    // rows in surviving files, exact matches, amplification.
+    "q203_pruning_stats" ->
+      """WITH li AS (SELECT strftime(l_shipdate, '%Y-%m') AS f, l_orderkey ok,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) pc,
+        |         l_quantity q
+        |       FROM lineitem),
+        |st AS (SELECT f, count(*)::BIGINT c,
+        |         min(ok) min_ok, max(ok) max_ok, max(pc) max_pc, max(q) max_q
+        |       FROM li GROUP BY 1),
+        |pa AS (SELECT count(*)::BIGINT n_files,
+        |  sum(CASE WHEN max_pc < 5000000 THEN 1 ELSE 0 END)::BIGINT pr1,
+        |  sum(CASE WHEN max_pc < 5000000 THEN 0 ELSE c END)::BIGINT sc1,
+        |  sum(CASE WHEN max_ok < 1000 OR min_ok > 2000 THEN 1 ELSE 0 END)::BIGINT pr2,
+        |  sum(CASE WHEN max_ok < 1000 OR min_ok > 2000 THEN 0 ELSE c END)::BIGINT sc2,
+        |  sum(CASE WHEN max_q < 45 THEN 1 ELSE 0 END)::BIGINT pr3,
+        |  sum(CASE WHEN max_q < 45 THEN 0 ELSE c END)::BIGINT sc3,
+        |  sum(CASE WHEN f < '1998-01' THEN 1 ELSE 0 END)::BIGINT pr4,
+        |  sum(CASE WHEN f < '1998-01' THEN 0 ELSE c END)::BIGINT sc4
+        |  FROM st),
+        |ex AS (SELECT
+        |  sum(CASE WHEN pc >= 5000000 THEN 1 ELSE 0 END)::BIGINT m1,
+        |  sum(CASE WHEN ok BETWEEN 1000 AND 2000 THEN 1 ELSE 0 END)::BIGINT m2,
+        |  sum(CASE WHEN q >= 45 THEN 1 ELSE 0 END)::BIGINT m3,
+        |  sum(CASE WHEN f >= '1998-01' THEN 1 ELSE 0 END)::BIGINT m4
+        |  FROM li),
+        |rep AS (
+        |  SELECT 'price_ge_50k' pred, n_files, pr1 n_pruned, sc1 rows_scanned,
+        |         (SELECT m1 FROM ex) n_match FROM pa
+        |  UNION ALL SELECT 'orderkey_1k_2k', n_files, pr2, sc2,
+        |         (SELECT m2 FROM ex) FROM pa
+        |  UNION ALL SELECT 'quantity_ge_45', n_files, pr3, sc3,
+        |         (SELECT m3 FROM ex) FROM pa
+        |  UNION ALL SELECT 'shipdate_ge_1998', n_files, pr4, sc4,
+        |         (SELECT m4 FROM ex) FROM pa)
+        |SELECT pred, n_files, n_pruned, rows_scanned, n_match,
+        |       CASE WHEN n_match > 0
+        |            THEN (1000 * rows_scanned) // n_match END AS amp_pm
+        |FROM rep ORDER BY pred""".stripMargin,
+    // q204: wedge join minus direct arcs minus self, distinct ends.
+    "q204_two_hop_reach" ->
+      s"""WITH $TradeGraphCte,
+         |w AS (SELECT DISTINCT x.src a, y.dst b
+         |      FROM e x JOIN e y ON x.dst = y.src
+         |      WHERE x.src != y.dst),
+         |r2 AS (SELECT w.a, count(*)::BIGINT reach2 FROM w
+         |       WHERE NOT EXISTS (SELECT 1 FROM e
+         |                         WHERE e.src = w.a AND e.dst = w.b)
+         |       GROUP BY 1),
+         |deg AS (SELECT src node, count(*)::BIGINT degree FROM e GROUP BY 1)
+         |SELECT d.node, d.degree, coalesce(r2.reach2, 0)::BIGINT AS reach2
+         |FROM deg d LEFT JOIN r2 ON r2.a = d.node
+         |ORDER BY d.node""".stripMargin,
+    // q205: one conditional-agg pass; windows anchored at max day.
+    "q205_churn_labels" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |                  event_type
+        |           FROM events),
+        |mx AS (SELECT max(day) md FROM e),
+        |agg AS (SELECT user_id,
+        |  sum(CASE WHEN day BETWEEN mx.md - 13 AND mx.md - 7
+        |      THEN 1 ELSE 0 END)::BIGINT n_events_obs,
+        |  count(DISTINCT CASE WHEN day BETWEEN mx.md - 13 AND mx.md - 7
+        |      THEN day END)::BIGINT active_days_obs,
+        |  sum(CASE WHEN day BETWEEN mx.md - 13 AND mx.md - 7
+        |       AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END)::BIGINT n_purchases_obs,
+        |  max(CASE WHEN day BETWEEN mx.md - 13 AND mx.md - 7
+        |      THEN day END) last_obs_day,
+        |  max(mx.md) md,
+        |  sum(CASE WHEN day >= mx.md - 6 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END)::BIGINT n_label
+        |  FROM e, mx GROUP BY 1)
+        |SELECT user_id, n_events_obs, active_days_obs, n_purchases_obs,
+        |       (md - 7 - last_obs_day)::BIGINT AS gap_days,
+        |       (CASE WHEN n_label = 0 THEN 1 ELSE 0 END)::BIGINT AS churned
+        |FROM agg WHERE n_events_obs > 0 ORDER BY user_id""".stripMargin,
+    // q206: the identical integer assignment hash; chi-square SRM via
+    // (2o - n)^2 // (2n).
+    "q206_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT exp,
+        |        CASE WHEN ((user_id + exp * 1000003) * 2654435761) % 1000 < 500
+        |             THEN 'a' ELSE 'b' END arm
+        |      FROM u, unnest(generate_series(0, 4)) t(exp)),
+        |c AS (SELECT exp::BIGINT exp, arm, count(*)::BIGINT n_users
+        |      FROM a GROUP BY 1, 2),
+        |t AS (SELECT exp, sum(n_users)::BIGINT n FROM c GROUP BY 1)
+        |SELECT c.exp, c.arm, c.n_users,
+        |       (1000 * t.n) // 2 AS expected_milli,
+        |       (1000 * (2 * c.n_users - t.n) * (2 * c.n_users - t.n))
+        |         // (2 * t.n) AS chi2_contrib_milli
+        |FROM c JOIN t USING (exp)
+        |ORDER BY c.exp, c.arm""".stripMargin,
   )
 }

@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * java.io.tmpdir only; not part of the test suite. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    // optional family filter (dedup graph events ann text phrase) so a
+    // run fits a bounded window; no args = all families
+    val fams = if (args.isEmpty) Set("dedup","graph","events","ann","text","phrase")
+               else args.map(_.toLowerCase).toSet
     val spark = SparkSpec.session
     val d1 = "/root/testdata/sf0.1"
     val dir = s"${sys.props("java.io.tmpdir")}/graft-scale-10x"
@@ -69,7 +73,7 @@ object ScaleProbe {
         "q176_priority_sample" -> (Curation.prioritySample _),
         "q177_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
         "q180_stratified_sample" -> (Curation.stratifiedPrioritySample _))
-    val ratios = qs.map { case (name, fn) =>
+    val ratios = (if (fams("dedup")) qs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, d10)
       println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
@@ -121,7 +125,7 @@ object ScaleProbe {
         "q162_k_core" -> (Graph.kCore _),
         "q163_label_prop" -> (Graph.labelProp _),
         "q178_personalized_pagerank" -> (Graph.personalizedPageRank _))
-    val gratios = gqs.map { case (name, fn) =>
+    val gratios = (if (fams("graph")) gqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, gdir)
       println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
@@ -161,7 +165,7 @@ object ScaleProbe {
         "q189_sliding_active_users" -> (Queries.slidingActiveUsers _),
         "q193_lag_features" -> (Queries.lagFeatures _),
         "q201_locf_features" -> (Queries.locfFeatures _))
-    val eratios = eqs.map { case (name, fn) =>
+    val eratios = (if (fams("events")) eqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, edir)
       println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
@@ -197,7 +201,7 @@ object ScaleProbe {
         // cost contract) plus the reciprocity join; min-of-2 so the
         // warm zero-refit path is measured like the other index users
         "q172_mutual_nn" -> (Similarity.mutualNn _))
-    val aratios = aqs.map { case (name, fn) =>
+    val aratios = (if (fams("ann")) aqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = math.min(time(name, fn, vdir), time(name, fn, vdir))
       println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
@@ -218,7 +222,7 @@ object ScaleProbe {
         "q191_skipgram_cooc" -> (TextAnalysis.skipgramCooc _),
         "q192_sparse_cosine" -> (TextAnalysis.sparseCosineTopK _),
         "q197_term_burstiness" -> (TextAnalysis.termBurstiness _))
-    val tratios = tqs.map { case (name, fn) =>
+    val tratios = (if (fams("text")) tqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       // min-of-2 at 10× too: q191 rides the persisted postings stage,
       // and its first 10× pass pays that one-time build
@@ -248,9 +252,11 @@ object ScaleProbe {
         time("q187_phrase_search(warm)", TextAnalysis.phraseSearch _, d))
       (cold, warm)
     }
-    val (c1, w1) = phraseProbe(d1)
-    val (c10, w10) = phraseProbe(d10)
-    println(f"[probe] q187 build+probe cold ratio = ${c10 / c1}%5.1f, warm probe ratio = ${w10 / w1}%5.1f (linear would be ~10)")
+    if (fams("phrase")) {
+      val (c1, w1) = phraseProbe(d1)
+      val (c10, w10) = phraseProbe(d10)
+      println(f"[probe] q187 build+probe cold ratio = ${c10 / c1}%5.1f, warm probe ratio = ${w10 / w1}%5.1f (linear would be ~10)")
+    }
     spark.stop()
   }
 }
