@@ -473,4 +473,46 @@ object Graph {
         coalesce(col("reach2"), lit(0L)).as("reach2"))
       .orderBy(col("node"))
   }
+
+  /** q208: DEGREE ASSORTATIVITY — the Pearson correlation of endpoint
+    * degrees over all arcs, reported as SIGNED r²·1000 in exact
+    * integer arithmetic (sign(num)·1000·num² div (denx·deny), all
+    * DECIMAL(38,0) — num/den are the classic n·Σxy − Σx·Σy cross
+    * terms, so no square roots and no float drift). The one-number
+    * answer to "do hubs link to hubs" — disassortative graphs (hub →
+    * leaf, the typical trade/web shape) need different partitioning
+    * and sampling treatment than assortative social graphs.
+    *
+    * Shape at 100 TB: two degree joins onto the arc relation (both
+    * src/dst-keyed) and ONE moment aggregate — no iteration, nothing
+    * collected but the 1-row result. Magnitude audit at the driver
+    * SFs: num² ≲ 10³⁴ and denx·deny ≲ 10³⁵ — inside DECIMAL(38,0)
+    * with ~10³ headroom; beyond ~10⁷ hub-heavy arcs the exact product
+    * crosses 10³⁸ and the statistic would move to mean-centered
+    * moments (r is affine-invariant), the documented petabyte path. */
+  def degreeAssortativity(spark: SparkSession, d: String): DataFrame = {
+    val e = CacheScope.cached(tradeArcs(spark, d))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    val xy = e
+      .join(deg.toDF("src", "dx"), "src")
+      .join(deg.toDF("dst", "dy"), "dst")
+      .select(col("dx"), col("dy"))
+    xy.agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("sxy"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("sxx"),
+        sum(expr("CAST(dy AS DECIMAL(38,0)) * dy")).as("syy"))
+      .select(col("n").as("n_arcs"),
+        expr("""CAST(CASE WHEN (n*sxx - CAST(sx AS DECIMAL(38,0))*sx) *
+               |            (n*syy - CAST(sy AS DECIMAL(38,0))*sy) = 0 THEN NULL
+               |  ELSE CASE WHEN n*sxy - CAST(sx AS DECIMAL(38,0))*sy < 0
+               |            THEN -1 ELSE 1 END *
+               |    ((CAST(1000 AS DECIMAL(38,0)) *
+               |      (n*sxy - CAST(sx AS DECIMAL(38,0))*sy) *
+               |      (n*sxy - CAST(sx AS DECIMAL(38,0))*sy))
+               |     div ((n*sxx - CAST(sx AS DECIMAL(38,0))*sx) *
+               |          (n*syy - CAST(sy AS DECIMAL(38,0))*sy)))
+               |  END AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("assort_r2_signed_milli"))
+  }
 }

@@ -1868,6 +1868,74 @@ object Queries {
       .orderBy(col("pred"))
   }
 
+  /** q207: RECOMMENDER EVAL — precision-by-rank of "bought together"
+    * recommendations against held-out baskets: train co-occurrence on
+    * 80% of orders (orderkey mod split — deterministic, content-
+    * stable), recommend each test item's top-3 train partners, score a
+    * hit when the recommended part actually appears in the same
+    * held-out basket. The offline eval loop any q198-style associator
+    * ships with — per-RANK hit rates expose whether rank 1 carries
+    * the signal or the list is noise all the way down.
+    *
+    * Shape at 100 TB: train pair counts are the q198 basket self-join
+    * (orderkey-keyed, C(k,2)-bounded); top-3-per-item is a window over
+    * the item-keyed pair relation (each partition = one item's
+    * partners, item-degree-bounded — never a global sort); candidate
+    * and hit joins are (item)- and (basket, part)-keyed equi-joins.
+    * Fresh toDF aliases on every self-join leg (the q196 lineage
+    * discipline). */
+  def recEval(spark: SparkSession, d: String): DataFrame = {
+    val items = CacheScope.cached(
+      Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct())
+    val train = items.filter(col("ok") % 5 =!= 0L)
+    val test = items.filter(col("ok") % 5 === 0L)
+    val pairs = train.toDF("ok", "pa").join(train.toDF("ok", "pb"), "ok")
+      .filter(col("pa") =!= col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+    val recs = pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("pa")).orderBy(col("c").desc, col("pb"))))
+      .filter(col("rk") <= 3)
+      .select(col("pa").as("item"), col("pb").as("rec"), col("rk"))
+    val cand = test.toDF("ok", "item").join(recs, "item")
+    cand
+      .join(test.toDF("ok", "rec").withColumn("hit", lit(1L)),
+        Seq("ok", "rec"), "left")
+      .groupBy(col("rk"))
+      .agg(count(lit(1)).as("n_recs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .select(col("rk").cast("long").as("rank"), col("n_recs"), col("n_hits"),
+        expr("(1000 * n_hits) div n_recs").as("hit_pm"))
+      .orderBy(col("rank"))
+  }
+
+  /** q210: DAY-OF-WEEK PROFILE — per (event type, weekday): event
+    * count, share of the type's volume (permille), and deviation from
+    * a uniform week in exact milli ((7n − total)·1000 div total). The
+    * seasonality fingerprint monitoring baselines are built from —
+    * a volume alarm that ignores weekday structure pages every
+    * weekend. dow 0 = Monday, derived from the epoch day ((day+3)%7 —
+    * 1970-01-01 was a Thursday), calendar-library-free and therefore
+    * engine-portable.
+    *
+    * Shape at 100 TB: one (type, dow) hash-agg with map-side partials;
+    * the per-type totals re-aggregate the 35-row cell table. */
+  def dowProfile(spark: SparkSession, d: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val cells = Tables.eventsNs(spark, d)
+      .select(col("event_type"),
+        expr(s"((ts div $DayNs) + 3) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("event_type").as("et")).agg(sum(col("n")).as("t"))
+    cells.join(broadcast(tot), col("event_type") === col("et"))
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("(1000 * n) div t").as("share_pm"),
+        expr("(1000 * (7 * n - t)) div t").as("dev_milli"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** q205: CHURN LABEL GENERATION — the labeled-training-set builder:
     * for every user active in the 7-day observation window
     * [maxDay−13, maxDay−7], features from that window only (events,

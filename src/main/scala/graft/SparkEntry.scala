@@ -504,6 +504,14 @@ object SparkEntry {
     "q205_churn_labels" -> (Queries.churnLabels _),
     // deterministic A/B assignment + sample-ratio-mismatch chi-square
     "q206_ab_srm" -> (Queries.abSrm _),
+    // precision-by-rank of co-purchase recs vs held-out baskets
+    "q207_rec_eval" -> (Queries.recEval _),
+    // signed degree-assortativity r^2 of the trade graph (exact milli)
+    "q208_assortativity" -> (Graph.degreeAssortativity _),
+    // confusion matrix + recall/precision shares of the q148 classifier
+    "q209_nb_confusion" -> (TextAnalysis.nbConfusion _),
+    // per-(event type, weekday) volume profile vs uniform week
+    "q210_dow_profile" -> (Queries.dowProfile _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -565,6 +573,30 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x JOIN bands y
        |         ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
        |sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** q148 oracle — the naive-Bayes held-out classification. ONE
+    * definition, shared verbatim by q209's confusion matrix (the
+    * confusion must grade exactly the predictions the driver checks —
+    * the q44/q67 shared-oracle rule). */
+  private val NbClassifySql: String =
+    """WITH tok AS (SELECT doc_id, lang,
+      |             unnest(regexp_split_to_array(text, ' ')) AS w FROM documents),
+      |tr AS (SELECT * FROM tok WHERE doc_id % 5 != 0),
+      |cnt AS (SELECT lang AS l, w, count(*)::BIGINT c FROM tr GROUP BY 1, 2),
+      |tot AS (SELECT lang AS l, count(*)::BIGINT tot FROM tr GROUP BY 1),
+      |voc AS (SELECT count(DISTINCT w)::BIGINT v FROM tr),
+      |den AS (SELECT l, (tot + v)::BIGINT AS den FROM tot, voc),
+      |te AS (SELECT doc_id, lang, w, count(*)::BIGINT m FROM tok
+      |       WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+      |sc AS (SELECT te.doc_id, te.lang, den.l,
+      |       sum(te.m * ((1000000000000 * (coalesce(cnt.c, 0) + 1)) // den.den))::BIGINT AS score
+      |       FROM te CROSS JOIN den LEFT JOIN cnt ON cnt.l = den.l AND cnt.w = te.w
+      |       GROUP BY 1, 2, 3),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, l)::BIGINT AS rn FROM sc)
+      |SELECT doc_id, lang, l AS pred, score AS pred_score,
+      |  (CASE WHEN l = lang THEN 1 ELSE 0 END)::BIGINT AS correct
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of TextOps.polyHash over a SQL string expression. */
   private def H(e: String): String =
@@ -2572,25 +2604,7 @@ object SparkEntry {
         |FROM a JOIN ks ON a.source = ks.source ORDER BY a.source""".stripMargin,
     // q148: fixed-point NB likelihoods term-for-term; argmax ties →
     // lang asc (the window ORDER BY mirrors min(struct(-score, l))).
-    "q148_nb_lang_classify" ->
-      """WITH tok AS (SELECT doc_id, lang,
-        |             unnest(regexp_split_to_array(text, ' ')) AS w FROM documents),
-        |tr AS (SELECT * FROM tok WHERE doc_id % 5 != 0),
-        |cnt AS (SELECT lang AS l, w, count(*)::BIGINT c FROM tr GROUP BY 1, 2),
-        |tot AS (SELECT lang AS l, count(*)::BIGINT tot FROM tr GROUP BY 1),
-        |voc AS (SELECT count(DISTINCT w)::BIGINT v FROM tr),
-        |den AS (SELECT l, (tot + v)::BIGINT AS den FROM tot, voc),
-        |te AS (SELECT doc_id, lang, w, count(*)::BIGINT m FROM tok
-        |       WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
-        |sc AS (SELECT te.doc_id, te.lang, den.l,
-        |       sum(te.m * ((1000000000000 * (coalesce(cnt.c, 0) + 1)) // den.den))::BIGINT AS score
-        |       FROM te CROSS JOIN den LEFT JOIN cnt ON cnt.l = den.l AND cnt.w = te.w
-        |       GROUP BY 1, 2, 3),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, l)::BIGINT AS rn FROM sc)
-        |SELECT doc_id, lang, l AS pred, score AS pred_score,
-        |  (CASE WHEN l = lang THEN 1 ELSE 0 END)::BIGINT AS correct
-        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q148_nb_lang_classify" -> NbClassifySql,
     // q149: distinct 8-gram sets (q31's gram unit), first holder =
     // min doc_id per hash — mirrors Dedup.docNovelty.
     "q149_doc_novelty" ->
@@ -3709,5 +3723,71 @@ object SparkEntry {
         |         // (2 * t.n) AS chi2_contrib_milli
         |FROM c JOIN t USING (exp)
         |ORDER BY c.exp, c.arm""".stripMargin,
+    // q207: train-split co-occurrence, window top-3 per item, hit =
+    // recommended part present elsewhere in the held-out basket.
+    "q207_rec_eval" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey p
+        |               FROM lineitem),
+        |tr AS (SELECT * FROM items WHERE ok % 5 != 0),
+        |te AS (SELECT * FROM items WHERE ok % 5 = 0),
+        |pr AS (SELECT a.p pa, b.p pb, count(*)::BIGINT c
+        |       FROM tr a JOIN tr b ON a.ok = b.ok AND a.p != b.p
+        |       GROUP BY 1, 2),
+        |recs AS (SELECT pa item, pb rec, rk FROM
+        |    (SELECT pa, pb, row_number() OVER
+        |       (PARTITION BY pa ORDER BY c DESC, pb)::BIGINT rk FROM pr)
+        |    WHERE rk <= 3),
+        |cand AS (SELECT te.ok, recs.rec, recs.rk
+        |         FROM te JOIN recs ON recs.item = te.p)
+        |SELECT cand.rk AS rank, count(*)::BIGINT n_recs,
+        |       sum(CASE WHEN EXISTS (SELECT 1 FROM te
+        |                WHERE te.ok = cand.ok AND te.p = cand.rec)
+        |           THEN 1 ELSE 0 END)::BIGINT n_hits,
+        |       (1000 * sum(CASE WHEN EXISTS (SELECT 1 FROM te
+        |                WHERE te.ok = cand.ok AND te.p = cand.rec)
+        |           THEN 1 ELSE 0 END)) // count(*) AS hit_pm
+        |FROM cand GROUP BY 1 ORDER BY rank""".stripMargin,
+    // q208: endpoint-degree moments over arcs, signed r^2 in HUGEINT.
+    "q208_assortativity" ->
+      s"""WITH $TradeGraphCte,
+         |deg AS (SELECT src, count(*)::BIGINT dg FROM e GROUP BY 1),
+         |xy AS (SELECT a.dg dx, b.dg dy FROM e
+         |       JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst),
+         |m AS (SELECT count(*)::HUGEINT n, sum(dx)::HUGEINT sx,
+         |             sum(dy)::HUGEINT sy, sum(dx::HUGEINT * dy) sxy,
+         |             sum(dx::HUGEINT * dx) sxx, sum(dy::HUGEINT * dy) syy
+         |      FROM xy)
+         |SELECT n::BIGINT AS n_arcs,
+         |  (CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL
+         |   ELSE (CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) *
+         |     ((1000::HUGEINT * (n*sxy - sx*sy) * (n*sxy - sx*sy))
+         |      // ((n*sxx - sx*sx) * (n*syy - sy*sy)))
+         |   END)::BIGINT AS assort_r2_signed_milli
+         |FROM m""".stripMargin,
+    // q209: confusion cells over the SHARED q148 prediction oracle.
+    "q209_nb_confusion" ->
+      s"""WITH p AS ($NbClassifySql),
+         |cells AS (SELECT lang, pred, count(*)::BIGINT n FROM p GROUP BY 1, 2),
+         |r AS (SELECT lang lg, sum(n)::BIGINT rt FROM cells GROUP BY 1),
+         |c AS (SELECT pred pd, sum(n)::BIGINT ct FROM cells GROUP BY 1)
+         |SELECT cells.lang, cells.pred, cells.n,
+         |       (1000 * cells.n) // r.rt AS recall_share_pm,
+         |       (1000 * cells.n) // c.ct AS precision_share_pm
+         |FROM cells JOIN r ON r.lg = cells.lang JOIN c ON c.pd = cells.pred
+         |ORDER BY cells.lang, cells.pred""".stripMargin,
+    // q210: epoch-day weekday ((day+3)%7, Monday=0), share and
+    // uniform-week deviation.
+    "q210_dow_profile" ->
+      """WITH e AS (SELECT event_type,
+        |           ((epoch_ns(ts) // 86400000000000) + 3) % 7 AS dow
+        |           FROM events),
+        |cells AS (SELECT event_type, dow, count(*)::BIGINT n
+        |          FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type et, sum(n)::BIGINT t FROM cells GROUP BY 1)
+        |SELECT cells.event_type, cells.dow, cells.n,
+        |       (1000 * cells.n) // t.t AS share_pm,
+        |       (1000 * (7 * cells.n - t.t)) // t.t AS dev_milli
+        |FROM cells JOIN t ON t.et = cells.event_type
+        |ORDER BY cells.event_type, cells.dow""".stripMargin,
   )
 }

@@ -599,6 +599,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q209: CLASSIFIER CONFUSION MATRIX — the per-(true, predicted)
+    * cell counts of q148's held-out naive-Bayes predictions, with the
+    * two rates every model card reports: recall share (cell over the
+    * true language's row total) and precision share (cell over the
+    * predicted language's column total), both exact permille. Chains
+    * the PRODUCTION classifier output — the confusion being graded is
+    * exactly the deployed one's (the q146 eval philosophy applied to
+    * the learned-model family).
+    *
+    * Shape at 100 TB: downstream of q148 everything is
+    * alphabet²-bounded (≤ |langs|² cells); the row/column totals
+    * re-aggregate the cell table and join back broadcast. */
+  def nbConfusion(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = nbLangClassify(spark, d)
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+    // row/column totals as PARTITIONED windows over the ≤|langs|² cell
+    // table — totals-by-join would re-instantiate the whole q148 plan
+    // once per totals branch (3× the classifier for one matrix)
+    cells
+      .withColumn("rt", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("ct", sum(col("n")).over(Window.partitionBy(col("pred"))))
+      .select(col("lang"), col("pred"), col("n"),
+        expr("(1000 * n) div rt").as("recall_share_pm"),
+        expr("(1000 * n) div ct").as("precision_share_pm"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
   /** Number of ingest-order buckets the q159 growth curve samples —
     * FIXED, so every window below runs over ≤ VocabGrowthBuckets rows
     * per language and the output is alphabet-bounded. */

@@ -84,7 +84,10 @@ class PlanSweepSpec extends SparkSpec {
     // plan once per score branch)
     "q198_copurchase_pairs" -> 1,
     "q200_salt_plan" -> 1,
-    "q202_join_card_est" -> 1)
+    "q202_join_card_est" -> 1,
+    // q209 chains ONE instance of q148's plan — inherits its two
+    // documented alphabet/scalar-bounded broadcasts
+    "q209_nb_confusion" -> 2)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep
