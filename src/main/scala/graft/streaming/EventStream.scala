@@ -49,6 +49,30 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** q189's STREAMING twin: exact sliding 7-day distinct users (WAU)
+    * per daily window, as two CHAINED stateful aggregations — the
+    * Spark-native form of the batch fan-out rewrite. The first
+    * aggregation groups by (sliding 7-day/1-day window, user): its
+    * output is exactly one row per user per window it was active in —
+    * the DISTINCT step, with Spark's window exploder playing the role
+    * of q189's bounded 7× fan-out. The second counts those rows per
+    * window: exact WAU, no sketch. Chained windowed aggregations are
+    * watermark-legal (append mode) since Spark 3.4; state is one row
+    * per LIVE (window, user) — bounded by 7·|daily actives| — and
+    * per closed window, evicted by the 2-day watermark.
+    *
+    * Same transform runs on a batch frame for the stream ≡ batch spec;
+    * window ends are day boundaries, so WAU(window ending E) equals
+    * q189's WAU at day E−1 — pinned by spec at sf0.001. */
+  def slidingActive(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "7 days", "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("wau"), sum(col("n")).as("n_events"))
+      .select(col("window.end").as("win_end"), col("wau"), col("n_events"))
+
   /** q19 sessionization on Spark 4's `transformWithState` — the
     * arbitrary-stateful-processing API that replaces
     * flatMapGroupsWithState (explicit typed state handles, event-time

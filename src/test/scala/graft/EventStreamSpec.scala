@@ -275,6 +275,66 @@ class EventStreamSpec extends SparkSpec {
     assert(stream == batch && stream.nonEmpty)
   }
 
+  test("sliding WAU: chained stateful aggs, stream closed windows equal batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val DayMs = 86400000L
+    def dayTs(day: Long, min: Long): Timestamp =
+      new Timestamp(day * DayMs + min * 60000L)
+    // users active across a 10-day span with day gaps; day 100 base
+    // keeps every window end well past the initial zero watermark
+    val evs = (for {
+      (u, days) <- Seq(1L -> Seq(100L, 101L, 103L), 2L -> Seq(100L, 108L),
+        3L -> Seq(105L, 106L, 107L), 4L -> Seq(109L))
+      d <- days
+    } yield Event(u * 1000 + d, dayTs(d, u * 7 % 60), u, "click", 1.0)) ++
+      // sentinel far ahead: advances the watermark past every real
+      // window so append mode emits them all
+      Seq(Event(9, dayTs(130, 0), 99, "click", 1.0))
+    val mem = MemoryStream[Event]
+    val q = EventStream.slidingActive(mem.toDF())
+      .writeStream.format("memory").queryName("wau_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(Event(10, dayTs(131, 0), 99, "click", 1.0))
+      q.processAllAvailable()
+      val stream = spark.table("wau_out")
+        .as[(Timestamp, Long, Long)].collect().toSet
+      val batch = EventStream.slidingActive(evs.toDF())
+        .as[(Timestamp, Long, Long)].collect().toSet
+      // append emits only watermark-closed windows: every closed
+      // window must match batch exactly, and the real span must be
+      // fully closed (only the sentinel's own windows may be open)
+      assert(stream.subsetOf(batch))
+      val realSpan = batch.filter(_._1.getTime <= 117L * DayMs)
+      assert(realSpan.subsetOf(stream), "all real-span windows closed and exact")
+      // hand-check one window: end day 104 covers days 97..103 →
+      // users 1 (100,101,103) and 2 (100) → wau 2, events 4
+      assert(stream.contains((new Timestamp(104L * DayMs), 2L, 4L)))
+    } finally q.stop()
+  }
+
+  test("sliding WAU batch twin matches q189 at sf0.001 on common days") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.eventsNs(spark, d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val twin = EventStream.slidingActive(ev)
+      .select(expr("unix_millis(win_end) div 86400000 - 1").as("day"),
+        col("wau")).as[(Long, Long)].collect().toMap
+    val batch = Queries.slidingActiveUsers(spark, d)
+      .select(col("day"), col("wau")).as[(Long, Long)].collect().toMap
+    // q189 reports only days with daily activity; the twin reports
+    // every touched window — on common days they must agree exactly
+    assert(batch.nonEmpty)
+    batch.foreach { case (day, wau) =>
+      assert(twin.get(day).contains(wau), s"day $day: ${twin.get(day)} vs $wau")
+    }
+  }
+
   test("sessionize on batch matches q19's window-lag session counts at sf0.001") {
     import spark.implicits._
     // rebuild Event rows from the batch events table (ts is epoch-nanos)
