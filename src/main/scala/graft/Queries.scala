@@ -2007,4 +2007,82 @@ object Queries {
           .as("chi2_contrib_milli"))
       .orderBy(col("exp"), col("arm"))
   }
+
+  /** q211: BENFORD FIRST-DIGIT AUDIT — the fraud/synthetic-data
+    * tripwire: the first significant digit of every line item's
+    * extended price vs Benford's law, with the expected permille per
+    * digit hardcoded as the 9 literals floor(1000·log10(1+1/d)) so no
+    * cross-engine log is ever evaluated (the q157 no-transcendental
+    * discipline). Prices integerize to cents first (floor(x·100+0.5) —
+    * the values are exact cents in a double, so the +0.5 floor is the
+    * engine-stable round); the digit comes off the decimal string of
+    * that BIGINT, exact in both engines. TPC-H prices are uniform-ish,
+    * so dev_milli is LARGE — the audit reports the deviation, it does
+    * not assume the law holds.
+    *
+    * Shape at 100 TB: row-local digit extract, one 9-group hash-agg
+    * with map-side partials, and a one-row totals scalar broadcast
+    * against the 9-row cell relation (PlanSweep-documented). */
+  def benfordAudit(spark: SparkSession, d: String): DataFrame = {
+    val expected = Seq(301L, 176L, 124L, 96L, 79L, 66L, 57L, 51L, 45L)
+    val cells = Tables.lineitem(spark, d)
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        .as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("(1000 * n) div t").as("share_pm"),
+        element_at(array(expected.map(lit): _*), col("digit").cast("int"))
+          .as("expected_pm"))
+      .withColumn("dev_milli", col("share_pm") - col("expected_pm"))
+      .orderBy(col("digit"))
+  }
+
+  /** q212: RIGHT-TO-BE-FORGOTTEN CASCADE AUDIT — the impact report a
+    * deletion pipeline publishes before executing a GDPR/CCPA erasure
+    * batch: per table, total rows, rows tombstoned, rows kept, the
+    * deletion permille, and how many distinct deletion subjects touch
+    * that table. The subject set is deterministic here (every 97th
+    * identity in each domain: event users and customers — the two are
+    * separate identity domains in this corpus); orders cascade via
+    * o_custkey and line items transitively via their order.
+    *
+    * Shape at 100 TB: events/customer/orders audits are row-local
+    * conditional aggs (the predicate is pure key arithmetic — no
+    * subject-list join at all); the lineitem cascade LEFT-joins the
+    * full fact against only the TOMBSTONED orders (~1/97 of orders —
+    * broadcastable at moderate scale, orderkey-keyed shuffle beyond),
+    * never against the full order table. The four one-row audit frames
+    * union driver-free. */
+  def forgetCascade(spark: SparkSession, d: String): DataFrame = {
+    def audit(df: DataFrame, tbl: String, del: Column, key: Column) =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(del, 1L).otherwise(0L)).as("n_del"),
+          countDistinct(when(del, key)).as("n_subjects"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("n_del"),
+          col("n_subjects"))
+    val ev = audit(Tables.eventsNs(spark, d), "events",
+      col("user_id") % 97 === 0, col("user_id"))
+    val cu = audit(Tables.customer(spark, d), "customer",
+      col("c_custkey") % 97 === 0, col("c_custkey"))
+    val or = audit(Tables.orders(spark, d), "orders",
+      col("o_custkey") % 97 === 0, col("o_custkey"))
+    val delOrders = Tables.orders(spark, d)
+      .filter(col("o_custkey") % 97 === 0)
+      .select(col("o_orderkey").as("del_ok"), col("o_custkey").as("del_ck"))
+    val li = audit(
+      Tables.lineitem(spark, d).select(col("l_orderkey"))
+        .join(broadcast(delOrders), col("l_orderkey") === col("del_ok"),
+          "left_outer"),
+      "lineitem", col("del_ck").isNotNull, col("del_ck"))
+    ev.union(cu).union(or).union(li)
+      .select(col("tbl"), col("n_rows"), col("n_del"),
+        (col("n_rows") - col("n_del")).as("n_kept"),
+        expr("(1000 * n_del) div n_rows").as("del_pm"), col("n_subjects"))
+      .orderBy(col("tbl"))
+  }
 }
