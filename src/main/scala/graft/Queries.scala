@@ -1612,7 +1612,12 @@ object Queries {
       .join(freq.toDF("pb", "c_b"), "pb")
       .crossJoin(broadcast(baskets))
       .select(col("pa"), col("pb"), col("c_ab"), col("c_a"), col("c_b"),
-        expr("(1000 * c_ab * t) div (c_a * c_b)").as("lift_milli"))
+        // numerator in DECIMAL(38,0): at 100 TB (t ~ 1e10 baskets,
+        // c_ab up to t) 1000*c_ab*t can exceed Long range — the same
+        // product-shape discipline as q191/q195/q208. IntegralDivide
+        // on decimals returns BIGINT, so the output type is unchanged.
+        expr("(CAST(1000 AS DECIMAL(38,0)) * c_ab * t) div " +
+          "(CAST(c_a AS DECIMAL(38,0)) * c_b)").as("lift_milli"))
       .orderBy(col("c_ab").desc, col("pa"), col("pb"))
       .limit(30)
   }
@@ -1982,9 +1987,13 @@ object Queries {
     * with the sample-ratio-mismatch chi-square per (experiment, arm)
     * in exact milli-units: contrib = 1000·(2·o − n)² div (2·n) — the
     * guardrail every experimentation platform runs before trusting a
-    * readout. Assignment is pure integer arithmetic ((user_id +
-    * salt·1000003)·2654435761 mod 1000 < 500), replayable by any
-    * engine — no engine-specific hash.
+    * readout. Assignment is pure integer arithmetic
+    * (((user_id mod 1000000007) + salt·1000003)·2654435761 mod 1000 <
+    * 500) — the prime reduction BEFORE the Knuth multiplier bounds the
+    * product at ~2.7e18 < 2^63−1 for ANY user_id, so the hash never
+    * overflows BIGINT and stays replayable by any engine at 100 TB id
+    * ranges (the unreduced form wraps negative past user_id ≈ 3.5e9,
+    * biasing every wrapped user into arm 'a'); no engine-specific hash.
     *
     * Shape at 100 TB: distinct users once, a 5× literal fan-out
     * (experiment-count-bounded), one (exp, arm) hash-agg, and a
@@ -1994,7 +2003,8 @@ object Queries {
     val arms = users
       .select(col("user_id"), explode(sequence(lit(0L), lit(4L))).as("exp"))
       .select(col("exp"),
-        when(expr("((user_id + exp * 1000003) * 2654435761) % 1000") < 500L,
+        when(expr(
+          "((user_id % 1000000007 + exp * 1000003) * 2654435761) % 1000") < 500L,
           lit("a")).otherwise(lit("b")).as("arm"))
       .groupBy(col("exp"), col("arm")).agg(count(lit(1)).as("n_users"))
     val totals = arms.groupBy(col("exp").as("exp_t"))

@@ -512,6 +512,10 @@ object SparkEntry {
     "q209_nb_confusion" -> (TextAnalysis.nbConfusion _),
     // per-(event type, weekday) volume profile vs uniform week
     "q210_dow_profile" -> (Queries.dowProfile _),
+    // first-significant-digit distribution of prices vs Benford's law
+    "q211_benford_audit" -> (Queries.benfordAudit _),
+    // GDPR erasure-batch impact report: per-table cascade tombstone audit
+    "q212_forget_cascade" -> (Queries.forgetCascade _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -3544,7 +3548,8 @@ object SparkEntry {
         |fr AS (SELECT p, count(*)::BIGINT c FROM items GROUP BY 1),
         |st AS (SELECT count(DISTINCT ok)::BIGINT t FROM items)
         |SELECT pr.pa, pr.pb, pr.c_ab, fa.c AS c_a, fb.c AS c_b,
-        |       (1000 * pr.c_ab * st.t) // (fa.c * fb.c) AS lift_milli
+        |       ((1000::HUGEINT * pr.c_ab * st.t)
+        |        // (fa.c::HUGEINT * fb.c))::BIGINT AS lift_milli
         |FROM pr JOIN fr fa ON fa.p = pr.pa JOIN fr fb ON fb.p = pr.pb, st
         |ORDER BY pr.c_ab DESC, pr.pa, pr.pb LIMIT 30""".stripMargin,
     // q199: value-group empirical-CDF quintiles — before = customers
@@ -3572,7 +3577,7 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
         |         // (SELECT count(*) FROM base) + 1)::BIGINT s
         |       FROM (SELECT m_hund, count(*)::BIGINT c FROM base GROUP BY 1))
-        |SELECT b.o_custkey, b.r_days, b.f, b.m_cents // 100 AS m_dollars,
+        |SELECT b.o_custkey, b.r_days, b.f, (b.m_cents // 100)::BIGINT AS m_dollars,
         |       rs.s AS r_score, fs.s AS f_score, ms.s AS m_score,
         |       rs.s * 100 + fs.s * 10 + ms.s AS rfm_code
         |FROM base b JOIN rs ON rs.r_days = b.r_days
@@ -3711,7 +3716,8 @@ object SparkEntry {
     "q206_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |a AS (SELECT exp,
-        |        CASE WHEN ((user_id + exp * 1000003) * 2654435761) % 1000 < 500
+        |        CASE WHEN ((user_id % 1000000007 + exp * 1000003)
+        |                   * 2654435761) % 1000 < 500
         |             THEN 'a' ELSE 'b' END arm
         |      FROM u, unnest(generate_series(0, 4)) t(exp)),
         |c AS (SELECT exp::BIGINT exp, arm, count(*)::BIGINT n_users
@@ -3743,9 +3749,9 @@ object SparkEntry {
         |       sum(CASE WHEN EXISTS (SELECT 1 FROM te
         |                WHERE te.ok = cand.ok AND te.p = cand.rec)
         |           THEN 1 ELSE 0 END)::BIGINT n_hits,
-        |       (1000 * sum(CASE WHEN EXISTS (SELECT 1 FROM te
+        |       ((1000 * sum(CASE WHEN EXISTS (SELECT 1 FROM te
         |                WHERE te.ok = cand.ok AND te.p = cand.rec)
-        |           THEN 1 ELSE 0 END)) // count(*) AS hit_pm
+        |           THEN 1 ELSE 0 END)) // count(*))::BIGINT AS hit_pm
         |FROM cand GROUP BY 1 ORDER BY rank""".stripMargin,
     // q208: endpoint-degree moments over arcs, signed r^2 in HUGEINT.
     "q208_assortativity" ->
@@ -3789,5 +3795,58 @@ object SparkEntry {
         |       (1000 * (7 * cells.n - t.t)) // t.t AS dev_milli
         |FROM cells JOIN t ON t.et = cells.event_type
         |ORDER BY cells.event_type, cells.dow""".stripMargin,
+    // q211: digit off the decimal string of exact cents; expected
+    // permille as the 9 hardcoded floor(1000*log10(1+1/d)) literals
+    // (no cross-engine transcendental). CASE literals cast ::BIGINT —
+    // DuckDB would otherwise type them int32 vs Spark's int64.
+    "q211_benford_audit" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |             AS cents FROM lineitem),
+        |cells AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1)
+        |                 AS BIGINT) AS digit, count(*)::BIGINT AS n
+        |          FROM c WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS t FROM cells)
+        |SELECT cells.digit, cells.n,
+        |       ((1000 * cells.n) // t.t)::BIGINT AS share_pm,
+        |       (CASE cells.digit WHEN 1 THEN 301 WHEN 2 THEN 176
+        |         WHEN 3 THEN 124 WHEN 4 THEN 96 WHEN 5 THEN 79
+        |         WHEN 6 THEN 66 WHEN 7 THEN 57 WHEN 8 THEN 51
+        |         ELSE 45 END)::BIGINT AS expected_pm,
+        |       ((1000 * cells.n) // t.t
+        |        - CASE cells.digit WHEN 1 THEN 301 WHEN 2 THEN 176
+        |           WHEN 3 THEN 124 WHEN 4 THEN 96 WHEN 5 THEN 79
+        |           WHEN 6 THEN 66 WHEN 7 THEN 57 WHEN 8 THEN 51
+        |           ELSE 45 END)::BIGINT AS dev_milli
+        |FROM cells, t ORDER BY cells.digit""".stripMargin,
+    // q212: subject set is pure key arithmetic (every 97th identity);
+    // lineitem cascades through its order's custkey via the tombstoned
+    // order subset only.
+    "q212_forget_cascade" ->
+      """WITH ev AS (SELECT 'events' AS tbl, count(*)::BIGINT AS n_rows,
+        |         sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_del,
+        |         count(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id
+        |           END)::BIGINT AS n_subjects FROM events),
+        |cu AS (SELECT 'customer', count(*)::BIGINT,
+        |         sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT,
+        |         count(DISTINCT CASE WHEN c_custkey % 97 = 0 THEN c_custkey
+        |           END)::BIGINT FROM customer),
+        |orr AS (SELECT 'orders', count(*)::BIGINT,
+        |         sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT,
+        |         count(DISTINCT CASE WHEN o_custkey % 97 = 0 THEN o_custkey
+        |           END)::BIGINT FROM orders),
+        |li AS (SELECT 'lineitem', count(*)::BIGINT,
+        |         sum(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0
+        |           END)::BIGINT,
+        |         count(DISTINCT o.o_custkey)::BIGINT
+        |       FROM lineitem l LEFT JOIN
+        |         (SELECT o_orderkey, o_custkey FROM orders
+        |          WHERE o_custkey % 97 = 0) o
+        |         ON l.l_orderkey = o.o_orderkey),
+        |u AS (SELECT * FROM ev UNION ALL SELECT * FROM cu
+        |      UNION ALL SELECT * FROM orr UNION ALL SELECT * FROM li)
+        |SELECT tbl, n_rows, n_del, (n_rows - n_del)::BIGINT AS n_kept,
+        |       ((1000 * n_del) // n_rows)::BIGINT AS del_pm, n_subjects
+        |FROM u ORDER BY tbl""".stripMargin,
   )
 }

@@ -36,6 +36,33 @@ class RegistrationGateSpec extends AnyFunSuite {
         phantom.toSeq.sorted.mkString(", "))
   }
 
+  test("every /** qNNN: */ tagged function is registered") {
+    // Round 7's drift was the mirror image of round 6's: q211/q212 were
+    // IMPLEMENTED (full scaladoc-tagged functions in Queries.scala) but
+    // never registered, so the set-algebra gate above could not see
+    // them and they sat as dead, unchecked code for a full round. This
+    // closes that side: every `/** qNNN:` doc tag in src/main must
+    // correspond to a registered query key.
+    def scalaFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) scalaFiles(f)
+        else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+      }
+    val tagRe = """/\*\* (q\d+):""".r
+    val tagged = scalaFiles(new java.io.File("src/main/scala/graft"))
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try tagRe.findAllMatchIn(src.mkString).map(_.group(1)).toList
+        finally src.close()
+      }.toSet
+    assert(tagged.nonEmpty, "tag scan found nothing — wrong working dir?")
+    val registeredNums = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
+    val orphans = tagged -- registeredNums
+    assert(orphans.isEmpty,
+      s"implemented-but-unregistered (the r7 q211/q212 drift): " +
+        orphans.toSeq.sorted.mkString(", "))
+  }
+
   test("every rows-only reason names the spec that bounds it") {
     SparkEntry.rowsOnly.foreach { case (q, reason) =>
       assert(reason.toLowerCase.contains("spec"),

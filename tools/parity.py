@@ -35,6 +35,37 @@ def cell_eq(a, b):
     except Exception:
         return str(a) == str(b)
 
+ARROW_OK = {"int64", "double", "string", "large_string", "bool",
+            "date32[day]", "int32"}
+
+def norm_type(t):
+    s = str(t)
+    if s == "large_string":
+        return "string"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    return s
+
+def type_audit(spark_tbl, duck_tbl, name):
+    """Mirror the driver's typed-cell hash: the Arrow type of every
+    column must agree between Spark's parquet output and DuckDB's
+    result. This is what q199/q207 failed on in round 7 (uncast
+    HUGEINT sums coming back decimal128 vs Spark's int64) while the
+    value-only compare passed. Also flags any type outside the
+    deliberately narrow surface (int64/double/string/bool/date) so a
+    decimal or int32 leak is an explicit decision, not an accident."""
+    errs = []
+    st = {f.name: norm_type(f.type) for f in spark_tbl.schema}
+    dt = {f.name: norm_type(f.type) for f in duck_tbl.schema}
+    for c in sorted(st):
+        if c not in dt:
+            continue  # name mismatch reported by the schema check
+        if st[c] != dt[c]:
+            errs.append(f"{c}: spark={st[c]} duck={dt[c]}")
+        elif str(spark_tbl.schema.field(c).type) not in ARROW_OK:
+            errs.append(f"{c}: non-surface type {st[c]}")
+    return errs
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -52,15 +83,18 @@ def main():
         try:
             spark_tbl = pq.read_table(qdir)
             spark_rows = spark_tbl.to_pylist()
-            duck = con.execute(oracle[name])
-            cols_d = [d[0] for d in duck.description]
-            duck_rows = [dict(zip(cols_d, r)) for r in duck.fetchall()]
+            duck_tbl = con.execute(oracle[name]).arrow()
+            cols_d = duck_tbl.column_names
+            duck_rows = duck_tbl.to_pylist()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         cols_s = sorted(spark_tbl.column_names)
         cols_d_sorted = sorted(cols_d)
         if cols_s != cols_d_sorted:
             print(f"FAIL {name}: schema {cols_s} vs {cols_d_sorted}"); n_fail += 1; continue
+        terrs = type_audit(spark_tbl, duck_tbl, name)
+        if terrs:
+            print(f"FAIL {name}: type audit: {'; '.join(terrs)}"); n_fail += 1; continue
         a, b = canon(spark_rows, cols_s), canon(duck_rows, cols_s)
         if len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
