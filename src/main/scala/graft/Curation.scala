@@ -1191,4 +1191,52 @@ object Curation {
           .replace("\n", " ")).as("contrib_milli"))
       .orderBy(col("lang"), col("source"))
   }
+
+  /** Per-source token budget for q217. 1000 tokens binds at every
+    * driver SF (sources carry ~1.2-1.7k tokens each at sf0.001 and
+    * sf0.01), so the cutoff is always exercised; the recompute spec
+    * asserts it. */
+  val TokenBudget = 1000L
+
+  /** q217: TOKEN-BUDGET QUALITY CUTOFF — per source: take documents
+    * best-quality-first until the source's token budget is exhausted
+    * (the crossing document is included), and report how many
+    * documents and tokens that keeps and the quality score of the
+    * worst kept document. This is the "what quality threshold does my
+    * mixture's per-source budget imply" planning query a curriculum /
+    * data-mixture designer runs before sampling; the integer quality
+    * score is q29's formula in exact milli-units (500·uniq-ratio +
+    * 200·stop-ratio + 300·length-factor).
+    *
+    * Shape at 100 TB: score is row-local; the greedy prefix is ONE
+    * source-PARTITIONED window cumulative (keyed sort — never a
+    * partitionless window; a skewed source would get the q73 two-pass
+    * over its quality histogram instead), then one source-keyed
+    * hash-agg. */
+  def tokenBudgetCutoff(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_uniq"),
+        size(filter(col("tk"), x =>
+          x.isin("the", "a", "of", "and", "is", "to", "in")))
+          .cast("long").as("n_stop"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr("(500 * n_uniq) div n_tok + (200 * n_stop) div n_tok" +
+          " + (300 * least(n_tok, 200)) div 200").as("q_milli"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q_milli").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      // keep every doc that STARTS before the budget is exhausted —
+      // the greedy prefix including the crossing document
+      .filter(col("cum_tok") - col("n_tok") < TokenBudget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tok")).as("tokens_kept"),
+        min(col("q_milli")).as("cutoff_q_milli"))
+      .orderBy(col("source"))
+  }
 }

@@ -544,14 +544,18 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val toksDf = docs.select(col("doc_id"),
       posexplode(toks(col("text"))).as(Seq("i", "w")))
-    val bnd = docs.select(col("doc_id"),
+    // the boundary side re-aliases doc_id — fresh exprId, so the
+    // (doc, position) equi-join below is an unambiguous hash join
+    // (the q196 lesson: a shared-lineage key dedups into a
+    // trivially-true predicate and fires the Column warning)
+    val bnd = docs.select(col("doc_id").as("b_doc"),
         graft.functions.GraftFunctions.shingleStream(col("text"), 3).as(Seq("p", "h")))
       .filter(col("p") >= 1 && col("h") % 8 === 0)
-      .select(col("doc_id"), col("p"), lit(1L).as("b"))
+      .select(col("b_doc"), col("p"), lit(1L).as("b"))
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val chunks = toksDf
-      .join(bnd, toksDf("doc_id") === bnd("doc_id") && col("i") === col("p"), "left")
-      .select(toksDf("doc_id"), col("i"), col("w"), coalesce(col("b"), lit(0L)).as("b"))
+      .join(bnd, col("doc_id") === col("b_doc") && col("i") === col("p"), "left")
+      .select(col("doc_id"), col("i"), col("w"), coalesce(col("b"), lit(0L)).as("b"))
       .withColumn("chunk_id", sum(col("b")).over(wRun))
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(sort_array(collect_list(struct(col("i"), col("w")))).as("tw"))

@@ -91,7 +91,7 @@ object Graph {
     for (_ <- 1 to PageRankIters) {
       // lineage-truncate each round (lazy — no driver barrier): keeps
       // AQE re-planning the round, not the whole recurrence prefix
-      rank = CacheScope.cached(ed.join(rank, col("src") === col("node"))
+      rank = Recurrence.round(ed.join(rank, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(expr("150000 + (850 * sum(r div outdeg)) div 1000").as("r"))
         .select(col("dst").as("node"), col("r")))
@@ -206,7 +206,7 @@ object Graph {
     var dist = seeds
     var frontier = seeds
     for (k <- 1 to BfsRounds) {
-      val nf = CacheScope.cached(
+      val nf = Recurrence.round(
         frontier.join(e, col("node") === col("src"))
           .select(col("dst").as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
@@ -348,7 +348,7 @@ object Graph {
         .select(col("src").as("node"), col("lbl"))
         .unionAll(lab) // the self-vote
         .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      lab = CacheScope.cached(votes
+      lab = Recurrence.round(votes
         .groupBy(col("node"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl")))
@@ -433,7 +433,7 @@ object Graph {
       val contrib = ed.join(rank, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(expr("(850 * sum(r div outdeg)) div 1000").as("c"))
-      rank = CacheScope.cached(
+      rank = Recurrence.round(
         nodes.join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
             (col("seed") * 150000L + coalesce(col("c"), lit(0L))).as("r")))

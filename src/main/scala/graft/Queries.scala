@@ -1629,7 +1629,7 @@ object Queries {
     * `before` (count of rows at strictly smaller — or larger, when
     * `asc` is false — values) and the grand total. Shared by q199's
     * three quintile assignments. */
-  private def histCumBefore(spark: SparkSession, hist: DataFrame,
+  private[graft] def histCumBefore(spark: SparkSession, hist: DataFrame,
       value: String, asc: Boolean): (DataFrame, Long) = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ord = if (asc) col(value).asc else col(value).desc

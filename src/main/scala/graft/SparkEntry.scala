@@ -516,6 +516,16 @@ object SparkEntry {
     "q211_benford_audit" -> (Queries.benfordAudit _),
     // GDPR erasure-batch impact report: per-table cascade tombstone audit
     "q212_forget_cascade" -> (Queries.forgetCascade _),
+    // GPT-style concat-and-chunk shard layout: per-doc offset + chunk span
+    "q213_context_packing" -> (TextAnalysis.contextPacking _),
+    // per-source top shared 8-token prefix/suffix (template boilerplate)
+    "q214_boilerplate_audit" -> (TextAnalysis.boilerplateAudit _),
+    // Cohen's kappa between the q28 and q148 language classifiers
+    "q215_classifier_kappa" -> (TextAnalysis.classifierKappa _),
+    // chunk-side manifest of q213: docs per window, mask reset points
+    "q216_chunk_manifest" -> (TextAnalysis.chunkManifest _),
+    // greedy best-quality-first per-source token budget cuttoff
+    "q217_token_budget" -> (Curation.tokenBudgetCutoff _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -3848,5 +3858,119 @@ object SparkEntry {
         |SELECT tbl, n_rows, n_del, (n_rows - n_del)::BIGINT AS n_kept,
         |       ((1000 * n_del) // n_rows)::BIGINT AS del_pm, n_subjects
         |FROM u ORDER BY tbl""".stripMargin,
+    // q213: plain window cumsum where Spark runs the two-pass; chunk
+    // ids are integer division on the running offset.
+    "q213_context_packing" ->
+      """WITH t AS (SELECT doc_id, len(regexp_split_to_array(text, ' '))::BIGINT n
+        |           FROM documents),
+        |o AS (SELECT doc_id, n,
+        |        coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT toff
+        |      FROM t)
+        |SELECT doc_id, n AS n_tok, toff AS tok_offset,
+        |       (toff // 128)::BIGINT AS first_chunk,
+        |       ((toff + n - 1) // 128)::BIGINT AS last_chunk,
+        |       ((toff + n - 1) // 128 - toff // 128 + 1)::BIGINT AS n_chunks
+        |FROM o ORDER BY doc_id""".stripMargin,
+    // q214: first-occurrence via per-term min doc, running totals via
+    // window cumsum.
+    // q214: list-slice fingerprints via the shared polyhash macro;
+    // per-source winner via row_number on (count desc, hash).
+    "q214_boilerplate_audit" ->
+      s"""WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, ' ') tk
+         |           FROM documents),
+         |b AS (SELECT source,
+         |        ${H("array_to_string(tk[1:8], ' ')")} pre,
+         |        ${H("array_to_string(tk[-8:], ' ')")} suf
+         |      FROM t WHERE len(tk) >= 8),
+         |n AS (SELECT source, count(*)::BIGINT n_docs FROM b GROUP BY 1),
+         |pt AS (SELECT source, h, c FROM
+         |        (SELECT source, pre h, count(*)::BIGINT c,
+         |           row_number() OVER (PARTITION BY source
+         |             ORDER BY count(*) DESC, pre) rn
+         |         FROM b GROUP BY 1, 2) WHERE rn = 1),
+         |st AS (SELECT source, h, c FROM
+         |        (SELECT source, suf h, count(*)::BIGINT c,
+         |           row_number() OVER (PARTITION BY source
+         |             ORDER BY count(*) DESC, suf) rn
+         |         FROM b GROUP BY 1, 2) WHERE rn = 1)
+         |SELECT n.source, n.n_docs,
+         |       pt.h AS top_prefix_hash, pt.c AS n_prefix,
+         |       ((1000 * pt.c) // n.n_docs)::BIGINT AS prefix_share_pm,
+         |       st.h AS top_suffix_hash, st.c AS n_suffix,
+         |       ((1000 * st.c) // n.n_docs)::BIGINT AS suffix_share_pm
+         |FROM n JOIN pt ON pt.source = n.source
+         |     JOIN st ON st.source = n.source
+         |ORDER BY n.source""".stripMargin,
+    // q215: kappa in HUGEINT with the sign decomposed so // (floor)
+    // matches Spark's div (truncation) on non-negative operands.
+    "q215_classifier_kappa" ->
+      s"""WITH hh AS (SELECT doc_id,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END p1
+         |  FROM (SELECT doc_id,
+         |    len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in')))::BIGINT s_en,
+         |    len(list_filter(tk, x -> x IN ('der','die','das','und','ist','zu','ein')))::BIGINT s_de,
+         |    len(list_filter(tk, x -> x IN ('el','la','de','y','es','un','en')))::BIGINT s_es
+         |   FROM (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+         |         FROM documents))),
+         |p AS ($NbClassifySql),
+         |j AS (SELECT hh.p1, p.pred p2 FROM hh JOIN p ON p.doc_id = hh.doc_id),
+         |ag AS (SELECT count(*)::BIGINT n,
+         |         sum(CASE WHEN p1 = p2 THEN 1 ELSE 0 END)::BIGINT a FROM j),
+         |r AS (SELECT p1 lab, count(*)::BIGINT r FROM j GROUP BY 1),
+         |c AS (SELECT p2 lab, count(*)::BIGINT c FROM j GROUP BY 1),
+         |sv AS (SELECT coalesce(sum(r.r::HUGEINT * c.c), 0) s
+         |       FROM r JOIN c ON c.lab = r.lab)
+         |SELECT ag.n AS n_docs, ag.a AS n_agree, sv.s::BIGINT AS s_chance,
+         |       (CASE WHEN ag.n::HUGEINT * ag.n - sv.s = 0 THEN NULL
+         |         WHEN ag.a::HUGEINT * ag.n - sv.s < 0
+         |         THEN -((1000 * (sv.s - ag.a::HUGEINT * ag.n))
+         |                // (ag.n::HUGEINT * ag.n - sv.s))
+         |         ELSE (1000 * (ag.a::HUGEINT * ag.n - sv.s))
+         |              // (ag.n::HUGEINT * ag.n - sv.s)
+         |        END)::BIGINT AS kappa_milli
+         |FROM ag, sv""".stripMargin,
+    // q216: the doc→chunk fan-out via generate_series, then one
+    // chunk-keyed agg.
+    "q216_chunk_manifest" ->
+      """WITH t AS (SELECT doc_id, len(regexp_split_to_array(text, ' '))::BIGINT n
+        |           FROM documents),
+        |o AS (SELECT doc_id, n,
+        |        coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT toff
+        |      FROM t),
+        |x AS (SELECT doc_id, n, toff,
+        |        unnest(generate_series(toff // 128, (toff + n - 1) // 128))
+        |          AS chunk_id
+        |      FROM o)
+        |SELECT chunk_id::BIGINT AS chunk_id, count(*)::BIGINT AS n_docs,
+        |       min(doc_id)::BIGINT AS first_doc,
+        |       max(doc_id)::BIGINT AS last_doc,
+        |       sum(CASE WHEN toff // 128 = chunk_id THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_starts
+        |FROM x GROUP BY 1 ORDER BY chunk_id""".stripMargin,
+    // q217: the q134 integer quality score, source-partitioned greedy
+    // prefix including the budget-crossing doc.
+    "q217_token_budget" ->
+      """WITH s AS (SELECT doc_id, source, len(tk)::BIGINT n_tok,
+        |         len(list_distinct(tk))::BIGINT n_uniq,
+        |         len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in')))::BIGINT n_stop
+        |       FROM (SELECT doc_id, source, regexp_split_to_array(text, ' ') tk
+        |             FROM documents)),
+        |q AS (SELECT doc_id, source, n_tok,
+        |        ((500 * n_uniq) // n_tok + (200 * n_stop) // n_tok
+        |         + (300 * least(n_tok, 200)) // 200)::BIGINT q_milli
+        |      FROM s),
+        |c AS (SELECT source, n_tok, q_milli,
+        |        sum(n_tok) OVER (PARTITION BY source
+        |          ORDER BY q_milli DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+        |      FROM q)
+        |SELECT source, count(*)::BIGINT AS n_docs_kept,
+        |       sum(n_tok)::BIGINT AS tokens_kept,
+        |       min(q_milli)::BIGINT AS cutoff_q_milli
+        |FROM c WHERE cum - n_tok < 1000 GROUP BY 1
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -1022,4 +1022,156 @@ object TextAnalysis {
         expr("(1000 * n_words) div greatest(n_bytes, 1)").as("words_per_kb"),
         expr("(1000 * n_bytes) div n_words").as("bytes_per_word_milli"))
       .orderBy(col("lang"), col("source"))
+
+  /** Context-window length for the q213/q216 packing plan. 128 tokens
+    * makes chunks span document boundaries at this corpus's ~40-90
+    * token docs — the interesting case; a production run would set the
+    * model's context length. */
+  val PackChunkTokens = 128L
+
+  /** q213: CONTEXT-WINDOW PACKING PLAN — the GPT-style concat-and-chunk
+    * layout every pretraining run computes before writing token shards:
+    * documents are concatenated in doc_id order and cut into fixed
+    * 128-token windows; per document, its global token offset, the
+    * first/last chunk it lands in, and how many chunks it spans. This
+    * is the assignment a shard writer consumes directly, and the
+    * span-count column is the "document fragmentation" statistic
+    * packing papers report.
+    *
+    * Shape at 100 TB: token counts are row-local; the global offset is
+    * the q73/q188 two-pass cumulative over the doc_id-keyed count
+    * histogram (range partition, pid-local running sum, ≤|parts|
+    * driver totals re-broadcast) — no partitionless window, no global
+    * sort of the corpus. Everything after the offset is per-row
+    * integer arithmetic. */
+  def contextPacking(spark: SparkSession, d: String): DataFrame = {
+    val c = PackChunkTokens
+    val hist = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("c"))
+    val (cum, _) = Queries.histCumBefore(spark, hist, "doc_id", asc = true)
+    cum.select(col("doc_id"), col("c").as("n_tok"),
+        col("before").as("tok_offset"),
+        expr(s"before div $c").as("first_chunk"),
+        expr(s"(before + c - 1) div $c").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q216: PACKED-CHUNK MANIFEST — the chunk-side view of q213: per
+    * 128-token window, how many documents contribute, the first/last
+    * contributing doc_id, and how many documents START inside it (the
+    * attention-mask reset points a packing-aware trainer needs). The
+    * manifest a shard writer publishes next to the shards.
+    *
+    * Shape at 100 TB: rides q213's two-pass offsets; the doc→chunk
+    * fan-out is explode(sequence(first, last)) — Σ n_chunks ≈
+    * total_tokens/128 + n_docs rows, linear — then ONE chunk-keyed
+    * hash-agg. */
+  def chunkManifest(spark: SparkSession, d: String): DataFrame = {
+    val c = PackChunkTokens
+    val hist = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("c"))
+    val (cum, _) = Queries.histCumBefore(spark, hist, "doc_id", asc = true)
+    cum.select(col("doc_id"), col("c").as("n_tok"), col("before"),
+        explode(sequence(expr(s"before div $c"),
+          expr(s"(before + c - 1) div $c"))).as("chunk_id"))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(when(expr(s"before div $c") === col("chunk_id"), 1L)
+          .otherwise(0L)).as("n_starts"))
+      .orderBy(col("chunk_id"))
+  }
+
+  /** q214: BOILERPLATE AUDIT — per source: the most duplicated
+    * 8-token document PREFIX and SUFFIX fingerprints and the share of
+    * documents carrying them. Shared prefixes/suffixes are the
+    * template-boilerplate signature (scraped nav headers, license
+    * footers, cookie banners) that survives full-document dedup —
+    * the docs differ in the middle — and that a curation pipeline
+    * strips BEFORE near-dup, because boilerplate inflates every
+    * shingle-overlap estimate. Distinct from q149 (whole-doc shingle
+    * novelty) and q121 (content-defined chunks): this is the
+    * edge-anchored, source-attributed view. Fingerprints are the
+    * shared polyhash; docs under 8 tokens sit out (both engines,
+    * avoiding negative-slice edge semantics).
+    *
+    * Shape at 100 TB: fingerprints are row-local (first/last 8 tokens
+    * only — no full-text shingling); per source the candidate relation
+    * is (source, hash)-keyed counts, and the winner is the bounded
+    * argmax agg (min(struct(-cnt, hash)) — never a rank window over
+    * docs). Three source-keyed hash-aggs + two |sources|-row joins. */
+  def boilerplateAudit(spark: SparkSession, d: String): DataFrame = {
+    val base = CacheScope.cached(Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("source"),
+        polyHash(array_join(slice(col("tk"), 1, 8), " ")).as("pre"),
+        polyHash(array_join(slice(col("tk"), -8, 8), " ")).as("suf")))
+    val n = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    def top(c: String, label: String): DataFrame = base
+      .groupBy(col("source").as(s"s_$label"), col(c).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(s"s_$label"))
+      .agg(min(struct((-col("c")).as("nc"), col("h"))).as("b"))
+      .select(col(s"s_$label"), col("b.h").as(s"top_${label}_hash"),
+        (-col("b.nc")).as(s"n_$label"))
+    n.join(top("pre", "prefix"), col("source") === col("s_prefix"))
+      .join(top("suf", "suffix"), col("source") === col("s_suffix"))
+      .select(col("source"), col("n_docs"),
+        col("top_prefix_hash"), col("n_prefix"),
+        expr("(1000 * n_prefix) div n_docs").as("prefix_share_pm"),
+        col("top_suffix_hash"), col("n_suffix"),
+        expr("(1000 * n_suffix) div n_docs").as("suffix_share_pm"))
+      .orderBy(col("source"))
+  }
+
+  /** q215: CLASSIFIER AGREEMENT (Cohen's kappa) — chance-corrected
+    * agreement between the two independent language classifiers this
+    * engine ships (q28's stopword heuristic and q148's naive Bayes) on
+    * the NB test split. The standard label-quality audit when two
+    * annotators — model or human — label the same corpus: raw
+    * agreement po is inflated by marginal skew; kappa subtracts the
+    * chance term pe = Σ_k r_k·c_k / n². Exact integer form:
+    * kappa_milli = sign·(1000·|a·n − S|) div (n² − S) with S = Σ r·c,
+    * all in DECIMAL(38,0) — at 100 TB n² overflows BIGINT, the same
+    * product discipline as q191/q195/q208; sign is decomposed so both
+    * engines' integral division agrees on negatives (floor vs
+    * truncation never diverges on non-negative operands).
+    *
+    * Shape at 100 TB: one doc-keyed equi-join of the two prediction
+    * relations, one conditional count agg, two label-keyed marginal
+    * aggs (|labels| ≤ 5 rows) joined label-on-label, and a one-row
+    * scalar assembly — every intermediate label-bounded. */
+  def classifierKappa(spark: SparkSession, d: String): DataFrame = {
+    val h = langId(spark, d).select(col("doc_id").as("dh"), col("pred").as("p1"))
+    val nb = nbLangClassify(spark, d)
+      .select(col("doc_id").as("dn"), col("pred").as("p2"))
+    val pairs = CacheScope.cached(
+      h.join(nb, col("dh") === col("dn")).select(col("p1"), col("p2")))
+    val agree = pairs.agg(count(lit(1)).as("n"),
+      sum(when(col("p1") === col("p2"), 1L).otherwise(0L)).as("a"))
+    val r = pairs.groupBy(col("p1").as("lab")).agg(count(lit(1)).as("r"))
+    val cc = pairs.groupBy(col("p2").as("lab2")).agg(count(lit(1)).as("c"))
+    // INNER label join: a label present in only one marginal has a
+    // zero product, so it contributes nothing to S — and inner equi
+    // plans as a broadcast HASH join where full-outer-vs-broadcast
+    // would force a nested-loop. Marginal products in DECIMAL(38,0) —
+    // Σ r·c is Θ(n²) at scale.
+    val chance = r.join(cc, col("lab") === col("lab2"))
+      .agg(coalesce(sum(expr("CAST(r AS DECIMAL(38,0)) * c")),
+        lit(0).cast("decimal(38,0)")).as("s"))
+    agree.crossJoin(broadcast(chance))
+      .select(col("n").as("n_docs"), col("a").as("n_agree"),
+        col("s").cast("long").as("s_chance"),
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * n - s = 0 THEN NULL
+               |ELSE CAST(CASE WHEN CAST(a AS DECIMAL(38,0)) * n - s < 0
+               |  THEN -((1000 * (s - CAST(a AS DECIMAL(38,0)) * n))
+               |         div (CAST(n AS DECIMAL(38,0)) * n - s))
+               |  ELSE (1000 * (CAST(a AS DECIMAL(38,0)) * n - s))
+               |       div (CAST(n AS DECIMAL(38,0)) * n - s)
+               |END AS BIGINT) END""".stripMargin.replace("\n", " "))
+          .as("kappa_milli"))
+  }
 }

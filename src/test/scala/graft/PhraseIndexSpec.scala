@@ -76,4 +76,41 @@ class PhraseIndexSpec extends SparkSpec {
     }
     assert(hits > 0)
   }
+
+  test("tiered build: hot-term lists pack to df-bounded rows, union is value-identical") {
+    import spark.implicits._
+    // 50 docs all containing "the" 6 times (df 50), per-doc-unique
+    // filler terms (df 1), "zebra" in 2 docs — with hotDf = 10 only
+    // "the" must tier
+    val docs = (0L until 50L).map { id =>
+      val tail = if (id < 2) " zebra" else s" t$id"
+      (id, s"the w$id the x$id the the the the" + tail)
+    }.toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-tier").toString
+    PhraseIndex.buildInto(spark, docs, out, hotDf = 10L)
+
+    val flat = spark.read.parquet(s"$out/postings")
+    val packed = spark.read.parquet(s"$out/postings_hot")
+    // the packed tier holds EXACTLY the hot terms, one row per (term,
+    // doc): 50 rows for "the" — versus the 300 occurrence rows the
+    // flat layout would carry
+    assert(packed.select("term").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("the"))
+    assert(packed.count() == 50L)
+    assert(flat.filter(col("term") === "the").count() == 0L)
+    assert(flat.filter(col("term") === "zebra").count() == 2L)
+    // positions arrays are sorted (the pack is sort_array'd — parquet
+    // delta-encodes them; a production build would store deltas)
+    assert(packed.select("positions").collect()
+      .forall(r => { val xs = r.getSeq[Long](0); xs == xs.sorted }))
+    // the union view is value-identical to a direct posexplode
+    val got = PhraseIndex.postingsAt(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val exp = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getInt(1).toLong))
+      .sorted.toSeq
+    assert(got == exp)
+  }
 }

@@ -87,7 +87,16 @@ class PlanSweepSpec extends SparkSpec {
     "q202_join_card_est" -> 1,
     // q209 chains ONE instance of q148's plan — inherits its two
     // documented alphabet/scalar-bounded broadcasts
-    "q209_nb_confusion" -> 2)
+    "q209_nb_confusion" -> 2,
+    // q211: the one-row digit-total scalar broadcast against the
+    // 9-row digit cells
+    "q211_benford_audit" -> 1,
+    // q215: the cached pairs relation is referenced 3× (agreement,
+    // both marginals), and the plan STRING re-prints q148's two
+    // documented scalar broadcasts under each InMemoryRelation (3×2),
+    // plus the final one-row chance×agreement scalar join — physically
+    // the cache computes q148 once
+    "q215_classifier_kappa" -> 7)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep
