@@ -116,8 +116,8 @@ object Bench {
     // [success] line. The ladder is TOTAL: the last rung is a constant
     // ~120-byte line that always fits, so "some queries failed" can never
     // again become "no bench output at all" (round 4's None.get).
-    def line(qj: String, fjx: String) =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qj,"failures":$fjx,"sf":"$sfDir"}"""
+    def line(qj: String, fjx: String, extra: String = "") =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qj,"failures":$fjx$extra,"sf":"$sfDir"}"""
     // 1-decimal rung: past ~155 queries the 2-decimal map alone
     // overflows the window (159 × ~12 B > 1900), and whole seconds
     // flatten every sub-second query to 0 — 100 ms resolution keeps
@@ -131,8 +131,26 @@ object Bench {
       s"\"" + short(k) + "\":" + v.fold(_ => "null", t => t.toLong.toString)
     }.mkString("{", ",", "}")
     val fjCount = s"""{"count":${failures.size}}"""
+    // Nonzero-only rung: past ~210 queries even the whole-second map
+    // overflows the window while carrying almost no information (a
+    // healthy profile is mostly "q..":0). Keeping only queries ≥ 0.95 s
+    // at 1-decimal precision preserves exactly the entries the gate's
+    // profile can read, scales with the EXPENSIVE-query count instead
+    // of the registry size, and says how many sub-second queries were
+    // elided so the map is self-describing.
+    def qsNz = {
+      val nz = results.collect { case (k, Right(t)) if t >= 0.95 => k -> t }
+      nz.map { case (k, t) => "\"" + short(k) + "\":" + sec1(t) }
+        .mkString("{", ",", "}")
+    }
+    val nzOmitted = results.count {
+      case (_, Right(t)) => t < 0.95
+      case _ => false
+    }
+    val nzExtra = "," + "\"sub1s_omitted\":" + nzOmitted
     val lastRung = line("{}", fjCount)
-    val out = Seq(line(qs, fj), line(qs1, fj), line(qsInt, fj), line(qsInt, fjCount), lastRung)
+    val out = Seq(line(qs, fj), line(qs1, fj), line(qsInt, fj),
+        line(qsNz, fj, nzExtra), line(qsNz, fjCount, nzExtra), lastRung)
       .find(_.length <= 1900).getOrElse(lastRung)
     println(out)
     spark.stop()
