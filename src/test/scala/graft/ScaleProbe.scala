@@ -221,7 +221,15 @@ object ScaleProbe {
         // Σ C(df,2) — the df cap is what the 10× ratio evidences)
         "q191_skipgram_cooc" -> (TextAnalysis.skipgramCooc _),
         "q192_sparse_cosine" -> (TextAnalysis.sparseCosineTopK _),
-        "q197_term_burstiness" -> (TextAnalysis.termBurstiness _))
+        "q197_term_burstiness" -> (TextAnalysis.termBurstiness _),
+        // round-8 corpus passes: the two-pass-cumulative packing pair,
+        // the edge-fingerprint audit, the two-classifier join, and the
+        // per-source windowed budget prefix
+        "q213_context_packing" -> (TextAnalysis.contextPacking _),
+        "q214_boilerplate_audit" -> (TextAnalysis.boilerplateAudit _),
+        "q215_classifier_kappa" -> (TextAnalysis.classifierKappa _),
+        "q216_chunk_manifest" -> (TextAnalysis.chunkManifest _),
+        "q217_token_budget" -> (Curation.tokenBudgetCutoff _))
     val tratios = (if (fams("text")) tqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       // min-of-2 at 10× too: q191 rides the persisted postings stage,
