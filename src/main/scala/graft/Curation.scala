@@ -1239,4 +1239,127 @@ object Curation {
         min(col("q_milli")).as("cutoff_q_milli"))
       .orderBy(col("source"))
   }
+
+  /** The (doc_id, n_tok, q_milli) relation q217/q218/q219 share: the
+    * q134 integer quality score next to the token count. Row-local. */
+  private def tokQuality(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_uniq"),
+        size(filter(col("tk"), x =>
+          x.isin("the", "a", "of", "and", "is", "to", "in")))
+          .cast("long").as("n_stop"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr("(500 * n_uniq) div n_tok + (200 * n_stop) div n_tok" +
+          " + (300 * least(n_tok, 200)) div 200").as("q_milli"))
+
+  /** q218: LENGTH×QUALITY SPEARMAN — does the quality score just
+    * re-rank by length? The signed square of Spearman's rank
+    * correlation between n_tok and q_milli, in exact milli-units
+    * (sign·1000·num² div (dx·dy) — the q208 no-sqrt discipline), with
+    * TIES handled by average ranks: 2·avgrank = 2·|strictly less| +
+    * |equal| + 1, computed from the metric's VALUE HISTOGRAM via the
+    * q73/q188 two-pass cumulative — Spearman at corpus scale without
+    * ever ranking rows globally. The feature-redundancy audit run
+    * before adding a scorer to a curation mix.
+    *
+    * Shape at 100 TB: two value-domain-bounded histograms + two-pass
+    * cumulatives; the doubled-rank maps join back BROADCAST on the
+    * grid value (q199's shape); ONE moment aggregate in DECIMAL(38,0).
+    * Magnitude: num² ≈ (n⁴)² — exact through ~10⁴ docs per the q208
+    * audit style; the petabyte path mean-centers ranks before the
+    * moment pass (num shrinks to Θ(n³)) or scales ranks down. */
+  def lengthQualityCorr(spark: SparkSession, d: String): DataFrame = {
+    val scored = CacheScope.cached(
+      tokQuality(spark, d).select(col("doc_id"), col("n_tok"), col("q_milli")))
+    def rankMap(value: String): DataFrame = {
+      val hist = scored.groupBy(col(value)).agg(count(lit(1)).as("c"))
+      val (cum, _) = Queries.histCumBefore(spark, hist, value, asc = true)
+      cum.select(col(value).as(s"${value}_k"),
+        (col("before") * 2 + col("c") + 1).as(s"r_$value"))
+    }
+    scored
+      .join(broadcast(rankMap("n_tok")), col("n_tok") === col("n_tok_k"))
+      .join(broadcast(rankMap("q_milli")), col("q_milli") === col("q_milli_k"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(r_n_tok AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(r_q_milli AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(r_n_tok AS DECIMAL(38,0)) * r_q_milli")).as("sxy"),
+        sum(expr("CAST(r_n_tok AS DECIMAL(38,0)) * r_n_tok")).as("sxx"),
+        sum(expr("CAST(r_q_milli AS DECIMAL(38,0)) * r_q_milli")).as("syy"))
+      .select(col("n").as("n_docs"),
+        expr("""CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+               |THEN NULL ELSE CAST(CASE WHEN n * sxy - sx * sy < 0
+               |  THEN -((1000 * (sx * sy - n * sxy) * (sx * sy - n * sxy))
+               |         div ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+               |  ELSE (1000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+               |       div ((n * sxx - sx * sx) * (n * syy - sy * sy))
+               |END AS BIGINT) END""".stripMargin.replace("\n", " "))
+          .as("rho2_milli"))
+  }
+
+  /** q219: SOURCE LENGTH-DISTRIBUTION DRIFT (Kolmogorov-Smirnov) —
+    * per source: the exact KS distance (in permille) between the
+    * source's token-length distribution and the REST of the corpus,
+    * plus the length at which the gap peaks. The distribution-shift
+    * tripwire for ingest monitoring — a feed that silently switches
+    * truncation or concatenation behavior moves its length CDF long
+    * before any quality score notices.
+    *
+    * Exact integer form: D = max over the length grid of
+    * |cumS·nR − cumR·nS| · 1000 div (nS·nR), where cumS/cumR are
+    * within-source / rest-of-corpus cumulative counts on the shared
+    * value grid — cross-multiplied so no fraction is ever formed.
+    *
+    * Shape at 100 TB: ONE (source, n_tok) count agg; the per-source
+    * CDF is a window cumulative over the source's OWN value grid
+    * (value-domain-bounded partitions — the q151 histogram-window
+    * argument), the rest-CDF is corpus-CDF-minus-own (no |sources|×
+    * grid blowup: the corpus CDF is a broadcast value-grid join);
+    * argmax via the bounded min(struct) pick. */
+  def sourceLengthDrift(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = CacheScope.cached(tokQuality(spark, d)
+      .groupBy(col("source"), col("n_tok")).agg(count(lit(1)).as("c")))
+    // corpus histogram on the value grid + its cumulative (grid is
+    // value-domain-bounded, so one partitioned-by-nothing window over
+    // ≤|grid| rows would be fine; keep it keyed anyway via the
+    // two-pass to stay uniform with the q73 discipline)
+    val corpus = cells.groupBy(col("n_tok")).agg(sum(col("c")).as("cc"))
+    val (corpusCum, nAll) =
+      Queries.histCumBefore(spark, corpus.select(col("n_tok"),
+        col("cc").as("c")), "n_tok", asc = true)
+    val corpusGrid = corpusCum
+      .select(col("n_tok").as("g"), (col("before") + col("c")).as("cumAll"))
+    val srcTotals = cells.groupBy(col("source")).agg(sum(col("c")).as("nS"))
+    val wS = Window.partitionBy(col("src")).orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // every (source, grid value) pair, with zero-count fill rows so
+    // each source's cumulative is defined on the whole grid:
+    // |sources|·|grid| rows — alphabet × value-domain bounded (the
+    // one documented cross join; PlanSweep-listed)
+    val full = srcTotals.select(col("source").as("src"), col("nS"))
+      .crossJoin(corpusGrid.select(col("g").as("gg"), col("cumAll")))
+      .join(cells.select(col("source").as("s2"), col("n_tok"), col("c")),
+        col("src") === col("s2") && col("gg") === col("n_tok"), "left")
+      .select(col("src"), col("nS"), col("gg").as("g"), col("cumAll"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    full.withColumn("cumS", sum(col("c")).over(wS))
+      .withColumn("nR", lit(nAll) - col("nS"))
+      // cross-multiplied CDF gap in DECIMAL(38,0): cum·n products are
+      // Θ(n²) — Long-exact only to ~3e9 rows
+      .withColumn("gap", expr("abs(CAST(cumS AS DECIMAL(38,0)) * nR" +
+        " - CAST(cumAll - cumS AS DECIMAL(38,0)) * nS)"))
+      .groupBy(col("src"), col("nS"), col("nR"))
+      .agg(max(col("gap")).as("maxgap"),
+        min(when(col("gap") > 0, struct((-col("gap")).as("ng"), col("g"))))
+          .as("arg"))
+      .select(col("src").as("source"), col("nS").as("n_docs"),
+        expr("CAST((1000 * maxgap) div (CAST(nS AS DECIMAL(38,0)) * nR)" +
+          " AS BIGINT)").as("ks_pm"),
+        col("arg.g").as("peak_len"))
+      .orderBy(col("source"))
+  }
 }

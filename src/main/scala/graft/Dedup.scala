@@ -1366,4 +1366,63 @@ object Dedup {
         round(col("best.c"), 6).as("cosine"))
       .orderBy(col("vec_id"))
   }
+
+  /** q221: DEDUP-WEIGHTED TOKEN YIELD — per source: raw documents and
+    * tokens vs the EFFECTIVE token mass after near-dup down-weighting
+    * (each document weighted 1/|its q49 cluster|, in exact milli:
+    * (1000·n_tok) div cluster_n). "10 TB of source X" can be 9 TB or
+    * 2 TB of effective training signal depending on its duplication
+    * structure — this is the number a mixture designer budgets with,
+    * and the per-source view attributes the loss. Rides the PERSISTED
+    * q49 cluster labels (warm consumers read one parquet relation).
+    *
+    * Shape at 100 TB: token counts row-local; one doc-keyed join to
+    * the label stage; one source-keyed agg. */
+  def dedupYield(spark: SparkSession, d: String): DataFrame = {
+    val labels = nearDupClusters(spark, d)
+      .select(col("doc_id").as("ld"), col("cluster_n"))
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .join(labels, col("doc_id") === col("ld"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("raw_tokens"),
+        sum(when(col("cluster_n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(expr("(1000 * n_tok) div cluster_n")).as("eff_tokens_milli"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("n_dup_docs"), col("eff_tokens_milli"),
+        expr("eff_tokens_milli div raw_tokens").as("yield_pm"))
+      .orderBy(col("source"))
+  }
+
+  /** q222: LSH BUCKET-BALANCE AUDIT — per band of the q23 scheme
+    * (16 minhashes, 4 bands × 4 rows): bucket count, the largest
+    * bucket, singleton buckets (docs proposing no candidate through
+    * this band), and the candidate-pair mass Σ C(|bucket|,2) the band
+    * contributes to the q23 join. This is the direct COST MODEL of
+    * LSH dedup — the number that says whether a banding choice (or a
+    * boilerplate-polluted corpus) is about to quadratically explode
+    * the candidate join, and the evidence behind the q23 hot-bucket
+    * cap. Read BEFORE running dedup at 100 TB, the same way q200 is
+    * read before a skewed join.
+    *
+    * Shape at 100 TB: one (band, key) count agg (map-side partials),
+    * then a 4-row band agg; pair mass in DECIMAL(38,0) — one viral
+    * bucket's C(n,2) overflows Long past ~4.3e9 members. */
+  def lshBucketBalance(spark: SparkSession, d: String): DataFrame = {
+    val bands = shingleSets(spark, d)
+      .select(col("doc_id"), nearDupBandKeys(col("hs")).as("bands"))
+      .select(posexplode(col("bands")).as(Seq("b", "key")))
+    bands.groupBy(col("b"), col("key")).agg(count(lit(1)).as("n"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum(expr("(CAST(n AS DECIMAL(38,0)) * (n - 1)) div 2"))
+          .cast("long").as("cand_pairs"))
+      .select(col("b").cast("long").as("band"), col("n_buckets"),
+        col("max_bucket"), col("n_singletons"), col("cand_pairs"))
+      .orderBy(col("band"))
+  }
 }

@@ -524,8 +524,18 @@ object SparkEntry {
     "q215_classifier_kappa" -> (TextAnalysis.classifierKappa _),
     // chunk-side manifest of q213: docs per window, mask reset points
     "q216_chunk_manifest" -> (TextAnalysis.chunkManifest _),
-    // greedy best-quality-first per-source token budget cuttoff
+    // greedy best-quality-first per-source token budget cutoff
     "q217_token_budget" -> (Curation.tokenBudgetCutoff _),
+    // signed Spearman rho^2 of doc length vs quality score, exact milli
+    "q218_length_quality_corr" -> (Curation.lengthQualityCorr _),
+    // per-source exact KS distance of length CDF vs rest of corpus
+    "q219_source_length_drift" -> (Curation.sourceLengthDrift _),
+    // pairwise per-source vocabulary Jaccard overlap matrix
+    "q220_source_vocab_overlap" -> (TextAnalysis.sourceVocabOverlap _),
+    // per-source effective token yield after 1/cluster-size weighting
+    "q221_dedup_yield" -> (Dedup.dedupYield _),
+    // per-band LSH bucket histogram + candidate-pair cost model
+    "q222_lsh_bucket_balance" -> (Dedup.lshBucketBalance _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -3972,5 +3982,127 @@ object SparkEntry {
         |       min(q_milli)::BIGINT AS cutoff_q_milli
         |FROM c WHERE cum - n_tok < 1000 GROUP BY 1
         |ORDER BY source""".stripMargin,
+    // q218: doubled average ranks off each metric's value histogram
+    // (2r = 2*before + c + 1), Pearson moments on ranks in HUGEINT,
+    // sign decomposed for // vs div agreement.
+    "q218_length_quality_corr" ->
+      """WITH s AS (SELECT doc_id, len(tk)::BIGINT n_tok,
+        |         len(list_distinct(tk))::BIGINT n_uniq,
+        |         len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in')))::BIGINT n_stop
+        |       FROM (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+        |             FROM documents)),
+        |q AS (SELECT doc_id, n_tok,
+        |        ((500 * n_uniq) // n_tok + (200 * n_stop) // n_tok
+        |         + (300 * least(n_tok, 200)) // 200)::BIGINT q_milli
+        |      FROM s),
+        |hx AS (SELECT n_tok, count(*)::BIGINT c FROM q GROUP BY 1),
+        |rx AS (SELECT n_tok,
+        |         (2 * coalesce(sum(c) OVER (ORDER BY n_tok ROWS BETWEEN
+        |            UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1)::BIGINT r
+        |       FROM hx),
+        |hy AS (SELECT q_milli, count(*)::BIGINT c FROM q GROUP BY 1),
+        |ry AS (SELECT q_milli,
+        |         (2 * coalesce(sum(c) OVER (ORDER BY q_milli ROWS BETWEEN
+        |            UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1)::BIGINT r
+        |       FROM hy),
+        |m AS (SELECT count(*)::HUGEINT n, sum(rx.r)::HUGEINT sx,
+        |        sum(ry.r)::HUGEINT sy, sum(rx.r::HUGEINT * ry.r) sxy,
+        |        sum(rx.r::HUGEINT * rx.r) sxx, sum(ry.r::HUGEINT * ry.r) syy
+        |      FROM q JOIN rx ON rx.n_tok = q.n_tok
+        |           JOIN ry ON ry.q_milli = q.q_milli)
+        |SELECT n::BIGINT AS n_docs,
+        |  (CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+        |    WHEN n * sxy - sx * sy < 0
+        |    THEN -((1000 * (sx * sy - n * sxy) * (sx * sy - n * sxy))
+        |           // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        |    ELSE (1000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |         // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        |   END)::BIGINT AS rho2_milli
+        |FROM m""".stripMargin,
+    // q219: per-source CDF on the shared corpus grid (zero-fill cross
+    // join), cross-multiplied gap in HUGEINT, peak via row_number.
+    "q219_source_length_drift" ->
+      """WITH t AS (SELECT doc_id, source,
+        |         len(regexp_split_to_array(text, ' '))::BIGINT n_tok
+        |       FROM documents),
+        |cells AS (SELECT source, n_tok, count(*)::BIGINT c FROM t GROUP BY 1, 2),
+        |grid AS (SELECT n_tok g, sum(c)::BIGINT cc FROM cells GROUP BY 1),
+        |gcum AS (SELECT g, cc, sum(cc) OVER (ORDER BY g)::BIGINT cumAll
+        |         FROM grid),
+        |tot AS (SELECT sum(c)::BIGINT nAll FROM cells),
+        |st AS (SELECT source, sum(c)::BIGINT nS FROM cells GROUP BY 1),
+        |f AS (SELECT st.source src, st.nS, gcum.g, gcum.cumAll,
+        |        coalesce(cells.c, 0)::BIGINT c
+        |      FROM st CROSS JOIN gcum LEFT JOIN cells
+        |        ON cells.source = st.source AND cells.n_tok = gcum.g),
+        |cum AS (SELECT src, nS, g, cumAll,
+        |          sum(c) OVER (PARTITION BY src ORDER BY g)::BIGINT cumS
+        |        FROM f),
+        |gaps AS (SELECT cum.src, cum.nS, (tot.nAll - cum.nS) nR, cum.g,
+        |           abs(cumS::HUGEINT * (tot.nAll - cum.nS)
+        |               - (cumAll - cumS)::HUGEINT * cum.nS) gap
+        |         FROM cum, tot),
+        |pk AS (SELECT src, g, row_number() OVER (PARTITION BY src
+        |         ORDER BY gap DESC, g) rn FROM gaps WHERE gap > 0)
+        |SELECT gaps.src AS source, gaps.nS AS n_docs,
+        |       ((1000 * max(gaps.gap)) // (max(gaps.nS)::HUGEINT
+        |         * max(gaps.nR)))::BIGINT AS ks_pm,
+        |       max(pk.g) AS peak_len
+        |FROM gaps JOIN pk ON pk.src = gaps.src AND pk.rn = 1
+        |GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    // q220: distinct (source, term) then a term-keyed pair join.
+    "q220_source_vocab_overlap" ->
+      """WITH sv AS (SELECT DISTINCT source, w FROM
+        |        (SELECT source, unnest(regexp_split_to_array(text, ' ')) w
+        |         FROM documents)),
+        |sz AS (SELECT source, count(*)::BIGINT v FROM sv GROUP BY 1),
+        |cm AS (SELECT a.source sa, b.source sb, count(*)::BIGINT cm
+        |       FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT cm.sa AS source_a, cm.sb AS source_b,
+        |       za.v AS vocab_a, zb.v AS vocab_b, cm.cm AS n_common,
+        |       ((1000 * cm.cm) // (za.v + zb.v - cm.cm))::BIGINT AS jaccard_pm
+        |FROM cm JOIN sz za ON za.source = cm.sa
+        |     JOIN sz zb ON zb.source = cm.sb
+        |ORDER BY source_a, source_b""".stripMargin,
+    // q221: the q49 cluster recurrence (shared CTE) joined to per-doc
+    // token counts; per-doc 1/cluster_n weights in exact milli.
+    "q221_dedup_yield" ->
+      s"""WITH $NearDupClusterCte,
+         |dt AS (SELECT doc_id, source,
+         |         len(regexp_split_to_array(text, ' '))::BIGINT n_tok
+         |       FROM documents),
+         |jy AS (SELECT dt.source, dt.n_tok, cn.cluster_n
+         |       FROM dt JOIN lbl ON lbl.doc_id = dt.doc_id
+         |            JOIN cn ON cn.cluster_id = lbl.cluster_id)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       sum(n_tok)::BIGINT AS raw_tokens,
+         |       sum(CASE WHEN cluster_n > 1 THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_dup_docs,
+         |       sum((1000 * n_tok) // cluster_n)::BIGINT AS eff_tokens_milli,
+         |       (sum((1000 * n_tok) // cluster_n) // sum(n_tok))::BIGINT
+         |         AS yield_pm
+         |FROM jy GROUP BY 1 ORDER BY source""".stripMargin,
+    // q222: the q23 minhash/band scheme replayed, then per-band bucket
+    // histogram stats; pair mass per bucket in HUGEINT.
+    "q222_lsh_bucket_balance" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+         |           FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |       FROM (SELECT doc_id, tk,
+         |             unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |mh AS (SELECT doc_id, j,
+         |         min(((2*j + 1) * h + 12345 + 7919*j) % 1000000007) m
+         |       FROM sh, generate_series(0, 15) g(j) GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, j // 4 AS b,
+         |          list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
+         |                      (acc, x) -> (acc * 131 + x) % 1000000007) AS key
+         |          FROM mh GROUP BY doc_id, j // 4),
+         |bk AS (SELECT b, key, count(*)::BIGINT n FROM bands GROUP BY 1, 2)
+         |SELECT b::BIGINT AS band, count(*)::BIGINT AS n_buckets,
+         |       max(n) AS max_bucket,
+         |       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+         |       (sum((n::HUGEINT * (n - 1)) // 2))::BIGINT AS cand_pairs
+         |FROM bk GROUP BY 1 ORDER BY band""".stripMargin,
   )
 }

@@ -1174,4 +1174,38 @@ object TextAnalysis {
                |END AS BIGINT) END""".stripMargin.replace("\n", " "))
           .as("kappa_milli"))
   }
+
+  /** q220: SOURCE VOCABULARY OVERLAP — the pairwise exact Jaccard of
+    * per-source vocabularies (distinct tokens), in permille, for every
+    * source pair sharing at least one term. The redundancy map a
+    * mixture designer reads next to q150's document-level dup matrix:
+    * two feeds can share almost no documents yet be the same corpus
+    * lexically (mirrors, translations of the same catalogue, scraped
+    * re-hostings) — that shows here and nowhere in doc-level dedup.
+    *
+    * Shape at 100 TB: the (source, term) relation is one distinct agg
+    * (vocab·|sources| bounded); pairing is a TERM-KEYED equi self-join
+    * — per term with k sources the fan-out is C(k,2) ≤ C(|sources|,2),
+    * an alphabet-bounded multiplier, never corpus²; output is
+    * |sources|²-bounded. Sides re-aliased (fresh exprIds, q196
+    * discipline). */
+  def sourceVocabOverlap(spark: SparkSession, d: String): DataFrame = {
+    val sv = CacheScope.cached(Tables.documentsDist(spark, d)
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .distinct())
+    val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val common = sv.select(col("source").as("sa"), col("w").as("wa"))
+      .join(sv.select(col("source").as("sb"), col("w").as("wb")),
+        col("wa") === col("wb") && col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("cm"))
+    common
+      .join(sizes.select(col("source").as("ka"), col("v").as("vocab_a")),
+        col("sa") === col("ka"))
+      .join(sizes.select(col("source").as("kb"), col("v").as("vocab_b")),
+        col("sb") === col("kb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("vocab_a"), col("vocab_b"), col("cm").as("n_common"),
+        expr("(1000 * cm) div (vocab_a + vocab_b - cm)").as("jaccard_pm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -96,7 +96,10 @@ class PlanSweepSpec extends SparkSpec {
     // documented scalar broadcasts under each InMemoryRelation (3×2),
     // plus the final one-row chance×agreement scalar join — physically
     // the cache computes q148 once
-    "q215_classifier_kappa" -> 7)
+    "q215_classifier_kappa" -> 7,
+    // q219: the |sources|×|length-grid| zero-fill cross join — both
+    // sides alphabet/value-domain bounded by construction
+    "q219_source_length_drift" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep
