@@ -2095,4 +2095,90 @@ object Queries {
         expr("(1000 * n_del) div n_rows").as("del_pm"), col("n_subjects"))
       .orderBy(col("tbl"))
   }
+
+  /** q223: KAPLAN-MEIER RETENTION CURVE — the survival-analysis view
+    * of user lifetime: a user "enters" on their first active day,
+    * "dies" on their last (users still active on the corpus's final
+    * day are right-CENSORED, not deaths — the standard KM treatment),
+    * and the curve multiplies out the per-day survival fractions
+    * S_t = S_{t−1}·(n_t − d_t)/n_t over the observed day grid, in
+    * exact integer micro-units with a floor at each step (the
+    * deterministic fixed-point both engines replay). Days where
+    * nobody enters or exits change nothing and are omitted — the grid
+    * is first∪last days.
+    *
+    * Shape at 100 TB: one user-keyed (first, last) agg; entry/exit
+    * day histograms; the recurrence folds on the DRIVER over the
+    * CALENDAR-bounded day grid (≤ observation-window days — a bounded
+    * collect by the same argument as q205's maxDay, re-emitted as a
+    * literal relation). Never a per-user scan on the driver. */
+  def kaplanMeier(spark: SparkSession, d: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val u = eventsNs(spark, d)
+      .select(col("user_id"), expr(s"ts div $DayNs").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+    val enters = u.groupBy(col("f").as("day")).agg(count(lit(1)).as("e"))
+    val exits = u.groupBy(col("l").as("day")).agg(count(lit(1)).as("x"))
+    val grid = enters.join(exits, Seq("day"), "full_outer")
+      .select(col("day"), coalesce(col("e"), lit(0L)).as("e"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxDay = grid.map(_._1).max
+    var (cumE, cumXb, s) = (0L, 0L, 1000000L)
+    val rows = grid.map { case (day, e, x) =>
+      cumE += e
+      val n = cumE - cumXb
+      val dd = if (day < maxDay) x else 0L
+      s = s * (n - dd) / n
+      cumXb += x
+      (day, n, dd, x, s)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("day", "at_risk", "n_churned", "n_ended", "survival_micro")
+      .orderBy(col("day"))
+  }
+
+  /** q224: FUNNEL LATENCY PERCENTILES — exact p50/p90/p99 of the
+    * stage-to-stage conversion delays behind q124's funnel (first
+    * view → first subsequent click, that click → first subsequent
+    * purchase), floored to whole seconds. Conversion COUNTS (q124)
+    * say how many make it; these say how long the journey takes —
+    * the pair every funnel dashboard shows side by side.
+    *
+    * Shape at 100 TB: the stage relations are q124's user-keyed
+    * min-aggs; latencies collapse to a (stage, seconds) histogram
+    * whose cumulative window is CALENDAR-bounded per stage (distinct
+    * second-values ≤ observation-window seconds, independent of user
+    * count — the q151 bounded-window argument); percentile = min
+    * value with cum ≥ ceil(p·n/100), q151's exact formula. */
+  def funnelLatency(spark: SparkSession, d: String): DataFrame = {
+    val ev = eventsNs(spark, d).withColumn("tus", expr("ts div 1000"))
+    def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+    val v = stage("view").groupBy(col("user_id")).agg(min(col("tus")).as("view_us"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("tus") >= col("view_us"))
+      .groupBy(col("user_id"), col("view_us")).agg(min(col("tus")).as("click_us"))
+    val p = stage("purchase").join(c.select(col("user_id"), col("click_us")), "user_id")
+      .filter(col("tus") >= col("click_us"))
+      .groupBy(col("user_id"), col("click_us")).agg(min(col("tus")).as("purchase_us"))
+    val lat = c.select(lit("1_view_to_click").as("stage"),
+        expr("(click_us - view_us) div 1000000").as("lat_s"))
+      .unionByName(p.select(lit("2_click_to_purchase").as("stage"),
+        expr("(purchase_us - click_us) div 1000000").as("lat_s")))
+    val hist = lat.groupBy(col("stage"), col("lat_s")).agg(count(lit(1)).as("c"))
+    val byStage = Window.partitionBy(col("stage"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(byStage.orderBy(col("lat_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(byStage))
+    cum.groupBy(col("stage"))
+      .agg(max(col("n")).as("n_conversions"),
+        min(col("lat_s")).as("min_s"), max(col("lat_s")).as("max_s"),
+        min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("lat_s"))).as("p50_s"),
+        min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("lat_s"))).as("p90_s"),
+        min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("lat_s"))).as("p99_s"))
+      .orderBy(col("stage"))
+  }
 }

@@ -536,6 +536,10 @@ object SparkEntry {
     "q221_dedup_yield" -> (Dedup.dedupYield _),
     // per-band LSH bucket histogram + candidate-pair cost model
     "q222_lsh_bucket_balance" -> (Dedup.lshBucketBalance _),
+    // Kaplan-Meier user-lifetime survival curve, exact micro-units
+    "q223_kaplan_meier" -> (Queries.kaplanMeier _),
+    // exact p50/p90/p99 of funnel stage-to-stage latencies
+    "q224_funnel_latency" -> (Queries.funnelLatency _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -4104,5 +4108,72 @@ object SparkEntry {
          |       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
          |       (sum((n::HUGEINT * (n - 1)) // 2))::BIGINT AS cand_pairs
          |FROM bk GROUP BY 1 ORDER BY band""".stripMargin,
+    // q223: the sequential survival recurrence replayed via
+    // list_reduce over (d,n) pairs packed into one BIGINT each
+    // (d*10^10 + n; acc stays <= 10^6 * n < 2^63) — prefix i gives
+    // day i's survival; O(days^2) lambda work on a calendar-bounded
+    // grid.
+    "q223_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |           FROM events),
+        |u AS (SELECT user_id, min(day) f, max(day) l FROM e GROUP BY 1),
+        |mx AS (SELECT max(l) md FROM u),
+        |en AS (SELECT f AS day, count(*)::BIGINT e FROM u GROUP BY 1),
+        |ex AS (SELECT l AS day, count(*)::BIGINT x FROM u GROUP BY 1),
+        |grid AS (SELECT f AS day FROM u UNION SELECT l FROM u),
+        |g AS (SELECT grid.day, coalesce(en.e, 0)::BIGINT e,
+        |        coalesce(ex.x, 0)::BIGINT x
+        |      FROM grid LEFT JOIN en ON en.day = grid.day
+        |           LEFT JOIN ex ON ex.day = grid.day),
+        |c AS (SELECT day, e, x,
+        |        sum(e) OVER (ORDER BY day)::BIGINT cumE,
+        |        coalesce(sum(x) OVER (ORDER BY day ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT cumXb
+        |      FROM g),
+        |dd AS (SELECT c.day, (cumE - cumXb) n,
+        |         CASE WHEN c.day < mx.md THEN x ELSE 0 END d, x
+        |       FROM c, mx),
+        |lst AS (SELECT list(d * 10000000000 + n ORDER BY day) l,
+        |          list(day ORDER BY day) ds, list(n ORDER BY day) ns,
+        |          list(d ORDER BY day) dds, list(x ORDER BY day) xs
+        |        FROM dd)
+        |SELECT ds[i]::BIGINT AS day, ns[i]::BIGINT AS at_risk,
+        |       dds[i]::BIGINT AS n_churned, xs[i]::BIGINT AS n_ended,
+        |       list_reduce(list_prepend(1000000::BIGINT, l[1:i]),
+        |         (acc, v) -> (acc * ((v % 10000000000) - (v // 10000000000)))
+        |                     // (v % 10000000000))::BIGINT AS survival_micro
+        |FROM lst, unnest(generate_series(1, len(ds))) t(i)
+        |ORDER BY day""".stripMargin,
+    // q224: q124's stage CTEs, latencies floored to seconds, q151's
+    // exact ceil-percentile formula.
+    "q224_funnel_latency" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS view_us
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(v.view_us) view_us,
+        |        min(epoch_us(e.ts))::BIGINT AS click_us
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.view_us
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(c.click_us) click_us,
+        |        min(epoch_us(e.ts))::BIGINT AS purchase_us
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.click_us
+        |      GROUP BY 1),
+        |lat AS (SELECT '1_view_to_click' stage,
+        |          (click_us - view_us) // 1000000 lat_s FROM c
+        |        UNION ALL
+        |        SELECT '2_click_to_purchase',
+        |          (purchase_us - click_us) // 1000000 FROM p),
+        |h AS (SELECT stage, lat_s, count(*)::BIGINT c FROM lat GROUP BY 1, 2),
+        |cum AS (SELECT stage, lat_s, c,
+        |          sum(c) OVER (PARTITION BY stage ORDER BY lat_s)::BIGINT cum,
+        |          sum(c) OVER (PARTITION BY stage)::BIGINT n
+        |        FROM h)
+        |SELECT stage, max(n) AS n_conversions,
+        |       min(lat_s)::BIGINT AS min_s, max(lat_s)::BIGINT AS max_s,
+        |       min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lat_s END)::BIGINT AS p50_s,
+        |       min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lat_s END)::BIGINT AS p90_s,
+        |       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lat_s END)::BIGINT AS p99_s
+        |FROM cum GROUP BY 1 ORDER BY stage""".stripMargin,
   )
 }
