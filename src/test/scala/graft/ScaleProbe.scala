@@ -12,7 +12,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // optional family filter (dedup graph events ann text phrase) so a
     // run fits a bounded window; no args = all families
-    val fams = if (args.isEmpty) Set("dedup","graph","events","ann","text","phrase")
+    val fams = if (args.isEmpty) Set("dedup","dedup8","graph","events","ann","text","phrase")
                else args.map(_.toLowerCase).toSet
     val spark = SparkSpec.session
     val d1 = "/root/testdata/sf0.1"
@@ -73,6 +73,19 @@ object ScaleProbe {
         "q176_priority_sample" -> (Curation.prioritySample _),
         "q177_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
         "q180_stratified_sample" -> (Curation.stratifiedPrioritySample _))
+    // round-8 dedup-economics additions, probe-able without the full
+    // dedup family re-run (q221 rides the q49 persisted label stage —
+    // its first 10x pass pays that build; min-of-2 below measures warm)
+    val q8: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("q221_dedup_yield" -> (Dedup.dedupYield _),
+        "q222_lsh_bucket_balance" -> (Dedup.lshBucketBalance _))
+    val ratios8 = (if (fams("dedup8")) q8 else Nil).map { case (name, fn) =>
+      val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
+      val t10 = math.min(time(name, fn, d10), time(name, fn, d10))
+      println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+      name -> (t10 / t1)
+    }
+    println(ratios8.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] dedup8 ratios: ", ", ", ""))
     val ratios = (if (fams("dedup")) qs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, d10)
@@ -164,7 +177,10 @@ object ScaleProbe {
         // sliding-distinct rewrite — both user/day-keyed shuffles
         "q189_sliding_active_users" -> (Queries.slidingActiveUsers _),
         "q193_lag_features" -> (Queries.lagFeatures _),
-        "q201_locf_features" -> (Queries.locfFeatures _))
+        "q201_locf_features" -> (Queries.locfFeatures _),
+        // round-8: calendar-bounded driver fold + percentile histograms
+        "q223_kaplan_meier" -> (Queries.kaplanMeier _),
+        "q224_funnel_latency" -> (Queries.funnelLatency _))
     val eratios = (if (fams("events")) eqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, edir)
