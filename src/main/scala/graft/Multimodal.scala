@@ -248,4 +248,87 @@ object Multimodal {
         lit(0L).as("n_channels"))
       .orderBy(col("doc_id"))
   }
+
+  /** ViT-style tiling constants for q225: 224×224 tiles, 16×16
+    * patches → 196 patches per tile (the standard ViT-B geometry). */
+  val TileSide = 224L
+  val PatchesPerTile = (224L / 16L) * (224L / 16L)
+
+  /** q225: VISION TILE-GRID PLAN — for every image item, the tiling
+    * schedule a patch-based vision encoder consumes: ceil-division
+    * tile counts in each axis, right/bottom padding to the tile grid,
+    * total tiles, ViT patch count (196·tiles), and the decoded byte
+    * budget (tiles·224²·3) — the numbers a multimodal batch planner
+    * packs GPU batches and shard budgets with (the image-side analogue
+    * of q213's token packing). Pure row-local integer arithmetic over
+    * the decoded metadata; the pixel work it schedules lives behind
+    * the `decodeAll` partition-local codec boundary.
+    *
+    * Shape at 100 TB: map-only — one metadata projection, zero
+    * shuffles but the presentation sort. */
+  def tileGridPlan(spark: SparkSession, d: String): DataFrame = {
+    val t = TileSide
+    mediaMetadata(spark, d)
+      .select(col("doc_id"), col("format"), col("width"), col("height"))
+      .withColumn("tiles_x", expr(s"(width + ${t - 1}) div $t"))
+      .withColumn("tiles_y", expr(s"(height + ${t - 1}) div $t"))
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("tiles_x"), col("tiles_y"),
+        (col("tiles_x") * col("tiles_y")).as("n_tiles"),
+        (col("tiles_x") * t - col("width")).as("pad_right"),
+        (col("tiles_y") * t - col("height")).as("pad_bottom"),
+        (col("tiles_x") * col("tiles_y") * PatchesPerTile).as("n_patches"),
+        (col("tiles_x") * col("tiles_y") * t * t * 3L).as("decode_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q226 audio segmentation windows, milliseconds. Scaled DOWN for
+    * the synthetic corpus (text payloads decode to ~10-15 ms of
+    * virtual PCM): a production speech pipeline sets the Whisper-style
+    * 30000/29000. The plan arithmetic is identical at any setting. */
+  val AudioWindowMs = 10L
+  val AudioHopMs = 8L
+
+  /** q226: AUDIO SEGMENTATION PLAN — for every audio item, the
+    * overlapping-window transcription schedule (the Whisper-style
+    * chunking pass): per chunk its time span and the byte range to
+    * hand the sample decoder. Parsed WAV metadata (sample rate,
+    * channels) is used when the real header decoded; payloads without
+    * one take the documented virtual-PCM contract (s16le mono 16 kHz,
+    * 64-byte header) so the operator is total and the oracle exact —
+    * on the text-byte corpus every row takes the virtual path, and
+    * MultimodalSpec drives a real WAV fixture through the same
+    * arithmetic.
+    *
+    * Shape at 100 TB: row-local arithmetic + a sequence/explode
+    * fan-out of n_chunks rows per item (duration-bounded), no shuffle
+    * but the presentation sort. */
+  def audioChunkPlan(spark: SparkSession, d: String): DataFrame =
+    audioChunkPlanDf(mediaMetadata(spark, d))
+
+  private[graft] def audioChunkPlanDf(meta: DataFrame): DataFrame = {
+    val (w, hop) = (AudioWindowMs, AudioHopMs)
+    meta
+      .select(col("doc_id"), col("byte_len"),
+        when(col("sample_rate") > 0, col("sample_rate")).otherwise(16000L)
+          .as("sr"),
+        when(col("n_channels") > 0, col("n_channels")).otherwise(1L)
+          .as("ch"))
+      .withColumn("n_samples",
+        expr("greatest(byte_len - 64, 0) div (2 * ch)"))
+      .withColumn("duration_ms", expr("(1000 * n_samples) div sr"))
+      .filter(col("duration_ms") > 0)
+      .withColumn("n_chunks",
+        expr(s"1 + (greatest(duration_ms - $w, 0) + ${hop - 1}) div $hop"))
+      .select(col("doc_id"), col("sr"), col("ch"), col("duration_ms"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk"))
+      .select(col("doc_id"), col("sr"), col("ch"), col("duration_ms"),
+        col("chunk"), (col("chunk") * hop).as("start_ms"),
+        least(col("chunk") * hop + w, col("duration_ms")).as("end_ms"))
+      .withColumn("start_byte",
+        expr("64 + ((start_ms * sr) div 1000) * 2 * ch"))
+      .withColumn("n_bytes",
+        expr("(((end_ms - start_ms) * sr) div 1000) * 2 * ch"))
+      .orderBy(col("doc_id"), col("chunk"))
+  }
 }

@@ -540,6 +540,10 @@ object SparkEntry {
     "q223_kaplan_meier" -> (Queries.kaplanMeier _),
     // exact p50/p90/p99 of funnel stage-to-stage latencies
     "q224_funnel_latency" -> (Queries.funnelLatency _),
+    // ViT tile/patch/padding schedule per image item
+    "q225_tile_grid_plan" -> (Multimodal.tileGridPlan _),
+    // overlapping-window audio transcription schedule per item
+    "q226_audio_chunk_plan" -> (Multimodal.audioChunkPlan _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -4175,5 +4179,44 @@ object SparkEntry {
         |       min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lat_s END)::BIGINT AS p90_s,
         |       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lat_s END)::BIGINT AS p99_s
         |FROM cum GROUP BY 1 ORDER BY stage""".stripMargin,
+    // q225: the q32 pseudo-decode replay + ceil-division tiling.
+    "q225_tile_grid_plan" ->
+      s"""WITH t AS (SELECT doc_id, text, ${H("text")} AS h FROM documents),
+         |m AS (SELECT doc_id,
+         |      (['jpeg', 'png', 'webp'])[(h % 3)::INT + 1] AS format,
+         |      320 + (h % 8) * 160 AS width,
+         |      240 + (h % 6) * 120 AS height FROM t),
+         |g AS (SELECT doc_id, format, width, height,
+         |      (width + 223) // 224 tx, (height + 223) // 224 ty FROM m)
+         |SELECT doc_id, format, width::BIGINT AS width,
+         |  height::BIGINT AS height, tx::BIGINT AS tiles_x,
+         |  ty::BIGINT AS tiles_y, (tx * ty)::BIGINT AS n_tiles,
+         |  (tx * 224 - width)::BIGINT AS pad_right,
+         |  (ty * 224 - height)::BIGINT AS pad_bottom,
+         |  (tx * ty * 196)::BIGINT AS n_patches,
+         |  (tx * ty * 224 * 224 * 3)::BIGINT AS decode_bytes
+         |FROM g ORDER BY doc_id""".stripMargin,
+    // q226: the virtual-PCM contract (s16le mono 16 kHz, 64-byte
+    // header) on the text-byte corpus; window 10 ms, hop 8 ms.
+    "q226_audio_chunk_plan" ->
+      """WITH t AS (SELECT doc_id, octet_length(text::BLOB)::BIGINT bl
+        |           FROM documents),
+        |a AS (SELECT doc_id, 16000::BIGINT sr, 1::BIGINT ch,
+        |        greatest(bl - 64, 0) // 2 AS n_samples FROM t),
+        |b AS (SELECT doc_id, sr, ch,
+        |        ((1000 * n_samples) // sr)::BIGINT AS duration_ms
+        |      FROM a WHERE (1000 * n_samples) // sr > 0),
+        |c AS (SELECT doc_id, sr, ch, duration_ms,
+        |        1 + (greatest(duration_ms - 10, 0) + 7) // 8 AS n_chunks
+        |      FROM b),
+        |x AS (SELECT doc_id, sr, ch, duration_ms,
+        |        unnest(generate_series(0, n_chunks - 1)) chunk FROM c)
+        |SELECT doc_id, sr, ch, duration_ms, chunk::BIGINT AS chunk,
+        |  (chunk * 8)::BIGINT AS start_ms,
+        |  least(chunk * 8 + 10, duration_ms)::BIGINT AS end_ms,
+        |  (64 + ((chunk * 8 * sr) // 1000) * 2 * ch)::BIGINT AS start_byte,
+        |  (((least(chunk * 8 + 10, duration_ms) - chunk * 8) * sr)
+        |   // 1000 * 2 * ch)::BIGINT AS n_bytes
+        |FROM x ORDER BY doc_id, chunk""".stripMargin,
   )
 }
