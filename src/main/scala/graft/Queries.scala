@@ -2140,6 +2140,72 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** q227: FREQUENT TRIPLES (A-priori level 3) — co-purchase part
+    * TRIPLES with support ≥ 2, mined with the classic A-priori
+    * prefilter: only parts that themselves appear in ≥ 2 baskets can
+    * participate (the level-1 downward-closure cut), then triples
+    * enumerate per basket and count. q198's pair mining extended one
+    * lattice level — pairs catch "bought together", triples catch the
+    * bundle/kit structure pairs alias away.
+    *
+    * Shape at 100 TB: the prefilter is one part-keyed count agg + a
+    * part-keyed semi-join (downward closure removes the long tail
+    * BEFORE any enumeration); triple generation is the orderkey-keyed
+    * THREE-way self-join — per-basket fan-out C(k,3), k single-digit
+    * here and CoPurchaseCap-boundable for power-law baskets (q127's
+    * knob); counts agg map-side. Support floor bounds the output. */
+  def copurchaseTriples(spark: SparkSession, d: String): DataFrame = {
+    val items = CacheScope.cached(
+      Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct())
+    val freq = items.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("p"))
+    val fi = CacheScope.cached(items.join(freq, Seq("p")).select(col("ok"), col("p")))
+    fi.toDF("ok", "pa")
+      .join(fi.toDF("ok", "pb"), "ok").filter(col("pa") < col("pb"))
+      .join(fi.toDF("ok", "pc"), "ok").filter(col("pb") < col("pc"))
+      .groupBy(col("pa"), col("pb"), col("pc"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
+  }
+
+  /** q228: MONTHLY BACKLOG SNAPSHOTS — for the first day of every
+    * month: orders already placed but not yet fully shipped (close =
+    * max lineitem ship date), their count, open value in exact cents,
+    * and the oldest order's age in days. The as-of inventory series an
+    * operations dashboard plots — and the snapshot-sequence shape
+    * (interval → bounded month fan-out → keyed agg) that replaces the
+    * naive months×orders range join.
+    *
+    * Shape at 100 TB: close dates are one orderkey-keyed agg; each
+    * order explodes to ONLY the month boundaries inside its open
+    * interval (lifetime-bounded fan-out, the q216 manifest shape —
+    * never a non-equi range join); one month-keyed agg. */
+  def backlogSnapshots(spark: SparkSession, d: String): DataFrame = {
+    val close = Tables.lineitem(spark, d)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("close"))
+    Tables.orders(spark, d)
+      .join(close, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)")
+          .as("m0"),
+        expr("CAST(year(close) * 12 + month(close) - 1 AS BIGINT)").as("m1"))
+      .filter(col("m1") >= col("m0") + 1)
+      .select(col("o_orderdate"), col("cents"),
+        explode(sequence(col("m0") + 1, col("m1"))).as("m"))
+      .withColumn("t", expr("make_date(m div 12, m % 12 + 1, 1)"))
+      .groupBy(col("m").as("month_idx"))
+      .agg(max(col("t")).as("snapshot_date"),
+        count(lit(1)).as("n_open"),
+        sum(col("cents")).as("open_value_cents"),
+        max(expr("datediff(t, CAST(o_orderdate AS DATE))")).cast("long")
+          .as("max_age_days"))
+      .orderBy(col("month_idx"))
+  }
+
   /** q224: FUNNEL LATENCY PERCENTILES — exact p50/p90/p99 of the
     * stage-to-stage conversion delays behind q124's funnel (first
     * view → first subsequent click, that click → first subsequent

@@ -544,6 +544,10 @@ object SparkEntry {
     "q225_tile_grid_plan" -> (Multimodal.tileGridPlan _),
     // overlapping-window audio transcription schedule per item
     "q226_audio_chunk_plan" -> (Multimodal.audioChunkPlan _),
+    // A-priori co-purchase part triples with support floor
+    "q227_copurchase_triples" -> (Queries.copurchaseTriples _),
+    // monthly open-order backlog count/value/age snapshots
+    "q228_backlog_snapshots" -> (Queries.backlogSnapshots _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -4218,5 +4222,37 @@ object SparkEntry {
         |  (((least(chunk * 8 + 10, duration_ms) - chunk * 8) * sr)
         |   // 1000 * 2 * ch)::BIGINT AS n_bytes
         |FROM x ORDER BY doc_id, chunk""".stripMargin,
+    // q227: level-1 prefilter then the three-way basket self-join.
+    "q227_copurchase_triples" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey p
+        |               FROM lineitem),
+        |fr AS (SELECT p FROM items GROUP BY p HAVING count(*) >= 2),
+        |fi AS (SELECT ok, items.p FROM items JOIN fr ON fr.p = items.p)
+        |SELECT a.p AS pa, b.p AS pb, c.p AS pc, count(*)::BIGINT AS support
+        |FROM fi a JOIN fi b ON b.ok = a.ok AND a.p < b.p
+        |     JOIN fi c ON c.ok = a.ok AND b.p < c.p
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY support DESC, pa, pb, pc""".stripMargin,
+    // q228: interval -> month-boundary fan-out via generate_series,
+    // then one month-keyed agg; value in exact cents.
+    "q228_backlog_snapshots" ->
+      """WITH cl AS (SELECT l_orderkey, max(l_shipdate) cls
+        |            FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderdate,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) cents,
+        |        (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT m0,
+        |        (year(cl.cls) * 12 + month(cl.cls) - 1)::BIGINT m1
+        |      FROM orders JOIN cl ON cl.l_orderkey = orders.o_orderkey),
+        |x AS (SELECT o_orderdate, cents,
+        |        unnest(generate_series(m0 + 1, m1)) m
+        |      FROM o WHERE m1 >= m0 + 1),
+        |y AS (SELECT m, make_date((m // 12)::INT, (m % 12 + 1)::INT, 1) t,
+        |        o_orderdate, cents FROM x)
+        |SELECT m::BIGINT AS month_idx, max(t) AS snapshot_date,
+        |       count(*)::BIGINT AS n_open,
+        |       sum(cents)::BIGINT AS open_value_cents,
+        |       max(date_diff('day', CAST(o_orderdate AS DATE), t))::BIGINT
+        |         AS max_age_days
+        |FROM y GROUP BY 1 ORDER BY month_idx""".stripMargin,
   )
 }

@@ -76,4 +76,68 @@ class NewOpsRound8cSpec extends SparkSpec {
     assert(got == exp)
     assert(exp.size == 2 && exp.forall(_._2 > 0))
   }
+  test("q227 triples ≡ local A-priori enumeration") {
+    val items = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val freq = items.groupBy(_._2).filter(_._2.size >= 2).keySet
+    val kept = items.filter(t => freq(t._2))
+    val triples = collection.mutable.Map[(Long, Long, Long), Long]()
+    kept.groupBy(_._1).values.foreach { b =>
+      val ps = b.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size; k <- j + 1 until ps.size)
+        triples((ps(i), ps(j), ps(k))) =
+          triples.getOrElse((ps(i), ps(j), ps(k)), 0L) + 1
+    }
+    val exp = triples.toSeq.filter(_._2 >= 2)
+      .map { case ((a, b, c), sp) => (a, b, c, sp) }
+      .sortBy(t => (-t._4, t._1, t._2, t._3))
+    val got = Queries.copurchaseTriples(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == exp)
+    assert(exp.nonEmpty)
+    // downward closure: every pair inside a frequent triple must meet
+    // the pair support floor too
+    val pairs = collection.mutable.Map[(Long, Long), Long]()
+    kept.groupBy(_._1).values.foreach { b =>
+      val ps = b.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size)
+        pairs((ps(i), ps(j))) = pairs.getOrElse((ps(i), ps(j)), 0L) + 1
+    }
+    exp.foreach { case (a, b, c, sp) =>
+      assert(pairs((a, b)) >= sp && pairs((a, c)) >= sp && pairs((b, c)) >= sp)
+    }
+  }
+
+  test("q228 backlog ≡ local month-boundary sweep") {
+    val close = spark.read.parquet(s"$d/lineitem.parquet")
+      .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS sd")
+      .collect().toSeq.map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(o_orderdate AS DATE) AS od",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    def mi(dt: java.time.LocalDate) = dt.getYear.toLong * 12 + dt.getMonthValue - 1
+    // childless orders have no close date and leave the backlog via
+    // the inner join — mirror that
+    val rows = orders.flatMap { case (ok, od, cents) =>
+      close.get(ok).toSeq.flatMap { cl =>
+      (mi(od) + 1 to mi(cl)).map { m =>
+        val t = java.time.LocalDate.of((m / 12).toInt, (m % 12).toInt + 1, 1)
+        (m, t, cents, java.time.temporal.ChronoUnit.DAYS.between(od, t))
+      }
+    }}
+    val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (m, xs) =>
+      (m, xs.head._2.toString, xs.size.toLong, xs.map(_._3).sum,
+        xs.map(_._4).max)
+    }
+    val got = Queries.backlogSnapshots(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got == exp)
+    // the backlog must rise and then drain to a final-month tail
+    assert(exp.nonEmpty && exp.map(_._3).max > exp.last._3)
+  }
 }
