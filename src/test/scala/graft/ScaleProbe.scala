@@ -133,6 +133,9 @@ object ScaleProbe {
         "q198_copurchase_pairs" -> (Queries.copurchasePairs _),
         "q199_rfm_scores" -> (Queries.rfmScores _),
         "q200_salt_plan" -> (Queries.saltPlan _),
+        // round-8: the three-way basket join and the interval fan-out
+        "q227_copurchase_triples" -> (Queries.copurchaseTriples _),
+        "q228_backlog_snapshots" -> (Queries.backlogSnapshots _),
         "q127_triangle_counts" -> (Graph.triangleCounts _),
         "q131_bfs_distances" -> (Graph.bfsDistances _),
         "q162_k_core" -> (Graph.kCore _),
@@ -245,7 +248,10 @@ object ScaleProbe {
         "q214_boilerplate_audit" -> (TextAnalysis.boilerplateAudit _),
         "q215_classifier_kappa" -> (TextAnalysis.classifierKappa _),
         "q216_chunk_manifest" -> (TextAnalysis.chunkManifest _),
-        "q217_token_budget" -> (Curation.tokenBudgetCutoff _))
+        "q217_token_budget" -> (Curation.tokenBudgetCutoff _),
+        // round-8b: map-only multimodal plans on the same doc corpus
+        "q225_tile_grid_plan" -> (Multimodal.tileGridPlan _),
+        "q226_audio_chunk_plan" -> (Multimodal.audioChunkPlan _))
     val tratios = (if (fams("text")) tqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       // min-of-2 at 10× too: q191 rides the persisted postings stage,
