@@ -1362,4 +1362,43 @@ object Curation {
         col("arg.g").as("peak_len"))
       .orderBy(col("source"))
   }
+
+  /** q232: LENGTH GINI PER SOURCE — the exact Gini coefficient of the
+    * document-length (n_chars) distribution within each source, in
+    * floored milli-units, plus the floored mean length. q219's KS asks
+    * "is this source's length distribution DIFFERENT?"; Gini asks "how
+    * UNEQUAL is it internally?" — a feed that mixes tweets with books
+    * scores high and needs per-length sampling caps before training.
+    *
+    * Exact integer form, no sorting of rows: from the per-source VALUE
+    * HISTOGRAM sorted by length, the mean absolute difference collapses
+    * to Δ = 2·Σ_i c_i·(v_i·C_i − S_i) where C_i/S_i are the count/mass
+    * cumulatives strictly BEFORE value v_i; G = Δ div (2·n·Σc·v). All
+    * products in DECIMAL(38,0) (Δ is Θ(n²·v) — far past Long at corpus
+    * scale).
+    *
+    * Shape at 100 TB: ONE (source, n_chars) count agg, then windows
+    * over value-domain-bounded per-source grids (≤ max-length rows per
+    * source — the q151/q219 bounded-window argument) and one source-
+    * keyed agg. Nothing is ever globally ranked. */
+  def lengthGini(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documentsDist(spark, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val before = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cb", coalesce(sum(col("c")).over(before), lit(0L)))
+      .withColumn("sb", coalesce(sum(expr("c * v")).over(before), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(expr("c * v")).as("mass"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (v * cb - sb)")).as("hd"))
+      .select(col("source"), col("n_docs"),
+        expr("mass div n_docs").as("mean_chars"),
+        expr("CAST((1000 * hd) div (CAST(n_docs AS DECIMAL(38,0)) * mass)" +
+          " AS BIGINT)").as("gini_milli"))
+      .orderBy(col("source"))
+  }
 }

@@ -2247,4 +2247,117 @@ object Queries {
         min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("lat_s"))).as("p99_s"))
       .orderBy(col("stage"))
   }
+
+  /** q229: COHORT LTV MATRIX — customers grouped by first-order month,
+    * and for each (cohort month, month offset): active customers,
+    * revenue in exact cents, the cohort's CUMULATIVE revenue to that
+    * offset, and cumulative LTV per cohort member (floored cents).
+    * q125's retention triangle with money on it — the view a
+    * subscription/commerce team actually budgets from.
+    *
+    * Shape at 100 TB: the cohort month is one custkey-keyed min agg
+    * re-joined on custkey (co-partitions with q199's RFM scan); the
+    * triangle is one (cohort, offset) hash-agg whose OUTPUT is
+    * calendar-bounded (months² cells regardless of row count), so the
+    * cumulative window runs over a bounded relation and the cohort-size
+    * join broadcasts a months-bounded side. Revenue stays in BIGINT
+    * cents: Σ cents ≤ 9.2e18 holds through ~10^13 orders; past that the
+    * q208 DECIMAL(38,0) routing applies. */
+  def cohortLtv(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d).select(
+      col("o_custkey").as("ck"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)")
+        .as("m"))
+    val cohort = o.groupBy(col("ck")).agg(min(col("m")).as("cm"))
+    val sizes = cohort.groupBy(col("cm")).agg(count(lit(1)).as("cohort_size"))
+    val cells = o.join(cohort, "ck")
+      .groupBy(col("cm"), (col("m") - col("cm")).as("off"))
+      .agg(countDistinct(col("ck")).as("n_active"),
+        sum(col("cents")).as("rev_cents"))
+    cells
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(
+        Window.partitionBy(col("cm")).orderBy(col("off"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(sizes), "cm") // months-bounded side
+      .select(col("cm").as("cohort_month"), col("off").as("month_offset"),
+        col("n_active"), col("rev_cents"), col("cum_rev_cents"),
+        col("cohort_size"),
+        expr("cum_rev_cents div cohort_size").as("ltv_cents_per_user"))
+      .orderBy(col("cohort_month"), col("month_offset"))
+  }
+
+  /** q230: MATCHED-SAMPLE LASPEYRES PRICE INDEX — per brand and month:
+    * a fixed-basket price index in exact milli (1000 = base level),
+    * weights = base-month quantities, base month = the brand's own
+    * earliest traded month, restricted to parts present in BOTH months
+    * (the matched-sample discipline every national CPI uses so basket
+    * churn doesn't masquerade as inflation). Unit prices are exact
+    * floored milli-cents (1000·Σcents div Σqty per part-month).
+    *
+    * Shape at 100 TB: one (part, month) hash-agg over lineitem, one
+    * part-keyed join to the brand dimension (SF-proportional dim —
+    * UNHINTED, AQE decides broadcast vs shuffle), one brand-keyed min
+    * for the base month, one (brand, part)-keyed base join (each part
+    * matches exactly its base row — keyed equi-join, never a range
+    * join), one (brand, month) agg. Index numerators are
+    * Θ(qty·price·parts) — routed through DECIMAL(38,0) like q198. */
+  def priceIndex(spark: SparkSession, d: String): DataFrame = {
+    val pm = Tables.lineitem(spark, d).select(
+        col("l_partkey").as("pk"),
+        expr("CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)")
+          .as("m"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+      .groupBy(col("pk"), col("m"))
+      .agg(expr("(1000 * sum(cents)) div sum(qty)").as("unit_mc"),
+        sum(col("qty")).as("sq"))
+    val bp = CacheScope.cached(pm.join(
+      Tables.part(spark, d).select(col("p_partkey"), col("p_brand")),
+      col("pk") === col("p_partkey")).select(
+        col("p_brand").as("brand"), col("pk"), col("m"),
+        col("unit_mc"), col("sq")))
+    val baseM = bp.groupBy(col("brand")).agg(min(col("m")).as("m0"))
+    val base = bp.join(baseM, "brand").filter(col("m") === col("m0"))
+      .select(col("brand"), col("pk"), col("sq").as("q0"),
+        col("unit_mc").as("p0"))
+    bp.join(base, Seq("brand", "pk"))
+      .groupBy(col("brand"), col("m"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(expr("CAST(q0 AS DECIMAL(38,0)) * unit_mc")).as("num"),
+        sum(expr("CAST(q0 AS DECIMAL(38,0)) * p0")).as("den"))
+      .select(col("brand"), col("m").as("month_idx"), col("n_parts"),
+        expr("CAST((1000 * num) div den AS BIGINT)").as("index_milli"))
+      .orderBy(col("brand"), col("month_idx"))
+  }
+
+  /** q231: CHEAPEST SUPPLIER PER PART — the procurement arg-min: for
+    * every part, the supplier with the lowest observed unit price
+    * (exact floored milli-cents over that supplier's lines), ties
+    * broken deterministically by lowest suppkey, plus the supplier
+    * count and the best-to-worst price spread. TPC-H Q2's
+    * minimum-cost-supplier semantic re-expressed over the lineitem
+    * history (this dataset has no partsupp table).
+    *
+    * Shape at 100 TB: one (part, supplier) hash-agg, then ONE
+    * part-keyed agg where the arg-min rides `min(struct(price, supp))`
+    * — lexicographic struct ordering IS the tie-break, no window, no
+    * self-join back to the min row (the two-pass pattern the oracle
+    * must use). Both shuffles are keyed; output is |parts|. */
+  def cheapestSupplier(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d).select(
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+      .groupBy(col("pk"), col("sk"))
+      .agg(expr("(1000 * sum(cents)) div sum(qty)").as("unit_mc"),
+        count(lit(1)).as("n_lines"))
+      .groupBy(col("pk"))
+      .agg(min(struct(col("unit_mc"), col("sk"))).as("best"),
+        count(lit(1)).as("n_suppliers"),
+        (max(col("unit_mc")) - min(col("unit_mc"))).as("spread_mc"))
+      .select(col("pk").as("p_partkey"), col("best.sk").as("best_suppkey"),
+        col("best.unit_mc").as("best_unit_mc"), col("n_suppliers"),
+        col("spread_mc"))
+      .orderBy(col("p_partkey"))
 }

@@ -548,6 +548,14 @@ object SparkEntry {
     "q227_copurchase_triples" -> (Queries.copurchaseTriples _),
     // monthly open-order backlog count/value/age snapshots
     "q228_backlog_snapshots" -> (Queries.backlogSnapshots _),
+    // cohort × month-offset active/revenue/cumulative-LTV triangle
+    "q229_cohort_ltv" -> (Queries.cohortLtv _),
+    // matched-sample Laspeyres price index per brand, exact milli
+    "q230_price_index" -> (Queries.priceIndex _),
+    // per-part cheapest-supplier arg-min with deterministic tie-break
+    "q231_cheapest_supplier" -> (Queries.cheapestSupplier _),
+    // exact Gini of the per-source document-length distribution
+    "q232_length_gini" -> (Curation.lengthGini _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -4254,5 +4262,82 @@ object SparkEntry {
         |       max(date_diff('day', CAST(o_orderdate AS DATE), t))::BIGINT
         |         AS max_age_days
         |FROM y GROUP BY 1 ORDER BY month_idx""".stripMargin,
+    // q229: custkey-keyed cohort min, (cohort, offset) agg, window
+    // cumulative over the calendar-bounded triangle; exact cents.
+    "q229_cohort_ltv" ->
+      // (`off` is reserved in DuckDB — the offset column is `moff`)
+      """WITH o AS (SELECT o_custkey ck,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) cents,
+        |        (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT m
+        |      FROM orders),
+        |ch AS (SELECT ck, min(m) cm FROM o GROUP BY 1),
+        |sz AS (SELECT cm, count(*)::BIGINT cohort_size FROM ch GROUP BY 1),
+        |cells AS (SELECT ch.cm, o.m - ch.cm moff,
+        |        count(DISTINCT o.ck)::BIGINT n_active,
+        |        sum(cents)::BIGINT rev_cents
+        |      FROM o JOIN ch ON ch.ck = o.ck GROUP BY 1, 2)
+        |SELECT cells.cm AS cohort_month, moff AS month_offset, n_active,
+        |       rev_cents,
+        |       (sum(rev_cents) OVER (PARTITION BY cells.cm ORDER BY moff
+        |          ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_rev_cents,
+        |       cohort_size,
+        |       ((sum(rev_cents) OVER (PARTITION BY cells.cm ORDER BY moff
+        |          ROWS UNBOUNDED PRECEDING)) // cohort_size)::BIGINT
+        |         AS ltv_cents_per_user
+        |FROM cells JOIN sz ON sz.cm = cells.cm
+        |ORDER BY cohort_month, month_offset""".stripMargin,
+    // q230: (part, month) unit prices in floored milli-cents, brand's
+    // own min month as base, matched-sample inner join, HUGEINT-safe
+    // numerators cast back to BIGINT.
+    "q230_price_index" ->
+      """WITH pm AS (SELECT l_partkey pk,
+        |        (year(l_shipdate) * 12 + month(l_shipdate) - 1)::BIGINT m,
+        |        ((1000 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)))
+        |          // sum(CAST(round(l_quantity) AS BIGINT)))::BIGINT unit_mc,
+        |        sum(CAST(round(l_quantity) AS BIGINT))::BIGINT sq
+        |      FROM lineitem GROUP BY 1, 2),
+        |bp AS (SELECT p_brand brand, pk, m, unit_mc, sq
+        |      FROM pm JOIN part ON p_partkey = pk),
+        |b0 AS (SELECT brand, min(m) m0 FROM bp GROUP BY 1),
+        |base AS (SELECT bp.brand, pk, sq q0, unit_mc p0
+        |      FROM bp JOIN b0 ON b0.brand = bp.brand AND bp.m = b0.m0)
+        |SELECT bp.brand, bp.m AS month_idx, count(*)::BIGINT AS n_parts,
+        |       ((1000 * sum(CAST(q0 AS HUGEINT) * unit_mc))
+        |          // sum(CAST(q0 AS HUGEINT) * p0))::BIGINT AS index_milli
+        |FROM bp JOIN base ON base.brand = bp.brand AND base.pk = bp.pk
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q231: (part, supplier) agg then the two-pass arg-min the struct
+    // ordering gives Spark in one agg: min unit, then min suppkey
+    // among the minimum-price suppliers.
+    "q231_cheapest_supplier" ->
+      """WITH ps AS (SELECT l_partkey pk, l_suppkey sk,
+        |        ((1000 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)))
+        |          // sum(CAST(round(l_quantity) AS BIGINT)))::BIGINT unit_mc,
+        |        count(*)::BIGINT n_lines
+        |      FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT pk, min(unit_mc) u, count(*)::BIGINT n_suppliers,
+        |        (max(unit_mc) - min(unit_mc))::BIGINT spread_mc
+        |      FROM ps GROUP BY 1)
+        |SELECT m.pk AS p_partkey, min(ps.sk)::BIGINT AS best_suppkey,
+        |       m.u AS best_unit_mc, m.n_suppliers, m.spread_mc
+        |FROM ps JOIN m ON ps.pk = m.pk AND ps.unit_mc = m.u
+        |GROUP BY 1, 3, 4, 5 ORDER BY p_partkey""".stripMargin,
+    // q232: per-source length histogram, strictly-before cumulatives,
+    // Δ/2 moment in HUGEINT, floored milli Gini.
+    "q232_length_gini" ->
+      """WITH h AS (SELECT source, n_chars v, count(*)::BIGINT c
+        |      FROM documents GROUP BY 1, 2),
+        |w AS (SELECT source, v, c,
+        |        COALESCE(sum(c) OVER (PARTITION BY source ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cb,
+        |        COALESCE(sum(c * v) OVER (PARTITION BY source ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) sb
+        |      FROM h)
+        |SELECT source, sum(c)::BIGINT AS n_docs,
+        |       (sum(c * v) // sum(c))::BIGINT AS mean_chars,
+        |       ((1000 * sum(CAST(c AS HUGEINT) * (v * cb - sb)))
+        |          // (CAST(sum(c) AS HUGEINT) * sum(c * v)))::BIGINT
+        |         AS gini_milli
+        |FROM w GROUP BY 1 ORDER BY source""".stripMargin,
   )
 }

@@ -126,6 +126,21 @@ object ScaleProbe {
       }.write.mode("overwrite").parquet(s"$gdir/supplier.parquet")
       println(s"[probe] built 10x graph corpus at $gdir")
     }
+    // part dimension for the round-8 price/procurement probes — its
+    // p_partkey shift MUST mirror the lineitem l_partkey shift above
+    // (same max+1 base from d1), so FK integrity holds per replica.
+    // Separate existence check: graph corpora built by earlier rounds
+    // cached the dir without it.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$gdir/part.parquet/_SUCCESS"))) {
+      val pt = spark.read.parquet(s"$d1/part.parquet")
+      val mp = spark.read.parquet(s"$d1/lineitem.parquet")
+        .agg(max(col("l_partkey"))).head().getLong(0) + 1
+      (0 until 10).map(r =>
+        pt.withColumn("p_partkey", col("p_partkey") + lit(r * mp)))
+        .reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$gdir/part.parquet")
+      println(s"[probe] built 10x part dimension at $gdir")
+    }
     val gqs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("q126_pagerank" -> (Graph.pageRank _),
         // round-7 relational ops ride the same 10× lineitem/orders
@@ -136,6 +151,13 @@ object ScaleProbe {
         // round-8: the three-way basket join and the interval fan-out
         "q227_copurchase_triples" -> (Queries.copurchaseTriples _),
         "q228_backlog_snapshots" -> (Queries.backlogSnapshots _),
+        // round-8d: the cohort triangle (replicas share the calendar,
+        // so the triangle's CELL count stays fixed while cell
+        // populations grow 10× — sub-linear wall is the expectation),
+        // the matched-sample price index, and the per-part arg-min
+        "q229_cohort_ltv" -> (Queries.cohortLtv _),
+        "q230_price_index" -> (Queries.priceIndex _),
+        "q231_cheapest_supplier" -> (Queries.cheapestSupplier _),
         "q127_triangle_counts" -> (Graph.triangleCounts _),
         "q131_bfs_distances" -> (Graph.bfsDistances _),
         "q162_k_core" -> (Graph.kCore _),
@@ -251,7 +273,11 @@ object ScaleProbe {
         "q217_token_budget" -> (Curation.tokenBudgetCutoff _),
         // round-8b: map-only multimodal plans on the same doc corpus
         "q225_tile_grid_plan" -> (Multimodal.tileGridPlan _),
-        "q226_audio_chunk_plan" -> (Multimodal.audioChunkPlan _))
+        "q226_audio_chunk_plan" -> (Multimodal.audioChunkPlan _),
+        // round-8d: per-source Gini — one histogram agg + bounded
+        // windows; the value GRID is shared across replicas so rows
+        // past the first agg don't grow at all
+        "q232_length_gini" -> (Curation.lengthGini _))
     val tratios = (if (fams("text")) tqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       // min-of-2 at 10× too: q191 rides the persisted postings stage,
