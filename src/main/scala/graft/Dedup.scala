@@ -1425,4 +1425,36 @@ object Dedup {
         col("max_bucket"), col("n_singletons"), col("cand_pairs"))
       .orderBy(col("band"))
   }
+
+  /** q238: CROSS-LANGUAGE DUPLICATE CLUSTERS — for every multi-doc
+    * near-dup cluster (persisted q49 labels), how many PREDICTED
+    * languages (q28 heuristic) it mixes, the majority language (count
+    * desc, then lexicographically-last on ties — the max(struct) order,
+    * documented), and the minority share in permille. A cluster that
+    * spans languages is either a translation pair (keep both!) or a
+    * language-ID error — exactly the rows a curation owner must review
+    * before dedup deletes "duplicates" that are actually parallel text.
+    *
+    * Shape at 100 TB: warm consumers read the persisted salted label
+    * stage (zero-rebuild, the q152/q154/q221 contract); the langid
+    * side is one row-local scan; everything downstream is
+    * cluster-keyed aggs on the multi-doc subset. Output ≤ |multi-doc
+    * clusters|. */
+  def clusterLangMix(spark: SparkSession, d: String): DataFrame = {
+    val labels = nearDupClusters(spark, d)
+      .filter(col("cluster_n") > 1)
+      .select(col("doc_id").as("ld"), col("cluster_id"), col("cluster_n"))
+    val pred = TextAnalysis.langId(spark, d).select(col("doc_id"), col("pred"))
+    val byLang = labels.join(pred, col("ld") === col("doc_id"))
+      .groupBy(col("cluster_id"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    byLang.groupBy(col("cluster_id"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("n"), col("pred"))).as("mj"))
+      .select(col("cluster_id"), col("n_docs"), col("n_langs"),
+        col("mj.pred").as("maj_lang"),
+        expr("(1000 * (n_docs - mj.n)) div n_docs").as("minority_pm"))
+      .orderBy(col("cluster_id"))
+  }
 }

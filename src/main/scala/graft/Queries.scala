@@ -2360,4 +2360,249 @@ object Queries {
         col("best.unit_mc").as("best_unit_mc"), col("n_suppliers"),
         col("spread_mc"))
       .orderBy(col("p_partkey"))
+
+  /** Shared (brand, month, revenue-cents) relation for q233/q235: one
+    * (part, month)-free hash-agg over lineitem joined to the part
+    * dimension. Calendar × brand bounded output regardless of fact
+    * row count — the property both consumers' windows lean on. */
+  private def brandMonthRevenue(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d).select(
+        col("l_partkey").as("pk"),
+        expr("CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)")
+          .as("m"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(Tables.part(spark, d).select(col("p_partkey"), col("p_brand")),
+        col("pk") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("m"))
+      .agg(sum(col("cents")).as("rev_cents"))
+
+  /** q233: SEASONAL INDEX — per brand and month, revenue's ratio to the
+    * CENTERED 12-month moving average in exact milli (1000 = on-trend):
+    * the classical ratio-to-moving-average decomposition step, the
+    * demand-planning view that separates "December is big" from "the
+    * brand is growing". Only months whose centered year is fully
+    * observed (12 months present in [m−6, m+5]) are emitted — a RANGE
+    * frame over the numeric month index, so calendar gaps shrink the
+    * count and the completeness filter sees them (a ROWS frame would
+    * silently stretch across gaps).
+    *
+    * Shape at 100 TB: the fact table collapses to the calendar × brand
+    * bounded (brand, month) grid FIRST (one keyed hash-agg); the RANGE
+    * window then runs inside brand partitions of ≤ |calendar| rows —
+    * the q151/q219 bounded-window argument. The ×12000 numerator is
+    * Θ(monthly revenue), routed DECIMAL(38,0) (brand-month cents can
+    * pass 1e15 at scale; ×12000 clears Long). */
+  def seasonalIndex(spark: SparkSession, d: String): DataFrame = {
+    val yr = Window.partitionBy(col("brand")).orderBy(col("m"))
+      .rangeBetween(-6, 5)
+    brandMonthRevenue(spark, d)
+      .withColumn("ma_n", count(lit(1)).over(yr))
+      .withColumn("ma_sum", sum(col("rev_cents")).over(yr))
+      .filter(col("ma_n") === 12)
+      .select(col("brand"), col("m").as("month_idx"), col("rev_cents"),
+        expr("ma_sum div 12").as("ma_cents"),
+        expr("CAST((CAST(12000 AS DECIMAL(38,0)) * rev_cents) div ma_sum" +
+          " AS BIGINT)").as("seasonal_milli"))
+      .orderBy(col("brand"), col("month_idx"))
+  }
+
+  /** q234: SUPPLIER PARETO SKYLINE — suppliers not strictly dominated
+    * on (unit price, ship lag): cheaper-or-equal AND faster-or-equal
+    * with one strict makes a supplier redundant; what survives is the
+    * exact price/speed efficient frontier — the procurement shortlist
+    * query (and the 2-D skyline operator, Börzsönyi et al.'s classic,
+    * which Spark has no native form of). Unit price = floored
+    * milli-cents per unit over the supplier's lines; ship lag = floored
+    * milli-days mean of (l_shipdate − o_orderdate), an orderkey-keyed
+    * fact-fact join.
+    *
+    * Shape at 100 TB: facts collapse to one row per supplier (keyed
+    * hash-agg), then the sort-based skyline: per-price min lag (keyed
+    * agg), and the STRICT-PREFIX running min over price order via the
+    * q73 two-pass machinery — range-repartition on price, pid-local
+    * strictly-before window, ≤|shuffle partitions| pid minima collected
+    * for a driver prefix-min, broadcast back. No partitionless window,
+    * no O(n²) dominance join (that's the ORACLE's formula — NOT EXISTS
+    * — which is exactly what makes the check independent). A supplier
+    * survives iff its lag equals its price-class min AND beats every
+    * strictly-cheaper class's min. Equal (price, lag) twins both
+    * survive (neither strictly dominates). */
+  def supplierSkyline(spark: SparkSession, d: String): DataFrame = {
+    // cached: consumed by the frontier build AND the final survivor join
+    val sup = CacheScope.cached(Tables.lineitem(spark, d).select(
+        col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        col("l_shipdate"))
+      .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("ok") === col("o_orderkey"))
+      .groupBy(col("sk"))
+      .agg(expr("(1000 * sum(cents)) div sum(qty)").as("unit_mc"),
+        // per-line lags can be negative in the corpus tail; the mean's
+        // numerator is sign-decomposed (q235 discipline) so truncation
+        // (Spark div) and floor (DuckDB //) agree
+        expr("CASE WHEN sum(CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)) >= 0" +
+          " THEN (1000 * sum(CAST(datediff(l_shipdate, o_orderdate) AS BIGINT))) div count(1)" +
+          " ELSE -((1000 * -sum(CAST(datediff(l_shipdate, o_orderdate) AS BIGINT))) div count(1)) END")
+          .as("lag_md"),
+        count(lit(1)).as("n_lines")))
+    val byCost = sup.groupBy(col("unit_mc")).agg(min(col("lag_md")).as("cmin"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val local = byCost.repartitionByRange(parts, col("unit_mc"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lmin", min(col("cmin")).over(
+        Window.partitionBy(col("pid")).orderBy(col("unit_mc"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    local.persist()
+    // one bounded row per range partition → driver prefix-min (the q73
+    // offset-table contract: rows ∝ cluster config, not data)
+    val pidMins = local.groupBy(col("pid")).agg(min(col("cmin")).as("pm"))
+      .orderBy(col("pid")).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) Long.MaxValue else r.getLong(1)))
+    CacheScope.adopt(local)
+    val prior = {
+      var acc = Long.MaxValue
+      pidMins.map { case (pid, pm) =>
+        val o = acc; acc = math.min(acc, pm); (pid, o)
+      }
+    }
+    val priorDf = broadcast(
+      spark.createDataFrame(prior.toSeq).toDF("pid", "prior"))
+    val frontier = local.join(priorDf, "pid")
+      // least() skips nulls: strictly-before min within the pid,
+      // folded with the min over all earlier pids (MaxValue = none)
+      .withColumn("strict", least(col("lmin"), col("prior")))
+      .filter(col("cmin") < col("strict"))
+      .select(col("unit_mc").as("f_mc"), col("cmin"))
+    sup.join(broadcast(frontier),
+        col("unit_mc") === col("f_mc") && col("lag_md") === col("cmin"))
+      .select(col("sk").as("suppkey"), col("unit_mc"), col("lag_md"),
+        col("n_lines"))
+      .orderBy(col("suppkey"))
+  }
+
+  /** q235: THEIL-SEN TREND PER BRAND — the robust (median-of-pairwise-
+    * slopes) monthly-revenue trend in exact floored milli-cents/month:
+    * up to 29% of months can be outliers (promo spikes, stockouts)
+    * without moving the estimate, which is why drift monitors prefer it
+    * to least squares. Median = the lower median (rank ⌈n/2⌉ under
+    * (slope, m1, m2) order — fully deterministic, no interpolation).
+    *
+    * Shape at 100 TB: the fact table collapses to the calendar × brand
+    * bounded grid first; the pair self-join (fresh-aliased lineage —
+    * the q196 lesson) and the rank window then touch ≤ C(|calendar|,2)
+    * rows per brand — bounded by the CALENDAR, not the data. Slope
+    * numerators are sign-decomposed (Spark div truncates, DuckDB //
+    * floors; they agree only on non-negative operands) and routed
+    * DECIMAL(38,0). */
+  def theilSenTrend(spark: SparkSession, d: String): DataFrame = {
+    val bm = CacheScope.cached(brandMonthRevenue(spark, d))
+    val a = bm.select(col("brand").as("ba"), col("m").as("m1"),
+      col("rev_cents").as("r1"))
+    val b = bm.select(col("brand").as("bb"), col("m").as("m2"),
+      col("rev_cents").as("r2"))
+    val pairs = a.join(b, col("ba") === col("bb") && col("m2") > col("m1"))
+      .select(col("ba").as("brand"), col("m1"), col("m2"),
+        when(col("r2") >= col("r1"),
+          expr("CAST((CAST(1000 AS DECIMAL(38,0)) * (r2 - r1))" +
+            " div (m2 - m1) AS BIGINT)"))
+        .otherwise(-expr("CAST((CAST(1000 AS DECIMAL(38,0)) * (r1 - r2))" +
+            " div (m2 - m1) AS BIGINT)")).as("slope"))
+    val months = bm.groupBy(col("brand").as("mb"))
+      .agg(count(lit(1)).as("n_months"))
+    val w = Window.partitionBy(col("brand"))
+      .orderBy(col("slope"), col("m1"), col("m2"))
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(col("brand"))))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .join(broadcast(months), col("brand") === col("mb"))
+      .select(col("brand"), col("n_months"), col("n_pairs"),
+        col("slope").as("trend_milli_per_month"))
+      .orderBy(col("brand"))
+  }
+
+  /** First-K-events cap per (user, day) session for q237 — bounds the
+    * per-session C(k,3) subsequence fan-out at C(24,3) = 2,024. */
+  val SeqCap = 24
+  /** Minimum session support for an emitted pattern. */
+  val SeqMinSup = 3L
+
+  /** q237: GAPPED SEQUENTIAL TRIPLE PATTERNS — ordered event-type
+    * triples (a before b before c, gaps allowed) and the number of
+    * (user, day) sessions supporting each, the PrefixSpan-style
+    * sequential-pattern question q130 (adjacent transitions) and q181
+    * (contiguous paths) cannot answer: "signup … THEN view … THEN
+    * purchase, whatever happened in between".
+    *
+    * Shape at 100 TB: positions come from a (user, day)-PARTITIONED
+    * row_number (keyed window), capped at the first SeqCap events —
+    * the documented loss is patterns occurring only past position 24
+    * of a session, and the gain is a hard C(24,3) per-session bound
+    * on the triple fan-out. Enumeration is two session-keyed
+    * equi-joins on the capped relation (never a cartesian), deduped
+    * per session BEFORE support counting (support = sessions, not
+    * occurrences — one spammy session can't promote a pattern). The
+    * final support table is alphabet³-bounded regardless of corpus
+    * size. */
+  def eventSeqTriples(spark: SparkSession, d: String): DataFrame = {
+    val pos = CacheScope.cached(Tables.eventsNs(spark, d)
+      .select(col("user_id").as("u"), expr("ts div 86400000000000").as("day"),
+        col("event_type").as("t"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("u"), col("day"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= SeqCap)
+      .select(col("u"), col("day"), col("t"), col("rn")))
+    val a = pos.select(col("u").as("u1"), col("day").as("d1"),
+      col("t").as("t1"), col("rn").as("p1"))
+    val b = pos.select(col("u").as("u2"), col("day").as("d2"),
+      col("t").as("t2"), col("rn").as("p2"))
+    val c = pos.select(col("u").as("u3"), col("day").as("d3"),
+      col("t").as("t3"), col("rn").as("p3"))
+    a.join(b, col("u1") === col("u2") && col("d1") === col("d2") &&
+        col("p2") > col("p1"))
+      .join(c, col("u1") === col("u3") && col("d1") === col("d3") &&
+        col("p3") > col("p2"))
+      .select(col("u1"), col("d1"), col("t1"), col("t2"), col("t3"))
+      .distinct()
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= SeqMinSup)
+      .orderBy(col("t1"), col("t2"), col("t3"))
+  }
+
+  /** q239: PERFECT-ORDER RATE PER MONTH — the classic fulfillment KPI:
+    * share of orders (permille) whose EVERY line shipped within 30
+    * days of ordering, plus the mean worst-line lag in exact floored
+    * milli-days. The all-lines quantifier is what makes this an
+    * order-grain aggregate, not a line filter.
+    *
+    * Shape at 100 TB: one orderkey-keyed fact-fact join (co-partitioned
+    * shuffle), one per-order max agg, one calendar-bounded month agg.
+    * Never materializes anything bigger than |orders|. */
+  def perfectOrderRate(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_shipdate"))
+      .join(Tables.orders(spark, d).select(col("o_orderkey"),
+        col("o_orderdate"),
+        expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)")
+          .as("m")), col("ok") === col("o_orderkey"))
+      .groupBy(col("ok"), col("m"))
+      .agg(max(expr("CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)"))
+        .as("worst_lag"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("worst_lag") <= 30L, 1L).otherwise(0L)).as("n_perfect"),
+        // lags go NEGATIVE in the corpus tail (lines shipping before
+        // the recorded order date) — sign-decomposed like q235 so
+        // Spark's truncating div and DuckDB's flooring // agree
+        expr("CASE WHEN sum(worst_lag) >= 0" +
+          " THEN (1000 * sum(worst_lag)) div count(1)" +
+          " ELSE -((1000 * -sum(worst_lag)) div count(1)) END")
+          .as("mean_worst_lag_md"))
+      .select(col("m").as("month_idx"), col("n_orders"), col("n_perfect"),
+        expr("(1000 * n_perfect) div n_orders").as("perfect_pm"),
+        col("mean_worst_lag_md"))
+      .orderBy(col("month_idx"))
 }

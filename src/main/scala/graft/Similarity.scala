@@ -734,4 +734,61 @@ object Similarity {
         coalesce(expr("1000000 div rank_int8"), lit(0L)).as("rr_int8_micro"))
       .orderBy(col("q_id"))
   }
+
+  /** q236: nDCG@5 EVAL — graded, position-discounted quality of the
+    * LSH (q27) and int8 (q48) top-5 lists against the exact top-5
+    * (q26): gain(neighbor) = 3 if it is the true rank-1, 2 for true
+    * ranks 2-3, 1 for 4-5, 0 if outside the exact list; DCG = Σ gain ·
+    * discount(position) with the 1/log₂(pos+1) discounts HARDCODED as
+    * integer micro constants (the q211 Benford move — no cross-engine
+    * log arithmetic, and the table is five numbers). iDCG comes from
+    * the query's own exact list (its gains are already rank-monotone,
+    * so exact order IS ideal order), and nDCG = (1000·DCG) div iDCG in
+    * milli. Completes the retrieval-eval suite: q146 recall@5 (set
+    * overlap), q196 MRR (first hit), q236 nDCG (whole-list order).
+    *
+    * Shape at 100 TB: all three inputs are the production top-k plans;
+    * everything downstream is query-cardinality (≤ 5 rows per query per
+    * list) — two (q_id, neighbor) hash joins and two bounded aggs. The
+    * eval adds no corpus-sized work. */
+  def ndcgEval(spark: SparkSession, d: String): DataFrame = {
+    // position → micro discount: floor(1e6 / log2(pos+1))
+    val disc = "CASE %s WHEN 1 THEN 1000000 WHEN 2 THEN 630929 " +
+      "WHEN 3 THEN 500000 WHEN 4 THEN 430676 ELSE 386852 END"
+    val gain = "CASE WHEN %s = 1 THEN 3 WHEN %s <= 3 THEN 2 ELSE 1 END"
+    val exact = CacheScope.cached(bruteForceTopK(spark, d)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("rpos"))
+      .select(col("q_id"), col("neighbor_id"),
+        expr(gain.format("rpos", "rpos")).cast("long").as("g"),
+        col("rpos")))
+    val ideal = exact.groupBy(col("q_id"))
+      .agg(sum(expr(s"g * ${disc.format("rpos")}")).as("idcg_micro"))
+    // each branch re-aliases the gains relation — fresh exprIds keep
+    // the (q_id, neighbor) equi-joins hash joins (the q196 lesson)
+    def dcgOf(ap: DataFrame, qc: String, dc: String): DataFrame =
+      ap.select(col("q_id").as(qc), col("neighbor_id").as(s"nb_$dc"),
+          col("rank").as(s"pos_$dc"))
+        .join(exact.select(col("q_id").as(s"gq_$dc"),
+            col("neighbor_id").as(s"gn_$dc"), col("g").as(s"g_$dc")),
+          col(qc) === col(s"gq_$dc") && col(s"nb_$dc") === col(s"gn_$dc"),
+          "left")
+        // pos_<dc> is unique per (query, position): the left join can
+        // only match one gains row, so the sum below is duplicate-free
+        .groupBy(col(qc))
+        .agg(sum(coalesce(col(s"g_$dc"), lit(0L)) *
+          expr(disc.format(s"pos_$dc"))).as(dc))
+    ideal
+      .join(dcgOf(lshTopK(spark, d), "ql", "dcg_lsh_micro"),
+        col("q_id") === col("ql"), "left")
+      .join(dcgOf(int8TopK(spark, d), "q8", "dcg_int8_micro"),
+        col("q_id") === col("q8"), "left")
+      .select(col("q_id"), col("idcg_micro"),
+        coalesce(col("dcg_lsh_micro"), lit(0L)).as("dcg_lsh_micro"),
+        expr("coalesce((1000 * dcg_lsh_micro) div idcg_micro, 0)")
+          .as("ndcg_lsh_milli"),
+        coalesce(col("dcg_int8_micro"), lit(0L)).as("dcg_int8_micro"),
+        expr("coalesce((1000 * dcg_int8_micro) div idcg_micro, 0)")
+          .as("ndcg_int8_milli"))
+      .orderBy(col("q_id"))
+  }
 }

@@ -556,6 +556,20 @@ object SparkEntry {
     "q231_cheapest_supplier" -> (Queries.cheapestSupplier _),
     // exact Gini of the per-source document-length distribution
     "q232_length_gini" -> (Curation.lengthGini _),
+    // ratio-to-centered-12-month-MA seasonal index per brand, exact milli
+    "q233_seasonal_index" -> (Queries.seasonalIndex _),
+    // (unit price, ship lag) Pareto frontier of suppliers — 2-D skyline
+    "q234_supplier_skyline" -> (Queries.supplierSkyline _),
+    // robust Theil-Sen monthly-revenue trend per brand (median pair slope)
+    "q235_theilsen_trend" -> (Queries.theilSenTrend _),
+    // graded position-discounted nDCG@5 of the LSH/int8 ANN paths
+    "q236_ndcg_eval" -> (Similarity.ndcgEval _),
+    // gapped ordered event-type triples with session support counts
+    "q237_event_seq_triples" -> (Queries.eventSeqTriples _),
+    // near-dup clusters mixing predicted languages (translation pairs)
+    "q238_cluster_lang_mix" -> (Dedup.clusterLangMix _),
+    // all-lines-shipped-within-30d perfect-order rate per month
+    "q239_perfect_order" -> (Queries.perfectOrderRate _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -4339,5 +4353,173 @@ object SparkEntry {
         |          // (CAST(sum(c) AS HUGEINT) * sum(c * v)))::BIGINT
         |         AS gini_milli
         |FROM w GROUP BY 1 ORDER BY source""".stripMargin,
+    // q233: brand-month grid first, centered-year RANGE frame, full-
+    // window filter, HUGEINT-safe milli ratio.
+    "q233_seasonal_index" ->
+      """WITH bm AS (SELECT p_brand brand,
+        |        (year(l_shipdate) * 12 + month(l_shipdate) - 1)::BIGINT m,
+        |        sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |          rev_cents
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      GROUP BY 1, 2),
+        |w AS (SELECT brand, m, rev_cents,
+        |        count(*) OVER win cnt, sum(rev_cents) OVER win s
+        |      FROM bm WINDOW win AS (PARTITION BY brand ORDER BY m
+        |        RANGE BETWEEN 6 PRECEDING AND 5 FOLLOWING))
+        |SELECT brand, m AS month_idx, rev_cents,
+        |       (s // 12)::BIGINT AS ma_cents,
+        |       ((CAST(12000 AS HUGEINT) * rev_cents) // s)::BIGINT
+        |         AS seasonal_milli
+        |FROM w WHERE cnt = 12 ORDER BY brand, month_idx""".stripMargin,
+    // q234: supplier aggregates once, then the O(n²) NOT EXISTS
+    // dominance test — deliberately a DIFFERENT formula from the
+    // engine's sort-based prefix-min skyline.
+    "q234_supplier_skyline" ->
+      """WITH s AS (SELECT l_suppkey sk,
+        |        ((1000 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)))
+        |          // sum(CAST(round(l_quantity) AS BIGINT)))::BIGINT unit_mc,
+        |        (CASE WHEN sum(date_diff('day', CAST(o_orderdate AS DATE),
+        |            CAST(l_shipdate AS DATE))) >= 0
+        |          THEN (1000 * sum(date_diff('day', CAST(o_orderdate AS DATE),
+        |            CAST(l_shipdate AS DATE)))) // count(*)
+        |          ELSE -((1000 * -sum(date_diff('day', CAST(o_orderdate AS DATE),
+        |            CAST(l_shipdate AS DATE)))) // count(*)) END)::BIGINT lag_md,
+        |        count(*)::BIGINT n_lines
+        |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |      GROUP BY 1)
+        |SELECT a.sk AS suppkey, a.unit_mc, a.lag_md, a.n_lines
+        |FROM s a WHERE NOT EXISTS (SELECT 1 FROM s b
+        |  WHERE b.unit_mc <= a.unit_mc AND b.lag_md <= a.lag_md
+        |    AND (b.unit_mc < a.unit_mc OR b.lag_md < a.lag_md))
+        |ORDER BY suppkey""".stripMargin,
+    // q235: calendar-bounded pair slopes, sign-decomposed floors,
+    // lower-median pick by deterministic rank.
+    "q235_theilsen_trend" ->
+      """WITH bm AS (SELECT p_brand brand,
+        |        (year(l_shipdate) * 12 + month(l_shipdate) - 1)::BIGINT m,
+        |        sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |          rev_cents
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      GROUP BY 1, 2),
+        |p AS (SELECT a.brand, a.m m1, b.m m2,
+        |        (CASE WHEN b.rev_cents >= a.rev_cents
+        |          THEN (CAST(1000 AS HUGEINT) * (b.rev_cents - a.rev_cents))
+        |            // (b.m - a.m)
+        |          ELSE -((CAST(1000 AS HUGEINT) * (a.rev_cents - b.rev_cents))
+        |            // (b.m - a.m)) END)::BIGINT slope
+        |      FROM bm a JOIN bm b ON a.brand = b.brand AND b.m > a.m),
+        |r AS (SELECT brand, m1, m2, slope,
+        |        row_number() OVER (PARTITION BY brand
+        |          ORDER BY slope, m1, m2) rk,
+        |        count(*) OVER (PARTITION BY brand) np
+        |      FROM p),
+        |mo AS (SELECT brand, count(*)::BIGINT n_months FROM bm GROUP BY 1)
+        |SELECT r.brand, n_months, np::BIGINT AS n_pairs,
+        |       slope AS trend_milli_per_month
+        |FROM r JOIN mo ON mo.brand = r.brand
+        |WHERE rk = (np + 1) // 2
+        |ORDER BY r.brand""".stripMargin,
+    // q236: gains from the exact list, hardcoded micro discounts
+    // (⌊1e6/log₂(pos+1)⌋ — the q211 constant-table move), left joins
+    // keep missed neighbors at gain 0.
+    "q236_ndcg_eval" ->
+      s"""WITH ex AS (SELECT q_id, neighbor_id,
+         |        (CASE WHEN rank = 1 THEN 3 WHEN rank <= 3 THEN 2
+         |          ELSE 1 END)::BIGINT g, rank
+         |      FROM ($BruteTopkSql)),
+         |dt(pos, dm) AS (VALUES (1, 1000000), (2, 630929), (3, 500000),
+         |      (4, 430676), (5, 386852)),
+         |id AS (SELECT q_id, sum(g * dm)::BIGINT idcg_micro
+         |      FROM ex JOIN dt ON dt.pos = ex.rank GROUP BY 1),
+         |dl AS (SELECT l.q_id, sum(COALESCE(e.g, 0) * dm)::BIGINT dcg
+         |      FROM ($LshTopkSql) l JOIN dt ON dt.pos = l.rank
+         |        LEFT JOIN ex e ON e.q_id = l.q_id
+         |          AND e.neighbor_id = l.neighbor_id
+         |      GROUP BY 1),
+         |d8 AS (SELECT i.q_id, sum(COALESCE(e.g, 0) * dm)::BIGINT dcg
+         |      FROM ($Int8TopkSql) i JOIN dt ON dt.pos = i.rank
+         |        LEFT JOIN ex e ON e.q_id = i.q_id
+         |          AND e.neighbor_id = i.neighbor_id
+         |      GROUP BY 1)
+         |SELECT id.q_id, idcg_micro,
+         |       COALESCE(dl.dcg, 0)::BIGINT AS dcg_lsh_micro,
+         |       COALESCE((1000 * dl.dcg) // idcg_micro, 0)::BIGINT
+         |         AS ndcg_lsh_milli,
+         |       COALESCE(d8.dcg, 0)::BIGINT AS dcg_int8_micro,
+         |       COALESCE((1000 * d8.dcg) // idcg_micro, 0)::BIGINT
+         |         AS ndcg_int8_milli
+         |FROM id LEFT JOIN dl ON dl.q_id = id.q_id
+         |  LEFT JOIN d8 ON d8.q_id = id.q_id
+         |ORDER BY id.q_id""".stripMargin,
+    // q237: capped session positions, two ordered self-joins, distinct
+    // per session BEFORE support counting, min-support filter.
+    "q237_event_seq_triples" ->
+      // (`day` is reserved in DuckDB — the session day column is `dy`)
+      """WITH e AS (SELECT user_id u, epoch_ns(ts) // 86400000000000 dy,
+        |        event_type t, ts, event_id FROM events),
+        |p AS (SELECT u, dy, t, row_number() OVER (PARTITION BY u, dy
+        |        ORDER BY ts, event_id) rn FROM e),
+        |cp AS (SELECT u, dy, t, rn FROM p WHERE rn <= 24),
+        |tr AS (SELECT DISTINCT a.u, a.dy, a.t t1, b.t t2, c.t t3
+        |      FROM cp a
+        |      JOIN cp b ON b.u = a.u AND b.dy = a.dy AND b.rn > a.rn
+        |      JOIN cp c ON c.u = a.u AND c.dy = a.dy AND c.rn > b.rn)
+        |SELECT t1, t2, t3, count(*)::BIGINT AS support
+        |FROM tr GROUP BY 1, 2, 3 HAVING count(*) >= 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // q238: the q49 label recurrence + the q28 language heuristic,
+    // majority by (count desc, pred desc) row_number — the same order
+    // max(struct(n, pred)) induces.
+    "q238_cluster_lang_mix" ->
+      s"""WITH $NearDupClusterCte,
+         |td AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk2
+         |       FROM documents),
+         |lp AS (SELECT doc_id,
+         |        CASE WHEN len(list_filter(tk2, x -> x IN
+         |            ('the','a','of','and','is','to','in'))) >=
+         |          len(list_filter(tk2, x -> x IN
+         |            ('der','die','das','und','ist','zu','ein')))
+         |          AND len(list_filter(tk2, x -> x IN
+         |            ('the','a','of','and','is','to','in'))) >=
+         |          len(list_filter(tk2, x -> x IN
+         |            ('el','la','de','y','es','un','en'))) THEN 'en'
+         |        WHEN len(list_filter(tk2, x -> x IN
+         |            ('der','die','das','und','ist','zu','ein'))) >=
+         |          len(list_filter(tk2, x -> x IN
+         |            ('el','la','de','y','es','un','en'))) THEN 'de'
+         |        ELSE 'es' END pred
+         |      FROM td),
+         |m AS (SELECT lbl.cluster_id, pred, count(*)::BIGINT n
+         |      FROM lbl JOIN cn ON cn.cluster_id = lbl.cluster_id
+         |        JOIN lp ON lp.doc_id = lbl.doc_id
+         |      WHERE cn.cluster_n > 1 GROUP BY 1, 2),
+         |top AS (SELECT cluster_id, pred, n,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY n DESC, pred DESC) rk,
+         |        sum(n) OVER (PARTITION BY cluster_id) tot,
+         |        count(*) OVER (PARTITION BY cluster_id) nl
+         |      FROM m)
+         |SELECT cluster_id, tot::BIGINT AS n_docs, nl::BIGINT AS n_langs,
+         |       pred AS maj_lang,
+         |       ((1000 * (tot - n)) // tot)::BIGINT AS minority_pm
+         |FROM top WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+    // q239: per-order worst line lag (orderkey-keyed), month rollup,
+    // HUGEINT-safe permille/milli ratios.
+    "q239_perfect_order" ->
+      """WITH x AS (SELECT l_orderkey ok,
+        |        (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT m,
+        |        max(date_diff('day', CAST(o_orderdate AS DATE),
+        |          CAST(l_shipdate AS DATE))) wl
+        |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |      GROUP BY 1, 2)
+        |SELECT m AS month_idx, count(*)::BIGINT AS n_orders,
+        |       sum(CASE WHEN wl <= 30 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_perfect,
+        |       ((1000 * sum(CASE WHEN wl <= 30 THEN 1 ELSE 0 END))
+        |          // count(*))::BIGINT AS perfect_pm,
+        |       (CASE WHEN sum(wl) >= 0 THEN (1000 * sum(wl)) // count(*)
+        |          ELSE -((1000 * -sum(wl)) // count(*)) END)::BIGINT
+        |         AS mean_worst_lag_md
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

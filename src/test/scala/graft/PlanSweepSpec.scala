@@ -99,7 +99,12 @@ class PlanSweepSpec extends SparkSpec {
     "q215_classifier_kappa" -> 7,
     // q219: the |sources|×|length-grid| zero-fill cross join — both
     // sides alphabet/value-domain bounded by construction
-    "q219_source_length_drift" -> 1)
+    "q219_source_length_drift" -> 1,
+    // q236: like q196 it re-instantiates the documented bounded
+    // baselines — the q26 truth plan (10 broadcast queries × corpus)
+    // once for the ideal side and once per DCG branch, plus the q48
+    // coarse pass
+    "q236_ndcg_eval" -> 4)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

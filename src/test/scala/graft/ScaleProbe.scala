@@ -78,7 +78,9 @@ object ScaleProbe {
     // its first 10x pass pays that build; min-of-2 below measures warm)
     val q8: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("q221_dedup_yield" -> (Dedup.dedupYield _),
-        "q222_lsh_bucket_balance" -> (Dedup.lshBucketBalance _))
+        "q222_lsh_bucket_balance" -> (Dedup.lshBucketBalance _),
+        // round-8f: warm persisted labels + row-local langid scan
+        "q238_cluster_lang_mix" -> (Dedup.clusterLangMix _))
     val ratios8 = (if (fams("dedup8")) q8 else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = math.min(time(name, fn, d10), time(name, fn, d10))
@@ -158,6 +160,13 @@ object ScaleProbe {
         "q229_cohort_ltv" -> (Queries.cohortLtv _),
         "q230_price_index" -> (Queries.priceIndex _),
         "q231_cheapest_supplier" -> (Queries.cheapestSupplier _),
+        // round-8e: the calendar-grid windows (cells fixed across
+        // replicas) and the sort-based skyline over supplier aggs
+        "q233_seasonal_index" -> (Queries.seasonalIndex _),
+        "q234_supplier_skyline" -> (Queries.supplierSkyline _),
+        "q235_theilsen_trend" -> (Queries.theilSenTrend _),
+        // round-8f: the all-lines order-grain quantifier
+        "q239_perfect_order" -> (Queries.perfectOrderRate _),
         "q127_triangle_counts" -> (Graph.triangleCounts _),
         "q131_bfs_distances" -> (Graph.bfsDistances _),
         "q162_k_core" -> (Graph.kCore _),
@@ -205,7 +214,9 @@ object ScaleProbe {
         "q201_locf_features" -> (Queries.locfFeatures _),
         // round-8: calendar-bounded driver fold + percentile histograms
         "q223_kaplan_meier" -> (Queries.kaplanMeier _),
-        "q224_funnel_latency" -> (Queries.funnelLatency _))
+        "q224_funnel_latency" -> (Queries.funnelLatency _),
+        // round-8f: capped C(24,3) session fan-out, alphabet³ output
+        "q237_event_seq_triples" -> (Queries.eventSeqTriples _))
     val eratios = (if (fams("events")) eqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, edir)
@@ -241,7 +252,10 @@ object ScaleProbe {
         // mutual-NN probes the persisted-IVF cell self-join (q115's
         // cost contract) plus the reciprocity join; min-of-2 so the
         // warm zero-refit path is measured like the other index users
-        "q172_mutual_nn" -> (Similarity.mutualNn _))
+        "q172_mutual_nn" -> (Similarity.mutualNn _),
+        // round-8e: all three top-k inputs re-run at 10×; the eval
+        // arithmetic itself is query-bounded (≤ 5 rows per list)
+        "q236_ndcg_eval" -> (Similarity.ndcgEval _))
     val aratios = (if (fams("ann")) aqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = math.min(time(name, fn, vdir), time(name, fn, vdir))
