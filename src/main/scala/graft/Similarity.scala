@@ -791,4 +791,64 @@ object Similarity {
           .as("ndcg_int8_milli"))
       .orderBy(col("q_id"))
   }
+
+  /** Fixed power-iteration rounds for q240 — fixed, so the whole
+    * recurrence is an exact integer program any engine replays. */
+  val PowerRounds = 8
+
+  /** q240: PRINCIPAL DIRECTION of the corpus embedding cloud — the top
+    * eigenvector of the exact int8 Gram matrix Σ q·qᵀ (q48's
+    * quantization) in milli units, plus its Rayleigh quotient: the
+    * spectral diagnostic behind whitening, anisotropy checks ("is this
+    * embedding space collapsing to one direction?") and PCA-based
+    * index design. All arithmetic is EXACT: quantized products are
+    * small integers, the Gram is one [[graft.functions.GramAgg]] pass
+    * (d×d long buffer, mergeable partials — never a d²-exploded
+    * shuffle), and the 8 power-iteration rounds run on the driver over
+    * the collected d² = 4,096 longs (the IvfIndex bounded-collect
+    * contract) with sign-decomposed integer rescaling to max|v| = 1000
+    * each round — bit-replayable by the DuckDB oracle's chained CTEs.
+    *
+    * Shape at 100 TB: ONE scan of the embeddings with a 32 KB
+    * aggregation buffer per partition; everything after is O(d²)
+    * driver work. Gram entries stay exact in BIGINT through ~5.7e14
+    * rows (|q| ≤ 127). Precondition: a non-zero corpus (the all-zero
+    * Gram has no direction; real embedding tables aren't). */
+  def principalDirection(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GramAgg
+    val dim = 64
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    val quant = transform(col("v"), x =>
+      when(x >= 0, floor(abs(x * col("sc")) + lit(0.5)))
+        .otherwise(-floor(abs(x * col("sc")) + lit(0.5))))
+      .cast("array<long>")
+    val g = withNorm(Tables.embeddings(spark, d))
+      .withColumn("ma", maxabs).filter(col("ma") > 0)
+      .withColumn("sc", lit(127.0) / col("ma"))
+      .select(GramAgg.gram(quant, dim).as("g"))
+      .head().getSeq[Long](0).toArray
+    def matVec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dim) { i =>
+        var acc = BigInt(0); var j = 0
+        while (j < dim) { acc += BigInt(g(i * dim + j)) * v(j); j += 1 }
+        acc
+      }
+    var v = Array.fill(dim)(BigInt(1000))
+    for (_ <- 1 to PowerRounds) {
+      val w = matVec(v)
+      val m = w.map(_.abs).max
+      v = w.map(x =>
+        if (x.signum >= 0) (BigInt(1000) * x) / m
+        else -((BigInt(1000) * -x) / m))
+    }
+    val gv = matVec(v)
+    val num = (0 until dim).map(i => v(i) * gv(i)).sum // vᵀGv ≥ 0 (PSD)
+    val den = v.map(x => x * x).sum
+    val ray = (BigInt(1000) * num) / den
+    import spark.implicits._
+    v.zipWithIndex.toSeq
+      .map { case (x, i) => (i.toLong, x.toLong, ray.toLong) }
+      .toDF("dim", "v_milli", "rayleigh_milli")
+      .orderBy(col("dim"))
+  }
 }

@@ -570,6 +570,8 @@ object SparkEntry {
     "q238_cluster_lang_mix" -> (Dedup.clusterLangMix _),
     // all-lines-shipped-within-30d perfect-order rate per month
     "q239_perfect_order" -> (Queries.perfectOrderRate _),
+    // top eigenvector of the exact int8 Gram (GramAgg + power iteration)
+    "q240_principal_direction" -> (Similarity.principalDirection _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -4521,5 +4523,45 @@ object SparkEntry {
         |          ELSE -((1000 * -sum(wl)) // count(*)) END)::BIGINT
         |         AS mean_worst_lag_md
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q240: q48's quantization, the Gram via a generate_series pair
+    // grid (materialized — the q162 lesson), then the EXACT integer
+    // power-iteration recurrence as chained CTEs with sign-decomposed
+    // rescaling to max|v| = 1000 per round.
+    "q240_principal_direction" -> {
+      // every round CTE is MATERIALIZED: each vN is referenced 3× by
+      // round N+1 (join + two scalar subqueries) — plain CTEs inline,
+      // and the chain re-expands 3^rounds (the q162 lesson, measured
+      // here as a parity hang before the keyword went in)
+      val rounds = (1 to Similarity.PowerRounds).map { r =>
+        s"""w$r AS MATERIALIZED (SELECT g.i, sum(g.gv * v${r - 1}.x) w
+           |      FROM g JOIN v${r - 1} ON v${r - 1}.i = g.j GROUP BY 1),
+           |v$r AS MATERIALIZED (SELECT i,
+           |      CASE WHEN w >= 0 THEN (1000 * w) // (SELECT max(abs(w)) FROM w$r)
+           |        ELSE -((1000 * -w) // (SELECT max(abs(w)) FROM w$r)) END x
+           |      FROM w$r)""".stripMargin
+      }.mkString(",\n")
+      val last = s"v${Similarity.PowerRounds}"
+      s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings),
+         |s AS (SELECT v,
+         |      127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
+         |      FROM e
+         |      WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0),
+         |q8 AS (SELECT list_transform(v, x ->
+         |        (CASE WHEN x >= 0 THEN floor(abs(x * sc) + 0.5)
+         |          ELSE -floor(abs(x * sc) + 0.5) END)::BIGINT) q FROM s),
+         |g AS MATERIALIZED (SELECT i.i, j.j, sum(q[i.i] * q[j.j])::HUGEINT gv
+         |      FROM q8, generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+         |      GROUP BY 1, 2),
+         |v0 AS (SELECT i, 1000::HUGEINT x FROM generate_series(1, 64) t(i)),
+         |$rounds,
+         |wf AS (SELECT g.i, sum(g.gv * $last.x) w
+         |      FROM g JOIN $last ON $last.i = g.j GROUP BY 1),
+         |ray AS (SELECT ((1000 * sum(wf.w * $last.x))
+         |        // (SELECT sum(x * x) FROM $last))::BIGINT r
+         |      FROM wf JOIN $last ON $last.i = wf.i)
+         |SELECT ($last.i - 1)::BIGINT AS dim, $last.x::BIGINT AS v_milli,
+         |       ray.r AS rayleigh_milli
+         |FROM $last, ray ORDER BY dim""".stripMargin
+    },
   )
 }

@@ -255,7 +255,10 @@ object ScaleProbe {
         "q172_mutual_nn" -> (Similarity.mutualNn _),
         // round-8e: all three top-k inputs re-run at 10×; the eval
         // arithmetic itself is query-bounded (≤ 5 rows per list)
-        "q236_ndcg_eval" -> (Similarity.ndcgEval _))
+        "q236_ndcg_eval" -> (Similarity.ndcgEval _),
+        // round-8g: one GramAgg scan (32 KB buffer) + O(d²) driver
+        // iteration — expect scan-bound, ≈ linear at worst
+        "q240_principal_direction" -> (Similarity.principalDirection _))
     val aratios = (if (fams("ann")) aqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = math.min(time(name, fn, vdir), time(name, fn, vdir))
