@@ -73,6 +73,40 @@ object EventStream {
       .agg(count(lit(1)).as("wau"), sum(col("n")).as("n_events"))
       .select(col("window.end").as("win_end"), col("wau"), col("n_events"))
 
+  /** q206's STREAMING twin: per event-time DAY and experiment, exact
+    * per-arm distinct-user assignment counts and the sample-ratio-
+    * mismatch chi-square in milli — the live experiment guardrail
+    * (an SRM fires within a day of a bad rollout, not at the weekly
+    * batch readout). Same chained stateful-agg shape as
+    * [[slidingActive]]: the first aggregation groups by (1-day window,
+    * exp, arm, user) — the exact DISTINCT step, state bounded by
+    * |daily active users|·|experiments| live rows, watermark-evicted;
+    * the second collapses to per-(window, exp) arm counts. The
+    * assignment hash is q206's overflow-safe replayable split. The
+    * twin emits the two-arm closed form (1000·(n_a−n_b)²) div
+    * (n_a+n_b); with n = n_a+n_b this differs from the sum of q206's
+    * two per-arm floors by at most one milli (floor(x/n) vs
+    * 2·floor(x/2n)) — both the agreement and the ≤1 bound are pinned
+    * in the spec. */
+  def srmMonitor(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("user_id"),
+        explode(sequence(lit(0L), lit(4L))).as("exp"))
+      .withColumn("arm", when(expr(
+        "((user_id % 1000000007 + exp * 1000003) * 2654435761) % 1000") < 500L,
+        lit("a")).otherwise(lit("b")))
+      .groupBy(window(col("ts"), "1 day"), col("exp"), col("arm"),
+        col("user_id"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("window"), col("exp"))
+      .agg(sum(when(col("arm") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "b", 1L).otherwise(0L)).as("n_b"))
+      .select(col("window.start").as("day_start"), col("exp"),
+        (col("n_a") + col("n_b")).as("n_users"), col("n_a"), col("n_b"),
+        expr("(1000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)")
+          .as("srm_chi2_milli"))
+
   /** q19 sessionization on Spark 4's `transformWithState` — the
     * arbitrary-stateful-processing API that replaces
     * flatMapGroupsWithState (explicit typed state handles, event-time

@@ -390,4 +390,56 @@ class EventStreamSpec extends SparkSpec {
       c.foreach(x => assert(x >= v)); (c zip p).foreach { case (x, y) => assert(y >= x) }
     }
   }
+
+  test("SRM monitor: chained stateful aggs, stream closed windows equal batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val DayMs = 86400000L
+    def dayTs(day: Long, min: Long): Timestamp =
+      new Timestamp(day * DayMs + min * 60000L)
+    // 40 users across two days (some active both days, some once; a
+    // repeat event the same day exercises the distinct step)
+    val evs = (for {
+      u <- 1L to 40L
+      day <- Seq(100L) ++ (if (u % 3 == 0) Seq(101L) else Nil)
+    } yield Event(u * 1000 + day, dayTs(day, u % 60), u, "click", 1.0)) ++
+      Seq(Event(7, dayTs(100, 30), 5, "click", 1.0), // same-day repeat
+        // sentinel: advances the watermark past both real days
+        Event(9, dayTs(130, 0), 99, "click", 1.0))
+    val mem = MemoryStream[Event]
+    val q = EventStream.srmMonitor(mem.toDF())
+      .writeStream.format("memory").queryName("srm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(Event(10, dayTs(131, 0), 98, "click", 1.0))
+      q.processAllAvailable()
+      val stream = spark.table("srm_out")
+        .as[(Timestamp, Long, Long, Long, Long, Long)].collect().toSet
+      val batch = EventStream.srmMonitor(evs.toDF())
+        .as[(Timestamp, Long, Long, Long, Long, Long)].collect().toSet
+      assert(stream.subsetOf(batch))
+      val realSpan = batch.filter(_._1.getTime <= 102L * DayMs)
+      assert(realSpan.subsetOf(stream), "all real-day windows closed and exact")
+      // local recompute: day-100 row of every experiment — 40 distinct
+      // users hashed with q206's split (the repeat event must not count)
+      // q206's split; operands here never overflow or go negative
+      // (u ≤ 40), so Scala % ≡ SQL % on this domain
+      def arm(u: Long, e: Long): String =
+        if (((u % 1000000007L + e * 1000003L) * 2654435761L) % 1000L < 500L)
+          "a" else "b"
+      for (e <- 0L to 4L) {
+        val na = (1L to 40L).count(u => arm(u, e) == "a").toLong
+        val nb = 40L - na
+        val chi = 1000L * (na - nb) * (na - nb) / 40L
+        assert(stream.contains(
+          (new Timestamp(100L * DayMs), e, 40L, na, nb, chi)),
+          s"exp $e: expected (40, $na, $nb, $chi)")
+        // the ≤1-milli floor interplay vs q206's per-arm contributions
+        val perArm = 2L * (1000L * (na - nb) * (na - nb) / 80L)
+        assert(chi - perArm >= 0L && chi - perArm <= 1L)
+      }
+    } finally q.stop()
+  }
 }
