@@ -4248,13 +4248,20 @@ object SparkEntry {
         |FROM x ORDER BY doc_id, chunk""".stripMargin,
     // q227: level-1 prefilter then the three-way basket self-join.
     "q227_copurchase_triples" ->
+      // two MATERIALIZED binary joins, each anchored on the ok
+      // equality: the 3-way form let DuckDB's join reorderer pick the
+      // `b.p < c.p` inequality FIRST (a piecewise merge join over all
+      // pairs of rows — measured 80+ GB of spill at sf0.1 before this
+      // barrier; 2 s after)
       """WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey p
         |               FROM lineitem),
         |fr AS (SELECT p FROM items GROUP BY p HAVING count(*) >= 2),
-        |fi AS (SELECT ok, items.p FROM items JOIN fr ON fr.p = items.p)
-        |SELECT a.p AS pa, b.p AS pb, c.p AS pc, count(*)::BIGINT AS support
-        |FROM fi a JOIN fi b ON b.ok = a.ok AND a.p < b.p
-        |     JOIN fi c ON c.ok = a.ok AND b.p < c.p
+        |fi AS MATERIALIZED (SELECT ok, items.p
+        |      FROM items JOIN fr ON fr.p = items.p),
+        |pr AS MATERIALIZED (SELECT a.ok, a.p pa, b.p pb
+        |      FROM fi a JOIN fi b ON b.ok = a.ok AND a.p < b.p)
+        |SELECT pa, pb, c.p AS pc, count(*)::BIGINT AS support
+        |FROM pr JOIN fi c ON c.ok = pr.ok AND pr.pb < c.p
         |GROUP BY 1, 2, 3 HAVING count(*) >= 2
         |ORDER BY support DESC, pa, pb, pc""".stripMargin,
     // q228: interval -> month-boundary fan-out via generate_series,
@@ -4461,11 +4468,13 @@ object SparkEntry {
         |        event_type t, ts, event_id FROM events),
         |p AS (SELECT u, dy, t, row_number() OVER (PARTITION BY u, dy
         |        ORDER BY ts, event_id) rn FROM e),
-        |cp AS (SELECT u, dy, t, rn FROM p WHERE rn <= 24),
-        |tr AS (SELECT DISTINCT a.u, a.dy, a.t t1, b.t t2, c.t t3
-        |      FROM cp a
-        |      JOIN cp b ON b.u = a.u AND b.dy = a.dy AND b.rn > a.rn
-        |      JOIN cp c ON c.u = a.u AND c.dy = a.dy AND c.rn > b.rn)
+        |cp AS MATERIALIZED (SELECT u, dy, t, rn FROM p WHERE rn <= 24),
+        |pr AS MATERIALIZED (SELECT a.u, a.dy, a.t t1, b.t t2, b.rn r2
+        |      FROM cp a JOIN cp b ON b.u = a.u AND b.dy = a.dy
+        |        AND b.rn > a.rn),
+        |tr AS (SELECT DISTINCT pr.u, pr.dy, t1, t2, c.t t3
+        |      FROM pr JOIN cp c ON c.u = pr.u AND c.dy = pr.dy
+        |        AND c.rn > pr.r2)
         |SELECT t1, t2, t3, count(*)::BIGINT AS support
         |FROM tr GROUP BY 1, 2, 3 HAVING count(*) >= 3
         |ORDER BY 1, 2, 3""".stripMargin,
