@@ -2605,4 +2605,39 @@ object Queries {
         expr("(1000 * n_perfect) div n_orders").as("perfect_pm"),
         col("mean_worst_lag_md"))
       .orderBy(col("month_idx"))
+
+  /** q241: SEASONAL-NAIVE FORECAST BACKTEST (MASE) — per brand, the
+    * mean absolute scaled error of the seasonal-naive forecast
+    * (revenue(m) ≈ revenue(m−12)) against the naive-1 benchmark
+    * (revenue(m) ≈ revenue(m−1)), in exact milli: the
+    * Hyndman–Koehler scale-free accuracy metric every forecast
+    * pipeline backtests BEFORE a model earns a slot. mase < 1000 =
+    * yearly seasonality carries real signal for this brand. Evaluated
+    * only on months where BOTH lags exist, so numerator and
+    * denominator score the identical month set.
+    *
+    * Shape at 100 TB: the fact table collapses to the calendar × brand
+    * grid first (the q233/q235 shared agg); the two lag joins are
+    * (brand, month)-keyed equi-joins on that bounded grid — never a
+    * window over fact rows, and absolute errors keep every floor
+    * operand non-negative. */
+  def seasonalNaiveBacktest(spark: SparkSession, d: String): DataFrame = {
+    val bm = CacheScope.cached(brandMonthRevenue(spark, d))
+    val l12 = bm.select(col("brand").as("b12"), (col("m") + 12L).as("m12"),
+      col("rev_cents").as("r12"))
+    val l1 = bm.select(col("brand").as("b1"), (col("m") + 1L).as("m1"),
+      col("rev_cents").as("r1"))
+    bm.join(l12, col("brand") === col("b12") && col("m") === col("m12"))
+      .join(l1, col("brand") === col("b1") && col("m") === col("m1"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("rev_cents") - col("r12"))).as("ae12"),
+        sum(abs(col("rev_cents") - col("r1"))).as("ae1"))
+      .select(col("brand"), col("n_eval"),
+        expr("ae12 div n_eval").as("mae_seasonal_cents"),
+        expr("ae1 div n_eval").as("mae_naive1_cents"),
+        expr("CAST((CAST(1000 AS DECIMAL(38,0)) * ae12) div ae1 AS BIGINT)")
+          .as("mase_milli"))
+      .orderBy(col("brand"))
+  }
 }

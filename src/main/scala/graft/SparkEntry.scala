@@ -572,6 +572,8 @@ object SparkEntry {
     "q239_perfect_order" -> (Queries.perfectOrderRate _),
     // top eigenvector of the exact int8 Gram (GramAgg + power iteration)
     "q240_principal_direction" -> (Similarity.principalDirection _),
+    // seasonal-naive vs naive-1 MASE forecast backtest per brand
+    "q241_seasonal_backtest" -> (Queries.seasonalNaiveBacktest _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -4572,5 +4574,26 @@ object SparkEntry {
          |       ray.r AS rayleigh_milli
          |FROM $last, ray ORDER BY dim""".stripMargin
     },
+    // q241: the shared brand-month grid, two keyed lag joins, HUGEINT-
+    // safe milli MASE; absolute errors keep every floor non-negative.
+    "q241_seasonal_backtest" ->
+      """WITH bm AS (SELECT p_brand brand,
+        |        (year(l_shipdate) * 12 + month(l_shipdate) - 1)::BIGINT m,
+        |        sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |          rev_cents
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      GROUP BY 1, 2)
+        |SELECT a.brand, count(*)::BIGINT AS n_eval,
+        |       (sum(abs(a.rev_cents - s.rev_cents)) // count(*))::BIGINT
+        |         AS mae_seasonal_cents,
+        |       (sum(abs(a.rev_cents - n.rev_cents)) // count(*))::BIGINT
+        |         AS mae_naive1_cents,
+        |       ((1000 * sum(abs(a.rev_cents - s.rev_cents)))
+        |          // sum(abs(a.rev_cents - n.rev_cents)))::BIGINT
+        |         AS mase_milli
+        |FROM bm a
+        |JOIN bm s ON s.brand = a.brand AND s.m = a.m - 12
+        |JOIN bm n ON n.brand = a.brand AND n.m = a.m - 1
+        |GROUP BY 1 ORDER BY a.brand""".stripMargin,
   )
 }

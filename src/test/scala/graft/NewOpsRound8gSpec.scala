@@ -77,4 +77,41 @@ class NewOpsRound8gSpec extends SparkSpec {
     val maxDiag = (0 until dim).map(k => gram(k)(k)).max
     assert(ray >= BigInt(1000) * maxDiag)
   }
+
+  test("q241 seasonal-naive MASE ≡ local lag fold") {
+    val brand = spark.read.parquet(s"$d/part.parquet")
+      .selectExpr("p_partkey", "p_brand").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val bm = spark.read.parquet(s"$d/lineitem.parquet")
+      .selectExpr("l_partkey",
+        "CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(x => brand.contains(x._1))
+      .groupBy(x => (brand(x._1), x._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val exp = bm.keys.map(_._1).toSeq.distinct.flatMap { b =>
+      val evals = bm.collect {
+        case ((`b`, m), r) if bm.contains((b, m - 12)) && bm.contains((b, m - 1)) =>
+          (math.abs(r - bm((b, m - 12))), math.abs(r - bm((b, m - 1))))
+      }.toSeq
+      if (evals.isEmpty) None else {
+        val n = evals.size.toLong
+        val ae12 = evals.map(x => BigInt(x._1)).sum
+        val ae1 = evals.map(x => BigInt(x._2)).sum
+        Some((b, n, (ae12 / n).toLong, (ae1 / n).toLong,
+          ((BigInt(1000) * ae12) / ae1).toLong))
+      }
+    }.sortBy(_._1)
+    val got = Queries.seasonalNaiveBacktest(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got == exp)
+    // the metric separates brands (not all exactly the 1000 tie), and
+    // each brand's eval set is genuinely cut by the 12-month lag
+    assert(exp.map(_._5).distinct.size > 1)
+    val monthsPerBrand = bm.keys.toSeq.groupBy(_._1).view.mapValues(_.size)
+    assert(exp.forall { case (b, n, _, _, _) => n <= monthsPerBrand(b) - 12 })
+  }
 }

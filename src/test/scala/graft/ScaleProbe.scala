@@ -167,6 +167,8 @@ object ScaleProbe {
         "q235_theilsen_trend" -> (Queries.theilSenTrend _),
         // round-8f: the all-lines order-grain quantifier
         "q239_perfect_order" -> (Queries.perfectOrderRate _),
+        // round-8h: grid-first MASE backtest (calendar-bounded joins)
+        "q241_seasonal_backtest" -> (Queries.seasonalNaiveBacktest _),
         "q127_triangle_counts" -> (Graph.triangleCounts _),
         "q131_bfs_distances" -> (Graph.bfsDistances _),
         "q162_k_core" -> (Graph.kCore _),
