@@ -792,9 +792,44 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
-  /** Fixed power-iteration rounds for q240 — fixed, so the whole
+  /** Fixed power-iteration rounds for q240/q242 — fixed, so the whole
     * recurrence is an exact integer program any engine replays. */
   val PowerRounds = 8
+
+  /** The shared exact integer power iteration over a collected d×d
+    * Gram (row-major longs): PowerRounds of v ← G·v with
+    * sign-decomposed rescaling to max|v| = 1000, then the Rayleigh
+    * pieces. Returns (v, vᵀGv, vᵀv). Driver-side O(rounds·d²) on the
+    * bounded collect — shared by q240 (global) and q242 (per source). */
+  private[graft] def powerIterate(g: Array[Long], dim: Int)
+      : (Array[BigInt], BigInt, BigInt) = {
+    def matVec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dim) { i =>
+        var acc = BigInt(0); var j = 0
+        while (j < dim) { acc += BigInt(g(i * dim + j)) * v(j); j += 1 }
+        acc
+      }
+    var v = Array.fill(dim)(BigInt(1000))
+    for (_ <- 1 to PowerRounds) {
+      val w = matVec(v)
+      val m = w.map(_.abs).max
+      v = w.map(x =>
+        if (x.signum >= 0) (BigInt(1000) * x) / m
+        else -((BigInt(1000) * -x) / m))
+    }
+    val gv = matVec(v)
+    val num = (0 until dim).map(i => v(i) * gv(i)).sum // vᵀGv ≥ 0 (PSD)
+    val den = v.map(x => x * x).sum
+    (v, num, den)
+  }
+
+  /** q48's int8 quantization as an array<long> column (exact small
+    * integers) — the GramAgg input for q240/q242. Expects `v`/`sc`. */
+  private def quantCol: Column =
+    transform(col("v"), x =>
+      when(x >= 0, floor(abs(x * col("sc")) + lit(0.5)))
+        .otherwise(-floor(abs(x * col("sc")) + lit(0.5))))
+      .cast("array<long>")
 
   /** q240: PRINCIPAL DIRECTION of the corpus embedding cloud — the top
     * eigenvector of the exact int8 Gram matrix Σ q·qᵀ (q48's
@@ -818,37 +853,62 @@ object Similarity {
     import graft.functions.GramAgg
     val dim = 64
     val maxabs = array_max(transform(col("v"), x => abs(x)))
-    val quant = transform(col("v"), x =>
-      when(x >= 0, floor(abs(x * col("sc")) + lit(0.5)))
-        .otherwise(-floor(abs(x * col("sc")) + lit(0.5))))
-      .cast("array<long>")
     val g = withNorm(Tables.embeddings(spark, d))
       .withColumn("ma", maxabs).filter(col("ma") > 0)
       .withColumn("sc", lit(127.0) / col("ma"))
-      .select(GramAgg.gram(quant, dim).as("g"))
+      .select(GramAgg.gram(quantCol, dim).as("g"))
       .head().getSeq[Long](0).toArray
-    def matVec(v: Array[BigInt]): Array[BigInt] =
-      Array.tabulate(dim) { i =>
-        var acc = BigInt(0); var j = 0
-        while (j < dim) { acc += BigInt(g(i * dim + j)) * v(j); j += 1 }
-        acc
-      }
-    var v = Array.fill(dim)(BigInt(1000))
-    for (_ <- 1 to PowerRounds) {
-      val w = matVec(v)
-      val m = w.map(_.abs).max
-      v = w.map(x =>
-        if (x.signum >= 0) (BigInt(1000) * x) / m
-        else -((BigInt(1000) * -x) / m))
-    }
-    val gv = matVec(v)
-    val num = (0 until dim).map(i => v(i) * gv(i)).sum // vᵀGv ≥ 0 (PSD)
-    val den = v.map(x => x * x).sum
+    val (v, num, den) = powerIterate(g, dim)
     val ray = (BigInt(1000) * num) / den
     import spark.implicits._
     v.zipWithIndex.toSeq
       .map { case (x, i) => (i.toLong, x.toLong, ray.toLong) }
       .toDF("dim", "v_milli", "rayleigh_milli")
       .orderBy(col("dim"))
+  }
+
+  /** q242: PER-SOURCE EMBEDDING ANISOTROPY — for every document
+    * source, the top Rayleigh quotient of ITS OWN int8 Gram (milli),
+    * the Gram trace, and the anisotropy share λ₁/trace in permille:
+    * the "is this source's embedding cloud collapsing to one
+    * direction?" audit (a high-anisotropy source embeds near-rank-1 —
+    * its cosine scores are saturated and its dedup/ANN quality is
+    * suspect). One GROUPED GramAgg — |sources| × d² longs of state,
+    * partial-merged map-side like any hash aggregate — then the q240
+    * power iteration per source on the driver (|sources|-bounded
+    * collect, the IvfIndex contract). Also reports each source's
+    * dominant dimension (largest |component|, ties to the lowest) —
+    * the feature a whitening pass would center first.
+    *
+    * Shape at 100 TB: one embeddings scan, one doc_id-keyed dimension
+    * join for the source label, one grouped 32 KB-buffer aggregate;
+    * driver work is O(|sources|·rounds·d²). */
+  def sourceAnisotropy(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GramAgg
+    val dim = 64
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    val grams = withNorm(Tables.embeddings(spark, d))
+      .withColumn("ma", maxabs).filter(col("ma") > 0)
+      .withColumn("sc", lit(127.0) / col("ma"))
+      .join(Tables.documents(spark, d).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vecs"), GramAgg.gram(quantCol, dim).as("g"))
+      .collect()
+    val rows = grams.map { r =>
+      val src = r.getString(0)
+      val n = r.getLong(1)
+      val g = r.getSeq[Long](2).toArray
+      val (v, num, den) = powerIterate(g, dim)
+      val trace = (0 until dim).map(i => BigInt(g(i * dim + i))).sum
+      val ray = (BigInt(1000) * num) / den
+      val anis = (BigInt(1000) * num) / (den * trace)
+      val topDim = v.zipWithIndex.minBy { case (x, i) => (-x.abs, i) }._2
+      (src, n, trace.toLong, ray.toLong, anis.toLong, topDim.toLong)
+    }.toSeq.sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("source", "n_vecs", "trace", "rayleigh_milli",
+      "anisotropy_pm", "top_dim")
+      .orderBy(col("source"))
   }
 }

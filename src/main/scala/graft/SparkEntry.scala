@@ -574,6 +574,8 @@ object SparkEntry {
     "q240_principal_direction" -> (Similarity.principalDirection _),
     // seasonal-naive vs naive-1 MASE forecast backtest per brand
     "q241_seasonal_backtest" -> (Queries.seasonalNaiveBacktest _),
+    // per-source embedding anisotropy via GROUPED GramAgg + power iteration
+    "q242_source_anisotropy" -> (Similarity.sourceAnisotropy _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -4595,5 +4597,60 @@ object SparkEntry {
         |JOIN bm s ON s.brand = a.brand AND s.m = a.m - 12
         |JOIN bm n ON n.brand = a.brand AND n.m = a.m - 1
         |GROUP BY 1 ORDER BY a.brand""".stripMargin,
+    // q242: the q240 chain replayed PER SOURCE — every CTE carries the
+    // source key and every round is MATERIALIZED (3× references).
+    "q242_source_anisotropy" -> {
+      val rounds = (1 to Similarity.PowerRounds).map { r =>
+        s"""w$r AS MATERIALIZED (SELECT g.source, g.i, sum(g.gv * p.x) w
+           |      FROM g JOIN v${r - 1} p ON p.source = g.source AND p.i = g.j
+           |      GROUP BY 1, 2),
+           |m$r AS MATERIALIZED (SELECT source, max(abs(w)) mx
+           |      FROM w$r GROUP BY 1),
+           |v$r AS MATERIALIZED (SELECT t.source, t.i,
+           |      CASE WHEN t.w >= 0 THEN (1000 * t.w) // m.mx
+           |        ELSE -((1000 * -t.w) // m.mx) END x
+           |      FROM w$r t JOIN m$r m ON m.source = t.source)""".stripMargin
+      }.mkString(",\n")
+      val last = s"v${Similarity.PowerRounds}"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |s AS (SELECT vec_id, v,
+         |      127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
+         |      FROM e
+         |      WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0),
+         |q8 AS (SELECT vec_id, list_transform(v, x ->
+         |        (CASE WHEN x >= 0 THEN floor(abs(x * sc) + 0.5)
+         |          ELSE -floor(abs(x * sc) + 0.5) END)::BIGINT) q FROM s),
+         |qd AS MATERIALIZED (SELECT source, q
+         |      FROM q8 JOIN documents ON doc_id = vec_id),
+         |g AS MATERIALIZED (SELECT source, i.i, j.j,
+         |        sum(q[i.i] * q[j.j])::HUGEINT gv
+         |      FROM qd, generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+         |      GROUP BY 1, 2, 3),
+         |nv AS (SELECT source, count(*)::BIGINT n_vecs FROM qd GROUP BY 1),
+         |v0 AS MATERIALIZED (SELECT src.source, t.i, 1000::HUGEINT x
+         |      FROM (SELECT DISTINCT source FROM g) src,
+         |        generate_series(1, 64) t(i)),
+         |$rounds,
+         |wf AS MATERIALIZED (SELECT g.source, g.i, sum(g.gv * p.x) w
+         |      FROM g JOIN $last p ON p.source = g.source AND p.i = g.j
+         |      GROUP BY 1, 2),
+         |tr AS (SELECT source, sum(gv) trace FROM g WHERE i = j GROUP BY 1),
+         |dn AS (SELECT source, sum(x * x) dnm FROM $last GROUP BY 1),
+         |nm AS (SELECT w.source, sum(w.w * p.x) num
+         |      FROM wf w JOIN $last p ON p.source = w.source AND p.i = w.i
+         |      GROUP BY 1),
+         |td AS (SELECT source, i, row_number() OVER (PARTITION BY source
+         |        ORDER BY abs(x) DESC, i) rk FROM $last)
+         |SELECT nm.source, nv.n_vecs, tr.trace::BIGINT AS trace,
+         |       ((1000 * nm.num) // dn.dnm)::BIGINT AS rayleigh_milli,
+         |       ((1000 * nm.num) // (dn.dnm * tr.trace))::BIGINT
+         |         AS anisotropy_pm,
+         |       (td.i - 1)::BIGINT AS top_dim
+         |FROM nm JOIN dn ON dn.source = nm.source
+         |  JOIN tr ON tr.source = nm.source
+         |  JOIN nv ON nv.source = nm.source
+         |  JOIN td ON td.source = nm.source AND td.rk = 1
+         |ORDER BY nm.source""".stripMargin
+    },
   )
 }

@@ -78,6 +78,55 @@ class NewOpsRound8gSpec extends SparkSpec {
     assert(ray >= BigInt(1000) * maxDiag)
   }
 
+  test("q242 per-source anisotropy ≡ local per-source iteration") {
+    val dim = 64
+    val src = spark.read.parquet(s"$d/documents.parquet")
+      .selectExpr("doc_id", "source").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)").collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter(_._2.map(math.abs).max > 0)
+    def quantize(v: Array[Double]): Array[Long] = {
+      val sc = 127.0 / v.map(math.abs).max
+      v.map(x =>
+        if (x >= 0) math.floor(math.abs(x * sc) + 0.5).toLong
+        else -math.floor(math.abs(x * sc) + 0.5).toLong)
+    }
+    def iterate(qs: Seq[Array[Long]]): (Array[BigInt], BigInt, BigInt) = {
+      val gram = Array.tabulate(dim, dim) { (i, j) =>
+        qs.map(q => BigInt(q(i)) * q(j)).sum
+      }
+      def mv(v: Array[BigInt]) =
+        Array.tabulate(dim)(i => (0 until dim).map(j => gram(i)(j) * v(j)).sum)
+      var v = Array.fill(dim)(BigInt(1000))
+      for (_ <- 1 to Similarity.PowerRounds) {
+        val w = mv(v); val m = w.map(_.abs).max
+        v = w.map(x => if (x.signum >= 0) (BigInt(1000) * x) / m
+                       else -((BigInt(1000) * -x) / m))
+      }
+      val gv = mv(v)
+      (v, (0 until dim).map(i => v(i) * gv(i)).sum, v.map(x => x * x).sum)
+    }
+    val exp = vecs.groupBy(x => src(x._1)).toSeq.map { case (s, xs) =>
+      val qs = xs.map(x => quantize(x._2))
+      val (v, num, den) = iterate(qs)
+      val trace = qs.map(q => q.map(x => BigInt(x) * x).sum).sum
+      val top = v.zipWithIndex.minBy { case (x, i) => (-x.abs, i) }._2
+      (s, xs.size.toLong, trace.toLong,
+        ((BigInt(1000) * num) / den).toLong,
+        ((BigInt(1000) * num) / (den * trace)).toLong, top.toLong)
+    }.sortBy(_._1)
+    val got = Similarity.sourceAnisotropy(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got == exp)
+    // anisotropy is a proper share: ≥ uniform floor 1000/64, ≤ 1000,
+    // and the sources are not all identical
+    assert(exp.forall(x => x._5 >= 10L && x._5 <= 1000L))
+    assert(exp.map(_._5).distinct.size > 1 || exp.size == 1)
+  }
+
   test("q241 seasonal-naive MASE ≡ local lag fold") {
     val brand = spark.read.parquet(s"$d/part.parquet")
       .selectExpr("p_partkey", "p_brand").collect().toSeq

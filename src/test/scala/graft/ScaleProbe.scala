@@ -243,6 +243,20 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$vdir/embeddings.parquet")
       println(s"[probe] built 10x embeddings corpus at $vdir")
     }
+    // documents twin for q242's source join: only the vec-aligned doc
+    // rows matter (vec_id = doc_id), replicated with the SAME +r·mv
+    // shift so alignment holds per replica. Separate existence check —
+    // vector corpora built by earlier rounds cached the dir without it.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/documents.parquet/_SUCCESS"))) {
+      val em = spark.read.parquet(s"$d1/embeddings.parquet").select(col("vec_id"))
+      val mv = em.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val dj = spark.read.parquet(s"$d1/documents.parquet")
+        .join(em, col("doc_id") === col("vec_id")).drop("vec_id")
+      (0 until 10).map(r => dj.withColumn("doc_id", col("doc_id") + lit(r * mv)))
+        .reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$vdir/documents.parquet")
+      println(s"[probe] built 10x vec-aligned documents twin at $vdir")
+    }
     val aqs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("q27_knn_lsh" -> (Similarity.lshTopK _),
         "q33_knn_ivf" -> ((s: org.apache.spark.sql.SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
@@ -260,7 +274,12 @@ object ScaleProbe {
         "q236_ndcg_eval" -> (Similarity.ndcgEval _),
         // round-8g: one GramAgg scan (32 KB buffer) + O(d²) driver
         // iteration — expect scan-bound, ≈ linear at worst
-        "q240_principal_direction" -> (Similarity.principalDirection _))
+        "q240_principal_direction" -> (Similarity.principalDirection _),
+        // round-8h: the grouped-kernel variant (|sources| buffers);
+        // NOTE the 10× vector replica has no documents twin, so this
+        // probes against the same corpus dir's documents — the join is
+        // the constant part, the grouped scan is what scales
+        "q242_source_anisotropy" -> (Similarity.sourceAnisotropy _))
     val aratios = (if (fams("ann")) aqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = math.min(time(name, fn, vdir), time(name, fn, vdir))
