@@ -1457,4 +1457,48 @@ object Dedup {
         expr("(1000 * (n_docs - mj.n)) div n_docs").as("minority_pm"))
       .orderBy(col("cluster_id"))
   }
+
+  /** Cluster-size cap for q243's within-cluster pair enumeration —
+    * C(64,2) = 2,016 pairs max per cluster; larger clusters are
+    * boilerplate blobs q214 already characterizes. */
+  val DiffStatsMaxCluster = 64L
+
+  /** q243: NEAR-DUP CLUSTER GEOMETRY — for every multi-doc cluster
+    * (2 ≤ size ≤ 64): the pairwise mean absolute LENGTH delta in
+    * milli-chars and how many pairs are byte-identical (polyhash
+    * equal). This is the threshold-tuning evidence a dedup owner reads
+    * before moving the Jaccard bar: clusters full of exact-equal pairs
+    * say the threshold could tighten for free; clusters with big
+    * length deltas say near-dup is catching containment (one doc
+    * embeds another — q138's relation), not redundancy.
+    *
+    * Shape at 100 TB: warm persisted labels; ONE row-local scan for
+    * (length, polyhash) per doc; the pair enumeration is a
+    * cluster-keyed self-join with the size cap bounding every group at
+    * C(64,2) — never quadratic in an unbounded hot cluster (the
+    * q123/q142 cap discipline; the capped-out tail is exactly the
+    * q214 boilerplate population, reported by its own operator). */
+  def clusterDiffStats(spark: SparkSession, d: String): DataFrame = {
+    val labels = nearDupClusters(spark, d)
+      .filter(col("cluster_n") >= 2 && col("cluster_n") <= DiffStatsMaxCluster)
+      .select(col("doc_id").as("ld"), col("cluster_id"), col("cluster_n"))
+    val docs = Tables.documentsDist(spark, d).select(col("doc_id"),
+      col("n_chars"), TextOps.polyHash(col("text")).as("fp"))
+    val j = CacheScope.cached(labels.join(docs, col("ld") === col("doc_id"))
+      .select(col("cluster_id"), col("ld"), col("n_chars"), col("fp")))
+    val a = j.select(col("cluster_id").as("ca"), col("ld").as("da"),
+      col("n_chars").as("la"), col("fp").as("fa"))
+    val b = j.select(col("cluster_id").as("cb"), col("ld").as("db"),
+      col("n_chars").as("lb"), col("fp").as("fb"))
+    a.join(b, col("ca") === col("cb") && col("da") < col("db"))
+      .groupBy(col("ca").as("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("la") - col("lb"))).as("ld_sum"),
+        sum(when(col("fa") === col("fb"), 1L).otherwise(0L))
+          .as("n_exact_pairs"))
+      .select(col("cluster_id"), col("n_pairs"),
+        expr("(1000 * ld_sum) div n_pairs").as("mean_len_delta_milli"),
+        col("n_exact_pairs"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -576,6 +576,8 @@ object SparkEntry {
     "q241_seasonal_backtest" -> (Queries.seasonalNaiveBacktest _),
     // per-source embedding anisotropy via GROUPED GramAgg + power iteration
     "q242_source_anisotropy" -> (Similarity.sourceAnisotropy _),
+    // within-cluster pairwise length-delta / exact-pair dedup geometry
+    "q243_cluster_diff_stats" -> (Dedup.clusterDiffStats _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -4652,5 +4654,24 @@ object SparkEntry {
          |  JOIN td ON td.source = nm.source AND td.rk = 1
          |ORDER BY nm.source""".stripMargin
     },
+    // q243: the q49 label recurrence, one (length, polyhash) scan,
+    // size-capped cluster-keyed pair join — the same H() whole-text
+    // hash as q31.
+    "q243_cluster_diff_stats" ->
+      s"""WITH $NearDupClusterCte,
+         |dd AS (SELECT doc_id, n_chars::BIGINT nc, ${H("text")} fp
+         |      FROM documents),
+         |jj AS MATERIALIZED (SELECT lbl.cluster_id, lbl.doc_id, nc, fp
+         |      FROM lbl JOIN cn ON cn.cluster_id = lbl.cluster_id
+         |        JOIN dd ON dd.doc_id = lbl.doc_id
+         |      WHERE cn.cluster_n >= 2 AND cn.cluster_n <= 64)
+         |SELECT a.cluster_id, count(*)::BIGINT AS n_pairs,
+         |       ((1000 * sum(abs(a.nc - b.nc))) // count(*))::BIGINT
+         |         AS mean_len_delta_milli,
+         |       sum(CASE WHEN a.fp = b.fp THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_exact_pairs
+         |FROM jj a JOIN jj b ON b.cluster_id = a.cluster_id
+         |  AND a.doc_id < b.doc_id
+         |GROUP BY 1 ORDER BY a.cluster_id""".stripMargin,
   )
 }

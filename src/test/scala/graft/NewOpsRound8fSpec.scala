@@ -65,6 +65,37 @@ class NewOpsRound8fSpec extends SparkSpec {
     assert(exp.nonEmpty && exp.exists(_._5 == 0L))
   }
 
+  test("q243 cluster diff stats ≡ local pairwise fold over the labels") {
+    val labels = Dedup.nearDupClusters(spark, d)
+      .selectExpr("doc_id", "cluster_id", "cluster_n").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(x => x._3 >= 2 && x._3 <= Dedup.DiffStatsMaxCluster)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .selectExpr("doc_id", "n_chars", "text").collect().toSeq
+      .map { r =>
+        // the q31 polyhash, refolded locally char-by-char
+        val h = r.getString(2).foldLeft(BigInt(0))(
+          (acc, c) => (acc * 131 + c.toInt) % 1000000007)
+        (r.getLong(0), (r.getLong(1), h.toLong))
+      }.toMap
+    val exp = labels.groupBy(_._2).toSeq.map { case (cid, xs) =>
+      val ds = xs.map(_._1).sorted
+      val pairs = for { i <- ds.indices; k <- i + 1 until ds.size }
+        yield (docs(ds(i)), docs(ds(k)))
+      val lds = pairs.map { case ((la, _), (lb, _)) => math.abs(la - lb) }.sum
+      val ex = pairs.count { case ((_, fa), (_, fb)) => fa == fb }.toLong
+      (cid, pairs.size.toLong,
+        Math.floorDiv(1000L * lds, pairs.size.toLong), ex)
+    }.sortBy(_._1)
+    val got = Dedup.clusterDiffStats(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == exp)
+    // the geometry separates clusters: deltas vary, and near-dups are
+    // not all byte-identical
+    assert(exp.nonEmpty && exp.map(_._3).distinct.size > 1)
+    assert(exp.map(_._4).sum < exp.map(_._2).sum)
+  }
+
   test("q239 perfect-order rate ≡ local all-lines fold") {
     val om = spark.read.parquet(s"$d/orders.parquet")
       .selectExpr("o_orderkey",

@@ -80,7 +80,9 @@ object ScaleProbe {
       Seq("q221_dedup_yield" -> (Dedup.dedupYield _),
         "q222_lsh_bucket_balance" -> (Dedup.lshBucketBalance _),
         // round-8f: warm persisted labels + row-local langid scan
-        "q238_cluster_lang_mix" -> (Dedup.clusterLangMix _))
+        "q238_cluster_lang_mix" -> (Dedup.clusterLangMix _),
+        // round-8h: size-capped within-cluster pair geometry
+        "q243_cluster_diff_stats" -> (Dedup.clusterDiffStats _))
     val ratios8 = (if (fams("dedup8")) q8 else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = math.min(time(name, fn, d10), time(name, fn, d10))
