@@ -109,6 +109,31 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench_detail.json write failed: $e") }
+    // Cold-pass truth: "value" is the min-of-passes total (robust to
+    // host contention) but at 100 TB every pass is a cold pass, so the
+    // artifact must not hide first-pass behavior behind the min. Two
+    // compact fields carry it inside the capture window: cold_total
+    // (sum of every query's FIRST pass — the fresh-plan cost of the
+    // whole suite) and cold_outliers (first pass ≥ 1 s AND ≥ 2× the
+    // second pass — the queries whose cold cost the min conceals;
+    // r8 would have flagged q192's 27.3 s here). Full per-query pass
+    // pairs live in bench_detail.json.
+    val p1m = p1.toMap
+    val p2m = p2.toMap
+    val coldTotal = p1.collect { case (_, Right(t)) => t }.sum
+    val coldOutliers = sorted.map(_._1).flatMap { name =>
+      (p1m.get(name), p2m.get(name)) match {
+        case (Some(Right(c)), Some(Right(w))) if c >= 1.0 && c >= 2.0 * w =>
+          Some(name -> c)
+        case _ => None
+      }
+    }
+    def sec1c(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(t))
+    val coldJson = "," + "\"cold_total\":" + sec1c(coldTotal) +
+      ",\"cold_outliers\":" + coldOutliers.map { case (k, t) =>
+        "\"" + short(k) + "\":" + sec1c(t)
+      }.mkString("{", ",", "}")
     // Hard guard on the 2000-char capture window: a line the driver
     // cannot parse is worth less than one with a coarser queries map, so
     // degrade (shorter queries map, then failure messages → count only)
@@ -116,8 +141,12 @@ object Bench {
     // [success] line. The ladder is TOTAL: the last rung is a constant
     // ~120-byte line that always fits, so "some queries failed" can never
     // again become "no bench output at all" (round 4's None.get).
-    def line(qj: String, fjx: String, extra: String = "") =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qj,"failures":$fjx$extra,"sf":"$sfDir"}"""
+    // cold_total/cold_outliers ride every rung except the constant last
+    // one: the outlier map scales with the PROBLEM count, not the
+    // registry size, so it costs window space only when there is
+    // something to say.
+    def line(qj: String, fjx: String, extra: String = "", cold: String = coldJson) =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qj,"failures":$fjx$extra$cold,"sf":"$sfDir"}"""
     // 1-decimal rung: past ~155 queries the 2-decimal map alone
     // overflows the window (159 × ~12 B > 1900), and whole seconds
     // flatten every sub-second query to 0 — 100 ms resolution keeps
@@ -148,7 +177,7 @@ object Bench {
       case _ => false
     }
     val nzExtra = "," + "\"sub1s_omitted\":" + nzOmitted
-    val lastRung = line("{}", fjCount)
+    val lastRung = line("{}", fjCount, cold = "")
     val out = Seq(line(qs, fj), line(qs1, fj), line(qsInt, fj),
         line(qsNz, fj, nzExtra), line(qsNz, fjCount, nzExtra), lastRung)
       .find(_.length <= 1900).getOrElse(lastRung)

@@ -1215,17 +1215,9 @@ object Curation {
     * hash-agg. */
   def tokenBudgetCutoff(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = Tables.documentsDist(spark, d)
-      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), col("source"),
-        size(col("tk")).cast("long").as("n_tok"),
-        size(array_distinct(col("tk"))).cast("long").as("n_uniq"),
-        size(filter(col("tk"), x =>
-          x.isin("the", "a", "of", "and", "is", "to", "in")))
-          .cast("long").as("n_stop"))
-      .select(col("doc_id"), col("source"), col("n_tok"),
-        expr("(500 * n_uniq) div n_tok + (200 * n_stop) div n_tok" +
-          " + (300 * least(n_tok, 200)) div 200").as("q_milli"))
+    // the scoring relation is the SHARED q217/q218/q219 helper — one
+    // formula definition, so the three views can't drift apart
+    val scored = tokQuality(spark, d)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("q_milli").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -331,4 +331,185 @@ object Multimodal {
         expr("(((end_ms - start_ms) * sr) div 1000) * 2 * ch"))
       .orderBy(col("doc_id"), col("chunk"))
   }
+
+  /** q245 geometry: an 8×8 aHash grid (64 blocks → 64-bit hash) and
+    * the Hamming radius. radius 9 → 10 chunks (2×7 + 3×6 bits per
+    * 32-bit half): any pair within Hamming 9 differs in ≤ 9 bits, so
+    * at least one of the 10 chunks is bit-equal (the q24 pigeonhole).
+    * 9 of 64 is the empirically-right ball for this corpus's planted
+    * near-dups (their pixel-noise edits land at 7-9 bits); a
+    * production image pipeline would widen the hash (256-bit
+    * blockhash → 7-bit chunks at the same radius) rather than widen
+    * the radius further, since candidate mass grows with radius but
+    * shrinks with hash width. */
+  val AHashBlocks = 64
+  val AHashRadius = 9L
+
+  /** The 10-chunk split of one 32-bit half: (shift, mask). */
+  private[graft] val AHashChunks: Seq[(Int, Long)] =
+    Seq((0, 127L), (7, 127L), (14, 63L), (20, 63L), (26, 63L))
+
+  /** q245: IMAGE PERCEPTUAL-HASH (aHash) NEAR-DUP — content-level
+    * dedup for image payloads: each payload's pixel stream is cut
+    * into the 64 cells of an 8×8 grid, each cell's mean brightness is
+    * thresholded against the whole-image mean (the classic average
+    * hash), and pairs within Hamming distance 9 of the 64-bit hash
+    * are exact-verified candidates. This is the dedup modality the
+    * text families (MinHash/SimHash) cannot cover: re-encoded or
+    * lightly edited images keep their brightness geometry while every
+    * container byte changes.
+    *
+    * Pixel source: the decoded grid behind the `decodeAll` partition
+    * boundary for real payloads; on this corpus the VIRTUAL layout the
+    * multimodal family pins everywhere (q166/q226): payload bytes
+    * after the 64-byte virtual header ARE the row-major grayscale
+    * pixels (text corpus: byte == ASCII char). Items with fewer than
+    * 64 virtual pixels cannot fill the grid and are excluded (a real
+    * pipeline routes them to exact-hash dedup).
+    *
+    * Exact integer discipline: cell i covers pixel positions p with
+    * (64·p) div n_pix = i (never-empty for n_pix ≥ 64); the mean
+    * threshold is the cross-multiplied bit = [bsum·n_pix ≥ tot·bcnt]
+    * (no fraction is ever formed; Long-safe: 255·n_pix² < 2⁶³ to
+    * ~6·10⁸ pixels/item). The 64-bit hash rides as two 32-bit halves
+    * (hi, lo) so no 2⁶³ shift is ever taken; Hamming distance is
+    * bit_count(lo⊕lo) + bit_count(hi⊕hi).
+    *
+    * Shape at 100 TB: pixel fan-out is map-only (one split + explode,
+    * like the token explode every text family runs), block sums are a
+    * (doc, cell)-keyed hash-agg with map-side partials, and pairing is
+    * the q24 chunk equi-join — candidates only where a 6-7-bit chunk
+    * collides, Hamming verified on candidates, provably identical to
+    * all-pairs. No cartesian anywhere. */
+  def imageAHashNearDup(spark: SparkSession, d: String): DataFrame =
+    imageAHashNearDupDf(Tables.documentsDist(spark, d))
+
+  private[graft] def imageAHashNearDupDf(docs: DataFrame): DataFrame = {
+    val b = AHashBlocks.toLong
+    val px = docs
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - 64L).cast("long").as("n_pix"))
+      .filter(col("n_pix") >= b)
+      .select(col("doc_id"), col("n_pix"),
+        posexplode(transform(
+          slice(split(col("text"), ""), lit(65), col("n_pix").cast("int")),
+          c => ascii(c).cast("long"))).as(Seq("p", "v")))
+    val blocks = px
+      .groupBy(col("doc_id"), col("n_pix"),
+        expr(s"($b * p) div n_pix").as("blk"))
+      .agg(sum(col("v")).as("bsum"), count(lit(1)).as("bcnt"))
+    val tot = blocks.groupBy(col("doc_id")).agg(sum(col("bsum")).as("tot"))
+    val sig = blocks.join(tot, "doc_id")
+      .select(col("doc_id"), col("blk"),
+        when(col("bsum") * col("n_pix") >= col("tot") * col("bcnt"), 1L)
+          .otherwise(0L).as("bit"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(expr("CASE WHEN blk < 32 THEN" +
+          " bit * shiftleft(CAST(1 AS BIGINT), CAST(blk AS INT))" +
+          " ELSE 0 END")).as("lo"),
+        sum(expr("CASE WHEN blk >= 32 THEN" +
+          " bit * shiftleft(CAST(1 AS BIGINT), CAST(blk - 32 AS INT))" +
+          " ELSE 0 END")).as("hi"))
+    // 10 chunks (2×7 + 3×6 bits per half), 5 from each 32-bit half
+    val chunks = sig.select(col("doc_id"), col("lo"), col("hi"),
+      posexplode(array((0 until 10).map { c =>
+        val half = if (c < 5) col("lo") else col("hi")
+        val (sh, m) = AHashChunks(c % 5)
+        shiftright(half, sh).bitwiseAND(lit(m))
+      }: _*)).as(Seq("c", "cv")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+          bit_count(col("a.hi").bitwiseXOR(col("b.hi"))))
+          .cast("long").as("dist"))
+      .filter(col("dist") <= AHashRadius)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q246 geometry: 32 temporal energy bands → 32-bit hash, Hamming
+    * radius 4 → 5 chunks (2×7 + 3×6 bits) by pigeonhole. */
+  val EnergyBands = 32
+  val EnergyRadius = 4L
+
+  /** q246: AUDIO PERCEPTUAL (BAND-ENERGY) NEAR-DUP — the audio twin of
+    * q245: each payload's PCM stream is cut into 32 equal temporal
+    * bands, each band's ENERGY (Σ sample², the loudness envelope) is
+    * thresholded against the track mean, and pairs within Hamming 4 of
+    * the 32-bit envelope hash are candidates. A re-encoded or
+    * level-shifted copy keeps its loudness envelope while every
+    * container byte changes — the same argument as q245's brightness
+    * grid, in the time domain.
+    *
+    * Sample source: parsed WAV data when the real header decodes
+    * (s16le is THE WAV wire format); on this corpus the q226 virtual-
+    * PCM contract — s16le mono after the 64-byte header, sample k =
+    * signed16(byte[64+2k] | byte[64+2k+1] << 8). The signed decode is
+    * total (two's complement via the v ≥ 32768 branch) even though
+    * ASCII payloads never exercise it — the spec drives it with
+    * fixture bytes. Items under 32 samples are excluded.
+    *
+    * Exact integers: band = (32·k) div n_samples; energies are exact
+    * Long (v² ≤ 2³⁰, safe to ~8·10⁹ samples); the mean threshold
+    * cross-multiplies IN DECIMAL(38,0) — e·n_samples is Θ(v²·n²),
+    * past Long at real track lengths. Hash fits one BIGINT (32 bits).
+    *
+    * Shape at 100 TB: identical to q245 — map-only sample fan-out,
+    * (doc, band)-keyed hash-agg, 5-way chunk equi-join, exact verify
+    * on candidates only. */
+  def audioEnergyNearDup(spark: SparkSession, d: String): DataFrame =
+    audioEnergyNearDupDf(Tables.documentsDist(spark, d))
+
+  private[graft] def audioEnergyNearDupDf(docs: DataFrame): DataFrame = {
+    val nb = EnergyBands.toLong
+    val sm = docs
+      .select(col("doc_id"), col("text"),
+        expr("greatest(length(text) - 64, 0) div 2").cast("long")
+          .as("n_s"))
+      .filter(col("n_s") >= nb)
+      // chars → ascii array once (O(n)), samples via O(1) element_at:
+      // raw = a[65+2k] + 256·a[66+2k] (1-based), signed two's-complement
+      .select(col("doc_id"), col("n_s"),
+        transform(split(col("text"), ""), c => ascii(c).cast("long"))
+          .as("a"))
+      .select(col("doc_id"), col("n_s"),
+        posexplode(transform(sequence(lit(0L), col("n_s") - 1L), k =>
+          element_at(col("a"), (k * 2 + 65).cast("int")) +
+            element_at(col("a"), (k * 2 + 66).cast("int")) * 256L))
+          .as(Seq("k", "raw")))
+      .select(col("doc_id"), col("n_s"), col("k"),
+        when(col("raw") >= 32768L, col("raw") - 65536L).otherwise(col("raw"))
+          .as("v"))
+    val bands = sm
+      .groupBy(col("doc_id"), col("n_s"),
+        expr(s"($nb * k) div n_s").as("band"))
+      .agg(sum(expr("v * v")).as("e"), count(lit(1)).as("bcnt"))
+    val tot = bands.groupBy(col("doc_id")).agg(sum(col("e")).as("tot"))
+    val sig = bands.join(tot, "doc_id")
+      .select(col("doc_id"), col("band"),
+        when(expr("CAST(e AS DECIMAL(38,0)) * n_s >= " +
+          "CAST(tot AS DECIMAL(38,0)) * bcnt"), 1L).otherwise(0L).as("bit"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(
+        "bit * shiftleft(CAST(1 AS BIGINT), CAST(band AS INT))")).as("s"))
+    // 5 chunks: 2×7 + 3×6 bits = 32
+    val chunkDefs = Seq((0, 127L), (7, 127L), (14, 63L), (20, 63L), (26, 63L))
+    val chunks = sig.select(col("doc_id"), col("s"),
+      posexplode(array(chunkDefs.map { case (sh, m) =>
+        shiftright(col("s"), sh).bitwiseAND(lit(m))
+      }: _*)).as(Seq("c", "cv")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.s").bitwiseXOR(col("b.s"))).cast("long").as("dist"))
+      .filter(col("dist") <= EnergyRadius)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -41,7 +41,18 @@ object Recurrence {
   /** Eager localCheckpoint per round: lineage cut, executor-local. */
   case object LocalCk extends Mode
   /** Eager reliable checkpoint per round: lineage cut, survives
-    * executor loss. Needs a checkpoint dir. */
+    * executor loss. Needs a checkpoint dir.
+    *
+    * Storage lifecycle: each round writes one checkpoint to the
+    * configured directory and Spark does NOT delete it by default —
+    * ContextCleaner only reclaims reliable checkpoint files when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set
+    * (and then only once the round's RDD is garbage-collected), so a
+    * long-lived session running many recurrences in this mode MUST
+    * either set that conf or point the checkpoint dir at
+    * job-scoped/TTL'd storage it deletes afterwards. Without one of
+    * those, checkpoint storage grows by rounds × recurrences
+    * unboundedly. */
   case object ReliableCk extends Mode
 
   @volatile var mode: Mode = Lazy

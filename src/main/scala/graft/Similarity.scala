@@ -552,11 +552,30 @@ object Similarity {
     * broadcast — k−1 chained rounds in ONE lazy plan, no driver
     * barrier (each 1-row pick is CacheScope-memoized so the chain's
     * reuse of earlier picks can never re-run their corpus pass).
-    * O(k²·N·d) total — the simple from-scratch min each round; the
-    * running-min variant would shave the k² to k at the price of a
-    * corpus-sized carried state. At 100 TB the q160 sketch feeds the
-    * distance pass unchanged. */
-  def coresetSelect(spark: SparkSession, d: String): DataFrame = {
+    *
+    * Two value-identical evaluation strategies behind [[runningMin]]
+    * (CoresetVariantSpec pins their equality):
+    *
+    *  - from-scratch (the r6 original): each round recomputes min-d2
+    *    over the WHOLE selection — O(k²·N·d), no carried state.
+    *  - running-min (default since r9): carry per-vector min-d2 and
+    *    fold in ONLY the newest pick each round — O(k·N·d), one
+    *    corpus-keyed join per round against a ≤dim-row broadcast.
+    *    The carried state is corpus-sized but one Long per vector,
+    *    CacheScope-scoped per round. IsoBench r9: 6.3 s → measured
+    *    against the from-scratch plan at sf0.1 after the isolated
+    *    drift probe confirmed the k² constant was real cost, not
+    *    suite pressure.
+    *
+    * At 100 TB the q160 sketch feeds the distance pass unchanged. */
+  def coresetSelect(spark: SparkSession, d: String): DataFrame =
+    if (runningMin) coresetSelectRunning(spark, d)
+    else coresetSelectScratch(spark, d)
+
+  /** Strategy knob for q161 (see [[coresetSelect]]). */
+  @volatile var runningMin: Boolean = true
+
+  private[graft] def coresetSelectScratch(spark: SparkSession, d: String): DataFrame = {
     // referenced 2× per round (corpus distance side + selected-component
     // extraction) × k−1 rounds: cached so the posexplode fan-out
     // computes once, not 14× (released after the caller's action)
@@ -586,6 +605,66 @@ object Similarity {
     }
     sel.select(col("rank"), col("vec_id"), col("d2").as("min_d2_micro"))
       .orderBy(col("rank"))
+  }
+
+  /** The O(k·N·d) running-min strategy for q161: per-vector min-d2
+    * state folds in only the NEWEST pick each round — one corpus
+    * component join against a ≤dim-row broadcast (the new pick's
+    * components), one vec-keyed agg, one `least` fold. Value-identical
+    * to the from-scratch strategy: min over the selection IS the
+    * running min, in the same exact integers with the same
+    * max(struct(d2, −vec_id)) tie-break.
+    *
+    * Execution is EAGER, one job per round, each pick a 1-ROW collect
+    * (the IvfIndex bounded-collect contract): the lazy formulation
+    * references each round's state twice (once via the fold, once via
+    * the pick that selects the next broadcast), so its logical plan
+    * doubles per round — 2^k plan nodes by round 8, which OOM'd AQE's
+    * explain-string generation before a single task ran. Collecting
+    * the 1-row pick makes the chain linear, gives every intermediate
+    * an explicit persist/unpersist lifecycle (no CacheScope timing
+    * dependence on internal actions), and returns the 8-row result as
+    * a literal frame. The from-scratch strategy remains the
+    * zero-driver-barrier alternative. */
+  private[graft] def coresetSelectRunning(spark: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(spark, d)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("col") * lit(1000000.0d)).cast("long").as("vm"))
+      .persist()
+    try {
+      val seed = Tables.embeddings(spark, d)
+        .agg(min(col("vec_id"))).head().getLong(0)
+      val picks = scala.collection.mutable.ArrayBuffer((1L, seed, 0L))
+      var lastId = seed
+      var state: DataFrame = null // persisted (vec_id, d2)
+      for (r <- 2 to CoresetK) {
+        val pickComp = broadcast(q.filter(col("vec_id") === lastId)
+          .select(col("pos"), col("vm").as("sm")))
+        val dNew = q.join(pickComp, "pos")
+          .groupBy(col("vec_id"))
+          .agg(sum((col("vm") - col("sm")) * (col("vm") - col("sm"))).as("dn"))
+        val next = (
+          if (state == null) dNew.select(col("vec_id"), col("dn").as("d2"))
+          else state.join(dNew, "vec_id")
+            .select(col("vec_id"), least(col("d2"), col("dn")).as("d2"))
+        ).persist()
+        // selected vectors carry state 0 (their self-distance entered
+        // the min the round after they were picked) — same
+        // can-never-win guarantee as the from-scratch strategy
+        val m = next
+          .agg(max(struct(col("d2"), (-col("vec_id")).as("nid"))).as("m"))
+          .select(col("m.d2"), (-col("m.nid")).as("vec_id")).head()
+        if (state != null) state.unpersist()
+        state = next
+        lastId = m.getLong(1)
+        picks += ((r.toLong, lastId, m.getLong(0)))
+      }
+      if (state != null) state.unpersist()
+      import spark.implicits._
+      picks.toSeq.toDF("rank", "vec_id", "min_d2_micro")
+        .orderBy(col("rank"))
+    } finally q.unpersist()
   }
 
   /** q158: cluster PROTOTYPES — the 4 most-central vectors of every
@@ -823,6 +902,42 @@ object Similarity {
     (v, num, den)
   }
 
+  /** One deflation round for q244: the largest eigenvalue of G
+    * restricted to the complement of the (approximate) top eigenvector
+    * — i.e. λ₂. Same exact-integer discipline as [[powerIterate]],
+    * with a PROJECTION step after every matvec: p = u·den1 − (v1ᵀu)·v1
+    * removes the v1 component exactly (all integers — den1 = v1ᵀv1
+    * clears the denominator), so numerical drift can never
+    * reintroduce λ₁'s direction between rounds. The start vector is
+    * the projected all-1000 vector. Rescale divisor is
+    * max(max|p|, 1): a zero vector (rank-1 Gram, or ones ∥ v1) stays
+    * zero instead of dividing by zero, and the final Rayleigh then
+    * reports NULL through the den=0 guard — the same contract in both
+    * engines. Returns (x, xᵀGx, xᵀx). Driver-side O(rounds·d²). */
+  private[graft] def deflatedIterate(g: Array[Long], dim: Int,
+      v1: Array[BigInt], den1: BigInt): (Array[BigInt], BigInt, BigInt) = {
+    def matVec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dim) { i =>
+        var acc = BigInt(0); var j = 0
+        while (j < dim) { acc += BigInt(g(i * dim + j)) * v(j); j += 1 }
+        acc
+      }
+    def projRescale(u: Array[BigInt]): Array[BigInt] = {
+      val dot = (0 until dim).map(i => v1(i) * u(i)).sum
+      val p = Array.tabulate(dim)(i => u(i) * den1 - dot * v1(i))
+      val m = p.map(_.abs).max.max(BigInt(1))
+      p.map(x =>
+        if (x.signum >= 0) (BigInt(1000) * x) / m
+        else -((BigInt(1000) * -x) / m))
+    }
+    var x = projRescale(Array.fill(dim)(BigInt(1000)))
+    for (_ <- 1 to PowerRounds) x = projRescale(matVec(x))
+    val gx = matVec(x)
+    val num = (0 until dim).map(i => x(i) * gx(i)).sum
+    val den = x.map(t => t * t).sum
+    (x, num, den)
+  }
+
   /** q48's int8 quantization as an array<long> column (exact small
     * integers) — the GramAgg input for q240/q242. Expects `v`/`sc`. */
   private def quantCol: Column =
@@ -849,15 +964,22 @@ object Similarity {
     * driver work. Gram entries stay exact in BIGINT through ~5.7e14
     * rows (|q| ≤ 127). Precondition: a non-zero corpus (the all-zero
     * Gram has no direction; real embedding tables aren't). */
-  def principalDirection(spark: SparkSession, d: String): DataFrame = {
+  /** The corpus int8 Gram collected to the driver — ONE GramAgg scan
+    * (d² = 4,096 longs; the IvfIndex bounded-collect contract). Shared
+    * by q240 and q244. */
+  private def corpusGram(spark: SparkSession, d: String, dim: Int): Array[Long] = {
     import graft.functions.GramAgg
-    val dim = 64
     val maxabs = array_max(transform(col("v"), x => abs(x)))
-    val g = withNorm(Tables.embeddings(spark, d))
+    withNorm(Tables.embeddings(spark, d))
       .withColumn("ma", maxabs).filter(col("ma") > 0)
       .withColumn("sc", lit(127.0) / col("ma"))
       .select(GramAgg.gram(quantCol, dim).as("g"))
       .head().getSeq[Long](0).toArray
+  }
+
+  def principalDirection(spark: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val g = corpusGram(spark, d, dim)
     val (v, num, den) = powerIterate(g, dim)
     val ray = (BigInt(1000) * num) / den
     import spark.implicits._
@@ -910,5 +1032,60 @@ object Similarity {
     rows.toDF("source", "n_vecs", "trace", "rayleigh_milli",
       "anisotropy_pm", "top_dim")
       .orderBy(col("source"))
+  }
+
+  /** q244: SPECTRAL SPREAD of the embedding cloud — λ₁ (the q240
+    * Rayleigh), λ₂ via ONE exact-integer deflation round
+    * ([[deflatedIterate]]: project-out-v1 after every matvec), their
+    * ratio, the Gram trace, and the PARTICIPATION RATIO
+    * trace(G)²/‖G‖²_F in milli — the effective-rank diagnostic
+    * GramAgg's contract promises (`functions/GramAgg.scala`): PR ≈ d
+    * for an isotropic cloud, ≈ 1 for a collapsed (rank-1) one. λ₂/λ₁
+    * separates "one rogue direction" (big gap → center/whiten that
+    * axis) from "genuinely low-rank" (λ₂ ≈ λ₁ with tiny PR → the
+    * embedding model itself is collapsing); PR needs no
+    * eigendecomposition at all — it is exact arithmetic over the Gram
+    * entries, so it cross-checks the iterative λ's.
+    *
+    * All exact: the Gram is the q240 single-scan collect, both
+    * eigen-iterations are fixed-round sign-decomposed integer
+    * programs the DuckDB oracle bit-replays (chained MATERIALIZED
+    * CTEs), trace/Frobenius are integer sums. Degenerate corpora
+    * (rank-1 Gram → zero deflated vector) report NULL λ₂/ratio through
+    * the den=0 guard in BOTH engines rather than crashing.
+    *
+    * Shape at 100 TB: identical to q240 — one embeddings scan with a
+    * 32 KB aggregation buffer, then O(rounds·d²) driver work. */
+  def spectralSpread(spark: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val g = corpusGram(spark, d, dim)
+    val (v1, num1, den1) = powerIterate(g, dim)
+    val (_, num2, den2) = deflatedIterate(g, dim, v1, den1)
+    val trace = (0 until dim).map(i => BigInt(g(i * dim + i))).sum
+    val fro = g.map(x => BigInt(x) * BigInt(x)).sum
+    // The two Rayleigh quotients are EACH lower bounds on λ1; with a
+    // flat spectrum (λ1 ≈ λ2, exactly the case this operator exists
+    // to detect) the deflated iterate's quotient can exceed the
+    // under-converged top iterate's. Present the SORTED pair — the
+    // larger is the strictly better λ1 bound, the smaller plays λ2 —
+    // so ratio_pm ∈ [0, 1000] reads directly as gap evidence
+    // (≈1000 = no spectral gap / isotropic; ≈0 = rank-1 collapse).
+    // Exact rational compare (num2·den1 vs num1·den2), no floats.
+    val l1c = (BigInt(1000) * num1) / den1
+    val (lam1, lam2, ratio) =
+      if (den2 == 0) (l1c, None, None) // rank-1: zero deflated vector
+      else {
+        val l2c = (BigInt(1000) * num2) / den2
+        if (num2 * den1 > num1 * den2)
+          (l2c, Some(l1c), Some((BigInt(1000) * num1 * den2) / (den1 * num2)))
+        else
+          (l1c, Some(l2c), Some((BigInt(1000) * num2 * den1) / (den2 * num1)))
+      }
+    val pr = (BigInt(1000) * trace * trace) / fro
+    import spark.implicits._
+    Seq((trace.toLong, lam1.toLong, lam2.map(_.toLong),
+      ratio.map(_.toLong), pr.toLong))
+      .toDF("trace", "lambda1_milli", "lambda2_milli", "ratio_pm",
+        "pr_milli")
   }
 }

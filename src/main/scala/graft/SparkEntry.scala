@@ -578,6 +578,12 @@ object SparkEntry {
     "q242_source_anisotropy" -> (Similarity.sourceAnisotropy _),
     // within-cluster pairwise length-delta / exact-pair dedup geometry
     "q243_cluster_diff_stats" -> (Dedup.clusterDiffStats _),
+    // λ1, λ2 (one exact deflation round), trace, participation ratio
+    "q244_spectral_spread" -> (Similarity.spectralSpread _),
+    // virtual-pixel aHash near-dup pairs, 8-chunk pigeonhole banding
+    "q245_image_ahash_neardup" -> (Multimodal.imageAHashNearDup _),
+    // virtual-PCM band-energy hash near-dup pairs (audio payloads)
+    "q246_audio_energy_neardup" -> (Multimodal.audioEnergyNearDup _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -4090,7 +4096,7 @@ object SparkEntry {
         |       ((1000 * max(gaps.gap)) // (max(gaps.nS)::HUGEINT
         |         * max(gaps.nR)))::BIGINT AS ks_pm,
         |       max(pk.g) AS peak_len
-        |FROM gaps JOIN pk ON pk.src = gaps.src AND pk.rn = 1
+        |FROM gaps LEFT JOIN pk ON pk.src = gaps.src AND pk.rn = 1
         |GROUP BY 1, 2 ORDER BY source""".stripMargin,
     // q220: distinct (source, term) then a term-keyed pair join.
     "q220_source_vocab_overlap" ->
@@ -4673,5 +4679,165 @@ object SparkEntry {
          |FROM jj a JOIN jj b ON b.cluster_id = a.cluster_id
          |  AND a.doc_id < b.doc_id
          |GROUP BY 1 ORDER BY a.cluster_id""".stripMargin,
+    // q244: the q240 chain (Gram + 8 power rounds → v1), THEN the
+    // deflated chain — 8 more rounds, each matvec followed by an exact
+    // integer projection p = u·(v1ᵀv1) − (v1ᵀu)·v1 — plus trace /
+    // Frobenius sums. Every vector CTE is MATERIALIZED (multiply
+    // referenced; the q162 3^rounds inlining lesson). G is PSD, so
+    // every Rayleigh numerator is ≥ 0 and DuckDB's floor // equals
+    // the driver's truncating BigInt division; degenerate rank-1
+    // corpora give a zero deflated vector and NULL λ2/ratio in both
+    // engines (x//0 is NULL in DuckDB, guarded None on the driver).
+    "q244_spectral_spread" -> {
+      val v1rounds = (1 to Similarity.PowerRounds).map { r =>
+        s"""w$r AS MATERIALIZED (SELECT g.i, sum(g.gv * v${r - 1}.x) w
+           |      FROM g JOIN v${r - 1} ON v${r - 1}.i = g.j GROUP BY 1),
+           |v$r AS MATERIALIZED (SELECT i,
+           |      CASE WHEN w >= 0 THEN (1000 * w) // (SELECT max(abs(w)) FROM w$r)
+           |        ELSE -((1000 * -w) // (SELECT max(abs(w)) FROM w$r)) END x
+           |      FROM w$r)""".stripMargin
+      }.mkString(",\n")
+      val v1 = s"v${Similarity.PowerRounds}"
+      val defRounds = (1 to Similarity.PowerRounds).map { r =>
+        s"""u$r AS MATERIALIZED (SELECT g.i, sum(g.gv * x${r - 1}.x) u
+           |      FROM g JOIN x${r - 1} ON x${r - 1}.i = g.j GROUP BY 1),
+           |d$r AS MATERIALIZED (SELECT sum($v1.x * u$r.u) dot
+           |      FROM u$r JOIN $v1 ON $v1.i = u$r.i),
+           |p$r AS MATERIALIZED (SELECT u$r.i,
+           |      u$r.u * (SELECT dd FROM dn1) - (SELECT dot FROM d$r) * $v1.x p
+           |      FROM u$r JOIN $v1 ON $v1.i = u$r.i),
+           |m$r AS (SELECT greatest(max(abs(p)), 1) mx FROM p$r),
+           |x$r AS MATERIALIZED (SELECT i,
+           |      CASE WHEN p >= 0 THEN (1000 * p) // (SELECT mx FROM m$r)
+           |        ELSE -((1000 * -p) // (SELECT mx FROM m$r)) END x
+           |      FROM p$r)""".stripMargin
+      }.mkString(",\n")
+      val xf = s"x${Similarity.PowerRounds}"
+      s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings),
+         |s AS (SELECT v,
+         |      127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
+         |      FROM e
+         |      WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0),
+         |q8 AS (SELECT list_transform(v, x ->
+         |        (CASE WHEN x >= 0 THEN floor(abs(x * sc) + 0.5)
+         |          ELSE -floor(abs(x * sc) + 0.5) END)::BIGINT) q FROM s),
+         |g AS MATERIALIZED (SELECT i.i, j.j, sum(q[i.i] * q[j.j])::HUGEINT gv
+         |      FROM q8, generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+         |      GROUP BY 1, 2),
+         |v0 AS (SELECT i, 1000::HUGEINT x FROM generate_series(1, 64) t(i)),
+         |$v1rounds,
+         |wf AS MATERIALIZED (SELECT g.i, sum(g.gv * $v1.x) w
+         |      FROM g JOIN $v1 ON $v1.i = g.j GROUP BY 1),
+         |dn1 AS MATERIALIZED (SELECT sum(x * x) dd FROM $v1),
+         |nm1 AS MATERIALIZED (SELECT sum(wf.w * $v1.x) nn
+         |      FROM wf JOIN $v1 ON $v1.i = wf.i),
+         |tr AS (SELECT sum(gv) t FROM g WHERE i = j),
+         |fro AS (SELECT sum(gv * gv) f FROM g),
+         |d0 AS MATERIALIZED (SELECT 1000 * sum(x) dot FROM $v1),
+         |p0 AS MATERIALIZED (SELECT $v1.i,
+         |      1000 * (SELECT dd FROM dn1) - (SELECT dot FROM d0) * $v1.x p
+         |      FROM $v1),
+         |m0 AS (SELECT greatest(max(abs(p)), 1) mx FROM p0),
+         |x0 AS MATERIALIZED (SELECT i,
+         |      CASE WHEN p >= 0 THEN (1000 * p) // (SELECT mx FROM m0)
+         |        ELSE -((1000 * -p) // (SELECT mx FROM m0)) END x
+         |      FROM p0),
+         |$defRounds,
+         |gf AS MATERIALIZED (SELECT g.i, sum(g.gv * $xf.x) u
+         |      FROM g JOIN $xf ON $xf.i = g.j GROUP BY 1),
+         |fn2 AS (SELECT sum(gf.u * $xf.x) nn FROM gf JOIN $xf ON $xf.i = gf.i),
+         |fd2 AS (SELECT sum(x * x) dd FROM $xf)
+         |SELECT tr.t::BIGINT AS trace,
+         |       (CASE WHEN fn2.nn * dn1.dd > nm1.nn * fd2.dd
+         |          THEN (1000 * fn2.nn) // fd2.dd
+         |          ELSE (1000 * nm1.nn) // dn1.dd END)::BIGINT
+         |         AS lambda1_milli,
+         |       (CASE WHEN fn2.nn * dn1.dd > nm1.nn * fd2.dd
+         |          THEN (1000 * nm1.nn) // dn1.dd
+         |          ELSE (1000 * fn2.nn) // fd2.dd END)::BIGINT
+         |         AS lambda2_milli,
+         |       (CASE WHEN fn2.nn * dn1.dd > nm1.nn * fd2.dd
+         |          THEN (1000 * nm1.nn * fd2.dd) // (dn1.dd * fn2.nn)
+         |          ELSE (1000 * fn2.nn * dn1.dd) // (fd2.dd * nm1.nn) END)
+         |         ::BIGINT AS ratio_pm,
+         |       ((1000 * tr.t * tr.t) // fro.f)::BIGINT AS pr_milli
+         |FROM tr, fro, nm1, dn1, fn2, fd2""".stripMargin
+    },
+    // q245: the virtual pixel stream (bytes after the 64-byte header),
+    // 64 grid cells by (64·p)//n_pix, cross-multiplied mean threshold,
+    // the 64-bit hash as two 32-bit halves, 8-chunk pigeonhole join,
+    // exact Hamming ≤ 7 verify — the full aHash replay.
+    "q245_image_ahash_neardup" ->
+      """WITH dd AS (SELECT doc_id, text, (length(text) - 64)::BIGINT n_pix
+        |      FROM documents WHERE length(text) - 64 >= 64),
+        |px AS (SELECT doc_id, n_pix,
+        |        ord(substr(text, (65 + p)::INT, 1))::BIGINT v, p
+        |      FROM (SELECT doc_id, text, n_pix,
+        |              unnest(generate_series(0, n_pix - 1)) p FROM dd)),
+        |bl AS (SELECT doc_id, n_pix, (64 * p) // n_pix blk,
+        |        sum(v)::BIGINT bsum, count(*)::BIGINT bcnt
+        |      FROM px GROUP BY 1, 2, 3),
+        |tt AS (SELECT doc_id, sum(bsum)::BIGINT tot FROM bl GROUP BY 1),
+        |bits AS (SELECT bl.doc_id, blk,
+        |        CASE WHEN bsum * n_pix >= tot * bcnt
+        |          THEN 1::BIGINT ELSE 0::BIGINT END bt
+        |      FROM bl JOIN tt ON tt.doc_id = bl.doc_id),
+        |sg AS MATERIALIZED (SELECT doc_id,
+        |        sum(CASE WHEN blk < 32 THEN bt << blk::INT ELSE 0 END)
+        |          ::BIGINT lo,
+        |        sum(CASE WHEN blk >= 32 THEN bt << (blk - 32)::INT
+        |          ELSE 0 END)::BIGINT hi
+        |      FROM bits GROUP BY 1),
+        |ch AS MATERIALIZED (SELECT doc_id, lo, hi, c,
+        |        ((CASE WHEN c < 5 THEN lo ELSE hi END)
+        |          >> (CASE c % 5 WHEN 0 THEN 0 WHEN 1 THEN 7 WHEN 2 THEN 14
+        |              WHEN 3 THEN 20 ELSE 26 END)::INT)
+        |          & (CASE WHEN c % 5 < 2 THEN 127 ELSE 63 END) cv
+        |      FROM sg, generate_series(0, 9) g(c))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))
+        |         ::BIGINT AS dist
+        |FROM ch a JOIN ch b ON b.c = a.c AND b.cv = a.cv
+        |  AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q246: the q226 virtual-PCM contract (s16le mono after the 64-byte
+    // header, signed decode), 32 temporal bands by (32·k)//n_s, energy
+    // mean threshold cross-multiplied in HUGEINT, 5-chunk pigeonhole,
+    // exact Hamming ≤ 4 verify.
+    "q246_audio_energy_neardup" ->
+      """WITH dd AS (SELECT * FROM (SELECT doc_id, text,
+        |        (greatest(length(text) - 64, 0) // 2)::BIGINT n_s
+        |      FROM documents) WHERE n_s >= 32),
+        |sm AS (SELECT doc_id, n_s, k,
+        |        ord(substr(text, (65 + 2 * k)::INT, 1))
+        |          + 256 * ord(substr(text, (66 + 2 * k)::INT, 1)) raw
+        |      FROM (SELECT doc_id, text, n_s,
+        |              unnest(generate_series(0, n_s - 1)) k FROM dd)),
+        |sv AS (SELECT doc_id, n_s, k,
+        |        (CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END)
+        |          ::BIGINT v
+        |      FROM sm),
+        |bd AS (SELECT doc_id, n_s, (32 * k) // n_s band,
+        |        sum(v * v)::BIGINT e, count(*)::BIGINT bcnt
+        |      FROM sv GROUP BY 1, 2, 3),
+        |tt AS (SELECT doc_id, sum(e)::BIGINT tot FROM bd GROUP BY 1),
+        |bits AS (SELECT bd.doc_id, band,
+        |        CASE WHEN e::HUGEINT * n_s >= tot::HUGEINT * bcnt
+        |          THEN 1::BIGINT ELSE 0::BIGINT END bt
+        |      FROM bd JOIN tt ON tt.doc_id = bd.doc_id),
+        |sg AS MATERIALIZED (SELECT doc_id, sum(bt << band::INT)::BIGINT s
+        |      FROM bits GROUP BY 1),
+        |ch AS MATERIALIZED (SELECT doc_id, s, c,
+        |        CASE c WHEN 0 THEN s & 127 WHEN 1 THEN (s >> 7) & 127
+        |          WHEN 2 THEN (s >> 14) & 63 WHEN 3 THEN (s >> 20) & 63
+        |          ELSE (s >> 26) & 63 END cv
+        |      FROM sg, generate_series(0, 4) g(c))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.s, b.s))::BIGINT AS dist
+        |FROM ch a JOIN ch b ON b.c = a.c AND b.cv = a.cv
+        |  AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

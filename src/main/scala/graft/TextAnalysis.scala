@@ -952,10 +952,20 @@ object TextAnalysis {
     * tf/df hash-aggs and vocab-keyed joins with map-side partials.
     * Top-30 by (score, pair) is deterministic. */
   def sparseCosineTopK(spark: SparkSession, d: String): DataFrame = {
-    val tf = CacheScope.cached(
-      Tables.documentsDist(spark, d)
-        .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf")))
+    // EAGER cache population: tf feeds FOUR independent branches of the
+    // result plan (df, w-as-a, w-as-b, norms). Left lazy, AQE submits
+    // those leaf stages concurrently against a still-empty
+    // InMemoryRelation and each recomputes the shingle-explode agg —
+    // the r8 bench recorded a 27 s cold pass vs 4.7 s warm on exactly
+    // this query. One count() forces a single computation; every
+    // consumer then reads cached blocks. Same deferred release as the
+    // lazy form (adopt = release after the caller's terminal action).
+    val tf = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+      .persist()
+    tf.count()
+    CacheScope.adopt(tf)
     val df = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= SparseCosineDfCap)
     val w = tf.join(df, "g")

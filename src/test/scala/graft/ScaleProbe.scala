@@ -353,6 +353,44 @@ object ScaleProbe {
       val (c10, w10) = phraseProbe(d10)
       println(f"[probe] q187 build+probe cold ratio = ${c10 / c1}%5.1f, warm probe ratio = ${w10 / w1}%5.1f (linear would be ~10)")
     }
+
+    // Round-9 probes. (a) GROUPED-GRAM stress: q242's hash-agg state is
+    // |sources| × d² longs, but the vec10x twin keeps the corpus's few
+    // sources — it never stresses the per-group buffers or their
+    // serialize/merge. This corpus remaps every doc to one of 64
+    // synthetic sources (doc_id % 64) over the SAME 10× vectors, so a
+    // map-side partial carries 64 × 32 KB of Gram state and every
+    // partial merge moves all of it. (b) the new q244/q245/q246 at 10×.
+    val g64 = s"${sys.props("java.io.tmpdir")}/graft-scale-gram64"
+    if (fams("r9")) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$g64/embeddings.parquet/_SUCCESS")))
+        spark.read.parquet(s"$vdir/embeddings.parquet")
+          .write.mode("overwrite").parquet(s"$g64/embeddings.parquet")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$g64/documents.parquet/_SUCCESS")))
+        spark.read.parquet(s"$vdir/documents.parquet")
+          .withColumn("source", concat(lit("s"),
+            lpad((col("doc_id") % 64).cast("string"), 2, "0")))
+          .write.mode("overwrite").parquet(s"$g64/documents.parquet")
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val t1g = min2("q242_source_anisotropy", Similarity.sourceAnisotropy _, d1)
+      val t10g = min2("q242_source_anisotropy", Similarity.sourceAnisotropy _, vdir)
+      val t64g = min2("q242_source_anisotropy", Similarity.sourceAnisotropy _, g64)
+      println(f"[probe] q242 10x/1x = ${t10g / t1g}%5.1f, 10x+64src/1x = ${t64g / t1g}%5.1f (linear would be ~10; the 64src delta is the grouped-state cost)")
+      val r9qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+        Seq("q244_spectral_spread" -> (Similarity.spectralSpread _),
+          "q245_image_ahash" -> (Multimodal.imageAHashNearDup _),
+          "q246_audio_energy" -> (Multimodal.audioEnergyNearDup _))
+      val r9ratios = r9qs.map { case (name, fn) =>
+        val dd = if (name.startsWith("q244")) vdir else d10
+        val t1 = min2(name, fn, d1)
+        val t10 = min2(name, fn, dd)
+        println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+        name -> (t10 / t1)
+      }
+      println(r9ratios.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r9 ratios: ", ", ", ""))
+    }
     spark.stop()
   }
 }
