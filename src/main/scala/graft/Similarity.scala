@@ -247,6 +247,203 @@ object Similarity {
     rankTopK(scored, k = 5)
   }
 
+  /** q247: METADATA-FILTERED exact top-k — retrieval under a
+    * per-query predicate, the RAG/eval pattern every production vector
+    * store grows first ("top-k similar, but only from OTHER sources"):
+    * cross-source retrieval avoids returning a document's own
+    * near-dups as evidence, and the same plan shape covers any
+    * metadata predicate (date ranges, licenses, language). Candidates
+    * are restricted to `source ≠ query.source` BEFORE ranking (the
+    * pre-filter evaluation order — the filter lands in the join
+    * condition, so a selective predicate SHRINKS the scored set
+    * instead of starving a post-filtered top-k; q248 measures exactly
+    * that starvation on the index path). Exact cosine, the q38
+    * bounded-heap top-k aggregate (map-side partial top-5, never a
+    * per-query sort at corpus scale).
+    *
+    * Shape at 100 TB: queries broadcast (bounded set), the source
+    * label rides the candidate row from one dimension join, scoring is
+    * one codegen'd pass over candidates — same cost envelope as q26
+    * minus the filtered-out mass. */
+  def filteredKnn(spark: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val e = withNorm(Tables.embeddings(spark, d))
+      .join(src, col("vec_id") === col("doc_id")).drop("doc_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nn").as("qn"), col("source").as("q_src"))
+    broadcast(q).join(e,
+        col("q_id") =!= col("vec_id") && col("source") =!= col("q_src"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nn")))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topk(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("neighbor_id"),
+        round(col("s.score"), 6).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** q248: FILTERED-LSH audit — the index path under the same
+    * cross-source predicate as q247, POST-filtered (buckets know
+    * nothing about metadata: candidates come from signature collision,
+    * THEN the filter drops same-source ones), with the numbers an
+    * operator reads before shipping filtered search on a bucketed
+    * index: per query the raw and post-filter candidate counts, how
+    * many of the 5 result slots actually filled, and exact recall@5
+    * against q247's pre-filtered exact answer (permille). This is the
+    * "post-filtering starves selective predicates" measurement — a
+    * query whose filter kills most of its bucket candidates returns
+    * underfilled, low-recall lists, and the fix (filter-aware
+    * bucketing, larger probe width) shows up here as arithmetic, not
+    * anecdote.
+    *
+    * Shape at 100 TB: the q27 bucket equi-join (bounded query side),
+    * one dimension join for the label, candidate-only scoring, and
+    * query-keyed bounded aggs; the exact side is q247's plan. */
+  def filteredLshAudit(spark: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val e = CacheScope.cached(withNorm(Tables.embeddings(spark, d))
+      .withColumn("buckets", lshBuckets(col("v")))
+      .join(src, col("vec_id") === col("doc_id")).drop("doc_id"))
+    val b = e.select(col("vec_id"), col("source"),
+      posexplode(col("buckets")).as(Seq("t", "bucket")))
+    val cand = b.as("q").join(b.as("c"),
+        col("q.t") === col("c.t") && col("q.bucket") === col("c.bucket") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .filter(col("q.vec_id") < 10)
+      .select(col("q.vec_id").as("q_id"), col("q.source").as("q_src"),
+        col("c.vec_id").as("vec_id"), col("c.source").as("n_src"))
+      .distinct()
+    val counts = cand.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("n_src") =!= col("q_src"), 1L).otherwise(0L))
+          .as("n_cand_filtered"))
+    val lshTop = cand.filter(col("n_src") =!= col("q_src"))
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nn").as("qn")), "q_id")
+      .join(e.select(col("vec_id"), col("v"), col("nn")), "vec_id")
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nn")))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topk(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
+    val exact = filteredKnn(spark, d).select(col("q_id"), col("neighbor_id"))
+    val hits = lshTop.join(exact, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    val filled = lshTop.groupBy(col("q_id")).agg(count(lit(1)).as("n_filled"))
+    e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+      .join(counts, Seq("q_id"), "left")
+      .join(filled, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_cand_filtered"), lit(0L)).as("n_cand_filtered"),
+        coalesce(col("n_filled"), lit(0L)).as("n_filled"),
+        expr("(1000 * coalesce(n_hit, 0)) div 5").as("recall_pm"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Pool width and selection size for q249. The pool is the top-12
+    * by relevance; MMR re-ranks inside it — fixed sizes keep the
+    * greedy a fixed CTE chain the oracle replays (the q126/q161
+    * fixed-rounds discipline). */
+  val MmrPool = 12
+  val MmrK = 5
+
+  /** q249: MMR-DIVERSIFIED retrieval — maximal marginal relevance
+    * (Carbonell & Goldstein, SIGIR'98) over the top-[[MmrPool]]
+    * relevance pool: pick the most relevant document first, then
+    * k−1 times the document maximizing relevance MINUS its worst-case
+    * redundancy max-similarity to anything already picked (λ = ½, so
+    * the score is the plain difference). The retrieval-diversification
+    * pass a RAG or eval-set builder runs so five near-identical
+    * passages don't fill the whole context window.
+    *
+    * Exactness: every score is an integer. Vectors take the q48 int8
+    * quantization, dots are exact small integers (≤ 64·127², exact in
+    * the native double fold), and both relevance and similarity use
+    * the SIGN-PRESERVING SQUARED cosine in micro units —
+    * sign(dot)·⌊10⁶·dot²/(‖a‖²‖b‖²)⌋ — which is strictly monotone in
+    * cosine (the q192 square trick plus sign), rational, and
+    * Long-safe (10⁶·dot² ≤ 1.1·10¹⁸ < 2⁶³). MMR over a monotone
+    * transform of cosine is a well-defined MMR variant; the λ=½
+    * trade-off is expressed in the transformed scale and documented
+    * as such. Ties everywhere break to the smaller vec_id.
+    *
+    * Shape at 100 TB: relevance scoring is the q26 broadcast-join
+    * scan; everything after operates on Q·12 pool rows and Q·12·11
+    * pool pairs — the greedy runs on the driver over that BOUNDED
+    * collect (≤ a few hundred rows; the q240 driver-fold contract),
+    * and the result is a literal Q·k frame. */
+  def mmrDiversified(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    val quant = transform(col("v"), x =>
+      when(x >= 0, floor(abs(x * col("sc")) + lit(0.5)))
+        .otherwise(-floor(abs(x * col("sc")) + lit(0.5))).cast("double"))
+    val e = withNorm(Tables.embeddings(spark, d))
+      .withColumn("ma", maxabs).filter(col("ma") > 0)
+      .withColumn("sc", lit(127.0) / col("ma"))
+      .withColumn("q", quant)
+      .withColumn("qn", dot(col("q"), col("q")).cast("long"))
+      .filter(col("qn") > 0)
+      .select(col("vec_id"), col("q"), col("qn"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("qn").as("qqn"))
+    val scored = broadcast(qs).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("dt", dot(col("qq"), col("q")).cast("long"))
+      .withColumn("srel", expr(
+        "CASE WHEN dt >= 0 THEN (1000000 * dt * dt) div (qqn * qn)" +
+          " ELSE -((1000000 * dt * dt) div (qqn * qn)) END"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("srel").desc, col("vec_id"))
+    val pool = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= MmrPool)
+      .select(col("q_id"), col("vec_id"), col("q"), col("qn"), col("srel"))
+    val pp = pool.select(col("q_id"), col("vec_id").as("aa"),
+        col("q").as("aq"), col("qn").as("an"))
+      .join(pool.select(col("q_id"), col("vec_id").as("bb"),
+        col("q").as("bq"), col("qn").as("bn")), "q_id")
+      .filter(col("aa") =!= col("bb"))
+      .withColumn("dt", dot(col("aq"), col("bq")).cast("long"))
+      .select(col("q_id"), col("aa"), col("bb"), expr(
+        "CASE WHEN dt >= 0 THEN (1000000 * dt * dt) div (an * bn)" +
+          " ELSE -((1000000 * dt * dt) div (an * bn)) END").as("ssim"))
+    // bounded collects: Q·12 pool rows, Q·12·11 pair rows
+    val poolRows = pool.select(col("q_id"), col("vec_id"), col("srel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val simMap = pp.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val out = poolRows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (qid, rows) =>
+        val cands = scala.collection.mutable.Map(
+          rows.map(t => t._2 -> t._3): _*)
+        val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        for (r <- 1 to MmrK if cands.nonEmpty) {
+          val (id, srel, score) =
+            if (r == 1) {
+              val (i, s) = cands.minBy { case (i, s) => (-s, i) }
+              (i, s, s)
+            } else {
+              val scoredC = cands.toSeq.map { case (i, s) =>
+                val pen = selected.map(sid => simMap((qid, sid, i))).max
+                (i, s, s - pen)
+              }
+              scoredC.minBy { case (i, _, sc2) => (-sc2, i) }
+            }
+          picks += ((qid, r.toLong, id, srel, score))
+          selected += id
+          cands.remove(id)
+        }
+        picks
+    }
+    import spark.implicits._
+    out.toDF("q_id", "rank", "neighbor_id", "srel_micro", "score_micro")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Per-label embedding centroids — the class-prototype / cluster-
     * summary pass (seed vectors for IVF-style indexes, label drift
     * monitoring, nearest-prototype classification).

@@ -584,6 +584,12 @@ object SparkEntry {
     "q245_image_ahash_neardup" -> (Multimodal.imageAHashNearDup _),
     // virtual-PCM band-energy hash near-dup pairs (audio payloads)
     "q246_audio_energy_neardup" -> (Multimodal.audioEnergyNearDup _),
+    // metadata-filtered (cross-source) exact top-k retrieval
+    "q247_filtered_knn" -> (Similarity.filteredKnn _),
+    // post-filtered LSH path: fill rate + recall vs the exact answer
+    "q248_filtered_lsh_audit" -> (Similarity.filteredLshAudit _),
+    // MMR-diversified top-k over the relevance pool (exact integer MMR)
+    "q249_mmr_diversified" -> (Similarity.mmrDiversified _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -4839,5 +4845,143 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 4
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q247: the q26 exact-cosine chain with the cross-source predicate
+    // in the candidate join (pre-filter evaluation order).
+    "q247_filtered_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |es AS (SELECT e.vec_id, e.v, d.source
+        |      FROM e JOIN documents d ON d.doc_id = e.vec_id),
+        |s AS (SELECT q.vec_id q_id, n.vec_id neighbor_id,
+        |      list_dot_product(q.v, n.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
+        |      FROM es q, es n WHERE q.vec_id < 10 AND n.vec_id != q.vec_id
+        |        AND n.source != q.source),
+        |r AS (SELECT q_id, neighbor_id, c, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
+        |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // q248: the q27 signature/bucket chain, source labels joined on,
+    // post-filter counts, filtered top-5, and exact recall vs the q247
+    // chain — every multiply-referenced CTE MATERIALIZED.
+    "q248_filtered_lsh_audit" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |es AS MATERIALIZED (SELECT e.vec_id, e.v, d.source
+        |      FROM e JOIN documents d ON d.doc_id = e.vec_id),
+        |sig AS (SELECT vec_id, t,
+        |  list_sum(list_transform(generate_series(0, 3), r ->
+        |    CASE WHEN list_sum(list_transform(generate_series(0, 63), i ->
+        |      (CASE WHEN ((((t*4 + r)*64 + i) * 2654435761) & 65536) != 0
+        |            THEN 1.0 ELSE -1.0 END) * v[i + 1])) > 0
+        |    THEN (1::BIGINT << r) ELSE 0 END))::BIGINT AS bucket
+        |  FROM e, generate_series(0, 3) g(t)),
+        |cand AS (SELECT DISTINCT q.vec_id q_id, c.vec_id vec_id
+        |         FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+        |              AND q.vec_id != c.vec_id
+        |         WHERE q.vec_id < 10),
+        |cs AS MATERIALIZED (SELECT cand.q_id, cand.vec_id,
+        |        qs.source q_src, ns.source n_src
+        |      FROM cand JOIN es qs ON qs.vec_id = cand.q_id
+        |           JOIN es ns ON ns.vec_id = cand.vec_id),
+        |nc AS (SELECT q_id, count(*)::BIGINT n_cand,
+        |        sum(CASE WHEN n_src != q_src THEN 1 ELSE 0 END)::BIGINT nf
+        |      FROM cs GROUP BY 1),
+        |sc AS (SELECT cs.q_id, cs.vec_id neighbor_id,
+        |      list_dot_product(q.v, n.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
+        |      FROM cs JOIN e q ON q.vec_id = cs.q_id
+        |           JOIN e n ON n.vec_id = cs.vec_id
+        |      WHERE cs.n_src != cs.q_src),
+        |lt AS MATERIALIZED (SELECT q_id, neighbor_id FROM
+        |      (SELECT q_id, neighbor_id, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM sc)
+        |      WHERE rnk <= 5),
+        |xs AS (SELECT q.vec_id q_id, n.vec_id neighbor_id,
+        |      list_dot_product(q.v, n.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
+        |      FROM es q, es n WHERE q.vec_id < 10 AND n.vec_id != q.vec_id
+        |        AND n.source != q.source),
+        |xt AS MATERIALIZED (SELECT q_id, neighbor_id FROM
+        |      (SELECT q_id, neighbor_id, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM xs)
+        |      WHERE rnk <= 5),
+        |ov AS (SELECT lt.q_id, count(*)::BIGINT n_hit
+        |      FROM lt JOIN xt ON xt.q_id = lt.q_id
+        |        AND xt.neighbor_id = lt.neighbor_id GROUP BY 1),
+        |fl AS (SELECT q_id, count(*)::BIGINT n_filled FROM lt GROUP BY 1)
+        |SELECT base.vec_id AS q_id,
+        |       coalesce(nc.n_cand, 0)::BIGINT AS n_cand,
+        |       coalesce(nc.nf, 0)::BIGINT AS n_cand_filtered,
+        |       coalesce(fl.n_filled, 0)::BIGINT AS n_filled,
+        |       ((1000 * coalesce(ov.n_hit, 0)) // 5)::BIGINT AS recall_pm
+        |FROM (SELECT vec_id FROM es WHERE vec_id < 10) base
+        |LEFT JOIN nc ON nc.q_id = base.vec_id
+        |LEFT JOIN fl ON fl.q_id = base.vec_id
+        |LEFT JOIN ov ON ov.q_id = base.vec_id
+        |ORDER BY q_id""".stripMargin,
+    // q249: int8 quantization (the q240 q8 chain), signed-square micro
+    // relevance, top-12 pool, pool-pair sims, then MmrK−1 greedy
+    // rounds as chained MATERIALIZED CTEs — each round = candidates
+    // minus selected, penalty = max pool-pair sim to the selected set,
+    // argmax (score desc, id asc).
+    "q249_mmr_diversified" -> {
+      val rounds = (2 to Similarity.MmrK).map { r =>
+        s"""c$r AS MATERIALIZED (
+           |  SELECT p.q_id, p.vec_id, p.srel, p.srel - max(x.ssim) score
+           |  FROM pool p JOIN pp x ON x.q_id = p.q_id AND x.bb = p.vec_id
+           |       JOIN u${r - 1} u ON u.q_id = x.q_id AND u.vec_id = x.aa
+           |  WHERE NOT EXISTS (SELECT 1 FROM u${r - 1} u2
+           |    WHERE u2.q_id = p.q_id AND u2.vec_id = p.vec_id)
+           |  GROUP BY 1, 2, 3),
+           |s$r AS MATERIALIZED (SELECT q_id, vec_id, srel, score, $r rnk FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY q_id
+           |     ORDER BY score DESC, vec_id) rn FROM c$r) WHERE rn = 1),
+           |u$r AS MATERIALIZED (SELECT q_id, vec_id FROM u${r - 1}
+           |  UNION ALL SELECT q_id, vec_id FROM s$r)""".stripMargin
+      }.mkString(",\n")
+      val unions = (2 to Similarity.MmrK)
+        .map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |sq AS (SELECT vec_id, v,
+         |      127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
+         |      FROM e
+         |      WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0),
+         |q8 AS (SELECT vec_id, list_transform(v, x ->
+         |        (CASE WHEN x >= 0 THEN floor(abs(x * sc) + 0.5)
+         |          ELSE -floor(abs(x * sc) + 0.5) END)::BIGINT) q FROM sq),
+         |qq AS MATERIALIZED (SELECT vec_id, q,
+         |      list_dot_product(q, q)::BIGINT qn FROM q8
+         |      WHERE list_dot_product(q, q) > 0),
+         |sr AS (SELECT a.vec_id q_id, b.vec_id vec_id, b.q, b.qn,
+         |      CASE WHEN list_dot_product(a.q, b.q) >= 0
+         |        THEN (1000000 * list_dot_product(a.q, b.q)::BIGINT
+         |              * list_dot_product(a.q, b.q)::BIGINT) // (a.qn * b.qn)
+         |        ELSE -((1000000 * list_dot_product(a.q, b.q)::BIGINT
+         |              * list_dot_product(a.q, b.q)::BIGINT) // (a.qn * b.qn))
+         |      END srel
+         |      FROM qq a JOIN qq b ON b.vec_id != a.vec_id
+         |      WHERE a.vec_id < 10),
+         |pool AS MATERIALIZED (SELECT q_id, vec_id, q, qn, srel FROM
+         |      (SELECT *, row_number() OVER (PARTITION BY q_id
+         |         ORDER BY srel DESC, vec_id) rnk FROM sr)
+         |      WHERE rnk <= ${Similarity.MmrPool}),
+         |pp AS MATERIALIZED (SELECT a.q_id, a.vec_id aa, b.vec_id bb,
+         |      CASE WHEN list_dot_product(a.q, b.q) >= 0
+         |        THEN (1000000 * list_dot_product(a.q, b.q)::BIGINT
+         |              * list_dot_product(a.q, b.q)::BIGINT) // (a.qn * b.qn)
+         |        ELSE -((1000000 * list_dot_product(a.q, b.q)::BIGINT
+         |              * list_dot_product(a.q, b.q)::BIGINT) // (a.qn * b.qn))
+         |      END ssim
+         |      FROM pool a JOIN pool b ON b.q_id = a.q_id
+         |        AND b.vec_id != a.vec_id),
+         |s1 AS MATERIALIZED (SELECT q_id, vec_id, srel, srel score, 1 rnk
+         |      FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |         ORDER BY srel DESC, vec_id) rn FROM pool) WHERE rn = 1),
+         |u1 AS (SELECT q_id, vec_id FROM s1),
+         |$rounds
+         |SELECT q_id, rnk::BIGINT AS rank, vec_id AS neighbor_id,
+         |       srel::BIGINT AS srel_micro, score::BIGINT AS score_micro
+         |FROM (SELECT * FROM s1 UNION ALL $unions)
+         |ORDER BY q_id, rank""".stripMargin
+    },
   )
 }
