@@ -431,6 +431,44 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q250: MEDIA NEAR-DUP CLUSTERS — connected components over the
+    * q245 aHash pair graph (the pairs→clusters step the text family
+    * has had since q49, now for media payloads): per multi-item
+    * cluster its size, how many within-radius edges the banding
+    * found, how many of those are hash-IDENTICAL (dist 0 — re-encoded
+    * exact copies), and the worst edge distance. This is what a dedup
+    * owner reads to pick a media canonical-selection policy: exact-
+    * heavy clusters dedup for free, high-max-dist clusters need a
+    * human look before deletion (same read as q243 for text).
+    *
+    * Shape at 100 TB: the q245 candidate-blocked pair join feeds the
+    * q49 alternating large-star/small-star recurrence (O(log n)
+    * rounds, per-node min aggregates — never a transitive-closure
+    * join); the epilogue is two cluster-keyed hash-aggs. The oracle
+    * replays the closure as a recursive CTE over the same exact pair
+    * relation. */
+  def mediaDupClusters(spark: SparkSession, d: String): DataFrame = {
+    val pairs = CacheScope.cached(imageAHashNearDup(spark, d))
+    val docs = Tables.documents(spark, d)
+      .filter(length(col("text")) - 64L >= AHashBlocks.toLong)
+      .select(col("doc_id"))
+    val lbl = Dedup.clusterLabels(docs, pairs)
+    val sizes = lbl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 2)
+    // both endpoints share the cluster by construction — label via doc_a
+    val edges = pairs
+      .join(lbl.select(col("doc_id"), col("cluster_id").as("cid")),
+        col("doc_a") === col("doc_id"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("dist") === 0L, 1L).otherwise(0L)).as("n_exact_edges"),
+        max(col("dist")).as("max_dist"))
+    sizes.join(edges, col("cluster_id") === col("cid"))
+      .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+        col("n_exact_edges"), col("max_dist"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** q246 geometry: 32 temporal energy bands → 32-bit hash, Hamming
     * radius 4 → 5 chunks (2×7 + 3×6 bits) by pigeonhole. */
   val EnergyBands = 32

@@ -444,6 +444,100 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** RRF discounts ⌊10⁶/(60 + rank)⌋ for rank 1..5, HARDCODED integer
+    * constants (the q236/q211 no-cross-engine-arithmetic move; k = 60
+    * is the Cormack et al. standard). */
+  private[graft] val RrfDiscounts: Seq[Long] =
+    (1 to 5).map(r => 1000000L / (60L + r))
+
+  /** q251: RECIPROCAL-RANK-FUSION of the two oracle-replayable ANN
+    * paths (q27 LSH buckets, q48 int8 coarse-rank): per query, each
+    * path's top-5 votes ⌊10⁶/(60+rank)⌋ for its neighbor, votes sum,
+    * and the fused top-5 re-ranks by (rrf desc, id). The ensemble
+    * read a retrieval stack ships when no single index wins
+    * everywhere — RRF needs no score calibration between paths
+    * (ranks only), which is exactly why it fuses a NORMALIZED-cosine
+    * path with a QUANTIZED-cosine path without a common scale.
+    * Discounts are hardcoded integer constants, so the whole fusion
+    * is exact arithmetic over the two paths' already-exact rankings.
+    *
+    * Shape at 100 TB: both input paths are candidate-blocked
+    * (bucket / coarse-rank); fusion itself is a union of two Q·5-row
+    * relations, one (q, neighbor)-keyed agg, one bounded top-k. */
+  def rrfFusion(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val disc = RrfDiscounts
+    def votes(df: DataFrame): DataFrame =
+      df.select(col("q_id"), col("neighbor_id"),
+        element_at(lit(disc.toArray), col("rank").cast("int")).as("v"))
+    val fused = votes(lshTopK(spark, d))
+      .unionAll(votes(int8TopK(spark, d)))
+      .groupBy(col("q_id"), col("neighbor_id"))
+      .agg(sum(col("v")).as("rrf_micro"), count(lit(1)).as("n_paths"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_micro").desc, col("neighbor_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("rrf_micro"), col("n_paths"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** q252: PAIRWISE SOURCE EMBEDDING DRIFT — linear-kernel MMD²
+    * between every pair of sources' embedding clouds, exact to the
+    * integer: with int8-quantized vectors, MMD² for the linear kernel
+    * collapses to ‖μ_a − μ_b‖², and clearing denominators gives
+    * Δ² = Σ_dims (n_b·S_a,i − n_a·S_b,i)² over the per-source
+    * component SUMS S — all integers; the reported figure is
+    * mmd_milli = ⌊1000·Δ²/(n_a²·n_b²)⌋ in DECIMAL(38,0) (Δ² is
+    * Θ(q²·n⁴·d), far past Long at corpus scale). The between-source
+    * complement of q242's within-source anisotropy and q219's length
+    * KS: a feed whose EMBEDDING distribution moved (new upstream
+    * model, content shift) trips this before any text statistic.
+    *
+    * Shape at 100 TB: one posexplode into a (source, dim) hash-agg —
+    * |sources|·64 rows total — then an alphabet-bounded pair join on
+    * dim. Nothing downstream scales with the corpus. */
+  def sourceEmbeddingDrift(spark: SparkSession, d: String): DataFrame = {
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    val quant = transform(col("v"), x =>
+      when(x >= 0, floor(abs(x * col("sc")) + lit(0.5)))
+        .otherwise(-floor(abs(x * col("sc")) + lit(0.5))).cast("double"))
+    // the labeled quantized base feeds both aggs (|sources|·64 sums +
+    // per-source counts) — cached, released after the caller's action
+    val base = CacheScope.cached(withNorm(Tables.embeddings(spark, d))
+      .withColumn("ma", maxabs).filter(col("ma") > 0)
+      .withColumn("sc", lit(127.0) / col("ma"))
+      .join(Tables.documents(spark, d).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"), quant.as("q")))
+    val sums = base
+      .select(col("source"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col("source"), col("pos"))
+      .agg(sum(col("qv").cast("long")).as("s"))
+    val totals = base.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = sums.toDF("sa", "pos", "s_a")
+      .join(totals.toDF("sa", "n_a"), "sa")
+    val b = sums.toDF("sb", "pos", "s_b")
+      .join(totals.toDF("sb", "n_b"), "sb")
+    // cross-multiplied difference IN DECIMAL from the first product:
+    // n·S is Θ(127·n²) — Long only to n ≈ 2.7e8 rows per source, and
+    // Δ² sums 64 squares of it (exact in DECIMAL(38,0) to n ≈ 5e7 per
+    // source; the petabyte path pre-divides to micro-unit MEANS at a
+    // 1-ulp cost before squaring)
+    a.join(b, Seq("pos")).filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"), col("n_a"), col("n_b"))
+      .agg(sum(expr(
+        "(CAST(n_b AS DECIMAL(38,0)) * s_a - CAST(n_a AS DECIMAL(38,0)) * s_b)" +
+          " * (CAST(n_b AS DECIMAL(38,0)) * s_a - CAST(n_a AS DECIMAL(38,0)) * s_b)"))
+        .as("d2"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_a"), col("n_b"),
+        expr("CAST((1000 * d2) div (CAST(n_a AS DECIMAL(38,0)) * n_a" +
+          " * n_b * n_b) AS BIGINT)").as("mmd_milli"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Per-label embedding centroids — the class-prototype / cluster-
     * summary pass (seed vectors for IVF-style indexes, label drift
     * monitoring, nearest-prototype classification).

@@ -590,6 +590,12 @@ object SparkEntry {
     "q248_filtered_lsh_audit" -> (Similarity.filteredLshAudit _),
     // MMR-diversified top-k over the relevance pool (exact integer MMR)
     "q249_mmr_diversified" -> (Similarity.mmrDiversified _),
+    // connected components over the q245 aHash pair graph
+    "q250_media_dup_clusters" -> (Multimodal.mediaDupClusters _),
+    // reciprocal-rank fusion of the LSH and int8 ANN paths
+    "q251_rrf_fusion" -> (Similarity.rrfFusion _),
+    // pairwise-source linear-kernel MMD^2 embedding drift
+    "q252_source_embed_drift" -> (Similarity.sourceEmbeddingDrift _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -955,6 +961,44 @@ object SparkEntry {
       |       row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) rnk FROM ex)
       |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
       |FROM r2 WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** The q245 aHash pair chain as CTEs ending in `pr` (doc_a, doc_b,
+    * dist) — shared by the q245 oracle and q250's recursive-closure
+    * clustering oracle. */
+  private val AHashPairsCte: String =
+    """dd AS (SELECT doc_id, text, (length(text) - 64)::BIGINT n_pix
+      |      FROM documents WHERE length(text) - 64 >= 64),
+      |px AS (SELECT doc_id, n_pix,
+      |        ord(substr(text, (65 + p)::INT, 1))::BIGINT v, p
+      |      FROM (SELECT doc_id, text, n_pix,
+      |              unnest(generate_series(0, n_pix - 1)) p FROM dd)),
+      |bl AS (SELECT doc_id, n_pix, (64 * p) // n_pix blk,
+      |        sum(v)::BIGINT bsum, count(*)::BIGINT bcnt
+      |      FROM px GROUP BY 1, 2, 3),
+      |tt AS (SELECT doc_id, sum(bsum)::BIGINT tot FROM bl GROUP BY 1),
+      |bits AS (SELECT bl.doc_id, blk,
+      |        CASE WHEN bsum * n_pix >= tot * bcnt
+      |          THEN 1::BIGINT ELSE 0::BIGINT END bt
+      |      FROM bl JOIN tt ON tt.doc_id = bl.doc_id),
+      |sg AS MATERIALIZED (SELECT doc_id,
+      |        sum(CASE WHEN blk < 32 THEN bt << blk::INT ELSE 0 END)
+      |          ::BIGINT lo,
+      |        sum(CASE WHEN blk >= 32 THEN bt << (blk - 32)::INT
+      |          ELSE 0 END)::BIGINT hi
+      |      FROM bits GROUP BY 1),
+      |ch AS MATERIALIZED (SELECT doc_id, lo, hi, c,
+      |        ((CASE WHEN c < 5 THEN lo ELSE hi END)
+      |          >> (CASE c % 5 WHEN 0 THEN 0 WHEN 1 THEN 7 WHEN 2 THEN 14
+      |              WHEN 3 THEN 20 ELSE 26 END)::INT)
+      |          & (CASE WHEN c % 5 < 2 THEN 127 ELSE 63 END) cv
+      |      FROM sg, generate_series(0, 9) g(c)),
+      |pr AS MATERIALIZED (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b,
+      |       (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))
+      |         ::BIGINT dist
+      |      FROM ch a JOIN ch b ON b.c = a.c AND b.cv = a.cv
+      |        AND a.doc_id < b.doc_id
+      |      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      |        <= 9)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4774,40 +4818,10 @@ object SparkEntry {
     // the 64-bit hash as two 32-bit halves, 8-chunk pigeonhole join,
     // exact Hamming ≤ 7 verify — the full aHash replay.
     "q245_image_ahash_neardup" ->
-      """WITH dd AS (SELECT doc_id, text, (length(text) - 64)::BIGINT n_pix
-        |      FROM documents WHERE length(text) - 64 >= 64),
-        |px AS (SELECT doc_id, n_pix,
-        |        ord(substr(text, (65 + p)::INT, 1))::BIGINT v, p
-        |      FROM (SELECT doc_id, text, n_pix,
-        |              unnest(generate_series(0, n_pix - 1)) p FROM dd)),
-        |bl AS (SELECT doc_id, n_pix, (64 * p) // n_pix blk,
-        |        sum(v)::BIGINT bsum, count(*)::BIGINT bcnt
-        |      FROM px GROUP BY 1, 2, 3),
-        |tt AS (SELECT doc_id, sum(bsum)::BIGINT tot FROM bl GROUP BY 1),
-        |bits AS (SELECT bl.doc_id, blk,
-        |        CASE WHEN bsum * n_pix >= tot * bcnt
-        |          THEN 1::BIGINT ELSE 0::BIGINT END bt
-        |      FROM bl JOIN tt ON tt.doc_id = bl.doc_id),
-        |sg AS MATERIALIZED (SELECT doc_id,
-        |        sum(CASE WHEN blk < 32 THEN bt << blk::INT ELSE 0 END)
-        |          ::BIGINT lo,
-        |        sum(CASE WHEN blk >= 32 THEN bt << (blk - 32)::INT
-        |          ELSE 0 END)::BIGINT hi
-        |      FROM bits GROUP BY 1),
-        |ch AS MATERIALIZED (SELECT doc_id, lo, hi, c,
-        |        ((CASE WHEN c < 5 THEN lo ELSE hi END)
-        |          >> (CASE c % 5 WHEN 0 THEN 0 WHEN 1 THEN 7 WHEN 2 THEN 14
-        |              WHEN 3 THEN 20 ELSE 26 END)::INT)
-        |          & (CASE WHEN c % 5 < 2 THEN 127 ELSE 63 END) cv
-        |      FROM sg, generate_series(0, 9) g(c))
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))
-        |         ::BIGINT AS dist
-        |FROM ch a JOIN ch b ON b.c = a.c AND b.cv = a.cv
-        |  AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 9
-        |ORDER BY doc_a, doc_b""".stripMargin,
-    // q246: the q226 virtual-PCM contract (s16le mono after the 64-byte
+      s"""WITH $AHashPairsCte
+         |SELECT doc_a, doc_b, dist FROM pr
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q246:    // q246: the q226 virtual-PCM contract (s16le mono after the 64-byte
     // header, signed decode), 32 temporal bands by (32·k)//n_s, energy
     // mean threshold cross-multiplied in HUGEINT, 5-chunk pigeonhole,
     // exact Hamming ≤ 4 verify.
@@ -4983,5 +4997,75 @@ object SparkEntry {
          |FROM (SELECT * FROM s1 UNION ALL $unions)
          |ORDER BY q_id, rank""".stripMargin
     },
+    // q250: the shared q245 pair chain, then the q49-style recursive
+    // closure (symmetrized edges, reach, min-label), then cluster-
+    // keyed edge stats.
+    "q250_media_dup_clusters" ->
+      s"""WITH RECURSIVE $AHashPairsCte,
+         |edges AS (SELECT doc_a s, doc_b t2 FROM pr
+         |      UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach AS (SELECT doc_id AS src, doc_id AS dst FROM dd
+         |      UNION
+         |      SELECT r.src, e.t2 FROM reach r JOIN edges e ON r.dst = e.s),
+         |lbl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |      FROM reach GROUP BY src),
+         |cn AS (SELECT cluster_id, count(*)::BIGINT n_docs FROM lbl
+         |      GROUP BY 1),
+         |ed AS (SELECT l.cluster_id, count(*)::BIGINT n_edges,
+         |        sum(CASE WHEN pr.dist = 0 THEN 1 ELSE 0 END)::BIGINT
+         |          n_exact_edges,
+         |        max(pr.dist)::BIGINT max_dist
+         |      FROM pr JOIN lbl l ON l.doc_id = pr.doc_a GROUP BY 1)
+         |SELECT cn.cluster_id, cn.n_docs, ed.n_edges, ed.n_exact_edges,
+         |       ed.max_dist
+         |FROM cn JOIN ed ON ed.cluster_id = cn.cluster_id
+         |WHERE cn.n_docs >= 2 ORDER BY cn.cluster_id""".stripMargin,
+    // q251: both ANN-path oracles as subqueries, ranks → hardcoded
+    // RRF discounts, (q, neighbor)-keyed vote sum, fused top-5.
+    "q251_rrf_fusion" -> {
+      val discCase = Similarity.RrfDiscounts.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+        .mkString("CASE rank ", " ", " END")
+      s"""WITH lshr AS ($LshTopkSql),
+         |i8r AS ($Int8TopkSql),
+         |votes AS (SELECT q_id, neighbor_id, $discCase v FROM lshr
+         |      UNION ALL SELECT q_id, neighbor_id, $discCase v FROM i8r),
+         |fused AS (SELECT q_id, neighbor_id, sum(v)::BIGINT rrf_micro,
+         |        count(*)::BIGINT n_paths
+         |      FROM votes GROUP BY 1, 2),
+         |r AS (SELECT q_id, neighbor_id, rrf_micro, n_paths,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY rrf_micro DESC, neighbor_id) rnk FROM fused)
+         |SELECT q_id, rnk::BIGINT AS rank, neighbor_id, rrf_micro, n_paths
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+    // q252: the q240 quantization chain labeled by source, per-
+    // (source, dim) sums + counts, alphabet-bounded pair join on dim,
+    // cross-multiplied HUGEINT difference squared.
+    "q252_source_embed_drift" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |sq AS (SELECT vec_id, v,
+        |      127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
+        |      FROM e
+        |      WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0),
+        |q8 AS (SELECT vec_id, list_transform(v, x ->
+        |        (CASE WHEN x >= 0 THEN floor(abs(x * sc) + 0.5)
+        |          ELSE -floor(abs(x * sc) + 0.5) END)::BIGINT) q FROM sq),
+        |qd AS MATERIALIZED (SELECT d.source, q
+        |      FROM q8 JOIN documents d ON d.doc_id = q8.vec_id),
+        |sums AS (SELECT source, i.i pos, sum(q[i.i])::BIGINT s
+        |      FROM qd, generate_series(1, 64) i(i) GROUP BY 1, 2),
+        |nt AS (SELECT source, count(*)::BIGINT n FROM qd GROUP BY 1),
+        |pj AS (SELECT a.source sa, b.source sb, na.n n_a, nb.n n_b,
+        |        sum((na.n::HUGEINT * b.s - nb.n::HUGEINT * a.s)
+        |            * (na.n::HUGEINT * b.s - nb.n::HUGEINT * a.s)) d2
+        |      FROM sums a JOIN sums b ON b.pos = a.pos AND a.source < b.source
+        |        JOIN nt na ON na.source = a.source
+        |        JOIN nt nb ON nb.source = b.source
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT sa AS source_a, sb AS source_b, n_a, n_b,
+        |       ((1000 * d2) // (n_a::HUGEINT * n_a * n_b * n_b))::BIGINT
+        |         AS mmd_milli
+        |FROM pj ORDER BY source_a, source_b""".stripMargin,
   )
 }

@@ -104,7 +104,17 @@ class PlanSweepSpec extends SparkSpec {
     // baselines — the q26 truth plan (10 broadcast queries × corpus)
     // once for the ideal side and once per DCG branch, plus the q48
     // coarse pass
-    "q236_ndcg_eval" -> 4)
+    "q236_ndcg_eval" -> 4,
+    // q247: the q26 shape with the cross-source predicate in the
+    // join condition — 10 broadcast queries × corpus, inequality-only
+    // keys, bounded by the query set like every exact baseline above
+    "q247_filtered_knn" -> 1,
+    // q248: chains ONE instance of q247's exact plan as its recall
+    // reference — inherits that documented broadcast
+    "q248_filtered_lsh_audit" -> 1,
+    // q251: chains the q48 coarse pass (10 broadcast queries × corpus)
+    // as one of its two fused paths; the LSH path joins on bucket keys
+    "q251_rrf_fusion" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep
