@@ -385,32 +385,21 @@ object Multimodal {
     imageAHashNearDupDf(Tables.documentsDist(spark, d))
 
   private[graft] def imageAHashNearDupDf(docs: DataFrame): DataFrame = {
-    val b = AHashBlocks.toLong
-    val px = docs
-      .select(col("doc_id"), col("text"),
-        (length(col("text")) - 64L).cast("long").as("n_pix"))
-      .filter(col("n_pix") >= b)
-      .select(col("doc_id"), col("n_pix"),
-        posexplode(transform(
-          slice(split(col("text"), ""), lit(65), col("n_pix").cast("int")),
-          c => ascii(c).cast("long"))).as(Seq("p", "v")))
-    val blocks = px
-      .groupBy(col("doc_id"), col("n_pix"),
-        expr(s"($b * p) div n_pix").as("blk"))
-      .agg(sum(col("v")).as("bsum"), count(lit(1)).as("bcnt"))
-    val tot = blocks.groupBy(col("doc_id")).agg(sum(col("bsum")).as("tot"))
-    val sig = blocks.join(tot, "doc_id")
-      .select(col("doc_id"), col("blk"),
-        when(col("bsum") * col("n_pix") >= col("tot") * col("bcnt"), 1L)
-          .otherwise(0L).as("bit"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(expr("CASE WHEN blk < 32 THEN" +
-          " bit * shiftleft(CAST(1 AS BIGINT), CAST(blk AS INT))" +
-          " ELSE 0 END")).as("lo"),
-        sum(expr("CASE WHEN blk >= 32 THEN" +
-          " bit * shiftleft(CAST(1 AS BIGINT), CAST(blk - 32 AS INT))" +
-          " ELSE 0 END")).as("hi"))
+    // ONE codegen'd byte loop per payload (AHash64Expr) — the
+    // relational per-pixel explode + double hash-agg this replaced
+    // shuffled |payload| rows per doc to compute a row-local value;
+    // PerceptualHashSpec pins the kernel bit-identical to that
+    // formulation, and the DuckDB oracle still replays the relational
+    // arithmetic, so parity is end-to-end evidence of equivalence.
+    // The packed 64-bit hash splits into its 32-bit halves here so
+    // banding and Hamming stay in non-negative Long arithmetic.
+    val sig = docs
+      .filter(length(col("text")) - 64L >= AHashBlocks.toLong)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.ahash64(col("text")).as("h"))
+      .select(col("doc_id"),
+        shiftrightunsigned(col("h"), 32).as("hi"),
+        col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
     // 10 chunks (2×7 + 3×6 bits per half), 5 from each 32-bit half
     val chunks = sig.select(col("doc_id"), col("lo"), col("hi"),
       posexplode(array((0 until 10).map { c =>
@@ -504,36 +493,16 @@ object Multimodal {
 
   private[graft] def audioEnergyNearDupDf(docs: DataFrame): DataFrame = {
     val nb = EnergyBands.toLong
-    val sm = docs
-      .select(col("doc_id"), col("text"),
-        expr("greatest(length(text) - 64, 0) div 2").cast("long")
-          .as("n_s"))
-      .filter(col("n_s") >= nb)
-      // chars → ascii array once (O(n)), samples via O(1) element_at:
-      // raw = a[65+2k] + 256·a[66+2k] (1-based), signed two's-complement
-      .select(col("doc_id"), col("n_s"),
-        transform(split(col("text"), ""), c => ascii(c).cast("long"))
-          .as("a"))
-      .select(col("doc_id"), col("n_s"),
-        posexplode(transform(sequence(lit(0L), col("n_s") - 1L), k =>
-          element_at(col("a"), (k * 2 + 65).cast("int")) +
-            element_at(col("a"), (k * 2 + 66).cast("int")) * 256L))
-          .as(Seq("k", "raw")))
-      .select(col("doc_id"), col("n_s"), col("k"),
-        when(col("raw") >= 32768L, col("raw") - 65536L).otherwise(col("raw"))
-          .as("v"))
-    val bands = sm
-      .groupBy(col("doc_id"), col("n_s"),
-        expr(s"($nb * k) div n_s").as("band"))
-      .agg(sum(expr("v * v")).as("e"), count(lit(1)).as("bcnt"))
-    val tot = bands.groupBy(col("doc_id")).agg(sum(col("e")).as("tot"))
-    val sig = bands.join(tot, "doc_id")
-      .select(col("doc_id"), col("band"),
-        when(expr("CAST(e AS DECIMAL(38,0)) * n_s >= " +
-          "CAST(tot AS DECIMAL(38,0)) * bcnt"), 1L).otherwise(0L).as("bit"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr(
-        "bit * shiftleft(CAST(1 AS BIGINT), CAST(band AS INT))")).as("s"))
+    // ONE codegen'd sample loop per payload (EnergyHash32Expr) — the
+    // relational per-sample explode this replaced shuffled |samples|
+    // rows per doc; PerceptualHashSpec pins the kernel bit-identical
+    // to that formulation (incl. the signed decode and the 128-bit
+    // threshold compare standing in for its DECIMAL cross-multiply),
+    // and the oracle still replays the relational arithmetic.
+    val sig = docs
+      .filter(expr("greatest(length(text) - 64, 0) div 2") >= nb)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.energyhash32(col("text")).as("s"))
     // 5 chunks: 2×7 + 3×6 bits = 32
     val chunkDefs = Seq((0, 127L), (7, 127L), (14, 63L), (20, 63L), (26, 63L))
     val chunks = sig.select(col("doc_id"), col("s"),

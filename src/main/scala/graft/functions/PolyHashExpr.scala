@@ -91,6 +91,10 @@ object GraftFunctions {
     GraftShim.column(ShingleStreamExpr(GraftShim.expression(c), n))
   def winnow(c: Column): Column =
     GraftShim.column(WinnowFpExpr(GraftShim.expression(c)))
+  def ahash64(c: Column): Column =
+    GraftShim.column(AHash64Expr(GraftShim.expression(c)))
+  def energyhash32(c: Column): Column =
+    GraftShim.column(EnergyHash32Expr(GraftShim.expression(c)))
 
   /** Constant-int argument of a SQL builder (k of minhashes, n of
     * shinglehashes) — the kernels specialize on it at plan time. */
@@ -126,6 +130,11 @@ object GraftFunctions {
     // generator + window formulation
     ("graft_winnow", classOf[WinnowFpExpr],
       (args: Seq[Expression]) => WinnowFpExpr(args.head)),
+    // the q245/q246 perceptual hashes as one-pass byte loops
+    ("graft_ahash64", classOf[AHash64Expr],
+      (args: Seq[Expression]) => AHash64Expr(args.head)),
+    ("graft_energyhash32", classOf[EnergyHash32Expr],
+      (args: Seq[Expression]) => EnergyHash32Expr(args.head)),
     // aggregates register the same way: the analyzer wraps a bare
     // AggregateFunction into its AggregateExpression
     ("graft_topk", classOf[TopKByScore],
