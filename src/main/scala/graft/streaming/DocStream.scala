@@ -136,4 +136,79 @@ object DocStream {
           }
       }
   }
+
+  /** One exploded (chunk, value) posting of a payload's aHash. */
+  final case class HashPosting(
+      c: Int, cv: Long, doc_id: Long, ts: Timestamp, hi: Long, lo: Long)
+
+  /** An emitted media near-dup pair with its EXACT Hamming distance. */
+  final case class MediaPair(doc_a: Long, doc_b: Long, dist: Long)
+
+  /** Per-bucket open state: (doc_id, tsMs, hi, lo) within the horizon. */
+  final case class MediaBucketState(docs: List[(Long, Long, Long, Long)])
+
+  /** Streaming MEDIA near-dup — the incremental twin of q245's aHash
+    * pairing (the media-side analog of [[nearDupCandidates]]): each
+    * arriving payload hashes ROW-LOCALLY through the native
+    * AHash64Expr kernel (one byte loop — no per-pixel state, which is
+    * what makes this streamable at all), posts its 10 pigeonhole
+    * chunks, and pairs with every stored payload sharing a chunk
+    * bucket within the 1-hour horizon. Unlike the MinHash twin, the
+    * full 64-bit hashes ride the postings, so the Hamming verify is
+    * EXACT and inline — emitted pairs are final answers, not
+    * candidates. A pair sharing multiple chunks emits once per shared
+    * chunk (the batch `.distinct()` has no bounded-state analog);
+    * consumers dedup on (doc_a, doc_b). State per (chunk, value)
+    * bucket is horizon-pruned and event-time evicted — bounded
+    * forever, the q245 semantics within the window. */
+  def mediaNearDup(docs: Dataset[Doc]): Dataset[MediaPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val radius = graft.Multimodal.AHashRadius
+    val chunks = graft.Multimodal.AHashChunks
+    val postings = docs.toDF()
+      .filter(length(col("text")) - 64L >= 64L)
+      .withColumn("h", graft.functions.GraftFunctions.ahash64(col("text")))
+      .withColumn("hi", shiftrightunsigned(col("h"), 32))
+      .withColumn("lo", col("h").bitwiseAND(lit(0xFFFFFFFFL)))
+      .select(posexplode(array((0 until 10).map { c =>
+        val half = if (c < 5) col("lo") else col("hi")
+        val (sh, m) = chunks(c % 5)
+        shiftright(half, sh).bitwiseAND(lit(m))
+      }: _*)).as(Seq("c", "cv")),
+        col("doc_id"), col("ts"), col("hi"), col("lo"))
+      .as[HashPosting]
+      .withWatermark("ts", "1 hour")
+    postings
+      .groupByKey(p => (p.c, p.cv))
+      .flatMapGroupsWithState[MediaBucketState, MediaPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), ps: Iterator[HashPosting], state: GroupState[MediaBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var stored = state.getOption.map(_.docs).getOrElse(Nil)
+              .filter(_._2 > wm - HorizonMs)
+            val out = List.newBuilder[MediaPair]
+            ps.toSeq.sortBy(p => (p.ts.getTime, p.doc_id)).foreach { p =>
+              val t = p.ts.getTime
+              stored.foreach { case (id, ts0, hi0, lo0) =>
+                if (id != p.doc_id && math.abs(t - ts0) <= HorizonMs) {
+                  val dist = java.lang.Long.bitCount(hi0 ^ p.hi) +
+                    java.lang.Long.bitCount(lo0 ^ p.lo)
+                  if (dist <= radius)
+                    out += MediaPair(math.min(id, p.doc_id),
+                      math.max(id, p.doc_id), dist.toLong)
+                }
+              }
+              stored = (p.doc_id, t, p.hi, p.lo) :: stored
+            }
+            if (stored.nonEmpty) {
+              state.update(MediaBucketState(stored))
+              state.setTimeoutTimestamp(stored.map(_._2).max + HorizonMs)
+            } else state.remove()
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -186,4 +186,33 @@ class DocStreamSpec extends SparkSpec {
       assert(streamed == batch, s"stream $streamed vs batch $batch")
     } finally q.stop()
   }
+
+  test("streaming media near-dup ≡ batch q245 pairs within one horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    // sf0.01: the radius-9 ball fires there (sf0.001 is empty, and
+    // empty ≡ empty proves nothing); all docs inside one horizon so
+    // the stream must find exactly the batch pair set
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+      .selectExpr("doc_id", "timestamp_micros(60000000000 + doc_id * 1000000) as ts", "text")
+      .as[DocStream.Doc].collect().toSeq
+    val mem = MemoryStream[DocStream.Doc]
+    val q = DocStream.mediaNearDup(mem.toDS())
+      .writeStream.format("memory").queryName("media_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, rest) = docs.splitAt(docs.size / 2)
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(rest: _*); q.processAllAvailable()
+      val stream = spark.table("media_out")
+        .select("doc_a", "doc_b", "dist").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Multimodal.imageAHashNearDup(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(stream == batch, s"stream ${stream.size} vs batch ${batch.size}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
