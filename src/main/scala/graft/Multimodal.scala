@@ -458,6 +458,75 @@ object Multimodal {
       .orderBy(col("cluster_id"))
   }
 
+  /** q254: MEDIA HASH BIT BALANCE — per aHash bit position (0..63):
+    * how many qualifying payloads set it and its share in permille.
+    * The hash-quality monitor a media-dedup deployment runs on every
+    * corpus rollover: a healthy average hash has every bit near 500‰
+    * (each cell is compared against the image's own mean, so bits
+    * split roughly evenly over diverse content); a bit pinned near 0
+    * or 1000 means that grid cell's brightness is corpus-degenerate
+    * (letterboxing, watermark bands, templated headers) and carries
+    * no pairing entropy — the banding chunks covering it under-prune,
+    * which is exactly how a near-dup join silently goes quadratic.
+    * The q222 bucket-balance read, one level lower.
+    *
+    * Shape at 100 TB: one row-local kernel hash per payload, a
+    * 64-row fan-out per doc (bit, set?) into a 64-group hash-agg with
+    * map-side partials — output is 64 rows regardless of corpus. */
+  def mediaHashBitBalance(spark: SparkSession, d: String): DataFrame = {
+    val sig = Tables.documentsDist(spark, d)
+      .filter(length(col("text")) - 64L >= AHashBlocks.toLong)
+      .select(graft.functions.GraftFunctions.ahash64(col("text")).as("h"))
+      .select(shiftrightunsigned(col("h"), 32).as("hi"),
+        col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
+    sig
+      .select(col("hi"), col("lo"),
+        explode(sequence(lit(0L), lit(63L))).as("bit"))
+      .select(col("bit"),
+        expr("CASE WHEN bit < 32 THEN shiftright(lo, CAST(bit AS INT)) & 1" +
+          " ELSE shiftright(hi, CAST(bit - 32 AS INT)) & 1 END").as("b"))
+      .groupBy(col("bit"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("b")).as("n_set"))
+      .select(col("bit"), col("n_docs"), col("n_set"),
+        expr("(1000 * n_set) div n_docs").as("share_pm"))
+      .orderBy(col("bit"))
+  }
+
+  /** q255: DEDUP MODALITY AGREEMENT — the q23 text near-dup pair set
+    * (MinHash bands + exact Jaccard ≥ 0.5 verify) against the q245
+    * media near-dup pair set (aHash Hamming ≤ 9) on the SAME corpus:
+    * pairs only the text modality finds (formatting/byte edits that
+    * moved the pixel grid but not the token stream), pairs only the
+    * media modality finds (token-level edits that preserved the
+    * brightness geometry — the reuse text dedup misses), pairs both
+    * find, and the Jaccard of the two pair sets in permille. This is
+    * the evidence for RUNNING both modalities: a high media-only
+    * count on a mixed corpus is exactly the dedup mass a text-only
+    * pipeline ships duplicated into training.
+    *
+    * Shape at 100 TB: composes two candidate-blocked verified pair
+    * plans and one full-outer join on the pair key + a one-row agg —
+    * the pair relations are the expensive halves and both already
+    * scale (q23/q245's own contracts). */
+  def dedupModalityAgreement(spark: SparkSession, d: String): DataFrame = {
+    val text = Dedup.minhashNearDup(spark, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val media = imageAHashNearDup(spark, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("m"))
+    text.join(media, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("t").isNotNull && col("m").isNull, 1L).otherwise(0L))
+          .as("n_text_only"),
+        sum(when(col("t").isNull && col("m").isNotNull, 1L).otherwise(0L))
+          .as("n_media_only"),
+        sum(when(col("t").isNotNull && col("m").isNotNull, 1L).otherwise(0L))
+          .as("n_both"))
+      .select(col("n_text_only"), col("n_media_only"), col("n_both"),
+        expr("(1000 * n_both) div" +
+          " greatest(n_text_only + n_media_only + n_both, 1)")
+          .as("jaccard_pm"))
+  }
+
   /** q246 geometry: 32 temporal energy bands → 32-bit hash, Hamming
     * radius 4 → 5 chunks (2×7 + 3×6 bits) by pigeonhole. */
   val EnergyBands = 32

@@ -596,6 +596,12 @@ object SparkEntry {
     "q251_rrf_fusion" -> (Similarity.rrfFusion _),
     // pairwise-source linear-kernel MMD^2 embedding drift
     "q252_source_embed_drift" -> (Similarity.sourceEmbeddingDrift _),
+    // per-chunk langid sequence: dominant language, share, switches
+    "q253_code_switch_segments" -> (TextAnalysis.codeSwitchSegments _),
+    // per-bit aHash set-share: the media-hash entropy monitor
+    "q254_media_bit_balance" -> (Multimodal.mediaHashBitBalance _),
+    // text (q23) vs media (q245) near-dup pair-set agreement
+    "q255_dedup_modality_agreement" -> (Multimodal.dedupModalityAgreement _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -5067,5 +5073,75 @@ object SparkEntry {
         |       ((1000 * d2) // (n_a::HUGEINT * n_a * n_b * n_b))::BIGINT
         |         AS mmd_milli
         |FROM pj ORDER BY source_a, source_b""".stripMargin,
+    // q253: the q28 stopword rule per 64-token chunk, then a per-doc
+    // lag window for switches and an argmax for the dominant language
+    // (ties DESC-count then ASC-code, matching min(struct(-c, pred))).
+    "q253_code_switch_segments" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+        |      FROM documents),
+        |tok AS (SELECT doc_id, (i - 1) // 64 chunk, tk[i] w
+        |      FROM (SELECT doc_id, tk,
+        |              unnest(generate_series(1, len(tk))) i FROM t)),
+        |chk AS (SELECT doc_id, chunk,
+        |   sum(CASE WHEN w IN ('the','a','of','and','is','to','in')
+        |     THEN 1 ELSE 0 END)::BIGINT s_en,
+        |   sum(CASE WHEN w IN ('der','die','das','und','ist','zu','ein')
+        |     THEN 1 ELSE 0 END)::BIGINT s_de,
+        |   sum(CASE WHEN w IN ('el','la','de','y','es','un','en')
+        |     THEN 1 ELSE 0 END)::BIGINT s_es
+        |  FROM tok GROUP BY 1, 2),
+        |pd AS MATERIALIZED (SELECT doc_id, chunk,
+        |   CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |        WHEN s_de >= s_es THEN 'de' ELSE 'es' END pred
+        |  FROM chk),
+        |sw AS (SELECT doc_id, count(*)::BIGINT n_chunks,
+        |   sum(CASE WHEN prev IS NOT NULL AND prev != pred
+        |     THEN 1 ELSE 0 END)::BIGINT n_switches
+        |  FROM (SELECT doc_id, pred,
+        |          lag(pred) OVER (PARTITION BY doc_id ORDER BY chunk) prev
+        |        FROM pd)
+        |  GROUP BY 1),
+        |dm AS (SELECT doc_id, pred dom_lang, c FROM (
+        |   SELECT doc_id, pred, count(*)::BIGINT c,
+        |     row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY count(*) DESC, pred) rn
+        |   FROM pd GROUP BY 1, 2) WHERE rn = 1)
+        |SELECT sw.doc_id, sw.n_chunks, dm.dom_lang,
+        |       ((1000 * dm.c) // sw.n_chunks)::BIGINT AS dom_share_pm,
+        |       sw.n_switches
+        |FROM sw JOIN dm ON dm.doc_id = sw.doc_id
+        |ORDER BY sw.doc_id""".stripMargin,
+    // q254: the q245 hash chain through sg, then a 64-way bit fan-out
+    // and one bit-keyed agg (pr goes unreferenced → unevaluated).
+    "q254_media_bit_balance" ->
+      s"""WITH $AHashPairsCte,
+         |pb AS (SELECT t.bit,
+         |    CASE WHEN t.bit < 32 THEN (sg.lo >> t.bit::INT) & 1
+         |      ELSE (sg.hi >> (t.bit - 32)::INT) & 1 END b
+         |  FROM sg, generate_series(0, 63) t(bit))
+         |SELECT bit::BIGINT AS bit, count(*)::BIGINT AS n_docs,
+         |       sum(b)::BIGINT AS n_set,
+         |       ((1000 * sum(b)) // count(*))::BIGINT AS share_pm
+         |FROM pb GROUP BY 1 ORDER BY bit""".stripMargin,
+    // q255: the q23 text pair chain (NearDupClusterCte through
+    // `pairs`; the closure CTEs go unreferenced) + the q245 media
+    // chain, full-outer joined on the pair key, one-row agg.
+    "q255_dedup_modality_agreement" ->
+      s"""WITH $NearDupClusterCte,
+         |$AHashPairsCte,
+         |fo AS (SELECT
+         |   sum(CASE WHEN p.da IS NOT NULL AND m.doc_a IS NULL
+         |     THEN 1 ELSE 0 END)::BIGINT n_text_only,
+         |   sum(CASE WHEN p.da IS NULL AND m.doc_a IS NOT NULL
+         |     THEN 1 ELSE 0 END)::BIGINT n_media_only,
+         |   sum(CASE WHEN p.da IS NOT NULL AND m.doc_a IS NOT NULL
+         |     THEN 1 ELSE 0 END)::BIGINT n_both
+         |  FROM pairs p FULL OUTER JOIN pr m
+         |    ON m.doc_a = p.da AND m.doc_b = p.db)
+         |SELECT n_text_only, n_media_only, n_both,
+         |       ((1000 * n_both) //
+         |        greatest(n_text_only + n_media_only + n_both, 1))::BIGINT
+         |         AS jaccard_pm
+         |FROM fo""".stripMargin,
   )
 }

@@ -1218,4 +1218,63 @@ object TextAnalysis {
         expr("(1000 * cm) div (vocab_a + vocab_b - cm)").as("jaccard_pm"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Tokens per q253 language chunk. */
+  val LangChunkTokens = 64L
+
+  /** q253: CODE-SWITCH SEGMENTATION — per document: the q28 stopword
+    * langid re-run on every [[LangChunkTokens]]-token CHUNK, then the
+    * chunk-level language sequence summarized as the dominant language,
+    * its share of chunks (permille), and the number of language
+    * SWITCHES between consecutive chunks. A whole-doc langid (q28)
+    * calls a half-English/half-German doc "en" and moves on; this is
+    * the curation view that separates genuinely mixed documents
+    * (translations pasted together, forum quotes, code-switching) —
+    * which need splitting or routing, not a single language label —
+    * from uniformly-labeled ones. Dominant ties break to the
+    * lexicographically smaller language code; chunk prediction uses
+    * q28's exact tie rule (en ≥ de ≥ es).
+    *
+    * Shape at 100 TB: one token posexplode into a (doc, chunk)
+    * hash-agg of three conditional counts (map-side combined), a
+    * doc-PARTITIONED lag window over the per-doc chunk sequence
+    * (chunks-per-doc bounded — the q151 keyed-window argument), and
+    * two doc-keyed aggs. Output is one row per document. */
+  def codeSwitchSegments(spark: SparkSession, d: String): DataFrame =
+    codeSwitchSegmentsDf(Tables.documentsDist(spark, d))
+
+  private[graft] def codeSwitchSegmentsDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "tk")))
+      .groupBy(col("doc_id"), expr(s"i div $LangChunkTokens").as("chunk"))
+      .agg(
+        sum(when(col("tk").isin(stopEn: _*), 1L).otherwise(0L)).as("s_en"),
+        sum(when(col("tk").isin(stopDe: _*), 1L).otherwise(0L)).as("s_de"),
+        sum(when(col("tk").isin(stopEs: _*), 1L).otherwise(0L)).as("s_es"))
+      .withColumn("pred",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_es"), "de")
+          .otherwise("es"))
+    val preds = CacheScope.cached(
+      chunks.select(col("doc_id"), col("chunk"), col("pred")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk"))
+    val switches = preds
+      .withColumn("prev", lag(col("pred"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("pred"), 1L)
+          .otherwise(0L)).as("n_switches"))
+    val dom = preds.groupBy(col("doc_id"), col("pred"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("pred"))).as("m"))
+      .select(col("doc_id"), col("m.pred").as("dom_lang"),
+        (-col("m.nc")).as("domc"))
+    switches.join(dom, "doc_id")
+      .select(col("doc_id"), col("n_chunks"), col("dom_lang"),
+        expr("(1000 * domc) div n_chunks").as("dom_share_pm"),
+        col("n_switches"))
+      .orderBy(col("doc_id"))
+  }
 }
