@@ -381,7 +381,14 @@ object ScaleProbe {
       val r9qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
         Seq("q244_spectral_spread" -> (Similarity.spectralSpread _),
           "q245_image_ahash" -> (Multimodal.imageAHashNearDup _),
-          "q246_audio_energy" -> (Multimodal.audioEnergyNearDup _))
+          "q246_audio_energy" -> (Multimodal.audioEnergyNearDup _),
+          // 9c/9d additions: CC over the (replica-dense) media pair
+          // graph, the one-pass bit-balance agg, the chunked-langid
+          // token explode, and the two-pair-plan agreement join
+          "q250_media_dup_clusters" -> (Multimodal.mediaDupClusters _),
+          "q253_code_switch" -> (TextAnalysis.codeSwitchSegments _),
+          "q254_media_bit_balance" -> (Multimodal.mediaHashBitBalance _),
+          "q255_modality_agreement" -> (Multimodal.dedupModalityAgreement _))
       val r9ratios = r9qs.map { case (name, fn) =>
         val dd = if (name.startsWith("q244")) vdir else d10
         val t1 = min2(name, fn, d1)
