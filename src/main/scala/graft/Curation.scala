@@ -1393,4 +1393,57 @@ object Curation {
           " AS BIGINT)").as("gini_milli"))
       .orderBy(col("source"))
   }
+
+  /** q261: SPLIT-CONFORMAL QUALITY CALIBRATION — the distribution-free
+    * keep-threshold for the q134 integer quality score, per source:
+    * the even-doc_id half calibrates, the odd half is graded. The
+    * threshold is the k-th smallest calibration score with
+    * k = ⌊α(n_cal+1)⌋ at α = 0.1, which is exactly the split-conformal
+    * guarantee "a fresh in-distribution doc scores ≥ threshold with
+    * probability ≥ 1−α" (Vovk; the Angelopoulos–Bates tutorial form
+    * with nonconformity = −score). Sources whose test coverage lands
+    * far from ~900‰ are the drift alarms: their score distribution
+    * moved between the halves, so a fixed quality bar is mis-
+    * calibrated there — the principled version of "set the quality
+    * cutoff by eyeballing a percentile" (q134 ranks; this CALIBRATES).
+    * k = 0 (n_cal ≤ 9) → no finite threshold → keep-all, NULL
+    * threshold in both engines.
+    *
+    * Exactness: the order statistic comes from the (source, score)
+    * VALUE HISTOGRAM via the q151/q73 cumulative trick — the window
+    * sorts each source's ≤1001 distinct score values, never its rows.
+    * All arithmetic is integer; the only join is |sources|-row.
+    *
+    * Shape at 100 TB: one row-local scoring scan (tokQuality), one
+    * (source, score)-keyed hash-agg, a value-domain-bounded window,
+    * and a dimension-shaped threshold join back onto the test half. */
+  def conformalQuality(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = graft.CacheScope.cached(tokQuality(spark, d)
+      .select(col("source"), col("q_milli"),
+        (col("doc_id") % 2L === 0L).as("is_cal")))
+    val bySrc = Window.partitionBy(col("source"))
+    val cum = s.filter(col("is_cal"))
+      .groupBy(col("source"), col("q_milli")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(bySrc.orderBy(col("q_milli"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_cal", sum(col("c")).over(bySrc))
+    val thr = cum.groupBy(col("source"))
+      .agg(max(col("n_cal")).as("n_cal"),
+        min(when(expr("(n_cal + 1) div 10") > 0L &&
+          col("cum") >= expr("(n_cal + 1) div 10"), col("q_milli")))
+          .as("thr_milli"))
+    s.filter(!col("is_cal"))
+      .join(thr, Seq("source"), "left")
+      .groupBy(col("source"))
+      .agg(coalesce(max(col("n_cal")), lit(0L)).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max(col("thr_milli")).as("thr_milli"),
+        sum(when(col("thr_milli").isNull ||
+          col("q_milli") >= col("thr_milli"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("source"), col("n_cal"), col("n_test"), col("thr_milli"),
+        expr("(1000 * n_kept) div n_test").as("coverage_pm"))
+      .orderBy(col("source"))
+  }
 }

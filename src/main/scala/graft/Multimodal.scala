@@ -384,7 +384,13 @@ object Multimodal {
   def imageAHashNearDup(spark: SparkSession, d: String): DataFrame =
     imageAHashNearDupDf(Tables.documentsDist(spark, d))
 
-  private[graft] def imageAHashNearDupDf(docs: DataFrame): DataFrame = {
+  private[graft] def imageAHashNearDupDf(docs: DataFrame): DataFrame =
+    aHashPairsDf(docs).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The unordered (doc_a, doc_b, dist) aHash pair relation — shared
+    * by q245 (presentation order), q250 (cluster closure), q255
+    * (agreement join) and q259 (threshold curve). */
+  private[graft] def aHashPairsDf(docs: DataFrame): DataFrame = {
     // ONE codegen'd byte loop per payload (AHash64Expr) — the
     // relational per-pixel explode + double hash-agg this replaced
     // shuffled |payload| rows per doc to compute a row-local value;
@@ -417,7 +423,6 @@ object Multimodal {
           .cast("long").as("dist"))
       .filter(col("dist") <= AHashRadius)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** q250: MEDIA NEAR-DUP CLUSTERS — connected components over the
@@ -437,7 +442,8 @@ object Multimodal {
     * replays the closure as a recursive CTE over the same exact pair
     * relation. */
   def mediaDupClusters(spark: SparkSession, d: String): DataFrame = {
-    val pairs = CacheScope.cached(imageAHashNearDup(spark, d))
+    val pairs = CacheScope.cached(
+      aHashPairsDf(Tables.documentsDist(spark, d)))
     val docs = Tables.documents(spark, d)
       .filter(length(col("text")) - 64L >= AHashBlocks.toLong)
       .select(col("doc_id"))
@@ -511,7 +517,7 @@ object Multimodal {
   def dedupModalityAgreement(spark: SparkSession, d: String): DataFrame = {
     val text = Dedup.minhashNearDup(spark, d)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
-    val media = imageAHashNearDup(spark, d)
+    val media = aHashPairsDf(Tables.documentsDist(spark, d))
       .select(col("doc_a"), col("doc_b"), lit(1L).as("m"))
     text.join(media, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
@@ -525,6 +531,62 @@ object Multimodal {
         expr("(1000 * n_both) div" +
           " greatest(n_text_only + n_media_only + n_both, 1)")
           .as("jaccard_pm"))
+  }
+
+  /** q259: MEDIA-HASH THRESHOLD OPERATING CURVE — q255's one-number
+    * agreement unrolled into the full precision/recall curve over the
+    * Hamming radius: for every τ ∈ [0, 9], how many aHash pairs fire
+    * at dist ≤ τ, how many of those are text-confirmed near-dups
+    * (q23's MinHash pair set), and the resulting precision/recall in
+    * ppm against the text pairs whose BOTH endpoints are
+    * hash-eligible (a doc too short to hash can never be recovered —
+    * counting it against recall would grade the hash for a corpus
+    * slice it never sees). This is the threshold-tuning read a
+    * pipeline owner takes before moving AHashRadius — the media twin
+    * of q182's LSH candidate eval.
+    *
+    * The 10-chunk banding is EXHAUSTIVE for every τ here (Hamming
+    * ≤ 9 over 64 bits pigeonholes into one of 10 chunks), so the
+    * curve measures the HASH's agreement with the text truth, not
+    * banding loss — there is none in this range.
+    *
+    * Shape at 100 TB: composes the two candidate-blocked pair plans
+    * (their own contracts), one pair-keyed left join to flag
+    * text-confirmation, a ≤10× fan-out (each pair emits its τ
+    * suffix), and a 10-row spine join. Output is exactly 10 rows. */
+  def mediaThresholdCurve(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documentsDist(spark, d)
+    val eligible = docs
+      .filter(length(col("text")) - 64L >= AHashBlocks.toLong)
+      .select(col("doc_id"))
+    val text = Dedup.minhashNearDupDf(docs)
+      .select(col("doc_a"), col("doc_b"))
+      .join(eligible.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(eligible.select(col("doc_id").as("doc_b")), "doc_b")
+      .withColumn("t", lit(1L))
+    val flagged = aHashPairsDf(docs)
+      .join(text, Seq("doc_a", "doc_b"), "left")
+      .select(col("dist"), coalesce(col("t"), lit(0L)).as("t"))
+    // each pair fires at every τ ≥ its distance: a bounded ≤10-row
+    // fan-out per pair, then one τ-keyed agg — no window, no collect
+    val byTau = flagged
+      .select(explode(sequence(col("dist"),
+        lit(AHashRadius))).as("tau"), col("t"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("t")).as("n_confirmed"))
+    val nText = text.agg(count(lit(1)).as("n_text_pairs"))
+    spark.range(0L, AHashRadius + 1L).select(col("id").as("tau"))
+      .join(byTau, Seq("tau"), "left")
+      .crossJoin(broadcast(nText))
+      .select(col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_confirmed"), lit(0L)).as("n_confirmed"),
+        col("n_text_pairs"))
+      .withColumn("precision_ppm",
+        expr("(1000000 * n_confirmed) div greatest(n_pairs, 1)"))
+      .withColumn("recall_ppm",
+        expr("(1000000 * n_confirmed) div greatest(n_text_pairs, 1)"))
+      .orderBy(col("tau"))
   }
 
   /** q246 geometry: 32 temporal energy bands → 32-bit hash, Hamming

@@ -1379,4 +1379,147 @@ object Similarity {
       .toDF("trace", "lambda1_milli", "lambda2_milli", "ratio_pm",
         "pr_milli")
   }
+
+  /** q257 neighborhood size for the margin denominator (the k of
+    * Artetxe & Schwenk's margin criterion) and the ship threshold
+    * (margin ≥ 1.05 — the pair must beat its neighborhoods' mean
+    * similarity by 5%). */
+  val BitextK = 4
+  val BitextMarginMilli = 1050L
+
+  /** q257 hot-bucket cap (the q23/q142 skew knob on the vector side):
+    * a sign-plane bucket holding B vectors contributes C(B,2)
+    * candidate pairs, so bucket work is QUADRATIC in duplication
+    * level — the 10× replica probe measured exactly that (≈100×
+    * candidates from 10× copies). Buckets over the cap leave the
+    * index; C(cap,2) bounds any one bucket's pair mass. Never binds
+    * on this corpus (max occupancy 94 at sf0.01, 349 at sf0.1 —
+    * measured), so results are bit-identical to uncapped at every
+    * test SF; a mass-duplication corpus should run exact dedup (q21/
+    * q25) BEFORE mining — the capped-out mass is near-duplicate spam,
+    * not parallel text. */
+  val BitextBucketCap = 1024L
+
+  /** q257: MARGIN-BASED BITEXT MINING — cross-language near-neighbor
+    * pairs scored by the MARGIN criterion (Artetxe & Schwenk 2019:
+    * ratio of the pair's cosine to the mean cosine of each side's
+    * k nearest cross-language neighbors). Raw cosine thresholds
+    * over-fire in dense "hubness" regions of embedding space; the
+    * margin normalizes by local density, which is why every
+    * production bitext pipeline (CCMatrix/LASER-style) ranks by it.
+    * This is the operator that turns q238's observation ("near-dup
+    * clusters mix languages") into mined translation-pair candidates.
+    *
+    * Exactness: candidate generation is q25's sign-plane LSH
+    * (bit-replayed by the oracle); cosines are the sequential-fold
+    * double both engines compute identically (q25/q26 evidence),
+    * FLOORED to ppm integers at the boundary, so the top-k pick, the
+    * sums, and the margin ratio `(c·(na+nb)) div (sa+sb)` are exact
+    * integer arithmetic from there on — no cross-engine float
+    * summation anywhere.
+    *
+    * Shape at 100 TB: bucket-blocked candidates (never all-pairs)
+    * behind the hot-bucket cap above — per-bucket pair mass bounded
+    * at C(cap,2) under adversarial duplication — cross-language
+    * filter INSIDE the candidate join (prunes before the verify),
+    * one exact-cosine verify per candidate, a per-vector bounded
+    * top-k (window over candidate lists whose size the bucket scheme
+    * bounds), and a pair-keyed join back. The lang side rides a
+    * doc-keyed equi-join (vec_id = doc_id, the q247 contract). */
+  def bitextMargin(spark: SparkSession, d: String): DataFrame =
+    bitextMarginDf(Tables.embeddings(spark, d),
+      Tables.documentsDist(spark, d), BitextBucketCap)
+
+  private[graft] def bitextMarginDf(emb: DataFrame, docs: DataFrame,
+      bucketCap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lang = docs.select(col("doc_id"), col("lang"))
+    val e = CacheScope.cached(withNorm(emb)
+      .join(lang, col("vec_id") === col("doc_id")).drop("doc_id")
+      .withColumn("buckets", lshBuckets(col("v"))))
+    val ball = e.select(col("vec_id"), col("lang"),
+      posexplode(col("buckets")).as(Seq("t", "bucket")))
+    // hot buckets leave the index BEFORE the pair join (one partial-agg
+    // count per bucket — the q23 capped-index shape)
+    val hot = ball.groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > bucketCap)
+      .select(col("t"), col("bucket"))
+    val b = ball.join(hot, Seq("t", "bucket"), "left_anti")
+    val cand = b.as("x")
+      .join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id") &&
+          col("x.lang") =!= col("y.lang"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val scored = CacheScope.cached(cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nn").as("na2"), col("lang").as("lang_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nn").as("nb2"), col("lang").as("lang_b")), "vec_b")
+      .withColumn("c_ppm",
+        floor(lit(1000000.0d) *
+          cosine(col("va"), col("vb"), col("na2"), col("nb2")))
+          .cast("long"))
+      .select(col("vec_a"), col("vec_b"), col("lang_a"), col("lang_b"),
+        col("c_ppm")))
+    // each vector's cross-language neighborhood: both orientations of
+    // the candidate set, top-k by (cosine desc, partner asc)
+    val nbrs = scored.select(col("vec_a").as("vid"),
+        col("vec_b").as("partner"), col("c_ppm"))
+      .unionAll(scored.select(col("vec_b").as("vid"),
+        col("vec_a").as("partner"), col("c_ppm")))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("c_ppm").desc, col("partner"))
+    val hood = nbrs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= BitextK)
+      .groupBy(col("vid"))
+      .agg(sum(col("c_ppm")).as("s"), count(lit(1)).as("n"))
+    scored
+      .join(hood.select(col("vid").as("vec_a"), col("s").as("sa"),
+        col("n").as("na")), "vec_a")
+      .join(hood.select(col("vid").as("vec_b"), col("s").as("sb"),
+        col("n").as("nb")), "vec_b")
+      .filter(col("sa") + col("sb") > 0L)
+      .withColumn("margin_milli",
+        expr("(1000 * c_ppm * (na + nb)) div (sa + sb)"))
+      .filter(col("margin_milli") >= BitextMarginMilli)
+      .select(col("vec_a"), col("vec_b"), col("lang_a"), col("lang_b"),
+        col("c_ppm"), col("margin_milli"))
+      .orderBy(col("margin_milli").desc, col("vec_a"), col("vec_b"))
+  }
+
+  /** q262 probe grid — nprobe 1..8 of nlist=16 cells (probing half
+    * the cells is already the "why bother indexing" end of the curve). */
+  val IvfProbeGrid: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** q262: IVF NPROBE RECALL CURVE — recall@5 of the q33 IVF path
+    * against the q26 exact truth at every nprobe in the grid: the
+    * latency/recall operating curve an ANN deployment reads before
+    * fixing its probe budget (q259's threshold-curve read for the
+    * vector index; q146 grades ONE configuration, this grades the
+    * knob). All four configurations probe the SAME persisted index
+    * stage — the build runs once (IvfIndex's salted-stage contract),
+    * so the curve costs four probe passes, not four builds.
+    *
+    * Shape at 100 TB: the truth side is the documented query-bounded
+    * brute pass (10 broadcast queries × corpus — the q146 eval
+    * contract: an eval runs on the slice it is given); each curve
+    * point is the production probe plan + one (q_id, neighbor_id)
+    * hash-join and a count. Output = |grid| rows. */
+  def ivfProbeCurve(spark: SparkSession, d: String): DataFrame = {
+    val gt = CacheScope.cached(
+      bruteForceTopK(spark, d).select(col("q_id"), col("neighbor_id")))
+    val rows = IvfProbeGrid.map { np =>
+      gt.join(ivfTopK(spark, d, nprobe = np)
+          .select(col("q_id"), col("neighbor_id")),
+          Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"))
+    }.reduce(_ unionAll _)
+    rows.crossJoin(broadcast(gt.agg(count(lit(1)).as("n_truth"))))
+      .select(col("nprobe"), col("n_truth"), col("n_hits"),
+        expr("(1000 * n_hits) div n_truth").as("recall_pm"))
+      .orderBy(col("nprobe"))
+  }
 }

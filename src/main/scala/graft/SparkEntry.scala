@@ -602,6 +602,14 @@ object SparkEntry {
     "q254_media_bit_balance" -> (Multimodal.mediaHashBitBalance _),
     // text (q23) vs media (q245) near-dup pair-set agreement
     "q255_dedup_modality_agreement" -> (Multimodal.dedupModalityAgreement _),
+    // max-passage BM25: best 32-token window (stride 16) ranks the doc
+    "q256_max_passage" -> (TextAnalysis.maxPassage _),
+    // margin-based cross-language bitext candidate mining
+    "q257_bitext_margin" -> (Similarity.bitextMargin _),
+    // k-truss edge peel (k=12, 4 rounds) on the co-purchase graph
+    "q258_ktruss" -> (Graph.kTruss _),
+    // media-hash Hamming-threshold precision/recall curve vs q23 truth
+    "q259_media_threshold_curve" -> (Multimodal.mediaThresholdCurve _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -821,6 +829,47 @@ object SparkEntry {
        |       FROM supplier WHERE s_nationkey < 10),
        |$rounds
        |SELECT node, dist FROM d${Graph.BfsRounds} ORDER BY node""".stripMargin
+  }
+
+  /** q258 oracle chain — k-truss peel as one CTE block per round:
+    * triangle enumeration (a<b<c sorted triples — provably the same
+    * triangle set as the Spark side's degree-oriented wedge join),
+    * per-edge support via the 3-role union, peel below k−2, then a
+    * final support pass pricing the survivors. MATERIALIZED on the
+    * edge/support relations so DuckDB doesn't inline the triangle
+    * join once per consumer. */
+  private def kTrussCte(k: Int, rounds: Int): String = {
+    val thr = k - 2
+    val base =
+      """it0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |it AS (SELECT ok, pk FROM (
+        |         SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rn
+        |         FROM it0) WHERE rn <= 1024),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk)""".stripMargin
+    def supBlock(src: String, tri: String, sup: String): String =
+      s"""$tri AS (SELECT x.p1 a, x.p2 b, y.p2 c
+         |      FROM $src x JOIN $src y ON y.p1 = x.p2
+         |      JOIN $src z ON z.p1 = x.p1 AND z.p2 = y.p2),
+         |$sup AS MATERIALIZED (SELECT e.p1, e.p2, coalesce(t.s, 0)::BIGINT s
+         |      FROM $src e LEFT JOIN (
+         |        SELECT p1, p2, count(*)::BIGINT s FROM (
+         |          SELECT a AS p1, b AS p2 FROM $tri
+         |          UNION ALL SELECT b, c FROM $tri
+         |          UNION ALL SELECT a, c FROM $tri) GROUP BY 1, 2) t
+         |      ON t.p1 = e.p1 AND t.p2 = e.p2)""".stripMargin
+    val blocks = (1 to rounds).map { r =>
+      s"""${supBlock(s"e${r - 1}", s"t$r", s"s$r")},
+         |pl$r AS (SELECT p1, p2, $r::BIGINT AS peel_round, s AS support
+         |      FROM s$r WHERE s < $thr),
+         |e$r AS MATERIALIZED (SELECT p1, p2 FROM s$r WHERE s >= $thr)""".stripMargin
+    }
+    val fin =
+      s"""${supBlock(s"e$rounds", "tf", "sf")},
+         |allrows AS (${(1 to rounds).map(r => s"SELECT * FROM pl$r")
+          .mkString("\n      UNION ALL ")}
+         |      UNION ALL SELECT p1, p2, 0::BIGINT, s FROM sf)""".stripMargin
+    (base +: blocks :+ fin).mkString(",\n")
   }
 
   /** q49 oracle CTE chain — the full recursive near-dup closure
@@ -5143,5 +5192,121 @@ object SparkEntry {
          |        greatest(n_text_only + n_media_only + n_both, 1))::BIGINT
          |         AS jaccard_pm
          |FROM fo""".stripMargin,
+    // q256: q114's integer BM25 over 32-token stride-16 passages —
+    // token→(window, window−1) via the two-branch union, doc-level
+    // df, passage-length norm against the mean passage length, then
+    // per-doc argmax (score desc, window asc) and global top-10.
+    "q256_max_passage" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+        |      FROM documents),
+        |ds AS (SELECT count(*)::BIGINT n_docs,
+        |  count(*) FILTER (len(list_filter(tk, x -> x = 'hash')) > 0)::BIGINT df_hash,
+        |  count(*) FILTER (len(list_filter(tk, x -> x = 'join')) > 0)::BIGINT df_join,
+        |  count(*) FILTER (len(list_filter(tk, x -> x = 'vector')) > 0)::BIGINT df_vector
+        |  FROM t),
+        |ti AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) i FROM t),
+        |tw AS (SELECT doc_id, (i - 1) // 16 AS w, tk[i] AS tok FROM ti
+        |       UNION ALL
+        |       SELECT doc_id, (i - 1) // 16 - 1, tk[i] FROM ti
+        |       WHERE (i - 1) // 16 - 1 >= 0),
+        |pg AS (SELECT doc_id, w, count(*)::BIGINT pl,
+        |  sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END)::BIGINT tf_hash,
+        |  sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END)::BIGINT tf_join,
+        |  sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END)::BIGINT tf_vector
+        |  FROM tw GROUP BY 1, 2),
+        |ps AS (SELECT count(*)::BIGINT n_pass, sum(pl)::BIGINT pass_tokens FROM pg),
+        |c AS (SELECT pg.*, ds.*,
+        |  250 + (750000 * pl) // ((1000 * pass_tokens) // n_pass) AS norm_milli
+        |  FROM pg CROSS JOIN ps CROSS JOIN ds),
+        |sc AS (SELECT doc_id, w, pl,
+        |  ((((1000 * (2 * (n_docs - df_hash) + 1)) // (2 * df_hash + 1)) *
+        |    ((tf_hash * 2200000000) //
+        |     (tf_hash * 1000 + (1200 * norm_milli) // 1000))) // 1000
+        |  + (((1000 * (2 * (n_docs - df_join) + 1)) // (2 * df_join + 1)) *
+        |    ((tf_join * 2200000000) //
+        |     (tf_join * 1000 + (1200 * norm_milli) // 1000))) // 1000
+        |  + (((1000 * (2 * (n_docs - df_vector) + 1)) // (2 * df_vector + 1)) *
+        |    ((tf_vector * 2200000000) //
+        |     (tf_vector * 1000 + (1200 * norm_milli) // 1000))) // 1000)::BIGINT
+        |  AS score_micro FROM c),
+        |hits AS MATERIALIZED (SELECT * FROM sc WHERE score_micro > 0),
+        |nh AS (SELECT doc_id, count(*)::BIGINT n_hit_passages FROM hits GROUP BY 1),
+        |arg AS (SELECT doc_id, w, pl, score_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, w) rn FROM hits) WHERE rn = 1)
+        |SELECT a.doc_id, nh.n_hit_passages, a.w AS best_window,
+        |       a.pl AS best_pl, a.score_micro
+        |FROM arg a JOIN nh ON nh.doc_id = a.doc_id
+        |ORDER BY a.score_micro DESC, a.doc_id LIMIT 10""".stripMargin,
+    // q257: q25's sign-plane LSH buckets carrying lang, cross-language
+    // candidates only, cosine floored to ppm, per-vector top-4
+    // neighborhood sums, margin = c·(na+nb) div (sa+sb) in milli.
+    "q257_bitext_margin" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |lg AS MATERIALIZED (SELECT e.vec_id, e.v, d.lang
+         |      FROM e JOIN documents d ON d.doc_id = e.vec_id),
+         |sig AS (SELECT vec_id, lang, t,
+         |  list_sum(list_transform(generate_series(0, 3), r ->
+         |    CASE WHEN list_sum(list_transform(generate_series(0, 63), i ->
+         |      (CASE WHEN ((((t*4 + r)*64 + i) * 2654435761) & 65536) != 0
+         |            THEN 1.0 ELSE -1.0 END) * v[i + 1])) > 0
+         |    THEN (1::BIGINT << r) ELSE 0 END))::BIGINT AS bucket
+         |  FROM lg, generate_series(0, 3) g(t)),
+         |hotb AS (SELECT t, bucket FROM sig GROUP BY t, bucket
+         |         HAVING count(*) > ${Similarity.BitextBucketCap}),
+         |cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
+         |         FROM sig a JOIN sig b
+         |         ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |           AND a.lang != b.lang
+         |         WHERE NOT EXISTS (SELECT 1 FROM hotb h
+         |           WHERE h.t = a.t AND h.bucket = a.bucket)),
+         |sc AS MATERIALIZED (SELECT va, vb, x.lang lang_a, y.lang lang_b,
+         |  floor(1000000 * (list_dot_product(x.v, y.v)
+         |    / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v))))
+         |    ::BIGINT c_ppm
+         |  FROM cand JOIN lg x ON x.vec_id = va JOIN lg y ON y.vec_id = vb),
+         |nb AS (SELECT va vid, vb partner, c_ppm FROM sc
+         |       UNION ALL SELECT vb, va, c_ppm FROM sc),
+         |hood AS (SELECT vid, sum(c_ppm)::BIGINT s, count(*)::BIGINT n FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vid
+         |    ORDER BY c_ppm DESC, partner) rn FROM nb) WHERE rn <= ${Similarity.BitextK}
+         |  GROUP BY vid)
+         |SELECT va AS vec_a, vb AS vec_b, lang_a, lang_b, c_ppm,
+         |  ((1000 * c_ppm * (ha.n + hb.n)) // (ha.s + hb.s))::BIGINT margin_milli
+         |FROM sc JOIN hood ha ON ha.vid = va JOIN hood hb ON hb.vid = vb
+         |WHERE ha.s + hb.s > 0
+         |  AND (1000 * c_ppm * (ha.n + hb.n)) // (ha.s + hb.s)
+         |      >= ${Similarity.BitextMarginMilli}
+         |ORDER BY margin_milli DESC, vec_a, vec_b""".stripMargin,
+    // q258: the fixed-round peel chain + final survivor pricing.
+    "q258_ktruss" ->
+      s"""WITH ${kTrussCte(Graph.KTrussK, Graph.KTrussRounds)}
+         |SELECT p1, p2, peel_round, support FROM allrows
+         |ORDER BY p1, p2""".stripMargin,
+    // q259: q23's text pair set (both endpoints hash-eligible = the dd
+    // doc set) against the aHash pair relation, unrolled over every
+    // Hamming threshold via the per-pair τ-suffix fan-out.
+    "q259_media_threshold_curve" ->
+      s"""WITH $NearDupClusterCte,
+         |$AHashPairsCte,
+         |tpe AS MATERIALIZED (SELECT da, db FROM pairs
+         |      JOIN dd x ON x.doc_id = da JOIN dd y ON y.doc_id = db),
+         |ntx AS (SELECT count(*)::BIGINT n_text_pairs FROM tpe),
+         |fl AS (SELECT pr.dist,
+         |      (CASE WHEN tpe.da IS NOT NULL THEN 1 ELSE 0 END)::BIGINT t
+         |      FROM pr LEFT JOIN tpe ON tpe.da = pr.doc_a AND tpe.db = pr.doc_b),
+         |bt AS (SELECT tau, count(*)::BIGINT n_pairs, sum(t)::BIGINT n_confirmed
+         |      FROM (SELECT unnest(generate_series(dist, 9)) tau, t FROM fl)
+         |      GROUP BY 1)
+         |SELECT g.tau::BIGINT AS tau,
+         |  coalesce(bt.n_pairs, 0)::BIGINT AS n_pairs,
+         |  coalesce(bt.n_confirmed, 0)::BIGINT AS n_confirmed,
+         |  ntx.n_text_pairs,
+         |  ((1000000 * coalesce(bt.n_confirmed, 0)) //
+         |   greatest(coalesce(bt.n_pairs, 0), 1))::BIGINT AS precision_ppm,
+         |  ((1000000 * coalesce(bt.n_confirmed, 0)) //
+         |   greatest(ntx.n_text_pairs, 1))::BIGINT AS recall_ppm
+         |FROM generate_series(0, 9) g(tau) LEFT JOIN bt ON bt.tau = g.tau, ntx
+         |ORDER BY tau""".stripMargin,
   )
 }

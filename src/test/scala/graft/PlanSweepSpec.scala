@@ -114,7 +114,13 @@ class PlanSweepSpec extends SparkSpec {
     "q248_filtered_lsh_audit" -> 1,
     // q251: chains the q48 coarse pass (10 broadcast queries × corpus)
     // as one of its two fused paths; the LSH path joins on bucket keys
-    "q251_rrf_fusion" -> 1)
+    "q251_rrf_fusion" -> 1,
+    // q256: q114's shape twice over — the one-row doc-stats scalar and
+    // the one-row passage-stats scalar both re-enter as broadcasts
+    "q256_max_passage" -> 2,
+    // q259: the one-row text-pair-total scalar against the 10-row
+    // threshold spine
+    "q259_media_threshold_curve" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

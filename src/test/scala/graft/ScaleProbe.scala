@@ -388,9 +388,22 @@ object ScaleProbe {
           "q250_media_dup_clusters" -> (Multimodal.mediaDupClusters _),
           "q253_code_switch" -> (TextAnalysis.codeSwitchSegments _),
           "q254_media_bit_balance" -> (Multimodal.mediaHashBitBalance _),
-          "q255_modality_agreement" -> (Multimodal.dedupModalityAgreement _))
+          "q255_modality_agreement" -> (Multimodal.dedupModalityAgreement _),
+          // 9e additions: passage-exploded BM25, the bucket-blocked
+          // margin miner (vec-aligned corpus → vdir), the 4-round
+          // triangle peel, and the τ-fan-out curve
+          "q256_max_passage" -> (TextAnalysis.maxPassage _),
+          "q257_bitext_margin" -> (Similarity.bitextMargin _),
+          "q258_ktruss" -> (Graph.kTruss _),
+          "q259_media_threshold_curve" -> (Multimodal.mediaThresholdCurve _))
       val r9ratios = r9qs.map { case (name, fn) =>
-        val dd = if (name.startsWith("q244")) vdir else d10
+        // embeddings-driven ops ride the vec-aligned twin, the graph
+        // peel rides the disjoint-replica trade corpus, text/media
+        // ops ride the perturbed-replica documents corpus
+        val dd =
+          if (name.startsWith("q244") || name.startsWith("q257")) vdir
+          else if (name.startsWith("q258")) gdir
+          else d10
         val t1 = min2(name, fn, d1)
         val t10 = min2(name, fn, dd)
         println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
