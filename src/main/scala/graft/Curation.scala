@@ -1232,18 +1232,22 @@ object Curation {
       .orderBy(col("source"))
   }
 
-  /** The (doc_id, n_tok, q_milli) relation q217/q218/q219 share: the
-    * q134 integer quality score next to the token count. Row-local. */
+  /** The (doc_id, n_tok, q_milli, cal_key) relation q217/q218/q219/
+    * q261 share: the q134 integer quality score next to the token
+    * count, plus the salted content-hash key q261 splits calibration
+    * on (the q111 split-key discipline — an id-derived split
+    * correlates with source on this corpus). Row-local. */
   private def tokQuality(spark: SparkSession, d: String): DataFrame =
     Tables.documentsDist(spark, d)
-      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"),
+        polyHash(concat(lit("cal:"), col("text"))).as("cal_key"))
+      .select(col("doc_id"), col("source"), col("cal_key"),
         size(col("tk")).cast("long").as("n_tok"),
         size(array_distinct(col("tk"))).cast("long").as("n_uniq"),
         size(filter(col("tk"), x =>
           x.isin("the", "a", "of", "and", "is", "to", "in")))
           .cast("long").as("n_stop"))
-      .select(col("doc_id"), col("source"), col("n_tok"),
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cal_key"),
         expr("(500 * n_uniq) div n_tok + (200 * n_stop) div n_tok" +
           " + (300 * least(n_tok, 200)) div 200").as("q_milli"))
 
@@ -1396,7 +1400,7 @@ object Curation {
 
   /** q261: SPLIT-CONFORMAL QUALITY CALIBRATION — the distribution-free
     * keep-threshold for the q134 integer quality score, per source:
-    * the even-doc_id half calibrates, the odd half is graded. The
+    * the even-content-hash half calibrates, the other is graded. The
     * threshold is the k-th smallest calibration score with
     * k = ⌊α(n_cal+1)⌋ at α = 0.1, which is exactly the split-conformal
     * guarantee "a fresh in-distribution doc scores ≥ threshold with
@@ -1407,7 +1411,11 @@ object Curation {
     * calibrated there — the principled version of "set the quality
     * cutoff by eyeballing a percentile" (q134 ranks; this CALIBRATES).
     * k = 0 (n_cal ≤ 9) → no finite threshold → keep-all, NULL
-    * threshold in both engines.
+    * threshold in both engines. The calibration/test split is the
+    * CONTENT-HASH parity (q111's discipline), NOT doc_id parity —
+    * on this corpus source is a function of doc_id mod 20, so an id
+    * split would put every source wholly in one half and calibrate
+    * nothing (measured: n_cal = 0 for all 10 test sources).
     *
     * Exactness: the order statistic comes from the (source, score)
     * VALUE HISTOGRAM via the q151/q73 cumulative trick — the window
@@ -1421,7 +1429,7 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val s = graft.CacheScope.cached(tokQuality(spark, d)
       .select(col("source"), col("q_milli"),
-        (col("doc_id") % 2L === 0L).as("is_cal")))
+        (col("cal_key") % 2L === 0L).as("is_cal")))
     val bySrc = Window.partitionBy(col("source"))
     val cum = s.filter(col("is_cal"))
       .groupBy(col("source"), col("q_milli")).agg(count(lit(1)).as("c"))

@@ -610,6 +610,12 @@ object SparkEntry {
     "q258_ktruss" -> (Graph.kTruss _),
     // media-hash Hamming-threshold precision/recall curve vs q23 truth
     "q259_media_threshold_curve" -> (Multimodal.mediaThresholdCurve _),
+    // Zipf doubling-ratio rank spectrum + head mass shares (no ln)
+    "q260_zipf_spectrum" -> (TextAnalysis.zipfSpectrum _),
+    // split-conformal keep-threshold for the q134 quality score
+    "q261_conformal_quality" -> (Curation.conformalQuality _),
+    // IVF recall@5 vs exact truth at nprobe 1/2/4/8 (one index build)
+    "q262_ivf_probe_curve" -> (Similarity.ivfProbeCurve _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -957,6 +963,49 @@ object SparkEntry {
   /** q26 oracle — exact cosine top-5 ground truth. Shared verbatim by
     * q146's recall eval (the eval must grade against the same truth
     * the driver checks). */
+  /** q33 oracle chain, parameterized by nprobe — shared verbatim by
+    * q262's recall curve (the q44/q67/q146 shared-oracle rule: the
+    * curve must grade exactly the probe plans the driver checks). */
+  private def ivfTopkSql(nprobe: Int): String =
+    s"""WITH q AS (SELECT vec_id, i::BIGINT - 1 AS pos,
+        |             floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
+        |           FROM (SELECT vec_id, embedding,
+        |                 unnest(generate_series(1, len(embedding))) i FROM embeddings)),
+        |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid
+        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |c0 AS (SELECT s.cid, q.pos, q.vm AS cm FROM q JOIN seeds s ON s.vec_id = q.vec_id),
+        |e1 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c0 c ON c.pos = q.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |         FROM e1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, q.pos, floor(sum(q.vm) / count(*))::BIGINT AS cm
+        |       FROM q JOIN a1 a ON a.vec_id = q.vec_id GROUP BY 1, 2),
+        |e2 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c1 c ON c.pos = q.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |         FROM e2) WHERE rn = 1),
+        |pd AS (SELECT q.vec_id q_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm)) d2
+        |       FROM q JOIN c1 c ON c.pos = q.pos WHERE q.vec_id < 10 GROUP BY 1, 2),
+        |probes AS (SELECT q_id, cid FROM (
+        |            SELECT q_id, cid,
+        |                   row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) pr
+        |            FROM pd) WHERE pr <= $nprobe),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |s AS (SELECT p.q_id, n.vec_id neighbor_id,
+        |      list_dot_product(qe.v, ne.v)
+        |      / sqrt(list_dot_product(qe.v, qe.v) * list_dot_product(ne.v, ne.v)) c
+        |      FROM probes p JOIN a2 n ON n.cid = p.cid
+        |      JOIN e qe ON qe.vec_id = p.q_id JOIN e ne ON ne.vec_id = n.vec_id
+        |      WHERE n.vec_id != p.q_id),
+        |r AS (SELECT q_id, neighbor_id, c,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
+        |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   private val BruteTopkSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |s AS (SELECT q.vec_id q_id, n.vec_id neighbor_id,
@@ -1555,45 +1604,7 @@ object SparkEntry {
     // IVF oracle: the q136 Lloyd CTE chain at nlist=16, then integer
     // probe selection (nprobe=4) and exact double-cosine scoring on the
     // probed cells — replays Similarity.ivfTopK bit-for-bit.
-    "q33_knn_ivf" ->
-      """WITH q AS (SELECT vec_id, i::BIGINT - 1 AS pos,
-        |             floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
-        |           FROM (SELECT vec_id, embedding,
-        |                 unnest(generate_series(1, len(embedding))) i FROM embeddings)),
-        |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid
-        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-        |c0 AS (SELECT s.cid, q.pos, q.vm AS cm FROM q JOIN seeds s ON s.vec_id = q.vec_id),
-        |e1 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
-        |       FROM q JOIN c0 c ON c.pos = q.pos GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |         SELECT vec_id, cid,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
-        |         FROM e1) WHERE rn = 1),
-        |c1 AS (SELECT a.cid, q.pos, floor(sum(q.vm) / count(*))::BIGINT AS cm
-        |       FROM q JOIN a1 a ON a.vec_id = q.vec_id GROUP BY 1, 2),
-        |e2 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
-        |       FROM q JOIN c1 c ON c.pos = q.pos GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, cid FROM (
-        |         SELECT vec_id, cid,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
-        |         FROM e2) WHERE rn = 1),
-        |pd AS (SELECT q.vec_id q_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm)) d2
-        |       FROM q JOIN c1 c ON c.pos = q.pos WHERE q.vec_id < 10 GROUP BY 1, 2),
-        |probes AS (SELECT q_id, cid FROM (
-        |            SELECT q_id, cid,
-        |                   row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) pr
-        |            FROM pd) WHERE pr <= 4),
-        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |s AS (SELECT p.q_id, n.vec_id neighbor_id,
-        |      list_dot_product(qe.v, ne.v)
-        |      / sqrt(list_dot_product(qe.v, qe.v) * list_dot_product(ne.v, ne.v)) c
-        |      FROM probes p JOIN a2 n ON n.cid = p.cid
-        |      JOIN e qe ON qe.vec_id = p.q_id JOIN e ne ON ne.vec_id = n.vec_id
-        |      WHERE n.vec_id != p.q_id),
-        |r AS (SELECT q_id, neighbor_id, c,
-        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) rnk FROM s)
-        |SELECT q_id, neighbor_id, round(c, 6) AS cosine, rnk::BIGINT AS rank
-        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q33_knn_ivf" -> ivfTopkSql(4),
     "q141_session_associations" ->
       """WITH s AS (SELECT user_id, event_id, event_type, epoch_ns(ts) tns,
         |             lag(epoch_ns(ts)) OVER (PARTITION BY user_id
@@ -5308,5 +5319,84 @@ object SparkEntry {
          |   greatest(ntx.n_text_pairs, 1))::BIGINT AS recall_ppm
          |FROM generate_series(0, 9) g(tau) LEFT JOIN bt ON bt.tau = g.tau, ntx
          |ORDER BY tau""".stripMargin,
+    // q260: full-vocab rank by (count desc, token asc), cumulative
+    // head mass over the top-1024, the power-of-two grid via bit
+    // shifts; f(2r) LEFT JOINs so past-vocab octaves go NULL exactly
+    // like the Spark fold's bounds check.
+    "q260_zipf_spectrum" ->
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array(text, ' ')) w
+         |      FROM documents),
+         |f AS (SELECT w, count(*)::BIGINT c FROM tok GROUP BY 1),
+         |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) rk FROM f),
+         |cum AS (SELECT rk, c, sum(c) OVER (ORDER BY rk)::BIGINT cm
+         |      FROM r WHERE rk <= ${TextAnalysis.ZipfTopN}),
+         |tot AS (SELECT sum(c)::BIGINT tt FROM f),
+         |g AS (SELECT (1 << i)::BIGINT r FROM generate_series(0, 9) t(i))
+         |SELECT g.r AS rank, a.c AS freq_r, b.c AS freq_2r,
+         |  (CASE WHEN b.c IS NULL THEN NULL
+         |        ELSE (1000 * b.c) // a.c END)::BIGINT AS ratio_milli,
+         |  ((1000 * a.cm) // tt)::BIGINT AS head_share_pm
+         |FROM g JOIN cum a ON a.rk = g.r
+         |  LEFT JOIN cum b ON b.rk = 2 * g.r, tot
+         |ORDER BY rank""".stripMargin,
+    // q261: the q134/q217 integer quality formula, even-id calibration
+    // half, k = (n+1) div 10 smallest calibration score via the
+    // cumulative value histogram, keep-all (NULL) when k = 0, odd-id
+    // coverage. Tie/floor points identical to the Spark plan.
+    "q261_conformal_quality" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |        regexp_split_to_array(text, ' ') tk,
+         |        ${H("'cal:' || text")} % 2 = 0 AS is_cal FROM documents),
+         |q AS (SELECT doc_id, source, is_cal,
+         |        len(tk)::BIGINT n_tok,
+         |        len(list_distinct(tk))::BIGINT n_uniq,
+         |        len(list_filter(tk, x -> x IN
+         |          ('the','a','of','and','is','to','in')))::BIGINT n_stop
+         |      FROM t),
+         |s AS (SELECT doc_id, source, is_cal,
+         |        ((500 * n_uniq) // n_tok + (200 * n_stop) // n_tok
+         |         + (300 * least(n_tok, 200)) // 200)::BIGINT q_milli
+         |      FROM q),
+        |h AS (SELECT source, q_milli, count(*)::BIGINT c FROM s
+        |      WHERE is_cal GROUP BY 1, 2),
+        |cu AS (SELECT source, q_milli, c,
+        |        sum(c) OVER (PARTITION BY source ORDER BY q_milli)::BIGINT cum,
+        |        sum(c) OVER (PARTITION BY source)::BIGINT n_cal
+        |      FROM h),
+        |thr AS (SELECT source, max(n_cal)::BIGINT n_cal,
+        |        min(CASE WHEN (n_cal + 1) // 10 > 0
+        |                  AND cum >= (n_cal + 1) // 10
+        |                 THEN q_milli END)::BIGINT thr_milli
+        |      FROM cu GROUP BY 1)
+        |SELECT s.source, coalesce(max(thr.n_cal), 0)::BIGINT AS n_cal,
+        |  count(*)::BIGINT AS n_test,
+        |  max(thr.thr_milli)::BIGINT AS thr_milli,
+        |  ((1000 * sum(CASE WHEN thr.thr_milli IS NULL
+        |                     OR s.q_milli >= thr.thr_milli
+        |                    THEN 1 ELSE 0 END)) // count(*))::BIGINT
+        |    AS coverage_pm
+        |FROM s LEFT JOIN thr ON thr.source = s.source
+        |WHERE NOT s.is_cal
+        |GROUP BY s.source ORDER BY s.source""".stripMargin,
+    // q262: the q26 truth and the four q33 probe plans embedded
+    // verbatim (shared-oracle rule), one scalar-count hit join per
+    // grid point.
+    "q262_ivf_probe_curve" -> {
+      val cols = Similarity.IvfProbeGrid.map(np =>
+        s"i$np AS (SELECT q_id, neighbor_id FROM (${ivfTopkSql(np)}))")
+        .mkString(",\n")
+      val pts = Similarity.IvfProbeGrid.map(np =>
+        s"""SELECT $np::BIGINT nprobe,
+           |  (SELECT count(*) FROM gt JOIN i$np
+           |     USING (q_id, neighbor_id))::BIGINT n_hits"""
+          .stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH gt AS (SELECT q_id, neighbor_id FROM ($BruteTopkSql)),
+         |$cols,
+         |u AS ($pts),
+         |tot AS (SELECT count(*)::BIGINT n_truth FROM gt)
+         |SELECT nprobe, n_truth, n_hits,
+         |  ((1000 * n_hits) // n_truth)::BIGINT AS recall_pm
+         |FROM u, tot ORDER BY nprobe""".stripMargin
+    },
   )
 }

@@ -120,7 +120,13 @@ class PlanSweepSpec extends SparkSpec {
     "q256_max_passage" -> 2,
     // q259: the one-row text-pair-total scalar against the 10-row
     // threshold spine
-    "q259_media_threshold_curve" -> 1)
+    "q259_media_threshold_curve" -> 1,
+    // q262: the plan STRING re-prints the cached q26 truth (its one
+    // documented 10-broadcast-queries scan) under 5 consumers (4 hit
+    // joins + the total), plus the 4 q33 probe plans at 2 each, plus
+    // the one-row truth-total scalar — physically the truth computes
+    // once (CacheScope) and each probe pass is the production plan
+    "q262_ivf_probe_curve" -> 14)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

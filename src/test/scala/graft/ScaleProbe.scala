@@ -411,6 +411,25 @@ object ScaleProbe {
       }
       println(r9ratios.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r9 ratios: ", ", ", ""))
     }
+    // 9f additions: token-frequency spectrum and conformal calibration
+    // ride the perturbed-replica documents corpus; the IVF curve rides
+    // the vec-aligned twin (per-replica index build amortized by min2)
+    if (fams("r9f")) {
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val r9fqs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, String)] =
+        Seq(("q260_zipf_spectrum", TextAnalysis.zipfSpectrum _, d10),
+          ("q261_conformal_quality", Curation.conformalQuality _, d10),
+          ("q262_ivf_probe_curve", Similarity.ivfProbeCurve _, vdir))
+      val rr = r9fqs.map { case (name, fn, dd) =>
+        val t1 = min2(name, fn, d1)
+        val t10 = min2(name, fn, dd)
+        println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+        name -> (t10 / t1)
+      }
+      println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r9f ratios: ", ", ", ""))
+    }
     spark.stop()
   }
 }
