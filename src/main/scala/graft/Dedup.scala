@@ -45,7 +45,7 @@ object Dedup {
     * spreads the hash work across cores — the test fixtures are single
     * row-group parquet files, which scan as one task; a production
     * corpus arrives in many splits and would not need it. */
-  private def shingleSets(spark: SparkSession, d: String): DataFrame =
+  private[graft] def shingleSets(spark: SparkSession, d: String): DataFrame =
     shingleSetsDf(Tables.documents(spark, d)
       .repartition(spark.sparkContext.defaultParallelism))
 

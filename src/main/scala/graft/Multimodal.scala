@@ -554,6 +554,71 @@ object Multimodal {
     * (their own contracts), one pair-keyed left join to flag
     * text-confirmation, a ≤10× fan-out (each pair emits its τ
     * suffix), and a 10-row spine join. Output is exactly 10 rows. */
+  /** q264 geometry: 4 equal frames per payload, each hashed with the
+    * q245 kernel; a frame needs the full 64-block grid, so payloads
+    * under 4·64 = 256 pixels are ineligible (8 frames would demand
+    * 512 — above this corpus's longest payload, 553). Frame hashes shared by
+    * more than `FrameDfCap` documents leave the index (the q123/q142
+    * stop-key discipline — a boilerplate intro frame must not
+    * contribute C(df,2) pair instances). */
+  val FrameCount = 4
+  val FrameDfCap = 64L
+
+  /** q264: FRAME-SEQUENCE CONTAINMENT — media near-dup at SEQUENCE
+    * granularity: each payload's pixel region splits into 4 equal
+    * virtual frames, each frame aHashes independently (same kernel,
+    * same virtual-decode contract), and two documents pair when they
+    * share ≥ 2 exact frame hashes; containment = shared distinct
+    * hashes over the smaller side's distinct-hash count. This is the
+    * re-cut/clip detector q245 is structurally blind to: a video with
+    * one segment replaced keeps 3 of 4 frame hashes (high
+    * containment) while its WHOLE-payload hash moves arbitrarily far
+    * — the media twin of q138's text containment (symmetric scores
+    * miss embedded excerpts; so do whole-item hashes).
+    *
+    * On THIS corpus exact frame-hash collisions are rare by
+    * construction (word-salad pixels): 3 pairs at sf0.1, none at
+    * sf0.01 — the oracle still replays the full chain, and the
+    * planted re-cut fixture in the spec exercises the detection path
+    * (the q253 planted-fixture precedent for corpus-blind operators).
+    *
+    * Shape at 100 TB: hashing is 4 row-local kernel calls per doc;
+    * pairing is an exact-equality hash join (no banding needed — the
+    * candidate key IS the value), df-capped so a boilerplate frame
+    * bounds at C(cap,2); per-doc state is ≤ 4 hashes. Output pairs
+    * only. */
+  def frameSeqContainment(spark: SparkSession, d: String): DataFrame =
+    frameSeqContainmentDf(Tables.documentsDist(spark, d))
+
+  private[graft] def frameSeqContainmentDf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .withColumn("flen",
+        expr(s"CAST((length(text) - 64) div $FrameCount AS INT)"))
+      .filter(col("flen") >= AHashBlocks)
+    val fh = CacheScope.cached(docs
+      .select(col("doc_id"), col("text"), col("flen"),
+        explode(sequence(lit(0), lit(FrameCount - 1))).as("f"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.ahash64(expr(
+        "concat(substring(text, 1, 64)," +
+          " substring(text, 65 + f * flen, flen))")).as("h"))
+      .distinct())
+    val idx = fh.join(
+      fh.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+        .filter(col("dfh") <= FrameDfCap).select(col("h")), "h")
+    val sz = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2L)
+      .join(sz.toDF("doc_a", "na"), "doc_a")
+      .join(sz.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("(1000 * n_shared) div least(na, nb)").as("containment_pm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def mediaThresholdCurve(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documentsDist(spark, d)
     val eligible = docs

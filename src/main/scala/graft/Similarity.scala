@@ -1522,4 +1522,62 @@ object Similarity {
         expr("(1000 * n_hits) div n_truth").as("recall_pm"))
       .orderBy(col("nprobe"))
   }
+
+  /** q265: HYBRID (LEXICAL + DENSE) MORE-LIKE-THIS — the production
+    * retrieval stack in one operator: for each query document
+    * (doc_id < 10, the standing query set), a LEXICAL top-5 by exact
+    * 3-gram shingle Jaccard (q22's inverted-index machinery,
+    * query-side-bounded) and a DENSE top-5 by exact cosine (q26's
+    * plan through the vec_id = doc_id alignment), fused by
+    * reciprocal-rank with q251's hardcoded ⌊10⁶/(60+r)⌋ discounts.
+    * Rank-only fusion needs no calibration between a Jaccard in
+    * [0,1] and a cosine in [−1,1] — which is exactly why
+    * lexical+dense hybrids standardize on RRF. A doc surfaced by
+    * BOTH channels (n_paths = 2) is the high-precision
+    * more-like-this answer; single-channel hits expose what each
+    * representation alone would miss.
+    *
+    * Shape at 100 TB: the lexical side explodes ONLY the 10 query
+    * docs' shingles against the postings (fan bounded by query
+    * shingle mass × per-shingle df; a hot shingle is the q123
+    * argument — its df cost is borne once per QUERY doc, not
+    * corpus²); the dense side is the documented query-bounded brute
+    * pass (an IVF probe swaps in unchanged); fusion is a union of
+    * two 10·5-row relations + one keyed agg + a bounded top-k. */
+  def hybridMoreLikeThis(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = CacheScope.cached(Dedup.shingleSets(spark, d))
+    val h = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sz = sets.select(col("doc_id"), size(col("hs")).cast("long").as("sz"))
+    val cm = h.filter(col("doc_id") < 10L).toDF("q_id", "h")
+      .join(h.toDF("doc_id", "h"), Seq("h"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("cm"))
+    val lexw = Window.partitionBy(col("q_id"))
+      .orderBy(col("jac").desc, col("doc_id"))
+    val lex = cm
+      .join(sz.toDF("q_id", "qsz"), "q_id")
+      .join(sz.toDF("doc_id", "dsz"), "doc_id")
+      .withColumn("jac", col("cm") / (col("qsz") + col("dsz") - col("cm")))
+      .withColumn("rnk", row_number().over(lexw))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("doc_id").as("neighbor_id"), col("rnk"))
+    val dense = bruteForceTopK(spark, d)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("rnk"))
+    val disc = RrfDiscounts
+    def votes(df: DataFrame): DataFrame =
+      df.withColumn("v",
+        element_at(array(disc.map(lit): _*), col("rnk").cast("int")))
+        .select(col("q_id"), col("neighbor_id"), col("v"))
+    val fused = votes(lex).unionAll(votes(dense))
+      .groupBy(col("q_id"), col("neighbor_id"))
+      .agg(sum(col("v")).as("rrf_micro"), count(lit(1)).as("n_paths"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_micro").desc, col("neighbor_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        col("rrf_micro"), col("n_paths"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 }

@@ -616,6 +616,13 @@ object SparkEntry {
     "q261_conformal_quality" -> (Curation.conformalQuality _),
     // IVF recall@5 vs exact truth at nprobe 1/2/4/8 (one index build)
     "q262_ivf_probe_curve" -> (Similarity.ivfProbeCurve _),
+    // passage-size ablation: q256 at {16,32,64} vs the 32 baseline
+    "q263_passage_ablation" -> (TextAnalysis.passageSizeAblation _),
+    // frame-sequence media containment: 8 per-frame aHashes, exact
+    // hash-equality pairing, df-capped — the re-cut/clip detector
+    "q264_frame_containment" -> (Multimodal.frameSeqContainment _),
+    // lexical (3-gram Jaccard) + dense (cosine) RRF hybrid retrieval
+    "q265_hybrid_mlt" -> (Similarity.hybridMoreLikeThis _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -966,6 +973,55 @@ object SparkEntry {
   /** q33 oracle chain, parameterized by nprobe — shared verbatim by
     * q262's recall curve (the q44/q67/q146 shared-oracle rule: the
     * curve must grade exactly the probe plans the driver checks). */
+  /** q256 oracle chain, parameterized by passage size (stride =
+    * size/2) — shared verbatim by q263's ablation (the shared-oracle
+    * rule again: the ablation grades exactly the plans the driver
+    * checks). */
+  private def maxPassageSql(psize: Int): String = {
+    val stride = psize / 2
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+        |      FROM documents),
+        |ds AS (SELECT count(*)::BIGINT n_docs,
+        |  count(*) FILTER (len(list_filter(tk, x -> x = 'hash')) > 0)::BIGINT df_hash,
+        |  count(*) FILTER (len(list_filter(tk, x -> x = 'join')) > 0)::BIGINT df_join,
+        |  count(*) FILTER (len(list_filter(tk, x -> x = 'vector')) > 0)::BIGINT df_vector
+        |  FROM t),
+        |ti AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) i FROM t),
+        |tw AS (SELECT doc_id, (i - 1) // $stride AS w, tk[i] AS tok FROM ti
+        |       UNION ALL
+        |       SELECT doc_id, (i - 1) // $stride - 1, tk[i] FROM ti
+        |       WHERE (i - 1) // $stride - 1 >= 0),
+        |pg AS (SELECT doc_id, w, count(*)::BIGINT pl,
+        |  sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END)::BIGINT tf_hash,
+        |  sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END)::BIGINT tf_join,
+        |  sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END)::BIGINT tf_vector
+        |  FROM tw GROUP BY 1, 2),
+        |ps AS (SELECT count(*)::BIGINT n_pass, sum(pl)::BIGINT pass_tokens FROM pg),
+        |c AS (SELECT pg.*, ds.*,
+        |  250 + (750000 * pl) // ((1000 * pass_tokens) // n_pass) AS norm_milli
+        |  FROM pg CROSS JOIN ps CROSS JOIN ds),
+        |sc AS (SELECT doc_id, w, pl,
+        |  ((((1000 * (2 * (n_docs - df_hash) + 1)) // (2 * df_hash + 1)) *
+        |    ((tf_hash * 2200000000) //
+        |     (tf_hash * 1000 + (1200 * norm_milli) // 1000))) // 1000
+        |  + (((1000 * (2 * (n_docs - df_join) + 1)) // (2 * df_join + 1)) *
+        |    ((tf_join * 2200000000) //
+        |     (tf_join * 1000 + (1200 * norm_milli) // 1000))) // 1000
+        |  + (((1000 * (2 * (n_docs - df_vector) + 1)) // (2 * df_vector + 1)) *
+        |    ((tf_vector * 2200000000) //
+        |     (tf_vector * 1000 + (1200 * norm_milli) // 1000))) // 1000)::BIGINT
+        |  AS score_micro FROM c),
+        |hits AS MATERIALIZED (SELECT * FROM sc WHERE score_micro > 0),
+        |nh AS (SELECT doc_id, count(*)::BIGINT n_hit_passages FROM hits GROUP BY 1),
+        |arg AS (SELECT doc_id, w, pl, score_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, w) rn FROM hits) WHERE rn = 1)
+        |SELECT a.doc_id, nh.n_hit_passages, a.w AS best_window,
+        |       a.pl AS best_pl, a.score_micro
+        |FROM arg a JOIN nh ON nh.doc_id = a.doc_id
+        |ORDER BY a.score_micro DESC, a.doc_id LIMIT 10""".stripMargin
+  }
+
   private def ivfTopkSql(nprobe: Int): String =
     s"""WITH q AS (SELECT vec_id, i::BIGINT - 1 AS pos,
         |             floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
@@ -5207,48 +5263,7 @@ object SparkEntry {
     // token→(window, window−1) via the two-branch union, doc-level
     // df, passage-length norm against the mean passage length, then
     // per-doc argmax (score desc, window asc) and global top-10.
-    "q256_max_passage" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk
-        |      FROM documents),
-        |ds AS (SELECT count(*)::BIGINT n_docs,
-        |  count(*) FILTER (len(list_filter(tk, x -> x = 'hash')) > 0)::BIGINT df_hash,
-        |  count(*) FILTER (len(list_filter(tk, x -> x = 'join')) > 0)::BIGINT df_join,
-        |  count(*) FILTER (len(list_filter(tk, x -> x = 'vector')) > 0)::BIGINT df_vector
-        |  FROM t),
-        |ti AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) i FROM t),
-        |tw AS (SELECT doc_id, (i - 1) // 16 AS w, tk[i] AS tok FROM ti
-        |       UNION ALL
-        |       SELECT doc_id, (i - 1) // 16 - 1, tk[i] FROM ti
-        |       WHERE (i - 1) // 16 - 1 >= 0),
-        |pg AS (SELECT doc_id, w, count(*)::BIGINT pl,
-        |  sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END)::BIGINT tf_hash,
-        |  sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END)::BIGINT tf_join,
-        |  sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END)::BIGINT tf_vector
-        |  FROM tw GROUP BY 1, 2),
-        |ps AS (SELECT count(*)::BIGINT n_pass, sum(pl)::BIGINT pass_tokens FROM pg),
-        |c AS (SELECT pg.*, ds.*,
-        |  250 + (750000 * pl) // ((1000 * pass_tokens) // n_pass) AS norm_milli
-        |  FROM pg CROSS JOIN ps CROSS JOIN ds),
-        |sc AS (SELECT doc_id, w, pl,
-        |  ((((1000 * (2 * (n_docs - df_hash) + 1)) // (2 * df_hash + 1)) *
-        |    ((tf_hash * 2200000000) //
-        |     (tf_hash * 1000 + (1200 * norm_milli) // 1000))) // 1000
-        |  + (((1000 * (2 * (n_docs - df_join) + 1)) // (2 * df_join + 1)) *
-        |    ((tf_join * 2200000000) //
-        |     (tf_join * 1000 + (1200 * norm_milli) // 1000))) // 1000
-        |  + (((1000 * (2 * (n_docs - df_vector) + 1)) // (2 * df_vector + 1)) *
-        |    ((tf_vector * 2200000000) //
-        |     (tf_vector * 1000 + (1200 * norm_milli) // 1000))) // 1000)::BIGINT
-        |  AS score_micro FROM c),
-        |hits AS MATERIALIZED (SELECT * FROM sc WHERE score_micro > 0),
-        |nh AS (SELECT doc_id, count(*)::BIGINT n_hit_passages FROM hits GROUP BY 1),
-        |arg AS (SELECT doc_id, w, pl, score_micro FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY score_micro DESC, w) rn FROM hits) WHERE rn = 1)
-        |SELECT a.doc_id, nh.n_hit_passages, a.w AS best_window,
-        |       a.pl AS best_pl, a.score_micro
-        |FROM arg a JOIN nh ON nh.doc_id = a.doc_id
-        |ORDER BY a.score_micro DESC, a.doc_id LIMIT 10""".stripMargin,
+    "q256_max_passage" -> maxPassageSql(32),
     // q257: q25's sign-plane LSH buckets carrying lang, cross-language
     // candidates only, cosine floored to ppm, per-vector top-4
     // neighborhood sums, margin = c·(na+nb) div (sa+sb) in milli.
@@ -5397,6 +5412,104 @@ object SparkEntry {
          |SELECT nprobe, n_truth, n_hits,
          |  ((1000 * n_hits) // n_truth)::BIGINT AS recall_pm
          |FROM u, tot ORDER BY nprobe""".stripMargin
+    },
+    // q263: the three parameterized q256 chains; rank re-derived by
+    // row_number over each 10-row result, overlap/displacement vs the
+    // size-32 baseline as scalar subqueries (grid-bounded).
+    "q263_passage_ablation" -> {
+      val sizes = TextAnalysis.PassageSizeGrid
+      val tops = sizes.map(sz =>
+        s"""t$sz AS (SELECT doc_id, score_micro,
+           |  row_number() OVER (ORDER BY score_micro DESC, doc_id) - 1 AS rk
+           |  FROM (${maxPassageSql(sz)}))""".stripMargin).mkString(",\n")
+      val rows = sizes.map(sz =>
+        s"""SELECT $sz::BIGINT psize,
+           |  coalesce((SELECT doc_id FROM t$sz WHERE rk = 0), -1)::BIGINT
+           |    AS top1_doc,
+           |  coalesce((SELECT score_micro FROM t$sz WHERE rk = 0), 0)::BIGINT
+           |    AS top1_score_micro,
+           |  (SELECT count(*) FROM t$sz a JOIN t${TextAnalysis.PassageSize} b
+           |     USING (doc_id))::BIGINT AS n_common_vs32,
+           |  coalesce((SELECT sum(abs(a.rk - b.rk)) FROM t$sz a
+           |     JOIN t${TextAnalysis.PassageSize} b USING (doc_id)), 0)::BIGINT
+           |    AS rank_delta_sum""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH $tops
+         |SELECT * FROM ($rows) ORDER BY psize""".stripMargin
+    },
+    // q264: the q245 block-hash arithmetic per (doc, frame) slice —
+    // pixel p of frame f is payload byte f·flen + p, 64 blocks per
+    // frame, (lo, hi) packed halves join on exact equality, df cap,
+    // shared-count pairing.
+    "q264_frame_containment" ->
+      s"""WITH fd AS (SELECT doc_id, text,
+         |        ((length(text) - 64) // ${Multimodal.FrameCount})::BIGINT flen
+         |      FROM documents
+         |      WHERE (length(text) - 64) // ${Multimodal.FrameCount} >= 64),
+         |ff AS (SELECT doc_id, text, flen,
+         |        unnest(generate_series(0, ${Multimodal.FrameCount - 1})) f
+         |      FROM fd),
+         |fpx AS (SELECT doc_id, f, flen, p,
+         |        ord(substr(text, (65 + f * flen + p)::INT, 1))::BIGINT v
+         |      FROM (SELECT doc_id, text, flen, f,
+         |              unnest(generate_series(0, flen - 1)) p FROM ff)),
+         |fbl AS (SELECT doc_id, f, flen, (64 * p) // flen blk,
+         |        sum(v)::BIGINT bsum, count(*)::BIGINT bcnt
+         |      FROM fpx GROUP BY 1, 2, 3, 4),
+         |ftt AS (SELECT doc_id, f, sum(bsum)::BIGINT tot FROM fbl GROUP BY 1, 2),
+         |fbits AS (SELECT fbl.doc_id, fbl.f, blk,
+         |        CASE WHEN bsum * flen >= tot * bcnt
+         |          THEN 1::BIGINT ELSE 0::BIGINT END bt
+         |      FROM fbl JOIN ftt ON ftt.doc_id = fbl.doc_id AND ftt.f = fbl.f),
+         |fsg AS MATERIALIZED (SELECT doc_id, f,
+         |        sum(CASE WHEN blk < 32 THEN bt << blk::INT ELSE 0 END)::BIGINT lo,
+         |        sum(CASE WHEN blk >= 32 THEN bt << (blk - 32)::INT
+         |          ELSE 0 END)::BIGINT hi
+         |      FROM fbits GROUP BY 1, 2),
+         |fh AS MATERIALIZED (SELECT DISTINCT doc_id, lo, hi FROM fsg),
+         |fdf AS (SELECT lo, hi FROM fh GROUP BY lo, hi
+         |        HAVING count(*) <= ${Multimodal.FrameDfCap}),
+         |fidx AS (SELECT fh.* FROM fh JOIN fdf USING (lo, hi)),
+         |fsz AS (SELECT doc_id, count(*)::BIGINT nf FROM fh GROUP BY 1),
+         |fpr AS (SELECT a.doc_id da, b.doc_id db, count(*)::BIGINT n_shared
+         |      FROM fidx a JOIN fidx b
+         |        ON a.lo = b.lo AND a.hi = b.hi AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT da AS doc_a, db AS doc_b, n_shared,
+         |  ((1000 * n_shared) // least(x.nf, y.nf))::BIGINT AS containment_pm
+         |FROM fpr JOIN fsz x ON x.doc_id = da JOIN fsz y ON y.doc_id = db
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q265: the q22 shingle relation query-side-restricted, exact
+    // Jaccard lexical top-5, the q26 dense top-5, q251's hardcoded
+    // RRF discounts, fused top-5.
+    "q265_hybrid_mlt" -> {
+      val discCase = Similarity.RrfDiscounts.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+        .mkString("CASE rank ", " ", " END")
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') tk
+         |      FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${H("array_to_string(tk[i:i+2], ' ')")} AS h
+         |      FROM (SELECT doc_id, tk,
+         |              unnest(generate_series(1, len(tk) - 2)) i FROM t)),
+         |szs AS (SELECT doc_id, count(*)::BIGINT sz FROM sh GROUP BY 1),
+         |cm AS (SELECT q.doc_id q_id, p.doc_id did, count(*)::BIGINT c
+         |      FROM sh q JOIN sh p ON p.h = q.h AND p.doc_id != q.doc_id
+         |      WHERE q.doc_id < 10 GROUP BY 1, 2),
+         |lex AS (SELECT q_id, did AS neighbor_id,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY c / (a.sz + b.sz - c) DESC, did)::BIGINT rank
+         |      FROM cm JOIN szs a ON a.doc_id = q_id
+         |        JOIN szs b ON b.doc_id = did),
+         |dn AS (SELECT q_id, neighbor_id, rank FROM ($BruteTopkSql)),
+         |votes AS (SELECT q_id, neighbor_id, $discCase v
+         |        FROM lex WHERE rank <= 5
+         |      UNION ALL SELECT q_id, neighbor_id, $discCase v FROM dn),
+         |fused AS (SELECT q_id, neighbor_id, sum(v)::BIGINT rrf_micro,
+         |        count(*)::BIGINT n_paths FROM votes GROUP BY 1, 2),
+         |r AS (SELECT q_id, neighbor_id, rrf_micro, n_paths,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY rrf_micro DESC, neighbor_id) rnk FROM fused)
+         |SELECT q_id, rnk::BIGINT AS rank, neighbor_id, rrf_micro, n_paths
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rank""".stripMargin
     },
   )
 }

@@ -1306,9 +1306,14 @@ object TextAnalysis {
     * TakeOrderedAndProject. No window-function sort anywhere — the
     * passage id is arithmetic on the token position. */
   def maxPassage(spark: SparkSession, d: String): DataFrame =
-    maxPassageDf(Tables.documentsDist(spark, d))
+    maxPassageDf(Tables.documentsDist(spark, d), PassageSize)
 
-  private[graft] def maxPassageDf(docsIn: DataFrame): DataFrame = {
+  /** Parameterized by passage size (stride = size/2 keeps the
+    * two-windows-per-token invariant at every size) — q256 runs the
+    * 32 default, q263 sweeps {16, 32, 64}. */
+  private[graft] def maxPassageDf(docsIn: DataFrame,
+      psize: Int): DataFrame = {
+    val stride = psize / 2
     val terms = Seq("hash", "join", "vector")
     val docs = CacheScope.cached(docsIn
       .select(col("doc_id"), toks(col("text")).as("tk")))
@@ -1324,8 +1329,8 @@ object TextAnalysis {
     val tokWin = docs
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "tok")))
       .select(col("doc_id"), col("tok"),
-        explode(array(expr(s"CAST(p div $PassageStride AS BIGINT)"),
-          expr(s"CAST(p div $PassageStride AS BIGINT) - 1"))).as("w"))
+        explode(array(expr(s"CAST(p div $stride AS BIGINT)"),
+          expr(s"CAST(p div $stride AS BIGINT) - 1"))).as("w"))
       .filter(col("w") >= 0L)
     val passages = tokWin
       .groupBy(col("doc_id"), col("w"))
@@ -1397,5 +1402,46 @@ object TextAnalysis {
         1000L * cum(r - 1) / tot)
     }.toDF("rank", "freq_r", "freq_2r", "ratio_milli", "head_share_pm")
       .orderBy(col("rank"))
+  }
+
+  /** q263 ablation grid: half / default / double the q256 passage
+    * size (stride stays size/2 throughout). */
+  val PassageSizeGrid: Seq[Int] = Seq(16, 32, 64)
+
+  /** q263: PASSAGE-SIZE RETRIEVAL ABLATION — how much does the chunk
+    * size actually move the answer? q256's max-passage retrieval run
+    * at sizes {16, 32, 64}, each result set compared against the
+    * size-32 production baseline: overlap of the top-10 doc sets,
+    * total rank displacement over the common docs, and each size's
+    * top-1. The chunking knob is the most-argued-over parameter of
+    * every RAG deployment; this is the evidence the argument should
+    * consume (the q259/q262 tuning-curve read for the text path).
+    *
+    * Shape at 100 TB: three instances of q256's plan (its own
+    * contract: 2× token mass per instance, stats as one-row
+    * broadcasts, TakeOrderedAndProject top-10) and a driver fold
+    * over the 3×10 collected (doc, score) rows — bounded by the
+    * grid, the q223 discipline. Comparison logic lives in the fold;
+    * the oracle replays it relationally (rank = count-of-better). */
+  def passageSizeAblation(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documentsDist(spark, d)
+    val tops: Map[Int, Seq[(Long, Long)]] = PassageSizeGrid.map { sz =>
+      sz -> maxPassageDf(docs, sz)
+        .select(col("doc_id"), col("score_micro")).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }.toMap
+    val base = tops(PassageSize).map(_._1).zipWithIndex.toMap
+    import spark.implicits._
+    PassageSizeGrid.map { sz =>
+      val ds = tops(sz).map(_._1)
+      val common = ds.zipWithIndex.filter { case (id, _) => base.contains(id) }
+      val deltaSum = common.map { case (id, r) =>
+        math.abs(r.toLong - base(id).toLong) }.sum
+      (sz.toLong, ds.headOption.getOrElse(-1L),
+        tops(sz).headOption.map(_._2).getOrElse(0L),
+        common.length.toLong, deltaSum)
+    }.toDF("psize", "top1_doc", "top1_score_micro",
+        "n_common_vs32", "rank_delta_sum")
+      .orderBy(col("psize"))
   }
 }

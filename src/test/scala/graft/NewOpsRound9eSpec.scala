@@ -74,14 +74,14 @@ class NewOpsRound9eSpec extends SparkSpec {
       if (i % 27 == 13) terms(i % 3) else "x"
     }.mkString(" ")
     val docs = Seq((1L, clustered), (2L, scattered)).toDF("doc_id", "text")
-    val got = TextAnalysis.maxPassageDf(docs).collect()
+    val got = TextAnalysis.maxPassageDf(docs, TextAnalysis.PassageSize).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
     assert(got.head._1 == 1L, "clustered doc must rank first")
     assert(Set(5L, 6L).contains(got.head._2), "best window covers the cluster")
     assert(got.head._3 > got.last._3)
     // and the local model agrees on the fixture too
     val exp = localMaxPassage(Array((1L, clustered), (2L, scattered)))
-    val full = TextAnalysis.maxPassageDf(docs).collect().toSeq
+    val full = TextAnalysis.maxPassageDf(docs, TextAnalysis.PassageSize).collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(full == exp)

@@ -126,7 +126,11 @@ class PlanSweepSpec extends SparkSpec {
     // joins + the total), plus the 4 q33 probe plans at 2 each, plus
     // the one-row truth-total scalar — physically the truth computes
     // once (CacheScope) and each probe pass is the production plan
-    "q262_ivf_probe_curve" -> 14)
+    "q262_ivf_probe_curve" -> 14,
+    // q265: chains ONE instance of the q26 dense truth (the documented
+    // 10-broadcast-queries × corpus scan); the lexical side joins on
+    // the shingle-hash equi-key
+    "q265_hybrid_mlt" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

@@ -430,6 +430,25 @@ object ScaleProbe {
       }
       println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r9f ratios: ", ", ", ""))
     }
+    // 9g additions: the 3-size ablation and frame hashing ride the
+    // documents replicas; the hybrid rides the vec-aligned twin (its
+    // lexical side explodes only the 10 query docs' shingles)
+    if (fams("r9g")) {
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val r9gqs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, String)] =
+        Seq(("q263_passage_ablation", TextAnalysis.passageSizeAblation _, d10),
+          ("q264_frame_containment", Multimodal.frameSeqContainment _, d10),
+          ("q265_hybrid_mlt", Similarity.hybridMoreLikeThis _, vdir))
+      val rr = r9gqs.map { case (name, fn, dd) =>
+        val t1 = min2(name, fn, d1)
+        val t10 = min2(name, fn, dd)
+        println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+        name -> (t10 / t1)
+      }
+      println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r9g ratios: ", ", ", ""))
+    }
     spark.stop()
   }
 }
