@@ -239,6 +239,17 @@ object Dedup {
 
   private def minhashNearDupFromSets(shingled: DataFrame,
       maxBucket: Option[Int] = None): DataFrame = {
+    val (common, sz) = minhashCommonSz(shingled, maxBucket)
+    pairJaccard(common, sz, 0.5)
+  }
+
+  /** The q23 candidate + verify relations BEFORE the Jaccard shaping:
+    * (common = per-candidate intersection counts, sz = per-doc set
+    * sizes). Factored so q266's threshold sweep can filter in exact
+    * integer arithmetic (10·cm ≥ t10·union) over the same verified
+    * relation the driver checks. */
+  private[graft] def minhashCommonSz(shingled: DataFrame,
+      maxBucket: Option[Int] = None): (DataFrame, DataFrame) = {
     val sets = CacheScope.cached(shingled
       .select(col("doc_id"), col("hs"), nearDupBandKeys(col("hs")).as("bands")))
     val allBands = sets.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "key")))
@@ -261,7 +272,7 @@ object Dedup {
       .join(h.as("q"), col("doc_b") === col("q.doc_id") && col("p.h") === col("q.h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("cm"))
     val sz = sets.select(col("doc_id"), size(col("hs")).as("sz"))
-    pairJaccard(common, sz, 0.5)
+    (common, sz)
   }
 
   /** q182: LSH CANDIDATE-GENERATION quality eval — the q23 band
@@ -647,7 +658,23 @@ object Dedup {
   /** The label assignment alone — (doc_id, cluster_id), no size/order
     * epilogue — for callers that only need the mapping
     * (incrementalClusters' contracted-graph remap). */
-  private[graft] def clusterLabels(docs: DataFrame, pairDf: DataFrame): DataFrame = {
+  /** Adaptive driver fast-path bound for `clusterLabels`: when the
+    * (already counted) edge relation is at or under this many edges,
+    * components collapse to a driver union-find over a
+    * RUNTIME-BOUNDED collect — on small graphs the star-CC rounds'
+    * driver-synchronized jobs dominate wall time (measured: q266's
+    * four ≤256-edge sweeps at sf0.1 spent ~17 s in round scheduling
+    * alone; the driver path is milliseconds). ≤100k edges is ≤1.6 MB
+    * of longs; above the bound the distributed star-CC runs
+    * unchanged, so the 100 TB path is untouched. Opt-in per call
+    * site (default 0 = always distributed): q49's persisted stage,
+    * q250 and the incremental remap keep their existing physics, and
+    * DedupSpec's diameter-chain round-bound pin still measures the
+    * distributed algorithm. Driver ≡ distributed is spec-pinned. */
+  val DriverCcMaxEdges = 100000L
+
+  private[graft] def clusterLabels(docs: DataFrame, pairDf: DataFrame,
+      driverMaxEdges: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     // Lineage truncation: phase() references its input ~4× (symmetrized
     // union + per-node min + re-attach join), so building round N+1
@@ -668,6 +695,36 @@ object Dedup {
     // leaving most partitions uncached and recomputing lineage)
     var eCount = eP.count()
     var e = truncate(eP)
+    if (eCount > 0L && eCount <= driverMaxEdges) {
+      // runtime-bounded collect: the count above IS the guard
+      val collected = e.select(col("x"), col("y")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      eP.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var r0 = x0
+        while (parent.getOrElse(r0, r0) != r0) r0 = parent(r0)
+        var c = x0
+        while (parent.getOrElse(c, c) != r0) {
+          val nx = parent(c); parent(c) = r0; c = nx
+        }
+        r0
+      }
+      // union-by-min: the root is always the component's smallest id,
+      // matching star-CC's min-label contract exactly
+      collected.foreach { case (x, y) =>
+        val rx = find(x); val ry = find(y)
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      lastClusterRounds = 0
+      import spark.implicits._
+      val lab = collected.flatMap { case (x, y) => Seq(x, y) }.distinct
+        .map(n => (n, find(n))).toSeq.toDF("doc_id", "cid")
+      return docs.select(col("doc_id"))
+        .join(broadcast(lab), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+    }
     var converged = eCount == 0L
     var rounds = 0
 
@@ -1500,5 +1557,116 @@ object Dedup {
         expr("(1000 * ld_sum) div n_pairs").as("mean_len_delta_milli"),
         col("n_exact_pairs"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** q266 threshold grid in permille. The corpus's verified pairs all
+    * sit in J ∈ [0.90, 0.99] (synthetic near-dups are heavy-overlap),
+    * so the informative part of the dial is the top of the range —
+    * 500 anchors the production bar, 900/950/980 discriminate. */
+  val PercolationGridPm: Seq[Long] = Seq(500L, 900L, 950L, 980L)
+
+  /** q266: DEDUP-THRESHOLD PERCOLATION CURVE — what the corpus graph
+    * looks like at every Jaccard bar on the table: for τ on the permille
+    * grid above, the operational pair set (q23's verified candidates,
+    * threshold applied in EXACT integers: 1000·cm ≥ τ‰·(|A|+|B|−cm)),
+    * its connected components (the q49 star-CC recurrence, rerun per
+    * threshold), and the merge evidence: edges, multi-doc clusters,
+    * docs swallowed into clusters, largest cluster. Moving a dedup
+    * threshold is a percolation decision — too low and transitive
+    * chains glue the corpus into one blob (largest_cluster explodes),
+    * too high and real duplicates survive (n_docs_in_multi
+    * collapses); this is the curve that decision should read
+    * (q259/q262/q263's tuning-curve discipline applied to q49).
+    *
+    * Shape at 100 TB: ONE candidate+verify pass (the q23 plan,
+    * cached) feeds all four thresholds — the sweep re-filters and
+    * re-clusters but never re-shingles; each CC run is the O(log n)
+    * star recurrence on a graph that only SHRINKS with τ. Per-τ
+    * statistics are one cluster-keyed agg collapsed to a 1-row
+    * collect (bounded, q223 discipline); output is |grid| rows. */
+  def dedupThresholdCurve(spark: SparkSession, d: String): DataFrame = {
+    val (common, sz) = minhashCommonSz(shingleSets(spark, d))
+    val pc = CacheScope.cached(common
+      .join(sz.toDF("doc_a", "sa"), "doc_a")
+      .join(sz.toDF("doc_b", "sb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("cm"),
+        (col("sa") + col("sb") - col("cm")).cast("long").as("un")))
+    // every edge tagged with the HIGHEST grid bar it clears — the
+    // grids are nested, so one scan prices all four thresholds
+    val tier = PercolationGridPm.sorted.reverse.tail
+      .foldLeft(when(col("cm") * 1000L >=
+          col("un") * PercolationGridPm.max, PercolationGridPm.max)) {
+        (acc, tpm) => acc.when(col("cm") * 1000L >= col("un") * tpm, tpm)
+      }
+      .otherwise(PercolationGridPm.min) // total: rows are pre-filtered ≥ min
+    val tagged = pc
+      .filter(col("cm") * 1000L >= col("un") * PercolationGridPm.min)
+      .select(col("doc_a"), col("doc_b"), tier.as("tier"))
+    val nBase = tagged.count()
+    val rows: Seq[(Long, Long, Long, Long, Long)] =
+      if (nBase <= DriverCcMaxEdges) {
+        // runtime-bounded collect (the count IS the guard): the whole
+        // sweep then runs as ONE incremental driver union-find —
+        // thresholds descend, edges only ARRIVE, and union-find is
+        // exactly the structure that absorbs edge arrivals in near-
+        // constant time. Component sizes merge on union; every
+        // touched node enters via an edge, so all roots are ≥2-doc
+        // clusters and the summary fields fall out of running state.
+        val collected = tagged.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        val size = scala.collection.mutable.Map.empty[Long, Long]
+        var nComp = 0L; var nDocs = 0L; var nEdges = 0L; var largest = 1L
+        def find(x0: Long): Long = {
+          var r0 = x0
+          while (parent.getOrElse(r0, r0) != r0) r0 = parent(r0)
+          var c = x0
+          while (parent.getOrElse(c, c) != r0) {
+            val nx = parent(c); parent(c) = r0; c = nx
+          }
+          r0
+        }
+        def add(x: Long): Unit =
+          if (!parent.contains(x)) {
+            parent(x) = x; size(x) = 1L; nComp += 1L; nDocs += 1L
+          }
+        val byTier = collected.groupBy(_._3)
+        val out = PercolationGridPm.sorted.reverse.map { tpm =>
+          byTier.getOrElse(tpm, Array.empty).foreach { case (a, b, _) =>
+            add(a); add(b); nEdges += 1L
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) {
+              val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+              parent(hi) = lo
+              size(lo) = size(lo) + size(hi); size.remove(hi)
+              nComp -= 1L
+              if (size(lo) > largest) largest = size(lo)
+            } else if (size(ra) > largest) largest = size(ra)
+          }
+          (tpm, nEdges, nComp, nDocs, if (nDocs == 0L) 1L else largest)
+        }
+        out.sortBy(_._1)
+      } else {
+        // distributed fallback above the bound: per-τ star-CC over
+        // the touched subgraph (the 100 TB path, value-identical)
+        PercolationGridPm.map { tpm =>
+          val pairsT = tagged.filter(col("tier") >= tpm)
+            .select(col("doc_a"), col("doc_b"))
+          val touched = pairsT.select(col("doc_a").as("doc_id"))
+            .union(pairsT.select(col("doc_b").as("doc_id"))).distinct()
+          val sizes = clusterLabels(touched, pairsT)
+            .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+          val nEdges = pairsT.count()
+          val s = sizes.agg(
+            sum(lit(1L)).as("nm"), sum(col("n")).as("dm"),
+            max(col("n")).as("lg")).head()
+          if (s.isNullAt(0)) (tpm, nEdges, 0L, 0L, 1L)
+          else (tpm, nEdges, s.getLong(0), s.getLong(1), s.getLong(2))
+        }
+      }
+    import spark.implicits._
+    rows.toDF("tau_pm", "n_edges", "n_multi_clusters",
+        "n_docs_in_multi", "largest_cluster")
+      .orderBy(col("tau_pm"))
   }
 }

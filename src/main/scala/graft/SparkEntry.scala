@@ -623,6 +623,8 @@ object SparkEntry {
     "q264_frame_containment" -> (Multimodal.frameSeqContainment _),
     // lexical (3-gram Jaccard) + dense (cosine) RRF hybrid retrieval
     "q265_hybrid_mlt" -> (Similarity.hybridMoreLikeThis _),
+    // dedup-threshold percolation: components/merge mass at 4 Jaccard bars
+    "q266_dedup_threshold_curve" -> (Dedup.dedupThresholdCurve _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -5510,6 +5512,40 @@ object SparkEntry {
          |        ORDER BY rrf_micro DESC, neighbor_id) rnk FROM fused)
          |SELECT q_id, rnk::BIGINT AS rank, neighbor_id, rrf_micro, n_paths
          |FROM r WHERE rnk <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+    // q266: ONE candidate+verify prefix (the q23 chain with exact
+    // integer intersection/union), then per threshold an integer
+    // filter, a recursive closure, and a cluster-size summary.
+    "q266_dedup_threshold_curve" -> {
+      val prefix =
+        s"""RECURSIVE $MinhashCandCte,
+           |cmr AS (SELECT da, db, count(*) cm FROM cand
+           |      JOIN sh p ON p.doc_id = da
+           |      JOIN sh q ON q.doc_id = db AND q.h = p.h
+           |      GROUP BY da, db),
+           |pc AS MATERIALIZED (SELECT da, db, cm,
+           |        (x.sz + y.sz - cm)::BIGINT un
+           |      FROM cmr JOIN sz x ON x.doc_id = da
+           |        JOIN sz y ON y.doc_id = db)""".stripMargin
+      val per = Dedup.PercolationGridPm.map { tpm =>
+        s"""p$tpm AS (SELECT da, db FROM pc WHERE 1000 * cm >= $tpm * un),
+           |e$tpm AS (SELECT da s, db t2 FROM p$tpm
+           |      UNION ALL SELECT db, da FROM p$tpm),
+           |r$tpm AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+           |      UNION
+           |      SELECT r.src, e.t2 FROM r$tpm r JOIN e$tpm e ON r.dst = e.s),
+           |l$tpm AS (SELECT src, min(dst) cid FROM r$tpm GROUP BY 1),
+           |c$tpm AS (SELECT cid, count(*) n FROM l$tpm GROUP BY 1),
+           |w$tpm AS (SELECT $tpm::BIGINT tau_pm,
+           |      (SELECT count(*) FROM p$tpm)::BIGINT n_edges,
+           |      count(*) FILTER (n >= 2)::BIGINT n_multi_clusters,
+           |      coalesce(sum(n) FILTER (n >= 2), 0)::BIGINT n_docs_in_multi,
+           |      max(n)::BIGINT largest_cluster FROM c$tpm)""".stripMargin
+      }
+      val rows = Dedup.PercolationGridPm
+        .map(tpm => s"SELECT * FROM w$tpm").mkString(" UNION ALL ")
+      s"""WITH ${(prefix +: per).mkString(",\n")}
+         |SELECT * FROM ($rows) ORDER BY tau_pm""".stripMargin
     },
   )
 }

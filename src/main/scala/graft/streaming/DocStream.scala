@@ -211,4 +211,43 @@ object DocStream {
           }
       }
   }
+
+  /** Streaming CONFORMAL COVERAGE MONITOR — q261's deployment loop:
+    * the per-source keep-thresholds CALIBRATE OFFLINE (the batch
+    * operator) and ride along as a broadcast static relation; every
+    * arriving document scores row-locally (the q134 integer formula),
+    * compares against its source's threshold (NULL = keep-all, the
+    * k=0 contract), and a watermarked 10-minute window aggregates
+    * per-(window, source) coverage. A window whose coverage leaves
+    * the ~(1−α) band is the conformal drift alarm: the source's
+    * quality distribution moved since calibration — re-calibrate
+    * before the fixed bar silently over- or under-prunes.
+    *
+    * State: only the windowed aggregate (watermark-evicted); the
+    * threshold side is dimension-sized and static. Source derives
+    * from doc_id exactly as the corpus law (`src` + id mod 20) so the
+    * stream twin grades the same strata as the batch. */
+  def conformalMonitor(docs: Dataset[Doc], thresholds: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    docs.toDF()
+      .withColumn("source",
+        concat(lit("src"), (col("doc_id") % 20L).cast("string")))
+      .withColumn("n_tok", size(t).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(t)).cast("long"))
+      .withColumn("n_stop", size(filter(t, x =>
+        x.isin("the", "a", "of", "and", "is", "to", "in"))).cast("long"))
+      .withColumn("q_milli",
+        expr("(500 * n_uniq) div n_tok + (200 * n_stop) div n_tok" +
+          " + (300 * least(n_tok, 200)) div 200"))
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(thresholds), Seq("source"), "left")
+      .groupBy(window(col("ts"), "10 minutes"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("thr_milli").isNull ||
+          col("q_milli") >= col("thr_milli"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("window.start").as("w_start"), col("source"),
+        col("n_docs"), col("n_kept"),
+        expr("(1000 * n_kept) div n_docs").as("coverage_pm"))
+  }
 }

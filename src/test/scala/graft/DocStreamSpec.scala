@@ -215,4 +215,53 @@ class DocStreamSpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming conformal coverage monitor ≡ batch windowed recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.01"
+    // two 10-minute windows by doc parity; thresholds calibrate OFFLINE
+    // via the (oracle-checked) batch operator and ride along static
+    val thresholds = Curation.conformalQuality(spark, d)
+      .select("source", "thr_milli")
+    val thrMap = thresholds.collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val docs = Tables.documents(spark, d)
+      .selectExpr("doc_id",
+        "timestamp_millis(60000000 + (doc_id % 2) * 600000) as ts", "text")
+      .as[DocStream.Doc].collect().toSeq
+    val mem = MemoryStream[DocStream.Doc]
+    val q = DocStream.conformalMonitor(mem.toDS(), thresholds)
+      .writeStream.format("memory").queryName("conf_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val got = spark.table("conf_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // local model: q134 score + corpus source law + threshold compare
+      val stop = Set("the", "a", "of", "and", "is", "to", "in")
+      def qm(t: String): Long = {
+        val tk = t.split(" ", -1)
+        500L * tk.distinct.length / tk.length +
+          200L * tk.count(stop) / tk.length +
+          300L * math.min(tk.length, 200L) / 200L
+      }
+      val exp = docs.groupBy(doc =>
+        (doc.ts.getTime / 600000L * 600000L, s"src${doc.doc_id % 20}"))
+        .map { case ((w, src), g) =>
+          val kept = g.count(doc => thrMap.get(src).flatten
+            .forall(thr => qm(doc.text) >= thr)).toLong
+          (w, src, g.size.toLong, kept, 1000L * kept / g.size)
+        }.toSet
+      assert(got == exp)
+      // the monitor actually discriminates: some window coverage is
+      // below 1000 (a threshold binds) and none is below 0
+      assert(got.exists(_._5 < 1000L) && got.forall(_._5 >= 0L))
+    } finally q.stop()
+  }
 }

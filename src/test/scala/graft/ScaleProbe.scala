@@ -449,6 +449,17 @@ object ScaleProbe {
       }
       println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r9g ratios: ", ", ", ""))
     }
+    // 9h addition: one candidate+verify pass + 4 threshold CC runs on
+    // the (replica-dense, so pair-inflated) documents corpus
+    if (fams("r9h")) {
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val t1 = min2("q266_dedup_threshold_curve", Dedup.dedupThresholdCurve _, d1)
+      val t10 = min2("q266_dedup_threshold_curve", Dedup.dedupThresholdCurve _, d10)
+      println(f"[probe] q266_dedup_threshold_curve 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+      println(f"[probe] r9h ratios: q266_dedup_threshold_curve=${t10 / t1}%.1f")
+    }
     spark.stop()
   }
 }
