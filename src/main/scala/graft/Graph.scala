@@ -126,19 +126,38 @@ object Graph {
     * results are bit-identical to the uncapped build. */
   val CoPurchaseCap = 1024
 
-  /** The capped co-purchase edge relation (p1 < p2 canonical, distinct)
-    * — shared by q127's triangle counts and q258's k-truss peel. */
+  /** The capped co-purchase edge relation (p1 < p2 canonical,
+    * distinct) — shared by q127's triangle counts and q258's k-truss
+    * peel, and since round 9 a PERSISTED salted stage (the tradeArcs
+    * contract): the window + pair self-join + 1.2M-row distinct cost
+    * ~6 s at sf0.1 and depend only on lineitem, so they run once per
+    * corpus version; every triangle/truss consumer reads one parquet
+    * relation warm. */
   private[graft] def coPurchaseEdges(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val items = Tables.lineitem(spark, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val li = items
-      .withColumn("rn", row_number().over(Window.partitionBy(col("ok")).orderBy(col("pk"))))
-      .filter(col("rn") <= CoPurchaseCap).drop("rn")
-    li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("p1"), col("b.pk").as("p2")).distinct()
+    val p = SaltedIndex.dir(spark, "copurchase", CpIdxVersion,
+      s"$d/lineitem.parquet", Seq("corpus" -> d))
+    SaltedIndex.ensureBuilt(spark, p) {
+      import org.apache.spark.sql.expressions.Window
+      val items = Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val li = items
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("ok")).orderBy(col("pk"))))
+        .filter(col("rn") <= CoPurchaseCap).drop("rn")
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2")).distinct()
+        .write.mode("overwrite").parquet(s"$p/edges")
+      cpBuilds += 1
+      SaltedIndex.markSuccess(spark, p)
+    }
+    spark.read.parquet(s"$p/edges")
   }
+
+  private val CpIdxVersion = "0.0.1"
+
+  /** Observability for specs: co-purchase edge-stage builds this JVM ran. */
+  @volatile var cpBuilds: Int = 0
 
   def triangleCounts(spark: SparkSession, d: String): DataFrame = {
     val pairs = coPurchaseEdges(spark, d)
@@ -570,11 +589,14 @@ object Graph {
       val d1 = deg.select(col("node").as("p1"), col("dg").as("dg1"))
       val d2 = deg.select(col("node").as("p2"), col("dg").as("dg2"))
       val lt = struct(col("dg1"), col("p1")) < struct(col("dg2"), col("p2"))
-      val oriented = edges.join(d1, "p1").join(d2, "p2")
+      // referenced by BOTH wedge sides and the closing probe: cached so
+      // the degree join computes once per round, not three times (the
+      // q127 discipline — uncached this tripled round-1's cost)
+      val oriented = CacheScope.cached(edges.join(d1, "p1").join(d2, "p2")
         .select(
           when(lt, col("p1")).otherwise(col("p2")).as("src"),
           when(lt, col("p2")).otherwise(col("p1")).as("dst"),
-          when(lt, col("dg2")).otherwise(col("dg1")).as("dd"))
+          when(lt, col("dg2")).otherwise(col("dg1")).as("dd")))
       val o1 = oriented.select(col("src").as("a"), col("dst").as("b"), col("dd").as("db"))
       val o2 = oriented.select(col("src").as("a2"), col("dst").as("c"), col("dd").as("dc"))
       val tris = o1.join(o2,

@@ -94,4 +94,14 @@ class NewOpsRound9hSpec extends SparkSpec {
     assert(driver.exists { case (id, cid) => id != cid },
       "the pinned graph must actually merge something")
   }
+
+  test("co-purchase edge stage builds once per corpus version (q127/q258 shared)") {
+    val before = Graph.cpBuilds
+    Graph.coPurchaseEdges(spark, d).count()
+    val afterFirst = Graph.cpBuilds
+    Graph.coPurchaseEdges(spark, d).count()
+    assert(Graph.cpBuilds == afterFirst,
+      "warm read must not rebuild the persisted stage")
+    assert(afterFirst - before <= 1)
+  }
 }
