@@ -1278,11 +1278,13 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** q256 passage geometry: 32-token windows at stride 16, so every
-    * token lands in exactly two windows (one for pos < 16) and a
-    * relevant span is never split worse than half-overlap. */
+  /** q256 passage geometry: 32-token windows at stride size/2, so
+    * every token lands in exactly two windows (one for pos < stride)
+    * and a relevant span is never split worse than half-overlap.
+    * The stride derives from the size inside `maxPassageDf` (q263
+    * sweeps the size; the 2-windows-per-token invariant holds at
+    * every grid point). */
   val PassageSize = 32
-  val PassageStride = 16
 
   /** q256: MAX-PASSAGE BM25 RETRIEVAL — the long-document fix for
     * q114: BM25 scores each 32-token passage (stride 16) instead of
