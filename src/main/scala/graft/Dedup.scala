@@ -670,7 +670,12 @@ object Dedup {
     * site (default 0 = always distributed): q49's persisted stage,
     * q250 and the incremental remap keep their existing physics, and
     * DedupSpec's diameter-chain round-bound pin still measures the
-    * distributed algorithm. Driver ≡ distributed is spec-pinned. */
+    * distributed algorithm. q266's common path does NOT ride this —
+    * its one-scan sweep uses its own INCREMENTAL driver union-find
+    * (edges arrive across nested thresholds; this path re-solves from
+    * scratch) — but q266's >100k-edge distributed fallback passes the
+    * bound down so its small high-τ subgraphs do. Driver ≡
+    * distributed is spec-pinned. */
   val DriverCcMaxEdges = 100000L
 
   private[graft] def clusterLabels(docs: DataFrame, pairDf: DataFrame,
@@ -1648,13 +1653,18 @@ object Dedup {
         out.sortBy(_._1)
       } else {
         // distributed fallback above the bound: per-τ star-CC over
-        // the touched subgraph (the 100 TB path, value-identical)
+        // the touched subgraph (the 100 TB path, value-identical).
+        // Each per-τ subgraph still passes DriverCcMaxEdges down —
+        // the grids are nested, so the HIGH-τ sweeps can be far under
+        // the bound even when the τ=min base graph is far over it,
+        // and those small rounds ride clusterLabels' adaptive driver
+        // union-find instead of paying star-CC round scheduling.
         PercolationGridPm.map { tpm =>
           val pairsT = tagged.filter(col("tier") >= tpm)
             .select(col("doc_a"), col("doc_b"))
           val touched = pairsT.select(col("doc_a").as("doc_id"))
             .union(pairsT.select(col("doc_b").as("doc_id"))).distinct()
-          val sizes = clusterLabels(touched, pairsT)
+          val sizes = clusterLabels(touched, pairsT, DriverCcMaxEdges)
             .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
           val nEdges = pairsT.count()
           val s = sizes.agg(

@@ -327,19 +327,31 @@ object Similarity {
       .groupBy(col("q_id"))
       .agg(graft.functions.TopKByScore.topk(col("cos"), col("vec_id"), 5).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
-    val exact = filteredKnn(spark, d).select(col("q_id"), col("neighbor_id"))
+    // Cached: two consumers below (hits and the per-query exact-list
+    // size) would otherwise recompute the q247 corpus scan twice.
+    val exact = CacheScope.cached(
+      filteredKnn(spark, d).select(col("q_id"), col("neighbor_id")))
     val hits = lshTop.join(exact, Seq("q_id", "neighbor_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    // Denominator = the ACTUAL per-query exact-list size, not the slot
+    // count 5: a starved filter (selective predicate, tiny source) can
+    // leave the exact list short, and dividing by 5 would cap recall
+    // below 1000‰ exactly where the audit matters. A query with NO
+    // cross-source exact neighbor reports NULL (div NULL), matching
+    // the oracle's // NULL — recall of an empty truth set is undefined,
+    // not zero.
+    val exactN = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
     val filled = lshTop.groupBy(col("q_id")).agg(count(lit(1)).as("n_filled"))
     e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
       .join(counts, Seq("q_id"), "left")
       .join(filled, Seq("q_id"), "left")
       .join(hits, Seq("q_id"), "left")
+      .join(exactN, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("n_cand_filtered"), lit(0L)).as("n_cand_filtered"),
         coalesce(col("n_filled"), lit(0L)).as("n_filled"),
-        expr("(1000 * coalesce(n_hit, 0)) div 5").as("recall_pm"))
+        expr("(1000 * coalesce(n_hit, 0)) div n_exact").as("recall_pm"))
       .orderBy(col("q_id"))
   }
 
@@ -397,9 +409,19 @@ object Similarity {
           " ELSE -((1000000 * dt * dt) div (qqn * qn)) END"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("srel").desc, col("vec_id"))
+    // Persist + materialize the pool BEFORE it fans out: three
+    // consumers follow (pp references it twice, poolRows once), each a
+    // separate driver action — uncached, every one would recompute the
+    // corpus-wide relevance scan (broadcast join + window), the same
+    // lazily-cached-multi-consumer recompute q192's cold pass exposed.
+    // The operator is eager (both consumers are bounded collects), so
+    // a plain unpersist after the collects is the whole lifecycle —
+    // no CacheScope deferral needed.
     val pool = scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= MmrPool)
       .select(col("q_id"), col("vec_id"), col("q"), col("qn"), col("srel"))
+      .persist()
+    pool.count()
     val pp = pool.select(col("q_id"), col("vec_id").as("aa"),
         col("q").as("aq"), col("qn").as("an"))
       .join(pool.select(col("q_id"), col("vec_id").as("bb"),
@@ -415,6 +437,7 @@ object Similarity {
     val simMap = pp.collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
       .toMap
+    pool.unpersist()
     val out = poolRows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
       case (qid, rows) =>
         val cands = scala.collection.mutable.Map(

@@ -580,7 +580,7 @@ object SparkEntry {
     "q243_cluster_diff_stats" -> (Dedup.clusterDiffStats _),
     // λ1, λ2 (one exact deflation round), trace, participation ratio
     "q244_spectral_spread" -> (Similarity.spectralSpread _),
-    // virtual-pixel aHash near-dup pairs, 8-chunk pigeonhole banding
+    // virtual-pixel aHash near-dup pairs, 10-chunk pigeonhole banding
     "q245_image_ahash_neardup" -> (Multimodal.imageAHashNearDup _),
     // virtual-PCM band-energy hash near-dup pairs (audio payloads)
     "q246_audio_energy_neardup" -> (Multimodal.audioEnergyNearDup _),
@@ -618,7 +618,7 @@ object SparkEntry {
     "q262_ivf_probe_curve" -> (Similarity.ivfProbeCurve _),
     // passage-size ablation: q256 at {16,32,64} vs the 32 baseline
     "q263_passage_ablation" -> (TextAnalysis.passageSizeAblation _),
-    // frame-sequence media containment: 8 per-frame aHashes, exact
+    // frame-sequence media containment: 4 per-frame aHashes, exact
     // hash-equality pairing, df-capped — the re-cut/clip detector
     "q264_frame_containment" -> (Multimodal.frameSeqContainment _),
     // lexical (3-gram Jaccard) + dense (cosine) RRF hybrid retrieval
@@ -1139,7 +1139,7 @@ object SparkEntry {
       |      FROM px GROUP BY 1, 2, 3),
       |tt AS (SELECT doc_id, sum(bsum)::BIGINT tot FROM bl GROUP BY 1),
       |bits AS (SELECT bl.doc_id, blk,
-      |        CASE WHEN bsum * n_pix >= tot * bcnt
+      |        CASE WHEN bsum::HUGEINT * n_pix >= tot::HUGEINT * bcnt
       |          THEN 1::BIGINT ELSE 0::BIGINT END bt
       |      FROM bl JOIN tt ON tt.doc_id = bl.doc_id),
       |sg AS MATERIALIZED (SELECT doc_id,
@@ -4939,13 +4939,13 @@ object SparkEntry {
     },
     // q245: the virtual pixel stream (bytes after the 64-byte header),
     // 64 grid cells by (64·p)//n_pix, cross-multiplied mean threshold,
-    // the 64-bit hash as two 32-bit halves, 8-chunk pigeonhole join,
-    // exact Hamming ≤ 7 verify — the full aHash replay.
+    // the 64-bit hash as two 32-bit halves, 10-chunk pigeonhole join,
+    // exact Hamming ≤ 9 verify — the full aHash replay.
     "q245_image_ahash_neardup" ->
       s"""WITH $AHashPairsCte
          |SELECT doc_a, doc_b, dist FROM pr
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // q246:    // q246: the q226 virtual-PCM contract (s16le mono after the 64-byte
+    // q246: the q226 virtual-PCM contract (s16le mono after the 64-byte
     // header, signed decode), 32 temporal bands by (32·k)//n_s, energy
     // mean threshold cross-multiplied in HUGEINT, 5-chunk pigeonhole,
     // exact Hamming ≤ 4 verify.
@@ -5045,16 +5045,19 @@ object SparkEntry {
         |ov AS (SELECT lt.q_id, count(*)::BIGINT n_hit
         |      FROM lt JOIN xt ON xt.q_id = lt.q_id
         |        AND xt.neighbor_id = lt.neighbor_id GROUP BY 1),
+        |xn AS (SELECT q_id, count(*)::BIGINT n_exact FROM xt GROUP BY 1),
         |fl AS (SELECT q_id, count(*)::BIGINT n_filled FROM lt GROUP BY 1)
         |SELECT base.vec_id AS q_id,
         |       coalesce(nc.n_cand, 0)::BIGINT AS n_cand,
         |       coalesce(nc.nf, 0)::BIGINT AS n_cand_filtered,
         |       coalesce(fl.n_filled, 0)::BIGINT AS n_filled,
-        |       ((1000 * coalesce(ov.n_hit, 0)) // 5)::BIGINT AS recall_pm
+        |       ((1000 * coalesce(ov.n_hit, 0)) // xn.n_exact)::BIGINT
+        |         AS recall_pm
         |FROM (SELECT vec_id FROM es WHERE vec_id < 10) base
         |LEFT JOIN nc ON nc.q_id = base.vec_id
         |LEFT JOIN fl ON fl.q_id = base.vec_id
         |LEFT JOIN ov ON ov.q_id = base.vec_id
+        |LEFT JOIN xn ON xn.q_id = base.vec_id
         |ORDER BY q_id""".stripMargin,
     // q249: int8 quantization (the q240 q8 chain), signed-square micro
     // relevance, top-12 pool, pool-pair sims, then MmrK−1 greedy
@@ -5459,7 +5462,7 @@ object SparkEntry {
          |      FROM fpx GROUP BY 1, 2, 3, 4),
          |ftt AS (SELECT doc_id, f, sum(bsum)::BIGINT tot FROM fbl GROUP BY 1, 2),
          |fbits AS (SELECT fbl.doc_id, fbl.f, blk,
-         |        CASE WHEN bsum * flen >= tot * bcnt
+         |        CASE WHEN bsum::HUGEINT * flen >= tot::HUGEINT * bcnt
          |          THEN 1::BIGINT ELSE 0::BIGINT END bt
          |      FROM fbl JOIN ftt ON ftt.doc_id = fbl.doc_id AND ftt.f = fbl.f),
          |fsg AS MATERIALIZED (SELECT doc_id, f,

@@ -90,8 +90,13 @@ class NewOpsRound9bSpec extends SparkSpec {
           math.sqrt(dotSeq(qv, qv) * dotSeq(byId(id), byId(id))))
       }.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
       val exactIds = localExact(qid).map(_._1).toSet
-      (qid, cands.size.toLong, filtered.size.toLong,
-        top.size.toLong, 1000L * top.intersect(exactIds).size / 5)
+      // denominator = the ACTUAL exact-list size (the operator's
+      // contract since the r9 advice fix), not the slot count 5 — on
+      // this corpus every query has ≥5 cross-source neighbors so the
+      // two agree; the planted starved-filter fixture below is where
+      // they differ and the new semantics is discriminated.
+      (qid, cands.size.toLong, filtered.size.toLong, top.size.toLong,
+        1000L * top.intersect(exactIds).size / exactIds.size)
     }.sortBy(_._1)
     val got = Similarity.filteredLshAudit(spark, d).collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -105,6 +110,45 @@ class NewOpsRound9bSpec extends SparkSpec {
     // the starvation signal exists on this corpus: at least one query
     // loses candidates to the filter
     assert(got.exists { case (_, nc, nf, _, _) => nf < nc })
+  }
+
+  test("q248 starved filter: recall divides by the ACTUAL exact-list size") {
+    import spark.implicits._
+    // Planted corpus where the cross-source truth set is SHORTER than
+    // the 5 result slots: vectors 0..3 identical (0,1,2 in source a;
+    // 3 in source b), 10/11 are distinct source-a fillers. Every
+    // query in {0,1,2} has exactly ONE cross-source exact neighbor
+    // (vector 3) — identical vectors share all LSH buckets, so the
+    // index path finds it and recall must read 1000‰, not the 200‰
+    // the old ⌊1000·hits/5⌋ denominator would report. Query 3's
+    // truth set has the full 5, pinning the unstarved case in the
+    // same frame.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q248").toString
+    val base = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def filler(seed: Int): Array[Float] =
+      Array.tabulate(64)(i =>
+        (((i + 1) * (seed + 3) * 2654435761L >>> 16) % 17).toFloat - 8.0f)
+    val vecs = Seq(
+      (0L, base), (1L, base), (2L, base), (3L, base),
+      (10L, filler(1)), (11L, filler(2)))
+    vecs.toDF("vec_id", "embedding")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    Seq((0L, "a"), (1L, "a"), (2L, "a"), (3L, "b"), (10L, "a"), (11L, "a"))
+      .toDF("doc_id", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = Similarity.filteredLshAudit(spark, tmp).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val byQ = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    // queries 0,1,2: one-element truth set, found → full recall
+    Seq(0L, 1L, 2L).foreach { q =>
+      assert(byQ(q) == ((1L, 1000L)),
+        s"query $q: expected (n_filled=1, recall_pm=1000), got ${byQ(q)}")
+    }
+    // query 3: five-element truth set {0,1,2,10,11}; the identical
+    // vectors 0/1/2 collide into its buckets, the fillers need not —
+    // recall = 1000·hits/5 exactly as before on unstarved queries
+    val (fill3, rec3) = byQ(3L)
+    assert(fill3 >= 3L && rec3 == 1000L * fill3 / 5L)
   }
 
   test("q249 MMR ≡ local greedy over the exact integer pool") {
