@@ -1679,4 +1679,54 @@ object Dedup {
         "n_docs_in_multi", "largest_cluster")
       .orderBy(col("tau_pm"))
   }
+
+  /** q270: TEXT NEAR-DUP METHOD AGREEMENT — the q23 (MinHash-LSH,
+    * verified Jaccard ≥ 0.5) and q24 (32-bit SimHash, Hamming ≤ 6)
+    * pair sets compared head-to-head, with every pair in the union
+    * ARBITRATED by its exact 3-gram Jaccard (permille, the shared
+    * shingle sets both methods approximate): per agreement category
+    * (both / minhash_only / simhash_only) the pair count and the
+    * mean/min/max exact Jaccard. This is the q255 modality-agreement
+    * question asked WITHIN the text modality, plus the column q255
+    * lacks: the disagreement pairs' true similarity tells you which
+    * method erred — minhash_only pairs with high exact J are SimHash
+    * misses (token-frequency blindness), simhash_only pairs with low
+    * exact J are SimHash false candidates — the evidence for choosing
+    * ONE method when running both is too expensive.
+    *
+    * Shape at 100 TB: both inputs are banded candidate+verify
+    * operators (never all-pairs); the union is near-dup-pair-mass
+    * bounded, the arbiter is two doc-keyed joins onto the shingle-set
+    * relation plus per-row array_intersect (sets are doc-length
+    * bounded), and the output is a 3-key agg. Exactness: cm/un are
+    * exact integers over the SAME polyhash shingle sets as q22/q23,
+    * so the oracle replays them bit-for-bit. */
+  def textMethodAgreement(spark: SparkSession, d: String): DataFrame = {
+    val mh = minhashNearDup(spark, d).select(col("doc_a"), col("doc_b"))
+      .withColumn("in_mh", lit(1L))
+    val sh = simhash(spark, d).select(col("doc_a"), col("doc_b"))
+      .withColumn("in_sh", lit(1L))
+    val u = mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("in_mh"), lit(0L)).as("im"),
+        coalesce(col("in_sh"), lit(0L)).as("ish"))
+      .withColumn("cat",
+        when(col("im") === 1L && col("ish") === 1L, "both")
+          .when(col("im") === 1L, "minhash_only")
+          .otherwise("simhash_only"))
+    val hs = shingleSets(spark, d)
+    u.join(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("cm", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("un",
+        size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("cm"))
+      .withColumn("j_pm", expr("(1000 * cm) div un"))
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j_pm")).as("sj"),
+        min(col("j_pm")).as("min_j_pm"), max(col("j_pm")).as("max_j_pm"))
+      .select(col("cat"), col("n_pairs"),
+        expr("sj div n_pairs").as("mean_j_pm"),
+        col("min_j_pm"), col("max_j_pm"))
+      .orderBy(col("cat"))
+  }
 }

@@ -1623,32 +1623,66 @@ object Queries {
   }
 
   /** Global cumulative-before over a value-keyed histogram WITHOUT a
-    * partitionless window: the q73/q188 two-pass (range partition on
-    * the value, pid-local running sum, driver cumsum over ≤|parts|
-    * totals re-broadcast). Returns the histogram extended with
-    * `before` (count of rows at strictly smaller — or larger, when
-    * `asc` is false — values) and the grand total. Shared by q199's
-    * three quintile assignments. */
+    * partitionless window: the q73/q188 two-pass, bucketed by a FIXED
+    * function of the VALUE — bk = (v − lo) div w over the collected
+    * [lo, hi] domain — with a bk-local running sum and a driver cumsum
+    * over the ≤8·|parts| bucket totals re-broadcast. Returns the
+    * histogram extended with `before` (count of rows at strictly
+    * smaller — or larger, when `asc` is false — values) and the grand
+    * total. Shared by q199/q268's quintile assignments and the
+    * q213/q218/q219 offset machinery.
+    *
+    * Why value-keyed buckets and not repartitionByRange +
+    * spark_partition_id: the result plan is LAZY, and the driver-folded
+    * offsets are baked into it as literals. Under the original
+    * pid-based scheme the offsets were only valid for the one physical
+    * partitioning they were collected from — if the persisted
+    * intermediate was released before the caller's terminal action
+    * (CacheScope claims it at the operator's next internal action; any
+    * multi-histCumBefore operator does this), the recompute could
+    * range-sample DIFFERENT boundaries and silently shift every
+    * `before` (caught live: q268's full-Verify run disagreed with its
+    * solo run on 17 cells). bk is a pure function of the value and the
+    * two collected scalars, so a recompute reproduces the mapping
+    * bit-for-bit no matter how the data is partitioned. The persist is
+    * now a pure optimization, never a correctness dependency.
+    *
+    * Balance note: 8·|parts| fixed-width buckets balance dense value
+    * domains (every call site today: days, counts, token counts,
+    * hundred-dollar grids, doc_ids); an adversarially SPARSE domain
+    * (most values piled in one bucket) degrades toward one window over
+    * ≤|hist| rows — bounded by the value-domain contract every caller
+    * already carries. */
   private[graft] def histCumBefore(spark: SparkSession, hist: DataFrame,
       value: String, asc: Boolean): (DataFrame, Long) = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ord = if (asc) col(value).asc else col(value).desc
-    val local = hist.repartitionByRange(parts, ord)
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lcum", sum(col("c")).over(
-        Window.partitionBy(col("pid")).orderBy(ord)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    local.persist()
-    val totals = local.groupBy(col("pid")).agg(sum(col("c")).as("t"))
-      .orderBy(col("pid")).collect().map(r => (r.getInt(0), r.getLong(1)))
-    CacheScope.adopt(local)
-    val n = totals.map(_._2).sum
+    val mm = hist.agg(min(col(value)).cast("long"),
+      max(col(value)).cast("long"), sum(col("c")).cast("long")).head()
+    if (mm.isNullAt(0)) {
+      import spark.implicits._
+      return (Seq.empty[(Long, Long, Long)].toDF(value, "c", "before"), 0L)
+    }
+    val lo = mm.getLong(0)
+    val w = math.max(1L, (mm.getLong(1) - lo) / (8L * parts) + 1L)
+    val n = mm.getLong(2)
+    val bucketed = hist
+      .withColumn("bk", expr(s"(CAST($value AS BIGINT) - $lo) div $w"))
+      .persist()
+    val totals = bucketed.groupBy(col("bk")).agg(sum(col("c")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => if (asc) t._1 else -t._1)
+    CacheScope.adopt(bucketed)
     val offsets = {
       var acc = 0L
-      totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+      totals.map { case (bk, t) => val o = acc; acc += t; (bk, o) }
     }
-    val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("pid", "off"))
-    (local.join(offDf, "pid")
+    val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("bk", "off"))
+    val ord = if (asc) col(value).asc else col(value).desc
+    (bucketed
+      .withColumn("lcum", sum(col("c")).over(
+        Window.partitionBy(col("bk")).orderBy(ord)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(offDf, "bk")
       .select(col(value), col("c"), (col("off") + col("lcum") - col("c")).as("before")),
       n)
   }
@@ -2639,5 +2673,56 @@ object Queries {
         expr("CAST((CAST(1000 AS DECIMAL(38,0)) * ae12) div ae1 AS BIGINT)")
           .as("mase_milli"))
       .orderBy(col("brand"))
+  }
+
+  /** q268: RFM SEGMENT MIGRATION MATRIX — customer monetary-quintile
+    * flow between the first and second half of the order history: per
+    * (segment-then, segment-now) cell the customer count, where
+    * segment is the q199 exact-integer monetary quintile (1..5, 5
+    * best, hundred-dollar grid, score = (strictly-poorer·5) div n + 1)
+    * computed INDEPENDENTLY per half, and 0 means "absent in that
+    * half" (new customer / churned customer). The classic retention
+    * read: mass on the diagonal = stable value segments, the 5→0 cell
+    * = lost whales, the 0→5 cell = acquired whales — the q125
+    * cohort-retention question asked at the VALUE level instead of
+    * the activity level.
+    *
+    * The period split is the integer midpoint of the corpus's
+    * [min, max] order-day span — derived from the data (one bounded
+    * 1-row agg, the q199 `now` precedent), deterministic, and
+    * identical in the oracle.
+    *
+    * Shape at 100 TB: two customer-keyed hash-aggs (one per half —
+    * a single scan each), quintiles from the bounded hundred-dollar
+    * histogram through the q73/q188 two-pass cumulative (no
+    * partitionless window, no per-customer global rank), broadcast
+    * re-join on the grid value, one full-outer customer-keyed join,
+    * and a ≤36-key matrix agg. Nothing scales past the fact scan. */
+  def rfmMigration(spark: SparkSession, d: String): DataFrame = {
+    val o = CacheScope.cached(Tables.orders(spark, d)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")))
+    val mm = o.agg(min(col("day")), max(col("day"))).head()
+    val pivot = (mm.getLong(0) + mm.getLong(1)) / 2
+    def half(pred: Column, tag: String): DataFrame = {
+      val base = o.filter(pred).groupBy(col("o_custkey"))
+        .agg(expr("sum(cents) div 10000").as("mh"))
+      val hist = base.groupBy(col("mh")).agg(count(lit(1)).as("c"))
+      val (cum, n) = histCumBefore(spark, hist, "mh", asc = true)
+      base.join(broadcast(cum.select(col("mh").as("mh_k"),
+          expr(s"(before * 5) div $n + 1").as(s"seg_$tag"))),
+        col("mh") === col("mh_k"))
+        .select(col("o_custkey").as(s"ck_$tag"), col(s"seg_$tag"))
+    }
+    val a = half(col("day") < pivot, "a")
+    val b = half(col("day") >= pivot, "b")
+    a.join(b, col("ck_a") === col("ck_b"), "full_outer")
+      .select(coalesce(col("seg_a"), lit(0L)).as("seg_then"),
+        coalesce(col("seg_b"), lit(0L)).as("seg_now"))
+      .groupBy(col("seg_then"), col("seg_now"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("seg_then"), col("seg_now"))
   }
 }

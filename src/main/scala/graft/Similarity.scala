@@ -1603,4 +1603,71 @@ object Similarity {
         col("rrf_micro"), col("n_paths"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Fidelity floor for q269's "degraded vector" count: squared cosine
+    * between the original and its int8 quantization below this (ppm)
+    * counts as below-par. 999500 ppm ⇔ cosine < ~0.99975 — int8 with
+    * per-vector scaling normally sits well above this (this corpus's
+    * worst vector reads 999909), so the count isolates genuinely
+    * hard-to-quantize geometries: vectors whose non-max coordinates
+    * sit near the quantizer's half-points (x·sc ≈ k + ½), where
+    * per-coordinate relative error peaks. */
+  val QuantFidFloorPpm = 999500L
+
+  /** q269: INT8 QUANTIZATION FIDELITY AUDIT — per source: how faithful
+    * the q48 per-vector-scaled int8 quantization is to the original
+    * embedding, measured as the signed SQUARED cosine between v and
+    * quant(v) floored to ppm (the q249 sign-preserving square — a
+    * strictly monotone transform of cosine, so thresholds translate
+    * directly), with the per-source mean (exact integer division of
+    * the floored values), the worst vector, and the count under
+    * [[QuantFidFloorPpm]]. This is the go/no-go table an owner reads
+    * before routing a source's traffic to the int8 ANN path (q48/q251):
+    * q146/q196/q236 grade the RANKINGS the quantized path produces;
+    * this grades the REPRESENTATION itself, so a source whose geometry
+    * quantizes badly (heavy-tailed coordinates — one outlier coordinate
+    * crushes sc = 127/max|v| and zeroes the rest) is caught even where
+    * the small eval query set happens not to look.
+    *
+    * Exactness: dt = dot(v, quant) is the SAME sequential double fold
+    * on both engines (DotProductExpr ≡ list_dot_product), the ppm
+    * floor is applied per row BEFORE aggregation, and every aggregate
+    * (sum div count, min, threshold count) is integer — no float mean
+    * crosses the engine boundary (the q257 floor-then-integer move).
+    *
+    * Shape at 100 TB: one embeddings scan with per-row codegen
+    * arithmetic, one doc-keyed dimension join for the source label
+    * (AQE picks broadcast while documents' (doc_id, source) projection
+    * fits), one |sources|-key hash-agg with map-side partials. No
+    * self-join, no window, nothing quadratic. */
+  def quantFidelity(spark: SparkSession, d: String): DataFrame = {
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    val quant = transform(col("v"), x =>
+      when(x >= 0, floor(abs(x * col("sc")) + lit(0.5)))
+        .otherwise(-floor(abs(x * col("sc")) + lit(0.5))).cast("double"))
+    val fid = when(col("dt") >= 0,
+        floor(lit(1000000.0) * col("dt") * col("dt") / (col("nn") * col("qn"))))
+      .otherwise(
+        -floor(lit(1000000.0) * col("dt") * col("dt") / (col("nn") * col("qn"))))
+      .cast("long")
+    val e = withNorm(Tables.embeddings(spark, d))
+      .withColumn("ma", maxabs).filter(col("ma") > 0)
+      .withColumn("sc", lit(127.0) / col("ma"))
+      .withColumn("q", quant)
+      .withColumn("qn", dot(col("q"), col("q")).cast("long"))
+      .filter(col("qn") > 0)
+      .withColumn("dt", dot(col("v"), col("q")))
+      .select(col("vec_id"), fid.as("fid"))
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    e.join(src, col("vec_id") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("fid")).as("sf"),
+        min(col("fid")).as("min_fid_ppm"),
+        sum(when(col("fid") < QuantFidFloorPpm, 1L).otherwise(0L))
+          .as("n_below"))
+      .select(col("source"), col("n_vecs"),
+        expr("sf div n_vecs").as("mean_fid_ppm"),
+        col("min_fid_ppm"), col("n_below"))
+      .orderBy(col("source"))
+  }
 }

@@ -625,6 +625,14 @@ object SparkEntry {
     "q265_hybrid_mlt" -> (Similarity.hybridMoreLikeThis _),
     // dedup-threshold percolation: components/merge mass at 4 Jaccard bars
     "q266_dedup_threshold_curve" -> (Dedup.dedupThresholdCurve _),
+    // per-rule curation decision table: flags, unique kills, kill-any
+    "q267_rule_audit" -> (TextAnalysis.ruleAudit _),
+    // monetary-quintile migration matrix across the order-history halves
+    "q268_rfm_migration" -> (Queries.rfmMigration _),
+    // per-source int8 quantization fidelity (squared cosine ppm floor)
+    "q269_quant_fidelity" -> (Similarity.quantFidelity _),
+    // minhash vs simhash pair agreement, exact-Jaccard arbitrated
+    "q270_text_method_agreement" -> (Dedup.textMethodAgreement _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -5550,5 +5558,154 @@ object SparkEntry {
       s"""WITH ${(prefix +: per).mkString(",\n")}
          |SELECT * FROM ($rows) ORDER BY tau_pm""".stripMargin
     },
+    // q267: the six rule flags as independent integer comparisons, the
+    // (rule, flag) unnest, per-rule counts + unique kills, one-row doc
+    // totals cross-joined on.
+    "q267_rule_audit" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') t
+        |      FROM documents),
+        |s AS (SELECT doc_id,
+        |        len(t)::BIGINT n_tok,
+        |        len(list_distinct(t))::BIGINT n_uniq,
+        |        len(list_filter(t, x -> x IN
+        |          ('the','a','of','and','is','to','in')))::BIGINT n_stop,
+        |        greatest(len(t) - 4, 0)::BIGINT n5,
+        |        len(list_distinct(list_transform(
+        |          generate_series(1, greatest(len(t) - 4, 0)),
+        |          i -> array_to_string(t[i:i+4], ' '))))::BIGINT u5,
+        |        length(text)::BIGINT len,
+        |        (length(text) - length(regexp_replace(text,
+        |          '[^A-Za-z0-9 ]', '', 'g')))::BIGINT n_punct
+        |      FROM tk),
+        |f AS MATERIALIZED (SELECT doc_id,
+        |        CASE WHEN n_tok < 20 THEN 1 ELSE 0 END::BIGINT f1,
+        |        CASE WHEN n_tok > 90 THEN 1 ELSE 0 END::BIGINT f2,
+        |        CASE WHEN n_uniq * 100 < n_tok * 45 THEN 1 ELSE 0
+        |          END::BIGINT f3,
+        |        CASE WHEN (n5 - u5) * 1000 > n5 * 150 THEN 1 ELSE 0
+        |          END::BIGINT f4,
+        |        CASE WHEN n_stop < 2 THEN 1 ELSE 0 END::BIGINT f5,
+        |        CASE WHEN n_punct * 1000 > len * 30 THEN 1 ELSE 0
+        |          END::BIGINT f6
+        |      FROM s),
+        |ff AS (SELECT doc_id, f1, f2, f3, f4, f5, f6,
+        |        (f1 + f2 + f3 + f4 + f5 + f6)::BIGINT nf FROM f),
+        |d AS (SELECT count(*)::BIGINT n_docs,
+        |        sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END)::BIGINT n_killed
+        |      FROM ff),
+        |r AS (SELECT rule,
+        |        CASE rule WHEN 'r1_short' THEN f1 WHEN 'r2_long' THEN f2
+        |          WHEN 'r3_low_uniq' THEN f3 WHEN 'r4_dup5gram' THEN f4
+        |          WHEN 'r5_no_stop' THEN f5 ELSE f6 END fl, nf
+        |      FROM ff, (VALUES ('r1_short'), ('r2_long'), ('r3_low_uniq'),
+        |        ('r4_dup5gram'), ('r5_no_stop'), ('r6_symbol')) rules(rule)),
+        |a AS (SELECT rule, sum(fl)::BIGINT n_flagged,
+        |        sum(CASE WHEN fl = 1 AND nf = 1 THEN 1 ELSE 0 END)
+        |          ::BIGINT n_unique
+        |      FROM r GROUP BY rule)
+        |SELECT a.rule, a.n_flagged,
+        |       ((1000 * a.n_flagged) // d.n_docs)::BIGINT AS flag_rate_pm,
+        |       a.n_unique, d.n_docs, d.n_killed
+        |FROM a, d ORDER BY rule""".stripMargin,
+    // q268: midpoint-day split, per-half monetary quintile on the
+    // hundred-dollar grid (the q199 strictly-before cumulative), full
+    // outer flow matrix with 0 = absent.
+    "q268_rfm_migration" ->
+      """WITH o AS (SELECT o_custkey,
+        |        date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT dy,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) cents FROM orders),
+        |pv AS (SELECT ((min(dy) + max(dy)) // 2)::BIGINT p FROM o),
+        |ha AS (SELECT o_custkey, (sum(cents) // 10000)::BIGINT mh
+        |      FROM o, pv WHERE dy < p GROUP BY 1),
+        |hb AS (SELECT o_custkey, (sum(cents) // 10000)::BIGINT mh
+        |      FROM o, pv WHERE dy >= p GROUP BY 1),
+        |ga AS (SELECT mh, ((coalesce(sum(c) OVER (ORDER BY mh
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+        |        // (SELECT count(*) FROM ha) + 1)::BIGINT s
+        |      FROM (SELECT mh, count(*)::BIGINT c FROM ha GROUP BY 1)),
+        |gb AS (SELECT mh, ((coalesce(sum(c) OVER (ORDER BY mh
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+        |        // (SELECT count(*) FROM hb) + 1)::BIGINT s
+        |      FROM (SELECT mh, count(*)::BIGINT c FROM hb GROUP BY 1)),
+        |sa AS (SELECT ha.o_custkey, ga.s FROM ha JOIN ga ON ga.mh = ha.mh),
+        |sb AS (SELECT hb.o_custkey, gb.s FROM hb JOIN gb ON gb.mh = hb.mh)
+        |SELECT coalesce(sa.s, 0)::BIGINT AS seg_then,
+        |       coalesce(sb.s, 0)::BIGINT AS seg_now,
+        |       count(*)::BIGINT AS n_customers
+        |FROM sa FULL JOIN sb ON sb.o_custkey = sa.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q269: the q48 quant chain, dt = the same sequential double fold,
+    // per-row ppm floor, then pure integer per-source aggregates.
+    "q269_quant_fidelity" -> {
+      val floor = Similarity.QuantFidFloorPpm
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |sq AS (SELECT vec_id, v, list_dot_product(v, v) nn,
+         |      127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
+         |      FROM e
+         |      WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0),
+         |q8 AS (SELECT vec_id, v, nn, list_transform(v, x ->
+         |        (CASE WHEN x >= 0 THEN floor(abs(x * sc) + 0.5)
+         |          ELSE -floor(abs(x * sc) + 0.5) END)::DOUBLE) q FROM sq),
+         |qq AS (SELECT vec_id, v, nn, q,
+         |      list_dot_product(q, q)::BIGINT qn FROM q8
+         |      WHERE list_dot_product(q, q) > 0),
+         |dd AS (SELECT vec_id, nn, qn, list_dot_product(v, q) dt FROM qq),
+         |f AS (SELECT vec_id,
+         |      (CASE WHEN dt >= 0
+         |        THEN floor(1000000.0 * dt * dt / (nn * qn))
+         |        ELSE -floor(1000000.0 * dt * dt / (nn * qn))
+         |       END)::BIGINT fid FROM dd),
+         |j AS (SELECT d.source, f.fid FROM f
+         |      JOIN documents d ON d.doc_id = f.vec_id)
+         |SELECT source, count(*)::BIGINT AS n_vecs,
+         |       (sum(fid) // count(*))::BIGINT AS mean_fid_ppm,
+         |       min(fid)::BIGINT AS min_fid_ppm,
+         |       sum(CASE WHEN fid < $floor THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_below
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // q270: the q23 verified-pair chain + the q24 simhash chain, full
+    // outer flag union, exact per-pair Jaccard from the shared shingle
+    // postings (left join — disjoint-set pairs score 0), 3-key agg.
+    "q270_text_method_agreement" ->
+      s"""WITH $MinhashCandCte,
+         |cmc AS (SELECT da, db, count(*) cm FROM cand
+         |      JOIN sh p ON p.doc_id = da
+         |      JOIN sh q ON q.doc_id = db AND q.h = p.h
+         |      GROUP BY da, db),
+         |mhp AS MATERIALIZED (SELECT da, db FROM cmc
+         |      JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |      WHERE cm / (x.sz + y.sz - cm) >= 0.5),
+         |th AS (SELECT doc_id, ${H("tok")} AS h FROM
+         |  (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) tok
+         |   FROM documents)),
+         |bits AS (SELECT doc_id, i,
+         |        CASE WHEN sum(((h // (1::BIGINT << i)) % 2) * 2 - 1) > 0
+         |             THEN (1::BIGINT << i) ELSE 0 END v
+         |        FROM th, generate_series(0, 31) g(i) GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, sum(v)::BIGINT s FROM bits GROUP BY doc_id),
+         |shp AS MATERIALIZED (SELECT a.doc_id da, b.doc_id db
+         |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.s, b.s)) <= 6),
+         |pr AS MATERIALIZED (SELECT coalesce(m.da, s.da) doc_a,
+         |        coalesce(m.db, s.db) doc_b,
+         |        CASE WHEN m.da IS NOT NULL AND s.da IS NOT NULL THEN 'both'
+         |             WHEN m.da IS NOT NULL THEN 'minhash_only'
+         |             ELSE 'simhash_only' END cat
+         |      FROM mhp m FULL JOIN shp s ON s.da = m.da AND s.db = m.db),
+         |ex AS (SELECT p.doc_a, p.doc_b, count(*)::BIGINT cm FROM pr p
+         |      JOIN sh a ON a.doc_id = p.doc_a
+         |      JOIN sh b ON b.doc_id = p.doc_b AND b.h = a.h
+         |      GROUP BY 1, 2),
+         |jj AS (SELECT pr.cat,
+         |        ((1000 * coalesce(ex.cm, 0)) //
+         |         (x.sz + y.sz - coalesce(ex.cm, 0)))::BIGINT j_pm
+         |      FROM pr JOIN sz x ON x.doc_id = pr.doc_a
+         |      JOIN sz y ON y.doc_id = pr.doc_b
+         |      LEFT JOIN ex ON ex.doc_a = pr.doc_a AND ex.doc_b = pr.doc_b)
+         |SELECT cat, count(*)::BIGINT AS n_pairs,
+         |       (sum(j_pm) // count(*))::BIGINT AS mean_j_pm,
+         |       min(j_pm)::BIGINT AS min_j_pm, max(j_pm)::BIGINT AS max_j_pm
+         |FROM jj GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

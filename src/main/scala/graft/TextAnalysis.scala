@@ -1446,4 +1446,82 @@ object TextAnalysis {
         "n_common_vs32", "rank_delta_sum")
       .orderBy(col("psize"))
   }
+
+  /** q267: CURATION RULE AUDIT — the per-rule decision table a corpus
+    * owner reads BEFORE wiring thresholds into a q57-style first-fail
+    * gate: every Gopher/C4-family rule evaluated INDEPENDENTLY on every
+    * document (no short-circuit), reporting how many docs each rule
+    * flags (and the rate in permille), how many it flags UNIQUELY
+    * (docs no other rule catches — the rule's marginal contribution:
+    * a rule with zero unique kills is free to drop; a rule with many
+    * is load-bearing), plus the corpus size and the total kill count
+    * under "any rule fires". q57 answers "what verdict does this doc
+    * get"; this answers "which rules earn their place".
+    *
+    * The six rules (all exact integer cross-multiplied comparisons,
+    * thresholds shared verbatim with the oracle):
+    *   r1_short      n_tok < 20            (q57's bound)
+    *   r2_long       n_tok > 90            (q57's bound)
+    *   r3_low_uniq   100·n_uniq < 45·n_tok (q57's repetition rule)
+    *   r4_dup5gram   1000·(n5−u5) > 150·n5 (MassiveText dup-n-gram)
+    *   r5_no_stop    stopword hits < 2     (Gopher "stop word" rule)
+    *   r6_symbol     1000·n_punct > 30·len (Gopher symbol-ratio rule)
+    * r4/r6 are vacuous on THIS synthetic corpus (no punctuation, no
+    * repeated 5-grams — measured) — deliberately kept: an audit table
+    * that only contains rules that fire can't tell you a rule is dead
+    * weight, and the spec exercises both on a planted fixture.
+    *
+    * Shape at 100 TB: all six flags are per-row array/regex arithmetic
+    * in ONE scan — zero joins, zero windows; the per-rule table is a
+    * 6-key hash-agg of the exploded (rule, flag) pairs and the doc
+    * totals are a one-row agg broadcast onto 6 rows. The flags
+    * intermediate is cached because both aggs consume it. */
+  def ruleAudit(spark: SparkSession, d: String): DataFrame =
+    ruleAuditDf(Tables.documentsDist(spark, d))
+
+  private[graft] def ruleAuditDf(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val g = shingles(t, 5)
+    // Two-step select (the q61 lesson): materialize the array stats in
+    // a projection of their own so the downstream flag arithmetic
+    // never re-evaluates the HOFs.
+    val base = docs.select(col("doc_id"),
+      size(t).cast("long").as("n_tok"),
+      size(array_distinct(t)).cast("long").as("n_uniq"),
+      countIn(t, stopEn).cast("long").as("n_stop"),
+      greatest(size(t) - 4, lit(0)).cast("long").as("n5"),
+      size(array_distinct(g)).cast("long").as("u5"),
+      length(col("text")).cast("long").as("len"),
+      size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)"))
+        .cast("long").as("n_punct"))
+    val flagged = CacheScope.cached(base.select(col("doc_id"),
+        when(col("n_tok") < 20, 1L).otherwise(0L).as("f1"),
+        when(col("n_tok") > 90, 1L).otherwise(0L).as("f2"),
+        when(col("n_uniq") * 100L < col("n_tok") * 45L, 1L)
+          .otherwise(0L).as("f3"),
+        when((col("n5") - col("u5")) * 1000L > col("n5") * 150L, 1L)
+          .otherwise(0L).as("f4"),
+        when(col("n_stop") < 2, 1L).otherwise(0L).as("f5"),
+        when(col("n_punct") * 1000L > col("len") * 30L, 1L)
+          .otherwise(0L).as("f6"))
+      .withColumn("nf", expr("f1 + f2 + f3 + f4 + f5 + f6")))
+    val totals = flagged.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("nf") > 0, 1L).otherwise(0L)).as("n_killed"))
+    val ruleNames = Seq("r1_short", "r2_long", "r3_low_uniq",
+      "r4_dup5gram", "r5_no_stop", "r6_symbol")
+    val perRule = flagged
+      .select(col("nf"), posexplode(array(
+        (1 to 6).map(i => col(s"f$i")): _*)).as(Seq("ri", "fl")))
+      .groupBy(col("ri"))
+      .agg(sum(col("fl")).as("n_flagged"),
+        sum(when(col("fl") === 1L && col("nf") === 1L, 1L).otherwise(0L))
+          .as("n_unique"))
+      .withColumn("rule",
+        element_at(lit(ruleNames.toArray), col("ri") + 1))
+    perRule.crossJoin(broadcast(totals))
+      .select(col("rule"), col("n_flagged"),
+        expr("(1000 * n_flagged) div n_docs").as("flag_rate_pm"),
+        col("n_unique"), col("n_docs"), col("n_killed"))
+      .orderBy(col("rule"))
+  }
 }
