@@ -1454,4 +1454,59 @@ object Curation {
         expr("(1000 * n_kept) div n_test").as("coverage_pm"))
       .orderBy(col("source"))
   }
+
+  /** Shard count for q271's interleaving audit — the number of
+    * training shards the shuffled order is written into. */
+  val InterleaveShards = 32L
+
+  /** q271: SHUFFLE/INTERLEAVING QUALITY AUDIT — grades the q59-style
+    * deterministic content-hash shuffle the way a trainer experiences
+    * it: docs are ordered by a salted polyhash, split into
+    * [[InterleaveShards]] shards (hash mod S — a pure function of the
+    * doc, so shard assignment survives any repartitioning), and within
+    * each shard's hash order the audit counts ADJACENT same-source
+    * pairs. A well-mixed order has the adjacent-same-source rate ≈ the
+    * corpus's source Simpson index Σ(n_s/n)² (the collision rate of
+    * two independent draws — reported alongside as expected_pm); a
+    * rate far above it means source-runs survived the shuffle and the
+    * trainer sees correlated batches (gradient noise drops, curricula
+    * leak). Per shard: doc count, adjacent same-source count, the rate
+    * and the global expected baseline (both permille) — per-shard
+    * because a single bad shard (e.g. one source's doc_ids hashing
+    * into a run) hides inside a global mean.
+    *
+    * Shape at 100 TB: shard key and sort key are per-row hashes; the
+    * adjacency scan is a lag window INSIDE hash-bounded shard
+    * partitions (corpus/S rows each — the partitioned-window
+    * discipline, never a global single-partition sort); the baseline
+    * is a |sources|-key agg collapsed to one row and cross-joined
+    * broadcast onto S rows. */
+  def interleaveAudit(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = InterleaveShards
+    val h = polyHash(concat(lit("interleave42:"), col("text")))
+    val docs = CacheScope.cached(Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("shard", col("h") % s))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    val adj = docs
+      .withColumn("prev_src", lag(col("source"), 1).over(w))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("prev_src") === col("source"), 1L).otherwise(0L))
+          .as("n_adj_same"))
+    // Σns² and n² in DECIMAL(38,0): at 100 TB a source can hold ~1e12
+    // docs and ns² overflows Long (the q198/q227 product discipline);
+    // IntegralDivide on decimals lands back in BIGINT.
+    val base = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      .agg(sum(expr("CAST(ns AS DECIMAL(38,0)) * ns")).as("ss"),
+        sum(col("ns")).as("n"))
+      .select(expr("CAST((1000 * ss) div (CAST(n AS DECIMAL(38,0)) * n)" +
+        " AS BIGINT)").as("expected_pm"))
+    adj.crossJoin(broadcast(base))
+      .select(col("shard"), col("n_docs"), col("n_adj_same"),
+        expr("(1000 * n_adj_same) div (n_docs - 1)").as("rate_pm"),
+        col("expected_pm"))
+      .orderBy(col("shard"))
+  }
 }

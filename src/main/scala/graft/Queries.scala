@@ -2725,4 +2725,102 @@ object Queries {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("seg_then"), col("seg_now"))
   }
+
+  /** q272: MAD ANOMALY CALENDAR — every (brand, month) revenue cell
+    * flagged against the brand's own ROBUST dispersion: |rev − median|
+    * > 3·MAD, where median and MAD (median absolute deviation) are the
+    * deterministic LOWER medians (rank (n+1) div 2 under (value, month)
+    * order — the q235 no-interpolation discipline). The month-level
+    * twin of q185's per-day MAD outliers and the anomaly view q233's
+    * seasonal decomposition can't give: a promo spike or stockout month
+    * stands out against the brand's typical month WITHOUT the mean and
+    * variance being dragged by the very outliers being hunted (up to
+    * half the months can be wild before the median moves). Emits the
+    * FULL calendar with the flag — the zero-anomaly brands are
+    * evidence too (the q267 dead-rule argument).
+    *
+    * Shape at 100 TB: the fact table collapses to the bounded
+    * calendar × brand grid first (one keyed hash-agg); both median
+    * extractions are rank windows INSIDE brand partitions of
+    * ≤|calendar| rows; the med/mad maps re-join broadcast (≤|brands|
+    * rows each, fresh-aliased keys — the q196 lesson). Nothing after
+    * the grid agg scales with data volume. */
+  def madAnomalyCalendar(spark: SparkSession, d: String): DataFrame = {
+    val bm = CacheScope.cached(brandMonthRevenue(spark, d))
+    def lowerMedian(df: DataFrame, key: String, value: String,
+        outKey: String, outVal: String): DataFrame = {
+      val w = Window.partitionBy(col(key)).orderBy(col(value), col("m"))
+      df.withColumn("rk", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy(col(key))))
+        .filter(col("rk") === expr("(nn + 1) div 2"))
+        .select(col(key).as(outKey), col(value).as(outVal))
+    }
+    val med = lowerMedian(bm, "brand", "rev_cents", "mb", "med_cents")
+    val dev = bm.join(broadcast(med), col("brand") === col("mb"))
+      .withColumn("dev_cents", abs(col("rev_cents") - col("med_cents")))
+      .select(col("brand"), col("m"), col("rev_cents"), col("med_cents"),
+        col("dev_cents"))
+    val mad = lowerMedian(dev, "brand", "dev_cents", "xb", "mad_cents")
+    dev.join(broadcast(mad), col("brand") === col("xb"))
+      .select(col("brand"), col("m"), col("rev_cents"), col("med_cents"),
+        col("mad_cents"), col("dev_cents"),
+        when(col("dev_cents") > col("mad_cents") * 3L, 1L).otherwise(0L)
+          .as("is_anomaly"))
+      .orderBy(col("brand"), col("m"))
+  }
+
+  /** q273: KENDALL-τ BRAND CO-MOVEMENT — for every brand pair, the
+    * exact Kendall tau-a of their monthly revenue series over the
+    * months BOTH observe: concordant month pairs (both brands moved
+    * the same way) minus discordant, over C(n,2), in sign-decomposed
+    * milli. Rank-based like q218's Spearman but pairwise-exact with
+    * NO rank construction at all — τ needs only the SIGN of each
+    * month-pair delta, so ties are handled exactly (they count for
+    * neither side; tau-a keeps the full C(n,2) denominator) and zero
+    * cross-engine arithmetic deeper than integer comparison exists.
+    * The read: which brands' demand moves together (shared seasonality
+    * / substitutes with the sign flipped) — the co-movement matrix a
+    * demand planner clusters, where q235 gives each brand its OWN
+    * trend in isolation.
+    *
+    * Shape at 100 TB: the fact table collapses to the bounded
+    * calendar × brand grid first; the brand-pair month alignment is a
+    * month-keyed self-equi-join of that grid (fresh-aliased — the
+    * q196 lesson) and the month-pair enumeration is a brand-pair-keyed
+    * self-equi-join — C(|brands|,2) · C(|calendar|,2) rows total,
+    * bounded by dimensions, independent of fact volume. */
+  def kendallComovement(spark: SparkSession, d: String): DataFrame = {
+    val bm = CacheScope.cached(brandMonthRevenue(spark, d))
+    val x = bm.select(col("brand").as("ba"), col("m").as("mx"),
+      col("rev_cents").as("ra"))
+    val y = bm.select(col("brand").as("bb"), col("m").as("my"),
+      col("rev_cents").as("rb"))
+    val pv = x.join(y, col("mx") === col("my") && col("ba") < col("bb"))
+      .select(col("ba"), col("bb"), col("mx").as("m"), col("ra"), col("rb"))
+    val p1 = pv.select(col("ba").as("pa"), col("bb").as("pb"),
+      col("m").as("m1"), col("ra").as("ra1"), col("rb").as("rb1"))
+    val p2 = pv.select(col("ba").as("qa"), col("bb").as("qb"),
+      col("m").as("m2"), col("ra").as("ra2"), col("rb").as("rb2"))
+    val sa = when(col("ra2") > col("ra1"), 1L)
+      .when(col("ra2") < col("ra1"), -1L).otherwise(0L)
+    val sb = when(col("rb2") > col("rb1"), 1L)
+      .when(col("rb2") < col("rb1"), -1L).otherwise(0L)
+    val ag = p1.join(p2, col("pa") === col("qa") && col("pb") === col("qb")
+        && col("m2") > col("m1"))
+      .select(col("pa"), col("pb"), (sa * sb).as("s"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(sum(when(col("s") > 0, 1L).otherwise(0L)).as("n_conc"),
+        sum(when(col("s") < 0, 1L).otherwise(0L)).as("n_disc"),
+        count(lit(1)).as("np"))
+    val nm = pv.groupBy(col("ba"), col("bb"))
+      .agg(count(lit(1)).as("n_months"))
+    nm.join(ag, col("ba") === col("pa") && col("bb") === col("pb"))
+      .select(col("ba").as("brand_a"), col("bb").as("brand_b"),
+        col("n_months"), col("n_conc"), col("n_disc"),
+        when(col("n_conc") >= col("n_disc"),
+          expr("(1000 * (n_conc - n_disc)) div np"))
+          .otherwise(-expr("(1000 * (n_disc - n_conc)) div np"))
+          .as("tau_milli"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
 }

@@ -1670,4 +1670,71 @@ object Similarity {
         col("min_fid_ppm"), col("n_below"))
       .orderBy(col("source"))
   }
+
+  /** q274: PER-SOURCE PRINCIPAL-PLANE PROJECTION ENERGY — for every
+    * source, the fraction (permille) of its vectors' total squared
+    * norm that lies along the GLOBAL top eigendirection v₁ (q240's
+    * recurrence) and along the deflated second direction x₂ (q244's):
+    * energyₖ = Σ(q·vₖ)² / (‖vₖ‖²·Σ‖q‖²). An isotropic source spreads
+    * ≈ 1000/d per direction; a source whose mass piles onto the
+    * corpus-global axes is the one DRIVING the anisotropy q242 only
+    * measures per-source-internally — this is the cross view: "which
+    * sources align with the corpus's dominant directions" (drift
+    * sources, template-heavy sources, mode collapse), the evidence a
+    * whitening or reweighting decision is made on. Completes the
+    * GramAgg family's promised whitening prep
+    * (`functions/GramAgg.scala`): v₁/x₂ here are exactly the
+    * directions a whitener would damp first.
+    *
+    * Exactness: v₁/x₂ are the exact integer vectors of the q240/q244
+    * driver recurrences (|v| ≤ 1000); per-row dots Σqᵢvᵢ ≤ 64·127·1000
+    * ≈ 8.1e6 are exact in the native double fold and their squares
+    * (≤ 6.6e13 < 2⁵³) cast exactly to long; per-source sums ride
+    * DECIMAL(38,0) (row counts at 100 TB overflow Long); the final
+    * permille is one integral division per source with the recurrence
+    * denominators as literals. A rank-1 corpus (x₂ = 0) reports NULL
+    * energy2 through the div-NULL path on both engines.
+    *
+    * Shape at 100 TB: ONE GramAgg scan collects the d² Gram (q240's
+    * contract), O(rounds·d²) driver work derives the two directions,
+    * then ONE more embeddings scan computes the per-row dots with the
+    * directions injected as array literals — both scans parallel,
+    * per-row codegen arithmetic, one |sources|-key agg. */
+  def sourceProjectionEnergy(spark: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val g = corpusGram(spark, d, dim)
+    val (v1, _, den1) = powerIterate(g, dim)
+    val (x2, _, den2) = deflatedIterate(g, dim, v1, den1)
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    def dsq(dir: Array[BigInt], name: String): Column = {
+      val arr = lit(dir.map(_.toDouble))
+      val dt = dot(col("q").cast("array<double>"), arr)
+      (dt * dt).cast("long").as(name)
+    }
+    val e = withNorm(Tables.embeddings(spark, d))
+      .withColumn("ma", maxabs).filter(col("ma") > 0)
+      .withColumn("sc", lit(127.0) / col("ma"))
+      .withColumn("q", transform(col("v"), x =>
+        when(x >= 0, floor(abs(x * col("sc")) + lit(0.5)))
+          .otherwise(-floor(abs(x * col("sc")) + lit(0.5))))
+        .cast("array<long>"))
+      .select(col("vec_id"),
+        dot(col("q").cast("array<double>"), col("q").cast("array<double>"))
+          .cast("long").as("qn"),
+        dsq(v1, "d1sq"), dsq(x2, "d2sq"))
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val agg = e.join(src, col("vec_id") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(qn AS DECIMAL(38,0))")).as("sqn"),
+        sum(expr("CAST(d1sq AS DECIMAL(38,0))")).as("s1"),
+        sum(expr("CAST(d2sq AS DECIMAL(38,0))")).as("s2"))
+    val e2 = if (den2 == 0) lit(null).cast("long")
+      else expr(s"CAST((1000 * s2) div ($den2 * sqn) AS BIGINT)")
+    agg.select(col("source"), col("n_vecs"),
+        expr(s"CAST((1000 * s1) div ($den1 * sqn) AS BIGINT)")
+          .as("energy1_pm"),
+        e2.as("energy2_pm"))
+      .orderBy(col("source"))
+  }
 }

@@ -633,6 +633,14 @@ object SparkEntry {
     "q269_quant_fidelity" -> (Similarity.quantFidelity _),
     // minhash vs simhash pair agreement, exact-Jaccard arbitrated
     "q270_text_method_agreement" -> (Dedup.textMethodAgreement _),
+    // per-shard adjacent-same-source rate vs the Simpson baseline
+    "q271_interleave_audit" -> (Curation.interleaveAudit _),
+    // brand-month revenue anomalies vs the brand's median/MAD
+    "q272_mad_anomaly_calendar" -> (Queries.madAnomalyCalendar _),
+    // exact Kendall tau-a of monthly revenue per brand pair
+    "q273_kendall_comovement" -> (Queries.kendallComovement _),
+    // per-source energy along the global v1/x2 spectral directions
+    "q274_source_projection_energy" -> (Similarity.sourceProjectionEnergy _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -5707,5 +5715,164 @@ object SparkEntry {
          |       (sum(j_pm) // count(*))::BIGINT AS mean_j_pm,
          |       min(j_pm)::BIGINT AS min_j_pm, max(j_pm)::BIGINT AS max_j_pm
          |FROM jj GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q271: salted polyhash order, shard = h mod S, per-shard lag
+    // adjacency, Simpson baseline in HUGEINT.
+    "q271_interleave_audit" -> {
+      val s = Curation.InterleaveShards
+      s"""WITH dd AS (SELECT doc_id, source,
+         |        ${H("'interleave42:' || text")} AS h FROM documents),
+         |sd AS (SELECT doc_id, source, h, h % $s AS shard FROM dd),
+         |lg AS (SELECT shard, source, lag(source) OVER
+         |        (PARTITION BY shard ORDER BY h, doc_id) prev FROM sd),
+         |aj AS (SELECT shard, count(*)::BIGINT n_docs,
+         |        sum(CASE WHEN prev = source THEN 1 ELSE 0 END)::BIGINT
+         |          n_adj_same
+         |      FROM lg GROUP BY shard),
+         |bs AS (SELECT ((1000 * sum(ns::HUGEINT * ns)) //
+         |        (sum(ns)::HUGEINT * sum(ns)))::BIGINT expected_pm
+         |      FROM (SELECT count(*)::BIGINT ns FROM documents
+         |            GROUP BY source))
+         |SELECT shard::BIGINT AS shard, n_docs, n_adj_same,
+         |       ((1000 * n_adj_same) // (n_docs - 1))::BIGINT AS rate_pm,
+         |       expected_pm
+         |FROM aj, bs ORDER BY shard""".stripMargin
+    },
+    // q272: the q235 brand-month grid, deterministic lower medians by
+    // rank (n+1)//2 under (value, month) order for med and MAD, 3-MAD
+    // flag per cell.
+    "q272_mad_anomaly_calendar" ->
+      """WITH bm AS (SELECT p_brand brand,
+        |        (year(l_shipdate) * 12 + month(l_shipdate) - 1)::BIGINT m,
+        |        sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |          rev_cents
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      GROUP BY 1, 2),
+        |med AS (SELECT brand, rev_cents med_cents FROM
+        |      (SELECT brand, rev_cents, row_number() OVER
+        |        (PARTITION BY brand ORDER BY rev_cents, m) rk,
+        |        count(*) OVER (PARTITION BY brand) n FROM bm)
+        |      WHERE rk = (n + 1) // 2),
+        |dv AS (SELECT bm.brand, bm.m, bm.rev_cents, med.med_cents,
+        |        abs(bm.rev_cents - med.med_cents)::BIGINT dev_cents
+        |      FROM bm JOIN med ON med.brand = bm.brand),
+        |mad AS (SELECT brand, dev_cents mad_cents FROM
+        |      (SELECT brand, dev_cents, row_number() OVER
+        |        (PARTITION BY brand ORDER BY dev_cents, m) rk,
+        |        count(*) OVER (PARTITION BY brand) n FROM dv)
+        |      WHERE rk = (n + 1) // 2)
+        |SELECT dv.brand, dv.m, dv.rev_cents, dv.med_cents, mad.mad_cents,
+        |       dv.dev_cents,
+        |       (CASE WHEN dv.dev_cents > 3 * mad.mad_cents THEN 1 ELSE 0
+        |        END)::BIGINT AS is_anomaly
+        |FROM dv JOIN mad ON mad.brand = dv.brand
+        |ORDER BY dv.brand, dv.m""".stripMargin,
+    // q273: month-aligned brand-pair grid, month-pair sign products,
+    // tau-a = (C − D) / C(n,2) sign-decomposed in milli. pv
+    // MATERIALIZED: the self-join references it twice and its
+    // equality anchor must not be reordered into a piecewise range
+    // join (the q227/q237 lesson).
+    "q273_kendall_comovement" ->
+      """WITH bm AS (SELECT p_brand brand,
+        |        (year(l_shipdate) * 12 + month(l_shipdate) - 1)::BIGINT m,
+        |        sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |          rev_cents
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      GROUP BY 1, 2),
+        |pv AS MATERIALIZED (SELECT a.brand ba, b.brand bb, a.m,
+        |        a.rev_cents ra, b.rev_cents rb
+        |      FROM bm a JOIN bm b ON b.m = a.m AND a.brand < b.brand),
+        |mp AS (SELECT p.ba, p.bb,
+        |        (CASE WHEN q.ra > p.ra THEN 1 WHEN q.ra < p.ra THEN -1
+        |          ELSE 0 END) *
+        |        (CASE WHEN q.rb > p.rb THEN 1 WHEN q.rb < p.rb THEN -1
+        |          ELSE 0 END) s
+        |      FROM pv p JOIN pv q ON q.ba = p.ba AND q.bb = p.bb
+        |        AND q.m > p.m),
+        |ag AS (SELECT ba, bb,
+        |        sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)::BIGINT n_conc,
+        |        sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)::BIGINT n_disc,
+        |        count(*)::BIGINT np
+        |      FROM mp GROUP BY 1, 2),
+        |nm AS (SELECT ba, bb, count(*)::BIGINT n_months FROM pv
+        |      GROUP BY 1, 2)
+        |SELECT nm.ba AS brand_a, nm.bb AS brand_b, nm.n_months,
+        |       ag.n_conc, ag.n_disc,
+        |       (CASE WHEN ag.n_conc >= ag.n_disc
+        |         THEN (1000 * (ag.n_conc - ag.n_disc)) // ag.np
+        |         ELSE -((1000 * (ag.n_disc - ag.n_conc)) // ag.np)
+        |        END)::BIGINT AS tau_milli
+        |FROM nm JOIN ag ON ag.ba = nm.ba AND ag.bb = nm.bb
+        |ORDER BY brand_a, brand_b""".stripMargin,
+    // q274: the q240 power chain + the q244 deflation chain (both
+    // MATERIALIZED round-for-round), per-vector dots with each
+    // direction via an index cross-join, per-source HUGEINT energy
+    // ratios against the direction norms.
+    "q274_source_projection_energy" -> {
+      val v1rounds = (1 to Similarity.PowerRounds).map { r =>
+        s"""w$r AS MATERIALIZED (SELECT g.i, sum(g.gv * v${r - 1}.x) w
+           |      FROM g JOIN v${r - 1} ON v${r - 1}.i = g.j GROUP BY 1),
+           |v$r AS MATERIALIZED (SELECT i,
+           |      CASE WHEN w >= 0 THEN (1000 * w) // (SELECT max(abs(w)) FROM w$r)
+           |        ELSE -((1000 * -w) // (SELECT max(abs(w)) FROM w$r)) END x
+           |      FROM w$r)""".stripMargin
+      }.mkString(",\n")
+      val v1 = s"v${Similarity.PowerRounds}"
+      val defRounds = (1 to Similarity.PowerRounds).map { r =>
+        s"""u$r AS MATERIALIZED (SELECT g.i, sum(g.gv * x${r - 1}.x) u
+           |      FROM g JOIN x${r - 1} ON x${r - 1}.i = g.j GROUP BY 1),
+           |d$r AS MATERIALIZED (SELECT sum($v1.x * u$r.u) dot
+           |      FROM u$r JOIN $v1 ON $v1.i = u$r.i),
+           |p$r AS MATERIALIZED (SELECT u$r.i,
+           |      u$r.u * (SELECT dd FROM dn1) - (SELECT dot FROM d$r) * $v1.x p
+           |      FROM u$r JOIN $v1 ON $v1.i = u$r.i),
+           |m$r AS (SELECT greatest(max(abs(p)), 1) mx FROM p$r),
+           |x$r AS MATERIALIZED (SELECT i,
+           |      CASE WHEN p >= 0 THEN (1000 * p) // (SELECT mx FROM m$r)
+           |        ELSE -((1000 * -p) // (SELECT mx FROM m$r)) END x
+           |      FROM p$r)""".stripMargin
+      }.mkString(",\n")
+      val xf = s"x${Similarity.PowerRounds}"
+      s"""WITH ee AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |ss AS (SELECT vec_id, v,
+         |      127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
+         |      FROM ee
+         |      WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0),
+         |qs AS MATERIALIZED (SELECT vec_id, list_transform(v, x ->
+         |        (CASE WHEN x >= 0 THEN floor(abs(x * sc) + 0.5)
+         |          ELSE -floor(abs(x * sc) + 0.5) END)::BIGINT) q FROM ss),
+         |g AS MATERIALIZED (SELECT i.i, j.j, sum(q[i.i] * q[j.j])::HUGEINT gv
+         |      FROM qs, generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+         |      GROUP BY 1, 2),
+         |v0 AS (SELECT i, 1000::HUGEINT x FROM generate_series(1, 64) t(i)),
+         |$v1rounds,
+         |dn1 AS MATERIALIZED (SELECT sum(x * x) dd FROM $v1),
+         |d0 AS MATERIALIZED (SELECT 1000 * sum(x) dot FROM $v1),
+         |p0 AS MATERIALIZED (SELECT $v1.i,
+         |      1000 * (SELECT dd FROM dn1) - (SELECT dot FROM d0) * $v1.x p
+         |      FROM $v1),
+         |m0 AS (SELECT greatest(max(abs(p)), 1) mx FROM p0),
+         |x0 AS MATERIALIZED (SELECT i,
+         |      CASE WHEN p >= 0 THEN (1000 * p) // (SELECT mx FROM m0)
+         |        ELSE -((1000 * -p) // (SELECT mx FROM m0)) END x
+         |      FROM p0),
+         |$defRounds,
+         |fd2 AS (SELECT sum(x * x) dd FROM $xf),
+         |pd1 AS MATERIALIZED (SELECT qs.vec_id,
+         |      sum(qs.q[vv.i] * vv.x)::HUGEINT dt FROM qs, $v1 vv GROUP BY 1),
+         |pd2 AS MATERIALIZED (SELECT qs.vec_id,
+         |      sum(qs.q[xx.i] * xx.x)::HUGEINT dt FROM qs, $xf xx GROUP BY 1),
+         |qn AS (SELECT vec_id, list_dot_product(q, q)::HUGEINT qn FROM qs),
+         |per AS (SELECT doc.source, qn.qn,
+         |        pd1.dt * pd1.dt d1sq, pd2.dt * pd2.dt d2sq
+         |      FROM qn JOIN pd1 ON pd1.vec_id = qn.vec_id
+         |      JOIN pd2 ON pd2.vec_id = qn.vec_id
+         |      JOIN documents doc ON doc.doc_id = qn.vec_id)
+         |SELECT source, count(*)::BIGINT AS n_vecs,
+         |       ((1000 * sum(d1sq)) //
+         |        ((SELECT dd FROM dn1) * sum(qn)))::BIGINT AS energy1_pm,
+         |       ((1000 * sum(d2sq)) //
+         |        ((SELECT dd FROM fd2) * sum(qn)))::BIGINT AS energy2_pm
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 }

@@ -250,4 +250,57 @@ object DocStream {
         col("n_docs"), col("n_kept"),
         expr("(1000 * n_kept) div n_docs").as("coverage_pm"))
   }
+
+  /** Streaming CURATION RULE MONITOR — q267's six-rule audit as an
+    * ingest-time alarm: every arriving doc evaluates all six rule
+    * flags ROW-LOCALLY (the identical integer thresholds — constants
+    * shared with TextAnalysis.ruleAudit via the spec's twin assert),
+    * and a watermarked 10-minute window emits per-window flag counts
+    * and the kill-any rate in permille. A window whose kill rate
+    * jumps is an upstream feed going bad — caught while the batch
+    * audit would still be hours away. State is the windowed count
+    * only (watermark-evicted); no per-doc state survives the window.
+    * Unlike batch q267 there is no unique-kill column: uniqueness is
+    * a corpus-level marginal, not a monitoring signal. */
+  def ruleMonitor(docs: Dataset[Doc]): DataFrame = {
+    val t = split(col("text"), " ")
+    val g = when(size(t) >= 5,
+      transform(sequence(lit(0), size(t) - 5),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(5)))))
+      .otherwise(array())
+    docs.toDF()
+      .select(col("ts"), col("doc_id"),
+        size(t).cast("long").as("n_tok"),
+        size(array_distinct(t)).cast("long").as("n_uniq"),
+        size(filter(t, x =>
+          x.isin("the", "a", "of", "and", "is", "to", "in")))
+          .cast("long").as("n_stop"),
+        greatest(size(t) - 4, lit(0)).cast("long").as("n5"),
+        size(array_distinct(g)).cast("long").as("u5"),
+        length(col("text")).cast("long").as("len"),
+        size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)"))
+          .cast("long").as("n_punct"))
+      .select(col("ts"),
+        when(col("n_tok") < 20, 1L).otherwise(0L).as("f1"),
+        when(col("n_tok") > 90, 1L).otherwise(0L).as("f2"),
+        when(col("n_uniq") * 100L < col("n_tok") * 45L, 1L)
+          .otherwise(0L).as("f3"),
+        when((col("n5") - col("u5")) * 1000L > col("n5") * 150L, 1L)
+          .otherwise(0L).as("f4"),
+        when(col("n_stop") < 2, 1L).otherwise(0L).as("f5"),
+        when(col("n_punct") * 1000L > col("len") * 30L, 1L)
+          .otherwise(0L).as("f6"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f1")).as("n_short"), sum(col("f2")).as("n_long"),
+        sum(col("f3")).as("n_low_uniq"), sum(col("f4")).as("n_dup5"),
+        sum(col("f5")).as("n_no_stop"), sum(col("f6")).as("n_symbol"),
+        sum(when(expr("f1 + f2 + f3 + f4 + f5 + f6") > 0, 1L)
+          .otherwise(0L)).as("n_killed"))
+      .select(col("window.start").as("w_start"), col("n_docs"),
+        col("n_short"), col("n_long"), col("n_low_uniq"), col("n_dup5"),
+        col("n_no_stop"), col("n_symbol"), col("n_killed"),
+        expr("(1000 * n_killed) div n_docs").as("kill_rate_pm"))
+  }
 }

@@ -264,4 +264,57 @@ class DocStreamSpec extends SparkSpec {
       assert(got.exists(_._5 < 1000L) && got.forall(_._5 >= 0L))
     } finally q.stop()
   }
+
+  test("streaming rule monitor ≡ local windowed recompute of the q267 flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.01"
+    // two 10-minute windows by doc parity — same framing as the
+    // conformal monitor test
+    val docs = Tables.documents(spark, d)
+      .selectExpr("doc_id",
+        "timestamp_millis(60000000 + (doc_id % 2) * 600000) as ts", "text")
+      .as[DocStream.Doc].collect().toSeq
+    val mem = MemoryStream[DocStream.Doc]
+    val q = DocStream.ruleMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("rules_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val got = spark.table("rules_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1),
+          Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7)),
+          r.getLong(8), r.getLong(9))).toSet
+      val stop = Set("the", "a", "of", "and", "is", "to", "in")
+      def flags(text: String): Seq[Long] = {
+        val t = text.split(" ", -1)
+        val (nTok, nUniq) = (t.length.toLong, t.distinct.length.toLong)
+        val n5 = math.max(nTok - 4, 0L)
+        val u5 = if (n5 == 0) 0L
+          else t.sliding(5).map(_.mkString(" ")).toSeq.distinct.length.toLong
+        val nPunct = text.count(c =>
+          !((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+            (c >= '0' && c <= '9') || c == ' ')).toLong
+        Seq(if (nTok < 20) 1L else 0L, if (nTok > 90) 1L else 0L,
+          if (nUniq * 100 < nTok * 45) 1L else 0L,
+          if ((n5 - u5) * 1000 > n5 * 150) 1L else 0L,
+          if (t.count(stop) < 2) 1L else 0L,
+          if (nPunct * 1000 > text.length * 30) 1L else 0L)
+      }
+      val exp = docs.groupBy(_.ts.getTime / 600000L * 600000L)
+        .map { case (w, g) =>
+          val fs = g.map(doc => flags(doc.text))
+          val killed = fs.count(_.sum > 0).toLong
+          (w, g.size.toLong, (0 until 6).map(i => fs.map(_(i)).sum),
+            killed, 1000L * killed / g.size)
+        }.toSet
+      assert(got == exp)
+      // the monitor discriminates: rules fire in both windows
+      assert(got.forall(_._4 > 0))
+    } finally q.stop()
+  }
 }

@@ -460,6 +460,33 @@ object ScaleProbe {
       println(f"[probe] q266_dedup_threshold_curve 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
       println(f"[probe] r9h ratios: q266_dedup_threshold_curve=${t10 / t1}%.1f")
     }
+    // round-10 additions: text/doc-scan ops ride the perturbed-replica
+    // documents corpus, vector ops the vec-aligned twin, orders/brand
+    // analytics the disjoint-replica trade corpus (10× customers,
+    // orders, and parts — the honest model for quintiles/calendars:
+    // more keys, not denser keys)
+    if (fams("r10")) {
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val r10qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, String)] =
+        Seq(("q267_rule_audit", TextAnalysis.ruleAudit _, d10),
+          ("q268_rfm_migration", Queries.rfmMigration _, gdir),
+          ("q269_quant_fidelity", Similarity.quantFidelity _, vdir),
+          ("q270_text_method_agreement", Dedup.textMethodAgreement _, d10),
+          ("q271_interleave_audit", Curation.interleaveAudit _, d10),
+          ("q272_mad_anomaly_calendar", Queries.madAnomalyCalendar _, gdir),
+          ("q273_kendall_comovement", Queries.kendallComovement _, gdir),
+          ("q274_source_projection_energy",
+            Similarity.sourceProjectionEnergy _, vdir))
+      val rr = r10qs.map { case (name, fn, dd) =>
+        val t1 = min2(name, fn, d1)
+        val t10 = min2(name, fn, dd)
+        println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+        name -> (t10 / t1)
+      }
+      println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10 ratios: ", ", ", ""))
+    }
     spark.stop()
   }
 }
