@@ -665,4 +665,66 @@ object Graph {
     (peels :+ core).reduce(_ unionAll _)
       .orderBy(col("p1"), col("p2"))
   }
+
+  /** Club sizes for q276 — the degree-elite tiers whose internal
+    * density the rich-club curve prices. */
+  val RichClubKs: Seq[Int] = Seq(16, 32, 64, 128)
+
+  /** q276: RICH-CLUB COEFFICIENT CURVE — for each club size k in
+    * [[RichClubKs]], the edge density AMONG the k highest-degree
+    * nodes of the co-purchase graph vs the whole graph's density, in
+    * exact milli: φ(k) = E_k / C(m,2), ratio = φ(k)/φ(global) as ONE
+    * cross-multiplied integral division (never two stacked rounded
+    * divisions). A ratio ≫ 1000 means the hubs preferentially
+    * interconnect — the popular parts co-sell with each other, so
+    * hub-targeted promotions (or, on a crawl graph, hub-order crawl
+    * scheduling and cache placement) compound; ratio ≈ 1000 means
+    * degree alone explains nothing. Complements q127 (how clustered
+    * is each node's OWN neighborhood) and q208 (do high-degree nodes
+    * ATTACH to high-degree nodes — assortativity over all edges):
+    * the rich-club question is about the induced subgraph of the
+    * elite, which assortativity provably cannot resolve.
+    *
+    * Determinism: club membership ranks by (degree desc, node asc) —
+    * boundary ties resolve identically in both engines.
+    *
+    * Shape at 100 TB: degrees from the persisted co-purchase edge
+    * stage (one keyed agg); the club is a ≤max(k) bounded
+    * TakeOrdered-style collect (the q240 driver-fold contract — 128
+    * rows, never a global sort), re-broadcast as an isin literal; per
+    * k one membership-filtered edge count over the edge relation.
+    * |Ks| bounded passes; each is a codegen'd scan-and-count. */
+  def richClub(spark: SparkSession, d: String): DataFrame = {
+    val pairs = CacheScope.cached(coPurchaseEdges(spark, d))
+    val deg = pairs.select(col("p1").as("node"))
+      .union(pairs.select(col("p2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val kMax = RichClubKs.max
+    // bounded collect: exactly min(kMax, |nodes|) rows
+    val elite = deg.orderBy(col("dg").desc, col("node")).limit(kMax)
+      .select(col("node")).collect().map(_.getLong(0))
+    val nNodes = deg.count()
+    val nEdges = pairs.count()
+    val rows = RichClubKs.map { k =>
+      val members = elite.take(k)
+      val m = members.length.toLong
+      val ek =
+        if (m < 2) 0L
+        else pairs.filter(col("p1").isInCollection(members) &&
+          col("p2").isInCollection(members)).count()
+      val density =
+        if (m < 2) 0L else 2000L * ek / (m * (m - 1))
+      // ratio in ONE division: (E_k·N·(N−1)) / (E·m·(m−1)) — exact
+      val ratio =
+        if (m < 2 || nEdges == 0) 0L
+        else ((BigInt(1000) * ek * nNodes * (nNodes - 1)) /
+          (BigInt(nEdges) * m * (m - 1))).toLong
+      (k.toLong, m, ek, density, ratio)
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "n_members", "n_edges_within", "density_milli",
+        "rc_ratio_milli")
+      .orderBy(col("k"))
+  }
 }

@@ -2823,4 +2823,55 @@ object Queries {
           .as("tau_milli"))
       .orderBy(col("brand_a"), col("brand_b"))
   }
+
+  /** q277: ASSOCIATION RULES — the DIRECTED rules q198's symmetric
+    * lift can't express: for every co-purchased part pair with support
+    * ≥ 3 baskets, BOTH directions A→B and B→A with exact confidence
+    * milli (⌊1000·|A∩B|/|A|⌋) and conviction milli — conviction =
+    * (1 − supp(B)) / (1 − conf(A→B)) as ONE cross-multiplied integral
+    * division ⌊1000·(t−c_b)·c_a / (t·(c_a−c_ab))⌋, the "how much more
+    * often would A appear without B if they were independent" measure
+    * that, unlike confidence, punishes rules whose consequent is just
+    * globally common. A deterministic-confidence rule (c_ab = c_a)
+    * reports NULL conviction via the div-NULL path on both engines —
+    * infinity, honestly. Top 30 by (confidence desc, antecedent,
+    * consequent), the basket-placement read ("customers who bought A
+    * buy B" — directionality is the point: diapers→beer and
+    * beer→diapers are different decisions).
+    *
+    * Shape at 100 TB: identical physics to q198 — basket-keyed
+    * self-equi-join with per-basket C(k,2) fan-out, part-keyed
+    * frequency joins, a one-row scalar broadcast, and a bounded
+    * TakeOrdered. The direction union doubles a support-filtered
+    * relation, nothing else. DECIMAL(38,0) products throughout (t and
+    * the counts are corpus-scale). */
+  def associationRules(spark: SparkSession, d: String): DataFrame = {
+    val items = CacheScope.cached(
+      Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct())
+    val pairs = items.toDF("ok", "pa").join(items.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+    val directed = pairs.select(col("pa").as("ante"), col("pb").as("cons"),
+        col("c_ab"))
+      .unionAll(pairs.select(col("pb").as("ante"), col("pa").as("cons"),
+        col("c_ab")))
+    val freq = items.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val baskets = items.agg(countDistinct(col("ok")).as("t"))
+    directed
+      .join(freq.toDF("ante", "c_a"), "ante")
+      .join(freq.toDF("cons", "c_b"), "cons")
+      .crossJoin(broadcast(baskets))
+      .select(col("ante"), col("cons"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(CAST(1000 AS DECIMAL(38,0)) * c_ab) div c_a")
+          .as("confidence_milli"),
+        // (t−c_b)·c_a / (t·(c_a−c_ab)); c_a = c_ab ⇒ div 0 ⇒ NULL ⇒ ∞
+        expr("CAST((CAST(1000 AS DECIMAL(38,0)) * (t - c_b) * c_a) div " +
+          "(CAST(t AS DECIMAL(38,0)) * (c_a - c_ab)) AS BIGINT)")
+          .as("conviction_milli"))
+      .orderBy(col("confidence_milli").desc, col("ante"), col("cons"))
+      .limit(30)
+  }
 }

@@ -1737,4 +1737,63 @@ object Similarity {
         e2.as("energy2_pm"))
       .orderBy(col("source"))
   }
+
+  /** Dims reported per source by q275. */
+  val DimDriftTopK = 3
+
+  /** q275: SOURCE-DIMENSION DRIFT ATTRIBUTION — for each source, the
+    * [[DimDriftTopK]] embedding dimensions where its per-dimension
+    * mean deviates MOST from the corpus mean, with both means and the
+    * signed difference in exact micro units. q252 (pairwise MMD) and
+    * q242 (per-source anisotropy) DETECT that a source's cloud sits
+    * somewhere else; this names WHICH coordinates carry the shift —
+    * the attribution an embedding-pipeline owner reads before deciding
+    * "re-embed this source" vs "mean-center these dims" (a handful of
+    * drifted dims = preprocessing skew or a model-version tell; drift
+    * smeared over all dims = genuinely different content).
+    *
+    * Exactness: the q186 per-element integerization — vms =
+    * floor(v·10⁶) + 10⁶ ≥ 0, so every sum is an exact long and every
+    * integer division is floor on both engines. Dims are RANKED by the
+    * exact cross-multiplied deviation |s_sd·n − c_p·n_s| (the shared
+    * n_s·n denominator cancels within a source, so the ranking is the
+    * true |mean-diff| ranking with zero division error); products ride
+    * DECIMAL(38,0) — s_sd ≈ 2·10⁶·rows overflows Long×Long at corpus
+    * scale. Tie-break: smaller dim.
+    *
+    * Shape at 100 TB: one posexplode + (source, dim) hash-agg
+    * (|sources|·d cells regardless of corpus size), a d-row corpus
+    * re-agg of those cells (never a second scan), a broadcast join on
+    * dim, and a rank window inside d-row source partitions. */
+  def sourceDimDrift(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val cells = CacheScope.cached(Tables.embeddings(spark, d)
+      .join(src, col("vec_id") === col("doc_id"))
+      .select(col("source"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("source"), col("pos").cast("long").as("dim"),
+        (floor(col("v") * 1000000.0d).cast("long") + 1000000L).as("vms"))
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(col("vms")).as("s_sd"), count(lit(1)).as("n_s")))
+    val corpus = cells.groupBy(col("dim"))
+      .agg(sum(col("s_sd")).as("c_p"), sum(col("n_s")).as("n"))
+      .select(col("dim").as("cd"), col("c_p"), col("n"))
+    val joined = cells.join(broadcast(corpus), col("dim") === col("cd"))
+      .withColumn("num", expr(
+        "CAST(s_sd AS DECIMAL(38,0)) * n - CAST(c_p AS DECIMAL(38,0)) * n_s"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(abs(col("num")).desc, col("dim"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= DimDriftTopK)
+      .select(col("source"), col("rnk"), col("dim"),
+        expr("s_sd div n_s - 1000000").as("mean_src_micro"),
+        expr("c_p div n - 1000000").as("mean_corpus_micro"),
+        when(col("num") >= 0,
+          expr("CAST(num div (CAST(n_s AS DECIMAL(38,0)) * n) AS BIGINT)"))
+          .otherwise(
+            -expr("CAST((-num) div (CAST(n_s AS DECIMAL(38,0)) * n) AS BIGINT)"))
+          .as("diff_micro"))
+      .orderBy(col("source"), col("rnk"))
+  }
 }

@@ -641,6 +641,12 @@ object SparkEntry {
     "q273_kendall_comovement" -> (Queries.kendallComovement _),
     // per-source energy along the global v1/x2 spectral directions
     "q274_source_projection_energy" -> (Similarity.sourceProjectionEnergy _),
+    // top-3 dims by exact |source mean − corpus mean| per source
+    "q275_source_dim_drift" -> (Similarity.sourceDimDrift _),
+    // degree-elite internal density vs global (rich-club curve)
+    "q276_rich_club" -> (Graph.richClub _),
+    // directed A→B rules: exact confidence + conviction, top 30
+    "q277_association_rules" -> (Queries.associationRules _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -5874,5 +5880,95 @@ object SparkEntry {
          |        ((SELECT dd FROM fd2) * sum(qn)))::BIGINT AS energy2_pm
          |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // q275: the q186 micro-shift integerization per (source, dim)
+    // cell, corpus re-agg of the cells, exact cross-multiplied
+    // |mean diff| ranking in HUGEINT, sign-decomposed micro diff.
+    "q275_source_dim_drift" -> {
+      val topk = Similarity.DimDriftTopK
+      s"""WITH x AS (SELECT doc.source, e.i::BIGINT - 1 AS dim,
+         |      floor(e.embedding[e.i]::DOUBLE * 1000000)::BIGINT
+         |        + 1000000 AS vms
+         |      FROM (SELECT vec_id, embedding,
+         |            unnest(generate_series(1, len(embedding))) i
+         |            FROM embeddings) e
+         |      JOIN documents doc ON doc.doc_id = e.vec_id),
+         |cells AS MATERIALIZED (SELECT source, dim, sum(vms)::BIGINT s_sd,
+         |      count(*)::BIGINT n_s FROM x GROUP BY 1, 2),
+         |corp AS (SELECT dim, sum(s_sd)::BIGINT c_p, sum(n_s)::BIGINT n
+         |      FROM cells GROUP BY 1),
+         |j AS (SELECT cells.source, cells.dim, s_sd, n_s, c_p, n,
+         |      s_sd::HUGEINT * n - c_p::HUGEINT * n_s AS num
+         |      FROM cells JOIN corp ON corp.dim = cells.dim),
+         |r AS (SELECT *, row_number() OVER
+         |      (PARTITION BY source ORDER BY abs(num) DESC, dim) rnk FROM j)
+         |SELECT source, rnk::BIGINT AS rnk, dim,
+         |       (s_sd // n_s - 1000000)::BIGINT AS mean_src_micro,
+         |       (c_p // n - 1000000)::BIGINT AS mean_corpus_micro,
+         |       (CASE WHEN num >= 0 THEN num // (n_s::HUGEINT * n)
+         |             ELSE -((-num) // (n_s::HUGEINT * n))
+         |        END)::BIGINT AS diff_micro
+         |FROM r WHERE rnk <= $topk ORDER BY source, rnk""".stripMargin
+    },
+    // q276: the q127 capped edge CTE, degree ranking, per-k elite
+    // membership edge counts, one cross-multiplied HUGEINT ratio.
+    "q276_rich_club" -> {
+      val per = Graph.RichClubKs.map { k =>
+        s"""c$k AS (SELECT count(*)::BIGINT c FROM e
+           |      WHERE p1 IN (SELECT node FROM rk WHERE rn <= $k)
+           |        AND p2 IN (SELECT node FROM rk WHERE rn <= $k)),
+           |w$k AS (SELECT $k::BIGINT k,
+           |      least($k, (SELECT nn FROM tot))::BIGINT m, c
+           |      FROM c$k)""".stripMargin
+      }.mkString(",\n")
+      val rows = Graph.RichClubKs.map(k => s"SELECT * FROM w$k")
+        .mkString(" UNION ALL ")
+      s"""WITH it0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |      FROM lineitem),
+         |it AS (SELECT ok, pk FROM (
+         |        SELECT ok, pk, row_number() OVER
+         |          (PARTITION BY ok ORDER BY pk) AS rn
+         |        FROM it0) WHERE rn <= 1024),
+         |e AS MATERIALIZED (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+         |      FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+         |deg AS MATERIALIZED (SELECT node, count(*)::BIGINT AS dg FROM
+         |      (SELECT p1 AS node FROM e UNION ALL SELECT p2 AS node FROM e)
+         |      GROUP BY 1),
+         |rk AS MATERIALIZED (SELECT node, dg,
+         |      row_number() OVER (ORDER BY dg DESC, node) rn FROM deg),
+         |tot AS MATERIALIZED (SELECT (SELECT count(*) FROM deg) nn,
+         |      (SELECT count(*) FROM e) ee),
+         |$per
+         |SELECT k, m AS n_members, c AS n_edges_within,
+         |       (CASE WHEN m < 2 THEN 0 ELSE (2000 * c) // (m * (m - 1))
+         |        END)::BIGINT AS density_milli,
+         |       (CASE WHEN m < 2 OR (SELECT ee FROM tot) = 0 THEN 0
+         |        ELSE (1000::HUGEINT * c * (SELECT nn FROM tot)
+         |              * ((SELECT nn FROM tot) - 1))
+         |          // ((SELECT ee FROM tot)::HUGEINT * m * (m - 1))
+         |        END)::BIGINT AS rc_ratio_milli
+         |FROM ($rows) ORDER BY k""".stripMargin
+    },
+    // q277: the q198 basket self-join, direction union, exact
+    // confidence and one cross-multiplied conviction (c_a = c_ab ⇒
+    // //0 ⇒ NULL ⇒ the honest infinity), top 30.
+    "q277_association_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey p
+        |      FROM lineitem),
+        |pairs AS (SELECT a.p pa, b.p pb, count(*)::BIGINT c_ab
+        |      FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |dir AS (SELECT pa ante, pb cons, c_ab FROM pairs
+        |      UNION ALL SELECT pb, pa, c_ab FROM pairs),
+        |freq AS (SELECT p, count(*)::BIGINT c FROM items GROUP BY 1),
+        |bt AS (SELECT count(DISTINCT ok)::BIGINT tb FROM items)
+        |SELECT ante, cons, c_ab, fa.c AS c_a, fb.c AS c_b,
+        |       ((1000::HUGEINT * c_ab) // fa.c)::BIGINT
+        |         AS confidence_milli,
+        |       ((1000::HUGEINT * (bt.tb - fb.c) * fa.c) //
+        |        (bt.tb::HUGEINT * (fa.c - c_ab)))::BIGINT
+        |         AS conviction_milli
+        |FROM dir JOIN freq fa ON fa.p = dir.ante
+        |     JOIN freq fb ON fb.p = dir.cons, bt
+        |ORDER BY confidence_milli DESC, ante, cons LIMIT 30""".stripMargin,
   )
 }

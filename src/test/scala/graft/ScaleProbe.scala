@@ -478,7 +478,9 @@ object ScaleProbe {
           ("q272_mad_anomaly_calendar", Queries.madAnomalyCalendar _, gdir),
           ("q273_kendall_comovement", Queries.kendallComovement _, gdir),
           ("q274_source_projection_energy",
-            Similarity.sourceProjectionEnergy _, vdir))
+            Similarity.sourceProjectionEnergy _, vdir),
+          ("q275_source_dim_drift", Similarity.sourceDimDrift _, vdir),
+          ("q276_rich_club", Graph.richClub _, gdir))
       val rr = r10qs.map { case (name, fn, dd) =>
         val t1 = min2(name, fn, d1)
         val t10 = min2(name, fn, dd)
@@ -486,6 +488,17 @@ object ScaleProbe {
         name -> (t10 / t1)
       }
       println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10 ratios: ", ", ", ""))
+    }
+    // r10 late addition, separable so re-probing it doesn't pay the
+    // q270 replica-pair cost again
+    if (fams("r10d")) {
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val t1 = min2("q277_association_rules", Queries.associationRules _, d1)
+      val t10 = min2("q277_association_rules", Queries.associationRules _, gdir)
+      println(f"[probe] q277_association_rules 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+      println(f"[probe] r10d ratios: q277_association_rules=${t10 / t1}%.1f")
     }
     spark.stop()
   }
