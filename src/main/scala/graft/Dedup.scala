@@ -1729,4 +1729,41 @@ object Dedup {
         col("min_j_pm"), col("max_j_pm"))
       .orderBy(col("cat"))
   }
+
+  /** q278: DEDUP-WEIGHTED EFFECTIVE DATASET SIZE — per source, the
+    * "count each unique document once" correction every training-mix
+    * planner applies on top of near-dup clustering: each doc weighs
+    * 1/|its q49 cluster|, so a source whose docs are all copies of one
+    * page contributes ~1 effective doc no matter how many rows it
+    * ships. Emitted per source: raw docs, owned canonical docs (the
+    * cluster's min-id rep — q49's labels ARE min-ids, so rep ⟺
+    * doc_id = cluster_id), effective size in milli (Σ 1000 div
+    * cluster_n — the PER-DOC floor is the defined semantic, identical
+    * in both engines; the ≤1‰-per-doc floor loss is documented, not
+    * hidden), singleton docs, and the inflation ratio
+    * (1 000 000·n_docs) div eff_milli (≥1000; 1000 = dup-free). The
+    * mix-weight view q221/q222's dup-economics tables stop short of:
+    * THE number you divide a source's token budget by before q63's
+    * mixture sampling.
+    *
+    * Shape at 100 TB: rides the PERSISTED cluster-label stage (q49's
+    * salted index — no recluster), one doc-keyed join to documents
+    * for the source column, one source-keyed hash-agg. Nothing here
+    * scales past the label relation itself. */
+  def dedupEffectiveSize(spark: SparkSession, d: String): DataFrame = {
+    val labels = nearDupClusters(spark, d) // (doc_id, cluster_id, cluster_n)
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    labels.join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+          .as("n_canonical"),
+        sum(expr("1000 div cluster_n")).as("eff_milli"),
+        sum(when(col("cluster_n") === 1L, 1L).otherwise(0L))
+          .as("n_singletons"))
+      .withColumn("inflation_milli",
+        expr("(1000000 * n_docs) div eff_milli"))
+      .orderBy(col("source"))
+  }
 }

@@ -715,4 +715,50 @@ object Multimodal {
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q281: AUDIO LOUDNESS / CLIPPING AUDIT — per audio item, the
+    * normalization-readiness statistics an ASR/TTS ingest pass
+    * computes before any model sees a waveform: sample count, mean
+    * absolute level in milli (1000·Σ|s| div n — one floored
+    * division), total energy (Σ s², the exact RMS numerator — the
+    * root is presentation-side, so the engine emits the integer),
+    * peak level, clip rate per-mille at |s| ≥ 30000, and the crest
+    * proxy (1000·peak·n div Σ|s| — peak over mean, ≥1000 by
+    * construction; all-silent payloads emit 0). Items that clip
+    * (clip_pm > 0) or sit far below full scale (peak < 8192) are the
+    * re-normalization queue; the q226 chunk plan tells the decoder
+    * WHERE to read, this audit says WHETHER the signal is usable.
+    *
+    * Sample source: the q226/q246 virtual-PCM contract (s16le mono
+    * after the 64-byte header, two's-complement decode), length
+    * contract n_s ≥ 32 — same rows q246 hashes. The statistics come
+    * from ONE codegen'd byte loop per payload (PcmStatsExpr — the
+    * q245/q246 kernel argument: the relational per-sample explode
+    * this replaces shuffles |samples| rows per doc for a row-local
+    * 5-vector; PerceptualHashSpec pins kernel ≡ relational on
+    * fixture bytes including the signed branch).
+    *
+    * Exactness: Σs² ≤ 2³⁰·n and 1000·peak·n ≤ 2²⁵·n stay exact Longs
+    * to ~8·10⁹ samples per payload (past any real track); every
+    * output is an integer or one floored division.
+    *
+    * Shape at 100 TB: map-only over the payload scan — no shuffle
+    * but the presentation sort; fuses into whatever scan feeds it. */
+  def audioLoudnessAudit(spark: SparkSession, d: String): DataFrame = {
+    val nb = EnergyBands.toLong
+    Tables.documentsDist(spark, d)
+      .filter(expr("greatest(length(text) - 64, 0) div 2") >= nb)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.pcmstats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_samples"),
+        expr("(1000 * st[1]) div st[0]").as("mean_abs_milli"),
+        col("st").getItem(2).as("energy"),
+        col("st").getItem(3).as("peak_abs"),
+        expr("(1000 * st[4]) div st[0]").as("clip_pm"),
+        when(col("st").getItem(1) > 0L,
+          expr("(1000 * st[3] * st[0]) div st[1]")).otherwise(0L)
+          .as("crest_milli"))
+      .orderBy(col("doc_id"))
+  }
 }

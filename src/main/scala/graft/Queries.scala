@@ -2874,4 +2874,59 @@ object Queries {
       .orderBy(col("confidence_milli").desc, col("ante"), col("cons"))
       .limit(30)
   }
+
+  /** q280 window length: 12 monthly taps with dyadic weights
+    * 2¹¹..2⁰ (newest heaviest), weight mass 2¹²−1 = 4095. */
+  val MomentumTaps = 12
+
+  /** q280: DYADIC-DECAY REVENUE MOMENTUM — per brand and month, an
+    * exponentially-weighted 12-month revenue level with EXACT dyadic
+    * weights (tap k back weighs 2^(11−k); level = weighted sum div
+    * 4095) and its month-over-month delta. The EWMA-family smoother
+    * made hash-exact: classic EWMA carries an infinite recurrence
+    * whose floored replay diverges across engines, so the operator is
+    * DEFINED as the 12-tap truncation — weights decay 2× per month
+    * (the α=½ profile), the tail below tap 12 is < 1/4096 of the
+    * mass, and every engine computes the identical integer. Missing
+    * months weigh in at 0 revenue (true demand silence, not NULL
+    * skip): levels only emit once a FULL window exists (month index
+    * ≥ 12 past spine start), momentum one month later. The read q233
+    * (seasonal ratio) and q235 (whole-series trend) don't give: the
+    * CURRENT smoothed level and whether it just turned — the
+    * inventory-pacing signal.
+    *
+    * Shape at 100 TB: the fact table collapses to the bounded
+    * calendar × brand grid FIRST (one keyed hash-agg); the spine
+    * bounds come from a 1-row collect (the q223 calendar contract);
+    * the 12 taps are lag() reads inside brand partitions of
+    * ≤|calendar| rows — one window sort over dimension-bounded data,
+    * nothing downstream scales with fact volume. Weighted sums are
+    * ≤ 4095·max monthly cents — route DECIMAL(38,0) past ~2·10¹⁴
+    * cents/brand-month. */
+  def dyadicMomentum(spark: SparkSession, d: String): DataFrame = {
+    val bm = CacheScope.cached(brandMonthRevenue(spark, d))
+    val bounds = bm.agg(min(col("m")), max(col("m"))).head()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val spine = spark.range(mn, mx + 1L).select(col("id").as("m"))
+    val grid = bm.select(col("brand")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(bm, Seq("brand", "m"), "left")
+      .select(col("brand"), col("m"),
+        coalesce(col("rev_cents"), lit(0L)).as("rev"))
+    val w = Window.partitionBy(col("brand")).orderBy(col("m"))
+    val num = (0 until MomentumTaps).map { k =>
+      lag(col("rev"), k, 0L).over(w) * lit(1L << (MomentumTaps - 1 - k))
+    }.reduce(_ + _)
+    grid.withColumn("num", num)
+      .withColumn("level_cents", expr("num div 4095"))
+      .withColumn("prev_level_cents",
+        lag(col("level_cents"), 1).over(w))
+      .withColumn("momentum_cents",
+        col("level_cents") - col("prev_level_cents"))
+      .filter(col("m") >= mn + MomentumTaps)
+      .select(col("brand"), col("m"), col("level_cents"),
+        col("prev_level_cents"), col("momentum_cents"),
+        signum(col("momentum_cents")).cast("long").as("direction"))
+      .orderBy(col("brand"), col("m"))
+  }
 }

@@ -1796,4 +1796,61 @@ object Similarity {
           .as("diff_micro"))
       .orderBy(col("source"), col("rnk"))
   }
+
+  /** q279 sample modulus: queries are the vec_id ≡ 0 (mod 7) slice —
+    * deterministic, corpus-independent, and broadcast-sized at every
+    * test SF. A production run holds the SAMPLE fixed instead (stride
+    * ∝ corpus) so the broadcast never grows; the plan is identical. */
+  val PurityStride = 7L
+
+  /** q279: kNN SOURCE-PURITY AUDIT — for a deterministic query sample,
+    * the fraction of each query's 5 exact-cosine nearest neighbors
+    * that share the query's source label, aggregated per source. The
+    * mislabeling/leakage detector the dedup family can't express: a
+    * source whose docs' neighbors are mostly FOREIGN either mislabels
+    * its provenance or duplicates another source's content at the
+    * semantic (not shingle) level — exactly the signal that decides
+    * whether "source" is a trustworthy mixture key for q63/q278.
+    * Per source: queries sampled, neighbor-match total, purity in
+    * milli ((1000·matches) div (5·queries) — ONE floored division),
+    * pure queries (5/5) and foreign queries (≤1/5).
+    *
+    * Exactness: the q26 double-cosine discipline (native sequential
+    * dot ≡ DuckDB list_dot_product, ties (cos desc, id asc)); every
+    * OUTPUT column is an integer count or one floored division.
+    *
+    * Shape at 100 TB: the sampled queries broadcast against ONE corpus
+    * scan (the q26 join), ranking via the bounded-heap TopKByScore
+    * aggregate (k rows per query per partition shuffled — the q38
+    * shape, never a corpus-wide window sort), then two doc-keyed
+    * source joins and a |sources|-row agg. Work is |sample|·|corpus|
+    * dots — the sample size is the knob, the plan never changes. */
+  def knnSourcePurity(spark: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val e = withNorm(Tables.embeddings(spark, d))
+    val q = e.filter(col("vec_id") % PurityStride === 0L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn"))
+    val top = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nn")))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topk(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), explode(col("top")).as("s"))
+      .select(col("q_id"), col("s.id").as("neighbor_id"))
+    val matches = top
+      .join(src.select(col("doc_id").as("q_id"), col("source").as("q_src")), "q_id")
+      .join(src.select(col("doc_id").as("neighbor_id"), col("source").as("n_src")),
+        "neighbor_id")
+      .groupBy(col("q_id"), col("q_src"))
+      .agg(sum(when(col("n_src") === col("q_src"), 1L).otherwise(0L))
+        .as("m"))
+    matches.groupBy(col("q_src").as("source"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("m")).as("n_matched"),
+        sum(when(col("m") === 5L, 1L).otherwise(0L)).as("n_pure"),
+        sum(when(col("m") <= 1L, 1L).otherwise(0L)).as("n_foreign"))
+      .withColumn("purity_milli",
+        expr("(1000 * n_matched) div (5 * n_queries)"))
+      .select(col("source"), col("n_queries"), col("n_matched"),
+        col("purity_milli"), col("n_pure"), col("n_foreign"))
+      .orderBy(col("source"))
+  }
 }

@@ -647,6 +647,14 @@ object SparkEntry {
     "q276_rich_club" -> (Graph.richClub _),
     // directed A→B rules: exact confidence + conviction, top 30
     "q277_association_rules" -> (Queries.associationRules _),
+    // 1/cluster_n doc weights: per-source effective size + inflation
+    "q278_dedup_effective_size" -> (Dedup.dedupEffectiveSize _),
+    // sampled exact-kNN neighbor-source agreement per source
+    "q279_knn_source_purity" -> (Similarity.knnSourcePurity _),
+    // 12-tap dyadic EWMA revenue level + month-over-month turn
+    "q280_dyadic_momentum" -> (Queries.dyadicMomentum _),
+    // per-item PCM loudness/clip/crest audit (one-pass kernel)
+    "q281_audio_loudness_audit" -> (Multimodal.audioLoudnessAudit _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -5970,5 +5978,111 @@ object SparkEntry {
         |FROM dir JOIN freq fa ON fa.p = dir.ante
         |     JOIN freq fb ON fb.p = dir.cons, bt
         |ORDER BY confidence_milli DESC, ante, cons LIMIT 30""".stripMargin,
+    // q278: the q49 cluster closure verbatim (shared-oracle rule),
+    // one documents join, per-source agg; the per-doc 1000//n floor
+    // is the defined semantic on both engines.
+    "q278_dedup_effective_size" ->
+      s"""WITH $NearDupClusterCte,
+         |w AS (SELECT l.doc_id, l.cluster_id, cn.cluster_n
+         |      FROM lbl l JOIN cn ON cn.cluster_id = l.cluster_id),
+         |j AS (SELECT d.source, w.doc_id, w.cluster_id, w.cluster_n
+         |      FROM w JOIN documents d ON d.doc_id = w.doc_id)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)
+         |         ::BIGINT AS n_canonical,
+         |       sum(1000 // cluster_n)::BIGINT AS eff_milli,
+         |       sum(CASE WHEN cluster_n = 1 THEN 1 ELSE 0 END)
+         |         ::BIGINT AS n_singletons,
+         |       ((1000000 * count(*)) // sum(1000 // cluster_n))
+         |         ::BIGINT AS inflation_milli
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q279: the q26 exact-cosine chain over the mod-7 query sample,
+    // top-5 per query (ties (c desc, id)), two source joins, agg.
+    "q279_knn_source_purity" -> {
+      val stride = Similarity.PurityStride
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |s AS (SELECT q.vec_id q_id, n.vec_id nid,
+         |      list_dot_product(q.v, n.v)
+         |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
+         |      FROM e q, e n
+         |      WHERE q.vec_id % $stride = 0 AND n.vec_id != q.vec_id),
+         |r AS (SELECT q_id, nid FROM (SELECT q_id, nid,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, nid) rnk
+         |      FROM s) WHERE rnk <= 5),
+         |m AS (SELECT dq.source q_src, r.q_id,
+         |      sum(CASE WHEN dn.source = dq.source THEN 1 ELSE 0 END)
+         |        ::BIGINT mm
+         |      FROM r JOIN documents dq ON dq.doc_id = r.q_id
+         |           JOIN documents dn ON dn.doc_id = r.nid
+         |      GROUP BY 1, 2)
+         |SELECT q_src AS source, count(*)::BIGINT AS n_queries,
+         |       sum(mm)::BIGINT AS n_matched,
+         |       ((1000 * sum(mm)) // (5 * count(*)))::BIGINT AS purity_milli,
+         |       sum(CASE WHEN mm = 5 THEN 1 ELSE 0 END)::BIGINT AS n_pure,
+         |       sum(CASE WHEN mm <= 1 THEN 1 ELSE 0 END)::BIGINT AS n_foreign
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // q280: the q272 brand-month CTE, zero-filled spine grid, 12
+    // explicit dyadic lag taps, num//4095 level, lagged delta.
+    "q280_dyadic_momentum" -> {
+      val taps = (0 until Queries.MomentumTaps).map { k =>
+        s"lag(rev, $k, 0) OVER w * ${1L << (Queries.MomentumTaps - 1 - k)}"
+      }.mkString("\n        |        + ").stripMargin
+      s"""WITH bm AS (SELECT p_brand brand,
+         |        (year(l_shipdate) * 12 + month(l_shipdate) - 1)::BIGINT m,
+         |        sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+         |          rev_cents
+         |      FROM lineitem JOIN part ON p_partkey = l_partkey
+         |      GROUP BY 1, 2),
+         |bounds AS (SELECT min(m) mn, max(m) mx FROM bm),
+         |sp AS (SELECT unnest(generate_series((SELECT mn FROM bounds),
+         |        (SELECT mx FROM bounds)))::BIGINT m),
+         |br AS (SELECT DISTINCT brand FROM bm),
+         |g AS (SELECT br.brand, sp.m, coalesce(bm.rev_cents, 0)::BIGINT rev
+         |      FROM br CROSS JOIN sp
+         |      LEFT JOIN bm ON bm.brand = br.brand AND bm.m = sp.m),
+         |lv AS (SELECT brand, m,
+         |        ($taps)::BIGINT num
+         |      FROM g WINDOW w AS (PARTITION BY brand ORDER BY m)),
+         |l2 AS (SELECT brand, m, (num // 4095)::BIGINT level_cents,
+         |        lag(num // 4095, 1) OVER
+         |          (PARTITION BY brand ORDER BY m)::BIGINT prev_level_cents
+         |      FROM lv)
+         |SELECT brand, m, level_cents, prev_level_cents,
+         |       (level_cents - prev_level_cents)::BIGINT AS momentum_cents,
+         |       (CASE WHEN level_cents > prev_level_cents THEN 1
+         |             WHEN level_cents < prev_level_cents THEN -1
+         |             ELSE 0 END)::BIGINT AS direction
+         |FROM l2 WHERE m >= (SELECT mn FROM bounds) + ${Queries.MomentumTaps}
+         |ORDER BY brand, m""".stripMargin
+    },
+    // q281: the q246 virtual-PCM decode CTE (shared contract), one
+    // per-doc agg, floored milli divisions; crest guards Σ|s| = 0.
+    "q281_audio_loudness_audit" -> {
+      val clip = graft.functions.PerceptualHash.ClipThreshold
+      s"""WITH dd AS (SELECT * FROM (SELECT doc_id, text,
+         |        (greatest(length(text) - 64, 0) // 2)::BIGINT n_s
+         |      FROM documents) WHERE n_s >= 32),
+         |sm AS (SELECT doc_id, n_s, k,
+         |        ord(substr(text, (65 + 2 * k)::INT, 1))
+         |          + 256 * ord(substr(text, (66 + 2 * k)::INT, 1)) raw
+         |      FROM (SELECT doc_id, text, n_s,
+         |              unnest(generate_series(0, n_s - 1)) k FROM dd)),
+         |sv AS (SELECT doc_id, n_s,
+         |        (CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END)
+         |          ::BIGINT v
+         |      FROM sm),
+         |ag AS (SELECT doc_id, n_s, sum(abs(v))::BIGINT sa,
+         |        sum(v * v)::BIGINT sq, max(abs(v))::BIGINT pk,
+         |        sum(CASE WHEN abs(v) >= $clip THEN 1 ELSE 0 END)::BIGINT cl
+         |      FROM sv GROUP BY 1, 2)
+         |SELECT doc_id, n_s AS n_samples,
+         |       ((1000 * sa) // n_s)::BIGINT AS mean_abs_milli,
+         |       sq AS energy, pk AS peak_abs,
+         |       ((1000 * cl) // n_s)::BIGINT AS clip_pm,
+         |       (CASE WHEN sa > 0 THEN (1000 * pk * n_s) // sa ELSE 0 END)
+         |         ::BIGINT AS crest_milli
+         |FROM ag ORDER BY doc_id""".stripMargin
+    },
   )
 }

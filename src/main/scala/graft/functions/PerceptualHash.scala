@@ -120,6 +120,41 @@ object PerceptualHash {
     }
     s
   }
+
+  /** q281's clipping bar: |sample| ≥ 30000 (~91.6 % of s16 full
+    * scale) counts as clipped — the mastering-audit convention. */
+  val ClipThreshold = 30000L
+
+  /** q281's per-payload PCM statistics in ONE byte loop:
+    * [n_samples, sum_abs, sum_sq, peak_abs, n_clipped] over the same
+    * s16le virtual-PCM decode as [[energyhash32]] (identical signed
+    * branch). All exact Longs: sum_sq ≤ 2³⁰·n (safe to ~8·10⁹
+    * samples per payload), sum_abs ≤ 2¹⁵·n. Payloads under 1 sample
+    * return the zero vector; callers filter on the q246 length
+    * contract first. */
+  def pcmstats(u: UTF8String): Array[Long] = {
+    val out = new Array[Long](5)
+    val px = pixels(u)
+    if (px == null) return out
+    val ns = px.length / 2
+    var k = 0
+    while (k < ns) {
+      val raw = px(2 * k).toLong + 256L * px(2 * k + 1)
+      val v = if (raw >= 32768L) raw - 65536L else raw
+      val a = if (v < 0L) -v else v
+      out(1) += a
+      out(2) += v * v
+      if (a > out(3)) out(3) = a
+      if (a >= ClipThreshold) out(4) += 1L
+      k += 1
+    }
+    out(0) = ns.toLong
+    out
+  }
+
+  /** Boxed-array entry point for codegen (ArrayData result). */
+  def pcmstatsData(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(pcmstats(u))
 }
 
 /** graft_ahash64(string) → bigint: packed (hi32 << 32 | lo32) aHash. */
@@ -151,5 +186,24 @@ case class EnergyHash32Expr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.PerceptualHash.energyhash32($c)")
   override protected def withNewChildInternal(newChild: Expression): EnergyHash32Expr =
+    copy(child = newChild)
+}
+
+/** graft_pcmstats(string) → array<bigint>: [n_samples, sum_abs,
+  * sum_sq, peak_abs, n_clipped] of the virtual-PCM stream — q281's
+  * loudness-audit statistics in one codegen'd byte loop. */
+case class PcmStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pcmstats"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pcmstats requires STRING, got ${child.dataType.catalogString}")
+  protected override def nullSafeEval(input: Any): Any =
+    PerceptualHash.pcmstatsData(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PerceptualHash.pcmstatsData($c)")
+  override protected def withNewChildInternal(newChild: Expression): PcmStatsExpr =
     copy(child = newChild)
 }

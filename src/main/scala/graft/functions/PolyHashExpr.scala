@@ -95,6 +95,8 @@ object GraftFunctions {
     GraftShim.column(AHash64Expr(GraftShim.expression(c)))
   def energyhash32(c: Column): Column =
     GraftShim.column(EnergyHash32Expr(GraftShim.expression(c)))
+  def pcmstats(c: Column): Column =
+    GraftShim.column(PcmStatsExpr(GraftShim.expression(c)))
 
   /** Constant-int argument of a SQL builder (k of minhashes, n of
     * shinglehashes) — the kernels specialize on it at plan time. */
@@ -135,6 +137,9 @@ object GraftFunctions {
       (args: Seq[Expression]) => AHash64Expr(args.head)),
     ("graft_energyhash32", classOf[EnergyHash32Expr],
       (args: Seq[Expression]) => EnergyHash32Expr(args.head)),
+    // q281's one-pass loudness statistics over the same decode
+    ("graft_pcmstats", classOf[PcmStatsExpr],
+      (args: Seq[Expression]) => PcmStatsExpr(args.head)),
     // aggregates register the same way: the analyzer wraps a bare
     // AggregateFunction into its AggregateExpression
     ("graft_topk", classOf[TopKByScore],

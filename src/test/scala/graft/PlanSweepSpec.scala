@@ -109,9 +109,11 @@ class PlanSweepSpec extends SparkSpec {
     // join condition — 10 broadcast queries × corpus, inequality-only
     // keys, bounded by the query set like every exact baseline above
     "q247_filtered_knn" -> 1,
-    // q248: chains ONE instance of q247's exact plan as its recall
-    // reference — inherits that documented broadcast
-    "q248_filtered_lsh_audit" -> 1,
+    // q248: chains q247's exact plan as its recall reference TWICE
+    // since the r9 denominator fix (hit join + per-query exact-size
+    // count) — both the same documented broadcast-queries × corpus
+    // scan; CacheScope computes the exact list once
+    "q248_filtered_lsh_audit" -> 2,
     // q251: chains the q48 coarse pass (10 broadcast queries × corpus)
     // as one of its two fused paths; the LSH path joins on bucket keys
     "q251_rrf_fusion" -> 1,
@@ -130,7 +132,22 @@ class PlanSweepSpec extends SparkSpec {
     // q265: chains ONE instance of the q26 dense truth (the documented
     // 10-broadcast-queries × corpus scan); the lexical side joins on
     // the shingle-hash equi-key
-    "q265_hybrid_mlt" -> 1)
+    "q265_hybrid_mlt" -> 1,
+    // q267: the one-row totals scalar (corpus size + kill-any count)
+    // broadcast against the |rules|-bounded per-rule relation
+    "q267_rule_audit" -> 1,
+    // q271: the one-row Simpson-baseline scalar broadcast against the
+    // |shards|-bounded adjacency relation
+    "q271_interleave_audit" -> 1,
+    // q277: the one-row basket-total scalar broadcast against the
+    // support-filtered rule relation (q198's documented shape)
+    "q277_association_rules" -> 1,
+    // q279: the sampled-queries × corpus exact-cosine scan — the q26
+    // broadcast argument with the sample modulus as the bound
+    "q279_knn_source_purity" -> 1,
+    // q280: |brands| × the calendar-bounded month spine zero-fill
+    // cross join (the q219 value-domain-bounded idiom)
+    "q280_dyadic_momentum" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep
