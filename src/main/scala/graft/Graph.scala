@@ -727,4 +727,55 @@ object Graph {
         "rc_ratio_milli")
       .orderBy(col("k"))
   }
+
+  /** q285: BRAND MODULARITY of the co-purchase graph — Newman
+    * modularity Q of the FIXED partition given by the catalog's brand
+    * labels, emitted as per-brand contributions in exact signed
+    * micro: contrib_c = (4m·e_c − d_c²) / (4m²) where e_c = edges
+    * inside brand c, d_c = degree mass of brand c, m = |edges|; Q =
+    * Σ_c contrib_c. The community-QUALITY question q163 (label
+    * propagation FINDS communities) and q208 (degree assortativity)
+    * cannot answer: does the catalog's own brand taxonomy explain the
+    * co-purchase topology better than chance (contrib > 0: the brand
+    * buys together; contrib < 0: the label cuts across real basket
+    * structure — a taxonomy-vs-behavior mismatch worth a merchandising
+    * review). Common-denominator form, ONE sign-decomposed floored
+    * division per brand — never two stacked rounded divisions.
+    *
+    * Shape at 100 TB: rides the persisted co-purchase edge stage;
+    * brand labels join broadcast (part is a dimension); e_c and
+    * (n_nodes, d_c) are two keyed hash-aggs; m is a 1-row bounded
+    * collect re-entering as a literal. 10⁶·|num| ≤ 8·10⁶·m² — routed
+    * DECIMAL(38,0), exact to m ~ 2·10¹⁵ edges. */
+  def brandModularity(spark: SparkSession, d: String): DataFrame = {
+    val pairs = CacheScope.cached(coPurchaseEdges(spark, d))
+    val brand = Tables.part(spark, d)
+      .select(col("p_partkey").as("node"), col("p_brand").as("b"))
+    val m = pairs.count() // 1-row scalar, the q276 bounded contract
+    val within = pairs
+      .join(broadcast(brand.select(col("node").as("p1"), col("b").as("b1"))), "p1")
+      .join(broadcast(brand.select(col("node").as("p2"), col("b").as("b2"))), "p2")
+      .filter(col("b1") === col("b2"))
+      .groupBy(col("b1").as("brand")).agg(count(lit(1)).as("ew"))
+    val degs = pairs.select(col("p1").as("node"))
+      .unionAll(pairs.select(col("p2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      .join(broadcast(brand), "node")
+      .groupBy(col("b").as("brand"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("deg_sum"))
+    degs.join(within, Seq("brand"), "left")
+      .select(col("brand"), col("n_nodes"),
+        coalesce(col("ew"), lit(0L)).as("n_edges_within"), col("deg_sum"))
+      .withColumn("num", expr(
+        s"CAST(4 AS DECIMAL(38,0)) * ${m}L * n_edges_within" +
+          " - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum"))
+      .withColumn("contrib_micro", expr(
+        s"""CAST(CASE WHEN num >= 0
+           |  THEN (1000000 * num) div (CAST(4 AS DECIMAL(38,0)) * ${m}L * ${m}L)
+           |  ELSE -((1000000 * (-num)) div (CAST(4 AS DECIMAL(38,0)) * ${m}L * ${m}L))
+           |END AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .select(col("brand"), col("n_nodes"), col("n_edges_within"),
+        col("deg_sum"), col("contrib_micro"))
+      .orderBy(col("brand"))
+  }
 }

@@ -2929,4 +2929,69 @@ object Queries {
         signum(col("momentum_cents")).cast("long").as("direction"))
       .orderBy(col("brand"), col("m"))
   }
+
+  /** q284 lags: adjacent hour (short-memory burstiness) and same hour
+    * next day (diurnal rhythm). */
+  val AcfLags: Seq[Long] = Seq(1L, 24L)
+
+  /** q284: HOURLY-SERIES AUTOCORRELATION — per event type, the exact
+    * signed lag-1 and lag-24 Pearson r² (in ppm, sign carried
+    * separately from the square) of the zero-filled hourly event-count
+    * series. The rhythm detector behind traffic-aware scheduling and
+    * anomaly baselining: strong positive lag-24 = diurnal periodicity
+    * (q233's seasonal index asks this of MONTHS; no operator asked it
+    * of the event stream), strong lag-1 = bursty/sticky load, ~0 both
+    * = memoryless arrivals. Exactness is the q91 discipline: moment
+    * NUMERATORS as exact integer sums in DECIMAL(38,0), the ONE
+    * division floored — r²·sign instead of r, so no square root ever
+    * happens (sign(num)·10⁶·num² div (dx·dy)); a constant series
+    * (dx·dy = 0) reports 0, the honest undefined.
+    *
+    * Shape at 100 TB: the stream collapses to the (type, hour) grid
+    * FIRST (one keyed hash-agg, map-side combinable); the spine
+    * zero-fill is |types| × the calendar-bounded hour range (the q219
+    * value-domain idiom, broadcast spine); lags are window reads
+    * inside type partitions of ≤|hours| rows. Nothing after the first
+    * agg scales with event volume. num² ≤ (|hours|²·maxcount²)² —
+    * ~3·10⁹ events/hour/type before the 38-digit envelope binds. */
+  def hourlyAutocorr(spark: SparkSession, d: String): DataFrame = {
+    val cc = CacheScope.cached(eventsNs(spark, d)
+      .select(col("event_type"), expr("ts div 3600000000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+    val bounds = cc.agg(min(col("h")), max(col("h"))).head()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val spine = spark.range(mn, mx + 1L).select(col("id").as("h"))
+    val grid = cc.select(col("event_type")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(cc, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val lagged = AcfLags.map { l =>
+      grid.withColumn("y", lag(col("c"), l.toInt).over(w))
+        .filter(col("h") >= mn + l)
+        .select(col("event_type"), lit(l).as("lag_h"),
+          col("c").as("x"), col("y"))
+    }.reduce(_ unionAll _)
+    lagged.groupBy(col("event_type"), col("lag_h"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("num", expr(
+        "CAST(n_pairs AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("dx", expr(
+        "CAST(n_pairs AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("dy", expr(
+        "CAST(n_pairs AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(col("event_type"), col("lag_h"), col("n_pairs"),
+        when(expr("dx = 0 OR dy = 0"), lit(0L)).otherwise(expr(
+          """CAST(CASE WHEN num >= 0
+            |  THEN (1000000 * num * num) div (dx * dy)
+            |  ELSE -((1000000 * num * num) div (dx * dy))
+            |END AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("r2_signed_ppm"))
+      .orderBy(col("event_type"), col("lag_h"))
+  }
 }

@@ -1853,4 +1853,95 @@ object Similarity {
         col("purity_milli"), col("n_pure"), col("n_foreign"))
       .orderBy(col("source"))
   }
+
+  /** q282 geometry: 64 hashed-BoW buckets (the embedding dim, so both
+    * views share one Gram width) with per-bucket counts capped at 127
+    * — the int8 magnitude envelope that keeps CrossGramAgg products
+    * small. */
+  val ReprDim = 64
+  val BowCap = 127L
+
+  /** q282: REPRESENTATION ALIGNMENT (linear CKA / RV, exactly
+    * centered) — per source, how much of the documents' LEXICAL
+    * structure (hashed bag-of-words, 64 buckets, counts capped 127)
+    * the EMBEDDING representation (q48 int8 quantization) reproduces,
+    * and vice versa. The Kornblith-et-al-style representation-
+    * comparison statistic at the feature level: with centered scaled
+    * cross-covariance M_xy = n·Xᵀ Y − (Σx)(Σy)ᵀ (integral — the /n is
+    * deliberately not taken, it cancels in every ratio), linear CKA
+    * is ‖M_xy‖²F / (‖M_xx‖F·‖M_yy‖F). The engine emits the two
+    * REGRESSION forms align_lex_ppm = 10⁶·‖M_xy‖²F div ‖M_xx‖²F and
+    * align_emb_ppm = 10⁶·‖M_xy‖²F div ‖M_yy‖²F — each ONE floored
+    * division of oracle-replayable integers (CKA² is their product
+    * /10¹²; the 4th-power numerator of CKA² itself exceeds 128-bit
+    * HUGEINT, so the oracle could not replay it — the spec certifies
+    * the product against an exact BigInt CKA² instead). Plus the
+    * centered variance traces of both views. The read q269 (per-
+    * VECTOR cosine fidelity) can't give: whether the embedding
+    * GEOMETRY of a source still encodes its lexical content — a
+    * near-zero alignment with healthy traces means embeddings that
+    * ignore the text (wrong column wiring, collapsed encoder).
+    *
+    * Kernel shape: ONE pass over the joined corpus computing THREE
+    * 65×65 Grams per source — GramAgg(x̂), GramAgg(ŷ) and the new
+    * non-symmetric [[graft.functions.CrossGramAgg]](x̂,ŷ), where each
+    * view is augmented with a constant-1 tail so the same Gram carries
+    * Σx / Σy / n in its last row/column (centering then needs NO
+    * second scan; the augmented row/col of M is identically zero and
+    * is skipped). Driver fold is |sources|·3·65² longs (the q242
+    * bounded-collect contract) in exact BigInt.
+    *
+    * Shape at 100 TB: one scan, 100 KB of agg buffers per partition
+    * per source, mergeable partials; the d²-exploded relational
+    * encoding is rejected by GramAgg's arithmetic (4096× shuffle
+    * amplification). Gram entries stay exact Longs to ~5.7e14 rows. */
+  def reprAlignment(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.{GramAgg, GraftFunctions}
+    val dim = ReprDim
+    val adim = dim + 1
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val base = withNorm(Tables.embeddings(spark, d))
+      .withColumn("ma", maxabs).filter(col("ma") > 0)
+      .withColumn("sc", lit(127.0) / col("ma"))
+      .join(docs, col("vec_id") === col("doc_id"))
+      .select(col("source"),
+        concat(GraftFunctions.bowcounts(split(col("text"), " "), dim, BowCap),
+          array(lit(1L))).as("xa"),
+        concat(quantCol, array(lit(1L))).as("ya"))
+    val grams = base.groupBy(col("source"))
+      .agg(GramAgg.gram(col("xa"), adim).as("gx"),
+        GramAgg.gram(col("ya"), adim).as("gy"),
+        GramAgg.crossGram(col("xa"), col("ya"), adim).as("gxy"))
+      .collect() // |sources| rows of 3·65² longs — bounded driver fold
+    val rows = grams.map { r =>
+      val gx = r.getSeq[Long](1)
+      val gy = r.getSeq[Long](2)
+      val gxy = r.getSeq[Long](3)
+      def at(g: Seq[Long], i: Int, j: Int): BigInt = BigInt(g(i * adim + j))
+      val n = at(gxy, dim, dim)
+      var fxy, fxx, fyy, trx, trY = BigInt(0)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          val mxy = n * at(gxy, i, j) - at(gxy, i, dim) * at(gxy, dim, j)
+          val mxx = n * at(gx, i, j) - at(gx, i, dim) * at(gx, dim, j)
+          val myy = n * at(gy, i, j) - at(gy, i, dim) * at(gy, dim, j)
+          fxy += mxy * mxy; fxx += mxx * mxx; fyy += myy * myy
+          if (i == j) { trx += mxx; trY += myy }
+          j += 1
+        }
+        i += 1
+      }
+      val alx = if (fxx > 0) (BigInt(1000000) * fxy / fxx).toLong else 0L
+      val aly = if (fyy > 0) (BigInt(1000000) * fxy / fyy).toLong else 0L
+      (r.getString(0), n.toLong, trx.toLong, trY.toLong, alx, aly)
+    }.toSeq.sortBy(_._1)
+    val s = spark
+    import s.implicits._
+    rows.toDF("source", "n_vecs", "tr_lex", "tr_emb",
+      "align_lex_ppm", "align_emb_ppm")
+  }
 }

@@ -655,6 +655,14 @@ object SparkEntry {
     "q280_dyadic_momentum" -> (Queries.dyadicMomentum _),
     // per-item PCM loudness/clip/crest audit (one-pass kernel)
     "q281_audio_loudness_audit" -> (Multimodal.audioLoudnessAudit _),
+    // exact linear-CKA lexical/embedding alignment (CrossGramAgg)
+    "q282_repr_alignment" -> (Similarity.reprAlignment _),
+    // per-source distinct/hapax n-gram spectrum at n = 1, 2, 3
+    "q283_ngram_diversity" -> (TextAnalysis.ngramDiversity _),
+    // lag-1/lag-24 signed r-squared of hourly counts per event type
+    "q284_hourly_autocorr" -> (Queries.hourlyAutocorr _),
+    // Newman modularity contributions of the brand partition
+    "q285_brand_modularity" -> (Graph.brandModularity _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -6084,5 +6092,173 @@ object SparkEntry {
          |         ::BIGINT AS crest_milli
          |FROM ag ORDER BY doc_id""".stripMargin
     },
+    // q282: the q269 quant chain for the embedding view, H(tok) mod 64
+    // capped counts for the lexical view, sparse (i,j) product cells
+    // per source, the dense 64x64 centered-M grid (n*C − s_i*s_j),
+    // HUGEINT Frobenius sums, one floored division per alignment.
+    "q282_repr_alignment" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |sq AS (SELECT vec_id, v,
+         |      127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
+         |      FROM e
+         |      WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0),
+         |yq AS (SELECT vec_id, list_transform(v, x ->
+         |        (CASE WHEN x >= 0 THEN floor(abs(x * sc) + 0.5)
+         |          ELSE -floor(abs(x * sc) + 0.5) END)::BIGINT) q FROM sq),
+         |dj AS MATERIALIZED (SELECT d.source, d.doc_id, d.text, yq.q
+         |      FROM yq JOIN documents d ON d.doc_id = yq.vec_id),
+         |ns AS (SELECT source, count(*)::BIGINT n FROM dj GROUP BY 1),
+         |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM dj),
+         |bc AS (SELECT doc_id, ${H("tok")} % 64 AS i,
+         |      least(count(*), 127)::BIGINT xv FROM tk GROUP BY 1, 2),
+         |xs AS MATERIALIZED (SELECT dj.source, bc.doc_id, bc.i, bc.xv
+         |      FROM bc JOIN dj ON dj.doc_id = bc.doc_id),
+         |yl AS MATERIALIZED (SELECT dj.source, dj.doc_id,
+         |      g.i::BIGINT - 1 AS j, q[g.i] AS yv
+         |      FROM dj, generate_series(1, 64) g(i) WHERE q[g.i] != 0),
+         |sx AS (SELECT source, i, sum(xv)::BIGINT s FROM xs GROUP BY 1, 2),
+         |sy AS (SELECT source, j, sum(yv)::BIGINT s FROM yl GROUP BY 1, 2),
+         |cxy AS (SELECT xs.source, xs.i, yl.j, sum(xs.xv * yl.yv)::BIGINT c
+         |      FROM xs JOIN yl ON yl.doc_id = xs.doc_id GROUP BY 1, 2, 3),
+         |cxx AS (SELECT a.source, a.i, b.i AS j, sum(a.xv * b.xv)::BIGINT c
+         |      FROM xs a JOIN xs b ON b.doc_id = a.doc_id GROUP BY 1, 2, 3),
+         |cyy AS (SELECT a.source, a.j AS i, b.j, sum(a.yv * b.yv)::BIGINT c
+         |      FROM yl a JOIN yl b ON b.doc_id = a.doc_id GROUP BY 1, 2, 3),
+         |grid AS (SELECT ns.source, gi.i::BIGINT - 1 AS i,
+         |      gj.i::BIGINT - 1 AS j, ns.n
+         |      FROM ns, generate_series(1, 64) gi(i),
+         |           generate_series(1, 64) gj(i)),
+         |mm AS MATERIALIZED (SELECT g.source, g.i, g.j,
+         |      (g.n * coalesce(cxy.c, 0)
+         |        - coalesce(pxi.s, 0) * coalesce(pyj.s, 0))::BIGINT mxy,
+         |      (g.n * coalesce(cxx.c, 0)
+         |        - coalesce(pxi.s, 0) * coalesce(pxj.s, 0))::BIGINT mxx,
+         |      (g.n * coalesce(cyy.c, 0)
+         |        - coalesce(pyi.s, 0) * coalesce(pyj.s, 0))::BIGINT myy
+         |      FROM grid g
+         |      LEFT JOIN cxy ON cxy.source = g.source AND cxy.i = g.i
+         |        AND cxy.j = g.j
+         |      LEFT JOIN cxx ON cxx.source = g.source AND cxx.i = g.i
+         |        AND cxx.j = g.j
+         |      LEFT JOIN cyy ON cyy.source = g.source AND cyy.i = g.i
+         |        AND cyy.j = g.j
+         |      LEFT JOIN sx pxi ON pxi.source = g.source AND pxi.i = g.i
+         |      LEFT JOIN sx pxj ON pxj.source = g.source AND pxj.i = g.j
+         |      LEFT JOIN sy pyi ON pyi.source = g.source AND pyi.j = g.i
+         |      LEFT JOIN sy pyj ON pyj.source = g.source AND pyj.j = g.j),
+         |fr AS (SELECT source,
+         |      sum(mxy::HUGEINT * mxy) fxy, sum(mxx::HUGEINT * mxx) fxx,
+         |      sum(myy::HUGEINT * myy) fyy,
+         |      sum(CASE WHEN i = j THEN mxx ELSE 0 END)::BIGINT trx,
+         |      sum(CASE WHEN i = j THEN myy ELSE 0 END)::BIGINT trY
+         |      FROM mm GROUP BY 1)
+         |SELECT fr.source, ns.n AS n_vecs, trx AS tr_lex, trY AS tr_emb,
+         |       (CASE WHEN fxx > 0 THEN (1000000::HUGEINT * fxy) // fxx
+         |        ELSE 0 END)::BIGINT AS align_lex_ppm,
+         |       (CASE WHEN fyy > 0 THEN (1000000::HUGEINT * fxy) // fyy
+         |        ELSE 0 END)::BIGINT AS align_emb_ppm
+         |FROM fr JOIN ns ON ns.source = fr.source ORDER BY 1""".stripMargin,
+    // q283: per n the window hashes via the q22/q23 H(array_to_string)
+    // identity, (source, h) occurrence counts, source re-agg.
+    "q283_ngram_diversity" -> {
+      val blocks = TextAnalysis.DiversityNs.map { n =>
+        val hi = if (n == 1) "tk[i:i]" else s"tk[i:i+${n - 1}]"
+        s"""oc$n AS (SELECT source, ${H(s"array_to_string($hi, ' ')")} AS h
+           |      FROM (SELECT source, tk,
+           |            unnest(generate_series(1, len(tk) - ${n - 1})) i FROM t)),
+           |cn$n AS (SELECT source, h, count(*)::BIGINT c FROM oc$n
+           |      GROUP BY 1, 2),
+           |ag$n AS (SELECT source, $n::BIGINT n, sum(c)::BIGINT total_ngrams,
+           |      count(*)::BIGINT distinct_ngrams,
+           |      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT hapax
+           |      FROM cn$n GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val un = TextAnalysis.DiversityNs.map(n => s"SELECT * FROM ag$n")
+        .mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, source,
+         |      regexp_split_to_array(text, ' ') tk FROM documents),
+         |$blocks
+         |SELECT source, n, total_ngrams, distinct_ngrams,
+         |       ((1000 * distinct_ngrams) // total_ngrams)::BIGINT
+         |         AS distinct_pm,
+         |       hapax AS hapax_ngrams,
+         |       ((1000 * hapax) // distinct_ngrams)::BIGINT AS hapax_pm
+         |FROM ($un) ORDER BY source, n""".stripMargin
+    },
+    // q284: (type, hour) counts, calendar-bounded zero-filled spine,
+    // two lag reads, the q91 exact-moment numerators in HUGEINT, one
+    // sign-decomposed floored division.
+    "q284_hourly_autocorr" -> {
+      val lagBlocks = Queries.AcfLags.map { l =>
+        s"""SELECT event_type, $l::BIGINT lag_h, h, c AS x,
+           |      lag(c, $l) OVER (PARTITION BY event_type ORDER BY h) AS y
+           |      FROM g""".stripMargin
+      }.mkString("\n      UNION ALL ")
+      s"""WITH cc AS (SELECT event_type,
+         |      (epoch_ns(ts) // 3600000000000)::BIGINT h,
+         |      count(*)::BIGINT c FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT min(h) mn, max(h) mx FROM cc),
+         |sp AS (SELECT unnest(generate_series((SELECT mn FROM bounds),
+         |      (SELECT mx FROM bounds)))::BIGINT h),
+         |ty AS (SELECT DISTINCT event_type FROM cc),
+         |g AS (SELECT ty.event_type, sp.h, coalesce(cc.c, 0)::BIGINT c
+         |      FROM ty CROSS JOIN sp
+         |      LEFT JOIN cc ON cc.event_type = ty.event_type AND cc.h = sp.h),
+         |lg AS ($lagBlocks),
+         |fl AS (SELECT * FROM lg
+         |      WHERE h >= (SELECT mn FROM bounds) + lag_h),
+         |ag AS (SELECT event_type, lag_h, count(*)::BIGINT n_pairs,
+         |      sum(x)::BIGINT sx, sum(y)::BIGINT sy,
+         |      sum(x::HUGEINT * y) sxy, sum(x::HUGEINT * x) sxx,
+         |      sum(y::HUGEINT * y) syy
+         |      FROM fl GROUP BY 1, 2),
+         |mo AS (SELECT event_type, lag_h, n_pairs,
+         |      n_pairs::HUGEINT * sxy - sx::HUGEINT * sy num,
+         |      n_pairs::HUGEINT * sxx - sx::HUGEINT * sx dx,
+         |      n_pairs::HUGEINT * syy - sy::HUGEINT * sy dy FROM ag)
+         |SELECT event_type, lag_h, n_pairs,
+         |       (CASE WHEN dx = 0 OR dy = 0 THEN 0
+         |             WHEN num >= 0
+         |               THEN (1000000::HUGEINT * num * num) // (dx * dy)
+         |             ELSE -((1000000::HUGEINT * num * num) // (dx * dy))
+         |        END)::BIGINT AS r2_signed_ppm
+         |FROM mo ORDER BY event_type, lag_h""".stripMargin
+    },
+    // q285: the q276 capped edge CTE, brand labels on both endpoints,
+    // degree mass per brand, the common-denominator modularity
+    // numerator in HUGEINT, one sign-decomposed floored division.
+    "q285_brand_modularity" ->
+      """WITH it0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |      FROM lineitem),
+        |it AS (SELECT ok, pk FROM (
+        |        SELECT ok, pk, row_number() OVER
+        |          (PARTITION BY ok ORDER BY pk) AS rn
+        |        FROM it0) WHERE rn <= 1024),
+        |e AS MATERIALIZED (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+        |mm AS (SELECT count(*)::BIGINT m FROM e),
+        |lb AS (SELECT p_partkey AS node, p_brand AS b FROM part),
+        |ew AS (SELECT x.b AS brand, count(*)::BIGINT ew FROM e
+        |      JOIN lb x ON x.node = e.p1 JOIN lb y ON y.node = e.p2
+        |      WHERE x.b = y.b GROUP BY 1),
+        |dg AS (SELECT node, count(*)::BIGINT dg FROM
+        |      (SELECT p1 AS node FROM e UNION ALL SELECT p2 AS node FROM e)
+        |      GROUP BY 1),
+        |bd AS (SELECT lb.b AS brand, count(*)::BIGINT n_nodes,
+        |      sum(dg.dg)::BIGINT deg_sum
+        |      FROM dg JOIN lb ON lb.node = dg.node GROUP BY 1),
+        |j AS (SELECT bd.brand, bd.n_nodes,
+        |      coalesce(ew.ew, 0)::BIGINT n_edges_within, bd.deg_sum,
+        |      4::HUGEINT * (SELECT m FROM mm) * coalesce(ew.ew, 0)
+        |        - bd.deg_sum::HUGEINT * bd.deg_sum AS num
+        |      FROM bd LEFT JOIN ew ON ew.brand = bd.brand)
+        |SELECT brand, n_nodes, n_edges_within, deg_sum,
+        |       (CASE WHEN num >= 0
+        |          THEN (1000000::HUGEINT * num)
+        |            // (4::HUGEINT * (SELECT m FROM mm) * (SELECT m FROM mm))
+        |          ELSE -((1000000::HUGEINT * (-num))
+        |            // (4::HUGEINT * (SELECT m FROM mm) * (SELECT m FROM mm)))
+        |        END)::BIGINT AS contrib_micro
+        |FROM j ORDER BY brand""".stripMargin,
   )
 }

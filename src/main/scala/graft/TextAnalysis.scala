@@ -1524,4 +1524,50 @@ object TextAnalysis {
         col("n_unique"), col("n_docs"), col("n_killed"))
       .orderBy(col("rule"))
   }
+
+  /** q283 spectrum orders: unigrams, bigrams, trigrams. */
+  val DiversityNs: Seq[Int] = Seq(1, 2, 3)
+
+  /** q283: N-GRAM DIVERSITY SPECTRUM — per source and n ∈ {1,2,3},
+    * the corpus-level repetitiveness profile: total n-gram
+    * occurrences, distinct n-grams, type-occurrence ratio in
+    * per-mille, hapax n-grams (frequency exactly 1) and the hapax
+    * share of the types. The compression-proxy quality signal LLM
+    * pipelines threshold on: boilerplate-heavy or template-generated
+    * sources collapse at n=2,3 (few types, tiny hapax mass) long
+    * before any per-doc rule (q29/q99 are PER-DOC; q220 compares
+    * vocabularies ACROSS sources; this is each source's own
+    * repetition structure as an n-spectrum — the slope across n is
+    * the signal). Identity is the polyhash of the space-joined
+    * window — the q22/q23 shingle identity, shared with the oracle.
+    *
+    * Shape at 100 TB: per n, ONE streamed generator pass
+    * (graft_shingle_stream — per-row transient memory O(tokens),
+    * never O(windows)) into a (source, hash)-keyed count agg (map-
+    * side combinable), then a |sources|-row re-agg. The documents
+    * scan is CacheScope-shared across the three orders. Output is
+    * 3·|sources| rows. */
+  def ngramDiversity(spark: SparkSession, d: String): DataFrame = {
+    val docs = CacheScope.cached(
+      Tables.documents(spark, d).select(col("source"), col("text")))
+    val perN = DiversityNs.map { n =>
+      docs
+        .select(col("source"),
+          graft.functions.GraftFunctions.shingleStream(col("text"), n)
+            .as(Seq("p", "h")))
+        .groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax_ngrams"))
+        .select(col("source"), lit(n.toLong).as("n"),
+          col("total_ngrams"), col("distinct_ngrams"),
+          expr("(1000 * distinct_ngrams) div total_ngrams")
+            .as("distinct_pm"),
+          col("hapax_ngrams"),
+          expr("(1000 * hapax_ngrams) div distinct_ngrams").as("hapax_pm"))
+    }
+    perN.reduce(_ unionAll _).orderBy(col("source"), col("n"))
+  }
 }

@@ -154,6 +154,25 @@ object NativeVec {
     while (it.hasNext) { out(p) = it.next(); p += 1 }
     new GenericArrayData(out)
   }
+
+  /** q282's hashed bag-of-words: token t lands in bucket
+    * polyhash(t) mod dim; per-bucket counts cap at `cap` so the
+    * lexical view shares the int8 magnitude envelope (|value| ≤ 127)
+    * that keeps CrossGramAgg's products small. Empty tokens (runs of
+    * separators) hash like the SQL twin's string_split empties —
+    * polyhash("") = 0 → bucket 0. One pass, no allocation beyond the
+    * dim-long result. */
+  def bowCounts(toks: ArrayData, dim: Int, cap: Long): ArrayData = {
+    val out = new Array[Long](dim)
+    val m = toks.numElements()
+    var i = 0
+    while (i < m) {
+      val b = (PolyHashExpr.hash(toks.getUTF8String(i)) % dim).toInt
+      if (out(b) < cap) out(b) += 1L
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 private[functions] trait ArrayOfType { self: Expression =>
@@ -249,4 +268,19 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.NativeVec.shingleHashes($a, $n)")
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
+}
+
+/** bowcounts(array<string>, dim, cap) → array<bigint>: hashed
+  * bag-of-words bucket counts, capped — q282's lexical view. */
+case class BowCountsExpr(child: Expression, dim: Int, cap: Long)
+    extends UnaryExpression with ArrayOfType {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bowcounts"
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireArrayOf(child, StringType, prettyName)
+  protected override def nullSafeEval(a: Any): Any =
+    NativeVec.bowCounts(a.asInstanceOf[ArrayData], dim, cap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.NativeVec.bowCounts($a, $dim, ${cap}L)")
+  override protected def withNewChildInternal(c: Expression): BowCountsExpr = copy(child = c)
 }

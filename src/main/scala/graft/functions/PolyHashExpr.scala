@@ -97,6 +97,8 @@ object GraftFunctions {
     GraftShim.column(EnergyHash32Expr(GraftShim.expression(c)))
   def pcmstats(c: Column): Column =
     GraftShim.column(PcmStatsExpr(GraftShim.expression(c)))
+  def bowcounts(c: Column, dim: Int, cap: Long): Column =
+    GraftShim.column(BowCountsExpr(GraftShim.expression(c), dim, cap))
 
   /** Constant-int argument of a SQL builder (k of minhashes, n of
     * shinglehashes) — the kernels specialize on it at plan time. */
@@ -140,6 +142,11 @@ object GraftFunctions {
     // q281's one-pass loudness statistics over the same decode
     ("graft_pcmstats", classOf[PcmStatsExpr],
       (args: Seq[Expression]) => PcmStatsExpr(args.head)),
+    // q282's hashed bag-of-words bucket counts
+    ("graft_bowcounts", classOf[BowCountsExpr],
+      (args: Seq[Expression]) => BowCountsExpr(args(0),
+        intArg(args(1), "graft_bowcounts"),
+        intArg(args(2), "graft_bowcounts").toLong)),
     // aggregates register the same way: the analyzer wraps a bare
     // AggregateFunction into its AggregateExpression
     ("graft_topk", classOf[TopKByScore],

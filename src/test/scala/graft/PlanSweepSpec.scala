@@ -147,7 +147,11 @@ class PlanSweepSpec extends SparkSpec {
     "q279_knn_source_purity" -> 1,
     // q280: |brands| × the calendar-bounded month spine zero-fill
     // cross join (the q219 value-domain-bounded idiom)
-    "q280_dyadic_momentum" -> 1)
+    "q280_dyadic_momentum" -> 1,
+    // q284: |event types| × the calendar-bounded hour spine zero-fill
+    // cross join (same idiom) — the union's two lag branches each
+    // re-instantiate it, and the grid is dimension-bounded either way
+    "q284_hourly_autocorr" -> 2)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep
