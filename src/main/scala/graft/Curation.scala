@@ -1509,4 +1509,42 @@ object Curation {
         col("expected_pm"))
       .orderBy(col("shard"))
   }
+
+  /** q287: DEDUP-CORRECTED TEMPERATURE MIXTURE — the composition the
+    * real sampler runs: q157's temperature rebalancing (w = isqrt of
+    * supply, T = 2) over the EFFECTIVE token supply, where each doc's
+    * tokens are discounted by its q49 near-dup cluster size (the q278
+    * count-once weights, now in TOKEN units). A source that pads its
+    * raw token count with duplicate pages gets the weight its UNIQUE
+    * content earns — raw-supply temperature mixing (q157) provably
+    * over-allocates it, and that gap is the emitted evidence:
+    * discount_pm (effective per-mille of raw) per source. Per-doc
+    * effective tokens floor as (1000·nt) div cluster_n milli-tokens
+    * (the q278 per-doc floor semantic); the weight is
+    * isqrt(eff_milli div 1000) — both floors defined and mirrored.
+    *
+    * Shape at 100 TB: rides the PERSISTED q49 label stage + one
+    * doc-keyed join to the token inventory, one source-keyed agg, a
+    * 1-row weight-total scalar broadcast (the q110 pattern), output
+    * |sources| rows. */
+  def effectiveTemperatureMix(spark: SparkSession, d: String): DataFrame = {
+    val labels = Dedup.nearDupClusters(spark, d)
+      .select(col("doc_id"), col("cluster_n"))
+    val inv = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("nt"))
+      .join(labels, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("raw_tokens"),
+        sum(expr("(1000 * nt) div cluster_n")).as("eff_milli"))
+      .withColumn("eff_tokens", expr("eff_milli div 1000"))
+      .withColumn("weight", isqrt(col("eff_tokens")))
+    val totals = inv.agg(sum(col("weight")).as("tw"))
+    inv.crossJoin(broadcast(totals))
+      .select(col("source"), col("raw_tokens"), col("eff_tokens"),
+        expr("eff_milli div raw_tokens").as("discount_pm"),
+        col("weight"),
+        expr("(1000 * weight) div tw").as("share_pm"))
+      .orderBy(col("source"))
+  }
 }

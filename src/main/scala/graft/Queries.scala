@@ -2994,4 +2994,110 @@ object Queries {
           .as("r2_signed_ppm"))
       .orderBy(col("event_type"), col("lag_h"))
   }
+
+  /** q286: PRICE-QUANTITY ELASTICITY PROXY — per brand, the exact OLS
+    * slope of monthly quantity on monthly unit price (micro units of
+    * qty per cent) with its signed r² (ppm): did the brand sell LESS
+    * in the months it priced HIGHER? The cross-VARIABLE regression
+    * none of the time-series family runs: q235 regresses revenue on
+    * TIME, q273 correlates brand PAIRS, q284 correlates a series with
+    * its own PAST — this one prices the demand curve itself, the
+    * input a pricing team actually fits. Months are the observation
+    * grain (unit price = rev_cents div qty, ONE floored division per
+    * cell, qty exact — TPC-H quantities are integral); slope and r²
+    * follow the q91/q284 exact-moment discipline: integer numerators
+    * in DECIMAL(38,0), one sign-decomposed floored division each.
+    *
+    * Shape at 100 TB: the fact table collapses to the brand × month
+    * grid FIRST (one keyed hash-agg); moments are a |brands|-keyed
+    * re-agg of that bounded grid. Nothing downstream of the first agg
+    * scales with fact volume. */
+  def priceElasticity(spark: SparkSession, d: String): DataFrame = {
+    val bm = Tables.lineitem(spark, d).select(
+        col("l_partkey").as("pk"),
+        expr("CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)")
+          .as("m"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .join(Tables.part(spark, d).select(col("p_partkey"), col("p_brand")),
+        col("pk") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("m"))
+      .agg(sum(col("cents")).as("rev_cents"), sum(col("qty")).as("qty"))
+      .select(col("brand"), col("m"),
+        expr("rev_cents div qty").as("x"), col("qty").as("y"))
+    bm.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("num", expr(
+        "CAST(n_months AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("dx", expr(
+        "CAST(n_months AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("dy", expr(
+        "CAST(n_months AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(col("brand"), col("n_months"),
+        when(expr("dx = 0"), lit(0L)).otherwise(expr(
+          """CAST(CASE WHEN num >= 0 THEN (1000000 * num) div dx
+            |  ELSE -((1000000 * (-num)) div dx) END AS BIGINT)"""
+            .stripMargin.replace("\n", " "))).as("slope_micro"),
+        when(expr("dx = 0 OR dy = 0"), lit(0L)).otherwise(expr(
+          """CAST(CASE WHEN num >= 0
+            |  THEN (1000000 * num * num) div (dx * dy)
+            |  ELSE -((1000000 * num * num) div (dx * dy))
+            |END AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("r2_signed_ppm"))
+      .orderBy(col("brand"))
+  }
+
+  /** q288 cumulative-share class bars: A captures the first 80 % of
+    * brand revenue, B the next 15 %, C the tail. */
+  val AbcBarsPm: (Long, Long) = (800L, 950L)
+
+  /** q288: ABC VALUE-CONCENTRATION CLASSES — per brand, its parts
+    * ranked by revenue and cut into the classic A/B/C inventory
+    * classes by CUMULATIVE share: a part is A while the share
+    * accumulated BEFORE it is < 800 ‰, B while < 950 ‰, else C (the
+    * prior-cumulative rule makes a dominant first part class A by
+    * construction — the defined, engine-identical semantic). Per
+    * (brand, class): part count and captured revenue share. The
+    * concentration CUT the equal-count cuts can't express: q73's
+    * deciles give every bucket the same population; ABC gives every
+    * class the same VALUE meaning — "how few SKUs carry 80 % of the
+    * brand" is the planner's question, and n_parts(A) answers it.
+    *
+    * Shape at 100 TB: one (brand, part) keyed hash-agg of the fact
+    * table, then rank/cumulative windows INSIDE brand partitions of
+    * ≤|catalog parts per brand| rows (dimension-bounded — the q272
+    * grid argument), a 3-value class derivation, and a (brand, class)
+    * re-agg. Ties rank (revenue desc, partkey asc). */
+  def abcClasses(spark: SparkSession, d: String): DataFrame = {
+    val pr = Tables.lineitem(spark, d).select(
+        col("l_partkey").as("pk"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(Tables.part(spark, d).select(col("p_partkey"), col("p_brand")),
+        col("pk") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("pk"))
+      .agg(sum(col("cents")).as("rev"))
+    val w = Window.partitionBy(col("brand"))
+      .orderBy(col("rev").desc, col("pk"))
+    val tot = Window.partitionBy(col("brand"))
+    val (aBar, bBar) = AbcBarsPm
+    pr.withColumn("cum", sum(col("rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("brand_rev", sum(col("rev")).over(tot))
+      .withColumn("prev_pm",
+        expr("(1000 * (cum - rev)) div brand_rev"))
+      .withColumn("cls",
+        when(col("prev_pm") < aBar, "A")
+          .when(col("prev_pm") < bBar, "B").otherwise("C"))
+      .groupBy(col("brand"), col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("class_rev_cents"),
+        max(col("brand_rev")).as("br"))
+      .withColumn("share_pm", expr("(1000 * class_rev_cents) div br"))
+      .select(col("brand"), col("cls"), col("n_parts"),
+        col("class_rev_cents"), col("share_pm"))
+      .orderBy(col("brand"), col("cls"))
+  }
 }

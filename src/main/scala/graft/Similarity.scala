@@ -1825,10 +1825,17 @@ object Similarity {
     * shape, never a corpus-wide window sort), then two doc-keyed
     * source joins and a |sources|-row agg. Work is |sample|·|corpus|
     * dots — the sample size is the knob, the plan never changes. */
-  def knnSourcePurity(spark: SparkSession, d: String): DataFrame = {
+  def knnSourcePurity(spark: SparkSession, d: String): DataFrame =
+    knnSourcePurityAt(spark, d, PurityStride)
+
+  /** Stride-parameterized body — ScaleProbe pins the SAMPLE SIZE by
+    * scaling the stride with the corpus (the production deployment
+    * model; the mod-7 contract above is the test-SF instance). */
+  private[graft] def knnSourcePurityAt(
+      spark: SparkSession, d: String, stride: Long): DataFrame = {
     val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
     val e = withNorm(Tables.embeddings(spark, d))
-    val q = e.filter(col("vec_id") % PurityStride === 0L)
+    val q = e.filter(col("vec_id") % stride === 0L)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn"))
     val top = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nn")))

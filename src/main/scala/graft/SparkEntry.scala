@@ -663,6 +663,12 @@ object SparkEntry {
     "q284_hourly_autocorr" -> (Queries.hourlyAutocorr _),
     // Newman modularity contributions of the brand partition
     "q285_brand_modularity" -> (Graph.brandModularity _),
+    // exact OLS slope of monthly qty on unit price per brand
+    "q286_price_elasticity" -> (Queries.priceElasticity _),
+    // q157 temperature mix over the q278 dedup-effective token supply
+    "q287_effective_mixture" -> (Curation.effectiveTemperatureMix _),
+    // classic A/B/C cumulative-revenue-share inventory classes
+    "q288_abc_classes" -> (Queries.abcClasses _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -6260,5 +6266,86 @@ object SparkEntry {
         |            // (4::HUGEINT * (SELECT m FROM mm) * (SELECT m FROM mm)))
         |        END)::BIGINT AS contrib_micro
         |FROM j ORDER BY brand""".stripMargin,
+    // q286: the q272 brand-month CTE with quantities, one floored
+    // unit-price division per cell, the q91 moment numerators in
+    // HUGEINT, sign-decomposed slope and r-squared divisions.
+    "q286_price_elasticity" ->
+      """WITH bm AS (SELECT p_brand brand,
+        |        (year(l_shipdate) * 12 + month(l_shipdate) - 1)::BIGINT m,
+        |        sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |          rev_cents,
+        |        sum(l_quantity::BIGINT)::BIGINT qty
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      GROUP BY 1, 2),
+        |pt AS (SELECT brand, m, rev_cents // qty AS x, qty AS y FROM bm),
+        |ag AS (SELECT brand, count(*)::BIGINT n, sum(x)::BIGINT sx,
+        |      sum(y)::BIGINT sy, sum(x::HUGEINT * y) sxy,
+        |      sum(x::HUGEINT * x) sxx, sum(y::HUGEINT * y) syy
+        |      FROM pt GROUP BY 1),
+        |mo AS (SELECT brand, n,
+        |      n::HUGEINT * sxy - sx::HUGEINT * sy num,
+        |      n::HUGEINT * sxx - sx::HUGEINT * sx dx,
+        |      n::HUGEINT * syy - sy::HUGEINT * sy dy FROM ag)
+        |SELECT brand, n AS n_months,
+        |       (CASE WHEN dx = 0 THEN 0
+        |             WHEN num >= 0 THEN (1000000::HUGEINT * num) // dx
+        |             ELSE -((1000000::HUGEINT * (-num)) // dx)
+        |        END)::BIGINT AS slope_micro,
+        |       (CASE WHEN dx = 0 OR dy = 0 THEN 0
+        |             WHEN num >= 0
+        |               THEN (1000000::HUGEINT * num * num) // (dx * dy)
+        |             ELSE -((1000000::HUGEINT * num * num) // (dx * dy))
+        |        END)::BIGINT AS r2_signed_ppm
+        |FROM mo ORDER BY brand""".stripMargin,
+    // q287: the q49 closure verbatim + token inventory, per-doc
+    // (1000·nt)//cluster_n effective supply, the q157 corrected-isqrt
+    // weight replay, 1-row weight total.
+    "q287_effective_mixture" ->
+      s"""WITH $NearDupClusterCte,
+         |inv AS (SELECT d.source, d.doc_id,
+         |      len(regexp_split_to_array(d.text, ' '))::BIGINT nt,
+         |      cn.cluster_n
+         |      FROM documents d JOIN lbl l ON l.doc_id = d.doc_id
+         |      JOIN cn ON cn.cluster_id = l.cluster_id),
+         |ag AS (SELECT source, sum(nt)::BIGINT raw_tokens,
+         |      sum((1000 * nt) // cluster_n)::BIGINT eff_milli
+         |      FROM inv GROUP BY 1),
+         |e2 AS (SELECT source, raw_tokens, eff_milli,
+         |      (eff_milli // 1000)::BIGINT eff_tokens FROM ag),
+         |w0 AS (SELECT *, floor(sqrt(eff_tokens::DOUBLE))::BIGINT s0 FROM e2),
+         |w1 AS (SELECT *, CASE WHEN s0 * s0 > eff_tokens THEN s0 - 1
+         |      ELSE s0 END s1 FROM w0),
+         |wt AS (SELECT source, raw_tokens, eff_tokens, eff_milli,
+         |      CASE WHEN (s1 + 1) * (s1 + 1) <= eff_tokens THEN s1 + 1
+         |      ELSE s1 END w FROM w1),
+         |twt AS (SELECT sum(w)::BIGINT tw FROM wt)
+         |SELECT source, raw_tokens, eff_tokens,
+         |       (eff_milli // raw_tokens)::BIGINT AS discount_pm,
+         |       w::BIGINT AS weight,
+         |       ((1000 * w) // tw)::BIGINT AS share_pm
+         |FROM wt, twt ORDER BY source""".stripMargin,
+    // q288: (brand, part) revenue agg, in-brand rank/cumulative
+    // windows, the prior-cumulative class rule, (brand, class) re-agg.
+    "q288_abc_classes" -> {
+      val (aBar, bBar) = Queries.AbcBarsPm
+      s"""WITH pr AS (SELECT p_brand brand, l_partkey pk,
+         |      sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT rev
+         |      FROM lineitem JOIN part ON p_partkey = l_partkey
+         |      GROUP BY 1, 2),
+         |cw AS (SELECT brand, pk, rev,
+         |      sum(rev) OVER (PARTITION BY brand ORDER BY rev DESC, pk
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+         |      sum(rev) OVER (PARTITION BY brand) brand_rev FROM pr),
+         |cl AS (SELECT brand, rev, brand_rev,
+         |      (1000 * (cum - rev)) // brand_rev AS prev_pm FROM cw),
+         |cc AS (SELECT brand,
+         |      CASE WHEN prev_pm < $aBar THEN 'A'
+         |           WHEN prev_pm < $bBar THEN 'B' ELSE 'C' END cls,
+         |      rev, brand_rev FROM cl)
+         |SELECT brand, cls, count(*)::BIGINT AS n_parts,
+         |       sum(rev)::BIGINT AS class_rev_cents,
+         |       ((1000 * sum(rev)) // max(brand_rev))::BIGINT AS share_pm
+         |FROM cc GROUP BY 1, 2 ORDER BY brand, cls""".stripMargin
+    },
   )
 }

@@ -151,7 +151,10 @@ class PlanSweepSpec extends SparkSpec {
     // q284: |event types| × the calendar-bounded hour spine zero-fill
     // cross join (same idiom) — the union's two lag branches each
     // re-instantiate it, and the grid is dimension-bounded either way
-    "q284_hourly_autocorr" -> 2)
+    "q284_hourly_autocorr" -> 2,
+    // q287: the one-row weight-total scalar broadcast against the
+    // |sources|-bounded inventory (the q110 pattern)
+    "q287_effective_mixture" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

@@ -500,6 +500,39 @@ object ScaleProbe {
       println(f"[probe] q277_association_rules 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
       println(f"[probe] r10d ratios: q277_association_rules=${t10 / t1}%.1f")
     }
+    // Round-10 batches d/e (q278-q285), each on its family's replica
+    // corpus. q278 min-of-2 at 10× (first pass pays the one-time q49
+    // cluster-stage build). q279 probes the PRODUCTION deployment
+    // model: the stride scales with the corpus so the query sample
+    // stays pinned (the ANN "10-query batch does not grow" contract);
+    // the scan side still grows 10×, so ~linear is the expectation.
+    if (fams("r10e")) {
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val r10e: Seq[(String,
+          (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          String)] = Seq(
+        ("q278_dedup_effective_size", Dedup.dedupEffectiveSize _, d10),
+        ("q281_audio_loudness_audit", Multimodal.audioLoudnessAudit _, d10),
+        ("q283_ngram_diversity", TextAnalysis.ngramDiversity _, d10),
+        ("q279_knn_source_purity",
+          (s: org.apache.spark.sql.SparkSession, dir: String) =>
+            Similarity.knnSourcePurityAt(s, dir,
+              if (dir == d1) Similarity.PurityStride
+              else Similarity.PurityStride * 10L), vdir),
+        ("q282_repr_alignment", Similarity.reprAlignment _, vdir),
+        ("q280_dyadic_momentum", Queries.dyadicMomentum _, gdir),
+        ("q285_brand_modularity", Graph.brandModularity _, gdir),
+        ("q284_hourly_autocorr", Queries.hourlyAutocorr _, edir))
+      val rr = r10e.map { case (name, fn, dd) =>
+        val t1 = min2(name, fn, d1)
+        val t10 = min2(name, fn, dd)
+        println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+        name -> (t10 / t1)
+      }
+      println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10e ratios: ", ", ", ""))
+    }
     spark.stop()
   }
 }
