@@ -1766,4 +1766,60 @@ object Dedup {
         expr("(1000000 * n_docs) div eff_milli"))
       .orderBy(col("source"))
   }
+
+  /** q290 ablation grid: the shingle orders worth pricing — 3 (the
+    * q22/q23 default), 5, and 8 (the q109/q214 span grain). */
+  val AblationNs: Seq[Int] = Seq(3, 5, 8)
+
+  /** q290 stop-shingle bar — the q123/q264 df-cap discipline applied
+    * uniformly across the grid so the curve prices DISTINCTIVENESS,
+    * not the cap. */
+  val AblationDfCap = 64L
+
+  /** q290: SHINGLE-SIZE ABLATION — the choose-your-n evidence every
+    * dedup config hardcodes blind: for n ∈ {3,5,8}, the distinct
+    * n-gram count, how many fall to the df cap (corpus-ubiquitous =
+    * useless for identity), and the doc pairs sharing a KEPT gram,
+    * split within/cross source. Small n: everything collides (high
+    * pair mass, high cap loss — recall-rich, precision-poor); large
+    * n: only verbatim spans survive. The ablation-family question
+    * (q263's, asked of the dedup axis): q22/q23 fix n = 3 and q109
+    * fixes 8 — this prices the space between, so the threshold-curve
+    * reading of q266 gets its horizontal twin.
+    *
+    * Shape at 100 TB: per n ONE kernel shingle pass (per-doc distinct
+    * hashes), a gram-keyed df agg, the df-capped equi-self-join
+    * (pair instances bounded by Σ C(min(df,cap),2) — the PPJoin
+    * stop-shingle argument), and 2 one-row aggregates folded on the
+    * driver (bounded collects). Output is |grid| = 3 rows. */
+  def shingleSizeAblation(spark: SparkSession, d: String): DataFrame = {
+    val docs = CacheScope.cached(Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("source"), col("text")))
+    val rows = AblationNs.map { n =>
+      val g = CacheScope.cached(docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.GraftFunctions.shingleHashes(
+          split(col("text"), " "), n)).as("h")))
+      val dfRel = g.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val dfStats = dfRel.agg(count(lit(1)),
+        sum(when(col("df") > AblationDfCap, 1L).otherwise(0L))).head()
+      val kept = dfRel.filter(col("df") <= AblationDfCap).select(col("h"))
+      val gi = g.join(kept, "h")
+      val pairStats = gi.as("a").join(gi.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          (col("a.source") === col("b.source")).as("same"))
+        .distinct()
+        .agg(sum(when(col("same"), 1L).otherwise(0L)),
+          sum(when(!col("same"), 1L).otherwise(0L))).head()
+      val within = if (pairStats.isNullAt(0)) 0L else pairStats.getLong(0)
+      val cross = if (pairStats.isNullAt(1)) 0L else pairStats.getLong(1)
+      (n.toLong, dfStats.getLong(0), dfStats.getLong(1), within, cross,
+        if (within + cross == 0L) 0L else 1000L * cross / (within + cross))
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("n", "grams_distinct", "grams_dropped", "pairs_within",
+        "pairs_cross", "cross_share_pm")
+      .orderBy(col("n"))
+  }
 }

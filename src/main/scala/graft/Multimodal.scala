@@ -761,4 +761,59 @@ object Multimodal {
           .as("crest_milli"))
       .orderBy(col("doc_id"))
   }
+
+  /** q291 geometry: q264's 4-frame virtual grid (the corpus's
+    * payloads top out near 570 chars, so a finer grid starves the
+    * 64-pixel-per-frame aHash floor — a production video pipeline
+    * raises SceneFrames with real payload sizes, the plan is
+    * identical) and the Hamming bar that calls a boundary: adjacent
+    * frames of one scene share brightness geometry (few bits flip),
+    * a cut re-lights everything (~half the 64 bits flip). */
+  val SceneFrames = 4
+  val SceneCutBits = 16L
+
+  /** q291: SCENE-CUT DETECTION PLAN — per media item, the aHash of
+    * each equal virtual frame and the Hamming distance between
+    * ADJACENT frames; a boundary (is_cut) fires where the distance
+    * exceeds 16 of 64 bits. The shot-segmentation pass a video
+    * pipeline runs before keyframe extraction (q166 samples frames
+    * BLINDLY at a stride; this tells it WHERE scenes start so one
+    * keyframe per shot replaces k per video) and a different question
+    * over q264's frame grid: q264 pairs DOCUMENTS by exact shared
+    * frame hashes, this segments WITHIN a document by adjacent-frame
+    * distance. On this word-salad corpus adjacent frames are
+    * independent pixels, so distances sit near 32 and most boundaries
+    * fire — honest and documented (the q264 rarity argument
+    * inverted); the spec drives a planted smooth-then-cut fixture
+    * through the same arithmetic to pin the discrimination path.
+    *
+    * Shape at 100 TB: 4 row-local kernel calls per doc (the q264
+    * header-prefix trick reuses AHash64Expr unchanged), one lag read
+    * inside 4-row doc partitions, map-shaped otherwise. Exact
+    * integers end-to-end. */
+  def sceneCuts(spark: SparkSession, d: String): DataFrame =
+    sceneCutsDf(Tables.documentsDist(spark, d))
+
+  private[graft] def sceneCutsDf(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsIn
+      .withColumn("flen",
+        expr(s"CAST((length(text) - 64) div $SceneFrames AS INT)"))
+      .filter(col("flen") >= AHashBlocks)
+    val fh = docs
+      .select(col("doc_id"), col("text"), col("flen"),
+        explode(sequence(lit(0), lit(SceneFrames - 1))).as("f"))
+      .select(col("doc_id"), col("f").cast("long").as("frame"),
+        graft.functions.GraftFunctions.ahash64(expr(
+          "concat(substring(text, 1, 64)," +
+            " substring(text, 65 + f * flen, flen))")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+    fh.withColumn("prev", lag(col("h"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("frame"),
+        bit_count(col("h").bitwiseXOR(col("prev"))).cast("long").as("dist"))
+      .withColumn("is_cut",
+        when(col("dist") > SceneCutBits, 1L).otherwise(0L))
+      .orderBy(col("doc_id"), col("frame"))
+  }
 }

@@ -3100,4 +3100,48 @@ object Queries {
         col("class_rev_cents"), col("share_pm"))
       .orderBy(col("brand"), col("cls"))
   }
+
+  /** Ceiling integer square root — the q157 corrected floor-isqrt
+    * shifted to the CONSERVATIVE side: for a subtracted radical a
+    * floor would bias the bound optimistic, ceil keeps "lower bound"
+    * honest. Exact for n < 2⁵³ (IEEE sqrt is correctly rounded). */
+  private def ceilSqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    val s1 = when(s0 * s0 > n, s0 - 1L).otherwise(s0)
+    val fl = when((s1 + 1L) * (s1 + 1L) <= n, s1 + 1L).otherwise(s1)
+    when(fl * fl === n, fl).otherwise(fl + 1L)
+  }
+
+  /** q289: WILSON LOWER-BOUND QUALITY RANKING — per supplier, the
+    * non-return rate of its line items and the Wilson score interval's
+    * lower bound at z = 2 (~95 %), both in ppm: the small-sample-fair
+    * ranking statistic ("sort by lower confidence bound", the
+    * canonical fix for a 2/2 supplier outranking a 4980/5000 one).
+    * With s successes of n and z² = 4 the bound is
+    * (n(s+2) − 2·√(n(s(n−s)+n))) / (n(n+4)) — ONE radical, taken with
+    * the CEILING isqrt so the floor bias lands on the conservative
+    * side, then one floored division, clamped at 0 (tiny-n underflow).
+    * Both engines replay the identical corrected-sqrt arithmetic (the
+    * q157 isqrt discipline, α = 1/2 case).
+    *
+    * Shape at 100 TB: ONE supplier-keyed hash-agg of the fact table,
+    * then row-local arithmetic on |suppliers| dimension rows — no
+    * window, no sort but presentation. Radicand n·(s(n−s)+n) ~ n³:
+    * exact in the double-seeded isqrt to n ~ 2·10⁶ lines/supplier —
+    * past that route the radicand DECIMAL(38,0) and seed from its
+    * double cast (documented, not needed at any test SF). */
+  def wilsonRanking(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("n_ok"))
+      .withColumn("rad",
+        ceilSqrt(expr("n_lines * (n_ok * (n_lines - n_ok) + n_lines)")))
+      .select(col("suppkey"), col("n_lines"), col("n_ok"),
+        expr("(1000000 * n_ok) div n_lines").as("rate_ppm"),
+        greatest(lit(0L), expr(
+          "(1000000 * (n_lines * (n_ok + 2) - 2 * rad))" +
+            " div (n_lines * (n_lines + 4))")).as("wilson_lb_ppm"))
+      .orderBy(col("suppkey"))
+  }
 }

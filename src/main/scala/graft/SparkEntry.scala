@@ -669,6 +669,12 @@ object SparkEntry {
     "q287_effective_mixture" -> (Curation.effectiveTemperatureMix _),
     // classic A/B/C cumulative-revenue-share inventory classes
     "q288_abc_classes" -> (Queries.abcClasses _),
+    // small-sample-fair supplier ranking: Wilson lower bound, z = 2
+    "q289_wilson_ranking" -> (Queries.wilsonRanking _),
+    // choose-your-n evidence: df-capped pair mass at n = 3, 5, 8
+    "q290_shingle_ablation" -> (Dedup.shingleSizeAblation _),
+    // adjacent-frame aHash Hamming boundaries (shot segmentation)
+    "q291_scene_cuts" -> (Multimodal.sceneCuts _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -6346,6 +6352,105 @@ object SparkEntry {
          |       sum(rev)::BIGINT AS class_rev_cents,
          |       ((1000 * sum(rev)) // max(brand_rev))::BIGINT AS share_pm
          |FROM cc GROUP BY 1, 2 ORDER BY brand, cls""".stripMargin
+    },
+    // q289: supplier-keyed agg, the corrected ceil-isqrt radical
+    // replay, one floored division clamped at 0 (pre-clamp sign
+    // differences between // and div are absorbed by the clamp).
+    "q289_wilson_ranking" ->
+      """WITH ag AS (SELECT l_suppkey suppkey, count(*)::BIGINT n,
+        |      sum(CASE WHEN l_returnflag != 'R' THEN 1 ELSE 0 END)::BIGINT s
+        |      FROM lineitem GROUP BY 1),
+        |r0 AS (SELECT *, n * (s * (n - s) + n) AS arg FROM ag),
+        |r1 AS (SELECT *, floor(sqrt(arg::DOUBLE))::BIGINT s0 FROM r0),
+        |r2 AS (SELECT *, CASE WHEN s0 * s0 > arg THEN s0 - 1 ELSE s0 END s1
+        |      FROM r1),
+        |r3 AS (SELECT *, CASE WHEN (s1 + 1) * (s1 + 1) <= arg THEN s1 + 1
+        |      ELSE s1 END fl FROM r2),
+        |r4 AS (SELECT *, CASE WHEN fl * fl = arg THEN fl ELSE fl + 1 END rad
+        |      FROM r3)
+        |SELECT suppkey, n AS n_lines, s AS n_ok,
+        |       ((1000000 * s) // n)::BIGINT AS rate_ppm,
+        |       greatest(0, (1000000 * (n * (s + 2) - 2 * rad))
+        |         // (n * (n + 4)))::BIGINT AS wilson_lb_ppm
+        |FROM r4 ORDER BY suppkey""".stripMargin,
+    // q290: per n the distinct-per-doc shingle relation (the q23 sh
+    // CTE at each order), df stats, capped equi-join pair set with
+    // the source split, one row per n.
+    "q290_shingle_ablation" -> {
+      val cap = Dedup.AblationDfCap
+      val blocks = Dedup.AblationNs.map { n =>
+        val hi = if (n == 1) "tk[i:i]" else s"tk[i:i+${n - 1}]"
+        s"""sh$n AS (SELECT DISTINCT doc_id,
+           |      ${H(s"array_to_string($hi, ' ')")} h
+           |      FROM (SELECT doc_id, tk,
+           |            unnest(generate_series(1, len(tk) - ${n - 1})) i FROM t)),
+           |df$n AS (SELECT h, count(*)::BIGINT df FROM sh$n GROUP BY 1),
+           |st$n AS (SELECT count(*)::BIGINT gd,
+           |      sum(CASE WHEN df > $cap THEN 1 ELSE 0 END)::BIGINT gx
+           |      FROM df$n),
+           |gi$n AS (SELECT sh.doc_id, sh.h FROM sh$n sh
+           |      JOIN df$n dd ON dd.h = sh.h AND dd.df <= $cap),
+           |pr$n AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM gi$n a
+           |      JOIN gi$n b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |ps$n AS (SELECT
+           |      sum(CASE WHEN x.source = y.source THEN 1 ELSE 0 END)
+           |        ::BIGINT w,
+           |      sum(CASE WHEN x.source != y.source THEN 1 ELSE 0 END)
+           |        ::BIGINT c
+           |      FROM pr$n JOIN documents x ON x.doc_id = da
+           |      JOIN documents y ON y.doc_id = db),
+           |row$n AS (SELECT $n::BIGINT n, gd, gx, coalesce(w, 0)::BIGINT pw,
+           |      coalesce(c, 0)::BIGINT pc FROM st$n, ps$n)""".stripMargin
+      }.mkString(",\n")
+      val un = Dedup.AblationNs.map(n => s"SELECT * FROM row$n")
+        .mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id,
+         |      regexp_split_to_array(text, ' ') tk FROM documents),
+         |$blocks
+         |SELECT n, gd AS grams_distinct, gx AS grams_dropped,
+         |       pw AS pairs_within, pc AS pairs_cross,
+         |       (CASE WHEN pw + pc = 0 THEN 0
+         |        ELSE (1000 * pc) // (pw + pc) END)::BIGINT AS cross_share_pm
+         |FROM ($un) ORDER BY n""".stripMargin
+    },
+    // q291: the q264 per-frame relational aHash chain at 8 frames,
+    // adjacent-frame join, split-half Hamming.
+    "q291_scene_cuts" -> {
+      val sf = Multimodal.SceneFrames
+      s"""WITH fd AS (SELECT doc_id, text,
+         |        ((length(text) - 64) // $sf)::BIGINT flen
+         |      FROM documents
+         |      WHERE (length(text) - 64) // $sf >= 64),
+         |ff AS (SELECT doc_id, text, flen,
+         |        unnest(generate_series(0, ${sf - 1})) f FROM fd),
+         |fpx AS (SELECT doc_id, f, flen, p,
+         |        ord(substr(text, (65 + f * flen + p)::INT, 1))::BIGINT v
+         |      FROM (SELECT doc_id, text, flen, f,
+         |              unnest(generate_series(0, flen - 1)) p FROM ff)),
+         |fbl AS (SELECT doc_id, f, flen, (64 * p) // flen blk,
+         |        sum(v)::BIGINT bsum, count(*)::BIGINT bcnt
+         |      FROM fpx GROUP BY 1, 2, 3, 4),
+         |ftt AS (SELECT doc_id, f, sum(bsum)::BIGINT tot FROM fbl
+         |      GROUP BY 1, 2),
+         |fbits AS (SELECT fbl.doc_id, fbl.f, blk,
+         |        CASE WHEN bsum::HUGEINT * flen >= tot::HUGEINT * bcnt
+         |          THEN 1::BIGINT ELSE 0::BIGINT END bt
+         |      FROM fbl JOIN ftt ON ftt.doc_id = fbl.doc_id
+         |        AND ftt.f = fbl.f),
+         |fsg AS MATERIALIZED (SELECT doc_id, f,
+         |        sum(CASE WHEN blk < 32 THEN bt << blk::INT ELSE 0 END)
+         |          ::BIGINT lo,
+         |        sum(CASE WHEN blk >= 32 THEN bt << (blk - 32)::INT
+         |          ELSE 0 END)::BIGINT hi
+         |      FROM fbits GROUP BY 1, 2)
+         |SELECT a.doc_id, b.f::BIGINT AS frame,
+         |       (bit_count(xor(a.lo, b.lo))
+         |         + bit_count(xor(a.hi, b.hi)))::BIGINT AS dist,
+         |       (CASE WHEN bit_count(xor(a.lo, b.lo))
+         |           + bit_count(xor(a.hi, b.hi)) > ${Multimodal.SceneCutBits}
+         |         THEN 1 ELSE 0 END)::BIGINT AS is_cut
+         |FROM fsg a JOIN fsg b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+         |ORDER BY a.doc_id, frame""".stripMargin
     },
   )
 }
