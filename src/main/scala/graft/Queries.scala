@@ -3144,4 +3144,131 @@ object Queries {
             " div (n_lines * (n_lines + 4))")).as("wilson_lb_ppm"))
       .orderBy(col("suppkey"))
   }
+
+  /** q292: SESSION TRANSITION IMPURITY — per antecedent event type,
+    * the Gini impurity (ppm) of its within-session NEXT-event
+    * distribution, plus the modal next step and its share: how
+    * PREDICTABLE each state is. Impurity 0 = the flow is a corridor
+    * (prefetch/precompute the next screen); near the (k−1)/k ceiling
+    * = a hub where prediction is pointless. The entropy-style
+    * question asked WITHOUT logarithms (the no-cross-engine-ln
+    * discipline): Gini = 1 − Σp² is exact in ONE cross-multiplied
+    * division, (n² − Σc²)·10⁶ div n². q181 mines the popular PATHS;
+    * this scores each state's fan-out as a distribution. Modal ties
+    * break to the lexicographically smallest next type via
+    * min(struct(−c, nxt)).
+    *
+    * Shape at 100 TB: the q19/q181 session chain (user-keyed windows)
+    * collapses to |types|² transition counts in one keyed hash-agg;
+    * everything after is alphabet-bounded. Σc² exact in BIGINT to
+    * ~3·10⁹ transitions per pair — DECIMAL(38,0) past that (q91). */
+  def transitionImpurity(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ws = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = eventsNs(spark, d)
+      .withColumn("prev_ns", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ns").isNull ||
+          col("ts") - col("prev_ns") > 1800000000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nxt", lead(col("event_type"), 1).over(ws))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("ante"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("ante"))
+      .agg(sum(col("c")).as("n_transitions"),
+        count(lit(1)).as("n_next_types"),
+        sum(expr("c * c")).as("ssq"),
+        min(struct((-col("c")).as("nc"), col("nxt"))).as("m"))
+      .select(col("ante"), col("n_transitions"), col("n_next_types"),
+        expr("(1000000 * (n_transitions * n_transitions - ssq))" +
+          " div (n_transitions * n_transitions)").as("gini_ppm"),
+        col("m.nxt").as("top_next"),
+        expr("(1000 * (-m.nc)) div n_transitions").as("top_share_pm"))
+      .orderBy(col("ante"))
+  }
+
+  /** q293: QUALITY × DUPLICATION ASSOCIATION — does repetitive text
+    * (low unique-token ratio, the q29 uniqueness signal integerized)
+    * duplicate more? Per uniqueness band: docs, near-dup members
+    * (q49 cluster_n ≥ 2), dup rate, and the relative risk vs the
+    * corpus base rate as ONE cross-multiplied milli ratio
+    * (1000·dup_b·N) div (n_b·D). The curation composition q29 and
+    * q49 each leave implicit: if risk falls monotonically with
+    * uniqueness, a repetition filter IS a cheap pre-dedup — and the
+    * table is the evidence either way.
+    *
+    * Shape at 100 TB: one row-local banding scan + the persisted
+    * label join, a band-keyed agg, and the 1-row corpus totals
+    * re-entering broadcast (the q62 scalar pattern). */
+  def qualityDupAssociation(spark: SparkSession, d: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val withTok = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), size(t).cast("long").as("nt"),
+        size(array_distinct(t)).cast("long").as("uq"))
+      .withColumn("uq_pm", expr("(1000 * uq) div nt"))
+      .withColumn("band", expr("uq_pm div 100"))
+    val labels = Dedup.nearDupClusters(spark, d)
+      .select(col("doc_id"),
+        when(col("cluster_n") >= 2L, 1L).otherwise(0L).as("dup"))
+    val bands = withTok.join(labels, "doc_id")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("n_dups"))
+    val tot = bands.agg(sum(col("n_docs")).as("nn"), sum(col("n_dups")).as("dd"))
+    bands.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_docs"), col("n_dups"),
+        expr("(1000 * n_dups) div n_docs").as("dup_rate_pm"),
+        when(col("dd") === 0L, lit(0L))
+          .otherwise(expr("(1000 * n_dups * nn) div (n_docs * dd)"))
+          .as("risk_milli"))
+      .orderBy(col("band"))
+  }
+
+  /** q294 SLA bar: ship lag beyond 90 days breaches. */
+  val SlaBreachDays = 90L
+
+  /** q294: PRIORITY SLA AUDIT — per order priority tier, the exact
+    * P50/P90/max of ship lag (days from order date to line ship date)
+    * and the share of lines past the 90-day bar: does the priority
+    * field BUY anything? Percentiles are TYPE-1 (lower: first lag
+    * whose cumulative count reaches (n+1) div 2 / (9n+9) div 10 — the
+    * q272 no-interpolation discipline) computed over the per-tier lag
+    * HISTOGRAM: lag days live on a bounded value grid (TPC-H ships
+    * within ~4 months), so the cumulative runs inside tier partitions
+    * of ≤|lag domain| rows — the q151/q188 bounded-histogram shape,
+    * never a per-row rank.
+    *
+    * Shape at 100 TB: one (tier, lag) hash-agg of the fact join,
+    * histogram cumulatives, a 5-row output. */
+  def prioritySlaAudit(spark: SparkSession, d: String): DataFrame = {
+    val lags = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_shipdate"))
+      .join(Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("ok") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag"))
+    val hist = lags.groupBy(col("priority"), col("lag"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("lag"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("priority"))))
+      .withColumn("r50", expr("(n + 1) div 2"))
+      .withColumn("r90", expr("(9 * n + 9) div 10"))
+    cum.groupBy(col("priority"))
+      .agg(max(col("n")).as("n_lines"),
+        min(when(col("cum") >= col("r50"), col("lag"))).as("p50_days"),
+        min(when(col("cum") >= col("r90"), col("lag"))).as("p90_days"),
+        max(col("lag")).as("max_days"),
+        sum(when(col("lag") > SlaBreachDays, col("c")).otherwise(0L))
+          .as("n_breach"))
+      .withColumn("breach_pm", expr("(1000 * n_breach) div n_lines"))
+      .select(col("priority"), col("n_lines"), col("p50_days"),
+        col("p90_days"), col("max_days"), col("breach_pm"))
+      .orderBy(col("priority"))
+  }
 }

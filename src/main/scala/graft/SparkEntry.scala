@@ -675,6 +675,12 @@ object SparkEntry {
     "q290_shingle_ablation" -> (Dedup.shingleSizeAblation _),
     // adjacent-frame aHash Hamming boundaries (shot segmentation)
     "q291_scene_cuts" -> (Multimodal.sceneCuts _),
+    // per-state next-event Gini impurity within sessions
+    "q292_transition_impurity" -> (Queries.transitionImpurity _),
+    // uniqueness-band near-dup rates + relative risk (q29 x q49)
+    "q293_quality_dup_association" -> (Queries.qualityDupAssociation _),
+    // ship-lag P50/P90/max + breach share per order priority tier
+    "q294_priority_sla" -> (Queries.prioritySlaAudit _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -6452,5 +6458,73 @@ object SparkEntry {
          |FROM fsg a JOIN fsg b ON b.doc_id = a.doc_id AND b.f = a.f + 1
          |ORDER BY a.doc_id, frame""".stripMargin
     },
+    // q292: the q181 session chain at lead-1, transition counts, one
+    // cross-multiplied Gini division, modal pick via rank window.
+    "q292_transition_impurity" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_ns(ts) tns
+        |            FROM events),
+        |s AS (SELECT user_id, event_id, event_type, tns,
+        |      CASE WHEN lag(tns) OVER w IS NULL
+        |             OR tns - lag(tns) OVER w > 1800000000000
+        |           THEN 1 ELSE 0 END AS ns
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+        |s2 AS (SELECT user_id, event_id, event_type, tns,
+        |       sum(ns) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |p AS (SELECT event_type AS ante, lead(event_type, 1) OVER w2 AS nxt
+        |      FROM s2 WINDOW w2 AS (PARTITION BY user_id, sid
+        |                            ORDER BY tns, event_id)),
+        |c AS (SELECT ante, nxt, count(*)::BIGINT c FROM p
+        |      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |a AS (SELECT ante, sum(c)::BIGINT n, count(*)::BIGINT k,
+        |      sum(c::HUGEINT * c) ssq FROM c GROUP BY 1),
+        |tp AS (SELECT ante, nxt, c FROM (SELECT ante, nxt, c,
+        |      row_number() OVER (PARTITION BY ante ORDER BY c DESC, nxt) rn
+        |      FROM c) WHERE rn = 1)
+        |SELECT a.ante, a.n AS n_transitions, a.k AS n_next_types,
+        |       ((1000000::HUGEINT * (a.n::HUGEINT * a.n - ssq))
+        |         // (a.n::HUGEINT * a.n))::BIGINT AS gini_ppm,
+        |       tp.nxt AS top_next,
+        |       ((1000 * tp.c) // a.n)::BIGINT AS top_share_pm
+        |FROM a JOIN tp ON tp.ante = a.ante ORDER BY a.ante""".stripMargin,
+    // q293: the q49 closure verbatim, row-local uniqueness banding,
+    // band agg, 1-row corpus totals, cross-multiplied risk.
+    "q293_quality_dup_association" ->
+      s"""WITH $NearDupClusterCte,
+         |b AS (SELECT d.doc_id,
+         |      (((1000 * len(list_distinct(string_split(d.text, ' '))))
+         |        // len(string_split(d.text, ' '))) // 100)::BIGINT band,
+         |      CASE WHEN cn.cluster_n >= 2 THEN 1 ELSE 0 END dup
+         |      FROM documents d JOIN lbl l ON l.doc_id = d.doc_id
+         |      JOIN cn ON cn.cluster_id = l.cluster_id),
+         |g AS (SELECT band, count(*)::BIGINT n_docs,
+         |      sum(dup)::BIGINT n_dups FROM b GROUP BY 1),
+         |t2 AS (SELECT sum(n_docs)::BIGINT nn, sum(n_dups)::BIGINT dd FROM g)
+         |SELECT band, n_docs, n_dups,
+         |       ((1000 * n_dups) // n_docs)::BIGINT AS dup_rate_pm,
+         |       (CASE WHEN dd = 0 THEN 0
+         |        ELSE (1000 * n_dups * nn) // (n_docs * dd)
+         |        END)::BIGINT AS risk_milli
+         |FROM g, t2 ORDER BY band""".stripMargin,
+    // q294: (tier, lag-day) histogram, in-tier cumulatives, type-1
+    // lower percentiles at the q272 ranks, breach share.
+    "q294_priority_sla" ->
+      s"""WITH lg AS (SELECT o_orderpriority priority,
+         |      date_diff('day', o_orderdate, l_shipdate)::BIGINT lag
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |h AS (SELECT priority, lag, count(*)::BIGINT c FROM lg
+         |      GROUP BY 1, 2),
+         |cw AS (SELECT priority, lag, c,
+         |      sum(c) OVER (PARTITION BY priority ORDER BY lag
+         |        ROWS UNBOUNDED PRECEDING) cum,
+         |      sum(c) OVER (PARTITION BY priority) n FROM h),
+         |r AS (SELECT *, (n + 1) // 2 r50, (9 * n + 9) // 10 r90 FROM cw)
+         |SELECT priority, max(n)::BIGINT AS n_lines,
+         |       min(CASE WHEN cum >= r50 THEN lag END)::BIGINT AS p50_days,
+         |       min(CASE WHEN cum >= r90 THEN lag END)::BIGINT AS p90_days,
+         |       max(lag)::BIGINT AS max_days,
+         |       ((1000 * sum(CASE WHEN lag > ${Queries.SlaBreachDays}
+         |          THEN c ELSE 0 END)) // max(n))::BIGINT AS breach_pm
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -154,7 +154,10 @@ class PlanSweepSpec extends SparkSpec {
     "q284_hourly_autocorr" -> 2,
     // q287: the one-row weight-total scalar broadcast against the
     // |sources|-bounded inventory (the q110 pattern)
-    "q287_effective_mixture" -> 1)
+    "q287_effective_mixture" -> 1,
+    // q293: the one-row corpus dup-totals scalar broadcast against
+    // the 11-band relation (same pattern)
+    "q293_quality_dup_association" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

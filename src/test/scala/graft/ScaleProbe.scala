@@ -533,6 +533,32 @@ object ScaleProbe {
       }
       println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10e ratios: ", ", ", ""))
     }
+    // Round-10 batches f/g/h (q286-q294) on the same replica corpora.
+    // The orders twin for q294 mirrors the lineitem orderkey shift.
+    if (fams("r10f")) {
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val r10f: Seq[(String,
+          (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          String)] = Seq(
+        ("q286_price_elasticity", Queries.priceElasticity _, gdir),
+        ("q288_abc_classes", Queries.abcClasses _, gdir),
+        ("q289_wilson_ranking", Queries.wilsonRanking _, gdir),
+        ("q294_priority_sla", Queries.prioritySlaAudit _, gdir),
+        ("q287_effective_mixture", Curation.effectiveTemperatureMix _, d10),
+        ("q290_shingle_ablation", Dedup.shingleSizeAblation _, d10),
+        ("q291_scene_cuts", Multimodal.sceneCuts _, d10),
+        ("q293_quality_dup_association", Queries.qualityDupAssociation _, d10),
+        ("q292_transition_impurity", Queries.transitionImpurity _, edir))
+      val rr = r10f.map { case (name, fn, dd) =>
+        val t1 = min2(name, fn, d1)
+        val t10 = min2(name, fn, dd)
+        println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+        name -> (t10 / t1)
+      }
+      println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10f ratios: ", ", ", ""))
+    }
     spark.stop()
   }
 }
