@@ -1951,4 +1951,90 @@ object Similarity {
     rows.toDF("source", "n_vecs", "tr_lex", "tr_emb",
       "align_lex_ppm", "align_emb_ppm")
   }
+
+  /** q295: DIMENSION LABEL-INFORMATIVENESS — per embedding dimension,
+    * the ratio of MEAN same-label pair spread to MEAN all-pair spread
+    * in ppm: ratio < 10⁶ means same-label vectors sit closer on this
+    * coordinate than random pairs, i.e. the dim encodes the label;
+    * ≈ 10⁶ means it is label-blind. The ANOVA eta² question asked in
+    * the PAIRWISE form, which is the one that stays INTEGRAL: the
+    * classic per-class terms (Σ s_l²/n_l) need a 10-label common
+    * denominator past 128 bits, but within-class pair spread
+    * Σ_l (n_l·q_l − s_l²) and total pair spread N·Q − S² are plain
+    * integer moments, and the ratio needs ONE cross-multiplied
+    * division — (10⁶·WP·N(N−1)) div (TP·Σn_l(n_l−1)) — to compare
+    * their per-pair means. Micro-quantized components (the q64/q136
+    * discipline). The feature-selection read q275 (per-SOURCE mean
+    * drift) and q186 (dimension health) don't give: WHICH dims a
+    * nearest-prototype classifier (q143) actually leans on.
+    *
+    * Shape at 100 TB: one posexplode + (label, dim) hash-agg
+    * (|labels|·d cells), a d-row re-agg, row-local ratio arithmetic in
+    * DECIMAL(38,0). Nothing past the first agg scales with corpus. */
+  def dimLabelInformativeness(spark: SparkSession, d: String): DataFrame = {
+    val cells = Tables.embeddings(spark, d)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        floor(col("col") * lit(1000000.0d)).cast("long").as("vm"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("nl"), sum(col("vm")).as("sl"),
+        sum(expr("CAST(vm AS DECIMAL(38,0)) * vm")).as("ql"))
+    cells.groupBy(col("dim"))
+      .agg(sum(col("nl")).as("n"),
+        sum(col("sl")).as("s"),
+        sum(col("ql")).as("q"),
+        sum(expr("nl * ql - CAST(sl AS DECIMAL(38,0)) * sl")).as("wp"),
+        sum(expr("nl * (nl - 1)")).as("wpairs"))
+      .withColumn("tp", expr(
+        "n * q - CAST(s AS DECIMAL(38,0)) * s"))
+      .select(col("dim"), col("n").as("n_vecs"),
+        // exact in BIGINT while N·Q < 2⁶³ (micro quant: ~9·10⁶ rows
+        // per dim) — route the whole relation DECIMAL(38,0) past that
+        col("wp").cast("long").as("within_spread"),
+        col("tp").cast("long").as("total_spread"),
+        when(expr("tp = 0 OR wpairs = 0"), lit(0L)).otherwise(expr(
+          "CAST((1000000 * wp * (n * (n - 1))) div (tp * wpairs) AS BIGINT)"))
+          .as("within_ratio_ppm"))
+      .orderBy(col("dim"))
+  }
+
+  /** q296: CLUSTERING-LABEL RAND INDEX — does the UNSUPERVISED
+    * structure (q136's 2-round integer Lloyd assignment) recover the
+    * label partition? The exact Rand index in ppm from the k×|labels|
+    * contingency table: with pair-agreement written in the integral
+    * doubled form, RI·N(N−1) = N(N−1) + 2·Σ n_ij(n_ij−1) −
+    * Σ a_i(a_i−1) − Σ b_j(b_j−1) — every term an integer, ONE floored
+    * division. The eval q136 never had (its oracle replays the
+    * ASSIGNMENT; this scores what the assignment MEANS) and the
+    * no-logarithm stand-in for NMI. One summary row with the
+    * contingency masses as evidence.
+    *
+    * Shape at 100 TB: the Lloyd assignment is the q136 plan; the
+    * contingency table is ONE (cid, label) hash-agg bounded by
+    * k·|labels| cells; marginals and totals re-aggregate those cells
+    * (never the corpus), combining via one-row cross joins (the q182
+    * scalar pattern). */
+  def clusterLabelRand(spark: SparkSession, d: String): DataFrame = {
+    // the q136 plan verbatim (shared lloyd recurrence, same k/rounds)
+    val assign = lloyd(Tables.embeddings(spark, d), KmeansK, KmeansRounds)._2
+    val cells = CacheScope.cached(assign
+      .join(Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("nij")))
+    val cell = cells.agg(sum(col("nij")).as("n"),
+      count(lit(1)).as("n_cells"),
+      sum(expr("nij * (nij - 1)")).as("sij"))
+    val ai = cells.groupBy(col("cid")).agg(sum(col("nij")).as("a"))
+      .agg(count(lit(1)).as("n_clusters"), sum(expr("a * (a - 1)")).as("sa"))
+    val bj = cells.groupBy(col("label")).agg(sum(col("nij")).as("b"))
+      .agg(count(lit(1)).as("n_labels"), sum(expr("b * (b - 1)")).as("sb"))
+    cell.crossJoin(broadcast(ai)).crossJoin(broadcast(bj))
+      .select(col("n").as("n_vecs"), col("n_clusters"), col("n_labels"),
+        col("sij").as("pair_mass_joint"),
+        col("sa").as("pair_mass_clusters"),
+        col("sb").as("pair_mass_labels"),
+        expr("(1000000 * (n * (n - 1) + 2 * sij - sa - sb))" +
+          " div (n * (n - 1))").as("rand_ppm"))
+  }
 }

@@ -681,6 +681,10 @@ object SparkEntry {
     "q293_quality_dup_association" -> (Queries.qualityDupAssociation _),
     // ship-lag P50/P90/max + breach share per order priority tier
     "q294_priority_sla" -> (Queries.prioritySlaAudit _),
+    // per-dim same-label vs all-pair spread ratio (pairwise eta^2)
+    "q295_dim_label_informativeness" -> (Similarity.dimLabelInformativeness _),
+    // exact Rand index of the q136 Lloyd clusters vs the labels
+    "q296_cluster_label_rand" -> (Similarity.clusterLabelRand _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -6526,5 +6530,47 @@ object SparkEntry {
          |       ((1000 * sum(CASE WHEN lag > ${Queries.SlaBreachDays}
          |          THEN c ELSE 0 END)) // max(n))::BIGINT AS breach_pm
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q295: (label, dim) micro moments, per-dim pairwise spreads
+    // (integral — no per-class division), ONE cross-multiplied ratio.
+    "q295_dim_label_informativeness" ->
+      """WITH q AS (SELECT "label"::BIGINT lbl, i::BIGINT - 1 dim,
+        |      floor(embedding[i]::DOUBLE * 1000000)::BIGINT vm
+        |      FROM (SELECT label, embedding,
+        |            unnest(generate_series(1, len(embedding))) i
+        |            FROM embeddings)),
+        |c AS (SELECT lbl, dim, count(*)::BIGINT nl, sum(vm)::BIGINT sl,
+        |      sum(vm::HUGEINT * vm) ql FROM q GROUP BY 1, 2),
+        |a AS (SELECT dim, sum(nl)::BIGINT n, sum(sl)::BIGINT s, sum(ql) q,
+        |      sum(nl::HUGEINT * ql - sl::HUGEINT * sl) wp,
+        |      sum(nl * (nl - 1))::BIGINT wpairs FROM c GROUP BY 1),
+        |b AS (SELECT dim, n, wp, wpairs,
+        |      n::HUGEINT * q - s::HUGEINT * s tp FROM a)
+        |SELECT dim, n AS n_vecs, wp::BIGINT AS within_spread,
+        |       tp::BIGINT AS total_spread,
+        |       (CASE WHEN tp = 0 OR wpairs = 0 THEN 0
+        |        ELSE (1000000::HUGEINT * wp * (n * (n - 1)))
+        |          // (tp * wpairs) END)::BIGINT AS within_ratio_ppm
+        |FROM b ORDER BY dim""".stripMargin,
+    // q296: the q136 Lloyd CTEs verbatim, label contingency, doubled
+    // pair masses, one floored division.
+    "q296_cluster_label_rand" ->
+      s"""WITH ${lloydCte(8)},
+         |lb AS (SELECT vec_id, "label"::BIGINT lbl FROM embeddings),
+         |cells AS (SELECT a2.cid, lb.lbl, count(*)::BIGINT nij
+         |      FROM a2 JOIN lb ON lb.vec_id = a2.vec_id GROUP BY 1, 2),
+         |t0 AS (SELECT sum(nij)::BIGINT n,
+         |      sum(nij * (nij - 1))::BIGINT sij FROM cells),
+         |ta AS (SELECT count(*)::BIGINT n_clusters,
+         |      sum(a * (a - 1))::BIGINT sa FROM
+         |      (SELECT cid, sum(nij)::BIGINT a FROM cells GROUP BY 1)),
+         |tb AS (SELECT count(*)::BIGINT n_labels,
+         |      sum(b * (b - 1))::BIGINT sb FROM
+         |      (SELECT lbl, sum(nij)::BIGINT b FROM cells GROUP BY 1))
+         |SELECT n AS n_vecs, n_clusters, n_labels,
+         |       sij AS pair_mass_joint, sa AS pair_mass_clusters,
+         |       sb AS pair_mass_labels,
+         |       ((1000000 * (n * (n - 1) + 2 * sij - sa - sb))
+         |         // (n * (n - 1)))::BIGINT AS rand_ppm
+         |FROM t0, ta, tb""".stripMargin,
   )
 }

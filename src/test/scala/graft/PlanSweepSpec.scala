@@ -157,7 +157,10 @@ class PlanSweepSpec extends SparkSpec {
     "q287_effective_mixture" -> 1,
     // q293: the one-row corpus dup-totals scalar broadcast against
     // the 11-band relation (same pattern)
-    "q293_quality_dup_association" -> 1)
+    "q293_quality_dup_association" -> 1,
+    // q296: the three ONE-ROW contingency summaries combine via two
+    // cross joins of single-row relations (the q182 pattern)
+    "q296_cluster_label_rand" -> 2)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep
