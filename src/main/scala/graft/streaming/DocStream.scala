@@ -262,6 +262,28 @@ object DocStream {
     * only (watermark-evicted); no per-doc state survives the window.
     * Unlike batch q267 there is no unique-kill column: uniqueness is
     * a corpus-level marginal, not a monitoring signal. */
+  /** q281's streaming face: the loudness/clip/crest audit is pure
+    * row-local arithmetic (ONE PcmStatsExpr kernel call per payload),
+    * so it runs on an ingest stream with NO state at all — the
+    * map-shaped proof that the multimodal audit family is
+    * streaming-safe by construction. Same length contract, same
+    * floored divisions as Multimodal.audioLoudnessAudit; DocStreamSpec
+    * pins stream ≡ batch row-for-row on a micro-batch split. */
+  def loudnessAudit(docs: Dataset[Doc]): DataFrame =
+    docs.toDF()
+      .filter(expr("greatest(length(text) - 64, 0) div 2") >= 32L)
+      .select(col("ts"), col("doc_id"),
+        graft.functions.GraftFunctions.pcmstats(col("text")).as("st"))
+      .select(col("ts"), col("doc_id"),
+        col("st").getItem(0).as("n_samples"),
+        expr("(1000 * st[1]) div st[0]").as("mean_abs_milli"),
+        col("st").getItem(2).as("energy"),
+        col("st").getItem(3).as("peak_abs"),
+        expr("(1000 * st[4]) div st[0]").as("clip_pm"),
+        when(col("st").getItem(1) > 0L,
+          expr("(1000 * st[3] * st[0]) div st[1]")).otherwise(0L)
+          .as("crest_milli"))
+
   def ruleMonitor(docs: Dataset[Doc]): DataFrame = {
     val t = split(col("text"), " ")
     val g = when(size(t) >= 5,

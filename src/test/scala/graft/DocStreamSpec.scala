@@ -317,4 +317,32 @@ class DocStreamSpec extends SparkSpec {
       assert(got.forall(_._4 > 0))
     } finally q.stop()
   }
+
+  test("streaming loudness audit ≡ batch q281 row-for-row (stateless map)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+      .selectExpr("doc_id", "timestamp_millis(60000000) as ts", "text")
+      .as[Doc].collect().toSeq
+    val mem = MemoryStream[Doc]
+    val q = DocStream.loudnessAudit(mem.toDS())
+      .writeStream.format("memory").queryName("loud_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val got = spark.table("loud_out")
+        .select("doc_id", "n_samples", "mean_abs_milli", "energy",
+          "peak_abs", "clip_pm", "crest_milli").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1).toSeq
+      val batch = Multimodal.audioLoudnessAudit(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
 }
