@@ -3271,4 +3271,112 @@ object Queries {
         col("p90_days"), col("max_days"), col("breach_pm"))
       .orderBy(col("priority"))
   }
+
+  /** q297 resample count — 32 deterministic pseudo-replicas; the
+    * 2nd/31st order statistics bracket ≈ 94 % of the resample mass. */
+  val BootstrapB = 32
+
+  /** q297: DETERMINISTIC POISSON-BOOTSTRAP CI — per market segment,
+    * the mean order value with a resampling confidence band, computed
+    * the only way a bootstrap CAN run on distributed data (Poisson
+    * bootstrap: per-row independent weights, no global resample
+    * index) and the only way one can be HASH-EXACT cross-engine: the
+    * weight of order i in replica b is bit_count((polyhash(i:b) mod
+    * P) mod 16) — four pseudo-uniform bits, Binomial(4, ½), a
+    * mean-2 proxy for Poisson(1) whose scale cancels in the weighted
+    * mean. 32 replicas, each mean ONE floored division of exact
+    * integer sums; the band is the 2nd/31st order statistic of the
+    * 32 means. The uncertainty-quantification primitive the whole
+    * analytics family lacked: q07/q91 emit point estimates, this
+    * emits "the mean is X ± how-sure".
+    *
+    * Shape at 100 TB: the 32× weight fan-out is row-local codegen
+    * (one polyhash per (row, b)); per (segment, b) sums are one keyed
+    * hash-agg (map-side combinable); ranking runs inside segment
+    * partitions of exactly 32 rows. Nothing else scales. */
+  def bootstrapCi(spark: SparkSession, d: String): DataFrame = {
+    val base = orders(spark, d)
+      .join(Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey").as("ok"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val fan = base.select(col("segment"), col("ok"), col("cents"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+      .withColumn("w", bit_count(graft.functions.GraftFunctions.polyhash(
+        concat(col("ok").cast("string"), lit(":"), col("b").cast("string")))
+        % 16L).cast("long"))
+    val means = fan.groupBy(col("segment"), col("b"))
+      .agg(sum(col("w")).as("sw"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * cents")).as("swx"))
+      .filter(col("sw") > 0L)
+      .select(col("segment"), col("b"),
+        expr("CAST(swx div sw AS BIGINT)").as("mb"))
+    val w32 = Window.partitionBy(col("segment"))
+      .orderBy(col("mb"), col("b"))
+    val ranked = means.withColumn("rn", row_number().over(w32))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_replicas"),
+        min(when(col("rn") === 2, col("mb"))).as("boot_lo_cents"),
+        min(when(col("rn") === BootstrapB - 1, col("mb"))).as("boot_hi_cents"))
+    base.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("sum(cents) div count(1)").as("mean_cents"))
+      .join(ranked, "segment")
+      .select(col("segment"), col("n_orders"), col("mean_cents"),
+        col("boot_lo_cents"), col("boot_hi_cents"),
+        (col("boot_hi_cents") - col("boot_lo_cents")).as("band_cents"))
+      .orderBy(col("segment"))
+  }
+
+  /** q298: REPEAT-PURCHASE LATENCY — per market segment, how many
+    * customers ever came back and how fast: repeat share (pm) and the
+    * exact P25/P50/P75 of days between a customer's FIRST and SECOND
+    * order (type-1 lower ranks over the bounded gap-day histogram —
+    * the q294 shape). The lifecycle question q223's survival curve
+    * (time to CHURN) and q125's cohort retention (calendar-bucketed
+    * activity) both skirt: the second purchase is THE activation
+    * event a growth team prices.
+    *
+    * Shape at 100 TB: first/second order dates are one lag read
+    * inside customer partitions; gaps collapse to the (segment, gap)
+    * histogram; cumulatives run inside segment partitions of ≤|day
+    * domain| rows. */
+  def repeatLatency(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"),
+      col("o_orderkey"))
+    val firstTwo = orders(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .withColumn("nxt", lead(col("o_orderdate"), 1).over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("ck"),
+        datediff(col("nxt"), col("o_orderdate")).cast("long").as("gap"))
+    val seg = Tables.customer(spark, d)
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("segment"))
+    val gaps = firstTwo.join(seg, "ck")
+    val counts = gaps.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("gap").isNotNull, 1L).otherwise(0L)).as("n_repeat"))
+    val hist = gaps.filter(col("gap").isNotNull)
+      .groupBy(col("segment"), col("gap")).agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy(col("segment")).orderBy(col("gap"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("segment"))))
+    val pct = cum
+      .withColumn("r25", expr("(n + 3) div 4"))
+      .withColumn("r50", expr("(n + 1) div 2"))
+      .withColumn("r75", expr("(3 * n + 3) div 4"))
+      .groupBy(col("segment"))
+      .agg(min(when(col("cum") >= col("r25"), col("gap"))).as("p25_days"),
+        min(when(col("cum") >= col("r50"), col("gap"))).as("p50_days"),
+        min(when(col("cum") >= col("r75"), col("gap"))).as("p75_days"))
+    counts.join(pct, Seq("segment"), "left")
+      .select(col("segment"), col("n_customers"), col("n_repeat"),
+        expr("(1000 * n_repeat) div n_customers").as("repeat_pm"),
+        col("p25_days"), col("p50_days"), col("p75_days"))
+      .orderBy(col("segment"))
+  }
 }

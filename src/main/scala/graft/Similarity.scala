@@ -2037,4 +2037,55 @@ object Similarity {
         expr("(1000000 * (n * (n - 1) + 2 * sij - sa - sb))" +
           " div (n * (n - 1))").as("rand_ppm"))
   }
+
+  /** q299: RETRIEVAL HUB / CITATION-BIAS AUDIT — over the q279 sample's
+    * exact top-5 lists, which SOURCE the citations concentrate into:
+    * per source of the NEIGHBOR, the citation slots it absorbs, its
+    * distinct cited docs, its most-cited doc's in-degree, and the
+    * bias ratio of citation share to corpus share (cross-multiplied
+    * milli; > 1000 = the source is a retrieval hub, its docs surface
+    * more often than its corpus mass predicts). Hubness is THE
+    * high-dimensional retrieval pathology; q172's mutual-NN measures
+    * pair reciprocity, this measures where the one-way mass LANDS —
+    * the retrieval-bias side of the q279 purity coin, and the
+    * evidence for per-source result quotas in a RAG stack.
+    *
+    * Shape at 100 TB: the q279 plan verbatim (broadcast sample ×
+    * corpus, bounded-heap top-k), then neighbor-keyed in-degree
+    * counts (≤ 5·|sample| rows), two source joins, a |sources|-row
+    * agg, and the one-row slot-total scalar broadcast (q62 pattern). */
+  def neighborConcentration(spark: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val e = withNorm(Tables.embeddings(spark, d))
+    val q = e.filter(col("vec_id") % PurityStride === 0L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn"))
+    val top = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nn")))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topk(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), explode(col("top")).as("s"))
+      .select(col("s.id").as("neighbor_id"))
+    val indeg = top.groupBy(col("neighbor_id")).agg(count(lit(1)).as("indeg"))
+    val bySrc = indeg
+      .join(src.select(col("doc_id").as("neighbor_id"), col("source")),
+        "neighbor_id")
+      .groupBy(col("source"))
+      .agg(sum(col("indeg")).as("n_cited_slots"),
+        count(lit(1)).as("n_distinct_docs"),
+        max(col("indeg")).as("max_indeg"))
+    val corpus = e.join(src, col("vec_id") === col("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_corpus"))
+    // referenced by the totals scalar AND the output projection:
+    // cached so the sample × corpus scan runs once (q215 discipline)
+    val g = CacheScope.cached(bySrc.join(corpus, "source"))
+    val tot = g.agg(sum(col("n_cited_slots")).as("ts"),
+      sum(col("n_corpus")).as("tc"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_corpus"), col("n_cited_slots"),
+        col("n_distinct_docs"), col("max_indeg"),
+        expr("(1000 * n_cited_slots) div ts").as("slot_share_pm"),
+        expr("(1000 * n_cited_slots * tc) div (ts * n_corpus)")
+          .as("bias_milli"))
+      .orderBy(col("source"))
+  }
 }

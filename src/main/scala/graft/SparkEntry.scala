@@ -685,6 +685,12 @@ object SparkEntry {
     "q295_dim_label_informativeness" -> (Similarity.dimLabelInformativeness _),
     // exact Rand index of the q136 Lloyd clusters vs the labels
     "q296_cluster_label_rand" -> (Similarity.clusterLabelRand _),
+    // deterministic Poisson-bootstrap CI for mean order value
+    "q297_bootstrap_ci" -> (Queries.bootstrapCi _),
+    // repeat share + first-to-second-order gap percentiles per segment
+    "q298_repeat_latency" -> (Queries.repeatLatency _),
+    // citation-slot concentration + source retrieval-bias ratio
+    "q299_neighbor_concentration" -> (Similarity.neighborConcentration _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -6572,5 +6578,95 @@ object SparkEntry {
          |       ((1000000 * (n * (n - 1) + 2 * sij - sa - sb))
          |         // (n * (n - 1)))::BIGINT AS rand_ppm
          |FROM t0, ta, tb""".stripMargin,
+    // q297: 32-replica hash-weight fan, per-(segment, replica) exact
+    // weighted means, 2nd/31st order statistics in 32-row partitions.
+    "q297_bootstrap_ci" -> {
+      val b = Queries.BootstrapB
+      s"""WITH base AS (SELECT c_mktsegment segment, o_orderkey ok,
+         |      CAST(round(o_totalprice * 100) AS BIGINT) cents
+         |      FROM orders JOIN customer ON o_custkey = c_custkey),
+         |fan AS (SELECT segment, ok, cents, b,
+         |      bit_count(${H("CAST(ok AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+         |        % 16)::BIGINT w
+         |      FROM base, generate_series(0, ${b - 1}) g(b)),
+         |mn AS (SELECT segment, b, sum(w)::BIGINT sw,
+         |      sum(w::HUGEINT * cents) swx FROM fan GROUP BY 1, 2),
+         |mb AS (SELECT segment, b, (swx // sw)::BIGINT mb FROM mn
+         |      WHERE sw > 0),
+         |rk AS (SELECT segment, b, mb, row_number() OVER
+         |      (PARTITION BY segment ORDER BY mb, b) rn FROM mb),
+         |lo AS (SELECT segment,
+         |      min(CASE WHEN rn = 2 THEN mb END)::BIGINT lo,
+         |      min(CASE WHEN rn = ${b - 1} THEN mb END)::BIGINT hi
+         |      FROM rk GROUP BY 1),
+         |ag AS (SELECT segment, count(*)::BIGINT n_orders,
+         |      (sum(cents) // count(*))::BIGINT mean_cents
+         |      FROM base GROUP BY 1)
+         |SELECT ag.segment, n_orders, mean_cents,
+         |       lo.lo AS boot_lo_cents, lo.hi AS boot_hi_cents,
+         |       (lo.hi - lo.lo)::BIGINT AS band_cents
+         |FROM ag JOIN lo ON lo.segment = ag.segment ORDER BY 1""".stripMargin
+    },
+    // q298: customer-partition first/second order lead, segment gap
+    // histogram, type-1 lower quartiles (the q294 cumulative shape).
+    "q298_repeat_latency" ->
+      """WITH o2 AS (SELECT o_custkey ck, o_orderdate,
+        |      row_number() OVER w rn, lead(o_orderdate, 1) OVER w nxt
+        |      FROM orders WINDOW w AS (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey)),
+        |f AS (SELECT ck, date_diff('day', o_orderdate, nxt)::BIGINT gap
+        |      FROM o2 WHERE rn = 1),
+        |g AS (SELECT f.ck, f.gap, c_mktsegment segment FROM f
+        |      JOIN customer ON c_custkey = f.ck),
+        |cn AS (SELECT segment, count(*)::BIGINT n_customers,
+        |      sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |        n_repeat FROM g GROUP BY 1),
+        |h AS (SELECT segment, gap, count(*)::BIGINT c FROM g
+        |      WHERE gap IS NOT NULL GROUP BY 1, 2),
+        |cw AS (SELECT segment, gap, c,
+        |      sum(c) OVER (PARTITION BY segment ORDER BY gap
+        |        ROWS UNBOUNDED PRECEDING) cum,
+        |      sum(c) OVER (PARTITION BY segment) n FROM h),
+        |r AS (SELECT *, (n + 3) // 4 r25, (n + 1) // 2 r50,
+        |      (3 * n + 3) // 4 r75 FROM cw),
+        |p AS (SELECT segment,
+        |      min(CASE WHEN cum >= r25 THEN gap END)::BIGINT p25_days,
+        |      min(CASE WHEN cum >= r50 THEN gap END)::BIGINT p50_days,
+        |      min(CASE WHEN cum >= r75 THEN gap END)::BIGINT p75_days
+        |      FROM r GROUP BY 1)
+        |SELECT cn.segment, n_customers, n_repeat,
+        |       ((1000 * n_repeat) // n_customers)::BIGINT AS repeat_pm,
+        |       p25_days, p50_days, p75_days
+        |FROM cn LEFT JOIN p ON p.segment = cn.segment
+        |ORDER BY 1""".stripMargin,
+    // q299: the q279 exact top-5 chain, neighbor in-degrees, source
+    // rollup, one-row slot/corpus totals, cross-multiplied bias.
+    "q299_neighbor_concentration" -> {
+      val stride = Similarity.PurityStride
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |s AS (SELECT q.vec_id q_id, n.vec_id nid,
+         |      list_dot_product(q.v, n.v)
+         |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) c
+         |      FROM e q, e n
+         |      WHERE q.vec_id % $stride = 0 AND n.vec_id != q.vec_id),
+         |r AS (SELECT q_id, nid FROM (SELECT q_id, nid,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, nid) rnk
+         |      FROM s) WHERE rnk <= 5),
+         |ind AS (SELECT nid, count(*)::BIGINT indeg FROM r GROUP BY 1),
+         |bs AS (SELECT d.source, sum(indeg)::BIGINT n_cited_slots,
+         |      count(*)::BIGINT n_distinct_docs, max(indeg)::BIGINT max_indeg
+         |      FROM ind JOIN documents d ON d.doc_id = ind.nid GROUP BY 1),
+         |cp AS (SELECT d.source, count(*)::BIGINT n_corpus FROM e
+         |      JOIN documents d ON d.doc_id = e.vec_id GROUP BY 1),
+         |g AS (SELECT bs.*, cp.n_corpus FROM bs
+         |      JOIN cp ON cp.source = bs.source),
+         |t3 AS (SELECT sum(n_cited_slots)::BIGINT ts,
+         |      sum(n_corpus)::BIGINT tc FROM g)
+         |SELECT source, n_corpus, n_cited_slots, n_distinct_docs, max_indeg,
+         |       ((1000 * n_cited_slots) // ts)::BIGINT AS slot_share_pm,
+         |       ((1000 * n_cited_slots * tc) // (ts * n_corpus))::BIGINT
+         |         AS bias_milli
+         |FROM g, t3 ORDER BY source""".stripMargin
+    },
   )
 }

@@ -160,7 +160,13 @@ class PlanSweepSpec extends SparkSpec {
     "q293_quality_dup_association" -> 1,
     // q296: the three ONE-ROW contingency summaries combine via two
     // cross joins of single-row relations (the q182 pattern)
-    "q296_cluster_label_rand" -> 2)
+    "q296_cluster_label_rand" -> 2,
+    // q299: the q279 sample × corpus exact scan (the q26 argument) —
+    // the plan STRING prints it under both consumers of the cached
+    // |sources|-row rollup (totals scalar + output; physically one
+    // compute, the q215/q262 precedent) — plus the one-row
+    // slot/corpus-total scalar broadcast
+    "q299_neighbor_concentration" -> 3)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep
