@@ -778,4 +778,71 @@ object Graph {
         col("deg_sum"), col("contrib_micro"))
       .orderBy(col("brand"))
   }
+
+  /** Full a→h HITS rounds (q303). Three is the contract: scores after
+    * round k are exact integers bounded by (max degree)^(2k), so
+    * three rounds keep the unnormalized mass inside DECIMAL(38,0)
+    * even at degree ~10⁶ nodes — see the scaladoc below. */
+  val HitsIters = 3
+
+  /** q303: HITS HUB/AUTHORITY SCORES over the bipartite customer→part
+    * purchase graph (Kleinberg's algorithm on the "customer cites the
+    * parts they buy" reading): authority(p) = Σ_{c→p} hub(c),
+    * hub(c) = Σ_{c→p} authority(p), three full a→h rounds from
+    * hub₀ ≡ 1, UNNORMALIZED — the per-round rescale every floating
+    * HITS needs for numeric range is replaced by exact integer growth
+    * (round-k mass ≤ (max deg)^{2k}, inside DECIMAL(38,0) for 3
+    * rounds at any realistic degree), and ONE final normalization to
+    * ppm of each side's total. Scale-free in exact arithmetic: the
+    * floor happens once, not per round, so the oracle replays every
+    * bit. An authority is a part bought by well-connected customers
+    * (not merely a high-degree part — the output carries degree so
+    * the two rankings can be compared); a hub is a customer whose
+    * basket covers authoritative parts. The directed-centrality view
+    * q126's undirected PageRank and q276's degree elite can't give.
+    *
+    * Shape at 100 TB: the edge relation is one equi-join + distinct
+    * (keyed shuffles), cached once; each round is ONE edge-keyed hash
+    * join + ONE node-keyed hash aggregate (the q126 shape — linear in
+    * edges, no quadratic pairing); the two final totals are scalar
+    * aggregates broadcast back (one-row nested-loop joins, allowlisted
+    * like every scalar broadcast in the surface). Rounds close under
+    * [[Recurrence.round]], so lineage/fault-tolerance follows the
+    * session's recurrence mode. */
+  def hitsBipartite(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val os = Tables.orders(spark, d)
+      .select(col("o_orderkey").as("ok2"), col("o_custkey").as("c"))
+    val e = CacheScope.cached(li.join(os, col("ok") === col("ok2"))
+      .select(col("c"), col("p")).distinct())
+    // hub0 = 1 per customer, so round-1 authority is the part degree
+    var a = Recurrence.round(e.groupBy(col("p"))
+      .agg(expr("CAST(count(1) AS DECIMAL(38,0))").as("a")))
+    var h = Recurrence.round(e.join(a, "p").groupBy(col("c"))
+      .agg(sum(col("a")).as("h")))
+    for (_ <- 2 to HitsIters) {
+      a = Recurrence.round(e.join(h, "c").groupBy(col("p"))
+        .agg(sum(col("h")).as("a")))
+      h = Recurrence.round(e.join(a, "p").groupBy(col("c"))
+        .agg(sum(col("a")).as("h")))
+    }
+    // both finals feed two consumers (total + output rows): cache so
+    // the last round computes once (the q192 multi-consumer lesson)
+    val af = CacheScope.cached(a)
+    val hf = CacheScope.cached(h)
+    val at = af.agg(sum(col("a")).as("ta"))
+    val ht = hf.agg(sum(col("h")).as("th"))
+    val degP = e.groupBy(col("p")).agg(count(lit(1)).as("degree"))
+    val degC = e.groupBy(col("c")).agg(count(lit(1)).as("degree"))
+    val auth = af.join(degP, "p").crossJoin(broadcast(at))
+      .select(lit("auth").as("node_type"), col("p").as("node"),
+        col("degree"), expr("CAST((1000000 * a) div ta AS BIGINT)")
+          .as("score_ppm"))
+    val hub = hf.join(degC, "c").crossJoin(broadcast(ht))
+      .select(lit("hub").as("node_type"), col("c").as("node"),
+        col("degree"), expr("CAST((1000000 * h) div th AS BIGINT)")
+          .as("score_ppm"))
+    auth.unionAll(hub).orderBy(col("node_type"), col("node"))
+  }
 }

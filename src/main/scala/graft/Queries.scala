@@ -3379,4 +3379,275 @@ object Queries {
         col("p25_days"), col("p50_days"), col("p75_days"))
       .orderBy(col("segment"))
   }
+
+  /** q301: CUSUM CHANGEPOINT — per event type, the single most likely
+    * structural-break day of its daily volume: the classic offline
+    * CUSUM statistic max_k |S_k − (k/n)·S_n| over the observed day
+    * grid, kept exactly integral as |n·S_k − k·S_n| (cross-multiplied,
+    * ties broken to the EARLIEST day), with the break's location, its
+    * normalized height in permille (1000·maxdev / (n·S_n) — the
+    * Kolmogorov-style drift share), and the mean daily rate before /
+    * after the cut (milli-events/day). q133 flags pointwise 3σ
+    * outlier DAYS against a stationary mean; this finds the REGIME
+    * SHIFT a stationary-mean model is wrong about — the "feed changed
+    * on day X" question an ingest operator actually asks. A
+    * single-day series has dev ≡ 0 and reports its one day with a
+    * NULL after-rate (div-NULL on both engines).
+    *
+    * Shape at 100 TB: one fact scan → (type, day) hash-agg; all
+    * windows run INSIDE type partitions over the day grid (≤ days
+    * rows each — value-domain-bounded, never corpus-sized); the
+    * argmax is one more grid-bounded rank. n·S_k stays in Long until
+    * ~10¹⁴ daily events × 10⁴ days; DECIMAL(38,0) past that. */
+  def cusumChangepoint(spark: SparkSession, d: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val cnt = Tables.eventsNs(spark, d)
+      .select(col("event_type"), expr(s"ts div $DayNs").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val dev = cnt
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("s", sum(col("n")).over(wCum))
+      .withColumn("days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("dev", expr("abs(days * s - k * total)"))
+    dev.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("dev").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("days").as("n_days"), col("total"),
+        col("day").as("cut_day"), col("k").as("cut_k"),
+        col("dev").as("dev_scaled"),
+        expr("(1000 * dev) div (days * total)").as("cusum_pm"),
+        expr("(1000 * s) div k").as("rate_before_milli"),
+        expr("CASE WHEN k < days THEN (1000 * (total - s)) div (days - k) END")
+          .as("rate_after_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q302: MANN–WHITNEY RANK-SUM AUDIT — per order priority, does the
+    * fulfillment lag (order → ship days, q294's measure) of RETURNED
+    * line items stochastically dominate that of kept ones? The exact
+    * doubled U statistic 2U = Σ_v a_v·(2·B(<v) + b_v) computed over
+    * the bounded (priority, lag-day) histogram (a = returned counts,
+    * b = kept, B(<v) = kept mass strictly below v — ties contribute
+    * half, hence the doubling stays integral), the common-language
+    * effect size U/(n₁n₂) in ppm (P[returned lag > kept lag] + ½ties
+    * — 500000 = no effect), the signed deviation 2U − n₁n₂, and the
+    * tie-corrected normal-approximation z² in milli via ONE
+    * cross-multiplied division: z² = 3·(2U − n₁n₂)²·n·(n−1) /
+    * (n₁·n₂·((n³−n) − Σ(t³−t))). A nonparametric two-sample test with
+    * NO ranks materialized and no floats — only integer histogram
+    * arithmetic crosses the engines, so the oracle replays it
+    * bit-identically. q294 profiles lag quantiles per priority; this
+    * TESTS whether the returned/kept populations differ. Degenerate
+    * groups (either sample empty, or every lag tied) report NULL
+    * effect/z² through the div-NULL path on both engines.
+    *
+    * Shape at 100 TB: one fact scan → (priority, lag) hash-agg; the
+    * strictly-below cumulative is a window INSIDE priority partitions
+    * over the lag grid (value-domain-bounded); the test statistics
+    * are a |priorities|-row rollup. The z² numerator squares 2U−n₁n₂,
+    * so it runs in DECIMAL(38,0) on the Spark side and HUGEINT in the
+    * oracle — exact at any SF this engine benches; past ~10⁶ rows per
+    * group the z² ceiling argument is moot anyway (any nonzero effect
+    * is significant). */
+  def rankSumShipLag(spark: SparkSession, d: String): DataFrame = {
+    val lg = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        expr("CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)").as("lag"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+    val h = lg.groupBy(col("priority"), col("lag"))
+      .agg(sum(col("ret")).as("a"), sum(lit(1L) - col("ret")).as("b"))
+    val wLt = Window.partitionBy(col("priority")).orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h.withColumn("blt", coalesce(sum(col("b")).over(wLt), lit(0L)))
+    cum.groupBy(col("priority"))
+      .agg(sum(col("a")).as("n_ret"), sum(col("b")).as("n_kept"),
+        sum(expr("a * (2 * blt + b)")).as("u2"),
+        sum(expr("(a + b) * (a + b) * (a + b) - (a + b)")).as("ties3"))
+      .withColumn("n", col("n_ret") + col("n_kept"))
+      .withColumn("dev2", expr("u2 - n_ret * n_kept"))
+      .select(col("priority"), col("n_ret"), col("n_kept"), col("u2"),
+        expr("(1000000 * u2) div (2 * n_ret * n_kept)").as("cles_ppm"),
+        col("dev2"),
+        expr("""CAST((3000 * CAST(dev2 AS DECIMAL(38,0)) * dev2 * n * (n - 1))
+                div (CAST(n_ret AS DECIMAL(38,0)) * n_kept
+                     * ((CAST(n AS DECIMAL(38,0)) * n * n - n) - ties3))
+                AS BIGINT)""".stripMargin.replace("\n", " ")).as("z2_milli"))
+      .orderBy(col("priority"))
+  }
+
+  /** q304: CHI-SQUARE INDEPENDENCE TEST — the general two-categorical
+    * contingency audit the surface lacked: order priority × return
+    * flag, per cell the observed count, the expected count in milli
+    * (1000·R_i·C_j/n), and the χ² contribution in milli via ONE
+    * cross-multiplied division 1000·(n·O − R·C)²/(n·R·C); plus the
+    * global χ² (milli) and the normalized effect size Cramér's V² in
+    * ppm (χ²/(n·(min(r,c)−1)) — squared so no root crosses the
+    * engines), broadcast onto every cell row. q195 tests a mixture
+    * against a FIXED target; q206 a 50:50 split ratio; this tests two
+    * OBSERVED factors against each other — "does return behavior
+    * depend on order priority?" — with both margins estimated, the
+    * textbook (r−1)(c−1)-df setting. All integer: the squared
+    * numerator runs in DECIMAL(38,0) / HUGEINT.
+    *
+    * Shape at 100 TB: one fact-join scan → (r, c)-cell hash-agg; the
+    * margins and total derive from the ≤ r·c cell grid
+    * (dimension-bounded — two window sums and a scalar), never from a
+    * second fact pass. */
+  def chisqIndependence(spark: SparkSession, d: String): DataFrame = {
+    // cached: four consumers (both margins, the total, the cell join)
+    // — one fact scan, not four
+    val cells = CacheScope.cached(Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("l_returnflag").as("returnflag"))
+      .agg(count(lit(1)).as("o")))
+    // margins/total from the r·c cell grid (dimension-bounded) — the
+    // fact table is scanned exactly once, everything below is keyed
+    // joins on the grid plus two one-row scalar broadcasts
+    val rm = cells.groupBy(col("priority")).agg(sum(col("o")).as("r_tot"))
+    val cm = cells.groupBy(col("returnflag")).agg(sum(col("o")).as("c_tot"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("priority")).as("r"),
+      countDistinct(col("returnflag")).as("c"))
+    val g = CacheScope.cached(cells
+      .join(rm, "priority").join(cm, "returnflag")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib_milli", expr(
+        """CAST((1000 * (CAST(n AS DECIMAL(38,0)) * o - CAST(r_tot AS DECIMAL(38,0)) * c_tot)
+               * (CAST(n AS DECIMAL(38,0)) * o - CAST(r_tot AS DECIMAL(38,0)) * c_tot))
+           div (CAST(n AS DECIMAL(38,0)) * r_tot * c_tot) AS BIGINT)"""
+          .stripMargin.replace("\n", " "))))
+    val chis = g.agg(sum(col("contrib_milli")).as("chisq_milli"))
+    g.crossJoin(broadcast(chis))
+      .select(col("priority"), col("returnflag"), col("o"),
+        expr("(1000 * r_tot * c_tot) div n").as("expected_milli"),
+        col("contrib_milli"), col("chisq_milli"),
+        expr("(r - 1) * (c - 1)").as("df"),
+        expr("(1000 * chisq_milli) div (n * (least(r, c) - 1))").as("v2_ppm"))
+      .orderBy(col("priority"), col("returnflag"))
+  }
+
+  /** q305: EVENT OVERDISPERSION — per event type, is the daily volume
+    * Poisson or bursty? The variance-to-mean ratio (index of
+    * dispersion) in exact milli via ONE cross-multiplied division:
+    * VMR = s²/x̄ = (n·Q − S²)/((n−1)·S) over the observed day grid
+    * (n days, S total, Q sum of squares), the χ²_{n−1} dispersion
+    * statistic D = (n−1)·VMR in milli, and a 3σ burst flag on the
+    * EXACT integer inequality (n·Q − S² − (n−1)·S)² > 18·(n−1)·S²
+    * (the squared form of D − (n−1) > 3·√(2(n−1)) — no root, no
+    * float). VMR ≈ 1000 reads Poisson; ≫ 1000 is burst clustering,
+    * ≪ 1000 is under-dispersed regularity. q133 flags which DAYS are
+    * anomalous and q301 finds WHERE the level breaks; this scores the
+    * process's hazard TYPE — the statistic a capacity planner needs
+    * before assuming Poisson arrivals. Single-day series report NULL
+    * VMR/D through the div-NULL path on both engines.
+    *
+    * Shape at 100 TB: one fact scan → (type, day) hash-agg → |types|
+    * rollup; the flag's squared compare runs in DECIMAL(38,0) /
+    * HUGEINT. */
+  def eventOverdispersion(spark: SparkSession, d: String): DataFrame = {
+    val DayNs = 86400000000000L
+    Tables.eventsNs(spark, d)
+      .select(col("event_type"), expr(s"ts div $DayNs").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("days"), sum(col("n")).as("total"),
+        sum(col("n") * col("n")).as("sumsq"))
+      .withColumn("num", expr("days * sumsq - total * total"))
+      .select(col("event_type"), col("days").as("n_days"), col("total"),
+        expr("(1000 * num) div ((days - 1) * total)").as("vmr_milli"),
+        expr("(1000 * num) div total").as("dispersion_milli"),
+        expr("""CAST(CASE WHEN
+              (CAST(num AS DECIMAL(38,0)) - (days - 1) * total)
+                * (CAST(num AS DECIMAL(38,0)) - (days - 1) * total)
+              > 18 * (CAST(days AS DECIMAL(38,0)) - 1) * total * total
+            AND num > (days - 1) * total THEN 1 ELSE 0 END AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("burst_flag"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q306: MEDIAN BOOTSTRAP BAND — the q297 deterministic Poisson
+    * bootstrap applied to a RANK statistic: per market segment, a
+    * 32-replica confidence band for the MEDIAN first→second-order gap
+    * (q298's activation-latency median). Each (customer, replica)
+    * draws the same Binomial(4,1/2) polyhash weight as q297; a
+    * replica's median is the type-1 lower weighted median over the
+    * (segment, gap-day) histogram (first gap whose cumulative weight
+    * reaches (W+1) div 2 — zero-weight replicas drop, mirroring
+    * q297's sw > 0 guard); the band is the 2nd/31st order statistics
+    * of the replica medians. Proves the bootstrap primitive
+    * generalizes beyond linear statistics: means aggregate, medians
+    * need the weighted-rank machinery — and the uncertainty of q298's
+    * headline number is exactly what that report omits. Sparse
+    * segments (< 31 nonzero replicas) report NULL endpoints rather
+    * than fabricating coverage.
+    *
+    * Shape at 100 TB: the gap relation is one lag read inside
+    * customer partitions (q298); the 32× fan-out collapses
+    * immediately to the (segment, replica, gap-day) histogram
+    * (value-domain × 32 bounded); medians and order statistics are
+    * windows over that grid — never over facts. */
+  def bootstrapMedianCi(spark: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // cached: the fan-out and the point-estimate histogram both
+    // consume it — one orders scan, not two
+    val gaps = CacheScope.cached(Tables.orders(spark, d)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("nxt", lead(col("o_orderdate"), 1).over(wOrd))
+      .filter(col("rn") === 1 && col("nxt").isNotNull)
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(datediff(nxt, o_orderdate) AS BIGINT)").as("gap"))
+      .join(Tables.customer(spark, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("ck") === col("c_custkey")))
+    val fan = gaps.select(col("segment"), col("ck"), col("gap"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+      .withColumn("w", bit_count(graft.functions.GraftFunctions.polyhash(
+        concat(col("ck").cast("string"), lit(":"), col("b").cast("string")))
+        % 16L).cast("long"))
+    val hist = fan.groupBy(col("segment"), col("b"), col("gap"))
+      .agg(sum(col("w")).as("c"))
+    val wCum = Window.partitionBy(col("segment"), col("b")).orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("segment"), col("b"))
+    val med = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tw", sum(col("c")).over(wTot))
+      .filter(col("tw") > 0L)
+      .groupBy(col("segment"), col("b"))
+      .agg(min(when(col("cum") >= expr("(tw + 1) div 2"), col("gap")))
+        .as("med"))
+    val band = med.withColumn("rn", row_number().over(
+        Window.partitionBy(col("segment")).orderBy(col("med"), col("b"))))
+      .groupBy(col("segment"))
+      .agg(min(when(col("rn") === 2, col("med"))).as("boot_lo_days"),
+        min(when(col("rn") === BootstrapB - 1, col("med")))
+          .as("boot_hi_days"))
+    val wSC = Window.partitionBy(col("segment")).orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val point = gaps.groupBy(col("segment"), col("gap"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wSC))
+      .withColumn("tw", sum(col("c")).over(Window.partitionBy(col("segment"))))
+      .groupBy(col("segment"))
+      .agg(sum(col("c")).as("n_gaps"),
+        min(when(col("cum") >= expr("(tw + 1) div 2"), col("gap")))
+          .as("med_days"))
+    point.join(band, "segment")
+      .select(col("segment"), col("n_gaps"), col("med_days"),
+        col("boot_lo_days"), col("boot_hi_days"),
+        (col("boot_hi_days") - col("boot_lo_days")).as("band_days"))
+      .orderBy(col("segment"))
+  }
 }

@@ -691,6 +691,20 @@ object SparkEntry {
     "q298_repeat_latency" -> (Queries.repeatLatency _),
     // citation-slot concentration + source retrieval-bias ratio
     "q299_neighbor_concentration" -> (Similarity.neighborConcentration _),
+    // Chao1 + Good-Turing vocabulary-saturation estimators per source
+    "q300_vocab_saturation" -> (TextAnalysis.vocabSaturation _),
+    // exact CUSUM structural-break day per event type
+    "q301_cusum_changepoint" -> (Queries.cusumChangepoint _),
+    // Mann-Whitney rank-sum test: returned vs kept transit time
+    "q302_ranksum_shiplag" -> (Queries.rankSumShipLag _),
+    // HITS hub/authority scores over the customer-part purchase graph
+    "q303_hits_bipartite" -> (Graph.hitsBipartite _),
+    // chi-square independence: priority x returnflag contingency
+    "q304_chisq_independence" -> (Queries.chisqIndependence _),
+    // variance-to-mean dispersion index per event type (burst audit)
+    "q305_event_overdispersion" -> (Queries.eventOverdispersion _),
+    // 32-replica bootstrap band for the median repeat-purchase gap
+    "q306_median_bootstrap" -> (Queries.bootstrapMedianCi _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -6667,6 +6681,188 @@ object SparkEntry {
          |       ((1000 * n_cited_slots * tc) // (ts * n_corpus))::BIGINT
          |         AS bias_milli
          |FROM g, t3 ORDER BY source""".stripMargin
+    },
+    // q300: (source, token) counts -> count-of-counts rollup; Chao1 /
+    // Good-Turing floors replayed in plain BIGINT arithmetic.
+    "q300_vocab_saturation" ->
+      """WITH t AS (SELECT source, unnest(regexp_split_to_array(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT source, tok, count(*)::BIGINT n FROM t GROUP BY 1, 2),
+        |a AS (SELECT source, sum(n)::BIGINT n_tokens, count(*)::BIGINT n_types,
+        |      count(*) FILTER (n = 1)::BIGINT f1,
+        |      count(*) FILTER (n = 2)::BIGINT f2
+        |      FROM c GROUP BY 1),
+        |k AS (SELECT *, (n_types + (f1 * (f1 - 1)) // (2 * (f2 + 1)))::BIGINT chao1
+        |      FROM a)
+        |SELECT source, n_tokens, n_types, f1, f2, chao1,
+        |  ((1000000 * f1) // n_tokens)::BIGINT AS unseen_ppm,
+        |  (1000000 - (1000000 * f1) // n_tokens)::BIGINT AS coverage_ppm,
+        |  ((1000 * n_types) // chao1)::BIGINT AS saturation_pm
+        |FROM k ORDER BY source""".stripMargin,
+    // q301: day-grid cumsum, cross-multiplied CUSUM deviation, argmax
+    // row per type (ties to earliest day), div-NULL after-rate at k=n.
+    "q301_cusum_changepoint" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT event_type, day::BIGINT AS day, count(*)::BIGINT AS n
+        |      FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS k,
+        |      sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |        ROWS UNBOUNDED PRECEDING)::BIGINT AS s,
+        |      count(*) OVER (PARTITION BY event_type)::BIGINT AS nd,
+        |      sum(n) OVER (PARTITION BY event_type)::BIGINT AS total
+        |      FROM c),
+        |d AS (SELECT *, abs(nd * s - k * total)::BIGINT AS dev FROM w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY dev DESC, day) AS rn FROM d)
+        |SELECT event_type, nd AS n_days, total, day AS cut_day, k AS cut_k,
+        |  dev AS dev_scaled,
+        |  ((1000 * dev) // (nd * total))::BIGINT AS cusum_pm,
+        |  ((1000 * s) // k)::BIGINT AS rate_before_milli,
+        |  (CASE WHEN k < nd THEN (1000 * (total - s)) // (nd - k)
+        |   END)::BIGINT AS rate_after_milli
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    // q302: (priority, lag) histogram, strictly-below kept cumulative,
+    // doubled-U / tie-corrected z^2 in HUGEINT (mirrors the Spark
+    // DECIMAL(38,0) arithmetic); degenerate groups -> div-NULL.
+    "q302_ranksum_shiplag" ->
+      """WITH lg AS (SELECT o_orderpriority priority,
+        |      date_diff('day', o_orderdate, l_shipdate)::BIGINT lag,
+        |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END ret
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h AS (SELECT priority, lag, sum(ret)::BIGINT a,
+        |      sum(1 - ret)::BIGINT b FROM lg GROUP BY 1, 2),
+        |c AS (SELECT priority, lag, a, b,
+        |      coalesce(sum(b) OVER (PARTITION BY priority ORDER BY lag
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT blt
+        |      FROM h),
+        |g AS (SELECT priority, sum(a)::BIGINT n_ret, sum(b)::BIGINT n_kept,
+        |      sum(a * (2 * blt + b))::BIGINT u2,
+        |      sum((a + b) * (a + b) * (a + b) - (a + b))::BIGINT ties3
+        |      FROM c GROUP BY 1),
+        |f AS (SELECT *, (n_ret + n_kept)::BIGINT n,
+        |      (u2 - n_ret * n_kept)::BIGINT dev2 FROM g)
+        |SELECT priority, n_ret, n_kept, u2,
+        |  ((1000000 * u2) // (2 * n_ret * n_kept))::BIGINT AS cles_ppm,
+        |  dev2,
+        |  ((3000 * dev2::HUGEINT * dev2 * n * (n - 1))
+        |    // (n_ret::HUGEINT * n_kept
+        |        * ((n::HUGEINT * n * n - n) - ties3)))::BIGINT AS z2_milli
+        |FROM f ORDER BY priority""".stripMargin,
+    // q303: bipartite edge CTE, three unnormalized a->h HITS rounds in
+    // HUGEINT (mirrors Graph.hitsBipartite's DECIMAL(38,0) sums round
+    // for round), one final ppm normalization per side. MATERIALIZED
+    // throughout - each round is referenced twice (next round + final
+    // select) and DuckDB would otherwise inline the tree exponentially
+    // (the q162 kCore lesson).
+    "q303_hits_bipartite" -> {
+      val K = Graph.HitsIters
+      val rounds = (2 to K).map { k =>
+        s"""a$k AS MATERIALIZED (SELECT p, sum(h)::HUGEINT a FROM be
+           |      JOIN h${k - 1} USING (c) GROUP BY 1),
+           |h$k AS MATERIALIZED (SELECT c, sum(a)::HUGEINT h FROM be
+           |      JOIN a$k USING (p) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH be AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |a1 AS MATERIALIZED (SELECT p, count(*)::HUGEINT a FROM be GROUP BY 1),
+         |h1 AS MATERIALIZED (SELECT c, sum(a)::HUGEINT h FROM be
+         |      JOIN a1 USING (p) GROUP BY 1),
+         |$rounds,
+         |att AS (SELECT sum(a) ta FROM a$K),
+         |htt AS (SELECT sum(h) th FROM h$K),
+         |dp AS (SELECT p, count(*)::BIGINT degree FROM be GROUP BY 1),
+         |dc AS (SELECT c, count(*)::BIGINT degree FROM be GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT 'auth' AS node_type, a.p AS node, dp.degree,
+         |         ((1000000 * a.a) // att.ta)::BIGINT AS score_ppm
+         |  FROM a$K a JOIN dp ON dp.p = a.p, att
+         |  UNION ALL
+         |  SELECT 'hub' AS node_type, h.c AS node, dc.degree,
+         |         ((1000000 * h.h) // htt.th)::BIGINT AS score_ppm
+         |  FROM h$K h JOIN dc ON dc.c = h.c, htt)
+         |ORDER BY node_type, node""".stripMargin
+    },
+    // q304: r*c cell grid, margin/total CTEs, HUGEINT squared residual
+    // (mirrors the Spark DECIMAL(38,0) arithmetic cell for cell).
+    "q304_chisq_independence" ->
+      """WITH cells AS (SELECT o_orderpriority priority, l_returnflag returnflag,
+        |      count(*)::BIGINT o
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |rm AS (SELECT priority, sum(o)::BIGINT r_tot FROM cells GROUP BY 1),
+        |cm AS (SELECT returnflag, sum(o)::BIGINT c_tot FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o)::BIGINT n, count(DISTINCT priority)::BIGINT r,
+        |      count(DISTINCT returnflag)::BIGINT c FROM cells),
+        |g AS (SELECT cells.priority, cells.returnflag, o, r_tot, c_tot, n, r, c,
+        |      ((1000 * (n::HUGEINT * o - r_tot::HUGEINT * c_tot)
+        |            * (n::HUGEINT * o - r_tot::HUGEINT * c_tot))
+        |        // (n::HUGEINT * r_tot * c_tot))::BIGINT contrib_milli
+        |      FROM cells JOIN rm ON rm.priority = cells.priority
+        |                 JOIN cm ON cm.returnflag = cells.returnflag, tot),
+        |ch AS (SELECT sum(contrib_milli)::BIGINT chisq_milli FROM g)
+        |SELECT priority, returnflag, o,
+        |  ((1000 * r_tot * c_tot) // n)::BIGINT AS expected_milli,
+        |  contrib_milli, chisq_milli,
+        |  ((r - 1) * (c - 1))::BIGINT AS df,
+        |  ((1000 * chisq_milli) // (n * (least(r, c) - 1)))::BIGINT AS v2_ppm
+        |FROM g, ch ORDER BY priority, returnflag""".stripMargin,
+    // q305: day-grid moments per type; the burst flag's squared compare
+    // in HUGEINT with the direction guard (over-dispersed side only).
+    "q305_event_overdispersion" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT event_type, day, count(*)::BIGINT n FROM e GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*)::BIGINT nd, sum(n)::BIGINT total,
+        |      sum(n * n)::BIGINT sumsq FROM c GROUP BY 1),
+        |k AS (SELECT *, (nd * sumsq - total * total)::BIGINT num FROM a)
+        |SELECT event_type, nd AS n_days, total,
+        |  ((1000 * num) // ((nd - 1) * total))::BIGINT AS vmr_milli,
+        |  ((1000 * num) // total)::BIGINT AS dispersion_milli,
+        |  (CASE WHEN (num::HUGEINT - (nd - 1) * total)
+        |           * (num::HUGEINT - (nd - 1) * total)
+        |         > 18 * (nd::HUGEINT - 1) * total * total
+        |        AND num > (nd - 1) * total THEN 1 ELSE 0 END)::BIGINT AS burst_flag
+        |FROM k ORDER BY event_type""".stripMargin,
+    // q306: the q298 gap relation, q297's hash weights fanned 32x,
+    // weighted type-1 medians per replica, 2nd/31st order statistics.
+    "q306_median_bootstrap" -> {
+      val b = Queries.BootstrapB
+      s"""WITH o2 AS (SELECT o_custkey ck, o_orderdate,
+         |      row_number() OVER w rn, lead(o_orderdate, 1) OVER w nxt
+         |      FROM orders WINDOW w AS (PARTITION BY o_custkey
+         |        ORDER BY o_orderdate, o_orderkey)),
+         |f AS (SELECT ck, date_diff('day', o_orderdate, nxt)::BIGINT gap
+         |      FROM o2 WHERE rn = 1 AND nxt IS NOT NULL),
+         |g AS (SELECT f.ck, f.gap, c_mktsegment segment FROM f
+         |      JOIN customer ON c_custkey = f.ck),
+         |fan AS (SELECT segment, ck, gap, b,
+         |      bit_count(${H("CAST(ck AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+         |        % 16)::BIGINT w
+         |      FROM g, generate_series(0, ${b - 1}) gs(b)),
+         |hb AS (SELECT segment, b, gap, sum(w)::BIGINT c FROM fan GROUP BY 1, 2, 3),
+         |cw AS (SELECT segment, b, gap, c,
+         |      sum(c) OVER (PARTITION BY segment, b ORDER BY gap
+         |        ROWS UNBOUNDED PRECEDING) cum,
+         |      sum(c) OVER (PARTITION BY segment, b) tw FROM hb),
+         |md AS (SELECT segment, b,
+         |      min(CASE WHEN cum >= (tw + 1) // 2 THEN gap END)::BIGINT med
+         |      FROM cw WHERE tw > 0 GROUP BY 1, 2),
+         |rk AS (SELECT segment, b, med, row_number() OVER
+         |      (PARTITION BY segment ORDER BY med, b) rn FROM md),
+         |bb AS (SELECT segment,
+         |      min(CASE WHEN rn = 2 THEN med END)::BIGINT lo,
+         |      min(CASE WHEN rn = ${b - 1} THEN med END)::BIGINT hi
+         |      FROM rk GROUP BY 1),
+         |hp AS (SELECT segment, gap, count(*)::BIGINT c FROM g GROUP BY 1, 2),
+         |cp AS (SELECT segment, gap, c,
+         |      sum(c) OVER (PARTITION BY segment ORDER BY gap
+         |        ROWS UNBOUNDED PRECEDING) cum,
+         |      sum(c) OVER (PARTITION BY segment) tw FROM hp),
+         |pt AS (SELECT segment, max(tw)::BIGINT n_gaps,
+         |      min(CASE WHEN cum >= (tw + 1) // 2 THEN gap END)::BIGINT med_days
+         |      FROM cp GROUP BY 1)
+         |SELECT pt.segment, n_gaps, med_days, bb.lo AS boot_lo_days,
+         |       bb.hi AS boot_hi_days, (bb.hi - bb.lo)::BIGINT AS band_days
+         |FROM pt JOIN bb ON bb.segment = pt.segment ORDER BY 1""".stripMargin
     },
   )
 }

@@ -1570,4 +1570,45 @@ object TextAnalysis {
     }
     perN.reduce(_ unionAll _).orderBy(col("source"), col("n"))
   }
+
+  /** q300: VOCABULARY SATURATION — per source the species-richness
+    * view of its term vocabulary: observed types D, the
+    * frequency-of-frequency counts f1 (singletons) / f2 (doubletons),
+    * the bias-corrected Chao1 lower-bound estimate of TRUE vocabulary
+    * size D + f1·(f1−1)/(2·(f2+1)) (exact integer floor; the +1 makes
+    * it defined at f2 = 0), the Good–Turing unseen-probability mass
+    * f1/N in ppm (the chance the NEXT token sampled from this source
+    * is a new type — Good's coverage estimator), and the saturation
+    * share D/Chao1 in permille. q159 plots the empirical growth curve;
+    * this is the closed-form answer to the question that curve asks:
+    * a source near saturation 1000 has been vocabulary-exhausted
+    * (marginal data repeats known types), one near 0 is under-sampled
+    * and worth crawling deeper. Estimators are classical published
+    * statistics (Chao 1984; Good 1953) over exact integer counts, so
+    * the DuckDB oracle replays every floor bit-identically.
+    *
+    * Shape at 100 TB: one corpus scan → explode → (source, token)
+    * hash-agg (map-side partials absorb the per-doc repetition) →
+    * |sources|-keyed rollup of the count-of-counts; no window, no
+    * join, no collect. f1·(f1−1) would move to DECIMAL(38,0) past
+    * ~3·10⁹ singleton types; plans unchanged. */
+  def vocabSaturation(spark: SparkSession, d: String): DataFrame = {
+    Tables.documentsDist(spark, d)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("n") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1",
+        expr("n_types + (f1 * (f1 - 1)) div (2 * (f2 + 1))"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("f1"),
+        col("f2"), col("chao1"),
+        expr("(1000000 * f1) div n_tokens").as("unseen_ppm"),
+        expr("1000000 - (1000000 * f1) div n_tokens").as("coverage_ppm"),
+        expr("(1000 * n_types) div chao1").as("saturation_pm"))
+      .orderBy(col("source"))
+  }
 }

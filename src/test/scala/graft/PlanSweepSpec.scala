@@ -166,7 +166,15 @@ class PlanSweepSpec extends SparkSpec {
     // |sources|-row rollup (totals scalar + output; physically one
     // compute, the q215/q262 precedent) — plus the one-row
     // slot/corpus-total scalar broadcast
-    "q299_neighbor_concentration" -> 3)
+    "q299_neighbor_concentration" -> 3,
+    // q303: the two one-row side-total scalar broadcasts (authority /
+    // hub ppm normalization) — the q62 pattern, one per side
+    "q303_hits_bipartite" -> 2,
+    // q304: the one-row (n, r, c) totals and one-row chi-square sum
+    // scalar broadcasts onto the r·c cell grid — the totals broadcast
+    // prints under BOTH consumers of the cached grid (chi-square sum +
+    // output; physically one compute, the q215/q299 precedent)
+    "q304_chisq_independence" -> 3)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

@@ -559,6 +559,44 @@ object ScaleProbe {
       }
       println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10f ratios: ", ", ", ""))
     }
+    // Round-10 batches g-k (q295-q303). The customer twin mirrors the
+    // orders o_custkey shift (same max+1 base from d1) so the
+    // segment join holds per replica; separate existence check —
+    // graph corpora built by earlier rounds cached the dir without it.
+    if (fams("r10g")) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$gdir/customer.parquet/_SUCCESS"))) {
+        val cu = spark.read.parquet(s"$d1/customer.parquet")
+        val mc = spark.read.parquet(s"$d1/orders.parquet")
+          .agg(max(col("o_custkey"))).head().getLong(0) + 1
+        (0 until 10).map(r =>
+            cu.withColumn("c_custkey", col("c_custkey") + lit(r * mc)))
+          .reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$gdir/customer.parquet")
+        println(s"[probe] built 10x customer twin at $gdir")
+      }
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val r10g: Seq[(String,
+          (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          String)] = Seq(
+        ("q295_dim_label_informativeness",
+          Similarity.dimLabelInformativeness _, vdir),
+        ("q296_cluster_label_rand", Similarity.clusterLabelRand _, vdir),
+        ("q297_bootstrap_ci", Queries.bootstrapCi _, gdir),
+        ("q298_repeat_latency", Queries.repeatLatency _, gdir),
+        ("q300_vocab_saturation", TextAnalysis.vocabSaturation _, d10),
+        ("q301_cusum_changepoint", Queries.cusumChangepoint _, edir),
+        ("q302_ranksum_shiplag", Queries.rankSumShipLag _, gdir),
+        ("q303_hits_bipartite", Graph.hitsBipartite _, gdir))
+      val rr = r10g.map { case (name, fn, dd) =>
+        val t1 = min2(name, fn, d1)
+        val t10 = min2(name, fn, dd)
+        println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+        name -> (t10 / t1)
+      }
+      println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10g ratios: ", ", ", ""))
+    }
     spark.stop()
   }
 }
