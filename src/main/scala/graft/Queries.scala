@@ -3650,4 +3650,82 @@ object Queries {
         (col("boot_hi_days") - col("boot_lo_days")).as("band_days"))
       .orderBy(col("segment"))
   }
+
+  /** q308 administrative-censoring horizon (days): a customer with no
+    * second order inside the horizon is censored AT the horizon, the
+    * standard fixed-follow-up design. */
+  val LogRankHorizonDays = 365L
+
+  /** q308: LOG-RANK SURVIVAL TEST — do customers whose FIRST order was
+    * urgent-priority (priority 1–2) repeat FASTER than the rest? The
+    * classic two-sample censored-time test on q306's time-to-second-
+    * order, 365-day administrative censoring: per event day t the
+    * hypergeometric expected urgent-group events E₁ₜ = dₜ·n₁ₜ/nₜ and
+    * variance dₜ·n₁ₜ·(nₜ−n₁ₜ)·(nₜ−dₜ)/(nₜ²(nₜ−1)), each FLOORED to
+    * micro units per day (the statistic is DEFINED as this
+    * integerization — both engines replay every floor); z² milli =
+    * 1000·(10⁶·O₁ − ΣE₁)²/(10⁶·ΣV). q223's Kaplan–Meier DESCRIBES one
+    * survival curve; this TESTS two against each other, respecting
+    * censoring — the comparison a naive mean-gap t-test gets wrong
+    * (censored customers vanish from a mean). The at-risk sets need no
+    * per-customer walk: nₜ = N − events(< t) because administrative
+    * censoring at the horizon keeps every non-event customer at risk
+    * through every event day.
+    *
+    * Shape at 100 TB: the gap relation is the q298/q306 lag read; the
+    * test statistic lives on the (event-day, d₁, d) grid — ≤ horizon
+    * rows, collected and folded in exact BigInt on the driver (the
+    * q240/q242 bounded-collect discipline; no partitionless window
+    * anywhere). Zero-variance degenerate corpora report NULL z²
+    * through the div-NULL path on both engines. */
+  def logRankRepeat(spark: SparkSession, d: String): DataFrame = {
+    val H = LogRankHorizonDays
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val base = CacheScope.cached(Tables.orders(spark, d)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("nxt", lead(col("o_orderdate"), 1).over(wOrd))
+      .filter(col("rn") === 1)
+      .select(
+        expr("CASE WHEN CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2" +
+          " THEN 1L ELSE 0L END").as("g1"),
+        expr(s"CASE WHEN nxt IS NOT NULL AND" +
+          s" CAST(datediff(nxt, o_orderdate) AS BIGINT) <= $H" +
+          s" THEN CAST(datediff(nxt, o_orderdate) AS BIGINT) END").as("t")))
+    val tot = base.agg(sum(col("g1")).as("n1"), count(lit(1)).as("n"),
+      sum(when(col("t").isNotNull, col("g1")).otherwise(0L)).as("ev1"),
+      sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("ev"))
+      .head()
+    val (n1, n, ev1, ev) =
+      (tot.getLong(0), tot.getLong(1), tot.getLong(2), tot.getLong(3))
+    // event-day grid: ≤ horizon rows — bounded collect, driver fold
+    val days = base.filter(col("t").isNotNull)
+      .groupBy(col("t")).agg(sum(col("g1")).as("d1"),
+        count(lit(1)).as("dt"))
+      .orderBy(col("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var cum1 = 0L
+    var cum = 0L
+    var e1mic = BigInt(0)
+    var vmic = BigInt(0)
+    days.foreach { case (_, d1, dt) =>
+      val n1t = n1 - cum1
+      val nt = n - cum
+      e1mic += BigInt(1000000L) * dt * n1t / nt
+      if (nt > 1)
+        vmic += BigInt(1000000L) * dt * n1t * (nt - n1t) * (nt - dt) /
+          (BigInt(nt) * nt * (nt - 1))
+      cum1 += d1
+      cum += dt
+    }
+    val delta = BigInt(1000000L) * ev1 - e1mic
+    val z2 = if (vmic > 0)
+      Some((BigInt(1000) * delta * delta / (BigInt(1000000L) * vmic)).toLong)
+    else None
+    val faster = delta.signum.toLong
+    import spark.implicits._
+    Seq((n1, n - n1, ev1, ev - ev1, e1mic.toLong, vmic.toLong, z2, faster))
+      .toDF("n_urgent", "n_rest", "events_urgent", "events_rest",
+        "e1_micro", "v_micro", "z2_milli", "urgent_faster")
+  }
 }

@@ -2088,4 +2088,82 @@ object Similarity {
           .as("bias_milli"))
       .orderBy(col("source"))
   }
+
+  /** q307 score-bucket width in signed-squared-cosine ppm units: the
+    * score space [−10⁶, 10⁶] collapses to ≤ 3,907 buckets, so every
+    * rank-sum window below runs over a VALUE-DOMAIN grid, never the
+    * sampled-pair population (which is what a naive per-pair ranking
+    * would sort — the q73 one-task hazard at 100 TB). */
+  val AucBucketWidth = 512L
+
+  /** q307: EMBEDDING LABEL-AUC — per query source, the probability
+    * that the embedding scores a SAME-label candidate above a
+    * DIFFERENT-label one: the exact pairwise AUC of retrieval, via the
+    * q302 Mann–Whitney doubled-U over the bucketed score histogram
+    * (ties count half — doubling keeps it integral). Scores are the
+    * q269 signed squared cosine on the q48 int8 quantization, but
+    * INTEGERIZED EXACTLY: the int8 dot and squared norms are integers,
+    * so sign(d)·(10⁶·d²) div (|a|²·|b|²) is one cross-multiplied floor
+    * in DECIMAL(38,0)/HUGEINT — no float crosses the engines. AUC is
+    * the retrieval-centric PROPER statistic of label structure: q295
+    * scores dimensions, q143 a classifier, q296 a clustering — this
+    * scores the RANKING every ANN query actually consumes.
+    * 500000 = labels invisible to cosine; the bucket coarsening
+    * (AucBucketWidth) is part of the statistic's definition, replayed
+    * identically by the oracle.
+    *
+    * Shape at 100 TB: the q279/q299 sampled-queries × corpus broadcast
+    * scan (the q26 exact-baseline argument — stride widens with the
+    * corpus, the sample stays pinned); pairs collapse immediately to
+    * the (source, bucket) grid; rank-sum windows and the final rollup
+    * are grid-bounded. The doubled-U products run in DECIMAL(38,0) /
+    * HUGEINT (pair masses are quadratic in the sample). */
+  def embeddingLabelAuc(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    val quant = transform(col("v"), x =>
+      when(x >= 0, floor(abs(x * col("sc")) + lit(0.5)))
+        .otherwise(-floor(abs(x * col("sc")) + lit(0.5))).cast("double"))
+    // cached: the broadcast sample and the candidate side both scan it
+    val e = CacheScope.cached(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("ma", maxabs).filter(col("ma") > 0)
+      .withColumn("sc", lit(127.0) / col("ma"))
+      .withColumn("q", quant)
+      .withColumn("qn", dot(col("q"), col("q")).cast("long"))
+      .filter(col("qn") > 0)
+      .select(col("vec_id"), col("label"), col("q"), col("qn")))
+    val qs = e.filter(col("vec_id") % PurityStride === 0L)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("q").as("qq"), col("qn").as("qnq"))
+    val pairs = broadcast(qs).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("dq", dot(col("qq"), col("q")).cast("long"))
+      .withColumn("s_ppm", expr(
+        """CASE WHEN dq >= 0
+           THEN CAST((1000000 * CAST(dq AS DECIMAL(38,0)) * dq)
+                div (CAST(qnq AS DECIMAL(38,0)) * qn) AS BIGINT)
+           ELSE -CAST((1000000 * CAST(dq AS DECIMAL(38,0)) * dq)
+                div (CAST(qnq AS DECIMAL(38,0)) * qn) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("bucket", expr(s"(s_ppm + 1000000) div $AucBucketWidth"))
+      .withColumn("same", (col("q_label") === col("label")).cast("long"))
+    val src = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"))
+    val hist = pairs.join(src, col("q_id") === col("doc_id"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("same")).as("a"), sum(lit(1L) - col("same")).as("b"))
+    val wLt = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("blt", coalesce(sum(col("b")).over(wLt), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("a")).as("n_same"), sum(col("b")).as("n_diff"),
+        sum(expr("CAST(a AS DECIMAL(38,0)) * (2 * blt + b)")).as("u2d"))
+      .select(col("source"), col("n_same"), col("n_diff"),
+        expr("CAST(u2d AS BIGINT)").as("u2"),
+        expr("""CAST((1000000 * u2d) div
+             (2 * CAST(n_same AS DECIMAL(38,0)) * n_diff) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("auc_ppm"))
+      .orderBy(col("source"))
+  }
 }

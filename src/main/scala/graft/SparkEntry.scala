@@ -705,6 +705,10 @@ object SparkEntry {
     "q305_event_overdispersion" -> (Queries.eventOverdispersion _),
     // 32-replica bootstrap band for the median repeat-purchase gap
     "q306_median_bootstrap" -> (Queries.bootstrapMedianCi _),
+    // pairwise label-AUC of the int8 cosine ranking per query source
+    "q307_embedding_label_auc" -> (Similarity.embeddingLabelAuc _),
+    // log-rank test: urgent-first-order vs rest repeat-purchase speed
+    "q308_logrank_repeat" -> (Queries.logRankRepeat _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -6863,6 +6867,94 @@ object SparkEntry {
          |SELECT pt.segment, n_gaps, med_days, bb.lo AS boot_lo_days,
          |       bb.hi AS boot_hi_days, (bb.hi - bb.lo)::BIGINT AS band_days
          |FROM pt JOIN bb ON bb.segment = pt.segment ORDER BY 1""".stripMargin
+    },
+    // q307: the q269 int8 quantization twin, sampled pairs, exact
+    // cross-multiplied signed-squared-cosine ppm in HUGEINT, bucketed
+    // score histogram, q302's doubled-U rank sum per query source.
+    "q307_embedding_label_auc" -> {
+      val stride = Similarity.PurityStride
+      val bw = Similarity.AucBucketWidth
+      s"""WITH e AS (SELECT vec_id, "label" lbl, embedding::DOUBLE[] v FROM embeddings),
+         |sq AS (SELECT vec_id, lbl, v,
+         |      127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
+         |      FROM e
+         |      WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0),
+         |q8 AS (SELECT vec_id, lbl, list_transform(v, x ->
+         |        (CASE WHEN x >= 0 THEN floor(abs(x * sc) + 0.5)
+         |          ELSE -floor(abs(x * sc) + 0.5) END)::DOUBLE) q FROM sq),
+         |qq AS (SELECT vec_id, lbl, q, list_dot_product(q, q)::BIGINT qn
+         |      FROM q8 WHERE list_dot_product(q, q) > 0),
+         |pr AS (SELECT a.vec_id q_id, a.lbl = b.lbl same,
+         |      list_dot_product(a.q, b.q)::BIGINT dq,
+         |      a.qn qnq, b.qn qnb
+         |      FROM qq a, qq b
+         |      WHERE a.vec_id % $stride = 0 AND b.vec_id != a.vec_id),
+         |sc2 AS (SELECT q_id, same,
+         |      (CASE WHEN dq >= 0
+         |        THEN (1000000 * dq::HUGEINT * dq) // (qnq::HUGEINT * qnb)
+         |        ELSE -((1000000 * dq::HUGEINT * dq) // (qnq::HUGEINT * qnb))
+         |       END)::BIGINT s_ppm FROM pr),
+         |bk AS (SELECT d.source, (s_ppm + 1000000) // $bw AS bucket,
+         |      sum(CASE WHEN same THEN 1 ELSE 0 END)::BIGINT a,
+         |      sum(CASE WHEN same THEN 0 ELSE 1 END)::BIGINT b
+         |      FROM sc2 JOIN documents d ON d.doc_id = sc2.q_id
+         |      GROUP BY 1, 2),
+         |cw AS (SELECT source, bucket, a, b,
+         |      coalesce(sum(b) OVER (PARTITION BY source ORDER BY bucket
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT blt
+         |      FROM bk),
+         |g AS (SELECT source, sum(a)::BIGINT n_same, sum(b)::BIGINT n_diff,
+         |      sum(a::HUGEINT * (2 * blt + b)) u2h FROM cw GROUP BY 1)
+         |SELECT source, n_same, n_diff, u2h::BIGINT AS u2,
+         |  ((1000000 * u2h) // (2 * n_same::HUGEINT * n_diff))::BIGINT AS auc_ppm
+         |FROM g ORDER BY source""".stripMargin
+    },
+    // q308: q306's gap relation with 365-day administrative censoring,
+    // event-day grid windows, per-day micro-floored hypergeometric
+    // moments (mirrors the Spark driver's BigInt fold day for day).
+    "q308_logrank_repeat" -> {
+      val h = Queries.LogRankHorizonDays
+      s"""WITH o2 AS (SELECT o_custkey ck, o_orderdate, o_orderpriority,
+         |      row_number() OVER w rn, lead(o_orderdate, 1) OVER w nxt
+         |      FROM orders WINDOW w AS (PARTITION BY o_custkey
+         |        ORDER BY o_orderdate, o_orderkey)),
+         |f AS (SELECT CASE WHEN substr(o_orderpriority, 1, 1)::INT <= 2
+         |        THEN 1 ELSE 0 END g1,
+         |      CASE WHEN nxt IS NOT NULL
+         |        AND date_diff('day', o_orderdate, nxt) <= $h
+         |        THEN date_diff('day', o_orderdate, nxt)::BIGINT END t
+         |      FROM o2 WHERE rn = 1),
+         |tt AS (SELECT sum(g1)::BIGINT n1, count(*)::BIGINT n,
+         |      sum(CASE WHEN t IS NOT NULL THEN g1 ELSE 0 END)::BIGINT ev1,
+         |      sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END)::BIGINT ev
+         |      FROM f),
+         |dd AS (SELECT t, sum(g1)::BIGINT d1, count(*)::BIGINT dt FROM f
+         |      WHERE t IS NOT NULL GROUP BY 1),
+         |cw AS (SELECT t, d1, dt,
+         |      coalesce(sum(d1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+         |        PRECEDING AND 1 PRECEDING), 0)::BIGINT cum1,
+         |      coalesce(sum(dt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+         |        PRECEDING AND 1 PRECEDING), 0)::BIGINT cum FROM dd),
+         |pp AS (SELECT dt, (tt.n1 - cum1)::BIGINT n1t, (tt.n - cum)::BIGINT nt
+         |      FROM cw, tt),
+         |sm AS (SELECT sum((1000000 * dt::HUGEINT * n1t) // nt) e1mic,
+         |      sum(CASE WHEN nt > 1 THEN
+         |        (1000000 * dt::HUGEINT * n1t * (nt - n1t) * (nt - dt))
+         |          // (nt::HUGEINT * nt * (nt - 1)) ELSE 0 END) vmic
+         |      FROM pp),
+         |zz AS (SELECT tt.n1, tt.n, tt.ev1, tt.ev,
+         |      coalesce(sm.e1mic, 0) e1mic, coalesce(sm.vmic, 0) vmic,
+         |      1000000 * tt.ev1 - coalesce(sm.e1mic, 0) delta
+         |      FROM tt, sm)
+         |SELECT n1 AS n_urgent, (n - n1)::BIGINT AS n_rest,
+         |  ev1 AS events_urgent, (ev - ev1)::BIGINT AS events_rest,
+         |  e1mic::BIGINT AS e1_micro, vmic::BIGINT AS v_micro,
+         |  ((1000 * delta::HUGEINT * delta)
+         |    // (CASE WHEN vmic > 0 THEN 1000000 * vmic END))::BIGINT
+         |    AS z2_milli,
+         |  (CASE WHEN delta > 0 THEN 1 WHEN delta < 0 THEN -1
+         |   ELSE 0 END)::BIGINT AS urgent_faster
+         |FROM zz""".stripMargin
     },
   )
 }

@@ -107,6 +107,32 @@ object EventStream {
         expr("(1000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)")
           .as("srm_chi2_milli"))
 
+  /** q301/q305's DEPLOYMENT loop — the online half of the offline
+    * changepoint/overdispersion audits: arriving events aggregate into
+    * watermarked 10-minute tumbling windows per event type, an
+    * offline-calibrated BASELINE relation (event_type →
+    * expected_milli, the expected events per window in milli — e.g.
+    * q301's post-break rate) rides in as a broadcast static join, and
+    * every emitted row carries the observed/expected ratio in milli
+    * plus a 3×-either-way alarm flag. Stateless beyond the windowed
+    * count: one streaming aggregation + one static broadcast join
+    * (conformalMonitor's shape on the event stream — the feed-died /
+    * feed-flooded pager signal). Integer ratio arithmetic, so the
+    * batch run of the SAME transform is bit-identical
+    * (EventStreamSpec). */
+  def volumeMonitor(events: DataFrame, baseline: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(baseline), "event_type")
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("expected_milli"),
+        expr("(1000000 * n) div expected_milli").as("ratio_milli"),
+        expr("CASE WHEN (1000000 * n) div expected_milli > 3000" +
+          " OR (1000000 * n) div expected_milli < 333" +
+          " THEN 1L ELSE 0L END").as("alarm"))
+
   /** q19 sessionization on Spark 4's `transformWithState` — the
     * arbitrary-stateful-processing API that replaces
     * flatMapGroupsWithState (explicit typed state handles, event-time

@@ -442,4 +442,35 @@ class EventStreamSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("volume monitor: stream equals batch; alarms fire both ways") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // baseline: clicks expect 1/window, views expect 10/window — the
+    // view feed is under-delivering in `evs`, clicks are on target
+    val baseline = Seq(("click", 1000L), ("view", 10000L))
+      .toDF("event_type", "expected_milli")
+    val mem = MemoryStream[Event]
+    val q = EventStream.volumeMonitor(mem.toDF(), baseline)
+      .writeStream.format("memory").queryName("vol_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val stream = spark.table("vol_out")
+        .as[(Timestamp, String, Long, Long, Long, Long)].collect().toSet
+      val batch = EventStream.volumeMonitor(evs.toDF(), baseline)
+        .as[(Timestamp, String, Long, Long, Long, Long)].collect().toSet
+      assert(stream == batch)
+      assert(batch.nonEmpty)
+      // every view window under-delivers 10x -> low-side alarm; click
+      // windows hold 1 click each -> ratio 1000, no alarm
+      batch.filter(_._2 == "view").foreach { r =>
+        assert(r._5 < 333L && r._6 == 1L)
+      }
+      batch.filter(_._2 == "click").foreach { r =>
+        assert(r._5 == 1000L && r._6 == 0L)
+      }
+    } finally q.stop()
+  }
 }

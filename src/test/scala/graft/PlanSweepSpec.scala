@@ -174,7 +174,10 @@ class PlanSweepSpec extends SparkSpec {
     // scalar broadcasts onto the r·c cell grid — the totals broadcast
     // prints under BOTH consumers of the cached grid (chi-square sum +
     // output; physically one compute, the q215/q299 precedent)
-    "q304_chisq_independence" -> 3)
+    "q304_chisq_independence" -> 3,
+    // q307: the q279/q299 sampled-queries × corpus exact scan (the
+    // q26 broadcast argument, stride-pinned sample)
+    "q307_embedding_label_auc" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

@@ -597,6 +597,28 @@ object ScaleProbe {
       }
       println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10g ratios: ", ", ", ""))
     }
+    // Round-10 batches l/m (q304-q308); the customer twin from r10g is
+    // required for q306/q308 (run r10g first on a fresh corpus dir).
+    if (fams("r10h")) {
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val r10h: Seq[(String,
+          (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          String)] = Seq(
+        ("q304_chisq_independence", Queries.chisqIndependence _, gdir),
+        ("q305_event_overdispersion", Queries.eventOverdispersion _, edir),
+        ("q306_median_bootstrap", Queries.bootstrapMedianCi _, gdir),
+        ("q307_embedding_label_auc", Similarity.embeddingLabelAuc _, vdir),
+        ("q308_logrank_repeat", Queries.logRankRepeat _, gdir))
+      val rr = r10h.map { case (name, fn, dd) =>
+        val t1 = min2(name, fn, d1)
+        val t10 = min2(name, fn, dd)
+        println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+        name -> (t10 / t1)
+      }
+      println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10h ratios: ", ", ", ""))
+    }
     spark.stop()
   }
 }
