@@ -930,6 +930,61 @@ object Curation {
           .as("retained_docs"))
       .orderBy(col("lang"), col("len_bucket"))
 
+  /** q310's diversity bar: a quasi-identifier group whose sensitive
+    * attribute takes fewer distinct values than this is l-low. */
+  val LDiversityL = 3L
+
+  /** q310: L-DIVERSITY / T-CLOSENESS AUDIT — k-anonymity (q171) only
+    * counts GROUP SIZES; a group of 1000 docs all from one source
+    * still leaks its sensitive attribute completely. Per
+    * quasi-identifier group (q171's lang × length-bucket), with
+    * `source` as the sensitive attribute: the number of distinct
+    * sensitive values (l-diversity), the modal value's share (pm —
+    * the homogeneity-attack success rate), and the t-closeness
+    * distance: the total-variation distance between the group's
+    * source distribution and the corpus's, exactly integral as
+    * Σ|n_gs·N − n_s·N_g| / (2·N_g·N) in permille (cross-multiplied —
+    * the earth-mover distance on a categorical alphabet). Flags both
+    * failure modes the release auditor checks: k_suppressed (q171's
+    * bar) and l_low (LDiversityL). Missing (group, source) cells
+    * contribute their full corpus mass to t — the grid is completed
+    * by a dimension-bounded cross join, never a fact-side scan.
+    *
+    * Shape at 100 TB: one corpus scan → (lang, bucket, source)
+    * hash-agg; everything downstream lives on that grid (groups ×
+    * sources cells, two scalar broadcasts) — the q280
+    * value-domain-bounded cross-join idiom. */
+  def lDiversityAudit(spark: SparkSession, d: String): DataFrame = {
+    val cells = CacheScope.cached(Tables.documentsDist(spark, d)
+      .select(col("lang"),
+        expr(s"CAST(size(split(text, ' ')) AS BIGINT) div $AnonBucketTokens")
+          .as("len_bucket"),
+        col("source"))
+      .groupBy(col("lang"), col("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("n_gs")))
+    val grp = cells.groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(col("n_gs")).as("n_docs"), count(lit(1)).as("l_distinct"),
+        max(col("n_gs")).as("modal_n"))
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("n_gs")).as("n_s"))
+    val tot = srcTot.agg(sum(col("n_s")).as("n_corpus"))
+    val grid = grp.select(col("lang"), col("len_bucket"), col("n_docs"))
+      .crossJoin(srcTot)
+      .join(cells, Seq("lang", "len_bucket", "source"), "left")
+      .withColumn("n_gs", coalesce(col("n_gs"), lit(0L)))
+    val tnum = grid.crossJoin(broadcast(tot))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(expr("abs(n_gs * n_corpus - n_s * n_docs)")).as("t_num"),
+        max(col("n_corpus")).as("n_corpus"))
+    grp.join(tnum, Seq("lang", "len_bucket"))
+      .select(col("lang"), col("len_bucket"), col("n_docs"),
+        col("l_distinct"),
+        expr("(1000 * modal_n) div n_docs").as("modal_share_pm"),
+        expr("(1000 * t_num) div (2 * n_docs * n_corpus)").as("t_pm"),
+        when(col("n_docs") < AnonK, 1L).otherwise(0L).as("k_suppressed"),
+        when(col("l_distinct") < LDiversityL, 1L).otherwise(0L).as("l_low"))
+      .orderBy(col("lang"), col("len_bucket"))
+  }
+
   /** q176's sample size. */
   val PrioritySampleK = 100
 

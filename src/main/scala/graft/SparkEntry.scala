@@ -709,6 +709,10 @@ object SparkEntry {
     "q307_embedding_label_auc" -> (Similarity.embeddingLabelAuc _),
     // log-rank test: urgent-first-order vs rest repeat-purchase speed
     "q308_logrank_repeat" -> (Queries.logRankRepeat _),
+    // BM25 with cluster-level document frequencies (dedup-corrected IDF)
+    "q309_bm25_dedup" -> (TextAnalysis.bm25DedupCorrected _),
+    // l-diversity + t-closeness release audit on q171's groups
+    "q310_l_diversity" -> (Curation.lDiversityAudit _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -6956,5 +6960,85 @@ object SparkEntry {
          |   ELSE 0 END)::BIGINT AS urgent_faster
          |FROM zz""".stripMargin
     },
+    // q309: the q114 scoring chain with BOTH stat sets — raw doc dfs
+    // and cluster dfs over the shared recursive near-dup closure.
+    "q309_bm25_dedup" ->
+      s"""WITH $NearDupClusterCte,
+         |pd AS (SELECT p.doc_id, lbl.cluster_id, len(tk)::BIGINT AS dl,
+         |  len(list_filter(tk, x -> x = 'hash'))::BIGINT AS tf_hash,
+         |  len(list_filter(tk, x -> x = 'join'))::BIGINT AS tf_join,
+         |  len(list_filter(tk, x -> x = 'vector'))::BIGINT AS tf_vector
+         |  FROM t p JOIN lbl ON lbl.doc_id = p.doc_id),
+         |st AS (SELECT count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+         |  sum(dl)::BIGINT AS n_tokens,
+         |  count(*) FILTER (tf_hash > 0)::BIGINT AS dfr_hash,
+         |  count(*) FILTER (tf_join > 0)::BIGINT AS dfr_join,
+         |  count(*) FILTER (tf_vector > 0)::BIGINT AS dfr_vector,
+         |  count(DISTINCT CASE WHEN tf_hash > 0 THEN cluster_id END)::BIGINT AS dfc_hash,
+         |  count(DISTINCT CASE WHEN tf_join > 0 THEN cluster_id END)::BIGINT AS dfc_join,
+         |  count(DISTINCT CASE WHEN tf_vector > 0 THEN cluster_id END)::BIGINT AS dfc_vector
+         |  FROM pd),
+         |c AS (SELECT pd.*, st.*,
+         |  250 + (750000 * dl) // ((1000 * n_tokens) // n_docs) AS norm_milli
+         |  FROM pd CROSS JOIN st),
+         |sc AS (SELECT doc_id, cluster_id, dl,
+         |  ((((1000 * (2 * (n_docs - dfr_hash) + 1)) // (2 * dfr_hash + 1)) *
+         |    ((tf_hash * 2200000000) //
+         |     (tf_hash * 1000 + (1200 * norm_milli) // 1000))) // 1000
+         |  + (((1000 * (2 * (n_docs - dfr_join) + 1)) // (2 * dfr_join + 1)) *
+         |    ((tf_join * 2200000000) //
+         |     (tf_join * 1000 + (1200 * norm_milli) // 1000))) // 1000
+         |  + (((1000 * (2 * (n_docs - dfr_vector) + 1)) // (2 * dfr_vector + 1)) *
+         |    ((tf_vector * 2200000000) //
+         |     (tf_vector * 1000 + (1200 * norm_milli) // 1000))) // 1000)::BIGINT
+         |  AS score_raw_micro,
+         |  ((((1000 * (2 * (n_clusters - dfc_hash) + 1)) // (2 * dfc_hash + 1)) *
+         |    ((tf_hash * 2200000000) //
+         |     (tf_hash * 1000 + (1200 * norm_milli) // 1000))) // 1000
+         |  + (((1000 * (2 * (n_clusters - dfc_join) + 1)) // (2 * dfc_join + 1)) *
+         |    ((tf_join * 2200000000) //
+         |     (tf_join * 1000 + (1200 * norm_milli) // 1000))) // 1000
+         |  + (((1000 * (2 * (n_clusters - dfc_vector) + 1)) // (2 * dfc_vector + 1)) *
+         |    ((tf_vector * 2200000000) //
+         |     (tf_vector * 1000 + (1200 * norm_milli) // 1000))) // 1000)::BIGINT
+         |  AS score_dedup_micro FROM c)
+         |SELECT doc_id, cluster_id, dl, score_raw_micro, score_dedup_micro,
+         |  (score_dedup_micro - score_raw_micro)::BIGINT AS shift_micro
+         |FROM sc WHERE score_dedup_micro > 0
+         |ORDER BY score_dedup_micro DESC, doc_id LIMIT 10""".stripMargin,
+    // q310: the q171 grouping with source as the sensitive attribute;
+    // the (group x source) grid completed by a bounded cross join so
+    // missing cells contribute their full corpus mass to t.
+    "q310_l_diversity" ->
+      s"""WITH c0 AS (SELECT lang,
+         |      len(regexp_split_to_array(text, ' '))::BIGINT
+         |        // ${Curation.AnonBucketTokens} AS len_bucket,
+         |      source FROM documents),
+         |cl AS (SELECT lang, len_bucket, source, count(*)::BIGINT n_gs
+         |      FROM c0 GROUP BY 1, 2, 3),
+         |g AS (SELECT lang, len_bucket, sum(n_gs)::BIGINT n_docs,
+         |      count(*)::BIGINT l_distinct, max(n_gs)::BIGINT modal_n
+         |      FROM cl GROUP BY 1, 2),
+         |s AS (SELECT source, sum(n_gs)::BIGINT n_s FROM cl GROUP BY 1),
+         |tt AS (SELECT sum(n_s)::BIGINT n_corpus FROM s),
+         |grid AS (SELECT g.lang, g.len_bucket, g.n_docs, s.source, s.n_s,
+         |      coalesce(cl.n_gs, 0)::BIGINT n_gs
+         |      FROM g CROSS JOIN s
+         |      LEFT JOIN cl ON cl.lang = g.lang
+         |        AND cl.len_bucket = g.len_bucket AND cl.source = s.source),
+         |tn AS (SELECT lang, len_bucket,
+         |      sum(abs(n_gs * tt.n_corpus - n_s * n_docs))::BIGINT t_num,
+         |      max(tt.n_corpus)::BIGINT n_corpus
+         |      FROM grid, tt GROUP BY 1, 2)
+         |SELECT g.lang, g.len_bucket, g.n_docs, g.l_distinct,
+         |  ((1000 * modal_n) // n_docs)::BIGINT AS modal_share_pm,
+         |  ((1000 * t_num) // (2 * n_docs * tn.n_corpus))::BIGINT AS t_pm,
+         |  (CASE WHEN n_docs < ${Curation.AnonK} THEN 1 ELSE 0 END)::BIGINT
+         |    AS k_suppressed,
+         |  (CASE WHEN l_distinct < ${Curation.LDiversityL} THEN 1 ELSE 0
+         |   END)::BIGINT AS l_low
+         |FROM g JOIN tn ON tn.lang = g.lang AND tn.len_bucket = g.len_bucket
+         |ORDER BY g.lang, g.len_bucket""".stripMargin,
   )
 }

@@ -1611,4 +1611,61 @@ object TextAnalysis {
         expr("(1000 * n_types) div chao1").as("saturation_pm"))
       .orderBy(col("source"))
   }
+
+  /** q309: DEDUP-CORRECTED BM25 — q114's exact-integer BM25 with the
+    * document-frequency statistics counted over NEAR-DUP CLUSTERS
+    * (the persisted q49 labels) instead of raw documents: a term
+    * living in one 50-copy boilerplate cluster has df 50 raw but
+    * carries ONE cluster of information, so raw IDF under-scores it
+    * and every query touching duplicated vocabulary ranks wrong — the
+    * duplication→retrieval coupling q278 prices for SAMPLING, applied
+    * to SEARCH. Emits both scores (raw q114 IDF and cluster IDF) plus
+    * the shift, top-10 by the corrected score; tf and length
+    * normalization stay per-document (length is a property of the doc
+    * being returned; information content is a property of its
+    * cluster). Same milli/micro floor discipline as q114 — one `div`
+    * per ratio, oracle replays bit-for-bit over the shared recursive
+    * cluster closure.
+    *
+    * Shape at 100 TB: q114's row-local tf/length scan joined once to
+    * the persisted label stage (doc_id-keyed), ONE global aggregate
+    * for both stat sets (the cluster dfs are countDistinct over the
+    * same narrow projection), re-entering as a one-row broadcast;
+    * top-10 is TakeOrderedAndProject. */
+  def bm25DedupCorrected(spark: SparkSession, d: String): DataFrame = {
+    val terms = Seq("hash", "join", "vector")
+    val t = toks(col("text"))
+    val labels = Dedup.nearDupClusters(spark, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val perDoc = CacheScope.cached(Tables.documentsDist(spark, d)
+      .select(col("doc_id") +: size(t).cast("long").as("dl") +:
+        terms.map(w => size(filter(t, x => x === w)).cast("long")
+          .as(s"tf_$w")): _*)
+      .join(labels, "doc_id"))
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      countDistinct(col("cluster_id")).as("n_clusters"),
+      sum(col("dl")).as("n_tokens")) ++
+      terms.map(w => count(when(col(s"tf_$w") > 0, 1)).as(s"dfr_$w")) ++
+      terms.map(w => countDistinct(
+        when(col(s"tf_$w") > 0, col("cluster_id"))).as(s"dfc_$w"))
+    val stats = perDoc.agg(aggs.head, aggs.tail: _*)
+    def score(nCol: String, dfPrefix: String) = terms.map { w =>
+      expr(s"""(((1000 * (2 * ($nCol - ${dfPrefix}_$w) + 1)) div (2 * ${dfPrefix}_$w + 1)) *
+              |((tf_$w * 2200000000) div
+              |  (tf_$w * 1000 + (1200 * norm_milli) div 1000))) div 1000"""
+        .stripMargin.replace("\n", " "))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("avgdl_milli", expr("(1000 * n_tokens) div n_docs"))
+      .withColumn("norm_milli", expr("250 + (750000 * dl) div avgdl_milli"))
+      .withColumn("score_raw_micro", score("n_docs", "dfr"))
+      .withColumn("score_dedup_micro", score("n_clusters", "dfc"))
+      .filter(col("score_dedup_micro") > 0)
+      .select(col("doc_id"), col("cluster_id"), col("dl"),
+        col("score_raw_micro"), col("score_dedup_micro"),
+        (col("score_dedup_micro") - col("score_raw_micro"))
+          .as("shift_micro"))
+      .orderBy(col("score_dedup_micro").desc, col("doc_id"))
+      .limit(10)
+  }
 }

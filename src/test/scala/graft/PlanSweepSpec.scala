@@ -177,7 +177,12 @@ class PlanSweepSpec extends SparkSpec {
     "q304_chisq_independence" -> 3,
     // q307: the q279/q299 sampled-queries × corpus exact scan (the
     // q26 broadcast argument, stride-pinned sample)
-    "q307_embedding_label_auc" -> 1)
+    "q307_embedding_label_auc" -> 1,
+    // q309: q114's one-row corpus/cluster-statistics scalar broadcast
+    "q309_bm25_dedup" -> 1,
+    // q310: the (groups × sources) dimension-bounded grid cross join
+    // (the q280 value-domain idiom) + the one-row corpus-total scalar
+    "q310_l_diversity" -> 2)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

@@ -619,6 +619,26 @@ object ScaleProbe {
       }
       println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10h ratios: ", ", ", ""))
     }
+    // Round-10 batch n (q309-q310) on the perturbed-replica documents
+    // corpus; q309's first 10x pass pays the one-time q49 label-stage
+    // build (min-of-2 measures the warm steady state, the q221 model).
+    if (fams("r10i")) {
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val r10i: Seq[(String,
+          (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          String)] = Seq(
+        ("q309_bm25_dedup", TextAnalysis.bm25DedupCorrected _, d10),
+        ("q310_l_diversity", Curation.lDiversityAudit _, d10))
+      val rr = r10i.map { case (name, fn, dd) =>
+        val t1 = min2(name, fn, d1)
+        val t10 = min2(name, fn, dd)
+        println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+        name -> (t10 / t1)
+      }
+      println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10i ratios: ", ", ", ""))
+    }
     spark.stop()
   }
 }
