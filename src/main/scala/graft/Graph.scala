@@ -845,4 +845,46 @@ object Graph {
           .as("score_ppm"))
     auth.unionAll(hub).orderBy(col("node_type"), col("node"))
   }
+
+  /** q311: SAMPLED-SEED HARMONIC CLOSENESS — per node, Σ 1/d(seed, v)
+    * in milli (each reciprocal ONE floor, 1000 div d) over the q178
+    * seed set (suppliers ≡ 0 mod 5) within [[BfsRounds]] hops, plus
+    * the seeds-reached count. Harmonic centrality is the
+    * closeness variant that stays defined on disconnected graphs
+    * (unreached seeds contribute 0, not ∞), and seed-sampling is the
+    * standard estimator at scale (Boldi & Vigna's framework) — exact
+    * given the seed set, which is deterministic and data-derived
+    * here. The access-proximity view the surface's other centralities
+    * don't give: q126 ranks by recursive mass, q303 by bipartite
+    * citation, q276/q127 by degree structure — this ranks by
+    * DISTANCE to a fixed constituency ("how close is this customer to
+    * the sampled supplier base"). Nodes reaching no seed within the
+    * horizon are absent, like q131's unreached nodes.
+    *
+    * Shape at 100 TB: multi-source BFS carries (seed, node, dist)
+    * state — |seeds|·|reach| rows, seed-sampling's knob — with one
+    * keyed join + min-agg per round (q131's relaxation under
+    * [[Recurrence.round]]); the closeness fold is one node-keyed agg.
+    * Seeds scale with the supplier dimension, not the fact volume. */
+  def harmonicCloseness(spark: SparkSession, d: String): DataFrame = {
+    val e = CacheScope.cached(tradeArcs(spark, d))
+    val seeds = e.select(col("src")).distinct()
+      .filter(expr("src % 2 = 0 AND (src div 2) % 5 = 0"))
+      .select(col("src").as("seed"))
+    var dist = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0L).as("dist"))
+    for (_ <- 1 to BfsRounds) {
+      dist = Recurrence.round(
+        dist.join(e, col("node") === col("src"))
+          .select(col("seed"), col("dst").as("node"),
+            (col("dist") + 1L).as("dist"))
+          .unionAll(dist.select(col("seed"), col("node"), col("dist")))
+          .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist")))
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_seeds_reached"),
+        sum(expr("1000 div dist")).as("harmonic_milli"))
+      .orderBy(col("node"))
+  }
 }

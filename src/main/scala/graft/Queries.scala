@@ -3728,4 +3728,60 @@ object Queries {
       .toDF("n_urgent", "n_rest", "events_urgent", "events_rest",
         "e1_micro", "v_micro", "z2_milli", "urgent_faster")
   }
+
+  /** q312: MARKOV NEXT-EVENT BACKTEST — the out-of-sample test q130's
+    * transition matrix and q292's impurity both stop short of: train
+    * the modal next-event predictor per antecedent on EVEN user ids,
+    * score top-1 accuracy on ODD users' transitions, per antecedent
+    * type, against the unconditional modal-event baseline (predicting
+    * the train-majority next event regardless of antecedent). The
+    * lift over baseline is the honest value of sequence conditioning
+    * — q292 measures in-sample predictability, which inflates under
+    * overfit; a held-out split cannot. Ties in the argmax break to
+    * the lexicographically smallest event type (deterministic on both
+    * engines); antecedents never seen in training predict nothing and
+    * score misses — the honest cold-start accounting.
+    *
+    * Shape at 100 TB: transitions are one lead() inside user
+    * partitions (q130's window); train counts collapse to the
+    * |types|² grid; the predictor and baseline re-enter as
+    * dimension-bounded broadcasts onto the test half's keyed scan. */
+  def markovBacktest(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // cached: the train grid and the test evaluation both consume it
+    val tr = CacheScope.cached(Tables.eventsNs(spark, d)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("from_type"), col("to_type"),
+        (col("user_id") % 2 === 0).as("is_train")))
+    val counts = tr.filter(col("is_train"))
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+    val pred = counts.withColumn("rn", row_number().over(
+        Window.partitionBy(col("from_type"))
+          .orderBy(col("n").desc, col("to_type"))))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"),
+        col("n").as("n_pred_train"))
+    val base = counts.groupBy(col("to_type")).agg(sum(col("n")).as("nb"))
+      .orderBy(col("nb").desc, col("to_type")).limit(1)
+      .select(col("to_type").as("base_pred"))
+    tr.filter(!col("is_train"))
+      .join(broadcast(pred), Seq("from_type"), "left")
+      .crossJoin(broadcast(base))
+      .groupBy(col("from_type"))
+      .agg(max(col("predicted")).as("predicted"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_hits"),
+        sum(when(col("to_type") === col("base_pred"), 1L).otherwise(0L))
+          .as("n_base_hits"))
+      .select(col("from_type"), col("predicted"), col("n_test"),
+        col("n_hits"), expr("(1000 * n_hits) div n_test").as("acc_pm"),
+        col("n_base_hits"),
+        expr("(1000 * n_base_hits) div n_test").as("base_acc_pm"),
+        expr("(1000 * n_hits) div n_base_hits").as("lift_milli"))
+      .orderBy(col("from_type"))
+  }
 }

@@ -713,6 +713,10 @@ object SparkEntry {
     "q309_bm25_dedup" -> (TextAnalysis.bm25DedupCorrected _),
     // l-diversity + t-closeness release audit on q171's groups
     "q310_l_diversity" -> (Curation.lDiversityAudit _),
+    // sampled-seed harmonic closeness within 4 hops (multi-source BFS)
+    "q311_harmonic_closeness" -> (Graph.harmonicCloseness _),
+    // held-out top-1 next-event accuracy vs the unconditional baseline
+    "q312_markov_backtest" -> (Queries.markovBacktest _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -7040,5 +7044,60 @@ object SparkEntry {
          |   END)::BIGINT AS l_low
          |FROM g JOIN tn ON tn.lang = g.lang AND tn.len_bucket = g.len_bucket
          |ORDER BY g.lang, g.len_bucket""".stripMargin,
+    // q311: the q131 BFS relaxation with a seed dimension —
+    // MATERIALIZED rounds (each referenced by the next round's join
+    // AND union; inlined the tree doubles per round, the q162 lesson).
+    "q311_harmonic_closeness" -> {
+      val rounds = (1 to Graph.BfsRounds).map { k =>
+        s"""d$k AS MATERIALIZED (SELECT seed, node, min(dist)::BIGINT AS dist FROM (
+           |  SELECT x.seed, e.dst AS node, x.dist + 1 AS dist
+           |  FROM d${k - 1} x JOIN e ON e.src = x.node
+           |  UNION ALL SELECT seed, node, dist FROM d${k - 1})
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $TradeGraphCte,
+         |sd AS (SELECT DISTINCT src AS seed FROM e
+         |       WHERE src % 2 = 0 AND (src // 2) % 5 = 0),
+         |d0 AS (SELECT seed, seed AS node, 0::BIGINT AS dist FROM sd),
+         |$rounds
+         |SELECT node, count(*)::BIGINT AS n_seeds_reached,
+         |       sum(1000 // dist)::BIGINT AS harmonic_milli
+         |FROM d${Graph.BfsRounds} WHERE dist > 0
+         |GROUP BY 1 ORDER BY node""".stripMargin
+    },
+    // q312: q130's transition window, even-user train grid, modal
+    // predictor + unconditional baseline, odd-user top-1 scoring.
+    "q312_markov_backtest" ->
+      """WITH tr0 AS (SELECT user_id, event_type AS from_type,
+        |      lead(event_type, 1) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS to_type
+        |      FROM events),
+        |tr AS (SELECT from_type, to_type, user_id % 2 = 0 AS is_train
+        |      FROM tr0 WHERE to_type IS NOT NULL),
+        |c AS (SELECT from_type, to_type, count(*)::BIGINT n FROM tr
+        |      WHERE is_train GROUP BY 1, 2),
+        |p AS (SELECT from_type, to_type AS predicted FROM (
+        |      SELECT *, row_number() OVER (PARTITION BY from_type
+        |        ORDER BY n DESC, to_type) rn FROM c) WHERE rn = 1),
+        |b AS (SELECT to_type AS base_pred FROM (
+        |      SELECT to_type, sum(n) nb FROM c GROUP BY 1
+        |      ORDER BY nb DESC, to_type LIMIT 1)),
+        |ev AS (SELECT tr.from_type, tr.to_type, p.predicted, b.base_pred
+        |      FROM tr LEFT JOIN p ON p.from_type = tr.from_type, b
+        |      WHERE NOT is_train)
+        |SELECT from_type, max(predicted) AS predicted,
+        |  count(*)::BIGINT AS n_test,
+        |  sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_hits,
+        |  ((1000 * sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END))
+        |    // count(*))::BIGINT AS acc_pm,
+        |  sum(CASE WHEN to_type = base_pred THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_base_hits,
+        |  ((1000 * sum(CASE WHEN to_type = base_pred THEN 1 ELSE 0 END))
+        |    // count(*))::BIGINT AS base_acc_pm,
+        |  ((1000 * sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END))
+        |    // sum(CASE WHEN to_type = base_pred THEN 1 ELSE 0 END))::BIGINT
+        |    AS lift_milli
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

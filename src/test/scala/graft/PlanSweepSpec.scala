@@ -182,7 +182,10 @@ class PlanSweepSpec extends SparkSpec {
     "q309_bm25_dedup" -> 1,
     // q310: the (groups × sources) dimension-bounded grid cross join
     // (the q280 value-domain idiom) + the one-row corpus-total scalar
-    "q310_l_diversity" -> 2)
+    "q310_l_diversity" -> 2,
+    // q312: the one-row unconditional-baseline broadcast onto the
+    // held-out transitions (the q62 scalar pattern)
+    "q312_markov_backtest" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

@@ -639,6 +639,27 @@ object ScaleProbe {
       }
       println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10i ratios: ", ", ", ""))
     }
+    // Round-10 batch o: q311 on the disjoint-replica trade graph
+    // (10x seeds AND 10x per-seed reach stays per-replica-local —
+    // the honest multi-source-BFS scale model), q312 on the events
+    // replica corpus.
+    if (fams("r10j")) {
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val r10j: Seq[(String,
+          (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          String)] = Seq(
+        ("q311_harmonic_closeness", Graph.harmonicCloseness _, gdir),
+        ("q312_markov_backtest", Queries.markovBacktest _, edir))
+      val rr = r10j.map { case (name, fn, dd) =>
+        val t1 = min2(name, fn, d1)
+        val t10 = min2(name, fn, dd)
+        println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+        name -> (t10 / t1)
+      }
+      println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10j ratios: ", ", ", ""))
+    }
     spark.stop()
   }
 }
