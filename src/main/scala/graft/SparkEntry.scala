@@ -717,6 +717,10 @@ object SparkEntry {
     "q311_harmonic_closeness" -> (Graph.harmonicCloseness _),
     // held-out top-1 next-event accuracy vs the unconditional baseline
     "q312_markov_backtest" -> (Queries.markovBacktest _),
+    // Kish effective-sample-size audit of the q129 importance weights
+    "q313_importance_ess" -> (Curation.importanceEss _),
+    // signed squared cosine + distance between q64 label centroids
+    "q314_label_confusability" -> (Similarity.labelConfusability _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -7057,7 +7061,8 @@ object SparkEntry {
       }.mkString(",\n")
       s"""WITH $TradeGraphCte,
          |sd AS (SELECT DISTINCT src AS seed FROM e
-         |       WHERE src % 2 = 0 AND (src // 2) % 5 = 0),
+         |       WHERE src % 2 = 0 AND (src // 2) % 5 = 0
+         |       ORDER BY src LIMIT ${Graph.HarmonicSeeds}),
          |d0 AS (SELECT seed, seed AS node, 0::BIGINT AS dist FROM sd),
          |$rounds
          |SELECT node, count(*)::BIGINT AS n_seeds_reached,
@@ -7099,5 +7104,51 @@ object SparkEntry {
         |    // sum(CASE WHEN to_type = base_pred THEN 1 ELSE 0 END))::BIGINT
         |    AS lift_milli
         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q313: the q129 weight chain + source join + HUGEINT Kish rollup.
+    "q313_importance_ess" ->
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
+         |           FROM documents),
+         |tb AS (SELECT doc_id, ${H("w")} % 1024 AS b FROM t),
+         |bc AS (SELECT b, count(*) FILTER (doc_id % 97 = 0)::BIGINT AS tb,
+         |              count(*) FILTER (doc_id % 97 != 0)::BIGINT AS rb
+         |       FROM tb GROUP BY 1),
+         |st AS (SELECT sum(tb)::BIGINT AS tt, sum(rb)::BIGINT AS rt FROM bc),
+         |wt AS (SELECT b, ((1000::HUGEINT * (tb + 1) * (rt + 1024))
+         |                   // ((rb + 1)::HUGEINT * (tt + 1024)))::BIGINT AS wm
+         |       FROM bc, st),
+         |af AS (SELECT tb.doc_id, (sum(wm) // count(*))::BIGINT w
+         |       FROM tb JOIN wt ON wt.b = tb.b WHERE tb.doc_id % 97 != 0
+         |       GROUP BY tb.doc_id),
+         |j AS (SELECT d.source, af.w FROM af
+         |      JOIN documents d ON d.doc_id = af.doc_id),
+         |g AS (SELECT source, count(*)::BIGINT n_docs, sum(w)::BIGINT sw,
+         |      sum(w::HUGEINT * w) sww, max(w)::BIGINT w_max
+         |      FROM j GROUP BY 1)
+         |SELECT source, n_docs, sw, w_max,
+         |  ((1000 * sw::HUGEINT * sw) // (n_docs::HUGEINT * sww))::BIGINT
+         |    AS ess_pm,
+         |  ((1000 * w_max) // sw)::BIGINT AS max_share_pm
+         |FROM g ORDER BY source""".stripMargin,
+    // q314: q64's centroid grid, pos-keyed pair self-join, the
+    // q269/q307 signed-squared-cosine integerization in HUGEINT.
+    "q314_label_confusability" ->
+      """WITH e AS (SELECT label, embedding,
+        |           unnest(generate_series(1, len(embedding))) i FROM embeddings),
+        |c0 AS (SELECT "label"::BIGINT lbl, i::BIGINT - 1 pos,
+        |      floor(embedding[i]::DOUBLE * 1000000)::BIGINT vm FROM e),
+        |ct AS (SELECT lbl, pos, floor(sum(vm) / count(*))::BIGINT c
+        |      FROM c0 GROUP BY 1, 2),
+        |pr AS (SELECT a.lbl la, b.lbl lb, sum(a.c * b.c)::BIGINT dot,
+        |      sum(a.c * a.c)::BIGINT na, sum(b.c * b.c)::BIGINT nb,
+        |      sum((a.c - b.c) * (a.c - b.c))::BIGINT d2
+        |      FROM ct a JOIN ct b ON a.pos = b.pos AND a.lbl < b.lbl
+        |      GROUP BY 1, 2)
+        |SELECT la AS label_a, lb AS label_b,
+        |  (CASE WHEN dot >= 0
+        |    THEN (1000000 * dot::HUGEINT * dot) // (na::HUGEINT * nb)
+        |    ELSE -((1000000 * dot::HUGEINT * dot) // (na::HUGEINT * nb))
+        |   END)::BIGINT AS cos2_ppm,
+        |  d2 AS d2_micro2
+        |FROM pr ORDER BY label_a, label_b""".stripMargin,
   )
 }

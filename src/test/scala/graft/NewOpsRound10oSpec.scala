@@ -21,7 +21,8 @@ class NewOpsRound10oSpec extends SparkSpec {
     }.distinct
     val adj: Map[Long, Seq[Long]] = (undirected ++ undirected.map(_.swap))
       .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).distinct.toSeq }
-    val seeds = adj.keys.filter(n => n % 2 == 0 && (n / 2) % 5 == 0).toSeq
+    val seeds = adj.keys.filter(n => n % 2 == 0 && (n / 2) % 5 == 0)
+      .toSeq.sorted.take(Graph.HarmonicSeeds)
     val reach: Seq[(Long, Long)] = seeds.flatMap { seed =>
       // BFS to 4 hops
       var dist = Map[Long, Long](seed -> 0L)

@@ -185,7 +185,10 @@ class PlanSweepSpec extends SparkSpec {
     "q310_l_diversity" -> 2,
     // q312: the one-row unconditional-baseline broadcast onto the
     // held-out transitions (the q62 scalar pattern)
-    "q312_markov_backtest" -> 1)
+    "q312_markov_backtest" -> 1,
+    // q313: q129's one-row target/raw-totals scalar broadcast (the
+    // weight chain re-instantiated, same documented shape)
+    "q313_importance_ess" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

@@ -651,7 +651,9 @@ object ScaleProbe {
           (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
           String)] = Seq(
         ("q311_harmonic_closeness", Graph.harmonicCloseness _, gdir),
-        ("q312_markov_backtest", Queries.markovBacktest _, edir))
+        ("q312_markov_backtest", Queries.markovBacktest _, edir),
+        ("q313_importance_ess", Curation.importanceEss _, d10),
+        ("q314_label_confusability", Similarity.labelConfusability _, vdir))
       val rr = r10j.map { case (name, fn, dd) =>
         val t1 = min2(name, fn, d1)
         val t10 = min2(name, fn, dd)
