@@ -3784,4 +3784,92 @@ object Queries {
         expr("(1000 * n_hits) div n_base_hits").as("lift_milli"))
       .orderBy(col("from_type"))
   }
+
+  /** q315's fixed period boundary (ship date). */
+  val PeriodSplitDate = "1998-07-01"
+
+  /** q315: TWO-PROPORTION DRIFT TEST — per order priority, did the
+    * return RATE move between the early and late shipping periods
+    * (fixed boundary [[PeriodSplitDate]])? The classic pooled
+    * two-proportion z² in exact milli via ONE cross-multiplied
+    * division: z² = (x_a·n_b − x_b·n_a)²·n / (n_a·n_b·x·(n−x)) —
+    * algebraically (p̂_a−p̂_b)²/(p̂(1−p̂)(1/n_a+1/n_b)) with every
+    * denominator cleared, so no rate is ever materialized as a float.
+    * The "did the metric move" primitive: q206 tests a 50:50 design
+    * ratio, q289 bounds ONE proportion, q302 compares DISTRIBUTIONS —
+    * this compares two observed proportions, the form a release
+    * readout actually quotes. Degenerate slices (either period empty,
+    * or x ∈ {0, n}) report NULL z² through the div-NULL path on both
+    * engines.
+    *
+    * Shape at 100 TB: one fact-join scan → (priority, period)
+    * hash-agg → |priorities| rollup; the squared numerator runs in
+    * DECIMAL(38,0)/HUGEINT. */
+  def returnRateDrift(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        (col("l_shipdate") < lit(PeriodSplitDate).cast("timestamp"))
+          .cast("long").as("early"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .groupBy(col("priority"))
+      .agg(sum(col("early")).as("n_a"),
+        sum(expr("early * ret")).as("x_a"),
+        sum(expr("1 - early")).as("n_b"),
+        sum(expr("(1 - early) * ret")).as("x_b"))
+      .select(col("priority"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        expr("(1000 * x_a) div n_a").as("rate_a_pm"),
+        expr("(1000 * x_b) div n_b").as("rate_b_pm"),
+        expr("(1000 * x_a) div n_a - (1000 * x_b) div n_b").as("diff_pm"),
+        expr("""CAST((1000 * CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0))
+                     * (x_a * n_b - x_b * n_a) * (n_a + n_b))
+                div (CAST(n_a AS DECIMAL(38,0)) * n_b * (x_a + x_b)
+                     * (n_a + n_b - x_a - x_b)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("z2_milli"))
+      .orderBy(col("priority"))
+  }
+
+  /** q316's output cut. */
+  val PriceDispersionTopK = 50
+
+  /** q316: PART PRICE-DISPERSION AUDIT — per part the exact
+    * coefficient-of-variation² of its observed unit price across
+    * line items (cents via round(100·extendedprice) div quantity —
+    * the defined integerization both engines replay), CV²_ppm =
+    * 10⁶·(n·Σp² − S²)/S², plus supplier fan-out and min/max spread:
+    * the procurement-arbitrage shortlist. q231 names each part's
+    * CHEAPEST supplier, q230 indexes brand prices over TIME — this
+    * ranks parts by how inconsistently the market prices them, the
+    * signal that a price is negotiable. Top-K by dispersion
+    * (deterministic (cv², part) order); single-quote parts report 0
+    * dispersion, zero-price degenerates NULL via div-NULL.
+    *
+    * Shape at 100 TB: one fact scan → part-keyed hash-agg (moment
+    * sums in DECIMAL(38,0)); the cut is TakeOrderedAndProject —
+    * per-partition heaps, never a global sort. */
+  def priceDispersion(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d)
+      .select(col("l_partkey").as("partkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " div CAST(l_quantity AS BIGINT)").as("unit_cents"))
+      .groupBy(col("partkey"))
+      .agg(count(lit(1)).as("n_quotes"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        sum(col("unit_cents")).as("s"),
+        sum(expr("CAST(unit_cents AS DECIMAL(38,0)) * unit_cents")).as("q"),
+        min(col("unit_cents")).as("min_cents"),
+        max(col("unit_cents")).as("max_cents"))
+      .select(col("partkey"), col("n_quotes"), col("n_suppliers"),
+        col("min_cents"), col("max_cents"),
+        expr("""CAST((1000000 * (CAST(n_quotes AS DECIMAL(38,0)) * q
+                     - CAST(s AS DECIMAL(38,0)) * s))
+                div (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("cv2_ppm"),
+        expr("(1000 * (max_cents - min_cents)) div min_cents")
+          .as("spread_pm"))
+      .orderBy(col("cv2_ppm").desc, col("partkey"))
+      .limit(PriceDispersionTopK)
+  }
 }

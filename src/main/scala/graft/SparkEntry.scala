@@ -721,6 +721,10 @@ object SparkEntry {
     "q313_importance_ess" -> (Curation.importanceEss _),
     // signed squared cosine + distance between q64 label centroids
     "q314_label_confusability" -> (Similarity.labelConfusability _),
+    // pooled two-proportion z^2: return-rate drift across ship periods
+    "q315_return_rate_drift" -> (Queries.returnRateDrift _),
+    // per-part unit-price CV^2 dispersion shortlist (top-50)
+    "q316_price_dispersion" -> (Queries.priceDispersion _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -7150,5 +7154,47 @@ object SparkEntry {
         |   END)::BIGINT AS cos2_ppm,
         |  d2 AS d2_micro2
         |FROM pr ORDER BY label_a, label_b""".stripMargin,
+    // q315: (priority, period) counts, cleared-denominator pooled z^2
+    // in HUGEINT; degenerate slices -> div-NULL.
+    "q315_return_rate_drift" -> {
+      val cut = Queries.PeriodSplitDate
+      s"""WITH lg AS (SELECT o_orderpriority priority,
+         |      CASE WHEN l_shipdate < TIMESTAMP '$cut' THEN 1 ELSE 0 END early,
+         |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END ret
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |g AS (SELECT priority, sum(early)::BIGINT n_a,
+         |      sum(early * ret)::BIGINT x_a,
+         |      sum(1 - early)::BIGINT n_b,
+         |      sum((1 - early) * ret)::BIGINT x_b FROM lg GROUP BY 1)
+         |SELECT priority, n_a, x_a, n_b, x_b,
+         |  ((1000 * x_a) // n_a)::BIGINT AS rate_a_pm,
+         |  ((1000 * x_b) // n_b)::BIGINT AS rate_b_pm,
+         |  ((1000 * x_a) // n_a - (1000 * x_b) // n_b)::BIGINT AS diff_pm,
+         |  ((1000 * (x_a::HUGEINT * n_b - x_b::HUGEINT * n_a)
+         |         * (x_a::HUGEINT * n_b - x_b::HUGEINT * n_a) * (n_a + n_b))
+         |    // (n_a::HUGEINT * n_b * (x_a + x_b)
+         |         * (n_a + n_b - x_a - x_b)))::BIGINT AS z2_milli
+         |FROM g ORDER BY priority""".stripMargin
+    },
+    // q316: part-keyed unit-cents moments in HUGEINT, top-50 by CV^2.
+    "q316_price_dispersion" ->
+      s"""WITH u AS (SELECT l_partkey partkey, l_suppkey,
+         |      CAST(round(l_extendedprice * 100) AS BIGINT)
+         |        // CAST(l_quantity AS BIGINT) unit_cents
+         |      FROM lineitem),
+         |g AS (SELECT partkey, count(*)::BIGINT n_quotes,
+         |      count(DISTINCT l_suppkey)::BIGINT n_suppliers,
+         |      sum(unit_cents)::BIGINT s,
+         |      sum(unit_cents::HUGEINT * unit_cents) q,
+         |      min(unit_cents)::BIGINT min_cents,
+         |      max(unit_cents)::BIGINT max_cents
+         |      FROM u GROUP BY 1)
+         |SELECT partkey, n_quotes, n_suppliers, min_cents, max_cents,
+         |  ((1000000 * (n_quotes::HUGEINT * q - s::HUGEINT * s))
+         |    // (s::HUGEINT * s))::BIGINT AS cv2_ppm,
+         |  ((1000 * (max_cents - min_cents)) // min_cents)::BIGINT
+         |    AS spread_pm
+         |FROM g ORDER BY cv2_ppm DESC, partkey
+         |LIMIT ${Queries.PriceDispersionTopK}""".stripMargin,
   )
 }

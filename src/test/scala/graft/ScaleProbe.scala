@@ -653,7 +653,9 @@ object ScaleProbe {
         ("q311_harmonic_closeness", Graph.harmonicCloseness _, gdir),
         ("q312_markov_backtest", Queries.markovBacktest _, edir),
         ("q313_importance_ess", Curation.importanceEss _, d10),
-        ("q314_label_confusability", Similarity.labelConfusability _, vdir))
+        ("q314_label_confusability", Similarity.labelConfusability _, vdir),
+        ("q315_return_rate_drift", Queries.returnRateDrift _, gdir),
+        ("q316_price_dispersion", Queries.priceDispersion _, gdir))
       val rr = r10j.map { case (name, fn, dd) =>
         val t1 = min2(name, fn, d1)
         val t10 = min2(name, fn, dd)
