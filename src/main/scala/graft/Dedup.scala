@@ -1822,4 +1822,36 @@ object Dedup {
         "pairs_cross", "cross_share_pm")
       .orderBy(col("n"))
   }
+
+  /** q318: DUPLICATION SIZE SPECTRUM — per near-dup cluster size k
+    * (from the persisted q49 labels): how many clusters, how many
+    * documents and tokens they hold, and each mass's corpus share in
+    * permille. The SHAPE of the duplication problem, which every
+    * aggregate view collapses: q221 prices total yield, q278 the
+    * count-once correction, q266 the threshold sensitivity — none say
+    * whether the dup mass sits in two mega-clusters (one boilerplate
+    * source to fix upstream) or a long tail of pairs (LSH-parameter
+    * territory). k = 1 reads the never-duplicated baseline share.
+    *
+    * Shape at 100 TB: the persisted label stage joined once to the
+    * row-local token counts, one k-keyed agg over the |distinct
+    * sizes|-bounded grid, one one-row totals broadcast. */
+  def dupSizeSpectrum(spark: SparkSession, d: String): DataFrame = {
+    val labels = nearDupClusters(spark, d)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
+    val nt = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"))
+    // cached: the spectrum rollup and the corpus totals both consume it
+    val g = CacheScope.cached(labels.join(nt, "doc_id")
+      .groupBy(col("cluster_n").as("k"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")))
+    val tot = g.agg(sum(col("n_docs")).as("td"), sum(col("n_tokens")).as("tt"))
+    g.crossJoin(broadcast(tot))
+      .select(col("k"), col("n_clusters"), col("n_docs"),
+        expr("(1000 * n_docs) div td").as("docs_share_pm"),
+        col("n_tokens"),
+        expr("(1000 * n_tokens) div tt").as("tokens_share_pm"))
+      .orderBy(col("k"))
+  }
 }

@@ -2204,4 +2204,40 @@ object Similarity {
         col("d2_micro2"))
       .orderBy(col("label_a"), col("label_b"))
   }
+
+  /** q317: LABEL NORM-BIAS AUDIT — per label the integerized squared
+    * embedding norm (floor(10⁶·Σv²) — identical IEEE fold then ONE
+    * floor on both engines, the q269 discipline): count, mean
+    * (floored), min/max, and the label-vs-corpus mean ratio in milli
+    * via one cross-multiplied division. The DOT-PRODUCT retrieval
+    * hazard cosine metrics hide: a label whose vectors run
+    * systematically longer dominates any inner-product index (and
+    * biases q64's un-normalized centroids) even when cosine geometry
+    * is fair — bias_milli far from 1000 says "normalize before you
+    * index". Complements q307 (which scores the cosine ranking) by
+    * naming the norm component it deliberately divides away.
+    *
+    * Shape at 100 TB: one embeddings scan, row-local norm fold, one
+    * |labels|-keyed agg + a one-row corpus-total broadcast. */
+  def labelNormBias(spark: SparkSession, d: String): DataFrame = {
+    // cached: the per-label rollup and the corpus total both consume it
+    val g = CacheScope.cached(Tables.embeddings(spark, d)
+      .select(col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("label"),
+        floor(lit(1000000.0d) * dot(col("v"), col("v"))).cast("long")
+          .as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("n2")).as("s2"),
+        min(col("n2")).as("min_n2_ppm"), max(col("n2")).as("max_n2_ppm")))
+    val tot = g.agg(sum(col("n_vecs")).as("nt"), sum(col("s2")).as("st"))
+    g.crossJoin(broadcast(tot))
+      .select(col("label"), col("n_vecs"),
+        expr("s2 div n_vecs").as("mean_n2_ppm"),
+        col("min_n2_ppm"), col("max_n2_ppm"),
+        expr("""CAST((1000 * CAST(s2 AS DECIMAL(38,0)) * nt)
+             div (CAST(n_vecs AS DECIMAL(38,0)) * st) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("bias_milli"))
+      .orderBy(col("label"))
+  }
 }

@@ -725,6 +725,10 @@ object SparkEntry {
     "q315_return_rate_drift" -> (Queries.returnRateDrift _),
     // per-part unit-price CV^2 dispersion shortlist (top-50)
     "q316_price_dispersion" -> (Queries.priceDispersion _),
+    // per-label squared-norm bias audit (dot-product retrieval hazard)
+    "q317_label_norm_bias" -> (Similarity.labelNormBias _),
+    // near-dup cluster size spectrum over the persisted q49 labels
+    "q318_dup_size_spectrum" -> (Dedup.dupSizeSpectrum _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -7196,5 +7200,38 @@ object SparkEntry {
          |    AS spread_pm
          |FROM g ORDER BY cv2_ppm DESC, partkey
          |LIMIT ${Queries.PriceDispersionTopK}""".stripMargin,
+    // q317: identical IEEE norm fold then ONE floor (the q269 double
+    // discipline), per-label rollup, cross-multiplied corpus ratio.
+    "q317_label_norm_bias" ->
+      """WITH e AS (SELECT "label"::BIGINT AS label,
+        |      floor(1000000 * list_dot_product(embedding::DOUBLE[],
+        |        embedding::DOUBLE[]))::BIGINT n2
+        |      FROM embeddings),
+        |g AS (SELECT label, count(*)::BIGINT n_vecs, sum(n2)::BIGINT s2,
+        |      min(n2)::BIGINT min_n2_ppm, max(n2)::BIGINT max_n2_ppm
+        |      FROM e GROUP BY 1),
+        |tt AS (SELECT sum(n_vecs)::BIGINT nt, sum(s2)::BIGINT st FROM g)
+        |SELECT label, n_vecs, (s2 // n_vecs)::BIGINT AS mean_n2_ppm,
+        |  min_n2_ppm, max_n2_ppm,
+        |  ((1000 * s2::HUGEINT * nt) // (n_vecs::HUGEINT * st))::BIGINT
+        |    AS bias_milli
+        |FROM g, tt ORDER BY label""".stripMargin,
+    // q318: the shared recursive cluster closure + row-local token
+    // counts, k-keyed spectrum, one-row totals.
+    "q318_dup_size_spectrum" ->
+      s"""WITH $NearDupClusterCte,
+         |ntk AS (SELECT doc_id, len(tk)::BIGINT n_tok FROM t),
+         |jj AS (SELECT lbl.doc_id, lbl.cluster_id, cn.cluster_n, ntk.n_tok
+         |      FROM lbl JOIN cn ON cn.cluster_id = lbl.cluster_id
+         |      JOIN ntk ON ntk.doc_id = lbl.doc_id),
+         |g AS (SELECT cluster_n AS k, count(DISTINCT cluster_id)::BIGINT
+         |        n_clusters, count(*)::BIGINT n_docs,
+         |      sum(n_tok)::BIGINT n_tokens FROM jj GROUP BY 1),
+         |tt AS (SELECT sum(n_docs)::BIGINT td, sum(n_tokens)::BIGINT tt2
+         |      FROM g)
+         |SELECT k, n_clusters, n_docs,
+         |  ((1000 * n_docs) // td)::BIGINT AS docs_share_pm,
+         |  n_tokens, ((1000 * n_tokens) // tt2)::BIGINT AS tokens_share_pm
+         |FROM g, tt ORDER BY k""".stripMargin,
   )
 }

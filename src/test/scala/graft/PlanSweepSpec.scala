@@ -188,7 +188,11 @@ class PlanSweepSpec extends SparkSpec {
     "q312_markov_backtest" -> 1,
     // q313: q129's one-row target/raw-totals scalar broadcast (the
     // weight chain re-instantiated, same documented shape)
-    "q313_importance_ess" -> 1)
+    "q313_importance_ess" -> 1,
+    // q317/q318: the one-row corpus-totals scalar broadcast onto the
+    // label / cluster-size grid (the q62 pattern)
+    "q317_label_norm_bias" -> 1,
+    "q318_dup_size_spectrum" -> 1)
 
   test("no undocumented nested-loop/cartesian join in any query plan in the surface") {
     // A query that fails ANALYSIS is its own named offense — the sweep

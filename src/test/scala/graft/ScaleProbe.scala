@@ -655,7 +655,9 @@ object ScaleProbe {
         ("q313_importance_ess", Curation.importanceEss _, d10),
         ("q314_label_confusability", Similarity.labelConfusability _, vdir),
         ("q315_return_rate_drift", Queries.returnRateDrift _, gdir),
-        ("q316_price_dispersion", Queries.priceDispersion _, gdir))
+        ("q316_price_dispersion", Queries.priceDispersion _, gdir),
+        ("q317_label_norm_bias", Similarity.labelNormBias _, vdir),
+        ("q318_dup_size_spectrum", Dedup.dupSizeSpectrum _, d10))
       val rr = r10j.map { case (name, fn, dd) =>
         val t1 = min2(name, fn, d1)
         val t10 = min2(name, fn, dd)
