@@ -29,5 +29,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g, A/B-measured (round 11): bigger heaps HURT this workload —
+  // IsoBench q311 (per-round persist/unpersist churn) at 8g runs
+  // 14.3/7.8/7.1 s over 3 passes, at 16g 24.7/13.0/10.3, at 48g
+  // 21.4/39.3/66.9 (degrading per pass: G1 defers collection of the
+  // block-churn garbage until mixed collections stall the driver).
+  // The whole-suite bench confirmed: 375 s at 8g vs 446 s at 48g on
+  // the same host hour. Bench's env.heap_g records the value at the
+  // gate; override per-run via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -3474,7 +3474,12 @@ object Queries {
       .withColumn("n", col("n_ret") + col("n_kept"))
       .withColumn("dev2", expr("u2 - n_ret * n_kept"))
       .select(col("priority"), col("n_ret"), col("n_kept"), col("u2"),
-        expr("(1000000 * u2) div (2 * n_ret * n_kept)").as("cles_ppm"),
+        // DECIMAL(38,0) cross-multiply: 10⁶·u2 overflows Long at
+        // ~9·10¹² pair-count (≈SF50 group sizes) and Spark would wrap
+        // silently while the oracle errors — same discipline as z2
+        expr("CAST((1000000 * CAST(u2 AS DECIMAL(38,0)))" +
+          " div (2 * CAST(n_ret AS DECIMAL(38,0)) * n_kept) AS BIGINT)")
+          .as("cles_ppm"),
         col("dev2"),
         expr("""CAST((3000 * CAST(dev2 AS DECIMAL(38,0)) * dev2 * n * (n - 1))
                 div (CAST(n_ret AS DECIMAL(38,0)) * n_kept
@@ -3530,7 +3535,11 @@ object Queries {
     val chis = g.agg(sum(col("contrib_milli")).as("chisq_milli"))
     g.crossJoin(broadcast(chis))
       .select(col("priority"), col("returnflag"), col("o"),
-        expr("(1000 * r_tot * c_tot) div n").as("expected_milli"),
+        // DECIMAL(38,0) cross-multiply: 1000·R·C overflows Long at
+        // ~3·10⁸ joined rows (≈SF50); keep the exact-parity contract
+        // at any SF like contrib_milli does
+        expr("CAST((1000 * CAST(r_tot AS DECIMAL(38,0)) * c_tot)" +
+          " div n AS BIGINT)").as("expected_milli"),
         col("contrib_milli"), col("chisq_milli"),
         expr("(r - 1) * (c - 1)").as("df"),
         expr("(1000 * chisq_milli) div (n * (least(r, c) - 1))").as("v2_ppm"))
@@ -3682,7 +3691,14 @@ object Queries {
     val H = LogRankHorizonDays
     val wOrd = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val base = CacheScope.cached(Tables.orders(spark, d)
+    // Manual persist discipline (NOT CacheScope.cached): this operator
+    // runs TWO sequential driver actions on `base` (tot.head, then the
+    // event-day collect), and the CacheScope contract releases after the
+    // FIRST completed action — cached() here would silently recompute
+    // the full orders window scan for the second action. The returned
+    // DataFrame is driver-built, so `base` is unpersisted directly once
+    // both actions are done.
+    val base = (Tables.orders(spark, d)
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("nxt", lead(col("o_orderdate"), 1).over(wOrd))
       .filter(col("rn") === 1)
@@ -3692,6 +3708,7 @@ object Queries {
         expr(s"CASE WHEN nxt IS NOT NULL AND" +
           s" CAST(datediff(nxt, o_orderdate) AS BIGINT) <= $H" +
           s" THEN CAST(datediff(nxt, o_orderdate) AS BIGINT) END").as("t")))
+      .persist()
     val tot = base.agg(sum(col("g1")).as("n1"), count(lit(1)).as("n"),
       sum(when(col("t").isNotNull, col("g1")).otherwise(0L)).as("ev1"),
       sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("ev"))
@@ -3704,6 +3721,7 @@ object Queries {
         count(lit(1)).as("dt"))
       .orderBy(col("t")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    base.unpersist()
     var cum1 = 0L
     var cum = 0L
     var e1mic = BigInt(0)
@@ -3871,5 +3889,719 @@ object Queries {
           .as("spread_pm"))
       .orderBy(col("cv2_ppm").desc, col("partkey"))
       .limit(PriceDispersionTopK)
+  }
+
+  /** q319: KRUSKAL–WALLIS — does fulfillment lag differ across ALL
+    * five order priorities at once? The k-sample generalization of
+    * q302's two-sample Mann–Whitney: tie-averaged ranks over the
+    * pooled (priority, lag-day) histogram via DOUBLED ranks (a tied
+    * block spanning cumulative positions [c+1, c+t] has average rank
+    * c + (t+1)/2, doubled 2c + t + 1 — integral), per-group doubled
+    * rank sums S_j, and H = [3·ΣS_j²/n_j − 3N(N+1)²] / (N(N+1)) with
+    * the tie correction H_c = H·(N³−N)/((N³−N) − Σ(t³−t)). The
+    * statistic is DEFINED with two integer floors (per-group micro
+    * contribution floor(10⁶·S_j²/n_j), then the milli division) —
+    * both engines replay every floor, so parity is exact. All-tied
+    * degenerate corpora report NULL H_c through the div-NULL path.
+    *
+    * Shape at 100 TB: one fact scan → (priority, lag) hash-agg; the
+    * grid is value-domain-bounded (5 priorities × ~120 lag days), so
+    * the rank fold is a bounded driver collect in exact BigInt (the
+    * q308 discipline — no partitionless window anywhere). The
+    * oracle's HUGEINT 10⁶·S_j² term caps exact SQL replay near SF10;
+    * past that N any nonzero effect is significant anyway (the q302
+    * ceiling argument). */
+  def kruskalWallisLag(spark: SparkSession, d: String): DataFrame = {
+    val grid = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        expr("CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)").as("lag"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // pooled doubled ranks over the lag value grid
+    val byLag = grid.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val lags = byLag.keys.toSeq.sorted
+    var cum = 0L
+    var tieT = BigInt(0)
+    val dr2 = scala.collection.mutable.Map.empty[Long, Long]
+    lags.foreach { v =>
+      val t = byLag(v)
+      dr2(v) = 2 * cum + t + 1
+      tieT += BigInt(t) * t * t - t
+      cum += t
+    }
+    val n = BigInt(cum)
+    val groups = grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, g) =>
+      val nj = g.map(_._3).sum
+      val s2 = g.map(t => BigInt(t._3) * dr2(t._2)).sum
+      (p, nj, s2)
+    }
+    val cSum = groups.map { case (_, nj, s2) => BigInt(1000000) * s2 * s2 / nj }.sum
+    val num = (BigInt(3) * cSum - BigInt(3000000) * n * (n + 1) * (n + 1)).max(0)
+    val hMilli = (num / (BigInt(1000) * n * (n + 1))).toLong
+    val n3n = n * n * n - n
+    val hcMilli = if (n3n > tieT)
+      Some((BigInt(hMilli) * n3n / (n3n - tieT)).toLong) else None
+    val df = (groups.size - 1).toLong
+    import spark.implicits._
+    groups.map { case (p, nj, s2) =>
+      (p, nj, s2.toLong, (BigInt(500) * s2 / nj).toLong,
+        hMilli, hcMilli, df)
+    }.toDF("priority", "n", "rank_sum2", "mean_rank_milli",
+      "h_milli", "hc_milli", "df")
+      .orderBy(col("priority"))
+  }
+
+  /** q325 burst gap: two orders ≤ this many days apart chain into one
+    * purchasing burst (the gaps-and-islands cut). */
+  val BurstGapDays = 30L
+
+  /** q320: WALD–WOLFOWITZ RUNS TEST — is the daily order volume
+    * RANDOM over time, or do above-average and below-average days
+    * clump? Binarize each observed day against the exact mean
+    * (n·c_d vs S, strictly — days exactly at the mean drop, the
+    * standard cut treatment), count runs R of consecutive same-signs,
+    * and test against the exact permutation moments μ = 1 + 2n₁n₂/N,
+    * σ² = 2n₁n₂(2n₁n₂−N)/(N²(N−1)): z² in milli via ONE
+    * cross-multiplied division 1000·((R−1)N − 2n₁n₂)²·(N−1) /
+    * (2n₁n₂·(2n₁n₂−N)). trend = sign((R−1)N − 2n₁n₂): negative means
+    * FEWER runs than chance (momentum/clustering — the autocorrelated
+    * regime q284 measures parametrically), positive means
+    * oscillation. q301 finds WHERE the level breaks; this tests
+    * whether the sequence is exchangeable AT ALL — the
+    * model-free precondition check. Degenerate splits (n₁n₂ = 0 or
+    * 2n₁n₂ ≤ N) report NULL z² via div-NULL on both engines.
+    *
+    * Shape at 100 TB: one orders scan → day hash-agg; the run fold is
+    * a calendar-bounded driver collect in exact BigInt (the q308
+    * discipline — no partitionless window). */
+  def runsTestDaily(spark: SparkSession, d: String): DataFrame = {
+    val days = Tables.orders(spark, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    val nDays = days.length.toLong
+    val s = days.map(_._2).sum
+    // strictly above/below the exact mean; equals drop
+    val signs = days.flatMap { case (_, c) =>
+      val lhs = BigInt(nDays) * c
+      if (lhs > s) Some(1) else if (lhs < s) Some(0) else None
+    }
+    val n1 = signs.count(_ == 1).toLong
+    val n2 = signs.count(_ == 0).toLong
+    val nn = n1 + n2
+    val runs =
+      if (signs.isEmpty) 0L
+      else 1L + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    val dev = BigInt(runs - 1) * nn - BigInt(2) * n1 * n2
+    val expMilli = if (nn > 0) Some(1000L + (BigInt(2000) * n1 * n2 / nn).toLong)
+      else None
+    val den = BigInt(2) * n1 * n2 * (BigInt(2) * n1 * n2 - nn)
+    val z2Milli = if (den > 0)
+      Some((BigInt(1000) * dev * dev * (nn - 1) / den).toLong) else None
+    import spark.implicits._
+    Seq((nDays, n1, n2, nn, runs, expMilli, z2Milli, dev.signum.toLong))
+      .toDF("n_days", "n_above", "n_below", "n_kept", "runs",
+        "expected_runs_milli", "z2_milli", "trend")
+  }
+
+  /** q321: COCHRAN–ARMITAGE TREND TEST — does the return RATE move
+    * monotonically with order priority (ordinal scores w = 1..5 from
+    * the priority prefix)? The χ²(1df) trend statistic on the 2×5
+    * table: T = Σw_j·x_j − R·Σw_j·n_j/N, Var = R(N−R)(N·Σw_j²n_j −
+    * (Σw_j n_j)²)/N³, z² = N·T²/Var — integerized as TWO floors
+    * replayed on both engines: vN = Var_cross div N, then z²_milli =
+    * 1000·T_cross² div vN (where T_cross = N·Σwx − R·Σwn and
+    * Var_cross = R(N−R)(N·Σw²n − (Σwn)²), so z² = N·T²/Var exactly
+    * up to the two floors). q304 tests ANY association (4 df); this
+    * spends one df on the ORDERED alternative — the right test when
+    * the factor is ordinal, with ~4× the power against monotone
+    * drift. trend = sign(T_cross): positive means urgent orders
+    * return MORE. Degenerate tables (all returned / none / one
+    * group) report NULL via div-NULL on both engines.
+    *
+    * Shape at 100 TB: one fact scan → 5-row priority hash-agg →
+    * driver BigInt fold (the q308 discipline). The oracle's HUGEINT
+    * replay caps near SF30 (Var_cross ~ 25N⁴); same ceiling argument
+    * as q302. */
+  def trendTestReturns(spark: SparkSession, d: String): DataFrame = {
+    val g = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+      .orderBy(col("priority"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val w = g.map { case (p, nj, xj) => (p, p.take(1).toLong, nj, xj) }
+    val n = BigInt(w.map(_._3).sum)
+    val rTot = BigInt(w.map(_._4).sum)
+    val swx = w.map(t => BigInt(t._2) * t._4).sum
+    val swn = w.map(t => BigInt(t._2) * t._3).sum
+    val sw2n = w.map(t => BigInt(t._2) * t._2 * t._3).sum
+    val tCross = n * swx - rTot * swn
+    val varCross = rTot * (n - rTot) * (n * sw2n - swn * swn)
+    val vN = if (n > 0) varCross / n else BigInt(0)
+    val z2Milli = if (vN > 0)
+      Some((BigInt(1000) * tCross * tCross / vN).toLong) else None
+    import spark.implicits._
+    w.toSeq.map { case (p, wj, nj, xj) =>
+      (p, wj, nj, xj, 1000L * xj / nj, z2Milli, tCross.signum.toLong)
+    }.toDF("priority", "w", "n", "x", "rate_pm", "z2_milli", "trend")
+      .orderBy(col("priority"))
+  }
+
+  /** q322: SPEARMAN RANK CORRELATION (daily volume vs daily revenue)
+    * — are busier order days also higher-revenue days MONOTONICALLY?
+    * Tie-averaged ranks via the q319 doubled-rank construction on
+    * each variable's own value grid, then the signed squared
+    * correlation in ppm via ONE cross-multiplied floor (the q307
+    * sign·square integerization — no square root crosses the
+    * engines): ρ²_ppm = sign(cov)·10⁶·(nΣdxdy − ΣdxΣdy)² /
+    * ((nΣdx²−(Σdx)²)(nΣdy²−(Σdy)²)). Kendall (q273) counts pair
+    * inversions between two SERIES; Spearman here rank-correlates
+    * two MEASURES of the same day — robust to the heavy right tail
+    * that would dominate a Pearson fit. Constant series report NULL
+    * via div-NULL on both engines.
+    *
+    * Shape at 100 TB: one orders scan → calendar-bounded day grid →
+    * driver BigInt fold (the q308 discipline); revenue integerized to
+    * cents at the scan so the grid is exact. */
+  def spearmanDaily(spark: SparkSession, d: String): DataFrame = {
+    val days = Tables.orders(spark, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = BigInt(days.length)
+    // doubled tie-averaged ranks per variable
+    def dranks(vs: Array[Long]): Array[BigInt] = {
+      val byV = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      var cum = 0L
+      val dr = scala.collection.mutable.Map.empty[Long, BigInt]
+      byV.keys.toSeq.sorted.foreach { v =>
+        val t = byV(v)
+        dr(v) = BigInt(2 * cum + t + 1)
+        cum += t
+      }
+      vs.map(dr)
+    }
+    val dx = dranks(days.map(_._1))
+    val dy = dranks(days.map(_._2))
+    val sx = dx.sum; val sy = dy.sum
+    val sxy = dx.zip(dy).map { case (a, b) => a * b }.sum
+    val sxx = dx.map(a => a * a).sum
+    val syy = dy.map(a => a * a).sum
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val rho2 = if (vx > 0 && vy > 0)
+      Some((BigInt(cov.signum) * (BigInt(1000000) * cov * cov / (vx * vy))).toLong)
+    else None
+    import spark.implicits._
+    Seq((n.toLong, cov.signum.toLong, rho2))
+      .toDF("n_days", "direction", "rho2_ppm")
+  }
+
+  /** q324: SUPPLY-CONCENTRATION HHI — per nation, the Herfindahl–
+    * Hirschman index of supplier revenue shares in ppm (Σ s_i² —
+    * 10⁶ = monopoly, 10⁶/k = k equal suppliers), the top supplier's
+    * share, and the equivalent-supplier count 10⁶ div HHI (the
+    * "effective number of suppliers", the concentration dual of
+    * q287's effective mixture size). One cross-multiplied floor:
+    * HHI_ppm = 10⁶·Σr_i² div (Σr_i)² in DECIMAL(38,0)/HUGEINT —
+    * revenue integerized to cents at the scan. q232 measures
+    * inequality of DOCUMENT lengths (Gini); this is the
+    * antitrust-standard concentration index on the supply graph —
+    * the single-source-risk audit a procurement pipeline runs.
+    *
+    * Shape at 100 TB: one fact scan → (nation, supplier) hash-agg →
+    * nation rollup; the supplier dimension join broadcasts. No
+    * window, no second fact pass. */
+  def supplyHhi(spark: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(spark, d)
+      .join(broadcast(Tables.supplier(spark, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("r"))
+    rev.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("r")).as("total_cents"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("rr"),
+        max(col("r")).as("top_cents"))
+      .join(broadcast(Tables.nation(spark, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_suppliers"),
+        col("total_cents"),
+        expr("""CAST((1000000 * rr) div
+               (CAST(total_cents AS DECIMAL(38,0)) * total_cents) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("hhi_ppm"),
+        expr("(1000000 * top_cents) div total_cents").as("top_share_ppm"))
+      .withColumn("effective_suppliers_milli",
+        expr("CASE WHEN hhi_ppm > 0 THEN (1000000000 div hhi_ppm) END"))
+      .orderBy(col("nation"))
+  }
+
+  /** q328: CRAMÉR'S V MATRIX — the pairwise association strength
+    * between ALL categorical dimensions of the order fact (priority,
+    * return flag, market segment, line status) in one audit: per
+    * column pair the
+    * contingency r×c, the q304 per-cell-floored χ² in milli, and the
+    * bias-free strength V² = χ²/(N·(min(r,c)−1)) in ppm. This is the
+    * categorical correlation matrix a feature auditor reads before
+    * one-hot encoding (the reference one-hots exactly these
+    * alphabet-bounded columns — pb_etl/tasks.py:244-258): V² ≈ 0
+    * columns are independent signals, V² near 10⁶ means one column is
+    * a function of the other and its encoding is redundant.
+    *
+    * Shape at 100 TB: ONE fact scan → the 4-D categorical cube
+    * (alphabet-bounded, ≤ 5·2·5·2 cells; the segment dimension joins
+    * broadcast through orders); every pairwise margin,
+    * total, and χ² folds from the cube grid on the driver in exact
+    * BigInt (the q308 bounded-collect discipline) — 6 pairwise
+    * audits for one scan, never 6. */
+  def cramersVMatrix(spark: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("l_returnflag").as("returnflag"),
+        col("c_mktsegment").as("segment"),
+        col("l_linestatus").as("linestatus"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (Map(
+        "priority" -> r.getString(0), "returnflag" -> r.getString(1),
+        "segment" -> r.getString(2), "linestatus" -> r.getString(3)),
+        r.getLong(4)))
+    val colsOrder = Seq("priority", "returnflag", "segment", "linestatus")
+    val pairs = for {
+      i <- colsOrder.indices; j <- colsOrder.indices if i < j
+    } yield (colsOrder(i), colsOrder(j))
+    val rows = pairs.map { case (ca, cb) =>
+      val g = cells.groupBy(t => (t._1(ca), t._1(cb))).view
+        .mapValues(_.map(_._2).sum).toMap
+      val rm = g.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val cm = g.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      val n = BigInt(g.values.sum)
+      val chi2 = g.map { case ((va, vb), o) =>
+        val dev = n * o - BigInt(rm(va)) * cm(vb)
+        BigInt(1000) * dev * dev / (n * rm(va) * cm(vb))
+      }.sum
+      val minDim = BigInt(math.min(rm.size, cm.size) - 1)
+      val v2 = if (minDim > 0) Some((BigInt(1000) * chi2 / (n * minDim)).toLong)
+        else None
+      (ca, cb, rm.size.toLong, cm.size.toLong, n.toLong, chi2.toLong, v2)
+    }
+    import spark.implicits._
+    rows.toDF("col_a", "col_b", "r", "c", "n", "chi2_milli", "v2_ppm")
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  /** q329 liveness window width (ns): the volumeMonitor deployment
+    * window — 10 minutes. */
+  val LivenessWinNs = 600L * 1000000000L
+
+  /** q329: FEED-LIVENESS AUDIT — the batch operator the q305-family
+    * stream monitor CANNOT be (EventStream.volumeMonitor's documented
+    * blind spot): a completely dead feed emits NO rows, so deadness
+    * is only detectable by joining observed windows against the
+    * EXPECTED window spine. Build the full (event_type × 10-minute
+    * window) grid over the observed time range, left-join the
+    * observed counts, and report per type the dead-window count,
+    * dead share, and the LONGEST dead streak (gaps-and-islands via
+    * the win − row_number constancy trick, q325's construction).
+    * longest_dead_streak × 10 min is the worst undetected outage the
+    * stream monitor would have paged zero times for.
+    *
+    * Shape at 100 TB: one events scan → (type, window) hash-agg; the
+    * spine is |types| × calendar-bounded windows (a one-row min/max
+    * scalar broadcast + sequence explode — never a second fact
+    * scan); streak windows partition by event_type. */
+  def feedLiveness(spark: SparkSession, d: String): DataFrame = {
+    val ev = eventsNs(spark, d)
+      .select(col("event_type"), expr(s"ts div $LivenessWinNs").as("win"))
+    val counts = ev.groupBy(col("event_type"), col("win"))
+      .agg(count(lit(1)).as("n"))
+    val range = ev.agg(min(col("win")).as("mn"), max(col("win")).as("mx"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx)")).as("win"))
+    val grid = spine.join(counts, Seq("event_type", "win"), "left")
+      .withColumn("dead", col("n").isNull.cast("long"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("win"))
+    val streaks = grid.filter(col("dead") === 1L)
+      .withColumn("grp", col("win") - row_number().over(wt))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("event_type"))
+      .agg(max(col("len")).as("longest_dead_streak"))
+    grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(lit(1L) - col("dead")).as("n_live"),
+        sum(col("dead")).as("n_dead"))
+      .join(streaks, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_windows"), col("n_live"),
+        col("n_dead"),
+        expr("(1000 * n_dead) div n_windows").as("dead_share_pm"),
+        coalesce(col("longest_dead_streak"), lit(0L))
+          .as("longest_dead_streak"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q330 exposure cut: a line item ordering at least this many units
+    * counts as a HIGH-quantity exposure. */
+  val MhQtyCut = 25L
+
+  /** q330: MANTEL–HAENSZEL STRATIFIED ODDS RATIO — does HIGH-quantity
+    * ordering associate with returns AFTER controlling for priority?
+    * Per stratum (priority) the 2×2 [high/low × returned/kept], the
+    * per-stratum odds ratio, then the MH pooled estimate OR_MH =
+    * Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) and the CMH χ²(1df) with the q308
+    * hypergeometric moments — every per-stratum term FLOORED to micro
+    * units (the statistic is DEFINED as this integerization; both
+    * engines replay each floor). The confounding-proof version of a
+    * naive 2×2: if priority drives both quantity and returns, the
+    * crude OR lies and MH doesn't — the warehouse twin of the
+    * epidemiologist's adjusted risk audit. Degenerate strata
+    * contribute their floors; all-degenerate tables report NULL
+    * via div-NULL on both engines.
+    *
+    * Shape at 100 TB: one fact scan → 5-row priority hash-agg →
+    * grid-bounded arithmetic (scalar broadcast of the 1-row pooled
+    * sums back onto the stratum rows). The CMH square runs in
+    * DECIMAL(38,0)/HUGEINT; the variance product caps exact oracle
+    * replay near SF100. */
+  def mantelHaenszel(spark: SparkSession, d: String): DataFrame = {
+    val s = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        (col("l_quantity") >= MhQtyCut).cast("long").as("hi"),
+        (col("l_returnflag") === "R").cast("long").as("ret"))
+      .groupBy(col("priority"))
+      .agg(sum(expr("hi * ret")).as("a"),
+        sum(expr("hi * (1 - ret)")).as("b"),
+        sum(expr("(1 - hi) * ret")).as("cc"),
+        sum(expr("(1 - hi) * (1 - ret)")).as("dd"))
+      .withColumn("n", expr("a + b + cc + dd"))
+      .withColumn("num_micro", expr(
+        "(1000000 * CAST(a AS DECIMAL(38,0)) * dd) div n"))
+      .withColumn("den_micro", expr(
+        "(1000000 * CAST(b AS DECIMAL(38,0)) * cc) div n"))
+      .withColumn("e_micro", expr(
+        "(1000000 * CAST(a + b AS DECIMAL(38,0)) * (a + cc)) div n"))
+      .withColumn("v_micro", expr(
+        """CAST((1000000 * CAST(a + b AS DECIMAL(38,0)) * (cc + dd)
+               * (a + cc) * (b + dd))
+           div (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS DECIMAL(38,0))"""
+          .stripMargin.replace("\n", " ")))
+    val g = s.agg(sum(col("a")).as("sa"), sum(col("num_micro")).as("sn"),
+      sum(col("den_micro")).as("sd"), sum(col("e_micro")).as("se"),
+      sum(col("v_micro")).as("sv"))
+    s.crossJoin(broadcast(g))
+      .select(col("priority"), col("a"), col("b"), col("cc").as("c"),
+        col("dd").as("d"),
+        expr("CASE WHEN b * cc > 0 THEN" +
+          " (1000 * CAST(a AS DECIMAL(38,0)) * dd)" +
+          " div (CAST(b AS DECIMAL(38,0)) * cc) END")
+          .cast("long").as("or_stratum_milli"),
+        expr("CASE WHEN sd > 0 THEN CAST((1000 * sn) div sd AS BIGINT) END")
+          .as("or_mh_milli"),
+        expr("""CASE WHEN sv > 0 THEN
+             CAST((1000 * (1000000 * CAST(sa AS DECIMAL(38,0)) - se)
+                  * (1000000 * CAST(sa AS DECIMAL(38,0)) - se))
+               div (1000000 * sv) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("cmh_milli"),
+        expr("CAST(sign(1000000 * CAST(sa AS DECIMAL(38,0)) - se) AS BIGINT)")
+          .as("direction"))
+      .orderBy(col("priority"))
+  }
+
+  /** q331: EXACT SKEWNESS / KURTOSIS of fulfillment lag per priority —
+    * the 3rd/4th-moment profile q91 stops short of. Central power
+    * sums from raw power sums (A₂ = nΣx²−S², A₃ = n²Σx³−3nSΣx²+2S³,
+    * A₄ = n³Σx⁴−4n²SΣx³+6nS²Σx²−3S⁴ — each EXACTLY n^k·Σ(x−μ)^k in
+    * integers), then the signed squared skewness b₁ = A₃²/A₂³ in
+    * milli via the magnitude-safe two-floor chain (a₃ = A₃ div n,
+    * a₂ = A₂ div n, then 1000·(a₃² div n) div a₂³ — keeps every
+    * intermediate under DECIMAL(38,0) where the raw square would
+    * overflow at bench SFs) and kurtosis A₄/A₂² in milli (3000 =
+    * mesokurtic). Right-skewed, heavy-tailed lag distributions are
+    * the SLA-planning reality a variance-only profile (q91/q294)
+    * hides. Degenerate (constant-lag) groups report NULLs via
+    * div-NULL on both engines.
+    *
+    * Shape at 100 TB: one fact scan → 5-row hash-agg of four power
+    * sums in DECIMAL(38,0); everything after is row-local arithmetic
+    * on 5 rows. */
+  def lagMoments(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        expr("CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)").as("x"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("p2"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x")).as("p3"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x * x")).as("p4"))
+      .withColumn("a2", expr("n * p2 - CAST(s AS DECIMAL(38,0)) * s"))
+      .withColumn("a3", expr(
+        "CAST(n AS DECIMAL(38,0)) * n * p3" +
+          " - 3 * CAST(n AS DECIMAL(38,0)) * s * p2" +
+          " + 2 * CAST(s AS DECIMAL(38,0)) * s * s"))
+      .withColumn("a4", expr(
+        "CAST(n AS DECIMAL(38,0)) * n * n * p4" +
+          " - 4 * CAST(n AS DECIMAL(38,0)) * n * s * p3" +
+          " + 6 * CAST(n AS DECIMAL(38,0)) * s * s * p2" +
+          " - 3 * CAST(s AS DECIMAL(38,0)) * s * s * s"))
+      .select(col("priority"), col("n"),
+        expr("(1000 * s) div n").as("mean_milli"),
+        expr("CASE WHEN n > 0 THEN CAST((1000 * a2) div" +
+          " (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) END").as("var_milli"),
+        // ratio-first two-floor chain: r = 10⁶·|A₃|/A₂ (Long-sized),
+        // then b₁_milli = r²/(10⁹·A₂) — every intermediate fits
+        // DECIMAL(38,0)/HUGEINT where the raw A₃² square would not;
+        // integer CASE sign (never sign()-on-decimal, which detours
+        // through DOUBLE)
+        expr("""CASE WHEN a2 > 0 THEN CAST(
+               (CASE WHEN a3 < 0 THEN -1 ELSE 1 END) *
+               ((CAST((1000000 * abs(a3)) div a2 AS DECIMAL(38,0))
+                 * ((1000000 * abs(a3)) div a2))
+                div (1000000000 * a2))
+             AS BIGINT) END""".stripMargin.replace("\n", " "))
+          .as("skew2_milli"),
+        expr("CASE WHEN a2 > 0 THEN CAST((1000 * a4) div (a2 * a2)" +
+          " AS BIGINT) END").as("kurt_milli"))
+      .orderBy(col("priority"))
+
+  /** q335: OUT-OF-ORDERNESS / WATERMARK-PLANNING AUDIT — how late do
+    * events arrive relative to the stream's high-water mark, per
+    * event type? Arrival order is the event_id sequence (the
+    * generator's emission order); each event's lateness is
+    * max(ts among strictly-earlier arrivals) − ts, floored at 0.
+    * Reported per type: the late share, the worst lateness, and the
+    * P99 WATERMARK — the smallest whole-minute delay that would have
+    * admitted ≥ 99% of events (smallest bucket with 100·cum ≥ 99·n
+    * over the minute-bucket histogram). This is the measurement that
+    * JUSTIFIES the `withWatermark` delays hard-coded in
+    * streaming/DocStream and EventStream: a watermark below P99
+    * silently drops the tail, one far above it bloats state — the
+    * number every Structured Streaming deployment needs and almost
+    * none measures.
+    *
+    * Shape at 100 TB: one events scan → per-type running-max window
+    * (keyed by event_type, never global) → minute-bucket histogram
+    * (value-domain-bounded) → in-type cumulative windows on the
+    * bucket grid. */
+  def oooLateness(spark: SparkSession, d: String): DataFrame = {
+    val wArr = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = eventsNs(spark, d)
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .withColumn("hwm", max(col("ts")).over(wArr))
+      .withColumn("late_ns",
+        greatest(coalesce(col("hwm") - col("ts"), lit(0L)), lit(0L)))
+      .withColumn("late_min", expr("late_ns div 60000000000"))
+    val hist = late.groupBy(col("event_type"), col("late_min"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("late_min"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        sum(when(col("late_min") > 0L, col("c")).otherwise(0L))
+          .as("n_late_1min"),
+        max(col("late_min")).as("max_late_min"),
+        min(when(expr("100 * cum >= 99 * n"), col("late_min")))
+          .as("watermark_p99_min"))
+      .select(col("event_type"), col("n_events"), col("n_late_1min"),
+        expr("(1000 * n_late_1min) div n_events").as("late_share_pm"),
+        col("max_late_min"), col("watermark_p99_min"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q332: WILCOXON SIGNED-RANK (repeat deceleration) — for every
+    * customer with ≥ 3 orders, pair the FIRST repeat gap (order1→2)
+    * against the SECOND (order2→3) and test whether repeat intervals
+    * LENGTHEN — the paired test the unpaired battery (q302 MW-U)
+    * cannot run, because the two gaps share the customer. Standard
+    * treatment: zero differences drop, |diff| gets q319's doubled
+    * tie-averaged ranks, W₂ = Σ ranks of positive diffs (doubled),
+    * dev = W₂ − n(n+1)/2, tie-corrected z² in milli via ONE
+    * cross-multiplied floor 12000·dev² / (2n(n+1)(2n+1) − Σ(t³−t)).
+    * The one-row sign-test companion (1000·(n₊−n₋)²/(n₊+n₋)) reads
+    * the direction alone. decel = sign(dev): positive means later
+    * gaps rank longer — the cohort-level churn-onset signal q298's
+    * latency histogram only describes.
+    *
+    * Shape at 100 TB: one orders scan → per-customer window (keyed,
+    * never global) → 3-row conditional pivot per customer → the
+    * calendar-bounded |diff|-day histogram → driver BigInt fold (the
+    * q308 discipline). */
+  def wilcoxonRepeat(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val hist = Tables.orders(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("rn") === 1, col("o_orderdate"))).as("d1"),
+        max(when(col("rn") === 2, col("o_orderdate"))).as("d2"),
+        max(when(col("rn") === 3, col("o_orderdate"))).as("d3"))
+      .filter(col("d3").isNotNull)
+      .select(expr("CAST(datediff(d3, d2) - datediff(d2, d1) AS BIGINT)")
+        .as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nZero = hist.collectFirst { case (0L, c) => c }.getOrElse(0L)
+    val byAbs = hist.filter(_._1 != 0L).groupBy(t => math.abs(t._1))
+      .view.mapValues { g =>
+        (g.map(_._2).sum, g.collect { case (v, c) if v > 0 => c }.sum)
+      }.toMap
+    var cum = 0L
+    var w2 = BigInt(0)
+    var tie = BigInt(0)
+    byAbs.keys.toSeq.sorted.foreach { v =>
+      val (t, pos) = byAbs(v)
+      val dr = 2 * cum + t + 1
+      w2 += BigInt(pos) * dr
+      tie += BigInt(t) * t * t - t
+      cum += t
+    }
+    val n = BigInt(cum)
+    val nPos = byAbs.values.map(_._2).sum
+    val nNeg = cum - nPos
+    val dev = w2 - n * (n + 1) / 2
+    val den = BigInt(2) * n * (n + 1) * (2 * n + 1) - tie
+    val z2 = if (den > 0 && n > 0)
+      Some((BigInt(12000) * dev * dev / den).toLong) else None
+    val signZ2 = if (cum > 0)
+      Some((BigInt(1000) * (nPos - nNeg) * (nPos - nNeg) / cum).toLong)
+    else None
+    import spark.implicits._
+    Seq((cum + nZero, nZero, nPos, nNeg, w2.toLong, dev.signum.toLong,
+      z2, signZ2))
+      .toDF("n_pairs", "n_zero", "n_pos", "n_neg", "w2", "decel",
+        "z2_milli", "sign_z2_milli")
+  }
+
+  /** q333: FRIEDMAN TEST (day-of-week seasonality) — are the seven
+    * weekdays exchangeable in daily order volume, BLOCKING on the
+    * week? Each complete epoch-week is a block; within the block the
+    * seven daily counts get q319's doubled tie-averaged ranks (rank()
+    * gives 1 + #strictly-below, the block-and-value peer count gives
+    * the tie size — dr = 2·(rank−1) + t + 1, all window arithmetic
+    * inside 7-row blocks), and the tie-corrected statistic is
+    * Q = (k−1)·Σ_j (R₂ⱼ − b(k+1))² / (Σ dr² − b·k·(k+1)²) in milli
+    * via one cross-multiplied floor. Partial boundary weeks drop
+    * (their missing days are structural zeros, not observations);
+    * interior zero-order days COUNT as zeros via the spine. q319
+    * compares independent groups; Friedman is its repeated-measures
+    * twin — the test to run when every block sees every treatment,
+    * which is exactly what weekly seasonality is. All-tied blocks
+    * report NULL Q via div-NULL on both engines.
+    *
+    * Shape at 100 TB: one orders scan → calendar-bounded (week, dow)
+    * grid; the spine is a one-row range scalar broadcast + sequence
+    * explode; every window partitions by week (7-row partitions).
+    * b and k are calendar constants — the statistic's size is
+    * SF-invariant. */
+  def friedmanDow(spark: SparkSession, d: String): DataFrame = {
+    val counts = Tables.orders(spark, d)
+      .select(expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+        .as("day"))
+      .groupBy(expr("day div 7").as("week"), expr("day % 7").as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val range = counts.agg((min(col("week")) + 1).as("w0"),
+      (max(col("week")) - 1).as("w1"))
+    val spine = broadcast(range)
+      .select(explode(expr("sequence(w0, w1)")).as("week"))
+      .crossJoin(spark.range(7).select(col("id").as("dow")))
+    val grid = spine.join(counts, Seq("week", "dow"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wRank = Window.partitionBy(col("week"))
+      .orderBy(col("n"))
+    val wTie = Window.partitionBy(col("week"), col("n"))
+    val ranked = grid
+      .withColumn("rk", rank().over(wRank).cast("long"))
+      .withColumn("t", count(lit(1)).over(wTie))
+      .withColumn("dr", expr("2 * (rk - 1) + t + 1"))
+    val perDow = ranked.groupBy(col("dow"))
+      .agg(count(lit(1)).as("b"), sum(col("dr")).as("rank_sum2"))
+      .withColumn("num_j", expr(
+        """CAST((rank_sum2 - b * 8) AS DECIMAL(38,0))
+           * (rank_sum2 - b * 8)""".stripMargin.replace("\n", " ")))
+    // the one-row global: Σ num_j over dows and the tie-corrected
+    // denominator Σdr² − b·k·(k+1)² (b from any dow — all equal by
+    // the complete-spine construction)
+    val glob = perDow.agg(sum(col("num_j")).as("num"),
+      max(col("b")).as("bb"))
+      .crossJoin(broadcast(ranked.agg(
+        sum(expr("CAST(dr AS DECIMAL(38,0)) * dr")).as("sdr2"))))
+      .select(col("num"),
+        expr("sdr2 - CAST(bb AS DECIMAL(38,0)) * 7 * 64").as("den"))
+    perDow.crossJoin(broadcast(glob))
+      .select(col("dow"), col("b"), col("rank_sum2"),
+        expr("(500 * rank_sum2) div b").as("mean_rank_milli"),
+        expr("CASE WHEN den > 0 THEN" +
+          " CAST((1000 * 6 * num) div den AS BIGINT) END").as("q_milli"),
+        lit(6L).as("df"))
+      .orderBy(col("dow"))
+  }
+
+  /** q325: ORDER BURSTS (gaps-and-islands) — chain each customer's
+    * consecutive orders ≤ BurstGapDays apart into purchasing bursts
+    * and profile the burst-length distribution per market segment.
+    * The classic islands construction: a window lag per customer
+    * marks burst starts (first order, or gap > cut), a running sum of
+    * starts numbers the islands, one hash-agg sizes them. q298
+    * measures the first-repeat GAP; this segments the whole history
+    * into momentum episodes — the session analog (q19/q69) on the
+    * ORDERS relation, where multi-order bursts are the
+    * cross-sell/campaign signal.
+    *
+    * Shape at 100 TB: both windows partition by o_custkey (never
+    * global), then two keyed hash-aggs; the segment dimension join
+    * broadcasts. Output is the (segment, burst_len) grid. */
+  def orderBursts(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val bursts = Tables.orders(spark, d)
+      .withColumn("gap",
+        expr("CAST(datediff(o_orderdate, lag(o_orderdate, 1) OVER" +
+          " (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))" +
+          " AS BIGINT)"))
+      .withColumn("start",
+        when(col("gap").isNull || col("gap") > BurstGapDays, 1L).otherwise(0L))
+      .withColumn("burst_id", sum(col("start")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("o_custkey"), col("burst_id"))
+      .agg(count(lit(1)).as("burst_len"))
+    bursts
+      .join(Tables.customer(spark, d)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("burst_len"))
+      .agg(count(lit(1)).as("n_bursts"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("segment"), col("burst_len"))
   }
 }

@@ -2128,6 +2128,11 @@ object Similarity {
     val e = CacheScope.cached(Tables.embeddings(spark, d)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      // null labels excluded EXPLICITLY on both engines: without this,
+      // Spark's sum(1 - same) drops NULL comparisons while a DuckDB
+      // CASE WHEN same would count them as 'different' — a latent
+      // cross-engine divergence if label is ever NULL
+      .filter(col("label").isNotNull)
       .withColumn("ma", maxabs).filter(col("ma") > 0)
       .withColumn("sc", lit(127.0) / col("ma"))
       .withColumn("q", quant)
@@ -2239,5 +2244,105 @@ object Similarity {
              div (CAST(n_vecs AS DECIMAL(38,0)) * st) AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("bias_milli"))
       .orderBy(col("label"))
+  }
+
+  /** q336: MUTUAL-NN COMPONENT AUDIT — does the high-precision pair
+    * graph (q172's reciprocal nearest neighbors) organize into
+    * label-coherent clusters or stay dust? Connected components over
+    * the mutual-NN edges (the q49 star-CC machinery with the same
+    * driver fast-path bound), then per label: corpus size, how many
+    * vectors participate in ANY mutual pair, the component count and
+    * the largest component's member count among that label's paired
+    * vectors, and the isolated share. A label whose vectors are
+    * mostly isolated has no local structure for contrastive mining
+    * (q172's own use case); one giant component spanning a label is
+    * a near-duplicate colony (q115's semantic dedup target). The
+    * component view is what the pair list cannot say: 50 pairs could
+    * be 50 islands or one chain.
+    *
+    * Shape at 100 TB: q172's plan (persisted IVF cells, bounded-heap
+    * top-1, reciprocity self-join) produces edges whose mass is
+    * ≤ |vectors|/2 BY CONSTRUCTION (each vector has at most one
+    * mutual partner — so components are paths/pairs, CC converges
+    * immediately and the edge relation is corpus-linear). Labels
+    * join back on vec_id; everything after is |labels|-row. */
+  def mutualNnComponents(spark: SparkSession, d: String): DataFrame = {
+    val pairs = mutualNn(spark, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label")).filter(col("label").isNotNull)
+    val lbl = Dedup.clusterLabels(
+      vecs.select(col("vec_id").as("doc_id")), pairs, Dedup.DriverCcMaxEdges)
+    val paired = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().withColumn("in_pair", lit(1L))
+    val joined = vecs.select(col("vec_id").as("doc_id"), col("label"))
+      .join(lbl, Seq("doc_id"))
+      .join(paired, Seq("doc_id"), "left")
+      .withColumn("in_pair", coalesce(col("in_pair"), lit(0L)))
+    val comp = joined.filter(col("in_pair") === 1L)
+      .groupBy(col("label"), col("cluster_id"))
+      .agg(count(lit(1)).as("csz"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_components"), max(col("csz")).as("largest_comp"))
+    joined.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("in_pair")).as("n_paired"))
+      .join(comp, Seq("label"), "left")
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("n_paired"),
+        coalesce(col("n_components"), lit(0L)).as("n_components"),
+        coalesce(col("largest_comp"), lit(0L)).as("largest_comp"),
+        expr("(1000 * (n_vecs - n_paired)) div n_vecs").as("isolated_share_pm"))
+      .orderBy(col("label"))
+  }
+
+  /** q323: DISTANCE-CONTRAST AUDIT — is nearest-neighbor search even
+    * MEANINGFUL in this embedding space? Beyer et al.'s relative-
+    * contrast diagnostic (ICDT 1999, "When is nearest neighbor
+    * meaningful?"): per sampled query, the spread of squared L2
+    * distances to the whole corpus — contrast_milli =
+    * 1000·(d²max − d²min)·n / Σd² (→ 0 means every point is equally
+    * far: ANN indexes stop pruning and top-k becomes noise) and
+    * meanmin_milli = 1000·Σd² / (n·d²min) (mean:nearest ratio — near
+    * 1000 = the NN is indistinguishable from the average point).
+    * Exact integer arithmetic end-to-end: components micro-quantized
+    * by floor(10⁶·x) and carried as doubles (products ≤ 64·4·10¹² ≈
+    * 2.6·10¹⁴ < 2⁵³, so every dot/norm is EXACT in both engines —
+    * the q307 trick), squared distances in Long, corpus sums in
+    * DECIMAL(38,0)/HUGEINT, one floor per ratio. q262/q248 score an
+    * INDEX's recall; this scores the SPACE itself — the go/no-go
+    * audit before building any index at all.
+    *
+    * Shape at 100 TB: the q26/q299 bounded-broadcast argument — the
+    * pinned query sample (stride widens with the corpus) broadcasts
+    * against one corpus scan; per-query extremes/sums are a
+    * |sample|-row hash-agg. No pairwise materialization survives the
+    * agg. */
+  def distanceContrast(spark: SparkSession, d: String): DataFrame = {
+    val micro = transform(col("embedding").cast("array<double>"),
+      x => floor(x * lit(1000000.0d)).cast("double"))
+    val e = CacheScope.cached(Tables.embeddings(spark, d)
+      .select(col("vec_id"), micro.as("v"))
+      .withColumn("n2", dot(col("v"), col("v")).cast("long")))
+    val q = e.filter(col("vec_id") % PurityStride === 0L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"),
+        (col("qn2") + col("n2") -
+          lit(2L) * dot(col("qv"), col("v")).cast("long")).as("d2"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_cand"), min(col("d2")).as("d2_min"),
+        max(col("d2")).as("d2_max"),
+        sum(expr("CAST(d2 AS DECIMAL(38,0))")).as("d2_sum"))
+      .select(col("q_id"), col("n_cand"), col("d2_min"), col("d2_max"),
+        expr("""CAST(CASE WHEN d2_sum > 0 THEN
+               (1000 * (CAST(d2_max AS DECIMAL(38,0)) - d2_min) * n_cand)
+               div d2_sum END AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("contrast_milli"),
+        expr("""CAST(CASE WHEN d2_min > 0 THEN
+               (1000 * d2_sum) div (CAST(n_cand AS DECIMAL(38,0)) * d2_min)
+               END AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("meanmin_milli"))
+      .orderBy(col("q_id"))
   }
 }

@@ -729,6 +729,44 @@ object SparkEntry {
     "q317_label_norm_bias" -> (Similarity.labelNormBias _),
     // near-dup cluster size spectrum over the persisted q49 labels
     "q318_dup_size_spectrum" -> (Dedup.dupSizeSpectrum _),
+    // k-sample rank test: tie-corrected Kruskal-Wallis over the
+    // (priority, lag) grid, doubled ranks, driver BigInt fold
+    "q319_kruskal_wallis" -> (Queries.kruskalWallisLag _),
+    // Wald-Wolfowitz runs test on daily order volume (randomness audit)
+    "q320_runs_test" -> (Queries.runsTestDaily _),
+    // Cochran-Armitage ordinal trend test on return rate by priority
+    "q321_trend_test" -> (Queries.trendTestReturns _),
+    // Spearman rank correlation of daily volume vs revenue (day grid)
+    "q322_spearman_daily" -> (Queries.spearmanDaily _),
+    // Beyer et al. distance-contrast: is NN search meaningful here?
+    "q323_distance_contrast" -> (Similarity.distanceContrast _),
+    // Herfindahl supply concentration per nation (ppm, exact cents)
+    "q324_supply_hhi" -> (Queries.supplyHhi _),
+    // gaps-and-islands purchasing bursts, length histogram per segment
+    "q325_order_bursts" -> (Queries.orderBursts _),
+    // chi2 term keyness per source vs corpus (df-capped, top-10)
+    "q326_term_keyness" -> (TextAnalysis.termKeyness _),
+    // LIX readability (integerized), 5-point-bucket histogram per source
+    "q327_lix_readability" -> (TextAnalysis.lixReadability _),
+    // pairwise Cramér's V over all categorical fact dims (one cube scan)
+    "q328_cramers_v_matrix" -> (Queries.cramersVMatrix _),
+    // expected-window spine vs observed: dead feeds the stream monitor
+    // cannot see (longest dead streak via gaps-and-islands)
+    "q329_feed_liveness" -> (Queries.feedLiveness _),
+    // Mantel-Haenszel stratified odds ratio + CMH chi2 (confound-proof)
+    "q330_mantel_haenszel" -> (Queries.mantelHaenszel _),
+    // exact skewness/kurtosis of ship lag per priority (power sums)
+    "q331_lag_moments" -> (Queries.lagMoments _),
+    // Wilcoxon signed-rank: does the second repeat gap lengthen?
+    "q332_wilcoxon_repeat" -> (Queries.wilcoxonRepeat _),
+    // Friedman repeated-measures test: weekday exchangeability by week
+    "q333_friedman_dow" -> (Queries.friedmanDow _),
+    // as-of join with max-staleness TTL (feature-store point-in-time)
+    "q334_asof_tolerance" -> (operators.TemporalJoins.asofJoinTolerance _),
+    // out-of-orderness audit: the measured P99 watermark per type
+    "q335_ooo_lateness" -> (Queries.oooLateness _),
+    // connected components over the mutual-NN pair graph, per label
+    "q336_mutual_nn_components" -> (Similarity.mutualNnComponents _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -756,6 +794,42 @@ object SparkEntry {
        |               ORDER BY pc DESC, l, r LIMIT 1) b
        |  WHERE round < ${Bpe.NMerges}
        |),""".stripMargin
+
+  /** Shared q172 mutual-NN CTE chain (2-round integer Lloyd cells ->
+    * within-cell exact cosine top-1 -> reciprocity): `q` through `n1`.
+    * Shared by q172 and q336 so the two oracles can never drift. */
+  private val MutualNnCte: String =
+    """q AS (SELECT vec_id, i::BIGINT - 1 AS pos,
+        |             floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
+        |           FROM (SELECT vec_id, embedding,
+        |                 unnest(generate_series(1, len(embedding))) i FROM embeddings)),
+        |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid
+        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |c0 AS (SELECT s.cid, q.pos, q.vm AS cm FROM q JOIN seeds s ON s.vec_id = q.vec_id),
+        |e1 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c0 c ON c.pos = q.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |         FROM e1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, q.pos, floor(sum(q.vm) / count(*))::BIGINT AS cm
+        |       FROM q JOIN a1 a ON a.vec_id = q.vec_id GROUP BY 1, 2),
+        |e2 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
+        |       FROM q JOIN c1 c ON c.pos = q.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |         FROM e2) WHERE rn = 1),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |pr AS (SELECT a.vec_id AS src, a.cid AS cell, b.vec_id AS nbr,
+        |       list_dot_product(ae.v, be.v)
+        |       / sqrt(list_dot_product(ae.v, ae.v) * list_dot_product(be.v, be.v)) c
+        |       FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id != b.vec_id
+        |       JOIN e ae ON ae.vec_id = a.vec_id JOIN e be ON be.vec_id = b.vec_id),
+        |n1 AS (SELECT src, cell, nbr, c FROM (
+        |         SELECT src, cell, nbr, c,
+        |                row_number() OVER (PARTITION BY src ORDER BY c DESC, nbr) rn
+        |         FROM pr) WHERE rn = 1)""".stripMargin
 
   /** ONE as-of oracle, shared by q44 (union+window composition) and
     * q67 (custom physical operator): the two entries must stay
@@ -3290,38 +3364,8 @@ object SparkEntry {
     // within-cell cosine ranking, top-1 per vector with (c DESC, nbr)
     // tie-break = TopKByScore order, then the reciprocity self-join.
     "q172_mutual_nn" ->
-      """WITH q AS (SELECT vec_id, i::BIGINT - 1 AS pos,
-        |             floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS vm
-        |           FROM (SELECT vec_id, embedding,
-        |                 unnest(generate_series(1, len(embedding))) i FROM embeddings)),
-        |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid
-        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-        |c0 AS (SELECT s.cid, q.pos, q.vm AS cm FROM q JOIN seeds s ON s.vec_id = q.vec_id),
-        |e1 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
-        |       FROM q JOIN c0 c ON c.pos = q.pos GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |         SELECT vec_id, cid,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
-        |         FROM e1) WHERE rn = 1),
-        |c1 AS (SELECT a.cid, q.pos, floor(sum(q.vm) / count(*))::BIGINT AS cm
-        |       FROM q JOIN a1 a ON a.vec_id = q.vec_id GROUP BY 1, 2),
-        |e2 AS (SELECT q.vec_id, c.cid, sum((q.vm - c.cm) * (q.vm - c.cm))::BIGINT AS d2
-        |       FROM q JOIN c1 c ON c.pos = q.pos GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, cid FROM (
-        |         SELECT vec_id, cid,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
-        |         FROM e2) WHERE rn = 1),
-        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |pr AS (SELECT a.vec_id AS src, a.cid AS cell, b.vec_id AS nbr,
-        |       list_dot_product(ae.v, be.v)
-        |       / sqrt(list_dot_product(ae.v, ae.v) * list_dot_product(be.v, be.v)) c
-        |       FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id != b.vec_id
-        |       JOIN e ae ON ae.vec_id = a.vec_id JOIN e be ON be.vec_id = b.vec_id),
-        |n1 AS (SELECT src, cell, nbr, c FROM (
-        |         SELECT src, cell, nbr, c,
-        |                row_number() OVER (PARTITION BY src ORDER BY c DESC, nbr) rn
-        |         FROM pr) WHERE rn = 1)
-        |SELECT x.src AS vec_a, y.src AS vec_b, x.cell::INTEGER AS cell,
+      s"""WITH $MutualNnCte
+         |SELECT x.src AS vec_a, y.src AS vec_b, x.cell::INTEGER AS cell,
         |  round(x.c, 6) AS cosine
         |FROM n1 x JOIN n1 y ON x.nbr = y.src AND y.nbr = x.src AND x.src < y.src
         |ORDER BY vec_a""".stripMargin,
@@ -6767,7 +6811,7 @@ object SparkEntry {
         |f AS (SELECT *, (n_ret + n_kept)::BIGINT n,
         |      (u2 - n_ret * n_kept)::BIGINT dev2 FROM g)
         |SELECT priority, n_ret, n_kept, u2,
-        |  ((1000000 * u2) // (2 * n_ret * n_kept))::BIGINT AS cles_ppm,
+        |  ((1000000 * u2::HUGEINT) // (2 * n_ret::HUGEINT * n_kept))::BIGINT AS cles_ppm,
         |  dev2,
         |  ((3000 * dev2::HUGEINT * dev2 * n * (n - 1))
         |    // (n_ret::HUGEINT * n_kept
@@ -6825,7 +6869,7 @@ object SparkEntry {
         |                 JOIN cm ON cm.returnflag = cells.returnflag, tot),
         |ch AS (SELECT sum(contrib_milli)::BIGINT chisq_milli FROM g)
         |SELECT priority, returnflag, o,
-        |  ((1000 * r_tot * c_tot) // n)::BIGINT AS expected_milli,
+        |  ((1000 * r_tot::HUGEINT * c_tot) // n)::BIGINT AS expected_milli,
         |  contrib_milli, chisq_milli,
         |  ((r - 1) * (c - 1))::BIGINT AS df,
         |  ((1000 * chisq_milli) // (n * (least(r, c) - 1)))::BIGINT AS v2_ppm
@@ -6894,7 +6938,8 @@ object SparkEntry {
     "q307_embedding_label_auc" -> {
       val stride = Similarity.PurityStride
       val bw = Similarity.AucBucketWidth
-      s"""WITH e AS (SELECT vec_id, "label" lbl, embedding::DOUBLE[] v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, "label" lbl, embedding::DOUBLE[] v FROM embeddings
+         |      WHERE "label" IS NOT NULL),
          |sq AS (SELECT vec_id, lbl, v,
          |      127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') sc
          |      FROM e
@@ -7233,5 +7278,501 @@ object SparkEntry {
          |  ((1000 * n_docs) // td)::BIGINT AS docs_share_pm,
          |  n_tokens, ((1000 * n_tokens) // tt2)::BIGINT AS tokens_share_pm
          |FROM g, tt ORDER BY k""".stripMargin,
+    // q319: pooled doubled ranks over the (priority, lag) grid, per-
+    // group micro floors, clamped numerator, tie-corrected H (mirrors
+    // the Spark driver's BigInt fold floor for floor).
+    "q319_kruskal_wallis" ->
+      """WITH lg AS (SELECT o_orderpriority priority,
+        |      date_diff('day', o_orderdate, l_shipdate)::BIGINT lag
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h AS (SELECT priority, lag, count(*)::BIGINT c FROM lg GROUP BY 1, 2),
+        |tv AS (SELECT lag, sum(c)::BIGINT t FROM h GROUP BY 1),
+        |dr AS (SELECT lag, (2 * coalesce(sum(t) OVER (ORDER BY lag
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        + t + 1)::BIGINT dr2 FROM tv),
+        |sj AS (SELECT priority, sum(c)::BIGINT n, sum(c::HUGEINT * dr2) s2
+        |      FROM h JOIN dr USING (lag) GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT nn, count(*)::BIGINT k FROM sj),
+        |tie AS (SELECT sum(t::HUGEINT * t * t - t) tt FROM tv),
+        |cj AS (SELECT sum((1000000 * s2 * s2) // n) csum FROM sj),
+        |gl AS (SELECT greatest(3 * csum
+        |        - 3000000::HUGEINT * nn * (nn + 1) * (nn + 1), 0) num,
+        |      nn, k FROM cj, tot),
+        |hh AS (SELECT (num // (1000::HUGEINT * nn * (nn + 1)))::BIGINT h_milli,
+        |      nn, k FROM gl),
+        |hc AS (SELECT h_milli,
+        |      (CASE WHEN (nn::HUGEINT * nn * nn - nn) > tt
+        |        THEN (h_milli::HUGEINT * (nn::HUGEINT * nn * nn - nn))
+        |          // ((nn::HUGEINT * nn * nn - nn) - tt) END)::BIGINT hc_milli,
+        |      (k - 1)::BIGINT df FROM hh, tie)
+        |SELECT priority, n, s2::BIGINT AS rank_sum2,
+        |  ((500 * s2) // n)::BIGINT AS mean_rank_milli,
+        |  h_milli, hc_milli, df
+        |FROM sj, hc ORDER BY priority""".stripMargin,
+    // q320: day grid, strict above/below-mean binarization (equals
+    // drop), lag-window run count, exact permutation moments.
+    "q320_runs_test" ->
+      s"""WITH c AS (SELECT o_orderdate dy, count(*)::BIGINT c FROM orders
+         |      GROUP BY 1),
+         |t AS (SELECT count(*)::BIGINT nd, sum(c)::BIGINT s FROM c),
+         |k AS (SELECT dy, (CASE WHEN nd * c > s THEN 1 ELSE 0 END)::BIGINT x
+         |      FROM c, t WHERE nd * c <> s),
+         |r AS (SELECT x, lag(x) OVER (ORDER BY dy) px FROM k),
+         |rr AS (SELECT (CASE WHEN count(*) = 0 THEN 0 ELSE 1 +
+         |        coalesce(sum(CASE WHEN px IS NOT NULL AND px <> x
+         |          THEN 1 ELSE 0 END), 0) END)::BIGINT runs,
+         |      coalesce(sum(x), 0)::BIGINT n1,
+         |      coalesce(sum(1 - x), 0)::BIGINT n2,
+         |      count(*)::BIGINT nk FROM r),
+         |f AS (SELECT runs, n1, n2, nk,
+         |      ((runs - 1)::HUGEINT * nk - 2::HUGEINT * n1 * n2) dev FROM rr)
+         |SELECT t.nd AS n_days, n1 AS n_above, n2 AS n_below, nk AS n_kept,
+         |  runs,
+         |  (CASE WHEN nk > 0 THEN 1000 + (2000 * n1 * n2) // nk END)::BIGINT
+         |    AS expected_runs_milli,
+         |  (CASE WHEN 2::HUGEINT * n1 * n2 * (2::HUGEINT * n1 * n2 - nk) > 0
+         |    THEN (1000 * dev * dev * (nk - 1))
+         |      // (2::HUGEINT * n1 * n2 * (2::HUGEINT * n1 * n2 - nk))
+         |    END)::BIGINT AS z2_milli,
+         |  (CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END)::BIGINT
+         |    AS trend
+         |FROM f, t""".stripMargin,
+    // q321: 2x5 priority table, ordinal scores from the priority
+    // prefix, two-floor z^2 (vN = Var//N then milli division) —
+    // mirrors the Spark driver's BigInt fold.
+    "q321_trend_test" ->
+      """WITH g AS (SELECT o_orderpriority priority,
+        |      substr(o_orderpriority, 1, 1)::BIGINT w, count(*)::BIGINT n,
+        |      sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT x
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |      GROUP BY 1, 2),
+        |t AS (SELECT sum(n)::HUGEINT nn, sum(x)::HUGEINT r,
+        |      sum(w::HUGEINT * x) swx, sum(w::HUGEINT * n) swn,
+        |      sum(w::HUGEINT * w * n) sw2n FROM g),
+        |s AS (SELECT (nn * swx - r * swn) tc,
+        |      (CASE WHEN nn > 0 THEN (r * (nn - r) * (nn * sw2n - swn * swn)) // nn
+        |       ELSE 0 END) vn FROM t),
+        |z AS (SELECT (CASE WHEN vn > 0 THEN (1000 * tc * tc) // vn END)::BIGINT
+        |        z2_milli,
+        |      (CASE WHEN tc > 0 THEN 1 WHEN tc < 0 THEN -1 ELSE 0 END)::BIGINT
+        |        trend FROM s)
+        |SELECT priority, w, n, x, ((1000 * x) // n)::BIGINT AS rate_pm,
+        |  z2_milli, trend
+        |FROM g, z ORDER BY priority""".stripMargin,
+    // q322: per-variable doubled tie-averaged ranks over the day grid,
+    // signed squared rho in ppm (q307 sign-square integerization).
+    "q322_spearman_daily" ->
+      """WITH c AS (SELECT o_orderdate dy, count(*)::BIGINT x,
+        |      sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT y
+        |      FROM orders GROUP BY 1),
+        |xg AS (SELECT x v, count(*)::BIGINT t FROM c GROUP BY 1),
+        |xr AS (SELECT v, (2 * coalesce(sum(t) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        + t + 1)::BIGINT dr FROM xg),
+        |yg AS (SELECT y v, count(*)::BIGINT t FROM c GROUP BY 1),
+        |yr AS (SELECT v, (2 * coalesce(sum(t) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        + t + 1)::BIGINT dr FROM yg),
+        |j AS (SELECT xr.dr dx, yr.dr dy FROM c
+        |      JOIN xr ON xr.v = c.x JOIN yr ON yr.v = c.y),
+        |m AS (SELECT count(*)::HUGEINT n, sum(dx)::HUGEINT sx,
+        |      sum(dy)::HUGEINT sy, sum(dx::HUGEINT * dy) sxy,
+        |      sum(dx::HUGEINT * dx) sxx, sum(dy::HUGEINT * dy) syy FROM j),
+        |f AS (SELECT n, (n * sxy - sx * sy) cov, (n * sxx - sx * sx) vx,
+        |      (n * syy - sy * sy) vy FROM m)
+        |SELECT n::BIGINT AS n_days,
+        |  (CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END)::BIGINT
+        |    AS direction,
+        |  (CASE WHEN vx > 0 AND vy > 0 THEN
+        |    (CASE WHEN cov >= 0 THEN (1000000 * cov * cov) // (vx * vy)
+        |     ELSE -((1000000 * cov * cov) // (vx * vy)) END)
+        |   END)::BIGINT AS rho2_ppm
+        |FROM f""".stripMargin,
+    // q323: micro-quantized components as exact integer-valued
+    // doubles (the q307 trick), squared-L2 via norms + dot, per-query
+    // extremes/sums, one floor per ratio.
+    "q323_distance_contrast" -> {
+      val stride = Similarity.PurityStride
+      s"""WITH e AS (SELECT vec_id,
+         |      list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)) v
+         |      FROM embeddings),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v)::BIGINT n2 FROM e),
+         |p AS (SELECT a.vec_id q_id,
+         |      (a.n2 + b.n2 - 2 * list_dot_product(a.v, b.v)::BIGINT)::BIGINT d2
+         |      FROM n a, n b
+         |      WHERE a.vec_id % $stride = 0 AND b.vec_id <> a.vec_id),
+         |g AS (SELECT q_id, count(*)::BIGINT n_cand, min(d2)::BIGINT d2_min,
+         |      max(d2)::BIGINT d2_max, sum(d2::HUGEINT) d2_sum FROM p GROUP BY 1)
+         |SELECT q_id, n_cand, d2_min, d2_max,
+         |  (CASE WHEN d2_sum > 0 THEN
+         |    (1000 * (d2_max::HUGEINT - d2_min) * n_cand) // d2_sum
+         |   END)::BIGINT AS contrast_milli,
+         |  (CASE WHEN d2_min > 0 THEN
+         |    (1000 * d2_sum) // (n_cand::HUGEINT * d2_min) END)::BIGINT
+         |    AS meanmin_milli
+         |FROM g ORDER BY q_id""".stripMargin
+    },
+    // q324: cents-exact supplier revenue, per-nation share moments in
+    // HUGEINT (mirrors the Spark DECIMAL(38,0) arithmetic).
+    "q324_supply_hhi" ->
+      """WITH rev AS (SELECT s_nationkey, s_suppkey,
+        |      sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT r
+        |      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |      GROUP BY 1, 2),
+        |g AS (SELECT s_nationkey, count(*)::BIGINT n_suppliers,
+        |      sum(r)::BIGINT total_cents, sum(r::HUGEINT * r) rr,
+        |      max(r)::BIGINT top_cents FROM rev GROUP BY 1),
+        |h AS (SELECT s_nationkey, n_suppliers, total_cents,
+        |      ((1000000 * rr) // (total_cents::HUGEINT * total_cents))::BIGINT
+        |        hhi_ppm,
+        |      ((1000000 * top_cents::HUGEINT) // total_cents)::BIGINT
+        |        top_share_ppm FROM g)
+        |SELECT n_name AS nation, n_suppliers, total_cents, hhi_ppm,
+        |  top_share_ppm,
+        |  (CASE WHEN hhi_ppm > 0 THEN 1000000000 // hhi_ppm END)::BIGINT
+        |    AS effective_suppliers_milli
+        |FROM h JOIN nation ON n_nationkey = s_nationkey
+        |ORDER BY nation""".stripMargin,
+    // q325: gaps-and-islands — lag gap, burst starts, running-sum
+    // island ids, per-island sizes, segment histogram.
+    "q325_order_bursts" -> {
+      val g = Queries.BurstGapDays
+      s"""WITH o2 AS (SELECT o_custkey, o_orderdate, o_orderkey,
+         |      date_diff('day', lag(o_orderdate) OVER w, o_orderdate)::BIGINT gap
+         |      FROM orders WINDOW w AS (PARTITION BY o_custkey
+         |        ORDER BY o_orderdate, o_orderkey)),
+         |b AS (SELECT o_custkey,
+         |      sum(CASE WHEN gap IS NULL OR gap > $g THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |          ROWS UNBOUNDED PRECEDING)::BIGINT burst_id FROM o2),
+         |l AS (SELECT o_custkey, burst_id, count(*)::BIGINT burst_len
+         |      FROM b GROUP BY 1, 2)
+         |SELECT c_mktsegment AS segment, burst_len, count(*)::BIGINT n_bursts,
+         |  count(DISTINCT o_custkey)::BIGINT n_customers
+         |FROM l JOIN customer ON c_custkey = o_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // q326: per-(source, term) document frequency 2x2, q304-style
+    // single-floor chi^2, df caps, over-represented side only,
+    // deterministic top-k per source.
+    "q326_term_keyness" -> {
+      val minDf = TextAnalysis.KeynessMinDf
+      val topK = TextAnalysis.KeynessTopK
+      s"""WITH dt AS (SELECT DISTINCT doc_id, source,
+         |      unnest(regexp_split_to_array(text, ' ')) term FROM documents),
+         |sdf AS (SELECT source, term, count(*)::BIGINT a FROM dt GROUP BY 1, 2),
+         |gdf AS (SELECT term, sum(a)::BIGINT df FROM sdf GROUP BY 1),
+         |sn AS (SELECT source, count(*)::BIGINT ns FROM documents GROUP BY 1),
+         |t AS (SELECT count(*)::BIGINT nn FROM documents),
+         |sc AS (SELECT source, term, a, df, ns, nn,
+         |      (a::HUGEINT * ((nn - ns) - (df - a))
+         |        - (ns - a)::HUGEINT * (df - a)) adbc
+         |      FROM sdf JOIN gdf USING (term) JOIN sn USING (source), t
+         |      WHERE df >= $minDf AND df * 2 <= nn),
+         |k AS (SELECT source, term, a, df,
+         |      ((1000 * nn::HUGEINT * adbc * adbc)
+         |        // (ns::HUGEINT * (nn - ns) * df * (nn - df)))::BIGINT chi2_milli
+         |      FROM sc WHERE adbc > 0),
+         |r AS (SELECT source, term, a, df, chi2_milli,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY chi2_milli DESC, term)::BIGINT rank FROM k)
+         |SELECT source, rank, term, a AS df_in, df, chi2_milli
+         |FROM r WHERE rank <= $topK ORDER BY source, rank""".stripMargin
+    },
+    // q327: integerized LIX (words/sentence + 100*longwords/words),
+    // terminator-run sentence count floored at 1, 5-point buckets.
+    "q327_lix_readability" ->
+      """WITH d AS (SELECT doc_id, source,
+        |      greatest(len(regexp_split_to_array(text, ' ')), 1)::BIGINT w,
+        |      len(list_filter(regexp_split_to_array(text, ' '),
+        |        t -> length(t) > 6))::BIGINT l,
+        |      greatest(len(regexp_extract_all(text, '[.!?]+', 0)), 1)::BIGINT s
+        |      FROM documents),
+        |x AS (SELECT source,
+        |      ((1000 * w) // s + (100000 * l) // w)::BIGINT lix_milli, w
+        |      FROM d)
+        |SELECT source, (lix_milli // 5000)::BIGINT AS lix_bucket,
+        |  count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS total_words,
+        |  (sum(lix_milli) // count(*))::BIGINT AS mean_lix_milli
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q328: one 4-D categorical cube CTE, then per pair the 2-D
+    // margins and the q304 per-cell-floored chi^2 (mirrors the Spark
+    // driver's BigInt fold cell for cell) — blocks generated per pair.
+    "q328_cramers_v_matrix" -> {
+      val cats = Seq("priority", "returnflag", "segment", "linestatus")
+      val pairs = for {
+        i <- cats.indices; j <- cats.indices if i < j
+      } yield (cats(i), cats(j))
+      val blocks = pairs.map { case (a, b) =>
+        s"""g_${a}_$b AS (SELECT $a va, $b vb, sum(c)::BIGINT o
+           |      FROM cells GROUP BY 1, 2),
+           |rm_${a}_$b AS (SELECT va, sum(o)::BIGINT rt FROM g_${a}_$b GROUP BY 1),
+           |cm_${a}_$b AS (SELECT vb, sum(o)::BIGINT ct FROM g_${a}_$b GROUP BY 1),
+           |tt_${a}_$b AS (SELECT sum(o)::BIGINT n,
+           |      count(DISTINCT va)::BIGINT r, count(DISTINCT vb)::BIGINT c
+           |      FROM g_${a}_$b),
+           |x_${a}_$b AS (SELECT '$a' col_a, '$b' col_b, t.r, t.c, t.n,
+           |      sum((1000 * (t.n::HUGEINT * o - rt::HUGEINT * ct)
+           |            * (t.n::HUGEINT * o - rt::HUGEINT * ct))
+           |        // (t.n::HUGEINT * rt * ct))::BIGINT chi2_milli
+           |      FROM g_${a}_$b JOIN rm_${a}_$b USING (va)
+           |        JOIN cm_${a}_$b USING (vb), tt_${a}_$b t
+           |      GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+      }.mkString(",\n")
+      val union = pairs.map { case (a, b) => s"SELECT * FROM x_${a}_$b" }
+        .mkString("\n UNION ALL ")
+      s"""WITH cells AS (SELECT o_orderpriority priority,
+         |      l_returnflag returnflag, c_mktsegment segment,
+         |      l_linestatus linestatus, count(*)::BIGINT c
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |      JOIN customer ON c_custkey = o_custkey
+         |      GROUP BY 1, 2, 3, 4),
+         |$blocks
+         |SELECT col_a, col_b, r, c, n, chi2_milli,
+         |  (CASE WHEN least(r, c) > 1 THEN
+         |    (1000 * chi2_milli) // (n * (least(r, c) - 1)) END)::BIGINT
+         |    AS v2_ppm
+         |FROM ($union)
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+    // q329: generate_series window spine x observed types, left-join
+    // counts, dead streaks via the win - row_number constancy trick.
+    "q329_feed_liveness" -> {
+      val win = Queries.LivenessWinNs
+      s"""WITH ev AS (SELECT event_type, epoch_ns(ts) // $win AS win FROM events),
+         |cnt AS (SELECT event_type, win, count(*)::BIGINT n FROM ev
+         |      GROUP BY 1, 2),
+         |rng AS (SELECT min(win) mn, max(win) mx FROM ev),
+         |ty AS (SELECT DISTINCT event_type FROM ev),
+         |spine AS (SELECT ty.event_type, uw.win FROM ty,
+         |      (SELECT unnest(generate_series(mn, mx)) win FROM rng) uw),
+         |grid AS (SELECT spine.event_type, spine.win,
+         |      (CASE WHEN cnt.n IS NULL THEN 1 ELSE 0 END)::BIGINT dead
+         |      FROM spine LEFT JOIN cnt ON cnt.event_type = spine.event_type
+         |        AND cnt.win = spine.win),
+         |dk AS (SELECT event_type, win,
+         |      win - row_number() OVER (PARTITION BY event_type ORDER BY win)
+         |        grp FROM grid WHERE dead = 1),
+         |st AS (SELECT event_type, max(len)::BIGINT longest FROM
+         |      (SELECT event_type, grp, count(*)::BIGINT len FROM dk
+         |       GROUP BY 1, 2) GROUP BY 1),
+         |ag AS (SELECT event_type, count(*)::BIGINT n_windows,
+         |      sum(1 - dead)::BIGINT n_live, sum(dead)::BIGINT n_dead
+         |      FROM grid GROUP BY 1)
+         |SELECT ag.event_type, n_windows, n_live, n_dead,
+         |  ((1000 * n_dead) // n_windows)::BIGINT AS dead_share_pm,
+         |  coalesce(st.longest, 0)::BIGINT AS longest_dead_streak
+         |FROM ag LEFT JOIN st ON st.event_type = ag.event_type
+         |ORDER BY ag.event_type""".stripMargin
+    },
+    // q330: per-stratum 2x2 with micro-floored MH terms, pooled OR and
+    // CMH chi^2 in HUGEINT (mirrors the Spark DECIMAL(38,0) floors).
+    "q330_mantel_haenszel" -> {
+      val cut = Queries.MhQtyCut
+      s"""WITH s0 AS (SELECT o_orderpriority priority,
+         |      (CASE WHEN l_quantity >= $cut THEN 1 ELSE 0 END)::BIGINT hi,
+         |      (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT ret
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |s AS (SELECT priority, sum(hi * ret)::BIGINT a,
+         |      sum(hi * (1 - ret))::BIGINT b,
+         |      sum((1 - hi) * ret)::BIGINT cc,
+         |      sum((1 - hi) * (1 - ret))::BIGINT dd FROM s0 GROUP BY 1),
+         |m AS (SELECT *, (a + b + cc + dd)::BIGINT n,
+         |      ((1000000 * a::HUGEINT * dd) // (a + b + cc + dd))::BIGINT num_micro,
+         |      ((1000000 * b::HUGEINT * cc) // (a + b + cc + dd))::BIGINT den_micro,
+         |      ((1000000 * (a + b)::HUGEINT * (a + cc)) // (a + b + cc + dd))::BIGINT e_micro,
+         |      ((1000000 * (a + b)::HUGEINT * (cc + dd) * (a + cc) * (b + dd))
+         |        // ((a + b + cc + dd)::HUGEINT * (a + b + cc + dd)
+         |           * (a + b + cc + dd - 1)))::BIGINT v_micro
+         |      FROM s),
+         |g AS (SELECT sum(a)::HUGEINT sa, sum(num_micro)::HUGEINT sn,
+         |      sum(den_micro)::HUGEINT sd, sum(e_micro)::HUGEINT se,
+         |      sum(v_micro)::HUGEINT sv FROM m)
+         |SELECT priority, a, b, cc AS c, dd AS d,
+         |  (CASE WHEN b * cc > 0 THEN
+         |    (1000 * a::HUGEINT * dd) // (b::HUGEINT * cc) END)::BIGINT
+         |    AS or_stratum_milli,
+         |  (CASE WHEN sd > 0 THEN (1000 * sn) // sd END)::BIGINT AS or_mh_milli,
+         |  (CASE WHEN sv > 0 THEN
+         |    (1000 * (1000000 * sa - se) * (1000000 * sa - se))
+         |      // (1000000 * sv) END)::BIGINT AS cmh_milli,
+         |  (CASE WHEN 1000000 * sa - se > 0 THEN 1
+         |    WHEN 1000000 * sa - se < 0 THEN -1 ELSE 0 END)::BIGINT
+         |    AS direction
+         |FROM m, g ORDER BY priority""".stripMargin
+    },
+    // q331: four raw power sums, integer central-sum identities, the
+    // ratio-first two-floor skew chain, kurtosis A4/A2^2 in milli.
+    "q331_lag_moments" ->
+      """WITH lg AS (SELECT o_orderpriority priority,
+        |      date_diff('day', o_orderdate, l_shipdate)::BIGINT x
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |p AS (SELECT priority, count(*)::BIGINT n, sum(x)::BIGINT s,
+        |      sum(x::HUGEINT * x) p2, sum(x::HUGEINT * x * x) p3,
+        |      sum(x::HUGEINT * x * x * x) p4 FROM lg GROUP BY 1),
+        |a AS (SELECT priority, n, s,
+        |      (n * p2 - s::HUGEINT * s) a2,
+        |      (n::HUGEINT * n * p3 - 3 * n::HUGEINT * s * p2
+        |        + 2 * s::HUGEINT * s * s) a3,
+        |      (n::HUGEINT * n * n * p4 - 4 * n::HUGEINT * n * s * p3
+        |        + 6 * n::HUGEINT * s * s * p2
+        |        - 3 * s::HUGEINT * s * s * s) a4 FROM p)
+        |SELECT priority, n, ((1000 * s) // n)::BIGINT AS mean_milli,
+        |  (CASE WHEN n > 0 THEN (1000 * a2) // (n::HUGEINT * n) END)::BIGINT
+        |    AS var_milli,
+        |  (CASE WHEN a2 > 0 THEN
+        |    (CASE WHEN a3 < 0 THEN -1 ELSE 1 END) *
+        |    ((((1000000 * abs(a3)) // a2) * ((1000000 * abs(a3)) // a2))
+        |      // (1000000000 * a2)) END)::BIGINT AS skew2_milli,
+        |  (CASE WHEN a2 > 0 THEN (1000 * a4) // (a2 * a2) END)::BIGINT
+        |    AS kurt_milli
+        |FROM a ORDER BY priority""".stripMargin,
+    // q332: per-customer 3-order pivot, |diff|-day histogram, doubled
+    // signed ranks, tie-corrected z^2 (mirrors the driver BigInt fold).
+    "q332_wilcoxon_repeat" ->
+      """WITH o2 AS (SELECT o_custkey, o_orderdate,
+        |      row_number() OVER w rn FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey)),
+        |pv AS (SELECT o_custkey,
+        |      max(CASE WHEN rn = 1 THEN o_orderdate END) d1,
+        |      max(CASE WHEN rn = 2 THEN o_orderdate END) d2,
+        |      max(CASE WHEN rn = 3 THEN o_orderdate END) d3
+        |      FROM o2 WHERE rn <= 3 GROUP BY 1),
+        |f AS (SELECT (date_diff('day', d2, d3)
+        |      - date_diff('day', d1, d2))::BIGINT df FROM pv
+        |      WHERE d3 IS NOT NULL),
+        |z AS (SELECT count(*)::BIGINT n_zero FROM f WHERE df = 0),
+        |h AS (SELECT abs(df)::BIGINT ad,
+        |      sum(CASE WHEN df > 0 THEN 1 ELSE 0 END)::BIGINT pos,
+        |      count(*)::BIGINT t FROM f WHERE df <> 0 GROUP BY 1),
+        |r AS (SELECT ad, pos, t,
+        |      (2 * coalesce(sum(t) OVER (ORDER BY ad
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        + t + 1)::BIGINT dr FROM h),
+        |g AS (SELECT coalesce(sum(pos::HUGEINT * dr), 0) w2,
+        |      coalesce(sum(pos), 0)::BIGINT n_pos,
+        |      coalesce(sum(t - pos), 0)::BIGINT n_neg,
+        |      coalesce(sum(t), 0)::BIGINT n,
+        |      coalesce(sum(t::HUGEINT * t * t - t), 0) tie FROM r),
+        |e AS (SELECT *, (w2 - (n::HUGEINT * (n + 1)) // 2) dev,
+        |      (2::HUGEINT * n * (n + 1) * (2 * n + 1) - tie) den FROM g)
+        |SELECT (n + n_zero)::BIGINT AS n_pairs, n_zero, n_pos, n_neg,
+        |  w2::BIGINT AS w2,
+        |  (CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END)::BIGINT
+        |    AS decel,
+        |  (CASE WHEN den > 0 AND n > 0 THEN
+        |    (12000 * dev * dev) // den END)::BIGINT AS z2_milli,
+        |  (CASE WHEN n > 0 THEN
+        |    (1000 * (n_pos - n_neg)::HUGEINT * (n_pos - n_neg)) // n
+        |   END)::BIGINT AS sign_z2_milli
+        |FROM e, z""".stripMargin,
+    // q333: complete-week spine with zero fill, in-block doubled ranks
+    // (rank + peer count), tie-corrected Friedman Q in milli.
+    "q333_friedman_dow" ->
+      """WITH dd AS (SELECT date_diff('day', DATE '1970-01-01',
+        |        o_orderdate)::BIGINT dy FROM orders),
+        |cnt AS (SELECT dy // 7 wk, dy % 7 dow, count(*)::BIGINT n
+        |      FROM dd GROUP BY 1, 2),
+        |rng AS (SELECT min(wk) + 1 w0, max(wk) - 1 w1 FROM cnt),
+        |spine AS (SELECT uw.wk, dw.dow FROM
+        |      (SELECT unnest(generate_series(w0, w1)) wk FROM rng) uw,
+        |      generate_series(0, 6) dw(dow)),
+        |grid AS (SELECT spine.wk, spine.dow,
+        |      coalesce(cnt.n, 0)::BIGINT n FROM spine
+        |      LEFT JOIN cnt ON cnt.wk = spine.wk AND cnt.dow = spine.dow),
+        |rk AS (SELECT wk, dow, n,
+        |      rank() OVER (PARTITION BY wk ORDER BY n)::BIGINT r,
+        |      count(*) OVER (PARTITION BY wk, n)::BIGINT t FROM grid),
+        |dr AS (SELECT wk, dow, (2 * (r - 1) + t + 1)::BIGINT dr2 FROM rk),
+        |pd AS (SELECT dow, count(*)::BIGINT b, sum(dr2)::BIGINT rank_sum2
+        |      FROM dr GROUP BY 1),
+        |nm AS (SELECT sum((rank_sum2::HUGEINT - b * 8)
+        |        * (rank_sum2::HUGEINT - b * 8)) num, max(b)::BIGINT bb FROM pd),
+        |dn AS (SELECT sum(dr2::HUGEINT * dr2) sdr2 FROM dr),
+        |gl AS (SELECT num, (sdr2 - bb::HUGEINT * 7 * 64) den FROM nm, dn)
+        |SELECT dow, b, rank_sum2,
+        |  ((500 * rank_sum2) // b)::BIGINT AS mean_rank_milli,
+        |  (CASE WHEN den > 0 THEN (1000 * 6 * num) // den END)::BIGINT
+        |    AS q_milli,
+        |  6::BIGINT AS df
+        |FROM pd, gl ORDER BY dow""".stripMargin,
+    // q334: q44's as-of oracle plus the TTL CASE columns.
+    "q334_asof_tolerance" -> {
+      val tol = operators.TemporalJoins.AsofToleranceUs
+      s"""WITH c AS (SELECT event_id click_id, user_id, epoch_us(ts) cts
+         |           FROM events WHERE event_type = 'click'),
+         |v AS (SELECT event_id vid, user_id, epoch_us(ts) vts
+         |      FROM events WHERE event_type = 'view'),
+         |j AS (SELECT c.click_id, c.user_id, c.cts, v.vid, v.vts,
+         |      row_number() OVER (PARTITION BY c.click_id
+         |                         ORDER BY v.vts DESC NULLS LAST, v.vid DESC) rn
+         |      FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.vts <= c.cts)
+         |SELECT click_id, user_id, cts AS click_ts,
+         |  (CASE WHEN cts - vts <= $tol THEN vid END)::BIGINT AS view_id,
+         |  (CASE WHEN cts - vts <= $tol THEN vts END)::BIGINT AS view_ts,
+         |  (CASE WHEN cts - vts <= $tol THEN cts - vts END)::BIGINT
+         |    AS fresh_gap_us,
+         |  (CASE WHEN vts IS NULL THEN -1
+         |    WHEN cts - vts <= $tol THEN 1 ELSE 0 END)::BIGINT AS matched
+         |FROM j WHERE rn = 1
+         |ORDER BY click_id""".stripMargin
+    },
+    // q335: per-type running-max lateness via arrival-order windows,
+    // minute-bucket histogram, smallest bucket with 100*cum >= 99*n.
+    "q335_ooo_lateness" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_ns(ts) tns FROM events),
+        |l AS (SELECT event_type,
+        |      greatest(coalesce(max(tns) OVER (PARTITION BY event_type
+        |          ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - tns,
+        |        0), 0)::BIGINT late_ns FROM e),
+        |h AS (SELECT event_type, late_ns // 60000000000 late_min,
+        |      count(*)::BIGINT c FROM l GROUP BY 1, 2),
+        |cw AS (SELECT event_type, late_min, c,
+        |      sum(c) OVER (PARTITION BY event_type ORDER BY late_min
+        |        ROWS UNBOUNDED PRECEDING)::BIGINT cum,
+        |      sum(c) OVER (PARTITION BY event_type)::BIGINT n FROM h)
+        |SELECT event_type, max(n)::BIGINT AS n_events,
+        |  sum(CASE WHEN late_min > 0 THEN c ELSE 0 END)::BIGINT AS n_late_1min,
+        |  ((1000 * sum(CASE WHEN late_min > 0 THEN c ELSE 0 END))
+        |    // max(n))::BIGINT AS late_share_pm,
+        |  max(late_min)::BIGINT AS max_late_min,
+        |  min(CASE WHEN 100 * cum >= 99 * n THEN late_min END)::BIGINT
+        |    AS watermark_p99_min
+        |FROM cw GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q336: the shared q172 chain, mutual pairs, RECURSIVE min-label
+    // closure (the q49 reach pattern), per-label component rollup.
+    "q336_mutual_nn_components" ->
+      s"""WITH RECURSIVE $MutualNnCte,
+         |mp AS (SELECT x.src a, y.src b FROM n1 x
+         |      JOIN n1 y ON x.nbr = y.src AND y.nbr = x.src AND x.src < y.src),
+         |vv AS (SELECT vec_id, "label" lbl FROM embeddings
+         |      WHERE "label" IS NOT NULL),
+         |edges AS (SELECT a s, b t2 FROM mp UNION ALL SELECT b, a FROM mp),
+         |reach AS (SELECT vec_id AS src, vec_id AS dst FROM vv
+         |          UNION
+         |          SELECT r.src, e.t2 FROM reach r JOIN edges e ON r.dst = e.s),
+         |lbl AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach
+         |      GROUP BY src),
+         |pd AS (SELECT DISTINCT u AS vec_id FROM (SELECT a u FROM mp
+         |      UNION ALL SELECT b FROM mp)),
+         |jn AS (SELECT vv.vec_id, vv.lbl, lbl.cluster_id,
+         |      (CASE WHEN pd.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT in_pair
+         |      FROM vv JOIN lbl ON lbl.vec_id = vv.vec_id
+         |      LEFT JOIN pd ON pd.vec_id = vv.vec_id),
+         |cmp AS (SELECT lbl, count(*)::BIGINT n_components,
+         |      max(csz)::BIGINT largest_comp FROM
+         |      (SELECT lbl, cluster_id, count(*)::BIGINT csz FROM jn
+         |       WHERE in_pair = 1 GROUP BY 1, 2) GROUP BY 1),
+         |ag AS (SELECT lbl, count(*)::BIGINT n_vecs,
+         |      sum(in_pair)::BIGINT n_paired FROM jn GROUP BY 1)
+         |SELECT ag.lbl::BIGINT AS "label", n_vecs, n_paired,
+         |  coalesce(cmp.n_components, 0)::BIGINT AS n_components,
+         |  coalesce(cmp.largest_comp, 0)::BIGINT AS largest_comp,
+         |  ((1000 * (n_vecs - n_paired)) // n_vecs)::BIGINT
+         |    AS isolated_share_pm
+         |FROM ag LEFT JOIN cmp ON cmp.lbl = ag.lbl
+         |ORDER BY "label"""".stripMargin,
   )
 }

@@ -1668,4 +1668,93 @@ object TextAnalysis {
       .orderBy(col("score_dedup_micro").desc, col("doc_id"))
       .limit(10)
   }
+
+  /** q326 keyness df floor/ceiling: terms below MinGlobalDf are noise,
+    * terms present in over half the corpus are function words — the
+    * standard keyness candidate caps. */
+  val KeynessMinDf = 5L
+  val KeynessTopK = 10
+
+  /** q326: TERM KEYNESS — which terms are statistically
+    * OVER-REPRESENTED in each source versus the rest of the corpus?
+    * Per (source, term) the 2×2 document-frequency table (a = docs in
+    * source containing the term, b = source docs without it, c = docs
+    * elsewhere with it, d = elsewhere without), scored by the χ²
+    * association in milli via the q304 single cross-multiplied floor
+    * 1000·N·(ad − bc)² / (n_s·(N−n_s)·df·(N−df)), kept only where the
+    * term is over-represented (ad > bc), df-capped (≥ KeynessMinDf,
+    * ≤ N/2 — the stopword ceiling), top-KeynessTopK per source with a
+    * deterministic (χ² desc, term) tie-break. q62's tf-idf ranks
+    * terms WITHIN a document; keyness contrasts a source AGAINST the
+    * corpus — the vocabulary-drift fingerprint a mixture curator
+    * reads (and the exact-integer stand-in for log-likelihood G²,
+    * which would put ln() across the engines).
+    *
+    * Shape at 100 TB: tokenize → (source, term) df hash-agg (one
+    * shuffle on the term vocabulary), term-keyed join to global df,
+    * broadcast one-row corpus totals and |sources|-row doc counts;
+    * the top-k is a window INSIDE source partitions over df-capped
+    * candidates. */
+  def termKeyness(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsDist(spark, d)
+    val dt = docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(toks(col("text")))).as("term"))
+    val sdf = dt.groupBy(col("source"), col("term")).agg(count(lit(1)).as("a"))
+    val gdf = sdf.groupBy(col("term")).agg(sum(col("a")).as("df"))
+    val srcN = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val tot = docs.agg(count(lit(1)).as("nn"))
+    val scored = sdf.join(gdf, Seq("term"))
+      .join(broadcast(srcN), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") >= KeynessMinDf && col("df") * 2 <= col("nn"))
+      .withColumn("adbc", expr(
+        "CAST(a AS DECIMAL(38,0)) * ((nn - ns) - (df - a))" +
+          " - CAST(ns - a AS DECIMAL(38,0)) * (df - a)"))
+      .filter(col("adbc") > 0)
+      .withColumn("chi2_milli", expr(
+        """CAST((1000 * CAST(nn AS DECIMAL(38,0)) * adbc * adbc)
+           div (CAST(ns AS DECIMAL(38,0)) * (nn - ns) * df * (nn - df))
+           AS BIGINT)""".stripMargin.replace("\n", " ")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("chi2_milli").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KeynessTopK)
+      .select(col("source"), col("rank"), col("term"), col("a").as("df_in"),
+        col("df"), col("chi2_milli"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** q327: LIX READABILITY — the Björnsson readability index per
+    * document, integerized (words/sentence + 100·longwords/words,
+    * long = over 6 characters), with per-source histogram over
+    * 5-point LIX buckets. LIX is the syllable-free readability
+    * measure (Björnsson 1968) — exactly integerizable, unlike
+    * Flesch–Kincaid whose syllable counts would put fragile
+    * vowel-group regexes across both engines: lix_milli =
+    * 1000·W div S + 100000·L div W, sentences counted as terminator
+    * runs [.!?]+ floored at 1, words by the corpus-wide
+    * space-tokenization convention. q29 scores junk/quality
+    * heuristics; this grades reading COMPLEXITY — the curriculum
+    * signal (q59) and an audience-mix audit per source.
+    *
+    * Shape at 100 TB: pure per-row column arithmetic (codegen, no
+    * UDF) → (source, bucket) hash-agg. One shuffle on the bounded
+    * histogram grid. */
+  def lixReadability(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("source"),
+        greatest(size(toks(col("text"))), lit(1)).cast("long").as("w"),
+        size(filter(toks(col("text")), t => length(t) > 6))
+          .cast("long").as("l"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+          .cast("long").as("s"))
+      .withColumn("lix_milli",
+        expr("(1000 * w) div s + (100000 * l) div w"))
+      .groupBy(col("source"),
+        expr("lix_milli div 5000").as("lix_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_words"),
+        expr("CAST(sum(lix_milli) div count(1) AS BIGINT)").as("mean_lix_milli"))
+      .orderBy(col("source"), col("lix_bucket"))
 }

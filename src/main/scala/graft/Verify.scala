@@ -50,6 +50,30 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Gate-visible bounds for the rowsOnly queries (full runs only —
+    // the dev-time `only` filter iterates single queries): the DuckDB
+    // compare reads `no_oracle` for these five forever, so their
+    // documented error bounds are checked here against Spark-side
+    // exact twins and reported machine-readably next to the dumps. A
+    // bounds check that crashes reports pass=false, never aborts the
+    // dump run.
+    if (only.isEmpty) {
+      val bounds = try RowsOnlyBounds.check(spark, sfDir) catch {
+        case e: Throwable =>
+          System.err.println(s"[verify] bounds check crashed: $e")
+          Seq.empty
+      }
+      if (bounds.nonEmpty) {
+        val bj = bounds.map { case (name, pass, detail) =>
+          s"${q(name)}: {\"pass\": $pass, \"detail\": ${q(detail)}}"
+        }.mkString("{", ",", "}")
+        Files.writeString(Paths.get(s"$outDir/rowsonly_bounds.json"), bj)
+        bounds.foreach { case (name, pass, detail) =>
+          println(s"[bounds] $name ${if (pass) "PASS" else "FAIL"} — $detail")
+        }
+      }
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -57,6 +57,51 @@ object TemporalJoins {
       .orderBy(col("click_id"))
   }
 
+  /** q334 staleness bound: an as-of match older than this many
+    * microseconds is DISCARDED (1 hour — the feature-store TTL). */
+  val AsofToleranceUs = 3600L * 1000000L
+
+  /** q334: AS-OF JOIN WITH TOLERANCE — q44's point-in-time join plus
+    * the feature-store TTL rule: a prior view older than
+    * AsofToleranceUs at click time is STALE and must not serve (the
+    * "max staleness" bound every online feature platform enforces —
+    * serving a day-old profile feature is a silent correctness bug,
+    * not a near-hit). Same union-tag-window construction (one shuffle
+    * on user_id, zero pair explosion); the tolerance is a row-local
+    * CASE on the already-computed gap, so the plan is q44's plan —
+    * matched/stale/miss accounting rides in the `matched` column
+    * (1 = fresh match, 0 = stale discarded, -1 = no prior view).
+    *
+    * Shape at 100 TB: identical to q44 — keyed window, no NLJ; the
+    * TTL never changes the plan, only the emitted columns. */
+  def asofJoinTolerance(spark: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.eventsNs(spark, d)
+    val tagged = ev
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
+        when(col("event_type") === "view", 0).otherwise(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("view_ts",
+        last(when(col("side") === 0, col("tus")), ignoreNulls = true).over(w))
+      .withColumn("view_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("gap_us", col("tus") - col("view_ts"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("tus").as("click_ts"),
+        when(col("gap_us") <= AsofToleranceUs, col("view_id")).as("view_id"),
+        when(col("gap_us") <= AsofToleranceUs, col("view_ts")).as("view_ts"),
+        when(col("gap_us") <= AsofToleranceUs, col("gap_us")).as("fresh_gap_us"),
+        expr(s"""CASE WHEN view_ts IS NULL THEN -1
+                 WHEN gap_us <= $AsofToleranceUs THEN 1
+                 ELSE 0 END""".stripMargin.replace("\n", " "))
+          .cast("long").as("matched"))
+      .orderBy(col("click_id"))
+  }
+
   /** q67: the SAME as-of semantics as `asofJoin`, executed by the
     * custom physical operator (`plans.AsOfJoinExec`): co-clustered
     * children, per-side (key, time) sorts, one constant-memory merge

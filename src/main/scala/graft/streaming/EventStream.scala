@@ -116,10 +116,21 @@ object EventStream {
     * every emitted row carries the observed/expected ratio in milli
     * plus a 3×-either-way alarm flag. Stateless beyond the windowed
     * count: one streaming aggregation + one static broadcast join
-    * (conformalMonitor's shape on the event stream — the feed-died /
-    * feed-flooded pager signal). Integer ratio arithmetic, so the
-    * batch run of the SAME transform is bit-identical
-    * (EventStreamSpec). */
+    * (conformalMonitor's shape on the event stream). Integer ratio
+    * arithmetic, so the batch run of the SAME transform is
+    * bit-identical (EventStreamSpec).
+    *
+    * SCOPE OF THE ALARM — this catches feed FLOODS and PARTIAL
+    * droughts only. A window with ZERO events for an event type emits
+    * no aggregated row at all (streaming aggregation state is keyed by
+    * observed rows), and a baseline event type absent from the stream
+    * is dropped by the inner join — so a COMPLETELY dead feed produces
+    * silence, not a low-side alarm row. A deployment must therefore
+    * pair this with a liveness check DOWNSTREAM of the sink: alert
+    * when a (window, event_type) expected by the baseline has no
+    * emitted row by watermark + allowed lateness (absence-of-row IS
+    * the dead-feed signal; a streaming job cannot conjure rows for
+    * keys it never saw without an auxiliary clock-tick source). */
   def volumeMonitor(events: DataFrame, baseline: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

@@ -41,6 +41,29 @@ class PlanSweepSpec extends SparkSpec {
     // q140: q38's broadcast-queries × corpus scan with the label
     // inequality in the join condition — same bounded exact baseline
     "q140_hard_negatives" -> 1,
+    // q323: the q26/q299 documented bounded broadcast — the pinned
+    // stride sample (≠-key join) × one corpus scan; pairs collapse in
+    // the per-query hash-agg, nothing pairwise survives
+    "q323_distance_contrast" -> 1,
+    // q326: the one-row corpus-doc-count scalar broadcast (q62's
+    // pattern) onto the df-capped candidate relation
+    "q326_term_keyness" -> 1,
+    // q329: the one-row window-range scalar broadcast feeding the
+    // sequence-exploded spine (|types| × calendar-bounded windows) —
+    // the spine is traversed once per consumer branch (dead streaks +
+    // the liveness rollup), so the ONE logical scalar broadcast
+    // appears twice in the physical tree (the q159 precedent)
+    "q329_feed_liveness" -> 2,
+    // q330: the one-row pooled-MH-sums scalar broadcast back onto the
+    // 5 stratum rows (q304's repeated-global pattern)
+    "q330_mantel_haenszel" -> 1,
+    // q333: scalar-bounded broadcasts only — the week-range spine
+    // explode × the 7-row dow range (re-instantiated in the perDow,
+    // Σdr², and final branches of the tree — the q146 precedent), the
+    // one-row Σdr² denominator, and the one-row (num, den) global
+    // back onto the 7 dow rows; every relation involved is a
+    // calendar/dow grid, never the corpus
+    "q333_friedman_dow" -> 5,
     // q141: the one-row session-count scalar broadcast
     "q141_session_associations" -> 1,
     // q146: the eval re-instantiates the q26 truth plan three times

@@ -666,6 +666,44 @@ object ScaleProbe {
       }
       println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r10j ratios: ", ", ", ""))
     }
+    // Round-11 batch a/b: rank-test battery + HHI/bursts on the
+    // replicated trade tables; q323 on the replicated vectors (sample
+    // AND corpus both grow 10x — the honest broadcast-scan model);
+    // q326/q327 on the perturbed-replica documents corpus.
+    if (fams("r11a")) {
+      def min2(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          d: String): Double = math.min(time(name, fn, d), time(name, fn, d))
+      val r11a: Seq[(String,
+          (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          String)] = Seq(
+        ("q319_kruskal_wallis", Queries.kruskalWallisLag _, gdir),
+        ("q320_runs_test", Queries.runsTestDaily _, gdir),
+        ("q321_trend_test", Queries.trendTestReturns _, gdir),
+        ("q322_spearman_daily", Queries.spearmanDaily _, gdir),
+        ("q323_distance_contrast", Similarity.distanceContrast _, vdir),
+        ("q324_supply_hhi", Queries.supplyHhi _, gdir),
+        ("q325_order_bursts", Queries.orderBursts _, gdir),
+        ("q326_term_keyness", TextAnalysis.termKeyness _, d10),
+        ("q327_lix_readability", TextAnalysis.lixReadability _, d10),
+        ("q328_cramers_v_matrix", Queries.cramersVMatrix _, gdir),
+        ("q329_feed_liveness", Queries.feedLiveness _, edir),
+        ("q330_mantel_haenszel", Queries.mantelHaenszel _, gdir),
+        ("q331_lag_moments", Queries.lagMoments _, gdir),
+        ("q332_wilcoxon_repeat", Queries.wilcoxonRepeat _, gdir),
+        ("q333_friedman_dow", Queries.friedmanDow _, gdir),
+        ("q334_asof_tolerance",
+          graft.operators.TemporalJoins.asofJoinTolerance _, edir),
+        ("q335_ooo_lateness", Queries.oooLateness _, edir),
+        ("q336_mutual_nn_components", Similarity.mutualNnComponents _, vdir))
+      val rr = r11a.map { case (name, fn, dd) =>
+        val t1 = min2(name, fn, d1)
+        val t10 = min2(name, fn, dd)
+        println(f"[probe] $name%-28s 10x/1x wall ratio = ${t10 / t1}%5.1f (linear would be ~10)")
+        name -> (t10 / t1)
+      }
+      println(rr.map { case (k, v) => f"$k=${v}%.1f" }.mkString("[probe] r11a ratios: ", ", ", ""))
+    }
     spark.stop()
   }
 }
