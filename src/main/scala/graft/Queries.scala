@@ -4389,6 +4389,38 @@ object Queries {
           " AS BIGINT) END").as("kurt_milli"))
       .orderBy(col("priority"))
 
+  /** q339: SEMI-STRUCTURED SCHEMA DISCOVERY — enumerate the JSON keys
+    * actually present in the events `props` payload, per event type:
+    * presence counts and shares, and each type's key-set size. q87
+    * extracts KNOWN paths through the variant type; this answers the
+    * prior question — WHICH paths exist and how reliably — the
+    * profiling step that decides a promotion-to-column list for an
+    * ingest pipeline (a key present in ~100% of a type is a column;
+    * a 1% key is a tail attribute left in the variant). Key
+    * enumeration only (json_object_keys ↔ DuckDB json_keys): value
+    * stringification never crosses the engines, so parity is exact.
+    *
+    * Shape at 100 TB: one events scan → per-row key explode (bounded
+    * by payload key count) → (type, key) hash-agg; per-type totals
+    * broadcast back onto the bounded key grid. */
+  def propsSchema(spark: SparkSession, d: String): DataFrame = {
+    val ev = eventsNs(spark, d).select(col("event_type"), col("props"))
+    val keys = ev
+      .select(col("event_type"),
+        explode(expr("json_object_keys(props)")).as("key"))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n_present"))
+    val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    val wt = Window.partitionBy(col("event_type"))
+    keys.join(broadcast(tot), Seq("event_type"))
+      .withColumn("n_keys", count(lit(1)).over(wt))
+      .select(col("event_type"), col("key"), col("n_present"),
+        col("n_events"),
+        expr("(1000 * n_present) div n_events").as("present_share_pm"),
+        col("n_keys"))
+      .orderBy(col("event_type"), col("key"))
+  }
+
   /** q335: OUT-OF-ORDERNESS / WATERMARK-PLANNING AUDIT — how late do
     * events arrive relative to the stream's high-water mark, per
     * event type? Arrival order is the event_id sequence (the

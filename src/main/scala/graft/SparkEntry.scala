@@ -767,6 +767,12 @@ object SparkEntry {
     "q335_ooo_lateness" -> (Queries.oooLateness _),
     // connected components over the mutual-NN pair graph, per label
     "q336_mutual_nn_components" -> (Similarity.mutualNnComponents _),
+    // code-vs-prose modality gate (symbol density + keyword rule)
+    "q337_code_detect" -> (TextAnalysis.codeDetect _),
+    // near-hapax token-mass share per source (lexical difficulty)
+    "q338_rare_word_share" -> (TextAnalysis.rareWordShare _),
+    // JSON key discovery over events.props (variant profiling)
+    "q339_props_schema" -> (Queries.propsSchema _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -7774,5 +7780,61 @@ object SparkEntry {
          |    AS isolated_share_pm
          |FROM ag LEFT JOIN cmp ON cmp.lbl = ag.lbl
          |ORDER BY "label"""".stripMargin,
+    // q337: structural-symbol density + keyword hits over the shared
+    // token split; the integer decision rule replayed verbatim.
+    "q337_code_detect" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |      len(regexp_extract_all(text, '[{}();=<>]', 0))::BIGINT sym,
+        |      len(list_filter(regexp_split_to_array(text, ' '),
+        |        t -> t IN ('def', 'return', 'import', 'class', 'if', 'else', 'for', 'while', 'function', 'var', 'let', 'const', 'void', 'int', 'public', 'static')))::BIGINT kw_hits
+        |      FROM documents),
+        |x AS (SELECT source, n_chars, sym, kw_hits,
+        |      ((1000 * sym) // greatest(n_chars, 1))::BIGINT sym_pm FROM d),
+        |f AS (SELECT source, n_chars, sym,
+        |      (CASE WHEN sym_pm >= 20 OR kw_hits >= 3 THEN 1 ELSE 0 END)::BIGINT
+        |        is_code FROM x)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(is_code)::BIGINT AS n_code,
+        |  ((1000 * sum(is_code)) // count(*))::BIGINT AS code_share_pm,
+        |  ((1000 * sum(sym)) // greatest(sum(n_chars), 1))::BIGINT
+        |    AS sym_density_pm
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // q338: doc-level df over distinct terms, rare mass via tf join.
+    "q338_rare_word_share" -> {
+      val rmax = TextAnalysis.RareDfMax
+      s"""WITH w AS (SELECT doc_id, source,
+         |      unnest(regexp_split_to_array(text, ' ')) term FROM documents),
+         |tf AS (SELECT doc_id, source, term, count(*)::BIGINT tf
+         |      FROM w GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+         |pd AS (SELECT doc_id, source, sum(tf)::BIGINT n_tok,
+         |      sum(CASE WHEN df <= $rmax THEN tf ELSE 0 END)::BIGINT n_rare
+         |      FROM tf JOIN df USING (term) GROUP BY 1, 2),
+         |px AS (SELECT source, n_tok, n_rare,
+         |      ((1000 * n_rare) // n_tok)::BIGINT rare_pm FROM pd)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_tok)::BIGINT AS total_tokens,
+         |  sum(n_rare)::BIGINT AS rare_tokens,
+         |  ((1000 * sum(n_rare)) // sum(n_tok))::BIGINT AS rare_share_pm,
+         |  ((1000 * sum(CASE WHEN rare_pm > 100 THEN 1 ELSE 0 END))
+         |    // count(*))::BIGINT AS heavy_doc_share_pm
+         |FROM px GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q339: json_keys enumeration per type; per-type totals and the
+    // bounded key grid.
+    "q339_props_schema" ->
+      """WITH k AS (SELECT event_type, unnest(json_keys(props)) kname
+        |      FROM events),
+        |g AS (SELECT event_type, kname, count(*)::BIGINT n_present
+        |      FROM k GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*)::BIGINT n_events FROM events
+        |      GROUP BY 1),
+        |x AS (SELECT g.event_type, g.kname, g.n_present, t.n_events,
+        |      count(*) OVER (PARTITION BY g.event_type)::BIGINT n_keys
+        |      FROM g JOIN t ON t.event_type = g.event_type)
+        |SELECT event_type, kname AS key, n_present, n_events,
+        |  ((1000 * n_present) // n_events)::BIGINT AS present_share_pm,
+        |  n_keys
+        |FROM x ORDER BY event_type, kname""".stripMargin,
   )
 }

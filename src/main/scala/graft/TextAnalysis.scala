@@ -1726,6 +1726,90 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** q337 code-keyword lexicon: tokens that mark program text across
+    * mainstream languages — fixed, documented, part of the rule. */
+  val CodeKeywords = Seq("def", "return", "import", "class", "if",
+    "else", "for", "while", "function", "var", "let", "const", "void",
+    "int", "public", "static")
+
+  /** q337: CODE-VS-PROSE DETECTION — the corpus-filtering gate every
+    * LLM data pipeline runs before mixing sources: per document the
+    * code-symbol density (structural characters {}();=<> per 1000
+    * chars) and code-keyword hits over the standard token split, and
+    * the integer decision rule sym_pm ≥ 20 OR kw_hits ≥ 3 (DEFINED as
+    * part of the operator — both engines replay it; no float, no
+    * model). Per source: doc counts, flagged share, mean symbol
+    * density. q28 guesses natural language, q29 scores junk; this
+    * separates MODALITY — the upstream split that decides which
+    * quality/tokenizer pipeline a document even enters.
+    *
+    * Shape at 100 TB: pure per-row codegen column arithmetic → one
+    * |sources|-grid hash-agg. One shuffle. */
+  def codeDetect(spark: SparkSession, d: String): DataFrame = {
+    val sym = size(expr("regexp_extract_all(text, '[{}();=<>]', 0)"))
+      .cast("long")
+    val kw = countIn(toks(col("text")), CodeKeywords).cast("long")
+    Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        sym.as("sym"), kw.as("kw_hits"))
+      .withColumn("sym_pm",
+        expr("(1000 * sym) div greatest(n_chars, 1)"))
+      .withColumn("is_code",
+        (col("sym_pm") >= 20L || col("kw_hits") >= 3L).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_code")).as("n_code"),
+        sum(col("sym")).as("total_sym"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("source"), col("n_docs"), col("n_code"),
+        expr("(1000 * n_code) div n_docs").as("code_share_pm"),
+        expr("(1000 * total_sym) div greatest(total_chars, 1)")
+          .as("sym_density_pm"))
+      .orderBy(col("source"))
+  }
+
+  /** q338 rarity ceiling: a term in at most this many documents is
+    * RARE (hapax + near-hapax vocabulary). */
+  val RareDfMax = 2L
+
+  /** q338: RARE-WORD SHARE — per source, what fraction of token MASS
+    * is spent on near-hapax vocabulary (document frequency ≤
+    * RareDfMax over the whole corpus)? High rare mass means heavy
+    * OOV/tokenizer pressure and hard examples (the q59 curriculum's
+    * lexical-difficulty axis); near-zero means templated text. Also
+    * reports the share of documents over 10% rare mass — the
+    * per-document tail a mean hides. Token occurrences weight the
+    * numerator (mass, not vocabulary): q170's frequency spectrum
+    * counts TYPES per df bucket, this prices the rare TOKENS each
+    * source makes a model pay for.
+    *
+    * Shape at 100 TB: tokenize → (doc, term) tf hash-agg → term-df
+    * relation (one vocabulary shuffle, the q62 plan) → term-keyed
+    * join back → per-doc rollup → |sources| grid. */
+  def rareWordShare(spark: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documentsDist(spark, d)
+      .select(col("doc_id"), col("source"),
+        explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perDoc = tf.join(df_, Seq("term"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(when(col("df") <= RareDfMax, col("tf")).otherwise(0L))
+          .as("n_rare"))
+      .withColumn("rare_pm", expr("(1000 * n_rare) div n_tok"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_rare")).as("rare_tokens"),
+        sum(when(col("rare_pm") > 100L, 1L).otherwise(0L))
+          .as("n_docs_heavy"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("rare_tokens"),
+        expr("(1000 * rare_tokens) div total_tokens").as("rare_share_pm"),
+        expr("(1000 * n_docs_heavy) div n_docs").as("heavy_doc_share_pm"))
+      .orderBy(col("source"))
+  }
+
   /** q327: LIX READABILITY — the Björnsson readability index per
     * document, integerized (words/sentence + 100·longwords/words,
     * long = over 6 characters), with per-source histogram over

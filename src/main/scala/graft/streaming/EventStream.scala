@@ -130,7 +130,10 @@ object EventStream {
     * when a (window, event_type) expected by the baseline has no
     * emitted row by watermark + allowed lateness (absence-of-row IS
     * the dead-feed signal; a streaming job cannot conjure rows for
-    * keys it never saw without an auxiliary clock-tick source). */
+    * keys it never saw without an auxiliary clock-tick source).
+    * `livenessMonitor` below IS that pager — transformWithState
+    * event-time timers ride the GLOBAL watermark, so a silent key
+    * still adjudicates its windows; q329 is its batch twin. */
   def volumeMonitor(events: DataFrame, baseline: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
@@ -321,5 +324,97 @@ object EventStream {
             SessionUpdate(user, new Timestamp(s0), new Timestamp(e0), n0)
           }
       }
+  }
+
+  /** Liveness window width (ms) — the 10-minute volumeMonitor window
+    * (and q329's LivenessWinNs in milliseconds). */
+  val LivenessWinMs: Long = 600000L
+
+  final case class DeadWindow(event_type: String, win: Long)
+  final case class LivenessState(emittedThrough: Long, seen: List[Long])
+
+  /** The DEAD-FEED PAGER volumeMonitor cannot be (its scaladoc's
+    * documented blind spot, and q329's STREAMING twin): emit a row for
+    * every 10-minute window in which a previously-seen event type
+    * produced ZERO events, as soon as the event-time watermark closes
+    * that window. A streaming aggregation keyed by observed rows can
+    * never emit for input it did not receive — this works because
+    * `transformWithState` EVENT-TIME TIMERS fire on the GLOBAL
+    * watermark, which other (alive) keys keep advancing: the dead
+    * key's timer fires with no input and adjudicates its silent
+    * windows. Per-key liveness starts at the key's FIRST event
+    * (the operator pages on "was alive, went dead"; a type never seen
+    * has no key, which is the documented seeding contract — register
+    * baseline types with one synthetic control event at deploy time).
+    *
+    * Scale shape: state per key is one (emittedThrough, pending-seen-
+    * windows) pair — the seen list is bounded by the watermark delay
+    * divided by the window width, never by throughput; exactly one
+    * armed timer per key. */
+  def livenessMonitor(events: Dataset[Event]): Dataset[DeadWindow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.event_type)
+      .transformWithState(new LivenessProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Keeps the last adjudicated window and the with-data windows past
+    * it; every watermark advancement (input or timer) closes all
+    * windows whose end has passed and emits the silent ones. */
+  class LivenessProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, DeadWindow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[LivenessState] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      st = getHandle.getValueState[LivenessState]("liveness",
+        Encoders.product[LivenessState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def advance(key: String, newWins: Seq[Long], wm: Long)
+        : Iterator[DeadWindow] = {
+      val W = LivenessWinMs
+      val prior = if (st.exists()) Some(st.get()) else None
+      // a timer can only exist for a key that has state; guard anyway
+      if (prior.isEmpty && newWins.isEmpty) return Iterator.empty
+      // first sighting: liveness is adjudicated from this window on
+      val start = prior.map(_.emittedThrough)
+        .getOrElse(newWins.min - 1)
+      val seen = (prior.map(_.seen).getOrElse(Nil) ++ newWins)
+        .distinct.filter(_ > start)
+      // window w = [w·W, (w+1)·W) is closed once wm ≥ (w+1)·W
+      val lastClosed = math.max(wm / W - 1, start)
+      val dead = ((start + 1) to lastClosed)
+        .filterNot(seen.contains).map(DeadWindow(key, _))
+      st.update(LivenessState(lastClosed, seen.filter(_ > lastClosed)))
+      // always exactly one armed timer: the next window close keeps a
+      // silent key adjudicating off other keys' watermark progress
+      val expiry = (lastClosed + 2) * W
+      val prev = if (armed.exists()) Some(armed.get()) else None
+      if (!prev.contains(expiry)) {
+        prev.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(expiry)
+        armed.update(expiry)
+      }
+      dead.iterator
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[DeadWindow] =
+      advance(key, rows.map(_.ts.getTime / LivenessWinMs).toSeq.distinct,
+        timerValues.getCurrentWatermarkInMs())
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[DeadWindow] =
+      advance(key, Nil, timerValues.getCurrentWatermarkInMs())
   }
 }

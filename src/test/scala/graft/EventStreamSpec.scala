@@ -473,4 +473,55 @@ class EventStreamSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("livenessMonitor pages exactly the silent closed windows (dead-feed twin of q329)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val W = EventStream.LivenessWinMs
+      def ev(id: Long, t: String, win: Long): Event =
+        Event(id, new Timestamp(win * W + 1000L), 1L, t, 0.0)
+      // a: alive 0..12 (drives the watermark); b: silent 3..7 and 10;
+      // c: one event then dead forever (timers must fire with NO input)
+      val batches = Seq(
+        Seq(ev(1, "a", 0), ev(2, "b", 0), ev(3, "c", 0)),
+        Seq(ev(4, "a", 1), ev(5, "a", 2), ev(6, "a", 3), ev(7, "b", 1),
+          ev(8, "b", 2)),
+        Seq(ev(9, "a", 4), ev(10, "a", 5), ev(11, "a", 6), ev(12, "a", 7),
+          ev(13, "a", 8)),
+        Seq(ev(14, "a", 9), ev(15, "a", 10), ev(16, "a", 11),
+          ev(17, "a", 12), ev(18, "b", 8), ev(19, "b", 9)))
+      val mem = MemoryStream[Event]
+      val q = EventStream.livenessMonitor(mem.toDS())
+        .writeStream.format("memory").queryName("liveness")
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        val out = spark.table("liveness")
+          .as[EventStream.DeadWindow].collect()
+          .map(dw => (dw.event_type, dw.win)).toSet
+        // watermark after the last batch = 12·W + 1000 − 10 min ⇒ the
+        // last CLOSED window is 10; batch recompute of the documented
+        // per-key rule over the same feed:
+        val all = batches.flatten
+        val wm = all.map(_.ts.getTime).max - W
+        val lastClosed = wm / W - 1
+        val expect = all.groupBy(_.event_type).toSeq.flatMap { case (t, es) =>
+          val seen = es.map(_.ts.getTime / W).toSet
+          (seen.min + 1 to lastClosed).filterNot(seen).map(w => (t, w))
+        }.toSet
+        assert(lastClosed == 10L)
+        assert(out == expect, s"got $out expected $expect")
+        assert(out == Set(("b", 3L), ("b", 4L), ("b", 5L), ("b", 6L),
+          ("b", 7L), ("b", 10L)) ++ (1L to 10L).map(("c", _)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -145,6 +145,17 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$gdir/part.parquet")
       println(s"[probe] built 10x part dimension at $gdir")
     }
+    // SF-invariant dimensions (nation/region): copied verbatim — a 10×
+    // fact corpus still has 25 nations, and the round-11 HHI probe
+    // joins them. Separate existence check (older cached dirs lack
+    // them). Supplier s_nationkey shifts don't touch nation keys.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$gdir/nation.parquet/_SUCCESS"))) {
+      spark.read.parquet(s"$d1/nation.parquet").coalesce(1)
+        .write.mode("overwrite").parquet(s"$gdir/nation.parquet")
+      spark.read.parquet(s"$d1/region.parquet").coalesce(1)
+        .write.mode("overwrite").parquet(s"$gdir/region.parquet")
+      println(s"[probe] copied nation/region dimensions to $gdir")
+    }
     val gqs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("q126_pagerank" -> (Graph.pageRank _),
         // round-7 relational ops ride the same 10× lineitem/orders
@@ -695,7 +706,10 @@ object ScaleProbe {
         ("q334_asof_tolerance",
           graft.operators.TemporalJoins.asofJoinTolerance _, edir),
         ("q335_ooo_lateness", Queries.oooLateness _, edir),
-        ("q336_mutual_nn_components", Similarity.mutualNnComponents _, vdir))
+        ("q336_mutual_nn_components", Similarity.mutualNnComponents _, vdir),
+        ("q337_code_detect", TextAnalysis.codeDetect _, d10),
+        ("q338_rare_word_share", TextAnalysis.rareWordShare _, d10),
+        ("q339_props_schema", Queries.propsSchema _, edir))
       val rr = r11a.map { case (name, fn, dd) =>
         val t1 = min2(name, fn, d1)
         val t10 = min2(name, fn, dd)
