@@ -4389,6 +4389,168 @@ object Queries {
           " AS BIGINT) END").as("kurt_milli"))
       .orderBy(col("priority"))
 
+  /** q340: REVENUE CONCENTRATION (Lorenz points) — per market
+    * segment, rank customers by lifetime revenue into within-segment
+    * deciles and report each decile's customer count, revenue mass,
+    * share, and the cumulative share from the top — the top-decile
+    * concentration read ("the top 10% of customers carry X% of
+    * revenue") that HHI (q324, supplier side) and Gini (q232,
+    * document lengths) don't give at the customer grain. Decile cuts
+    * are ntile over (revenue DESC, custkey) — the deterministic
+    * tie-break makes the cut exact and oracle-replayable.
+    *
+    * Shape at 100 TB: one orders scan → customer hash-agg; BOTH
+    * windows (ntile, cumulative) partition by segment — never global
+    * (the q73 lesson); output is the fixed 5×10 grid. */
+  def revenueConcentration(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .join(Tables.customer(spark, d)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val wRank = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents").desc, col("o_custkey"))
+    val deciles = cust
+      .withColumn("decile", ntile(10).over(wRank).cast("long"))
+      .groupBy(col("c_mktsegment").as("segment"), col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+    val wCum = Window.partitionBy(col("segment")).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("segment"))
+    deciles
+      .withColumn("cum_cents", sum(col("cents")).over(wCum))
+      .withColumn("total_cents", sum(col("cents")).over(wTot))
+      .select(col("segment"), col("decile"), col("n_customers"),
+        col("cents"),
+        expr("(1000 * cents) div total_cents").as("share_pm"),
+        expr("(1000 * cum_cents) div total_cents").as("cum_share_pm"))
+      .orderBy(col("segment"), col("decile"))
+  }
+
+  /** q341: DIFFERENCE-IN-DIFFERENCES — the causal-inference primitive
+    * the test battery lacked: did urgent-priority line items' return
+    * rate move DIFFERENTLY across the PeriodSplitDate break than the
+    * rest's? DiD = (p₁₁ − p₁₀) − (p₀₁ − p₀₀) in exact ppm floors per
+    * cell, with the linear-probability-model standard error
+    * Var = Σ p̂ᵢ(1−p̂ᵢ)/nᵢ over the four cells (each cell's term one
+    * micro-floored cross-multiply: 10¹²·x(n−x)/n³) and z² in milli.
+    * q315 tests ONE group's drift; DiD nets out the common shock —
+    * the difference between "returns rose" and "returns rose MORE
+    * for urgent orders", which is the policy-relevant number.
+    * Degenerate cells report NULL via div-NULL on both engines.
+    *
+    * Shape at 100 TB: one fact scan → the 2×2 (group, period) cell
+    * grid → row-local arithmetic on 4 rows + a one-row scalar
+    * broadcast back onto the cells. */
+  def didReturns(spark: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        expr("CASE WHEN CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2" +
+          " THEN 1L ELSE 0L END").as("grp"),
+        expr(s"CASE WHEN l_shipdate < TIMESTAMP '$PeriodSplitDate'" +
+          " THEN 0L ELSE 1L END").as("period"),
+        expr("CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END").as("ret"))
+      .groupBy(col("grp"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("ret")).as("x"))
+      .withColumn("rate_ppm", expr("(1000000 * x) div n"))
+      .withColumn("var_micro", expr(
+        """CAST((1000000000000 * CAST(x AS DECIMAL(38,0)) * (n - x))
+           div (CAST(n AS DECIMAL(38,0)) * n * n) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+    val g = cells.agg(
+      sum(expr("CASE WHEN grp = 1 AND period = 1 THEN rate_ppm ELSE 0 END"))
+        .as("p11"),
+      sum(expr("CASE WHEN grp = 1 AND period = 0 THEN rate_ppm ELSE 0 END"))
+        .as("p10"),
+      sum(expr("CASE WHEN grp = 0 AND period = 1 THEN rate_ppm ELSE 0 END"))
+        .as("p01"),
+      sum(expr("CASE WHEN grp = 0 AND period = 0 THEN rate_ppm ELSE 0 END"))
+        .as("p00"),
+      sum(col("var_micro")).as("var_sum"),
+      min(col("n")).as("min_cell"))
+    cells.crossJoin(broadcast(g))
+      .select(col("grp"), col("period"), col("n"), col("x"),
+        col("rate_ppm"),
+        expr("(p11 - p10) - (p01 - p00)").as("did_ppm"),
+        expr("""CASE WHEN var_sum > 0 AND min_cell > 0 THEN
+             CAST((1000 * CAST((p11 - p10) - (p01 - p00) AS DECIMAL(38,0))
+                  * ((p11 - p10) - (p01 - p00)))
+               div var_sum AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("z2_milli"))
+      .orderBy(col("grp"), col("period"))
+  }
+
+  /** q342 design constants: two-sided α = 0.05 and 80% power — the
+    * standard z quantiles in milli (1.960, 0.842), CONSTANTS of the
+    * design, not data. */
+  val PowerZAlphaMilli = 1960L
+  val PowerZBetaMilli = 842L
+
+  /** q342: EXPERIMENT SIZING (power analysis) — the PROSPECTIVE twin
+    * of the whole retrospective battery: for every adjacent pair of
+    * order priorities, the per-group sample size needed to detect
+    * their OBSERVED return-rate difference at α = 0.05 two-sided with
+    * 80% power: n = (z_α + z_β)² · (p₁(1−p₁) + p₂(1−p₂)) / (p₁−p₂)²
+    * — one integer cross-multiply over ppm rates and milli z
+    * constants (ceiling division: the reported n always suffices),
+    * plus the feasibility verdict against the data actually on hand
+    * (observed min(n₁,n₂) ≥ required ⇒ the battery's verdict on this
+    * pair is POWERED; under it, a null result means nothing). No
+    * distribution function crosses the engines — z values are fixed
+    * design constants. Identical rates report NULL (no finite n
+    * detects a zero difference).
+    *
+    * Shape at 100 TB: one fact scan → 5-row priority grid → 4
+    * adjacent-pair rows of row-local arithmetic (a self-join on the
+    * tiny grid). */
+  def powerSampleSize(spark: SparkSession, d: String): DataFrame = {
+    val g = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+        .as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END"))
+          .as("x"))
+      .withColumn("p_ppm", expr("(1000000 * x) div n"))
+    val z2 = (PowerZAlphaMilli + PowerZBetaMilli) *
+      (PowerZAlphaMilli + PowerZBetaMilli) // milli² = 10⁻⁶ units
+    g.as("a").join(g.as("b"), expr("b.w = a.w + 1"))
+      .select(col("a.w").as("w_lo"), col("b.w").as("w_hi"),
+        col("a.n").as("n_lo"), col("b.n").as("n_hi"),
+        col("a.p_ppm").as("p_lo_ppm"), col("b.p_ppm").as("p_hi_ppm"),
+        expr("a.p_ppm - b.p_ppm").as("delta_ppm"),
+        // n = z²·(v1+v2)/δ²: z² in 10⁻⁶, v in ppm·(1−ppm)=10⁻¹²-scaled
+        // units, δ² in ppm² — the 10⁻⁶·10⁻¹²/10⁻¹² scales cancel to
+        // 10⁻⁶, so divide by 10⁶ last; ceiling so n always suffices
+        expr(s"""CASE WHEN a.p_ppm <> b.p_ppm THEN CAST(
+             (CAST($z2 AS DECIMAL(38,0))
+               * (CAST(a.p_ppm AS DECIMAL(38,0)) * (1000000 - a.p_ppm)
+                  + CAST(b.p_ppm AS DECIMAL(38,0)) * (1000000 - b.p_ppm))
+               + CAST(a.p_ppm - b.p_ppm AS DECIMAL(38,0))
+                 * (a.p_ppm - b.p_ppm) * 1000000 - 1)
+             div (CAST(a.p_ppm - b.p_ppm AS DECIMAL(38,0))
+                  * (a.p_ppm - b.p_ppm) * 1000000) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("n_required"),
+        expr("""CASE WHEN a.p_ppm <> b.p_ppm THEN
+             CASE WHEN least(a.n, b.n) >= CAST(
+               (CAST(""" + z2 + """ AS DECIMAL(38,0))
+                 * (CAST(a.p_ppm AS DECIMAL(38,0)) * (1000000 - a.p_ppm)
+                    + CAST(b.p_ppm AS DECIMAL(38,0)) * (1000000 - b.p_ppm))
+                 + CAST(a.p_ppm - b.p_ppm AS DECIMAL(38,0))
+                   * (a.p_ppm - b.p_ppm) * 1000000 - 1)
+               div (CAST(a.p_ppm - b.p_ppm AS DECIMAL(38,0))
+                    * (a.p_ppm - b.p_ppm) * 1000000) AS BIGINT)
+             THEN 1L ELSE 0L END END"""
+          .stripMargin.replace("\n", " ")).as("powered"))
+      .orderBy(col("w_lo"))
+  }
+
   /** q339: SEMI-STRUCTURED SCHEMA DISCOVERY — enumerate the JSON keys
     * actually present in the events `props` payload, per event type:
     * presence counts and shares, and each type's key-set size. q87

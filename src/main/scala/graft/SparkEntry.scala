@@ -773,6 +773,12 @@ object SparkEntry {
     "q338_rare_word_share" -> (TextAnalysis.rareWordShare _),
     // JSON key discovery over events.props (variant profiling)
     "q339_props_schema" -> (Queries.propsSchema _),
+    // Lorenz points: within-segment revenue deciles + top-share
+    "q340_revenue_concentration" -> (Queries.revenueConcentration _),
+    // difference-in-differences on return rates across the period break
+    "q341_did_returns" -> (Queries.didReturns _),
+    // prospective power analysis: per-group n to detect observed deltas
+    "q342_power_sample_size" -> (Queries.powerSampleSize _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -7836,5 +7842,92 @@ object SparkEntry {
         |  ((1000 * n_present) // n_events)::BIGINT AS present_share_pm,
         |  n_keys
         |FROM x ORDER BY event_type, kname""".stripMargin,
+    // q340: customer revenue rollup, within-segment ntile with the
+    // deterministic (revenue DESC, custkey) tie-break, cumulative
+    // share from the top.
+    "q340_revenue_concentration" ->
+      """WITH cu AS (SELECT o_custkey,
+        |      sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT cents
+        |      FROM orders GROUP BY 1),
+        |j AS (SELECT c_mktsegment segment, cu.o_custkey, cents,
+        |      ntile(10) OVER (PARTITION BY c_mktsegment
+        |        ORDER BY cents DESC, cu.o_custkey)::BIGINT decile
+        |      FROM cu JOIN customer ON c_custkey = cu.o_custkey),
+        |g AS (SELECT segment, decile, count(*)::BIGINT n_customers,
+        |      sum(cents)::BIGINT cents FROM j GROUP BY 1, 2),
+        |w AS (SELECT segment, decile, n_customers, cents,
+        |      sum(cents) OVER (PARTITION BY segment ORDER BY decile
+        |        ROWS UNBOUNDED PRECEDING)::BIGINT cum_cents,
+        |      sum(cents) OVER (PARTITION BY segment)::BIGINT total_cents
+        |      FROM g)
+        |SELECT segment, decile, n_customers, cents,
+        |  ((1000 * cents) // total_cents)::BIGINT AS share_pm,
+        |  ((1000 * cum_cents) // total_cents)::BIGINT AS cum_share_pm
+        |FROM w ORDER BY segment, decile""".stripMargin,
+    // q341: the 2x2 (group, period) grid, ppm rate floors, micro
+    // variance floors, one-row DiD scalar back onto the cells.
+    "q341_did_returns" -> {
+      val split = Queries.PeriodSplitDate
+      s"""WITH c AS (SELECT
+         |      (CASE WHEN substr(o_orderpriority, 1, 1)::INT <= 2
+         |        THEN 1 ELSE 0 END)::BIGINT grp,
+         |      (CASE WHEN l_shipdate < TIMESTAMP '$split' THEN 0 ELSE 1
+         |        END)::BIGINT period,
+         |      (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT ret
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |g AS (SELECT grp, period, count(*)::BIGINT n, sum(ret)::BIGINT x
+         |      FROM c GROUP BY 1, 2),
+         |m AS (SELECT *, ((1000000 * x) // n)::BIGINT rate_ppm,
+         |      ((1000000000000 * x::HUGEINT * (n - x))
+         |        // (n::HUGEINT * n * n))::BIGINT var_micro FROM g),
+         |t AS (SELECT
+         |      sum(CASE WHEN grp = 1 AND period = 1 THEN rate_ppm ELSE 0 END)
+         |        ::BIGINT p11,
+         |      sum(CASE WHEN grp = 1 AND period = 0 THEN rate_ppm ELSE 0 END)
+         |        ::BIGINT p10,
+         |      sum(CASE WHEN grp = 0 AND period = 1 THEN rate_ppm ELSE 0 END)
+         |        ::BIGINT p01,
+         |      sum(CASE WHEN grp = 0 AND period = 0 THEN rate_ppm ELSE 0 END)
+         |        ::BIGINT p00,
+         |      sum(var_micro)::BIGINT var_sum, min(n)::BIGINT min_cell
+         |      FROM m)
+         |SELECT grp, period, n, x, rate_ppm,
+         |  ((p11 - p10) - (p01 - p00))::BIGINT AS did_ppm,
+         |  (CASE WHEN var_sum > 0 AND min_cell > 0 THEN
+         |    (1000 * ((p11 - p10) - (p01 - p00))::HUGEINT
+         |          * ((p11 - p10) - (p01 - p00)))
+         |      // var_sum END)::BIGINT AS z2_milli
+         |FROM m, t ORDER BY grp, period""".stripMargin
+    },
+    // q342: the 5-row priority grid self-joined on adjacency; the
+    // ceiling cross-multiply with fixed z design constants.
+    "q342_power_sample_size" -> {
+      val z2 = (Queries.PowerZAlphaMilli + Queries.PowerZBetaMilli) *
+        (Queries.PowerZAlphaMilli + Queries.PowerZBetaMilli)
+      s"""WITH g AS (SELECT substr(o_orderpriority, 1, 1)::BIGINT w,
+         |      count(*)::BIGINT n,
+         |      sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT x
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |      GROUP BY 1),
+         |p AS (SELECT w, n, ((1000000 * x) // n)::BIGINT p_ppm FROM g),
+         |j AS (SELECT a.w w_lo, b.w w_hi, a.n n_lo, b.n n_hi,
+         |      a.p_ppm p_lo_ppm, b.p_ppm p_hi_ppm,
+         |      (a.p_ppm - b.p_ppm)::BIGINT delta_ppm,
+         |      (CASE WHEN a.p_ppm <> b.p_ppm THEN
+         |        ($z2::HUGEINT
+         |          * (a.p_ppm::HUGEINT * (1000000 - a.p_ppm)
+         |             + b.p_ppm::HUGEINT * (1000000 - b.p_ppm))
+         |          + (a.p_ppm - b.p_ppm)::HUGEINT
+         |            * (a.p_ppm - b.p_ppm) * 1000000 - 1)
+         |        // ((a.p_ppm - b.p_ppm)::HUGEINT
+         |             * (a.p_ppm - b.p_ppm) * 1000000) END)::BIGINT n_req
+         |      FROM p a JOIN p b ON b.w = a.w + 1)
+         |SELECT w_lo, w_hi, n_lo, n_hi, p_lo_ppm, p_hi_ppm, delta_ppm,
+         |  n_req AS n_required,
+         |  (CASE WHEN n_req IS NULL THEN NULL
+         |    WHEN least(n_lo, n_hi) >= n_req THEN 1 ELSE 0 END)::BIGINT
+         |    AS powered
+         |FROM j ORDER BY w_lo""".stripMargin
+    },
   )
 }

@@ -57,6 +57,9 @@ class PlanSweepSpec extends SparkSpec {
     // q330: the one-row pooled-MH-sums scalar broadcast back onto the
     // 5 stratum rows (q304's repeated-global pattern)
     "q330_mantel_haenszel" -> 1,
+    // q341: the one-row DiD/variance scalar broadcast back onto the
+    // 4 cell rows (q304's repeated-global pattern)
+    "q341_did_returns" -> 1,
     // q333: scalar-bounded broadcasts only — the week-range spine
     // explode × the 7-row dow range (re-instantiated in the perDow,
     // Σdr², and final branches of the tree — the q146 precedent), the

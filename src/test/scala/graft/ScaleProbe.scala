@@ -709,7 +709,10 @@ object ScaleProbe {
         ("q336_mutual_nn_components", Similarity.mutualNnComponents _, vdir),
         ("q337_code_detect", TextAnalysis.codeDetect _, d10),
         ("q338_rare_word_share", TextAnalysis.rareWordShare _, d10),
-        ("q339_props_schema", Queries.propsSchema _, edir))
+        ("q339_props_schema", Queries.propsSchema _, edir),
+        ("q340_revenue_concentration", Queries.revenueConcentration _, gdir),
+        ("q341_did_returns", Queries.didReturns _, gdir),
+        ("q342_power_sample_size", Queries.powerSampleSize _, gdir))
       val rr = r11a.map { case (name, fn, dd) =>
         val t1 = min2(name, fn, d1)
         val t10 = min2(name, fn, dd)
