@@ -4551,6 +4551,68 @@ object Queries {
       .orderBy(col("w_lo"))
   }
 
+  /** q343: LITTLE'S LAW AUDIT (L = λ·W) — the queueing identity every
+    * operations dashboard should reconcile and almost none does: over
+    * the observed calendar, the arrival rate λ (line items ordered
+    * per day, milli), the mean time-in-system W (order → ship days,
+    * milli), and the mean work-in-progress L (items ordered but not
+    * yet shipped, averaged over the day grid, milli) — then the
+    * consistency ratio 1000·L/(λ·W). Exactly 1000 only on a closed
+    * window; the deviation MEASURES the boundary effect (items in
+    * flight at the edges), so the ratio is the audit: a dashboard
+    * whose backlog, throughput, and latency tiles disagree by more
+    * than the edge mass has a definition bug. All three quantities
+    * fold exactly from per-day order/ship counts.
+    *
+    * Shape at 100 TB: one fact scan → TWO calendar-bounded day grids
+    * (ordered-count and shipped-count per day) → driver BigInt fold
+    * over the merged grid (the q308 discipline — the running backlog
+    * is a prefix sum over ≤ a few thousand days, never a global
+    * window over rows). */
+  def littleLawAudit(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+          .as("od"),
+        expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+          .as("sd"))
+    val grid = li.groupBy(col("od"), col("sd")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d0 = grid.map(_._1).min
+    val d1 = grid.flatMap(t => Seq(t._1, t._2)).max
+    val days = d1 - d0 + 1
+    val n = grid.map(_._3).sum
+    val wSumDays = grid.map(t => BigInt(t._2 - t._1) * t._3).sum
+    // backlog by sweep: arrivals at od, departures at sd (an item
+    // ships on sd, so it is IN the system on every day in [od, sd))
+    val delta = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    grid.foreach { case (od, sd, c) =>
+      delta(od) += c
+      delta(sd) -= c
+    }
+    var backlog = 0L
+    var lSumItemDays = BigInt(0)
+    (d0 to d1).foreach { day =>
+      backlog += delta(day)
+      lSumItemDays += backlog
+    }
+    val lambdaMilli = BigInt(1000) * n / days
+    val wMilli = BigInt(1000) * wSumDays / n
+    val lMilli = BigInt(1000) * lSumItemDays / days
+    // ratio = 1000·L/(λ·W), both sides in milli → scale by 10⁶/10⁶
+    val ratio = if (lambdaMilli > 0 && wMilli > 0)
+      Some((BigInt(1000000) * lMilli / (lambdaMilli * wMilli)).toLong)
+    else None
+    import spark.implicits._
+    Seq((days, n, lambdaMilli.toLong, wMilli.toLong, lMilli.toLong, ratio))
+      .toDF("n_days", "n_items", "lambda_milli", "w_milli", "l_milli",
+        "consistency_milli")
+  }
+
   /** q339: SEMI-STRUCTURED SCHEMA DISCOVERY — enumerate the JSON keys
     * actually present in the events `props` payload, per event type:
     * presence counts and shares, and each type's key-set size. q87

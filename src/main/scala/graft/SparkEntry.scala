@@ -779,6 +779,8 @@ object SparkEntry {
     "q341_did_returns" -> (Queries.didReturns _),
     // prospective power analysis: per-group n to detect observed deltas
     "q342_power_sample_size" -> (Queries.powerSampleSize _),
+    // Little's law reconciliation: backlog vs throughput x latency
+    "q343_little_law" -> (Queries.littleLawAudit _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -7929,5 +7931,38 @@ object SparkEntry {
          |    AS powered
          |FROM j ORDER BY w_lo""".stripMargin
     },
+    // q343: delta-sweep backlog over the day spine, exact milli
+    // lambda/W/L, the 10^6-scaled consistency ratio.
+    "q343_little_law" ->
+      """WITH li AS (SELECT
+        |      date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT od,
+        |      date_diff('day', DATE '1970-01-01', l_shipdate)::BIGINT sd
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (SELECT od, sd, count(*)::BIGINT c FROM li GROUP BY 1, 2),
+        |rng AS (SELECT min(od) d0, greatest(max(od), max(sd)) d1 FROM g),
+        |del AS (SELECT od AS dy, sum(c)::BIGINT dd FROM g GROUP BY 1
+        |      UNION ALL SELECT sd, -sum(c) FROM g GROUP BY sd),
+        |dd2 AS (SELECT dy, sum(dd)::BIGINT dd FROM del GROUP BY 1),
+        |spine AS (SELECT uw.dy FROM
+        |      (SELECT unnest(generate_series(d0, d1)) dy FROM rng) uw),
+        |bl AS (SELECT spine.dy, coalesce(dd2.dd, 0)::BIGINT dd FROM spine
+        |      LEFT JOIN dd2 ON dd2.dy = spine.dy),
+        |run AS (SELECT dy,
+        |      sum(dd) OVER (ORDER BY dy ROWS UNBOUNDED PRECEDING)::BIGINT
+        |        backlog FROM bl),
+        |tot AS (SELECT (SELECT d1 - d0 + 1 FROM rng)::BIGINT n_days,
+        |      (SELECT sum(c) FROM g)::BIGINT n_items,
+        |      (SELECT sum((sd - od)::HUGEINT * c) FROM g) w_sum,
+        |      (SELECT sum(backlog::HUGEINT) FROM run) l_sum),
+        |f AS (SELECT n_days, n_items,
+        |      ((1000 * n_items) // n_days)::BIGINT lambda_milli,
+        |      ((1000 * w_sum) // n_items)::BIGINT w_milli,
+        |      ((1000 * l_sum) // n_days)::BIGINT l_milli FROM tot)
+        |SELECT n_days, n_items, lambda_milli, w_milli, l_milli,
+        |  (CASE WHEN lambda_milli > 0 AND w_milli > 0 THEN
+        |    (1000000 * l_milli::HUGEINT)
+        |      // (lambda_milli::HUGEINT * w_milli) END)::BIGINT
+        |    AS consistency_milli
+        |FROM f""".stripMargin,
   )
 }

@@ -712,7 +712,8 @@ object ScaleProbe {
         ("q339_props_schema", Queries.propsSchema _, edir),
         ("q340_revenue_concentration", Queries.revenueConcentration _, gdir),
         ("q341_did_returns", Queries.didReturns _, gdir),
-        ("q342_power_sample_size", Queries.powerSampleSize _, gdir))
+        ("q342_power_sample_size", Queries.powerSampleSize _, gdir),
+        ("q343_little_law", Queries.littleLawAudit _, gdir))
       val rr = r11a.map { case (name, fn, dd) =>
         val t1 = min2(name, fn, d1)
         val t10 = min2(name, fn, dd)
