@@ -1854,4 +1854,43 @@ object Dedup {
         expr("(1000 * n_tokens) div tt").as("tokens_share_pm"))
       .orderBy(col("k"))
   }
+
+  /** q344: McNEMAR TEST on the dedup-method disagreement — q270
+    * reports the 2×2 (both / minhash_only / simhash_only) with each
+    * side's exact-Jaccard arbitration; this runs the PAIRED test that
+    * table implies: McNemar's χ²(1df) on the discordant counts,
+    * z² = (b−c)²/(b+c) in milli, the discordant odds b/c in milli,
+    * and the direction. The question it answers is the method
+    * DECISION q270 motivates: "do the two detectors disagree
+    * SYSTEMATICALLY (one strictly catches more), or symmetrically
+    * (random misses both ways)?" — a significant McNemar with
+    * b ≫ c says SimHash is leaving recall on the table, not just
+    * behaving differently. Degenerate (b + c = 0 or c = 0) report
+    * NULL via div-NULL on both engines.
+    *
+    * Shape at 100 TB: both inputs are the banded candidate+verify
+    * operators (never all-pairs); one full-outer join on the
+    * near-dup-pair-bounded sets, one 1-row agg. */
+  def mcnemarDedup(spark: SparkSession, d: String): DataFrame = {
+    val mh = minhashNearDup(spark, d).select(col("doc_a"), col("doc_b"))
+      .withColumn("im", lit(1L))
+    val sh = simhash(spark, d).select(col("doc_a"), col("doc_b"))
+      .withColumn("ish", lit(1L))
+    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("im"), lit(0L)).as("im"),
+        coalesce(col("ish"), lit(0L)).as("ish"))
+      .agg(sum(expr("im * ish")).as("n_both"),
+        sum(expr("im * (1 - ish)")).as("n_mh_only"),
+        sum(expr("ish * (1 - im)")).as("n_sh_only"))
+      .select(col("n_both"), col("n_mh_only"), col("n_sh_only"),
+        expr("""CASE WHEN n_mh_only + n_sh_only > 0 THEN
+             (1000 * (n_mh_only - n_sh_only) * (n_mh_only - n_sh_only))
+             div (n_mh_only + n_sh_only) END"""
+          .stripMargin.replace("\n", " ")).as("z2_milli"),
+        expr("CASE WHEN n_sh_only > 0 THEN" +
+          " (1000 * n_mh_only) div n_sh_only END").as("odds_milli"),
+        expr("CAST(CASE WHEN n_mh_only > n_sh_only THEN 1" +
+          " WHEN n_mh_only < n_sh_only THEN -1 ELSE 0 END AS BIGINT)")
+          .as("direction"))
+  }
 }

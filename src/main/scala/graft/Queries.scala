@@ -4551,6 +4551,58 @@ object Queries {
       .orderBy(col("w_lo"))
   }
 
+  /** q346: CRAMÉR–VON MISES two-sample test — per order priority, the
+    * WHOLE-CDF discrepancy between returned and kept fulfillment-lag
+    * distributions: T = Σ_v t_v·(m·C₁(v) − n·C₂(v))² / (N²·n·m) over
+    * the pooled (priority, lag) grid (C = cumulative counts, t_v =
+    * pooled mass at v, N = n+m), reported in milli via ONE
+    * cross-multiplied floor. The rank-sum (q302) detects LOCATION
+    * shift and KS (q219's statistic) the single worst CDF gap; CvM
+    * integrates the gap over the whole distribution — the test that
+    * fires when two samples differ in SHAPE (variance, tails) with
+    * equal medians. Degenerate groups (either sample empty) report
+    * NULL via div-NULL on both engines.
+    *
+    * Shape at 100 TB: one fact scan → (priority, lag) hash-agg; both
+    * cumulatives are windows INSIDE priority partitions over the
+    * value-bounded lag grid; the statistic is a 5-row rollup. The
+    * ppm-scaled square caps exact HUGEINT replay near SF50 (the q302
+    * ceiling argument). */
+  def cvmLag(spark: SparkSession, d: String): DataFrame = {
+    val h = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        expr("CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)").as("lag"))
+      .agg(sum(expr("CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END"))
+        .as("a"),
+        sum(expr("CASE WHEN l_returnflag = 'R' THEN 0L ELSE 1L END"))
+        .as("b"))
+    val wCum = Window.partitionBy(col("priority")).orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("priority"))
+    h.withColumn("c1", sum(col("a")).over(wCum))
+      .withColumn("c2", sum(col("b")).over(wCum))
+      .withColumn("n", sum(col("a")).over(wAll))
+      .withColumn("m", sum(col("b")).over(wAll))
+      .withColumn("term", expr(
+        """CAST(a + b AS DECIMAL(38,0))
+           * (CAST(m AS DECIMAL(38,0)) * c1 - CAST(n AS DECIMAL(38,0)) * c2)
+           * (CAST(m AS DECIMAL(38,0)) * c1 - CAST(n AS DECIMAL(38,0)) * c2)"""
+          .stripMargin.replace("\n", " ")))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).as("n_ret"), max(col("m")).as("n_kept"),
+        sum(col("term")).as("tsum"))
+      .select(col("priority"), col("n_ret"), col("n_kept"),
+        expr("""CASE WHEN n_ret > 0 AND n_kept > 0 THEN CAST(
+             (1000 * tsum) div
+             (CAST(n_ret + n_kept AS DECIMAL(38,0)) * (n_ret + n_kept)
+              * n_ret * n_kept) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("cvm_milli"))
+      .orderBy(col("priority"))
+  }
+
   /** q343: LITTLE'S LAW AUDIT (L = λ·W) — the queueing identity every
     * operations dashboard should reconcile and almost none does: over
     * the observed calendar, the arrival rate λ (line items ordered

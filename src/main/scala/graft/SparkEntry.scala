@@ -781,6 +781,12 @@ object SparkEntry {
     "q342_power_sample_size" -> (Queries.powerSampleSize _),
     // Little's law reconciliation: backlog vs throughput x latency
     "q343_little_law" -> (Queries.littleLawAudit _),
+    // McNemar paired test on the q270 dedup-method 2x2
+    "q344_mcnemar_dedup" -> (Dedup.mcnemarDedup _),
+    // function-word style cosine between sources (Mosteller-Wallace)
+    "q345_style_cosine" -> (TextAnalysis.styleCosine _),
+    // Cramer-von Mises whole-CDF two-sample test on fulfillment lag
+    "q346_cvm_lag" -> (Queries.cvmLag _),
   )
 
   /** Shared BPE-recurrence CTE prefix (q116/q117): the bounded
@@ -878,6 +884,36 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x JOIN bands y
        |         ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
        |sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Shared q270/q344 chain: the q23 verified-minhash pair set, the
+    * q24 simhash pair set, and their full-outer agreement
+    * categorization `pr` — extracted so the agreement TABLE (q270)
+    * and the McNemar TEST on it (q344) can never drift. */
+  private lazy val MethodAgreementCte: String =
+    s"""cmc AS (SELECT da, db, count(*) cm FROM cand
+       |      JOIN sh p ON p.doc_id = da
+       |      JOIN sh q ON q.doc_id = db AND q.h = p.h
+       |      GROUP BY da, db),
+       |mhp AS MATERIALIZED (SELECT da, db FROM cmc
+       |      JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+       |      WHERE cm / (x.sz + y.sz - cm) >= 0.5),
+       |th AS (SELECT doc_id, ${H("tok")} AS h FROM
+       |  (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) tok
+       |   FROM documents)),
+       |bits AS (SELECT doc_id, i,
+       |        CASE WHEN sum(((h // (1::BIGINT << i)) % 2) * 2 - 1) > 0
+       |             THEN (1::BIGINT << i) ELSE 0 END v
+       |        FROM th, generate_series(0, 31) g(i) GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, sum(v)::BIGINT s FROM bits GROUP BY doc_id),
+       |shp AS MATERIALIZED (SELECT a.doc_id da, b.doc_id db
+       |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.s, b.s)) <= 6),
+       |pr AS MATERIALIZED (SELECT coalesce(m.da, s.da) doc_a,
+       |        coalesce(m.db, s.db) doc_b,
+       |        CASE WHEN m.da IS NOT NULL AND s.da IS NOT NULL THEN 'both'
+       |             WHEN m.da IS NOT NULL THEN 'minhash_only'
+       |             ELSE 'simhash_only' END cat
+       |      FROM mhp m FULL JOIN shp s ON s.da = m.da AND s.db = m.db)""".stripMargin
 
   /** q148 oracle — the naive-Bayes held-out classification. ONE
     * definition, shared verbatim by q209's confusion matrix (the
@@ -5823,30 +5859,7 @@ object SparkEntry {
     // postings (left join — disjoint-set pairs score 0), 3-key agg.
     "q270_text_method_agreement" ->
       s"""WITH $MinhashCandCte,
-         |cmc AS (SELECT da, db, count(*) cm FROM cand
-         |      JOIN sh p ON p.doc_id = da
-         |      JOIN sh q ON q.doc_id = db AND q.h = p.h
-         |      GROUP BY da, db),
-         |mhp AS MATERIALIZED (SELECT da, db FROM cmc
-         |      JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
-         |      WHERE cm / (x.sz + y.sz - cm) >= 0.5),
-         |th AS (SELECT doc_id, ${H("tok")} AS h FROM
-         |  (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) tok
-         |   FROM documents)),
-         |bits AS (SELECT doc_id, i,
-         |        CASE WHEN sum(((h // (1::BIGINT << i)) % 2) * 2 - 1) > 0
-         |             THEN (1::BIGINT << i) ELSE 0 END v
-         |        FROM th, generate_series(0, 31) g(i) GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, sum(v)::BIGINT s FROM bits GROUP BY doc_id),
-         |shp AS MATERIALIZED (SELECT a.doc_id da, b.doc_id db
-         |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |      WHERE bit_count(xor(a.s, b.s)) <= 6),
-         |pr AS MATERIALIZED (SELECT coalesce(m.da, s.da) doc_a,
-         |        coalesce(m.db, s.db) doc_b,
-         |        CASE WHEN m.da IS NOT NULL AND s.da IS NOT NULL THEN 'both'
-         |             WHEN m.da IS NOT NULL THEN 'minhash_only'
-         |             ELSE 'simhash_only' END cat
-         |      FROM mhp m FULL JOIN shp s ON s.da = m.da AND s.db = m.db),
+         |$MethodAgreementCte,
          |ex AS (SELECT p.doc_a, p.doc_b, count(*)::BIGINT cm FROM pr p
          |      JOIN sh a ON a.doc_id = p.doc_a
          |      JOIN sh b ON b.doc_id = p.doc_b AND b.h = a.h
@@ -7964,5 +7977,74 @@ object SparkEntry {
         |      // (lambda_milli::HUGEINT * w_milli) END)::BIGINT
         |    AS consistency_milli
         |FROM f""".stripMargin,
+    // q344: the shared q270 chain, then the discordant-count test.
+    "q344_mcnemar_dedup" ->
+      s"""WITH $MinhashCandCte,
+         |$MethodAgreementCte,
+         |cnt AS (SELECT
+         |      sum(CASE WHEN cat = 'both' THEN 1 ELSE 0 END)::BIGINT n_both,
+         |      sum(CASE WHEN cat = 'minhash_only' THEN 1 ELSE 0 END)::BIGINT
+         |        n_mh_only,
+         |      sum(CASE WHEN cat = 'simhash_only' THEN 1 ELSE 0 END)::BIGINT
+         |        n_sh_only
+         |      FROM pr)
+         |SELECT n_both, n_mh_only, n_sh_only,
+         |  (CASE WHEN n_mh_only + n_sh_only > 0 THEN
+         |    (1000 * (n_mh_only - n_sh_only) * (n_mh_only - n_sh_only))
+         |      // (n_mh_only + n_sh_only) END)::BIGINT AS z2_milli,
+         |  (CASE WHEN n_sh_only > 0 THEN (1000 * n_mh_only) // n_sh_only
+         |   END)::BIGINT AS odds_milli,
+         |  (CASE WHEN n_mh_only > n_sh_only THEN 1
+         |    WHEN n_mh_only < n_sh_only THEN -1 ELSE 0 END)::BIGINT
+         |    AS direction
+         |FROM cnt""".stripMargin,
+    // q345: fixed function-word lexicon counts, bounded self-join on
+    // the word key, one squared-cosine floor per source pair.
+    "q345_style_cosine" -> {
+      val lex = TextAnalysis.StyleLexicon.map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (SELECT source,
+         |      unnest(regexp_split_to_array(text, ' ')) tok FROM documents),
+         |c AS (SELECT source, tok, count(*)::BIGINT c FROM w
+         |      WHERE tok IN ($lex) GROUP BY 1, 2),
+         |n AS (SELECT source, sum(c::HUGEINT * c) n2, sum(c)::BIGINT mass
+         |      FROM c GROUP BY 1),
+         |d AS (SELECT a.source source_a, b.source source_b,
+         |      sum(a.c::HUGEINT * b.c) dot FROM c a
+         |      JOIN c b ON b.tok = a.tok AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT source_a, source_b, x.mass AS mass_a, y.mass AS mass_b,
+         |  dot::BIGINT AS dot,
+         |  (CASE WHEN x.n2 > 0 AND y.n2 > 0 THEN
+         |    (1000000 * dot * dot) // (x.n2 * y.n2) END)::BIGINT AS cos2_ppm
+         |FROM d JOIN n x ON x.source = d.source_a
+         |JOIN n y ON y.source = d.source_b
+         |ORDER BY source_a, source_b""".stripMargin
+    },
+    // q346: pooled (priority, lag) grid, in-partition cumulatives,
+    // the single cross-multiplied CvM floor.
+    "q346_cvm_lag" ->
+      """WITH lg AS (SELECT o_orderpriority priority,
+        |      date_diff('day', o_orderdate, l_shipdate)::BIGINT lag,
+        |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END ret
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h AS (SELECT priority, lag, sum(ret)::BIGINT a,
+        |      sum(1 - ret)::BIGINT b FROM lg GROUP BY 1, 2),
+        |cw AS (SELECT priority, lag, a, b,
+        |      sum(a) OVER w1 ::BIGINT c1, sum(b) OVER w1 ::BIGINT c2,
+        |      sum(a) OVER w2 ::BIGINT n, sum(b) OVER w2 ::BIGINT m
+        |      FROM h
+        |      WINDOW w1 AS (PARTITION BY priority ORDER BY lag
+        |        ROWS UNBOUNDED PRECEDING),
+        |      w2 AS (PARTITION BY priority)),
+        |g AS (SELECT priority, max(n)::BIGINT n_ret, max(m)::BIGINT n_kept,
+        |      sum((a + b)::HUGEINT
+        |          * (m::HUGEINT * c1 - n::HUGEINT * c2)
+        |          * (m::HUGEINT * c1 - n::HUGEINT * c2)) tsum
+        |      FROM cw GROUP BY 1)
+        |SELECT priority, n_ret, n_kept,
+        |  (CASE WHEN n_ret > 0 AND n_kept > 0 THEN
+        |    (1000 * tsum) // ((n_ret + n_kept)::HUGEINT * (n_ret + n_kept)
+        |      * n_ret * n_kept) END)::BIGINT AS cvm_milli
+        |FROM g ORDER BY priority""".stripMargin,
   )
 }

@@ -1726,6 +1726,54 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** q345 style lexicon: the union of the three language stopword
+    * lists — a FIXED 21-token function-word feature vector, the
+    * classic authorship/style fingerprint basis (function words are
+    * topic-free, so their frequency profile reads STYLE). */
+  val StyleLexicon: Seq[String] = (stopEn ++ stopDe ++ stopEs).distinct
+
+  /** q345: SOURCE STYLE SIMILARITY — pairwise cosine² (ppm) between
+    * sources' function-word frequency profiles over the fixed
+    * StyleLexicon. q63's vocabulary Jaccard asks "do they share
+    * WORDS"; this asks "do they distribute the same FUNCTION words
+    * the same WAY" — the stylometric read (Mosteller–Wallace's
+    * function-word method) that survives topic shift, in exact
+    * integer arithmetic: counts are Longs, one cross-multiplied
+    * squared-cosine floor per pair (cosine of nonnegative vectors —
+    * no sign bookkeeping). A source with zero lexicon hits reports
+    * NULL rows via div-NULL on both engines.
+    *
+    * Shape at 100 TB: tokenize → (source, lexicon-word) hash-agg
+    * (the relation is |sources|×21, alphabet-bounded); the pair
+    * matrix is a self-join on the WORD key of that bounded relation.
+    * Nothing pairwise ever touches the corpus. */
+  def styleCosine(spark: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documentsDist(spark, d)
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .filter(col("w").isInCollection(StyleLexicon))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val norms = counts.groupBy(col("source"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("n2"),
+        sum(col("c")).as("mass"))
+    val dots = counts.as("a").join(counts.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(expr("CAST(a.c AS DECIMAL(38,0)) * b.c")).as("dot"))
+    dots
+      .join(norms.select(col("source").as("source_a"), col("n2").as("na2"),
+        col("mass").as("mass_a")), "source_a")
+      .join(norms.select(col("source").as("source_b"), col("n2").as("nb2"),
+        col("mass").as("mass_b")), "source_b")
+      .select(col("source_a"), col("source_b"),
+        col("mass_a"), col("mass_b"),
+        expr("CAST(dot AS BIGINT)").as("dot"),
+        expr("""CASE WHEN na2 > 0 AND nb2 > 0 THEN CAST(
+             (1000000 * dot * dot) div (na2 * nb2) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("cos2_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** q337 code-keyword lexicon: tokens that mark program text across
     * mainstream languages — fixed, documented, part of the rule. */
   val CodeKeywords = Seq("def", "return", "import", "class", "if",

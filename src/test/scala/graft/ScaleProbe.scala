@@ -713,7 +713,10 @@ object ScaleProbe {
         ("q340_revenue_concentration", Queries.revenueConcentration _, gdir),
         ("q341_did_returns", Queries.didReturns _, gdir),
         ("q342_power_sample_size", Queries.powerSampleSize _, gdir),
-        ("q343_little_law", Queries.littleLawAudit _, gdir))
+        ("q343_little_law", Queries.littleLawAudit _, gdir),
+        ("q344_mcnemar_dedup", Dedup.mcnemarDedup _, d10),
+        ("q345_style_cosine", TextAnalysis.styleCosine _, d10),
+        ("q346_cvm_lag", Queries.cvmLag _, gdir))
       val rr = r11a.map { case (name, fn, dd) =>
         val t1 = min2(name, fn, d1)
         val t10 = min2(name, fn, dd)
