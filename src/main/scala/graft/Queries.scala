@@ -4141,7 +4141,11 @@ object Queries {
         expr("""CAST((1000000 * rr) div
                (CAST(total_cents AS DECIMAL(38,0)) * total_cents) AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("hhi_ppm"),
-        expr("(1000000 * top_cents) div total_cents").as("top_share_ppm"))
+        // DECIMAL(38,0) like hhi_ppm in the same select: raw-Long
+        // 10⁶·top_cents would silently wrap past ~9e12 supplier
+        // cents while the oracle's HUGEINT raises — asymmetric.
+        expr("CAST((1000000 * CAST(top_cents AS DECIMAL(38,0)))" +
+          " div total_cents AS BIGINT)").as("top_share_ppm"))
       .withColumn("effective_suppliers_milli",
         expr("CASE WHEN hhi_ppm > 0 THEN (1000000000 div hhi_ppm) END"))
       .orderBy(col("nation"))
@@ -4385,7 +4389,17 @@ object Queries {
                 div (1000000000 * a2))
              AS BIGINT) END""".stripMargin.replace("\n", " "))
           .as("skew2_milli"),
-        expr("CASE WHEN a2 > 0 THEN CAST((1000 * a4) div (a2 * a2)" +
+        // kurtosis via the same ratio-first two-floor discipline:
+        // q = A₄ div A₂ (Long-sized ~5e17 at SF10 where 1000·A₄
+        // would silently NULL past DECIMAL(38,0)), then
+        // 1000·q div A₂ in DECIMAL. Two floors diverge from the
+        // single floor only within 1000/A₂ ≈ 1e-14 milli of an
+        // integer boundary, and the oracle runs the IDENTICAL
+        // chain, so cross-engine equality is exact. SF ceiling
+        // ~SF60: A₄ ≈ n⁴·m₄ itself crosses 38 digits near
+        // per-priority n ≈ 4e7 — documented like q302/q346.
+        expr("CASE WHEN a2 > 0 THEN CAST((1000 *" +
+          " CAST(a4 div a2 AS DECIMAL(38,0))) div a2" +
           " AS BIGINT) END").as("kurt_milli"))
       .orderBy(col("priority"))
 
@@ -4840,8 +4854,14 @@ object Queries {
       .agg(count(lit(1)).as("n"))
     val range = counts.agg((min(col("week")) + 1).as("w0"),
       (max(col("week")) - 1).as("w1"))
+    // Degenerate guard: a corpus spanning < 3 epoch-weeks has
+    // w0 = min+1 > w1 = max-1, where Spark's sequence() would count
+    // DOWN (phantom weeks) while DuckDB generate_series returns
+    // empty. greatest() + the week <= w1 filter makes both empty.
     val spine = broadcast(range)
-      .select(explode(expr("sequence(w0, w1)")).as("week"))
+      .select(explode(expr("sequence(w0, greatest(w0, w1))")).as("week"),
+        col("w1"))
+      .filter(col("week") <= col("w1")).drop("w1")
       .crossJoin(spark.range(7).select(col("id").as("dow")))
     val grid = spine.join(counts, Seq("week", "dow"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))

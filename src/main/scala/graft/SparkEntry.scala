@@ -7651,7 +7651,7 @@ object SparkEntry {
         |    (CASE WHEN a3 < 0 THEN -1 ELSE 1 END) *
         |    ((((1000000 * abs(a3)) // a2) * ((1000000 * abs(a3)) // a2))
         |      // (1000000000 * a2)) END)::BIGINT AS skew2_milli,
-        |  (CASE WHEN a2 > 0 THEN (1000 * a4) // (a2 * a2) END)::BIGINT
+        |  (CASE WHEN a2 > 0 THEN (1000 * (a4 // a2)) // a2 END)::BIGINT
         |    AS kurt_milli
         |FROM a ORDER BY priority""".stripMargin,
     // q332: per-customer 3-order pivot, |diff|-day histogram, doubled
