@@ -29,13 +29,31 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g, A/B-measured (round 11): bigger heaps HURT this workload —
-  // IsoBench q311 (per-round persist/unpersist churn) at 8g runs
-  // 14.3/7.8/7.1 s over 3 passes, at 16g 24.7/13.0/10.3, at 48g
-  // 21.4/39.3/66.9 (degrading per pass: G1 defers collection of the
-  // block-churn garbage until mixed collections stall the driver).
-  // The whole-suite bench confirmed: 375 s at 8g vs 446 s at 48g on
-  // the same host hour. Bench's env.heap_g records the value at the
-  // gate; override per-run via SPARK_DRIVER_MEM.
+  // 8g default; the gate may override via SPARK_DRIVER_MEM and the
+  // G1 flags below make the choice IRRELEVANT (round 12, measured).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Heap-size robustness (round 12). Mechanism, measured on this
+  // Firecracker-class VM: fresh page faults commit at ~25 MB/s
+  // (RSS growth sampled during -XX:+AlwaysPreTouch, which would need
+  // >1 h for 96g and was rejected). At -Xmx96g, stock G1 oscillates
+  // the COMMITTED heap (expand to ~20g on GCTimeRatio pressure, then
+  // uncommit at cycle end, then re-expand) and every re-committed
+  // page pays the ~25 MB/s fault cost again — IsoBench passes of
+  // 190-215 s on q192/q311 whose 8g truth is 5-9 s, and the r11 gate
+  // bench at heap_g=89 recorded q192 at 24.5 s vs 6.0 s clean.
+  // The four flags below pin the committed footprint small and
+  // MONOTONE: tolerate 20% GC time before expanding (GCTimeRatio=4),
+  // expand only when <5% free (MinHeapFreeRatio=5), NEVER uncommit
+  // (MaxHeapFreeRatio=100 — each page faults at most once), collect
+  // early so the small footprint suffices (IHOP=30), and 32m regions
+  // so cached-block arrays avoid humongous fragmentation. Measured
+  // (IsoBench 3-pass min, q192/q311): 96g stock = 10.9/25.7 s with
+  // 189/214 s outlier passes; 96g+flags = 4.7/8.7 s, committed peak
+  // 9.7g, no outliers; 8g+flags = 4.3/9.0 s. Heap no longer predicts
+  // performance; SPARK_GC_FLAGS appends per-run overrides for A/Bs.
+  "-XX:GCTimeRatio=4",
+  "-XX:MinHeapFreeRatio=5",
+  "-XX:MaxHeapFreeRatio=100",
+  "-XX:InitiatingHeapOccupancyPercent=30",
+  "-XX:G1HeapRegionSize=32m",
+) ++ sys.env.get("SPARK_GC_FLAGS").toSeq.flatMap(_.split("\\s+").toSeq)

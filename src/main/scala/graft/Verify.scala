@@ -13,6 +13,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // heap-invariant memory budget — see SessionTuning
+      .config("spark.memory.fraction", SessionTuning.memoryFractionConf)
       .config("spark.sql.session.timeZone", "UTC")
       // read parquet timestamps as LTZ (UTC session) so date functions and
       // unix_micros behave identically to the DuckDB oracle

@@ -296,6 +296,7 @@ object CurateStream {
       .appName("graft-curate-stream")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.memory.fraction", graft.SessionTuning.memoryFractionConf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -15,16 +15,21 @@ object IsoBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+    // heap-invariant memory budget (see SessionTuning); env overrides
+    // for A/B experiments
+    val b = b0.config("spark.memory.fraction",
+      sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION",
+        SessionTuning.memoryFractionConf))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val names = if (args.nonEmpty) args.toSeq else Seq("q119_winnow_overlap")

@@ -16,6 +16,8 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // heap-invariant memory budget — see SessionTuning
+      .config("spark.memory.fraction", SessionTuning.memoryFractionConf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
