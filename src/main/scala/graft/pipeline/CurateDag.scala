@@ -174,8 +174,15 @@ object CurateDag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // capstone timing (r12): one wall-clock number for the whole DAG
+      // plus the memo evidence — a second invocation on the same
+      // workRoot must execute only the always-rerun CurationReport.
+      val t0 = System.nanoTime()
       val executed = run(Ctx(spark, PbConf(dataRoot, workRoot)))
-      println(s"[curate] executed stages: ${executed.mkString(", ")}")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[curate] executed stages: ${executed.mkString(", ")}")
+      println(f"[curate] wall=$dt%.1f s, executed=${executed.size}, " +
+        s"memo_skipped=${executed.size == 1}")
     } finally spark.stop()
   }
 }
