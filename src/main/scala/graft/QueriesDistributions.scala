@@ -1672,4 +1672,38 @@ private[graft] trait QueriesDistributions {
         countDistinct(col("o_custkey")).as("n_customers"))
       .orderBy(col("segment"), col("burst_len"))
   }
+
+  /** q347: REPEAT-PURCHASE DISCRETE HAZARD — every consecutive
+    * inter-order gap per customer (q298 measures only the FIRST
+    * repeat's median), bucketed to weeks, with the life-table hazard
+    * h(w) = (1000·d(w)) div n_at_risk(w) in permille, where
+    * n_at_risk(w) counts the gaps ≥ w weeks (still "open" entering
+    * the bucket — the reverse-cumulative fold from the large end).
+    * The discrete-time cousin of q223's Kaplan–Meier moved from the
+    * user-lifetime clock to the PURCHASE-CYCLE clock: hazard-spike
+    * weeks are where reorder campaigns act, and the flat tail is the
+    * churn horizon q223 reads only in aggregate.
+    *
+    * Shape at 100 TB: the lag window partitions by o_custkey (never
+    * global) → one week-bucket hash-agg → ≤|weeks|-row driver fold
+    * (the q223/q308 calendar-bounded-fold discipline). */
+  def repeatHazard(spark: SparkSession, d: String): DataFrame = {
+    val grid = Tables.orders(spark, d)
+      .withColumn("gap", expr(
+        "CAST(datediff(o_orderdate, lag(o_orderdate, 1) OVER" +
+          " (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))" +
+          " AS BIGINT)"))
+      .filter(col("gap").isNotNull)
+      .groupBy(expr("gap div 7").as("wk")).agg(count(lit(1)).as("dd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var atRisk = 0L
+    val rows = grid.map { case (wk, dd) =>
+      atRisk += dd
+      (wk, dd, atRisk, 1000L * dd / atRisk)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("wk", "n_gaps", "at_risk", "hazard_pm")
+      .orderBy(col("wk"))
+  }
 }

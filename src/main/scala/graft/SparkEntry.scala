@@ -787,6 +787,8 @@ object SparkEntry {
     "q345_style_cosine" -> (TextAnalysis.styleCosine _),
     // Cramer-von Mises whole-CDF two-sample test on fulfillment lag
     "q346_cvm_lag" -> (Queries.cvmLag _),
+    "q347_repeat_hazard" -> (Queries.repeatHazard _),
+    "q348_source_tv" -> (TextAnalysis.sourceTvDistance _),
   )
 
   /** DuckDB oracle SQL for every key in `queries` not in `rowsOnly` —

@@ -1889,4 +1889,51 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_words"),
         expr("CAST(sum(lix_milli) div count(1) AS BIGINT)").as("mean_lix_milli"))
       .orderBy(col("source"), col("lix_bucket"))
+
+  /** q348: SOURCE TOTAL-VARIATION DISTANCE — the pairwise TV distance
+    * between per-source unigram FREQUENCY distributions, exactly:
+    * TV(p,q) = Σ_w |c1·T2 − c2·T1| div (2·T1·T2) scaled to ppm. The
+    * numerator splits as (matched-term mass) + (T1−S1)·T2 + (T2−S2)·T1,
+    * so ONLY the inner join on shared terms is ever materialized —
+    * never a per-pair full outer over the union vocabulary (S1/S2 are
+    * the matched-mass sums; each side's unmatched tail is recovered
+    * from its total algebraically). TV is the exact-rational
+    * divergence (KL/JS would put cross-engine logs in the value path);
+    * 0 = identical token mixes, 10⁶ = disjoint. Completes the
+    * source-similarity suite along the axis the others don't measure:
+    * Curation's source-pair Jaccard compares vocab SETS (presence),
+    * q345's style cosine compares 21 function words — this compares
+    * the full frequency MIXTURE, the statistic that moves when one
+    * source drifts topically while its vocabulary stays put.
+    *
+    * Shape at 100 TB: per-(source, term) hash-agg (map-side partials
+    * absorb per-doc repetition), then a term-keyed self-join whose
+    * pair mass is Σ_w df_w² ≤ |sources|²·|vocab| — alphabet-bounded,
+    * never corpus²; totals broadcast (one row per source). Magnitude:
+    * c·T ≤ 10⁶·10⁹ per matched term and 10⁶·num ≤ 2·10⁶·(T1·T2) ≈
+    * 2·10²⁴ — inside DECIMAL(38,0) to corpus sizes far past SF100. */
+  def sourceTvDistance(spark: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documentsDist(spark, d)
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val a = cnt.toDF("sa", "w", "ca")
+      .join(broadcast(tot.toDF("sa", "t1")), "sa")
+    val b = cnt.toDF("sb", "w", "cb")
+      .join(broadcast(tot.toDF("sb", "t2")), "sb")
+    a.join(b, "w").filter(col("sa") < col("sb"))
+      .groupBy(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(expr("abs(CAST(ca AS DECIMAL(38,0)) * t2" +
+          " - CAST(cb AS DECIMAL(38,0)) * t1)")).as("mabs"),
+        sum(col("ca")).as("s1"), sum(col("cb")).as("s2"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) *
+               (mabs + CAST(t1 - s1 AS DECIMAL(38,0)) * t2
+                     + CAST(t2 - s2 AS DECIMAL(38,0)) * t1))
+             div (2 * CAST(t1 AS DECIMAL(38,0)) * t2) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("tv_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

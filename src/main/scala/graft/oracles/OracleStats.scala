@@ -1250,5 +1250,21 @@ private[graft] object OracleStats {
         |    (1000 * tsum) // ((n_ret + n_kept)::HUGEINT * (n_ret + n_kept)
         |      * n_ret * n_kept) END)::BIGINT AS cvm_milli
         |FROM g ORDER BY priority""".stripMargin,
+    // q347: per-customer lag gaps, week-bucket histogram, reverse-
+    // cumulative at-risk fold, one permille floor per bucket.
+    "q347_repeat_hazard" ->
+      """WITH g AS (SELECT date_diff('day',
+        |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      o_orderdate)::BIGINT gap FROM orders),
+        |h AS (SELECT gap // 7 wk, count(*)::BIGINT n_gaps FROM g
+        |      WHERE gap IS NOT NULL GROUP BY 1),
+        |r AS (SELECT wk, n_gaps,
+        |      sum(n_gaps) OVER (ORDER BY wk DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |        AS at_risk FROM h)
+        |SELECT wk, n_gaps, at_risk,
+        |  ((1000 * n_gaps) // at_risk)::BIGINT AS hazard_pm
+        |FROM r ORDER BY wk""".stripMargin,
   )
 }

@@ -1045,5 +1045,26 @@ private[graft] object OracleText {
          |JOIN n y ON y.source = d.source_b
          |ORDER BY source_a, source_b""".stripMargin
     },
+    // q348: shared-term inner join only; each side's unmatched tail
+    // recovered from totals; one ppm floor in HUGEINT.
+    "q348_source_tv" ->
+      """WITH tok AS (SELECT source,
+        |      unnest(regexp_split_to_array(text, ' ')) w FROM documents),
+        |cnt AS (SELECT source, w, count(*)::BIGINT c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c)::BIGINT t FROM cnt GROUP BY 1),
+        |j AS (SELECT a.source sa, b.source sb, a.c ca, b.c cb,
+        |      ta.t t1, tb.t t2
+        |      FROM cnt a JOIN cnt b ON a.w = b.w AND a.source < b.source
+        |      JOIN tot ta ON ta.source = a.source
+        |      JOIN tot tb ON tb.source = b.source),
+        |s AS (SELECT sa src_a, sb src_b, t1, t2, count(*)::BIGINT n_shared,
+        |      sum(abs(ca::HUGEINT * t2 - cb::HUGEINT * t1)) mabs,
+        |      sum(ca)::BIGINT s1, sum(cb)::BIGINT s2
+        |      FROM j GROUP BY 1, 2, 3, 4)
+        |SELECT src_a, src_b, n_shared,
+        |  ((1000000::HUGEINT * (mabs + (t1 - s1)::HUGEINT * t2
+        |      + (t2 - s2)::HUGEINT * t1))
+        |    // (2::HUGEINT * t1 * t2))::BIGINT AS tv_ppm
+        |FROM s ORDER BY src_a, src_b""".stripMargin,
   )
 }

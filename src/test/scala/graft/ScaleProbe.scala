@@ -72,7 +72,9 @@ object ScaleProbe {
         "q174_winsorize" -> (Curation.winsorizedStats _),
         "q176_priority_sample" -> (Curation.prioritySample _),
         "q177_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
-        "q180_stratified_sample" -> (Curation.stratifiedPrioritySample _))
+        "q180_stratified_sample" -> (Curation.stratifiedPrioritySample _),
+        // round-12: pairwise source TV rides the salted doc replicas
+        "q348_source_tv" -> (TextAnalysis.sourceTvDistance _))
     // round-8 dedup-economics additions, probe-able without the full
     // dedup family re-run (q221 rides the q49 persisted label stage —
     // its first 10x pass pays that build; min-of-2 below measures warm)
@@ -186,7 +188,9 @@ object ScaleProbe {
         "q131_bfs_distances" -> (Graph.bfsDistances _),
         "q162_k_core" -> (Graph.kCore _),
         "q163_label_prop" -> (Graph.labelProp _),
-        "q178_personalized_pagerank" -> (Graph.personalizedPageRank _))
+        "q178_personalized_pagerank" -> (Graph.personalizedPageRank _),
+        // round-12: customer-keyed gap windows over the orders replicas
+        "q347_repeat_hazard" -> (Queries.repeatHazard _))
     val gratios = (if (fams("graph")) gqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, gdir)
