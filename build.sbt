@@ -56,4 +56,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:MaxHeapFreeRatio=100",
   "-XX:InitiatingHeapOccupancyPercent=30",
   "-XX:G1HeapRegionSize=32m",
-) ++ sys.env.get("SPARK_GC_FLAGS").toSeq.flatMap(_.split("\\s+").toSeq)
+) ++ sys.env.get("SPARK_GC_FLAGS").toSeq.flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

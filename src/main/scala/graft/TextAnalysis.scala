@@ -1897,7 +1897,9 @@ object TextAnalysis {
     * so ONLY the inner join on shared terms is ever materialized —
     * never a per-pair full outer over the union vocabulary (S1/S2 are
     * the matched-mass sums; each side's unmatched tail is recovered
-    * from its total algebraically). TV is the exact-rational
+    * from its total algebraically); a |sources|²-bounded pair spine
+    * built from the totals restores pairs with NO shared terms, which
+    * the inner join alone would drop (r12 ADVICE). TV is the exact-rational
     * divergence (KL/JS would put cross-engine logs in the value path);
     * 0 = identical token mixes, 10⁶ = disjoint. Completes the
     * source-similarity suite along the axis the others don't measure:
@@ -1917,21 +1919,31 @@ object TextAnalysis {
       .select(col("source"), explode(toks(col("text"))).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    // every unordered source pair, from the one-row-per-source totals
+    // (|sources|² broadcast NLJ — allowlisted, alphabet-bounded), so
+    // disjoint-vocabulary pairs surface with n_shared=0, tv_ppm=10⁶
+    // instead of silently vanishing from the inner join below
+    val pairs = tot.toDF("src_a", "t1")
+      .join(broadcast(tot.toDF("src_b", "t2")), col("src_a") < col("src_b"))
     val a = cnt.toDF("sa", "w", "ca")
       .join(broadcast(tot.toDF("sa", "t1")), "sa")
     val b = cnt.toDF("sb", "w", "cb")
       .join(broadcast(tot.toDF("sb", "t2")), "sb")
-    a.join(b, "w").filter(col("sa") < col("sb"))
-      .groupBy(col("sa").as("src_a"), col("sb").as("src_b"),
-        col("t1"), col("t2"))
-      .agg(count(lit(1)).as("n_shared"),
+    val shared = a.join(b, "w").filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("ns"),
         sum(expr("abs(CAST(ca AS DECIMAL(38,0)) * t2" +
           " - CAST(cb AS DECIMAL(38,0)) * t1)")).as("mabs"),
         sum(col("ca")).as("s1"), sum(col("cb")).as("s2"))
-      .select(col("src_a"), col("src_b"), col("n_shared"),
+    pairs.join(shared,
+        pairs("src_a") === shared("sa") && pairs("src_b") === shared("sb"),
+        "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("ns"), lit(0L)).as("n_shared"),
         expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) *
-               (mabs + CAST(t1 - s1 AS DECIMAL(38,0)) * t2
-                     + CAST(t2 - s2 AS DECIMAL(38,0)) * t1))
+               (coalesce(mabs, CAST(0 AS DECIMAL(38,0)))
+                     + CAST(t1 - coalesce(s1, 0) AS DECIMAL(38,0)) * t2
+                     + CAST(t2 - coalesce(s2, 0) AS DECIMAL(38,0)) * t1))
              div (2 * CAST(t1 AS DECIMAL(38,0)) * t2) AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("tv_ppm"))
       .orderBy(col("src_a"), col("src_b"))

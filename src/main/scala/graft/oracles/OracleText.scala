@@ -1045,26 +1045,31 @@ private[graft] object OracleText {
          |JOIN n y ON y.source = d.source_b
          |ORDER BY source_a, source_b""".stripMargin
     },
-    // q348: shared-term inner join only; each side's unmatched tail
-    // recovered from totals; one ppm floor in HUGEINT.
+    // q348: shared-term inner join for the matched mass; a totals-only
+    // pair spine restores zero-shared-vocabulary pairs (tv_ppm=10⁶);
+    // one ppm floor in HUGEINT.
     "q348_source_tv" ->
       """WITH tok AS (SELECT source,
         |      unnest(regexp_split_to_array(text, ' ')) w FROM documents),
         |cnt AS (SELECT source, w, count(*)::BIGINT c FROM tok GROUP BY 1, 2),
         |tot AS (SELECT source, sum(c)::BIGINT t FROM cnt GROUP BY 1),
+        |pairs AS (SELECT a.source src_a, a.t t1, b.source src_b, b.t t2
+        |      FROM tot a JOIN tot b ON a.source < b.source),
         |j AS (SELECT a.source sa, b.source sb, a.c ca, b.c cb,
         |      ta.t t1, tb.t t2
         |      FROM cnt a JOIN cnt b ON a.w = b.w AND a.source < b.source
         |      JOIN tot ta ON ta.source = a.source
         |      JOIN tot tb ON tb.source = b.source),
-        |s AS (SELECT sa src_a, sb src_b, t1, t2, count(*)::BIGINT n_shared,
+        |s AS (SELECT sa, sb, count(*)::BIGINT ns,
         |      sum(abs(ca::HUGEINT * t2 - cb::HUGEINT * t1)) mabs,
         |      sum(ca)::BIGINT s1, sum(cb)::BIGINT s2
-        |      FROM j GROUP BY 1, 2, 3, 4)
-        |SELECT src_a, src_b, n_shared,
-        |  ((1000000::HUGEINT * (mabs + (t1 - s1)::HUGEINT * t2
-        |      + (t2 - s2)::HUGEINT * t1))
-        |    // (2::HUGEINT * t1 * t2))::BIGINT AS tv_ppm
-        |FROM s ORDER BY src_a, src_b""".stripMargin,
+        |      FROM j GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, coalesce(s.ns, 0)::BIGINT AS n_shared,
+        |  ((1000000::HUGEINT * (coalesce(s.mabs, 0::HUGEINT)
+        |      + (p.t1 - coalesce(s.s1, 0))::HUGEINT * p.t2
+        |      + (p.t2 - coalesce(s.s2, 0))::HUGEINT * p.t1))
+        |    // (2::HUGEINT * p.t1 * p.t2))::BIGINT AS tv_ppm
+        |FROM pairs p LEFT JOIN s ON s.sa = p.src_a AND s.sb = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
   )
 }

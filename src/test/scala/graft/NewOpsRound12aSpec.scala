@@ -69,4 +69,32 @@ class NewOpsRound12aSpec extends SparkSpec {
     assert(tvPpm(srcs.head, srcs.head)._1 == 0L)
     assert(got.forall(r => r._4 >= 0 && r._4 <= 1000000))
   }
+
+  test("q348 emits disjoint-vocabulary pairs with n_shared=0, tv_ppm=10^6") {
+    // r12 ADVICE: the shared-term inner join alone drops pairs with no
+    // common vocabulary; the totals pair spine must restore them. The
+    // corpus fixtures never contain such a pair, so build one.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q348disjoint").toFile
+    try {
+      Seq(("alpha", "aa bb aa"), ("beta", "cc dd"), ("gamma", "aa ee"))
+        .toDF("source", "text")
+        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+      val got = TextAnalysis.sourceTvDistance(spark, dir.getAbsolutePath)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      // alpha∩beta = ∅ → exactly 10⁶; alpha∩gamma = {aa}; beta∩gamma = ∅
+      assert(got.map(r => (r._1, r._2, r._3)) ==
+        Seq(("alpha", "beta", 0L), ("alpha", "gamma", 1L), ("beta", "gamma", 0L)))
+      assert(got.filter(_._3 == 0L).forall(_._4 == 1000000L))
+      // alpha={aa:2,bb:1} t1=3, gamma={aa:1,ee:1} t2=2:
+      // num = |2·2−1·3| + |1·2−0| + |0−1·3| = 1+2+3 = 6 → 6·10⁶/12 = 500000
+      assert(got.find(r => r._1 == "alpha" && r._2 == "gamma").get._4 == 500000L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

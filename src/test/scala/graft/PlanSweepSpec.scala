@@ -60,6 +60,9 @@ class PlanSweepSpec extends SparkSpec {
     // q341: the one-row DiD/variance scalar broadcast back onto the
     // 4 cell rows (q304's repeated-global pattern)
     "q341_did_returns" -> 1,
+    // q348: the |sources|² pair spine from the one-row-per-source
+    // totals (r12 ADVICE — restores zero-shared-vocabulary pairs)
+    "q348_source_tv" -> 1,
     // q333: scalar-bounded broadcasts only — the week-range spine
     // explode × the 7-row dow range (re-instantiated in the perDow,
     // Σdr², and final branches of the tree — the q146 precedent), the

@@ -63,6 +63,29 @@ class RegistrationGateSpec extends AnyFunSuite {
         orphans.toSeq.sorted.mkString(", "))
   }
 
+  test("per-family oracle maps are key-disjoint") {
+    // oracleSql is a ++ of 8 per-family maps; a duplicate key across
+    // files would silently let the later map win. Disjointness holds
+    // iff the size of the concatenation equals the sum of the parts.
+    val parts = Seq(
+      "OracleCore" -> oracles.OracleCore.sql,
+      "OracleStats" -> oracles.OracleStats.sql,
+      "OracleDedup" -> oracles.OracleDedup.sql,
+      "OracleSim" -> oracles.OracleSim.sql,
+      "OracleText" -> oracles.OracleText.sql,
+      "OracleCuration" -> oracles.OracleCuration.sql,
+      "OracleGraph" -> oracles.OracleGraph.sql,
+      "OracleMultiOps" -> oracles.OracleMultiOps.sql,
+    )
+    val sum = parts.map(_._2.size).sum
+    if (sum != SparkEntry.oracleSql.size) {
+      val dupes = parts.flatMap { case (n, m) => m.keys.map(_ -> n) }
+        .groupBy(_._1).filter(_._2.size > 1)
+        .map { case (k, fs) => s"$k in ${fs.map(_._2).mkString("+")}" }
+      fail(s"oracle key duplicated across family files: ${dupes.mkString(", ")}")
+    }
+  }
+
   test("every rows-only reason names the spec that bounds it") {
     SparkEntry.rowsOnly.foreach { case (q, reason) =>
       assert(reason.toLowerCase.contains("spec"),
