@@ -43,6 +43,9 @@ object Bench {
     // 520 s run was indistinguishable from a regression at the gate).
     val calT: Double = SparkEntry.queries.get("q05_global_max")
       .flatMap(fn => time(fn).toOption).getOrElse(-1.0)
+    // the clean-machine calibration (q05 on an uncontended host) —
+    // the denominator reference for value_cal_adj below
+    val CalRef = 0.33
     // two passes for EVERY query, per-query minimum: robust to
     // transient host contention without hiding real costs. Round 10
     // proved the old skip-above-60s rule defeats its own purpose: a
@@ -158,8 +161,17 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val envJson = "," + "\"env\":{\"heap_g\":" + sec1c(heapG) +
       ",\"load\":" + sec1c(loadAvg) + ",\"cal\":" +
-      (if (calT >= 0) sec2(calT) else "null") + "}"
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"passes":$passJson$envJson,"sf":"$sfDir"}"""
+      (if (calT >= 0) sec2(calT) else "null") +
+      ",\"cal_ref\":" + sec2(CalRef) + "}"
+    // Cal-normalized total (r12 verdict): value × (cal_ref / cal), with
+    // cal_ref pinned at the clean-machine calibration. r12's gate read
+    // as a +2.8% regression purely because the host hour was 27% slower
+    // (cal 0.49 → 0.62); this number is the one a round-over-round
+    // comparison should use. Rides every rung (~25 B constant).
+    val calAdjJson =
+      if (calT > 0) ",\"value_cal_adj\":" + sec1c(total * (CalRef / calT))
+      else ""
+    val detail = s"""{"metric":"total","value":$total$calAdjJson,"unit":"sec","queries":$fullQs,"passes":$passJson$envJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench_detail.json write failed: $e") }
@@ -175,7 +187,7 @@ object Bench {
     // registry size, so it costs window space only when there is
     // something to say.
     def line(qj: String, fjx: String, extra: String = "", cold: String = coldJson) =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qj,"failures":$fjx$extra$cold$envJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)}$calAdjJson,"unit":"sec","queries":$qj,"failures":$fjx$extra$cold$envJson,"sf":"$sfDir"}"""
     // 1-decimal rung: past ~155 queries the 2-decimal map alone
     // overflows the window (159 × ~12 B > 1900), and whole seconds
     // flatten every sub-second query to 0 — 100 ms resolution keeps
