@@ -1662,4 +1662,78 @@ private[graft] trait QueriesAnalytics {
       .orderBy(col("priority"))
   }
 
+  /** q350: EXACT SHAPLEY ATTRIBUTION — game-theoretic credit
+    * assignment over the channel coalition, the axiomatic answer to
+    * the question q175 approximates with last-touch/linear
+    * heuristics. The unit is the (user, 7-day epoch bucket) EXPOSURE
+    * WINDOW — the per-user lifetime unit saturates on this corpus
+    * (every user eventually purchases), the windowed unit leaves both
+    * converted and unconverted cells in every exposure class. Each
+    * window contributes an exposure set T ⊆ {click, view, signup}
+    * (channels seen strictly before the window's first purchase; all
+    * the window's touches when it has none) and a conversion flag;
+    * the characteristic function v(S) = conversion rate among
+    * windows exposed ONLY within S (T ⊆ S); a channel's Shapley value
+    * φ(ch) = Σ_{S∌ch} |S|!(k−|S|−1)!/k! · (v(S∪{ch}) − v(S)) is the
+    * unique credit split satisfying efficiency/symmetry/dummy
+    * (Shapley 1953; Zhao et al.'s data-driven marketing-attribution
+    * formulation) — a DIFFERENT object from q175's per-conversion
+    * heuristics: it prices each channel's marginal lift over every
+    * coalition, so a channel that only converts when combined with
+    * another gets its interaction credit, which no single-touch rule
+    * can express.
+    *
+    * Exactness: rates are floored ppm; with k=3 the positional
+    * weights are sixths, so φ is emitted ×6 (`shapley_ppm_x6`) — the
+    * signed sum never divides, sidestepping the floor-vs-truncate
+    * divergence on negatives (the q289 sign lesson). Both engines
+    * replay the identical 8-subset fold.
+    *
+    * Shape at 100 TB: one (user, wk)-keyed equi-join (window-first-
+    * purchase ts onto events) + one (user, wk)-keyed conditional
+    * hash-agg → a ≤16-row (mask, converted) grid; the 2^k subset fold
+    * and the k·2^k Shapley sum are a driver fold over that grid (q347
+    * discipline). k is the channel alphabet (bounded), never the
+    * corpus. The epoch-nanos week bucket is pure integer division —
+    * no calendar function in either engine's value path. */
+  def shapleyAttribution(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsNs(spark, d)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        expr("ts div 86400000000000 div 7").as("wk"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("wk")).agg(min(col("ts")).as("pts"))
+    val pre = col("pts").isNull || col("ts") < col("pts")
+    val grid = ev.join(firstP, Seq("user_id", "wk"), "left")
+      .groupBy(col("user_id"), col("wk"))
+      .agg(
+        max(when(col("event_type") === "click" && pre, 1L).otherwise(0L)).as("b1"),
+        max(when(col("event_type") === "view" && pre, 2L).otherwise(0L)).as("b2"),
+        max(when(col("event_type") === "signup" && pre, 4L).otherwise(0L)).as("b4"),
+        max(when(col("pts").isNotNull, 1L).otherwise(0L)).as("conv"))
+      .groupBy((col("b1") + col("b2") + col("b4")).as("mask"), col("conv"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(x => (x.getLong(0).toInt, x.getLong(1), x.getLong(2)))
+    val cnt = Array.fill(8)(0L)
+    val cv = Array.fill(8)(0L)
+    grid.foreach { case (mask, conv, n) =>
+      cnt(mask) += n; if (conv == 1L) cv(mask) += n
+    }
+    def rate(s: Int): Long = {
+      val ts = (0 until 8).filter(t => (t & ~s) == 0)
+      val n = ts.map(cnt).sum
+      if (n == 0L) 0L else 1000000L * ts.map(cv).sum / n
+    }
+    val chans = Seq(1 -> "click", 2 -> "view", 4 -> "signup")
+    val w6 = Array(2L, 1L, 2L) // s!(k−s−1)!/k! in sixths, k=3, |S|=s
+    val out = chans.map { case (bit, name) =>
+      val phi6 = (0 until 8).filter(s => (s & bit) == 0).map { s =>
+        w6(Integer.bitCount(s)) * (rate(s | bit) - rate(s))
+      }.sum
+      val exposed = (0 until 8).filter(t => (t & bit) != 0)
+      (name, exposed.map(cnt).sum, exposed.map(cv).sum, phi6)
+    }
+    spark.createDataFrame(out)
+      .toDF("channel", "n_exposed", "n_conv_exposed", "shapley_ppm_x6")
+      .orderBy(col("channel"))
+  }
 }

@@ -1706,4 +1706,84 @@ private[graft] trait QueriesDistributions {
       .toDF("wk", "n_gaps", "at_risk", "hazard_pm")
       .orderBy(col("wk"))
   }
+
+  /** q349: BENJAMINI–HOCHBERG FDR CONTROL over the per-nation
+    * return-rate battery — the multiple-comparisons layer the ~60-test
+    * statistical suite has been missing: running one test per nation
+    * (25 hypotheses: does this nation's supplier return rate differ
+    * from the rest of the world?) at α=5% each inflates the family
+    * false-positive rate toward 1−0.95²⁵ ≈ 72%; BH's step-up rule
+    * (reject the k smallest p-values where k = max{i : p_(i) ≤ αi/m})
+    * controls the false DISCOVERY rate at α exactly, and is THE
+    * standard correction a pipeline sweeping hundreds of
+    * quality/drift tests per source must apply before alerting.
+    *
+    * Exactness: the per-nation 2×2 chi-square uses the margin
+    * identity ad−bc = r·N − n·R (one signed product, squared), all in
+    * DECIMAL-width integers; z = isqrt(10⁶·χ²_milli) via the exact
+    * corrected isqrt (q157/q289 discipline); the normal tail becomes
+    * a p-value in ppm through Abramowitz–Stegun 26.2.19 — a
+    * POLYNOMIAL rational approximation (no exp/ln in any engine):
+    * p = (1 + a₁z + a₂z² + a₃z³ + a₄z⁴)⁻⁴ two-sided, evaluated in
+    * micro fixed-point with floored divisions both engines replay
+    * digit-identically, z capped at 6 (beyond which p_ppm = 0
+    * anyway). |ε| ≤ 2.5·10⁻⁴ vs the true normal — the approximation
+    * IS the operator's definition, so cross-engine parity is exact
+    * even where the textbook tail differs in the 4th decimal. The BH
+    * step-up is pure integer cross-multiplication m·p ≤ α_ppm·i.
+    * SF ceiling (q331 discipline): 1000·N·(rN−nR)² stays inside
+    * DECIMAL(38,0)/HUGEINT to N ≈ 3·10⁷ lineitem rows (~SF5); past
+    * that the χ² chain needs a rescale, documented not silent.
+    *
+    * Shape at 100 TB: ONE broadcast dim join (supplier) + one
+    * 25-row hash-agg; everything after is a ≤|nations|-row driver
+    * fold (the q223/q347 grid-bounded-fold discipline) — no second
+    * corpus pass, no global window, no shuffle beyond the agg. */
+  def fdrReturns(spark: SparkSession, d: String): DataFrame = {
+    val rows = Tables.lineitem(spark, d)
+      .join(broadcast(Tables.supplier(spark, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .selectExpr("CAST(nk AS BIGINT) nk", "CAST(n AS BIGINT) n",
+        "CAST(r AS BIGINT) r")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    val nn = BigInt(rows.map(_._2).sum)
+    val rr = BigInt(rows.map(_._3).sum)
+    val m = rows.length.toLong
+    def isqrtL(x: Long): Long = {
+      var s = math.sqrt(x.toDouble).toLong
+      while (s > 0 && s * s > x) s -= 1
+      while ((s + 1) * (s + 1) <= x) s += 1
+      s
+    }
+    val scored = rows.map { case (nk, n, r) =>
+      val den = BigInt(n) * (nn - n) * rr * (nn - rr)
+      val chi2m =
+        if (den == 0) 0L
+        else ((BigInt(1000) * nn * (BigInt(r) * nn - BigInt(n) * rr)
+          .pow(2)) / den).toLong
+      val zc = math.min(isqrtL(1000L * chi2m), 6000L)
+      val t = 1000000L + 196854L * zc / 1000L + 115194L * zc * zc / 1000000L +
+        344L * zc * zc * zc / 1000000000L +
+        (BigInt(19527) * zc * zc * zc * zc / BigInt(1000000000000L)).toLong
+      val pppm = (BigInt(10).pow(30) / BigInt(t).pow(4)).toLong
+      (nk, n, r, chi2m, pppm)
+    }
+    val ranked = scored.sortBy(x => (x._5, x._1)).zipWithIndex
+      .map { case ((nk, n, r, chi2m, p), idx) => (nk, n, r, chi2m, p, idx + 1L) }
+    val kstar = ranked.collect {
+      case (_, _, _, _, p, i) if BigInt(m) * p <= BigInt(50000) * i => i
+    }.foldLeft(0L)(math.max)
+    val out = ranked.map { case (nk, n, r, chi2m, p, i) =>
+      (nk, n, r, chi2m, p, i, if (i <= kstar) 1L else 0L)
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("nationkey", "n_lines", "n_returns", "chi2_milli",
+        "p_ppm", "p_rank", "bh_reject")
+      .orderBy(col("nationkey"))
+  }
 }

@@ -789,6 +789,10 @@ object SparkEntry {
     "q346_cvm_lag" -> (Queries.cvmLag _),
     "q347_repeat_hazard" -> (Queries.repeatHazard _),
     "q348_source_tv" -> (TextAnalysis.sourceTvDistance _),
+    // Benjamini-Hochberg step-up FDR over the per-nation return battery
+    "q349_fdr_returns" -> (Queries.fdrReturns _),
+    // exact Shapley channel credit over the 2^k exposure-set grid
+    "q350_shapley_attribution" -> (Queries.shapleyAttribution _),
   )
 
   /** DuckDB oracle SQL for every key in `queries` not in `rowsOnly` —

@@ -1253,5 +1253,49 @@ private[graft] object OracleCore {
         |FROM r JOIN mo ON mo.brand = r.brand
         |WHERE rk = (np + 1) // 2
         |ORDER BY r.brand""".stripMargin,
+    // q350: per-(user, epoch-week) pre-first-purchase exposure mask,
+    // the 2^3 subset rate grid via a bit-test join, and the exact
+    // sixth-weighted Shapley sum (no division on the signed path).
+    // 7 - s == ~s on 3 bits; S + bit == S | bit because the join
+    // keeps S disjoint from bit.
+    "q350_shapley_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) tns,
+        |      epoch_ns(ts) // 86400000000000 // 7 wk FROM events),
+        |fp AS (SELECT user_id, wk, min(tns) pts FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |u AS (SELECT e.user_id, e.wk,
+        |      max(CASE WHEN e.event_type = 'click'
+        |        AND (f.pts IS NULL OR e.tns < f.pts) THEN 1 ELSE 0 END)
+        |      + max(CASE WHEN e.event_type = 'view'
+        |        AND (f.pts IS NULL OR e.tns < f.pts) THEN 2 ELSE 0 END)
+        |      + max(CASE WHEN e.event_type = 'signup'
+        |        AND (f.pts IS NULL OR e.tns < f.pts) THEN 4 ELSE 0 END)
+        |        AS mask,
+        |      max(CASE WHEN f.pts IS NOT NULL THEN 1 ELSE 0 END) conv
+        |      FROM e LEFT JOIN fp f ON f.user_id = e.user_id AND f.wk = e.wk
+        |      GROUP BY 1, 2),
+        |g AS (SELECT mask, conv, count(*)::BIGINT cnt FROM u GROUP BY 1, 2),
+        |sm AS (SELECT unnest(generate_series(0, 7)) s),
+        |v AS (SELECT sm.s, coalesce(sum(g.cnt), 0)::BIGINT n,
+        |      coalesce(sum(CASE WHEN g.conv = 1 THEN g.cnt ELSE 0 END), 0)::BIGINT c
+        |      FROM sm LEFT JOIN g ON (g.mask & (7 - sm.s)) = 0 GROUP BY 1),
+        |r AS (SELECT s, n, c,
+        |      CASE WHEN n = 0 THEN 0 ELSE (1000000 * c) // n END rate FROM v),
+        |ch(bit, channel) AS (VALUES (1, 'click'), (2, 'view'), (4, 'signup')),
+        |ph AS (SELECT ch.channel, ch.bit,
+        |      sum((CASE WHEN (r0.s & 1) + ((r0.s // 2) & 1) + ((r0.s // 4) & 1) = 1
+        |        THEN 1 ELSE 2 END) * (r1.rate - r0.rate))::BIGINT phi6
+        |      FROM ch JOIN r r0 ON (r0.s & ch.bit) = 0
+        |      JOIN r r1 ON r1.s = r0.s + ch.bit
+        |      GROUP BY 1, 2),
+        |ex AS (SELECT ch.channel,
+        |      sum(CASE WHEN (g.mask & ch.bit) != 0 THEN g.cnt ELSE 0 END)::BIGINT ne,
+        |      sum(CASE WHEN (g.mask & ch.bit) != 0 AND g.conv = 1
+        |        THEN g.cnt ELSE 0 END)::BIGINT nc
+        |      FROM ch, g GROUP BY 1)
+        |SELECT ph.channel, coalesce(ex.ne, 0) AS n_exposed,
+        |  coalesce(ex.nc, 0) AS n_conv_exposed, ph.phi6 AS shapley_ppm_x6
+        |FROM ph JOIN ex ON ex.channel = ph.channel
+        |ORDER BY ph.channel""".stripMargin,
   )
 }

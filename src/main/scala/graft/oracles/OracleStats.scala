@@ -1266,5 +1266,39 @@ private[graft] object OracleStats {
         |SELECT wk, n_gaps, at_risk,
         |  ((1000 * n_gaps) // at_risk)::BIGINT AS hazard_pm
         |FROM r ORDER BY wk""".stripMargin,
+    // q349: one supplier-dim join + nation agg; the 2x2 margin
+    // identity ad-bc = rN-nR; corrected isqrt; AS 26.2.19 polynomial
+    // tail in micro fixed-point; BH step-up by integer cross-multiply.
+    "q349_fdr_returns" ->
+      """WITH ag AS (SELECT s_nationkey nk, count(*)::BIGINT n,
+        |      sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT r
+        |      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |      GROUP BY 1),
+        |t0 AS (SELECT sum(n)::HUGEINT nn, sum(r)::HUGEINT rr,
+        |      count(*)::HUGEINT m FROM ag),
+        |x AS (SELECT nk, n, r, m,
+        |      CASE WHEN n * (nn - n) * rr * (nn - rr) = 0 THEN 0::HUGEINT
+        |        ELSE (1000 * nn * (r * nn - n * rr) * (r * nn - n * rr))
+        |          // (n * (nn - n) * rr * (nn - rr)) END AS chi2m
+        |      FROM ag, t0),
+        |s0 AS (SELECT *, floor(sqrt((1000 * chi2m)::DOUBLE))::HUGEINT q0 FROM x),
+        |s1 AS (SELECT *, CASE WHEN q0 * q0 > 1000 * chi2m THEN q0 - 1 ELSE q0 END q1 FROM s0),
+        |s2 AS (SELECT *, CASE WHEN (q1 + 1) * (q1 + 1) <= 1000 * chi2m
+        |      THEN q1 + 1 ELSE q1 END zm FROM s1),
+        |zc AS (SELECT *, least(zm, 6000::HUGEINT) z FROM s2),
+        |pt AS (SELECT *, (1000000 + (196854 * z) // 1000
+        |      + (115194 * z * z) // 1000000
+        |      + (344 * z * z * z) // 1000000000
+        |      + (19527 * z * z * z * z) // 1000000000000) AS t FROM zc),
+        |pv AS (SELECT nk, n, r, m, chi2m,
+        |      (1000000000000000000000000000000::HUGEINT // (t * t * t * t)) p_ppm
+        |      FROM pt),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY p_ppm, nk)::BIGINT i FROM pv),
+        |ks AS (SELECT max(CASE WHEN m * p_ppm <= 50000 * i THEN i ELSE 0 END) kstar
+        |      FROM rk)
+        |SELECT nk::BIGINT AS nationkey, n AS n_lines, r AS n_returns,
+        |  chi2m::BIGINT AS chi2_milli, p_ppm::BIGINT AS p_ppm, i AS p_rank,
+        |  (CASE WHEN i <= kstar THEN 1 ELSE 0 END)::BIGINT AS bh_reject
+        |FROM rk, ks ORDER BY nationkey""".stripMargin,
   )
 }

@@ -190,7 +190,9 @@ object ScaleProbe {
         "q163_label_prop" -> (Graph.labelProp _),
         "q178_personalized_pagerank" -> (Graph.personalizedPageRank _),
         // round-12: customer-keyed gap windows over the orders replicas
-        "q347_repeat_hazard" -> (Queries.repeatHazard _))
+        "q347_repeat_hazard" -> (Queries.repeatHazard _),
+        // round-13: one supplier-dim broadcast join + 25-row driver fold
+        "q349_fdr_returns" -> (Queries.fdrReturns _))
     val gratios = (if (fams("graph")) gqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, gdir)
@@ -235,7 +237,9 @@ object ScaleProbe {
         "q223_kaplan_meier" -> (Queries.kaplanMeier _),
         "q224_funnel_latency" -> (Queries.funnelLatency _),
         // round-8f: capped C(24,3) session fan-out, alphabet³ output
-        "q237_event_seq_triples" -> (Queries.eventSeqTriples _))
+        "q237_event_seq_triples" -> (Queries.eventSeqTriples _),
+        // round-13: (user, wk)-keyed exposure grid + 16-row driver fold
+        "q350_shapley_attribution" -> (Queries.shapleyAttribution _))
     val eratios = (if (fams("events")) eqs else Nil).map { case (name, fn) =>
       val t1 = math.min(time(name, fn, d1), time(name, fn, d1))
       val t10 = time(name, fn, edir)
