@@ -160,7 +160,12 @@ object ScaleProbe100 {
       ("q126_pagerank", Graph.pageRank _, D1, d10graph, d100graph),
       ("q311_harmonic_closeness", Graph.harmonicCloseness _, D1, d10graph, d100graph),
       ("q258_ktruss", Graph.kTruss _, D1, d10graph, d30graph),
-      ("q161_coreset_select", Similarity.coresetSelect _, D1, d10vec, d100vec))
+      ("q161_coreset_select", Similarity.coresetSelect _, D1, d10vec, d100vec),
+      // r13: the r12 gate's other heavies, absent from the probe set
+      // until now — the 100 TB claim should track whatever is heaviest
+      ("q163_label_prop", Graph.labelProp _, D1, d10graph, d100graph),
+      ("q290_shingle_ablation", Dedup.shingleSizeAblation _, D1, d10docs, d100docs),
+      ("q303_hits_bipartite", Graph.hitsBipartite _, D1, d10graph, d100graph))
 
     val rows = targets
       .filter { case (n, _, _, _, _) => only.isEmpty || only.exists(n.contains) }
