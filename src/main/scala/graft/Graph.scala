@@ -31,7 +31,7 @@ object Graph {
     * relation per query, so the fact-table join + distinct runs once
     * per data version and warm consumers (q126 PageRank, q131 BFS)
     * scan one parquet relation. */
-  private def tradeArcs(spark: SparkSession, d: String): DataFrame = {
+  private[graft] def tradeArcs(spark: SparkSession, d: String): DataFrame = {
     val p = SaltedIndex.dir(spark, "tradearcs", ArcIdxVersion,
       s"$d/lineitem.parquet",
       Seq("corpus" -> d,
@@ -67,8 +67,11 @@ object Graph {
     * dangling nodes (every node has outdeg ≥ 1 and appears as a dst),
     * so no dangling-mass redistribution term is needed.
     *
-    * Shape: the out-degree is folded into the arc relation ONCE
-    * (`arcs ⋈ deg`, cached) so each round is exactly one src-keyed hash
+    * Shape: the out-degree is folded into the arc relation
+    * (`arcs ⋈ deg`; re-derived per round by lineage — measured at
+    * sf0.1, caching the arc-sized relation costs more than the
+    * recompute, and at 100 TB a cache would round-trip disk anyway)
+    * so each round is exactly one src-keyed hash
     * join (rank ⋈ degree-carrying arcs, share computed per-arc — the
     * same `r div outdeg` value every arc of a node would get from a
     * separate node-keyed share join, minus that join) + one dst-keyed
@@ -82,11 +85,11 @@ object Graph {
     * bounded by nodes·1e6 — the `850 · sum` product would be
     * DECIMAL(38) there; plans unchanged. */
   def pageRank(spark: SparkSession, d: String): DataFrame = {
-    val e = CacheScope.cached(tradeArcs(spark, d))
+    val e = tradeArcs(spark, d)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // degree-carrying arcs: one extra int per arc buys back a per-round
     // node-keyed join — 5 joins saved over the recurrence
-    val ed = CacheScope.cached(e.join(deg, "src"))
+    val ed = e.join(deg, "src")
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to PageRankIters) {
       // lineage-truncate each round (lazy — no driver barrier): keeps
@@ -246,7 +249,7 @@ object Graph {
     * At 100 TB: per-round cost ∝ out-degree mass of the frontier —
     * the optimal BFS work bound. */
   def bfsDistances(spark: SparkSession, d: String): DataFrame = {
-    val e = CacheScope.cached(tradeArcs(spark, d))
+    val e = tradeArcs(spark, d)
     val seeds = CacheScope.cached(Tables.supplier(spark, d)
       .filter(col("s_nationkey") < 10)
       .select((col("s_suppkey") * 2).as("node"), lit(0L).as("dist")))
@@ -305,9 +308,11 @@ object Graph {
     // at a leaf instead of embedding this round's full lineage
     def truncate(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    var arcsP = tradeArcs(spark, d).persist()
-    arcsP.count() // full materialization before anything reads it
-    var arcs = truncate(arcsP)
+    // round 0's arc relation is a leaf parquet scan of the salted
+    // stage — nothing to persist or truncate (r13); later rounds'
+    // shrunken arc sets stay persisted+truncated as before
+    var arcsP: DataFrame = null
+    var arcs = tradeArcs(spark, d)
     // the node universe rides along explicitly: a node whose LAST
     // neighbor peels away vanishes from the arc relation, but it must
     // still peel (at degree 0) rather than silently leave the output
@@ -344,13 +349,16 @@ object Graph {
           .join(out.select(col("node").as("dst")), Seq("dst"), "left_anti")
           .persist()
         nextP.count()
-        arcsP.unpersist() // predecessor fully superseded — safe to drop
+        // predecessor fully superseded — safe to drop (round 0 has none)
+        if (arcsP != null) arcsP.unpersist()
         arcsP = nextP
         arcs = truncate(nextP)
       }
       r += 1
     }
-    CacheScope.adopt(arcsP) // the surviving-core arcs back the result
+    // the surviving-core arcs back the result (null if nothing peeled:
+    // arcs is then still the leaf parquet scan, nothing to release)
+    if (arcsP != null) CacheScope.adopt(arcsP)
     val coreDeg = arcs.groupBy(col("src")).agg(count(lit(1)).as("dg"))
     val core = nodes.join(coreDeg, col("node") === col("src"), "left")
       .select(col("node"), lit(0L).as("peel_round"),
@@ -387,7 +395,7 @@ object Graph {
     * lineage-truncate per round (CacheScope). At 100 TB this is the
     * canonical Pregel-style superstep as three relational ops. */
   def labelProp(spark: SparkSession, d: String): DataFrame = {
-    val e = CacheScope.cached(tradeArcs(spark, d))
+    val e = tradeArcs(spark, d)
     var lab = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to LabelPropRounds) {
@@ -429,7 +437,7 @@ object Graph {
     * every emitted pair; only hub-mediated candidate discovery is
     * sacrificed. All shuffles are node-keyed equi-joins/aggs. */
   def linkPredict(spark: SparkSession, d: String): DataFrame = {
-    val e = CacheScope.cached(tradeArcs(spark, d))
+    val e = tradeArcs(spark, d)
     val deg = CacheScope.cached(
       e.groupBy(col("src")).agg(count(lit(1)).as("dg")))
     val mid = deg.filter(col("dg") <= LinkDegCap).select(col("src").as("m"))
@@ -469,9 +477,9 @@ object Graph {
     * same cardinality the rank relation already has). Fixed rounds ⇒
     * one lazy plan, lineage-truncated per round. */
   def personalizedPageRank(spark: SparkSession, d: String): DataFrame = {
-    val e = CacheScope.cached(tradeArcs(spark, d))
+    val e = tradeArcs(spark, d)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = CacheScope.cached(e.join(deg, "src"))
+    val ed = e.join(deg, "src")
     val nodes = CacheScope.cached(deg.select(col("src").as("node"),
       when(col("src") % 2 === 0 && expr("(src div 2) % 5 = 0"), lit(1L))
         .otherwise(lit(0L)).as("seed")))
@@ -502,7 +510,7 @@ object Graph {
     * neighbor-exclusion anti-join are (src, dst)-keyed shuffles. No
     * iteration, no broadcast of anything node-sized. */
   def twoHopReach(spark: SparkSession, d: String): DataFrame = {
-    val e = CacheScope.cached(tradeArcs(spark, d))
+    val e = tradeArcs(spark, d)
     // fresh aliases on every leg: three self-joins of one cached plan
     // (the q196 shared-lineage discipline)
     val wedges = e.select(col("src").as("a"), col("dst").as("m"))
@@ -538,7 +546,7 @@ object Graph {
     * crosses 10³⁸ and the statistic would move to mean-centered
     * moments (r is affine-invariant), the documented petabyte path. */
   def degreeAssortativity(spark: SparkSession, d: String): DataFrame = {
-    val e = CacheScope.cached(tradeArcs(spark, d))
+    val e = tradeArcs(spark, d)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
     val xy = e
       .join(deg.toDF("src", "dx"), "src")
@@ -655,9 +663,11 @@ object Graph {
         Seq("p1", "p2"), "left")
       .select(col("p1"), col("p2"), coalesce(col("s0"), lit(0L)).as("s"))
 
-    val edgesP = coPurchaseEdges(spark, d).persist()
-    edgesP.count()
-    val edges0 = truncate(edgesP)
+    // the edge relation is a parquet read of the persisted salted
+    // stage — its "lineage" is already a leaf scan, so no persist or
+    // truncation (r13: the persist+count+df.rdd round-trip cost ~2.7 s
+    // at sf0.1 and bought nothing)
+    val edges0 = coPurchaseEdges(spark, d)
 
     // ---- round 1: FUSED support count, NO triangle materialization
     // (r13 optimization). The full graph's triangle set is mostly
@@ -680,7 +690,6 @@ object Graph {
     // round's support persisted and adopt them together at return.
     var keep = List[DataFrame](supP)
     var sup = truncate(supP)
-    edgesP.unpersist()
 
     // survivor triangle relation, materialized lazily by the first
     // rebuild arm (null until then)
@@ -798,7 +807,7 @@ object Graph {
     * k one membership-filtered edge count over the edge relation.
     * |Ks| bounded passes; each is a codegen'd scan-and-count. */
   def richClub(spark: SparkSession, d: String): DataFrame = {
-    val pairs = CacheScope.cached(coPurchaseEdges(spark, d))
+    val pairs = coPurchaseEdges(spark, d)
     val deg = pairs.select(col("p1").as("node"))
       .union(pairs.select(col("p2").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("dg"))
@@ -851,7 +860,7 @@ object Graph {
     * collect re-entering as a literal. 10⁶·|num| ≤ 8·10⁶·m² — routed
     * DECIMAL(38,0), exact to m ~ 2·10¹⁵ edges. */
   def brandModularity(spark: SparkSession, d: String): DataFrame = {
-    val pairs = CacheScope.cached(coPurchaseEdges(spark, d))
+    val pairs = coPurchaseEdges(spark, d)
     val brand = Tables.part(spark, d)
       .select(col("p_partkey").as("node"), col("p_brand").as("b"))
     val m = pairs.count() // 1-row scalar, the q276 bounded contract
@@ -909,9 +918,11 @@ object Graph {
     * join + ONE node-keyed hash aggregate (the q126 shape — linear in
     * edges, no quadratic pairing); the two final totals are scalar
     * aggregates broadcast back (one-row nested-loop joins, allowlisted
-    * like every scalar broadcast in the surface). Rounds close under
-    * [[Recurrence.round]], so lineage/fault-tolerance follows the
-    * session's recurrence mode. */
+    * like every scalar broadcast in the surface). The 3-round chain
+    * stays one lazy plan with plain (un-persisted) round states: each
+    * state is node-sized and referenced once, AQE broadcasts it into
+    * the edge join, and a lost executor recomputes at most the 6-stage
+    * lineage. */
   def hitsBipartite(spark: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(spark, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -919,16 +930,23 @@ object Graph {
       .select(col("o_orderkey").as("ok2"), col("o_custkey").as("c"))
     val e = CacheScope.cached(li.join(os, col("ok") === col("ok2"))
       .select(col("c"), col("p")).distinct())
-    // hub0 = 1 per customer, so round-1 authority is the part degree
-    var a = Recurrence.round(e.groupBy(col("p"))
-      .agg(expr("CAST(count(1) AS DECIMAL(38,0))").as("a")))
-    var h = Recurrence.round(e.join(a, "p").groupBy(col("c"))
-      .agg(sum(col("a")).as("h")))
+    // hub0 = 1 per customer, so round-1 authority is the part degree.
+    // Rounds stay PLAIN lazy (r13): each state is referenced exactly
+    // once by the next round, so the plan grows linearly, and leaving
+    // the 20k-row states as ordinary shuffle stages lets AQE see their
+    // real size and broadcast them into the edge joins — a per-round
+    // InMemoryRelation hid the size and forced sort-merge over the
+    // 570k-row cached edge relation every iteration (measured 9.5-12 s
+    // vs 6.4-7.0 s at sf0.1).
+    var a = e.groupBy(col("p"))
+      .agg(expr("CAST(count(1) AS DECIMAL(38,0))").as("a"))
+    var h = e.join(a, "p").groupBy(col("c"))
+      .agg(sum(col("a")).as("h"))
     for (_ <- 2 to HitsIters) {
-      a = Recurrence.round(e.join(h, "c").groupBy(col("p"))
-        .agg(sum(col("h")).as("a")))
-      h = Recurrence.round(e.join(a, "p").groupBy(col("c"))
-        .agg(sum(col("a")).as("h")))
+      a = e.join(h, "c").groupBy(col("p"))
+        .agg(sum(col("h")).as("a"))
+      h = e.join(a, "p").groupBy(col("c"))
+        .agg(sum(col("a")).as("h"))
     }
     // both finals feed two consumers (total + output rows): cache so
     // the last round computes once (the q192 multi-consumer lesson)
@@ -968,68 +986,70 @@ object Graph {
     * the sampled supplier base"). Nodes reaching no seed within the
     * horizon are absent, like q131's unreached nodes.
     *
-    * Shape at 100 TB: multi-source BFS carries (seed, node, dist)
-    * state — |seeds|·|reach| rows, bounded by the PINNED sample size
-    * (measured: an unpinned mod-5 seed set made the state grow with
-    * the graph and cost ~50 s at sf0.1; 64 pinned seeds keep BFS work
-    * linear in arcs) — with one keyed join + min-agg per round
-    * (q131's relaxation under [[Recurrence.round]]); the closeness
-    * fold is one node-keyed agg. */
+    * Shape at 100 TB: BIT-PARALLEL multi-source BFS — per node the
+    * per-seed state is one 64-bit mask (the sample is PINNED at 64;
+    * an unpinned mod-5 seed set made the state grow with the graph
+    * and cost ~50 s at sf0.1), so each round is one arcs-keyed join +
+    * a bit_or hash-agg (map-side partial collapses the arc fan-in to
+    * ≤ |nodes| rows per partition) + a node-keyed full join carrying
+    * the running harmonic totals; work is linear in arcs per round
+    * and no (seed, node) pair relation ever materializes. */
   def harmonicCloseness(spark: SparkSession, d: String): DataFrame = {
-    // kTruss's manual persist discipline, NOT CacheScope.cached: the
-    // rounds below run their own internal actions, and CacheScope's
-    // contract releases a registered cache after the NEXT completed
-    // action — round 2 would find the arcs (and round 1's state)
-    // evicted and silently recompute the whole prefix per round
-    // (measured: 10-20 s at sf0.1 in three lazy/cached variants; this
-    // form runs ~2 s). Everything still-persisted at return is adopted
-    // into CacheScope, so the CALLER's terminal action releases it.
-    val e = tradeArcs(spark, d).persist()
+    val e = tradeArcs(spark, d)
     // PINNED sample: the lowest HarmonicSeeds eligible supplier nodes —
     // the q279 deployment model (corpus grows, the probe constituency
-    // does not), and the knob that keeps the (seed, node) state linear
-    // in the graph instead of quadratic. TakeOrdered over the
-    // supplier-dimension-bounded eligible set, never a corpus sort.
+    // does not). TakeOrdered over the supplier-dimension-bounded
+    // eligible set, never a corpus sort.
+    //
+    // BIT-PARALLEL multi-source BFS (round 13): with the sample pinned
+    // at 64, the per-node per-seed reachability state is ONE Long
+    // bitmask (seed k ↦ bit k by seed rank), so the recurrence never
+    // materializes (seed, node, dist) pairs at all. The old
+    // frontier-pair form was exact but its hop-3/4 expansions
+    // generated tens of millions of pre-distinct rows (64 seeds ×
+    // ~16k nodes × ~73 mean degree at sf0.1 — measured 9.6 s warm /
+    // 29.8 s cold); each round here is ONE arcs-keyed join + a
+    // bit_or hash-agg whose partial (map-side) aggregation collapses
+    // the arc fan-in to ≤ |nodes| rows per partition, plus a
+    // node-keyed full join carrying the running totals. A bit enters
+    // a node's mask exactly at its BFS distance (masks grow
+    // monotonically), so newly-set bits at hop h contribute
+    // popcount · (1000 div h) — identical semantics, and the whole
+    // 4-round recurrence is back to ONE lazy plan (no per-round
+    // driver barrier; Recurrence.round lineage-truncates). At >64
+    // seeds the mask generalizes to an array of words, same plan.
     val seeds = e.select(col("src")).distinct()
       .filter(expr("src % 2 = 0 AND (src div 2) % 5 = 0"))
       .orderBy(col("src")).limit(HarmonicSeeds)
-      .select(col("src").as("seed"))
-    // FRONTIER-ONLY expansion, eagerly materialized + lineage-severed
-    // per round: the relax-everything form re-expands the full settled
-    // state × avg-degree every round (pure waste — BFS layering means
-    // a settled pair's distance never improves), and a lazy chain
-    // references each round twice, analyzing a 2^rounds-inlined tree
-    // (78 s cold, measured). Frontier expansion + anti-join + sever
-    // does each discovery exactly once.
-    def mat(df: DataFrame): (DataFrame, DataFrame) = {
-      val p = df.persist()
-      p.count()
-      (spark.createDataFrame(p.rdd, p.schema), p)
-    }
-    // the settled set is never materialized as its own relation — it is
-    // the lazy union of the (cached, severed) per-layer frontiers, so
-    // each round costs exactly ONE action (discover the next layer)
-    val (d0, d0P) = mat(seeds.select(col("seed"), col("seed").as("node"),
-      lit(0L).as("dist")))
-    var layers = List(d0)
-    var persisted = List(d0P)
-    var frontier = d0
+      .select(col("src").as("node"),
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("src"))) - 1)
+          .as("bit"))
+    // state: (node, reached mask, harmonic_milli so far, seeds reached
+    // so far); dist-0 self-bits seed the masks but never score (the
+    // dist > 0 contract) — monotone masks mean they can't re-enter
+    var state = Recurrence.round(seeds.select(col("node"),
+      expr("shiftleft(1L, cast(bit as int))").as("reached"),
+      lit(0L).as("harm"), lit(0L).as("nsr")))
     for (h <- 1 to BfsRounds) {
-      val settled = layers.reduce(_ unionAll _).select(col("seed"), col("node"))
-      val (nf, nfP) = mat(frontier.join(e, col("node") === col("src"))
-        .select(col("seed"), col("dst").as("node")).distinct()
-        .join(settled, Seq("seed", "node"), "left_anti")
-        .select(col("seed"), col("node"), lit(h.toLong).as("dist")))
-      layers :+= nf
-      persisted :+= nfP
-      frontier = nf
+      val nbr = e.join(state.select(col("node").as("j"), col("reached")),
+          col("src") === col("j"))
+        .groupBy(col("dst")).agg(expr("bit_or(reached)").as("m"))
+        .select(col("dst").as("node"), col("m"))
+      state = Recurrence.round(
+        state.join(nbr, Seq("node"), "full")
+          .select(col("node"),
+            expr("coalesce(reached, 0L) | coalesce(m, 0L)").as("reached"),
+            (coalesce(col("harm"), lit(0L)) +
+              expr(s"bit_count(coalesce(m, 0L) & ~coalesce(reached, 0L))") *
+                lit(1000L / h)).as("harm"),
+            (coalesce(col("nsr"), lit(0L)) +
+              expr(s"bit_count(coalesce(m, 0L) & ~coalesce(reached, 0L))"))
+              .as("nsr")))
     }
-    CacheScope.adopt(e)
-    persisted.foreach(CacheScope.adopt)
-    layers.reduce(_ unionAll _).filter(col("dist") > 0)
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_seeds_reached"),
-        sum(expr("1000 div dist")).as("harmonic_milli"))
+    state.filter(col("nsr") > 0)
+      .select(col("node"), col("nsr").as("n_seeds_reached"),
+        col("harm").as("harmonic_milli"))
       .orderBy(col("node"))
   }
 }
