@@ -1793,13 +1793,20 @@ object Dedup {
     * stop-shingle argument), and 2 one-row aggregates folded on the
     * driver (bounded collects). Output is |grid| = 3 rows. */
   def shingleSizeAblation(spark: SparkSession, d: String): DataFrame = {
-    val docs = CacheScope.cached(Tables.documentsDist(spark, d)
-      .select(col("doc_id"), col("source"), col("text")))
+    // MANUAL persist lifecycle, not CacheScope.cached (r13): each grid
+    // point runs TWO internal actions (df stats, pair stats), and the
+    // CacheScope contract releases a registered cache after the FIRST
+    // completed action — so the expensive pair join was recomputing
+    // the shingle pass uncached. The kernel shingle relation and the
+    // df relation are persisted across both actions and released
+    // before the next grid point.
     val rows = AblationNs.map { n =>
-      val g = CacheScope.cached(docs.select(col("doc_id"), col("source"),
-        explode(graft.functions.GraftFunctions.shingleHashes(
-          split(col("text"), " "), n)).as("h")))
-      val dfRel = g.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val g = Tables.documentsDist(spark, d)
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.GraftFunctions.shingleHashes(
+            split(col("text"), " "), n)).as("h"))
+        .persist()
+      val dfRel = g.groupBy(col("h")).agg(count(lit(1)).as("df")).persist()
       val dfStats = dfRel.agg(count(lit(1)),
         sum(when(col("df") > AblationDfCap, 1L).otherwise(0L))).head()
       val kept = dfRel.filter(col("df") <= AblationDfCap).select(col("h"))
@@ -1811,6 +1818,7 @@ object Dedup {
         .distinct()
         .agg(sum(when(col("same"), 1L).otherwise(0L)),
           sum(when(!col("same"), 1L).otherwise(0L))).head()
+      g.unpersist(); dfRel.unpersist()
       val within = if (pairStats.isNullAt(0)) 0L else pairStats.getLong(0)
       val cross = if (pairStats.isNullAt(1)) 0L else pairStats.getLong(1)
       (n.toLong, dfStats.getLong(0), dfStats.getLong(1), within, cross,

@@ -256,7 +256,7 @@ object Graph {
     var dist = seeds
     var frontier = seeds
     for (k <- 1 to BfsRounds) {
-      val nf = Recurrence.round(
+      val nf = Recurrence.roundCached(
         frontier.join(e, col("node") === col("src"))
           .select(col("dst").as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
@@ -396,12 +396,19 @@ object Graph {
     * canonical Pregel-style superstep as three relational ops. */
   def labelProp(spark: SparkSession, d: String): DataFrame = {
     val e = tradeArcs(spark, d)
-    var lab = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+    val nodes = CacheScope.cached(e.select(col("src").as("node")).distinct())
+    // the self-vote as a SELF-LOOP arc (r13): voting "label of node,
+    // delivered to node" through the same join as every neighbor vote
+    // means each round references `lab` exactly ONCE, so the fixed-round
+    // recurrence stays one PLAIN lazy plan (linear growth, AQE
+    // broadcasts the node-sized label state into the arc join) instead
+    // of needing a per-round persist to stop 2^rounds tree doubling
+    val e2 = e.unionAll(nodes.select(col("node").as("src"),
+      col("node").as("dst")))
+    var lab = nodes.select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to LabelPropRounds) {
-      val votes = e.join(lab, col("dst") === col("node"))
+      val votes = e2.join(lab, col("dst") === col("node"))
         .select(col("src").as("node"), col("lbl"))
-        .unionAll(lab) // the self-vote
         .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
       lab = Recurrence.round(votes
         .groupBy(col("node"))
@@ -1028,7 +1035,7 @@ object Graph {
     // state: (node, reached mask, harmonic_milli so far, seeds reached
     // so far); dist-0 self-bits seed the masks but never score (the
     // dist > 0 contract) — monotone masks mean they can't re-enter
-    var state = Recurrence.round(seeds.select(col("node"),
+    var state = Recurrence.roundCached(seeds.select(col("node"),
       expr("shiftleft(1L, cast(bit as int))").as("reached"),
       lit(0L).as("harm"), lit(0L).as("nsr")))
     for (h <- 1 to BfsRounds) {
@@ -1036,7 +1043,7 @@ object Graph {
           col("src") === col("j"))
         .groupBy(col("dst")).agg(expr("bit_or(reached)").as("m"))
         .select(col("dst").as("node"), col("m"))
-      state = Recurrence.round(
+      state = Recurrence.roundCached(
         state.join(nbr, Seq("node"), "full")
           .select(col("node"),
             expr("coalesce(reached, 0L) | coalesce(m, 0L)").as("reached"),

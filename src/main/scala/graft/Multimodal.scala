@@ -442,8 +442,12 @@ object Multimodal {
     * replays the closure as a recursive CTE over the same exact pair
     * relation. */
   def mediaDupClusters(spark: SparkSession, d: String): DataFrame = {
-    val pairs = CacheScope.cached(
-      aHashPairsDf(Tables.documentsDist(spark, d)))
+    // MANUAL persist + adopt-at-return (r13): clusterLabels runs its
+    // own internal actions, and CacheScope.cached releases after the
+    // FIRST completed action — the final edges join was recomputing
+    // the banded Hamming pair join uncached. Adopt after the label
+    // loop so the CALLER's terminal action releases it.
+    val pairs = aHashPairsDf(Tables.documentsDist(spark, d)).persist()
     val docs = Tables.documents(spark, d)
       .filter(length(col("text")) - 64L >= AHashBlocks.toLong)
       .select(col("doc_id"))
@@ -458,6 +462,7 @@ object Multimodal {
       .agg(count(lit(1)).as("n_edges"),
         sum(when(col("dist") === 0L, 1L).otherwise(0L)).as("n_exact_edges"),
         max(col("dist")).as("max_dist"))
+    CacheScope.adopt(pairs)
     sizes.join(edges, col("cluster_id") === col("cid"))
       .select(col("cluster_id"), col("n_docs"), col("n_edges"),
         col("n_exact_edges"), col("max_dist"))

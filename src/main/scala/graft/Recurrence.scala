@@ -36,7 +36,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Recurrence {
   sealed trait Mode
-  /** One lazy plan, CacheScope-scoped per-round persists (default). */
+  /** One PLAIN lazy plan (default): rounds are not persisted at all.
+    * For the single-reference recurrences [[round]] serves, the plan
+    * grows linearly with rounds, AQE sees each round's real shuffle
+    * size and broadcasts node-sized state into the arc joins, and a
+    * lost executor recomputes at most the lineage — measured at sf0.1
+    * (round 13), the old per-round CacheScope persist cost 1.5-2× the
+    * whole recurrence: the InMemoryRelation hid stage sizes from
+    * AQE's broadcast switch (forcing sort-merge over the arc relation
+    * every round) and the columnar cache build of node-sized state
+    * bought nothing back. Multi-reference recurrences use
+    * [[roundCached]], which restores the persist under Lazy. */
   case object Lazy extends Mode
   /** Eager localCheckpoint per round: lineage cut, executor-local. */
   case object LocalCk extends Mode
@@ -63,8 +73,21 @@ object Recurrence {
     * blocks are instead reclaimed by the ContextCleaner once the RDD
     * is unreferenced. */
   def round(df: DataFrame): DataFrame = mode match {
-    case Lazy       => CacheScope.cached(df)
+    case Lazy       => df
     case LocalCk    => df.localCheckpoint(true)
     case ReliableCk => df.checkpoint(true)
+  }
+
+  /** [[round]] for recurrences whose round output is referenced MORE
+    * THAN ONCE by the next round's plan (q131's settled anti-join +
+    * union, q311's neighbor-fold + carry join): without a per-round
+    * persist the plan tree doubles per round — 2^rounds inlined copies
+    * of round 0 — and the duplicated subtrees execute unless exchange
+    * reuse happens to dedupe them. Lazy mode therefore persists
+    * (CacheScope-scoped, released after the caller's terminal action);
+    * checkpointing modes behave exactly like [[round]]. */
+  def roundCached(df: DataFrame): DataFrame = mode match {
+    case Lazy => CacheScope.cached(df)
+    case m    => round(df)
   }
 }
