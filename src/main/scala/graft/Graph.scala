@@ -495,7 +495,10 @@ object Graph {
       val contrib = ed.join(rank, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(expr("(850 * sum(r div outdeg)) div 1000").as("c"))
-      rank = Recurrence.round(
+      // roundCached, not round: the teleport re-join makes each round's
+      // plan reference BOTH nodes and contrib; measured at sf0.1 the
+      // persisted-round form ran 2.7 s vs 3.8-5.1 s plain
+      rank = Recurrence.roundCached(
         nodes.join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
             (col("seed") * 150000L + coalesce(col("c"), lit(0L))).as("r")))
