@@ -1788,9 +1788,16 @@ object Dedup {
     * reading of q266 gets its horizontal twin.
     *
     * Shape at 100 TB: per n ONE kernel shingle pass (per-doc distinct
-    * hashes), a gram-keyed df agg, the df-capped equi-self-join
-    * (pair instances bounded by Σ C(min(df,cap),2) — the PPJoin
-    * stop-shingle argument), and 2 one-row aggregates folded on the
+    * hashes), a gram-keyed df agg, and the pair instances generated by
+    * COMBINATIONS-EXPLODE over per-gram doc arrays (r14 — the q127
+    * adjacency-array trick applied to the dedup axis): one gram-keyed
+    * collect + posexplode×slice instead of the equi-self-join, so the
+    * kept-gram relation is shuffled ONCE (the self-join shuffled both
+    * copies and sort-merged them; measured at sf0.1: 2.16 → 1.51 s at
+    * n=3, identical counts at every grid point). Pair mass is the same
+    * Σ C(min(df,cap),2) bound — the df cap bounds every array at the
+    * cap, so no collected gram list can exceed it (the PPJoin
+    * stop-shingle argument). 2 one-row aggregates folded on the
     * driver (bounded collects). Output is |grid| = 3 rows. */
   def shingleSizeAblation(spark: SparkSession, d: String): DataFrame = {
     // MANUAL persist lifecycle, not CacheScope.cached (r13): each grid
@@ -1799,7 +1806,8 @@ object Dedup {
     // completed action — so the expensive pair join was recomputing
     // the shingle pass uncached. The kernel shingle relation and the
     // df relation are persisted across both actions and released
-    // before the next grid point.
+    // before the next grid point — in a finally, so a failed action
+    // can't leak them for the session lifetime (r13 ADVICE).
     val rows = AblationNs.map { n =>
       val g = Tables.documentsDist(spark, d)
         .select(col("doc_id"), col("source"),
@@ -1807,22 +1815,34 @@ object Dedup {
             split(col("text"), " "), n)).as("h"))
         .persist()
       val dfRel = g.groupBy(col("h")).agg(count(lit(1)).as("df")).persist()
-      val dfStats = dfRel.agg(count(lit(1)),
-        sum(when(col("df") > AblationDfCap, 1L).otherwise(0L))).head()
-      val kept = dfRel.filter(col("df") <= AblationDfCap).select(col("h"))
-      val gi = g.join(kept, "h")
-      val pairStats = gi.as("a").join(gi.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          (col("a.source") === col("b.source")).as("same"))
-        .distinct()
-        .agg(sum(when(col("same"), 1L).otherwise(0L)),
-          sum(when(!col("same"), 1L).otherwise(0L))).head()
-      g.unpersist(); dfRel.unpersist()
-      val within = if (pairStats.isNullAt(0)) 0L else pairStats.getLong(0)
-      val cross = if (pairStats.isNullAt(1)) 0L else pairStats.getLong(1)
-      (n.toLong, dfStats.getLong(0), dfStats.getLong(1), within, cross,
-        if (within + cross == 0L) 0L else 1000L * cross / (within + cross))
+      try {
+        val dfStats = dfRel.agg(count(lit(1)),
+          sum(when(col("df") > AblationDfCap, 1L).otherwise(0L))).head()
+        val kept = dfRel.filter(col("df") <= AblationDfCap).select(col("h"))
+        val gi = g.join(kept, "h")
+        // per-gram doc list (sorted by doc_id — unique per gram, the
+        // per-doc hashes are distinct), then all i<j combinations via
+        // posexplode + slice: a.doc_id < b.doc_id exactly like the old
+        // join predicate
+        val byGram = gi.groupBy(col("h"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("source"))))
+            .as("ds"))
+          .filter(size(col("ds")) >= 2)
+        val pairStats = byGram
+          .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+          .select(col("a"),
+            explode(slice(col("ds"), col("i") + lit(2),
+              size(col("ds")) - col("i") - lit(1))).as("b"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            (col("a.source") === col("b.source")).as("same"))
+          .distinct()
+          .agg(sum(when(col("same"), 1L).otherwise(0L)),
+            sum(when(!col("same"), 1L).otherwise(0L))).head()
+        val within = if (pairStats.isNullAt(0)) 0L else pairStats.getLong(0)
+        val cross = if (pairStats.isNullAt(1)) 0L else pairStats.getLong(1)
+        (n.toLong, dfStats.getLong(0), dfStats.getLong(1), within, cross,
+          if (within + cross == 0L) 0L else 1000L * cross / (within + cross))
+      } finally { g.unpersist(); dfRel.unpersist() }
     }
     val s = spark
     import s.implicits._

@@ -641,8 +641,24 @@ object Graph {
     * ∋ e}| — the support of e in the surviving subgraph — so the
     * rounds-exhausted exit needs no re-pricing pass (the oracle's
     * final support block recomputes it from scratch and must agree). */
-  def kTruss(spark: SparkSession, d: String): DataFrame = {
+  def kTruss(spark: SparkSession, d: String): DataFrame =
+    kTrussOf(spark, coPurchaseEdges(spark, d))
+
+  /** Spec observability: rounds that took each maintenance arm in the
+    * most recent [[kTrussOf]] run on this JVM (the delta arm never
+    * fires on the test corpus — sf0.001 converges at round 1 and
+    * sf0.01/sf0.1 rebuild every round — so the planted-graph spec
+    * forces and asserts it through these). */
+  @volatile var ktRebuildRounds: Int = 0
+  @volatile var ktDeltaRounds: Int = 0
+
+  /** [[kTruss]] over an injected canonical (p1 < p2, distinct) edge
+    * relation — the operator body, parameterized for the planted-graph
+    * delta-arm spec. */
+  private[graft] def kTrussOf(spark: SparkSession, edges0In: DataFrame): DataFrame = {
     val thr = (KTrussK - 2).toLong
+    ktRebuildRounds = 0
+    ktDeltaRounds = 0
     def truncate(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
     // triangle triple → its three canonical (p1 < p2) edges; corner
@@ -677,7 +693,7 @@ object Graph {
     // stage — its "lineage" is already a leaf scan, so no persist or
     // truncation (r13: the persist+count+df.rdd round-trip cost ~2.7 s
     // at sf0.1 and bought nothing)
-    val edges0 = coPurchaseEdges(spark, d)
+    val edges0 = edges0In
 
     // ---- round 1: FUSED support count, NO triangle materialization
     // (r13 optimization). The full graph's triangle set is mostly
@@ -691,14 +707,14 @@ object Graph {
     // subgraph survives the peel (the rebuild arm below). ----
     var supP = supportOf(edges0, orientedTriangles(edges0, degreesOf(edges0)))
       .persist()
-    supP.count()
-    // peel rows feed the result plan, and round r's support lineage may
-    // CHAIN through round r−1's (the decrement join) — adopting
-    // mid-loop would let the next round's own count() claim and release
-    // it (the CacheScope next-action contract), turning the terminal
-    // action into a recursive recompute of the whole chain. Keep every
-    // round's support persisted and adopt them together at return.
-    var keep = List[DataFrame](supP)
+    // |edges| rides the round-1 materialization: later rounds derive
+    // the survivor count arithmetically (total − peeled) instead of
+    // paying a separate count job per round (r14 — the old loop ran
+    // FIVE actions per round: isEmpty + peeled count + survivor count
+    // + rebuild enumerate + rebuild support; now TWO: peel count +
+    // fused rebuild, each later round's fixed driver-barrier cost
+    // roughly halves at sf0.1 where survivor graphs are tiny).
+    var total = supP.count()
     var sup = truncate(supP)
 
     // survivor triangle relation, materialized lazily by the first
@@ -706,23 +722,35 @@ object Graph {
     var aliveP: DataFrame = null
     var alive: DataFrame = null
 
+    // PEEL rows are persisted per round (they feed the result plan);
+    // peels are DISJOINT — an edge peels once — so all rounds' peel
+    // caches together hold ≤ |edges| rows, where the r13 keep-list
+    // held every round's EDGE-SIZED support relation alive until
+    // return (the r13 verdict's §5 memory wall at scale). Only the
+    // CURRENT support stays persisted: once the next round's support
+    // is materialized, its predecessor feeds nothing (peel rows have
+    // their own cache) and unpersists immediately.
     var peels = Vector.empty[DataFrame]
+    var keep = List.empty[DataFrame]
     var r = 1
     var converged = false
     while (r <= KTrussRounds && !converged) {
-      val out = sup.filter(col("s") < thr)
+      val peelP = sup.filter(col("s") < thr)
         .select(col("p1"), col("p2"), lit(r.toLong).as("peel_round"),
           col("s").as("support"))
-      converged = out.isEmpty
-      if (!converged) {
-        peels :+= out
-        val peeledP = sup.filter(col("s") < thr)
-          .select(col("p1"), col("p2")).persist()
-        val nPeeled = peeledP.count()
-        val survP = sup.filter(col("s") >= thr)
-          .select(col("p1"), col("p2")).persist()
-        val nSurv = survP.count()
-        val surv = truncate(survP)
+        .persist()
+      // convergence = the SAME count job that materializes the peel
+      // rows (the old separate isEmpty action is gone)
+      val nPeeled = peelP.count()
+      converged = nPeeled == 0
+      if (converged) peelP.unpersist()
+      else {
+        peels :+= peelP
+        keep ::= peelP
+        val nSurv = total - nPeeled
+        // survivor edges re-filter the CACHED support — an in-memory
+        // scan per reference, no persist of its own needed
+        val surv = sup.filter(col("s") >= thr).select(col("p1"), col("p2"))
         // DELTA-VS-REBUILD switch (incremental-view-maintenance
         // economics): both arms maintain the same invariant
         // s_r(e) = |alive triangles ∋ e|. The delta arm is O(|alive| +
@@ -733,18 +761,23 @@ object Graph {
         // smaller side is strictly less work than walking the dead).
         // Round 1 always rebuilds (no triangle relation exists yet).
         if (alive == null || nPeeled >= nSurv) {
+          ktRebuildRounds += 1
+          // persist-THROUGH (r14): the support count is the one action
+          // of the arm — it computes through nextAliveP's persist and
+          // fills the triangle cache as a side effect, so the old
+          // separate enumerate count() barrier is gone
           val nextAliveP = orientedTriangles(surv, degreesOf(surv)).persist()
-          nextAliveP.count()
+          val nextSupP = supportOf(surv, nextAliveP).persist()
+          nextSupP.count()
           if (aliveP != null) aliveP.unpersist()
           aliveP = nextAliveP
           alive = truncate(nextAliveP)
-          val nextSupP = supportOf(surv, alive).persist()
-          nextSupP.count()
-          keep ::= nextSupP
+          supP.unpersist()
           supP = nextSupP
           sup = truncate(nextSupP)
         } else {
-          val peeled = truncate(peeledP)
+          ktDeltaRounds += 1
+          val peeled = peelP.select(col("p1"), col("p2"))
           // a triangle dies with its first peeled edge; DISTINCT triples
           // so a triangle losing 2+ edges this round still decrements
           // its surviving edge exactly once
@@ -761,21 +794,22 @@ object Graph {
               (col("s") - coalesce(col("dcnt"), lit(0L))).as("s"))
             .persist()
           nextSupP.count()
-          keep ::= nextSupP
           val nextAliveP = alive.join(dead, Seq("a", "b", "c"), "left_anti")
             .persist()
           nextAliveP.count()
           aliveP.unpersist(); deadP.unpersist()
           aliveP = nextAliveP
           alive = truncate(nextAliveP)
+          supP.unpersist()
           supP = nextSupP
           sup = truncate(nextSupP)
         }
-        peeledP.unpersist(); survP.unpersist()
+        total = nSurv
       }
       r += 1
     }
     if (aliveP != null) aliveP.unpersist()
+    keep ::= supP
     keep.foreach(CacheScope.adopt)
     // survivor support: the maintained relation IS the support on the
     // final surviving graph (invariant above) — no re-pricing pass in
@@ -901,6 +935,43 @@ object Graph {
       .orderBy(col("brand"))
   }
 
+  /** The distinct customer→part purchase edge relation (q303's
+    * bipartite graph) — since round 14 a PERSISTED salted stage (the
+    * tradeArcs/coPurchaseEdges contract): the lineitem ⋈ orders
+    * equi-join + 570 k-row distinct depends only on the corpus
+    * version, and q303 consumes the relation ~8× per run (3 HITS
+    * rounds × 2 sides + 2 degree aggs), so warm consumers scan ONE
+    * parquet leaf instead of re-planning the join+distinct subtree
+    * into every round (guide §6; measured at sf0.1: the subtree
+    * appeared 8× in the physical plan). NOT re-persisted in memory —
+    * the r13 arc-cache lesson: an InMemoryRelation hides the leaf's
+    * size from AQE's join-strategy switch and pays a columnar build
+    * for a ~6 MB re-scan. */
+  private[graft] def custPartEdges(spark: SparkSession, d: String): DataFrame = {
+    val p = SaltedIndex.dir(spark, "custpart", BipIdxVersion,
+      s"$d/lineitem.parquet",
+      Seq("corpus" -> d,
+        "orders" -> SaltedIndex.stamp(spark, s"$d/orders.parquet")))
+    SaltedIndex.ensureBuilt(spark, p) {
+      val li = Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val os = Tables.orders(spark, d)
+        .select(col("o_orderkey").as("ok2"), col("o_custkey").as("c"))
+      li.join(os, col("ok") === col("ok2"))
+        .select(col("c"), col("p")).distinct()
+        .write.mode("overwrite").parquet(s"$p/edges")
+      bipBuilds += 1
+      SaltedIndex.markSuccess(spark, p)
+    }
+    spark.read.parquet(s"$p/edges")
+  }
+
+  private val BipIdxVersion = "0.0.1"
+
+  /** Observability for specs: customer-part edge-stage builds this
+    * JVM ran. */
+  @volatile var bipBuilds: Int = 0
+
   /** Full a→h HITS rounds (q303). Three is the contract: scores after
     * round k are exact integers bounded by (max degree)^(2k), so
     * three rounds keep the unnormalized mass inside DECIMAL(38,0)
@@ -923,8 +994,9 @@ object Graph {
     * basket covers authoritative parts. The directed-centrality view
     * q126's undirected PageRank and q276's degree elite can't give.
     *
-    * Shape at 100 TB: the edge relation is one equi-join + distinct
-    * (keyed shuffles), cached once; each round is ONE edge-keyed hash
+    * Shape at 100 TB: the edge relation is a persisted salted stage
+    * (one equi-join + distinct per corpus version — [[custPartEdges]]);
+    * each round is ONE edge-keyed hash
     * join + ONE node-keyed hash aggregate (the q126 shape — linear in
     * edges, no quadratic pairing); the two final totals are scalar
     * aggregates broadcast back (one-row nested-loop joins, allowlisted
@@ -934,12 +1006,9 @@ object Graph {
     * the edge join, and a lost executor recomputes at most the 6-stage
     * lineage. */
   def hitsBipartite(spark: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(spark, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-    val os = Tables.orders(spark, d)
-      .select(col("o_orderkey").as("ok2"), col("o_custkey").as("c"))
-    val e = CacheScope.cached(li.join(os, col("ok") === col("ok2"))
-      .select(col("c"), col("p")).distinct())
+    // the persisted salted stage (r14): a leaf parquet scan per
+    // consumer — no in-memory re-persist (see custPartEdges)
+    val e = custPartEdges(spark, d)
     // hub0 = 1 per customer, so round-1 authority is the part degree.
     // Rounds stay PLAIN lazy (r13): each state is referenced exactly
     // once by the next round, so the plan grows linearly, and leaving
