@@ -192,10 +192,23 @@ object Dedup {
         explode(slice(col("ranked"), lit(1),
           (col("s") - ceil(lit(thr) * col("s")) + 1).cast("int"))).as("p"))
       .select(col("doc_id"), col("p.h").as("h"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // candidates via COMBINATIONS-EXPLODE over per-shingle doc arrays
+    // (r14 — the q290/q257/q192 adjacency-array trick): one h-keyed
+    // collect + posexplode×slice instead of the equi-self-join, so the
+    // prefix relation is shuffled ONCE. Pair mass is the same
+    // Σ C(prefix_df, 2); the collected array (size = prefix_df) is the
+    // LINEAR factor of the same quantity the old join already paid
+    // quadratically, and prefix postings exclude stop shingles by
+    // construction (a high-df shingle ranks last in every doc, so it
+    // never enters a prefix). doc_ids are unique per h (per-doc
+    // shingle sets are distinct), so i<j is the old a<b predicate.
+    val cand = prefix.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + lit(2),
+          size(col("ds")) - col("i") - lit(1))).as("doc_b"))
       .distinct()
     // verify on candidates from the persisted ARRAYS (one codegen
     // array_intersect per pair) instead of re-joining the full posting

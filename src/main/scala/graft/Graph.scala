@@ -1097,6 +1097,12 @@ object Graph {
     // 4-round recurrence is back to ONE lazy plan (no per-round
     // driver barrier; Recurrence.round lineage-truncates). At >64
     // seeds the mask generalizes to an array of words, same plan.
+    // shiftleft wraps mod 64 in Spark: a seed count past 64 would
+    // silently alias seeds into the same bit and corrupt results, not
+    // fail — fail loudly instead (r13 ADVICE)
+    require(HarmonicSeeds <= 64,
+      s"bit-parallel BFS packs one seed per Long bit; HarmonicSeeds = " +
+        s"$HarmonicSeeds > 64 needs the array-of-words generalization")
     val seeds = e.select(col("src")).distinct()
       .filter(expr("src % 2 = 0 AND (src div 2) % 5 = 0"))
       .orderBy(col("src")).limit(HarmonicSeeds)

@@ -440,7 +440,14 @@ object Multimodal {
     * rounds, per-node min aggregates — never a transitive-closure
     * join); the epilogue is two cluster-keyed hash-aggs. The oracle
     * replays the closure as a recursive CTE over the same exact pair
-    * relation. */
+    * relation.
+    *
+    * Cache lifecycle: the banded Hamming pair relation is adopted at
+    * return, so the CALLER's first completed action releases it (the
+    * CacheScope single-action contract). A caller running a second
+    * action on the returned DataFrame recomputes that pair join
+    * uncached — correct but expensive; persist the RESULT for
+    * multi-action reuse. */
   def mediaDupClusters(spark: SparkSession, d: String): DataFrame = {
     // MANUAL persist + adopt-at-return (r13): clusterLabels runs its
     // own internal actions, and CacheScope.cached releases after the

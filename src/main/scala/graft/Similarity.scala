@@ -1468,11 +1468,27 @@ object Similarity {
       .agg(count(lit(1)).as("n")).filter(col("n") > bucketCap)
       .select(col("t"), col("bucket"))
     val b = ball.join(hot, Seq("t", "bucket"), "left_anti")
-    val cand = b.as("x")
-      .join(b.as("y"),
-        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id") &&
-          col("x.lang") =!= col("y.lang"))
+    // pair instances via COMBINATIONS-EXPLODE over per-bucket member
+    // arrays (r14 — the q290/q127 adjacency-array trick): one
+    // (t,bucket)-keyed collect + posexplode×slice instead of the
+    // equi-self-join, so the bucket relation is shuffled ONCE and the
+    // pairs are generated in place. The hot-bucket anti-join above
+    // still drops over-cap buckets BEFORE the collect, so no member
+    // array exceeds the cap (the q23 skew guard is unchanged). Members
+    // sort by vec_id — unique within a (t,bucket), one row per t per
+    // vector — so i<j reproduces the old vec_a < vec_b predicate; the
+    // cross-language filter prunes before the distinct exactly as the
+    // join condition did.
+    val byBucket = b.groupBy(col("t"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("lang"))))
+        .as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val cand = byBucket
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "x")))
+      .select(col("x"),
+        explode(slice(col("ms"), col("i") + lit(2),
+          size(col("ms")) - col("i") - lit(1))).as("y"))
+      .filter(col("x.lang") =!= col("y.lang"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
     val scored = CacheScope.cached(cand
@@ -1494,10 +1510,16 @@ object Similarity {
         col("vec_a").as("partner"), col("c_ppm")))
     val w = Window.partitionBy(col("vid"))
       .orderBy(col("c_ppm").desc, col("partner"))
-    val hood = nbrs.withColumn("rn", row_number().over(w))
+    // hood is referenced TWICE by the final plan (vec_a side and vec_b
+    // side) — uncached, the union+window+agg subtree computed twice
+    // (r14; the phase probe measured ~2.4 s per copy at sf0.1). The
+    // single terminal action populates the cache at first reference
+    // and reuses it at the second; CacheScope releases it after that
+    // action, the q192 one-action-many-consumers pattern.
+    val hood = CacheScope.cached(nbrs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= BitextK)
       .groupBy(col("vid"))
-      .agg(sum(col("c_ppm")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("c_ppm")).as("s"), count(lit(1)).as("n")))
     scored
       .join(hood.select(col("vid").as("vec_a"), col("s").as("sa"),
         col("n").as("na")), "vec_a")

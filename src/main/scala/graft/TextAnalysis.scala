@@ -973,8 +973,23 @@ object TextAnalysis {
         (col("tf") * expr("100000 div df")).as("wt"))
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(expr("CAST(wt AS DECIMAL(38,0)) * wt")).as("n2"))
-    w.as("a").join(w.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+    // pair terms via COMBINATIONS-EXPLODE over per-gram (doc, wt)
+    // arrays (r14 — the q290/q257 adjacency-array trick): one g-keyed
+    // collect + posexplode×slice instead of the equi-self-join, so the
+    // weighted posting relation is shuffled ONCE and the C(df,2) pair
+    // terms are generated in place. Every array is hard-bounded at
+    // SparseCosineDfCap(=50) members by the df filter above. Members
+    // sort by doc_id (unique per gram — tf is (doc,g)-grouped), so i<j
+    // reproduces the old doc_a < doc_b predicate; the per-pair DECIMAL
+    // products are the same addends in the same (doc_a, doc_b) groups,
+    // and DECIMAL integer addition is exactly associative — bit-equal
+    // dot sums.
+    w.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("wt")))).as("ds"))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ds"), col("i") + lit(2),
+          size(col("ds")) - col("i") - lit(1))).as("b"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(sum(expr("CAST(a.wt AS DECIMAL(38,0)) * b.wt")).as("dot"))
       .join(norms.toDF("doc_a", "n2_a"), "doc_a")
@@ -1427,10 +1442,23 @@ object TextAnalysis {
     * the oracle replays it relationally (rank = count-of-better). */
   def passageSizeAblation(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documentsDist(spark, d)
+    // ONE action over the union of the three tagged top-10 branches
+    // (r14): the three maxPassageDf instances register the SAME
+    // tokenized-docs cache plan, and the CacheManager dedupes identical
+    // plans, so tokenization runs once for the whole grid. Three
+    // separate collects re-tokenized per grid point — the CacheScope
+    // release-after-first-action contract dropped the cache between
+    // them. Each branch's rank order is
+    // recovered locally from its own (score desc, doc_id) sort key —
+    // exactly maxPassageDf's orderBy, over ≤10 rows per branch.
+    val all = PassageSizeGrid.map { sz =>
+      maxPassageDf(docs, sz)
+        .select(lit(sz).as("psize"), col("doc_id"), col("score_micro"))
+    }.reduce(_.unionAll(_)).collect().toSeq
     val tops: Map[Int, Seq[(Long, Long)]] = PassageSizeGrid.map { sz =>
-      sz -> maxPassageDf(docs, sz)
-        .select(col("doc_id"), col("score_micro")).collect().toSeq
-        .map(r => (r.getLong(0), r.getLong(1)))
+      sz -> all.filter(_.getInt(0) == sz)
+        .map(r => (r.getLong(1), r.getLong(2)))
+        .sortBy { case (id, sc) => (-sc, id) }
     }.toMap
     val base = tops(PassageSize).map(_._1).zipWithIndex.toMap
     import spark.implicits._

@@ -250,22 +250,59 @@ class PlanSweepSpec extends SparkSpec {
     * relations (the q113 justified-bounded idiom), never the corpus —
     * each entry names the bound. An unlisted global window fails the
     * sweep: that is the one-task sort that dies at 100× (the q73
-    * lesson, round 6). */
-  private val boundedGlobalWindows = Map.empty[String, Int]
+    * lesson, round 6).
+    *
+    *  - q311: the seed-bit ranking (row_number over the seed sample) —
+    *    its input is the immediately preceding limit(HarmonicSeeds),
+    *    ≤64 rows by construction. It is the ONLY partitionless window
+    *    on the surface (r14 audit: all 5 "No Partition Defined"
+    *    warnings in a full Verify run came from this one subtree,
+    *    executed once per roundCached materialization). */
+  private val boundedGlobalWindows = Map("q311_harmonic_closeness" -> 1)
 
   test("no single-partition window over corpus-sized data in any query plan") {
+    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // DESCEND into cached subplans (r14): plan.collect stops at
+    // InMemoryTableScan boundaries, so a global window behind a
+    // persist — exactly where q311's lives — was invisible to the r13
+    // sweep. Count distinct cached relations once each so a cache
+    // referenced N times doesn't N-count its windows.
+    def globalWindows(p: SparkPlan,
+        seen: java.util.IdentityHashMap[AnyRef, AnyRef]): Int = {
+      val here = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => 1
+      }.sum
+      val nested = p.collect {
+        case s: InMemoryTableScanExec => s.relation
+        case a: AdaptiveSparkPlanExec => a
+      }.map {
+        case a: AdaptiveSparkPlanExec =>
+          globalWindows(a.executedPlan, seen)
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          if (seen.containsKey(r.cacheBuilder)) 0
+          else { seen.put(r.cacheBuilder, r); globalWindows(r.cachedPlan, seen) }
+      }.sum
+      here + nested
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, d).queryExecution.executedPlan
-        val n = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.size
-        if (n > boundedGlobalWindows.getOrElse(name, 0))
-          Some(s"$name: $n partitionless window(s)")
+        val n = globalWindows(plan,
+          new java.util.IdentityHashMap[AnyRef, AnyRef]())
+        // EXACT match for listed queries: n < allowed means the sweep
+        // stopped seeing a window it is supposed to justify (rot, or a
+        // descent bug) — as much a failure as a new offender
+        if (n != boundedGlobalWindows.getOrElse(name, 0))
+          Some(s"$name: $n partitionless window(s), " +
+            s"allowlisted ${boundedGlobalWindows.getOrElse(name, 0)}")
         else None
       } catch {
         case e: Throwable =>
           Some(s"$name: plan failed (${e.getClass.getSimpleName})")
-      }
+      } finally spark.catalog.clearCache()
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
     val stale = boundedGlobalWindows.keys.filterNot(SparkEntry.queries.contains)
