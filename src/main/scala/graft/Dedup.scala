@@ -1818,10 +1818,20 @@ object Dedup {
     // CacheScope contract releases a registered cache after the FIRST
     // completed action — so the expensive pair join was recomputing
     // the shingle pass uncached. The kernel shingle relation and the
-    // df relation are persisted across both actions and released
-    // before the next grid point — in a finally, so a failed action
+    // df relation are persisted across both actions and released when
+    // the grid point finishes — in a finally, so a failed action
     // can't leak them for the session lifetime (r13 ADVICE).
-    val rows = AblationNs.map { n =>
+    //
+    // The grid points are INDEPENDENT (each reads only the corpus and
+    // its own persists), so they run as concurrent driver-submitted
+    // jobs (guide §2.6 overlap): sequentially the query paid
+    // |grid| × 2 driver-synchronized action barriers and each job's
+    // straggler tail left the executor idle; concurrently the wall
+    // cost is ~the slowest grid point and the next point's tasks
+    // back-fill the tail. |grid| = 3 bounds both the thread pool and
+    // the peak persist footprint (3 shingle relations ≤ 3× the n=8
+    // one the sequential form already held).
+    def gridPoint(n: Int): (Long, Long, Long, Long, Long, Long) = {
       val g = Tables.documentsDist(spark, d)
         .select(col("doc_id"), col("source"),
           explode(graft.functions.GraftFunctions.shingleHashes(
@@ -1857,6 +1867,15 @@ object Dedup {
           if (within + cross == 0L) 0L else 1000L * cross / (within + cross))
       } finally { g.unpersist(); dfRel.unpersist() }
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(AblationNs.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rows =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          AblationNs.map(n => scala.concurrent.Future(gridPoint(n)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     val s = spark
     import s.implicits._
     rows.toDF("n", "grams_distinct", "grams_dropped", "pairs_within",
